@@ -1,0 +1,71 @@
+"""Typed configuration for the dedup engine.
+
+The reference keeps its knobs as implicit Makefile variables
+(reference ``Makefile:2-5``); here a single frozen dataclass carries every
+semantics-bearing parameter so that (a) runs are reproducible across cluster
+sizes and (b) the config hash participates in checkpoint lineage
+(see ``dedup_ray.state.manifest``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling ---------------------------------------------------------
+    shingle_k: int = 3  # word shingles of k consecutive tokens
+    # --- MinHash / LSH -----------------------------------------------------
+    num_perms: int = 128  # MinHash signature length
+    bands: int = 32  # LSH bands; rows per band = num_perms // bands
+    jaccard_threshold: float = 0.5  # accept edge when est. Jaccard >= this
+    verify: str = "signature"  # "none" | "signature"
+    # Cap on all-pairs emission within one LSH band bucket.  Buckets larger
+    # than this (hot bands: boilerplate shingles) fall back to a sparse
+    # star+window emission that preserves connectivity of true dup cliques
+    # while bounding cost to O(n) instead of O(n^2).  See lsh.emit_pairs.
+    max_band_group: int = 256
+    hot_window: int = 2  # window width for the sparse fallback
+    # --- SimHash -----------------------------------------------------------
+    simhash_bits: int = 64
+    simhash_bands: int = 4  # 4 x 16-bit bands => finds all pairs with hamming<=3
+    simhash_max_hamming: int = 3
+    # --- suffix-array substring dedup -------------------------------------
+    min_substring_len: int = 50  # chars; common substring >= this => duplicate
+    # Chunks appearing in more than this many docs are boilerplate (cookie
+    # banners, templates): excluded from substring candidates and runs.
+    # The A1-style global census (groupby(chash).count) finds them.
+    boilerplate_max_df: int = 8
+    # Containment semantics: a substring pair is a duplicate only when the
+    # shared run also covers >= this fraction of the smaller document.
+    # Separates true containment (~1.0) from shared boilerplate (~0.3-0.5).
+    containment_frac: float = 0.7
+    # --- determinism -------------------------------------------------------
+    seed: int = 42
+    # --- execution ---------------------------------------------------------
+    batch_size: int = 1024  # rows per batch for text-heavy stages
+    minhash_concurrency: int = 4  # actor-pool size for signature stages
+    num_partitions: int = 16  # hash partitions for joins/shuffles
+    # Driver-side union-find is used when the accepted-edge count is below
+    # this; above it the distributed large-star/small-star iteration runs.
+    cc_local_edge_limit: int = 2_000_000
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perms // self.bands
+
+    def config_hash(self) -> str:
+        """Stable hash of every semantics-bearing knob, for lineage."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    def __post_init__(self) -> None:
+        if self.num_perms % self.bands != 0:
+            raise ValueError("num_perms must be divisible by bands")
+        if self.simhash_bits % self.simhash_bands != 0:
+            raise ValueError("simhash_bits must be divisible by simhash_bands")
+        if self.verify not in ("none", "signature"):
+            raise ValueError(f"unknown verify mode {self.verify!r}")

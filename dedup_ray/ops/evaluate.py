@@ -1,0 +1,135 @@
+"""Pairwise cluster evaluation — faithful to the reference scorer.
+
+The reference expands truth and predicted clusterings into intra-cluster
+pair indicator vectors and computes binary pairwise precision/recall/F1
+(``evaluate.py:72-128``; macro variant with negative-class correction at
+:129-152).  Materializing C(n,2) indicators does not scale, but the same
+numbers are three grouped counts:
+
+    total_gt   = Σ_truth-cluster C(n,2)
+    total_pred = Σ_pred-cluster  C(n,2)
+    correct    = Σ_(truth,pred)-joint-cluster C(n,2)
+
+which is exactly what the indicator dot products compute.  The north-rule
+criterion "dup-pair recall >= 0.99" is ``recall`` here restricted to truth
+positives — identical to ``evaluate.py:125-128``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _pair_count(sizes: pd.Series) -> int:
+    return int((sizes * (sizes - 1) // 2).sum())
+
+
+def pairwise_prf(
+    pred: pd.DataFrame, truth: pd.DataFrame, id_col: str = "url",
+    average: str = "binary",
+) -> dict[str, float]:
+    """P/R/F1 of predicted vs truth clusters, both as (id_col, cluster_id).
+
+    ``average='binary'`` reproduces ``evaluate.py`` ``--average binary``;
+    ``'macro'`` additionally scores the negative class over the full pair
+    universe of the ids present in truth and averages the two F1s
+    (``evaluate.py:129-152``).
+    """
+    m = truth.merge(
+        pred, on=id_col, how="left", suffixes=("_gt", "_pred"), validate="m:1"
+    )
+    # ids missing from the prediction are singletons (never paired)
+    m["cluster_id_pred"] = m["cluster_id_pred"].fillna(
+        "\x00missing:" + m[id_col].astype(str)
+    )
+    total_gt = _pair_count(m.groupby("cluster_id_gt").size())
+    total_pred_in = _pair_count(m.groupby("cluster_id_pred").size())
+    correct = _pair_count(m.groupby(["cluster_id_gt", "cluster_id_pred"]).size())
+
+    def _prf(c: int, tp: int, tg: int) -> tuple[float, float, float]:
+        if tg == 0 or tp == 0:
+            return 0.0, 0.0, 0.0
+        p, r = c / tp, c / tg
+        f = 0.0 if (p == 0 or r == 0) else 2 * p * r / (p + r)
+        return f, p, r
+
+    f1, precision, recall = _prf(correct, total_pred_in, total_gt)
+    out = {"precision": precision, "recall": recall, "f1": f1}
+    if average == "macro":
+        n = len(m)
+        universe = n * (n - 1) // 2
+        neg_gt = universe - total_gt
+        neg_pred = universe - total_pred_in
+        # pairs negative in both = universe - gt - pred + both-positive
+        neg_correct = universe - total_gt - total_pred_in + correct
+        f1_neg, p_neg, r_neg = _prf(neg_correct, neg_pred, neg_gt)
+        out.update(
+            {
+                "precision_neg": p_neg,
+                "recall_neg": r_neg,
+                "f1_macro": (f1 + f1_neg) / 2,
+            }
+        )
+    return out
+
+
+def pairwise_prf_ds(pred_ds, truth_ds, id_col: str = "url",
+                    num_partitions: int = 16) -> dict[str, float]:
+    """Distributed variant: grouped counts over a join, no pair explosion.
+
+    pred_ds / truth_ds: Dataset(id_col, cluster_id).  The three totals are
+    each a groupby().count() over the joined label table; only per-cluster
+    counts (tiny) reach the driver.
+    """
+    import pyarrow as pa
+
+    def rn(suffix):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [id_col if c == id_col else f"{c}{suffix}" for c in batch.column_names]
+            )
+
+        return f
+
+    t = truth_ds.map_batches(rn("_gt"), batch_format="pyarrow")
+    p = pred_ds.map_batches(rn("_pred"), batch_format="pyarrow")
+    joined = t.join(
+        p, join_type="left_outer", num_partitions=num_partitions, on=(id_col,)
+    )
+
+    def fill_missing(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        filler = pc.binary_join_element_wise(
+            pa.array(["\x00missing:"] * batch.num_rows),
+            pc.cast(batch[id_col], pa.string()),
+            "",
+        )
+        cid = pc.coalesce(pc.cast(batch["cluster_id_pred"], pa.string()), filler)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster_id_gt": pc.cast(batch["cluster_id_gt"], pa.string()),
+                "cluster_id_pred": cid,
+            }
+        )
+
+    joined = joined.map_batches(fill_missing, batch_format="pyarrow").materialize()
+
+    def pair_total(sizes_df: pd.DataFrame) -> int:
+        s = sizes_df["count()"]
+        return int((s * (s - 1) // 2).sum())
+
+    gt_sizes = joined.groupby("cluster_id_gt").count().to_pandas()
+    pred_sizes = joined.groupby("cluster_id_pred").count().to_pandas()
+    joint_sizes = joined.groupby(["cluster_id_gt", "cluster_id_pred"]).count().to_pandas()
+    total_gt = pair_total(gt_sizes)
+    total_pred = pair_total(pred_sizes)
+    correct = pair_total(joint_sizes)
+    if total_gt == 0 or total_pred == 0:
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0}
+    precision, recall = correct / total_pred, correct / total_gt
+    f1 = 0.0 if (precision == 0 or recall == 0) else (
+        2 * precision * recall / (precision + recall)
+    )
+    return {"precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,234 @@
+"""Connected components over the accepted-edge list → cluster assignments.
+
+The north-rule clustering primitive (SURVEY.md G6): the reference computes
+``components(net)$membership`` per block (``coauthor_glue.R:44-47``,
+``uni_glue_baseline.R:115-116``) and its Kruskal+likelihood path
+(``MT_Kruskal.R``/``likelihood.R``) approximates a global threshold cut —
+for a thresholded edge set, CC ≡ single-linkage clusters.
+
+Two implementations, both deterministic with cluster id = min member id
+(content-derived, so identical at any parallelism):
+
+- :func:`connected_components_local` — driver-side union-find streamed over
+  ``iter_batches``.  O(#edge-endpoint nodes) driver memory; used when the
+  edge count is below ``cc_local_edge_limit`` (near-dup edge lists are tiny
+  relative to the corpus).
+- :func:`connected_components_distributed` — alternating Large-Star /
+  Small-Star rounds (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) as ``groupby().map_groups`` shuffles, converging in
+  O(log n) rounds; each round materializes (edge lists are small) and
+  convergence is detected by an order-insensitive edge-multiset hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from dedup_ray.util.hashing import stable64
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id becomes the root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def connected_components_local(edges_ds) -> pd.DataFrame:
+    """Edges Dataset(id1,id2) → pandas (id, cluster_id); cluster_id = min member."""
+    uf = _UnionFind()
+    for batch in edges_ds.select_columns(["id1", "id2"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, b in zip(batch["id1"].to_pylist(), batch["id2"].to_pylist()):
+            uf.union(a, b)
+    nodes = list(uf.parent)
+    roots = [uf.find(n) for n in nodes]
+    # min member per root (roots are already the min under union ordering,
+    # but recompute defensively so correctness never depends on union order)
+    min_of: dict = {}
+    for n, r in zip(nodes, roots):
+        m = min_of.get(r)
+        if m is None or n < m:
+            min_of[r] = n
+    return pd.DataFrame({"id": nodes, "cluster_id": [min_of[r] for r in roots]})
+
+
+def _edges_fingerprint(edges_ds) -> tuple[int, int]:
+    """(count, order-insensitive multiset hash) of the edge list."""
+    total, acc = 0, 0
+    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["id1"].to_pylist(), batch["id2"].to_pylist()):
+            acc = (acc + stable64(f"{a}\x00{b}")) & 0xFFFFFFFFFFFFFFFF
+            total += 1
+    return total, acc
+
+
+def _dedup_edges(ds):
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    from dedup_ray.util.dsutil import as_arrow
+
+    return as_arrow(
+        ds.groupby(["id1", "id2"]).map_groups(first, batch_format="pandas")
+    )
+
+
+def connected_components_distributed(edges_ds, max_rounds: int = 50):
+    """Edges Dataset(id1,id2) → Dataset(id, cluster_id) via Star contraction."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a, b = batch["id1"], batch["id2"]
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"id1": lo, "id2": hi})
+        return t.filter(pc.not_equal(t["id1"], t["id2"]))
+
+    edges = edges_ds.select_columns(["id1", "id2"]).map_batches(
+        canon, batch_format="pyarrow"
+    ).materialize()
+
+    def large_star_group(g: pd.DataFrame) -> pd.DataFrame:
+        # group key: node u (column 'u'); neighbors in 'v'
+        u = g["u"].iloc[0]
+        nbrs = g["v"].tolist()
+        m = min(min(nbrs), u)
+        out1, out2 = [], []
+        for v in nbrs:
+            if v > u:
+                lo, hi = (m, v) if m < v else (v, m)
+                if lo != hi:
+                    out1.append(lo)
+                    out2.append(hi)
+        return pd.DataFrame({"id1": out1, "id2": out2})
+
+    def small_star_group(g: pd.DataFrame) -> pd.DataFrame:
+        # directed hi→lo: group key u = hi, neighbors all < u
+        u = g["u"].iloc[0]
+        nbrs = g["v"].tolist()
+        m = min(nbrs)
+        out1, out2 = [], []
+        for v in nbrs:
+            if v != m:
+                out1.append(m)
+                out2.append(v)
+        out1.append(m)
+        out2.append(u)
+        return pd.DataFrame({"id1": out1, "id2": out2})
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": batch["id1"], "v": batch["id2"]})
+        rev = pa.table({"u": batch["id2"], "v": batch["id1"]})
+        return pa.concat_tables([fwd, rev])
+
+    def hi_to_lo(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch["id2"], "v": batch["id1"]})  # id2 > id1
+
+    prev_fp = _edges_fingerprint(edges)
+    for _ in range(max_rounds):
+        ls = (
+            edges.map_batches(both_directions, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(large_star_group, batch_format="pandas")
+        )
+        ls = _dedup_edges(ls).materialize()
+        ss = (
+            ls.map_batches(hi_to_lo, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(small_star_group, batch_format="pandas")
+        )
+        edges = _dedup_edges(
+            ss.map_batches(canon, batch_format="pyarrow")
+        ).materialize()
+        fp = _edges_fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged star graph: every edge is (root=cluster min, member)
+    def to_labels(batch: pa.Table) -> pa.Table:
+        members = pa.table({"id": batch["id2"], "cluster_id": batch["id1"]})
+        roots = pa.table({"id": batch["id1"], "cluster_id": batch["id1"]})
+        return pa.concat_tables([members, roots])
+
+    labels = edges.map_batches(to_labels, batch_format="pyarrow")
+
+    def dedup_label(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("cluster_id").head(1)
+
+    from dedup_ray.util.dsutil import as_arrow
+
+    return as_arrow(
+        labels.groupby("id").map_groups(dedup_label, batch_format="pandas")
+    )
+
+
+def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
+                    local_edge_limit: int = 2_000_000, num_partitions: int = 16):
+    """docs + accepted edges → Dataset(id_col, cluster_id); singletons = own id.
+
+    Picks the driver union-find below ``local_edge_limit`` edges, else the
+    distributed Star algorithm; then a left join hangs labels onto every doc
+    and null labels (docs in no duplicate pair) become their own cluster.
+    """
+    edges = edges_ds.select_columns(["id1", "id2"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        def own(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: batch[id_col], "cluster_id": batch[id_col]}
+            )
+
+        return docs_ds.select_columns([id_col]).map_batches(own, batch_format="pyarrow")
+
+    if n_edges <= local_edge_limit:
+        labels_df = connected_components_local(edges)
+        labels = ray.data.from_pandas(labels_df)
+    else:
+        labels = connected_components_distributed(edges)
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([id_col, "cluster_id"])
+
+    labels = labels.map_batches(rn, batch_format="pyarrow")
+    joined = docs_ds.select_columns([id_col]).join(
+        labels,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(batch["cluster_id"], batch[id_col])
+        return pa.table({id_col: batch[id_col], "cluster_id": cid})
+
+    return joined.map_batches(fill, batch_format="pyarrow")

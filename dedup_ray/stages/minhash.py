@@ -1,0 +1,124 @@
+"""MinHash signatures over k-shingles (stateful actor-pool stage).
+
+The deterministic, mergeable replacement for the reference's learned
+doc2vec pair distances (``doc2vec_pair_native.py:94-122``, SURVEY.md ST1/ST2):
+signature agreement estimates shingle-set Jaccard, and the actor-pool shape
+follows ST2 — permutation tables built once per actor in ``__init__``, each
+``__call__`` handles one Arrow batch fully vectorized.
+
+Math: h_i(x) = ((a_i * x + b_i) mod 2^64) mod (2^61 - 1), the datasketch-style
+wraparound universal hash; ``sig[i] = min over shingles``.  Signatures are
+stored as fixed-width little-endian binary (num_perms * 8 bytes) — compact,
+Arrow- and pandas-safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.stages.shingle import shingle_hash_batch
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perms, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    values: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perms) uint64 signature matrix from packed shingle hashes."""
+    n_docs = len(offsets) - 1
+    num_perms = len(a)
+    sigs = np.empty((n_docs, num_perms), dtype=np.uint64)
+    if len(values) == 0:
+        sigs.fill(np.iinfo(np.uint64).max)
+        return sigs
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_perms, 32):  # chunk perms to bound memory
+            c1 = min(c0 + 32, num_perms)
+            phi = a[c0:c1, None] * values[None, :] + b[c0:c1, None]
+            phi %= _MERSENNE
+            sigs[:, c0:c1] = np.minimum.reduceat(phi, starts, axis=1).T
+    return sigs
+
+
+def pack_signatures(sigs: np.ndarray) -> pa.Array:
+    n_docs, num_perms = sigs.shape
+    flat = sigs.astype("<u8").tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(num_perms * 8), n_docs, [None, pa.py_buffer(flat)]
+    )
+
+
+def unpack_signatures(col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
+    """fixed_size_binary signature column → (n, num_perms) uint64 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = np.frombuffer(col.buffers()[1], dtype="<u8")
+    start = col.offset * num_perms
+    return arr[start : start + len(col) * num_perms].reshape(len(col), num_perms)
+
+
+class MinHashSigner:
+    """Actor: pages/docs batch → (id, [digest,] n_shingles, sig) batch.
+
+    With ``include_digest=True`` the stage also emits the exact-dedup content
+    digest — extraction, digesting and signing then fuse into ONE streaming
+    pass over the text, and the raw text never needs to be materialized
+    (the compact signature table is ~1KB/doc regardless of document size).
+    """
+
+    def __init__(
+        self,
+        config: DedupConfig | None = None,
+        id_col: str = "url",
+        text_col: str = "text",
+        include_digest: bool = False,
+        digest_algo: str = "md5",
+    ) -> None:
+        self.cfg = config or DedupConfig()
+        self.id_col = id_col
+        self.text_col = text_col
+        self.include_digest = include_digest
+        self.digest_algo = digest_algo
+        self.a, self.b = make_perms(self.cfg.num_perms, self.cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col]
+        values, offsets = shingle_hash_batch(
+            texts, ids.to_pylist(), self.cfg.shingle_k, self.cfg.seed
+        )
+        sigs = minhash_signatures(values, offsets, self.a, self.b)
+        n_shingles = np.diff(offsets).astype(np.int64)
+        cols = {self.id_col: ids}
+        if self.include_digest:
+            from dedup_ray.util.hashing import content_digest
+
+            cols["digest"] = pa.array(
+                content_digest(texts, algo=self.digest_algo), pa.string()
+            )
+        cols["n_shingles"] = pa.array(n_shingles)
+        cols["sig"] = pack_signatures(sigs)
+        return pa.table(cols)
+
+
+def minhash_sign(ds, config: DedupConfig | None = None, id_col: str = "url",
+                 text_col: str = "text"):
+    """Dataset(id, text) → Dataset(id, n_shingles, sig) via an actor pool."""
+    cfg = config or DedupConfig()
+    return ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"config": cfg, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.minhash_concurrency,
+    )

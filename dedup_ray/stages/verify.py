@@ -1,0 +1,94 @@
+"""Candidate-pair verification (estimated-Jaccard filter).
+
+The reference scores each candidate pair with a trained classifier and
+thresholds the probability (``classifier.py:399-411`` → threshold in
+``MT_Kruskal.R``, SURVEY.md ST4).  The engine's analog is the calibrated
+threshold on MinHash-estimated Jaccard: signature agreement fraction
+``mean(sig1[i] == sig2[i]) >= jaccard_threshold``.
+
+Signatures reach the pair rows through two hash-partitioned ``Dataset.join``
+shuffles keyed on doc id (no broadcast of the full signature table — the
+signature side is as big as the corpus).  At 10^12 docs this is the intended
+plan: candidates ≪ corpus, and the joins hash-partition on the same key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.stages.minhash import unpack_signatures
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
+                      id_col: str = "url"):
+    """pairs(id1,id2) ⋈ sigs on id1 ⋈ sigs on id2 → +sig1 +sig2 columns."""
+    cfg = config or DedupConfig()
+    side1 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id1", "sig": "sig1"})
+    side2 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id2", "sig": "sig2"})
+    joined = pairs_ds.join(
+        side1, join_type="inner", num_partitions=cfg.num_partitions, on=("id1",)
+    )
+    return joined.join(
+        side2, join_type="inner", num_partitions=cfg.num_partitions, on=("id2",)
+    )
+
+
+def estimate_jaccard(pairs_with_sigs, config: DedupConfig | None = None):
+    """Append ``est_jaccard`` = signature agreement fraction (vectorized)."""
+    cfg = config or DedupConfig()
+
+    def est(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("est_jaccard", pa.array([], pa.float64()))
+        s1 = unpack_signatures(batch["sig1"], cfg.num_perms)
+        s2 = unpack_signatures(batch["sig2"], cfg.num_perms)
+        ej = (s1 == s2).mean(axis=1)
+        return batch.append_column("est_jaccard", pa.array(ej))
+
+    return pairs_with_sigs.map_batches(est, batch_format="pyarrow")
+
+
+def empty_edges(extra: dict | None = None):
+    """Typed empty edge Dataset (schema survives unions/joins downstream)."""
+    import ray.data
+
+    cols = {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string())}
+    for name, typ in (extra or {}).items():
+        cols[name] = pa.array([], typ)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def verify_pairs(pairs_ds, sigs_ds, config: DedupConfig | None = None,
+                 id_col: str = "url"):
+    """Candidates → accepted edges (id1, id2, est_jaccard >= threshold).
+
+    Candidates are materialized first: the set is orders of magnitude
+    smaller than the corpus, it feeds two joins (avoids recomputing the band
+    shuffle), and a zero-candidate corpus needs a typed empty short-circuit
+    (an empty Dataset has no schema for the join to bind to).
+    """
+    cfg = config or DedupConfig()
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return empty_edges({"est_jaccard": pa.float64()})
+    if cfg.verify == "none":
+        return pairs_ds.select_columns(["id1", "id2"])
+    scored = estimate_jaccard(attach_signatures(pairs_ds, sigs_ds, cfg, id_col), cfg)
+    thr = cfg.jaccard_threshold
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = batch.filter(pc.greater_equal(batch["est_jaccard"], thr))
+        return out.select(["id1", "id2", "est_jaccard"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Pairwise P/R/F1 — grouped-count implementation vs brute-force pair sets.
+
+Brute force mirrors the reference scorer (``evaluate.py:72-128``): expand
+clusterings to intra-cluster pair sets and compare.
+"""
+
+import itertools as it
+
+import pandas as pd
+import ray.data as rd
+
+from dedup_ray.ops.evaluate import pairwise_prf, pairwise_prf_ds
+
+
+def pair_set(df: pd.DataFrame) -> set:
+    out = set()
+    for _, g in df.groupby("cluster_id"):
+        ids = sorted(g["url"])
+        out.update(it.combinations(ids, 2))
+    return out
+
+
+def brute_prf(pred: pd.DataFrame, truth: pd.DataFrame) -> tuple[float, float]:
+    ps, ts = pair_set(pred), pair_set(truth)
+    correct = len(ps & ts)
+    return correct / len(ps), correct / len(ts)
+
+
+def make_case():
+    truth = pd.DataFrame(
+        {
+            "url": list("abcdefgh"),
+            "cluster_id": ["c1", "c1", "c1", "c2", "c2", "c3", "c4", "c4"],
+        }
+    )
+    pred = pd.DataFrame(
+        {
+            "url": list("abcdefgh"),
+            "cluster_id": ["p1", "p1", "p2", "p2", "p2", "p3", "p4", "p5"],
+        }
+    )
+    return pred, truth
+
+
+def test_matches_brute_force():
+    pred, truth = make_case()
+    m = pairwise_prf(pred, truth)
+    p, r = brute_prf(pred, truth)
+    assert abs(m["precision"] - p) < 1e-12
+    assert abs(m["recall"] - r) < 1e-12
+
+
+def test_missing_ids_are_singletons():
+    pred, truth = make_case()
+    pred = pred[pred["url"] != "b"]  # id absent from prediction
+    m = pairwise_prf(pred, truth)
+    ps = pair_set(pred)
+    ts = pair_set(truth)
+    assert abs(m["recall"] - len(ps & ts) / len(ts)) < 1e-12
+
+
+def test_perfect_prediction():
+    _, truth = make_case()
+    m = pairwise_prf(truth, truth, average="macro")
+    assert m["f1"] == 1.0 and m["f1_macro"] == 1.0
+
+
+def test_distributed_matches_pandas():
+    pred, truth = make_case()
+    m1 = pairwise_prf(pred, truth)
+    m2 = pairwise_prf_ds(rd.from_pandas(pred), rd.from_pandas(truth), num_partitions=4)
+    for k in ("precision", "recall", "f1"):
+        assert abs(m1[k] - m2[k]) < 1e-12

@@ -1,0 +1,75 @@
+"""End-to-end dedup pipeline: recall/precision on planted duplicates + resume."""
+
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.ops.evaluate import pairwise_prf_ds
+from dedup_ray.pipelines.dedup import dedup_and_score, dedup_pipeline
+from dedup_ray.sources.pages import planted_pages
+
+CFG = DedupConfig(minhash_concurrency=2, batch_size=256, num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, truth = planted_pages(n_base=80, seed=42)
+    return pages, truth
+
+
+def test_full_pipeline_recall_and_precision(corpus):
+    """North-rule criterion: dup-pair recall >= 0.99 on planted truth.
+
+    All three candidate paths (exact digest, MinHash/LSH, CDC-substring)
+    feed the edge union; precision is protected by per-pair verification +
+    boilerplate/containment rules.
+    """
+    pages, truth = corpus
+    clusters, metrics = dedup_and_score(
+        rd.from_arrow(pages), rd.from_arrow(truth), CFG
+    )
+    assert metrics["recall"] >= 0.99, metrics
+    assert metrics["precision"] >= 0.97, metrics
+
+
+def test_boilerplate_does_not_merge(corpus):
+    """Docs sharing only the cookie-banner paragraph must stay separate."""
+    pages, truth = corpus
+    clusters, _ = dedup_pipeline(rd.from_arrow(pages), CFG)
+    df = clusters.to_pandas()
+    # base docs i%7==0 share the banner; they are distinct clusters in truth
+    tdf = truth.to_pandas()
+    m = df.merge(tdf, on="url")
+    banner_bases = m[m["url"].str.contains("/p/0$|/p/7$|/p/14$|/p/21$")]
+    # distinct truth clusters must not be collapsed into one predicted cluster
+    grouped = banner_bases.groupby("cluster_id_x")["cluster_id_y"].nunique()
+    assert (grouped == 1).all()
+
+
+def test_resume_skips_completed_stages(tmp_path, corpus):
+    pages, _ = corpus
+    ckpt = str(tmp_path / "ckpt")
+    c1, ctx1 = dedup_pipeline(rd.from_arrow(pages), CFG, checkpoint_dir=ckpt)
+    df1 = c1.to_pandas().sort_values("url").reset_index(drop=True)
+    assert ctx1.hits == [] and len(ctx1.misses) >= 5
+    c2, ctx2 = dedup_pipeline(rd.from_arrow(pages), CFG, checkpoint_dir=ckpt)
+    df2 = c2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert ctx2.misses == [] and set(ctx2.hits) == set(ctx1.misses)
+    assert df1.equals(df2)
+    # config change invalidates lineage
+    cfg2 = DedupConfig(
+        minhash_concurrency=2, batch_size=256, num_partitions=4, jaccard_threshold=0.6
+    )
+    _, ctx3 = dedup_pipeline(rd.from_arrow(pages), cfg2, checkpoint_dir=ckpt)
+    assert ctx3.hits == []
+
+
+def test_deterministic_across_parallelism(corpus):
+    """Same clusters regardless of batch/block layout (stand-in for N vs 4N)."""
+    pages, _ = corpus
+    a, _ = dedup_pipeline(rd.from_arrow(pages).repartition(2), CFG)
+    b, _ = dedup_pipeline(rd.from_arrow(pages).repartition(13), CFG)
+    da = a.to_pandas().sort_values("url").reset_index(drop=True)
+    db = b.to_pandas().sort_values("url").reset_index(drop=True)
+    assert da.equals(db)
