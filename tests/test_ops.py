@@ -1,0 +1,139 @@
+"""Relational ops, text stats, ANN, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dedup_ray.ops.relational import (
+    anti_join,
+    broadcast_left_join,
+    distinct_rows,
+    grouped_mode,
+    semi_join,
+)
+from dedup_ray.stages.ann import knn_cosine, knn_cosine_lsh
+from dedup_ray.stages.multimodal import decode_images, make_media_table
+from dedup_ray.stages.textstats import (
+    fingerprint_docs,
+    idf_table,
+    lang_id,
+    quality_stats,
+    tokenize_explode,
+)
+
+
+def docs_ds():
+    return rd.from_items(
+        [
+            {"doc_id": 0, "text": "the cat sat on the mat"},
+            {"doc_id": 1, "text": "der hund ist nicht hier und der ist gut"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "the the the"},
+        ]
+    )
+
+
+def test_tokenize_sentinel_and_idf():
+    toks = tokenize_explode(docs_ds()).to_pandas()
+    # doc 2 is empty -> its own id as sentinel token
+    assert toks[toks["doc_id"] == 2]["token"].tolist() == ["2"]
+    total = len(toks)
+    idf = idf_table(rd.from_pandas(toks)).to_pandas().set_index("token")["idf"]
+    assert np.isclose(idf["the"], round(total / 5, 6))  # 'the' x5
+    assert np.isclose(idf["2"], float(total))
+
+
+def test_quality_stats():
+    q = quality_stats(docs_ds()).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 6
+    assert np.isclose(q.loc[0, "stopword_ratio"], round(2 / 6, 6))
+    assert q.loc[2, "n_tokens"] == 0 and q.loc[2, "avg_token_len"] == 0.0
+
+
+def test_lang_id_heuristic():
+    out = lang_id(docs_ds(), concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "de"
+    assert out.loc[2, "lang_pred"] == "en"  # no signal -> default
+
+
+def test_fingerprint_stable_under_small_edit():
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": " ".join(f"w{i}" for i in range(100))},
+            {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(100)) + " tail"},
+        ]
+    )
+    fp = fingerprint_docs(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1]  # min rolling hash survives an appended token
+
+
+def test_semi_anti_broadcast_joins():
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(6)])
+    keys = rd.from_items([{"k": 1}, {"k": 3}, {"k": 9}])
+    assert sorted(r["k"] for r in semi_join(left, keys, "k").take_all()) == [1, 3]
+    assert sorted(r["k"] for r in anti_join(left, keys, "k").take_all()) == [
+        0, 2, 4, 5,
+    ]
+    small = pd.DataFrame({"k": [1, 3], "label": ["a", "b"]})
+    out = broadcast_left_join(left, small, "k").to_pandas()
+    assert out.set_index("k")["label"].dropna().to_dict() == {1: "a", 3: "b"}
+
+
+def test_grouped_mode_and_distinct():
+    ds = rd.from_items(
+        [{"g": "x", "v": "p"}, {"g": "x", "v": "p"}, {"g": "x", "v": "q"},
+         {"g": "y", "v": "r"}, {"g": "y", "v": "q"}]  # y: tie r/q -> q (asc)
+    )
+    m = grouped_mode(ds, "g", "v").to_pandas().set_index("g")["v"].to_dict()
+    assert m == {"x": "p", "y": "q"}
+    d = distinct_rows(ds, ["g", "v"]).to_pandas()
+    assert len(d) == 4
+
+
+def brute_knn(emb, ids, q, k):
+    qn = q / np.linalg.norm(q)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = en @ qn
+    order = sorted(range(len(ids)), key=lambda j: (-round(sims[j], 6), ids[j]))
+    return [(ids[j], round(float(sims[j]), 6)) for j in order[:k]]
+
+
+def test_knn_cosine_exact():
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((200, 16))
+    ids = list(range(200))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(r) for r in emb]})
+    )
+    q = emb[5]
+    out = knn_cosine(ds, [5], np.array([q]), k=5).to_pandas()
+    got = list(zip(out["neighbor_id"], out["cos_sim"]))
+    want = [x for x in brute_knn(emb, ids, q, 6) if x[0] != 5][:5]
+    assert got == want
+
+
+def test_knn_lsh_targets_own_bucket():
+    rng = np.random.default_rng(8)
+    emb = rng.standard_normal((300, 16))
+    # plant a near-duplicate of vector 0
+    emb[1] = emb[0] + 0.01 * rng.standard_normal(16)
+    ids = list(range(300))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(r) for r in emb]})
+    )
+    out = knn_cosine_lsh(ds, [0], emb[[0]], k=5, n_planes=6).to_pandas()
+    assert 1 in set(out["neighbor_id"])  # near-dup lands in the same bucket
+
+
+def test_multimodal_decode_plumbing():
+    media = make_media_table(n=10)
+    out = decode_images(rd.from_arrow(media), concurrency=1).to_pandas()
+    assert len(out) == 10
+    assert all(len(m) == 3 for m in out["rgb_mean"])
+    # deterministic across runs
+    out2 = decode_images(rd.from_arrow(media), concurrency=1).to_pandas()
+    a = [tuple(m) for m in out.sort_values("media_id")["rgb_mean"]]
+    b = [tuple(m) for m in out2.sort_values("media_id")["rgb_mean"]]
+    assert a == b
