@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the ``dedup_ray`` library) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +15,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents → pages
+    (HTML-wrapped, 2× amplified with planted dups) → extract → exact +
+    MinHash/LSH + CDC-substring dedup → connected components → clusters."""
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents("/root/testdata/sf0.001", amplify=2)
+    cfg = DedupConfig(minhash_concurrency=4, num_partitions=8)
+    clusters, _ = dedup_pipeline(pages, cfg)
+    return clusters
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2.
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    See ``dedup_ray/pipelines/queries.py`` for the catalog; keys without an
+    ``oracle_sql`` entry are the non-SQL-expressible operators (hash-based
+    dedup/fingerprints, heuristic lang-id, LSH ANN, full pipeline)."""
+    from dedup_ray.pipelines.queries import QUERIES
+
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dedup_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -99,7 +99,12 @@ def dedup_pipeline(
         materialize=True,  # consumed by every path: edges, joins, final ids
     )
 
-    exact_e = stage("exact_edges", lambda: exact_dup_edges(compact, id_col=id_col))
+    exact_e = stage(
+        "exact_edges",
+        lambda: exact_dup_edges(
+            compact, id_col=id_col, num_partitions=cfg.num_partitions
+        ),
+    )
     edge_parts = [exact_e.select_columns(["id1", "id2"])]
 
     if use_minhash:
@@ -121,8 +126,13 @@ def dedup_pipeline(
         edge_parts.append(sub.select_columns(["id1", "id2"]))
 
     def _edges():
-        out = edge_parts[0]
-        for part in edge_parts[1:]:
+        from dedup_ray.stages.verify import empty_edges
+
+        nonempty = [p for p in (q.materialize() for q in edge_parts) if p.count()]
+        if not nonempty:
+            return empty_edges()
+        out = nonempty[0]
+        for part in nonempty[1:]:
             out = out.union(part)
         return out
 

@@ -1,0 +1,833 @@
+"""Driver-facing query catalog: one entry per operator family (SURVEY.md §2).
+
+Every function takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+``ORACLES`` holds the equivalent DuckDB SQL where the operator is
+SQL-expressible; rows-only operators (hash-based dedup, fingerprints,
+heuristic lang-id, full pipeline) have no oracle entry by design.
+
+Convention for hash-comparability with the oracle (the driver sorts columns
+by name and value-hashes): every computed column is explicitly named
+identically on both sides, floats are rounded at the emit point (6dp for
+ratios/averages, 2dp for money sums), and deterministic tie-breaks are
+written into both orderings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from dedup_ray.ops.relational import (
+    anti_join,
+    broadcast_left_join,
+    distinct_rows,
+    group_collect,
+    grouped_mode,
+    semi_join,
+)
+from dedup_ray.stages.textstats import idf_table, quality_stats, tokenize_explode
+from dedup_ray.util.dsutil import as_arrow
+
+EN_STOP_SQL = "('the','and','of','a','to','in','is','it','that','was')"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# A-series: grouped aggregation (TPC-H Q1 shape; SURVEY.md A1-A10 family)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=2),
+                "sum_base_price": pc.round(t["sum_base_price"], ndigits=2),
+                "sum_disc_price": pc.round(t["sum_disc_price"], ndigits=2),
+                "avg_qty": pc.round(t["avg_qty"], ndigits=6),
+                "avg_price": pc.round(t["avg_price"], ndigits=6),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def grouped_stats_events(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], ndigits=2),
+                "avg_value": pc.round(t["avg_value"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def pearson_qty_price(sf_dir: str):
+    """A8: Pearson corr via distributed partial sums + driver combine."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([x.sum()]),
+                "sy": pa.array([y.sum()]),
+                "sxx": pa.array([(x * x).sum()]),
+                "syy": pa.array([(y * y).sum()]),
+                "sxy": pa.array([(x * y).sum()]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy = parts["n"].sum(), parts["sx"].sum(), parts["sy"].sum()
+    sxx, syy, sxy = parts["sxx"].sum(), parts["syy"].sum(), parts["sxy"].sum()
+    cov = sxy - sx * sy / n
+    corr = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return pd.DataFrame({"corr_qty_price": [round(float(corr), 6)]})
+
+
+def dup_user_events(sf_dir: str):
+    """A5: keys with multiplicity > 1 (``dual_marry.py`` semantics)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# M-series: per-record maps / normalizers / exploders
+# --------------------------------------------------------------------------
+
+def normalize_part_names(sf_dir: str):
+    """M2: the exact reference regex chain on part names."""
+    from dedup_ray.conformance.normalize import normalize_array
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "norm_name": normalize_array(t["p_name"], lowercase=True),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def last_token_part(sf_dir: str):
+    """M7: last whitespace token (``family_name.R:6-8``)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": batch["p_partkey"],
+                "last_token": batch["p_name"].str.split(" ").str[-1],
+            }
+        )
+
+    return as_arrow(ds.map_batches(f, batch_format="pandas"))
+
+
+def tokenize_docs(sf_dir: str):
+    """M4: token explode with empty-field sentinel."""
+    return tokenize_explode(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def token_idf(sf_dir: str):
+    """A1: global IDF = total token rows / token count."""
+    return idf_table(tokenize_docs(sf_dir))
+
+
+def doc_token_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    toks = tokenize_docs(sf_dir)
+    out = toks.groupby("doc_id").aggregate(Count(alias_name="n_tokens"))
+    return out
+
+
+def text_quality(sf_dir: str):
+    return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+# --------------------------------------------------------------------------
+# J-series: joins
+# --------------------------------------------------------------------------
+
+def left_join_orders(sf_dir: str):
+    """J1: big ⟕ small via broadcast (``combine-at.R`` shape)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    return broadcast_left_join(orders, cust, "o_custkey")
+
+
+def semi_join_customers(sf_dir: str):
+    """J3: customers having at least one order."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    return semi_join(cust, keys, "c_custkey")
+
+
+def anti_join_customers(sf_dir: str):
+    """J4: customers with no large (> 350k) order — broadcast
+    anti-membership (``valid_index.py:12-13`` pattern).  The price filter
+    keeps the result non-empty at every scale factor (a fully-empty result
+    would carry no schema to compare)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    keys = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(
+            ["o_custkey"]
+        ).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    return anti_join(cust, keys, "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# D/O-series: distinct / mode / top-k
+# --------------------------------------------------------------------------
+
+def distinct_lang_source(sf_dir: str):
+    return distinct_rows(
+        _read(sf_dir, "documents", columns=["lang", "source"]), ["lang", "source"]
+    )
+
+
+def mode_event_type(sf_dir: str):
+    return grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+    )
+
+
+def top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# --------------------------------------------------------------------------
+# P/A2-series: within-block pairs + multiset overlap
+# --------------------------------------------------------------------------
+
+def block_pairs_docs(sf_dir: str):
+    """P1: canonical pairs within source blocks."""
+    from dedup_ray.ops.relational import block_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return block_pairs(ds, "source", "doc_id")
+
+
+def pair_token_overlap(sf_dir: str):
+    """A2: multiset token overlap (Counter & Counter) for within-source
+    pairs with positive overlap (``c_org.py:19-21`` semantics)."""
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gen(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        counters = [
+            Counter([w for w in (t or "").split(" ") if w != ""])
+            for t in g["text"]
+        ]
+        i1, i2, ov = [], [], []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                o = sum((counters[a] & counters[b]).values())
+                if o > 0:
+                    i1.append(ids[a])
+                    i2.append(ids[b])
+                    ov.append(o)
+        return pd.DataFrame(
+            {"id1": i1, "id2": i2, "overlap": pd.Series(ov, dtype="int64")}
+        )
+
+    return as_arrow(ds.groupby("source").map_groups(gen, batch_format="pandas"))
+
+
+def diff_nchars_pairs(sf_dir: str):
+    """diff_year analog: |Δn_chars| / block span, within source blocks."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def gen(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        span = int(g["n_chars"].max() - g["n_chars"].min())
+        ids = g["doc_id"].tolist()
+        nc = g["n_chars"].tolist()
+        src = group["source"].iloc[0]
+        s, i1, i2, dv = [], [], [], []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                s.append(src)
+                i1.append(ids[a])
+                i2.append(ids[b])
+                dv.append(
+                    round(abs(nc[a] - nc[b]) / span, 6) if span else 0.0
+                )
+        return pd.DataFrame({"source": s, "id1": i1, "id2": i2, "diff_nchars": dv})
+
+    return as_arrow(ds.groupby("source").map_groups(gen, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# G-series: graph / clustering / evaluation
+# --------------------------------------------------------------------------
+
+def cc_chain_docs(sf_dir: str):
+    """G6: connected components over a deterministic sparse doc graph
+    (edges doc u → u+1 where u % 10 < 3; chains of ≤ 4 nodes)."""
+    from dedup_ray.stages.cc import assign_clusters
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    import ray
+
+    ids = set()
+    for b in docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.update(b["doc_id"].to_pylist())
+    ref = ray.put(frozenset(ids))
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        idset = ray.get(ref)
+        u = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (u % 10 < 3) & np.isin(u + 1, list(idset))
+        uu = u[keep]
+        return pa.table(
+            {"id1": pa.array(uu, pa.int64()), "id2": pa.array(uu + 1, pa.int64())}
+        )
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    return assign_clusters(docs, edges, id_col="doc_id")
+
+
+def group_collect_lang(sf_dir: str):
+    """A4: exact-key clustering of docs by language."""
+    return group_collect(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]), "lang", "doc_id"
+    )
+
+
+def eval_source_vs_lang(sf_dir: str):
+    """Pairwise P/R/F1 (``evaluate.py:125-128``) of source-clustering
+    against lang-clustering over documents."""
+    from dedup_ray.ops.evaluate import pairwise_prf_ds
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["source"]})
+
+    def truth(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": t["lang"]})
+
+    m = pairwise_prf_ds(
+        docs.map_batches(pred, batch_format="pyarrow"),
+        docs.map_batches(truth, batch_format="pyarrow"),
+        id_col="doc_id",
+        num_partitions=4,
+    )
+    return pd.DataFrame(
+        {
+            "precision": [round(m["precision"], 6)],
+            "recall": [round(m["recall"], 6)],
+            "f1": [round(m["f1"], 6)],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped: windows / sessions over the events log
+# --------------------------------------------------------------------------
+
+def window_tumbling_events(sf_dir: str):
+    """Tumbling 1h window per event_type: count + sum(value)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        window_id = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": window_id,
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": t["window_id"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], ndigits=2),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows: per user, 30-min-gap sessionization over the sorted
+    event log (groupby(key).map_groups over ts order — the engine's
+    streaming-window idiom; ordering stated: (ts, event_id))."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_s = (gap.isna() | (gap > 1800)).astype(int)
+        g["session_id"] = new_s.cumsum()
+        out = (
+            g.groupby("session_id").size().reset_index(name="n_events")
+        )
+        out.insert(0, "user_id", group["user_id"].iloc[0])
+        return out
+
+    return as_arrow(ds.groupby("user_id").map_groups(sess, batch_format="pandas"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def ann_topk(sf_dir: str):
+    """Exact brute-force top-10 cosine neighbors for query vectors 0..4."""
+    from dedup_ray.stages.ann import knn_cosine
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
+    return knn_cosine(emb, qdf["vec_id"].tolist(), qvecs, k=10)
+
+
+# --------------------------------------------------------------------------
+# Dedup operators (rows-only checks: hash-based, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def exact_dedup_docs(sf_dir: str):
+    """Exact dedup groups: digest → keeper + multiplicity (md5 = SQL md5)."""
+    from dedup_ray.stages.exact import add_digest
+
+    ds = add_digest(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text",
+        id_col="doc_id",
+    )
+
+    def keep(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "digest": [group["digest"].iloc[0]],
+                "keep_id": [group["doc_id"].min()],
+                "n_copies": pd.Series([len(group)], dtype="int64"),
+            }
+        )
+
+    return as_arrow(ds.groupby("digest").map_groups(keep, batch_format="pandas"))
+
+
+def minhash_dedup_docs(sf_dir: str):
+    """Full near-dup pipeline over a pages table amplified from documents
+    (amplify=3 ⇒ planted exact+near dups).  Rows-only check."""
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir, amplify=3)
+    cfg = DedupConfig(minhash_concurrency=4, num_partitions=8)
+    clusters, _ = dedup_pipeline(pages, cfg)
+    return clusters
+
+
+def simhash_docs(sf_dir: str):
+    """SimHash fingerprints per document (rows-only)."""
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.stages.signer import sign_docs
+
+    cfg = DedupConfig(minhash_concurrency=2)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = sign_docs(ds, cfg, id_col="doc_id", with_simhash=True, with_chunks=False)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def fingerprint_docs_q(sf_dir: str):
+    """Winnowing fingerprints (rows-only)."""
+    from dedup_ray.stages.textstats import fingerprint_docs
+
+    return fingerprint_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def lang_id_docs(sf_dir: str):
+    """Heuristic language ID (rows-only; deterministic)."""
+    from dedup_ray.stages.textstats import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lang_id(ds, concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def ann_topk_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate top-k (rows-only; approximate path)."""
+    from dedup_ray.stages.ann import knn_cosine_lsh
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
+    return knn_cosine_lsh(emb, qdf["vec_id"].tolist(), qvecs, k=10, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB, over the pre-registered views)
+# --------------------------------------------------------------------------
+
+TOKENS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(CASE WHEN "
+    "length(list_filter(string_split(text, ' '), x -> x <> '')) = 0 "
+    "THEN [CAST(doc_id AS VARCHAR)] "
+    "ELSE list_filter(string_split(text, ' '), x -> x <> '') END) AS token "
+    "FROM documents)"
+)
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "grouped_stats_events": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    "pearson_qty_price": """
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        FROM lineitem
+    """,
+    "dup_user_events": """
+        SELECT user_id, count(*) AS n FROM events
+        GROUP BY user_id HAVING count(*) > 1
+    """,
+    "normalize_part_names": (
+        "SELECT p_partkey, {expr} AS norm_name FROM part"
+    ),
+    "last_token_part": """
+        SELECT p_partkey, string_split(p_name, ' ')[-1] AS last_token FROM part
+    """,
+    "tokenize_docs": f"{TOKENS_CTE} SELECT doc_id, token FROM toks",
+    "token_idf": f"""
+        {TOKENS_CTE}
+        SELECT token,
+               round((SELECT count(*) FROM toks) / CAST(count(*) AS DOUBLE), 6)
+                   AS idf
+        FROM toks GROUP BY token
+    """,
+    "doc_token_counts": f"""
+        {TOKENS_CTE}
+        SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+    """,
+    "text_quality": f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+            FROM documents),
+        agg AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(length(tok)), 6) AS avg_token_len,
+                   round(avg(CASE WHEN lower(tok) IN {EN_STOP_SQL}
+                             THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+            FROM tk GROUP BY doc_id)
+        SELECT d.doc_id,
+               length(d.text) AS n_chars,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.avg_token_len, 0.0) AS avg_token_len,
+               coalesce(a.stopword_ratio, 0.0) AS stopword_ratio,
+               CASE WHEN length(d.text) = 0 THEN 0.0
+                    ELSE round(length(regexp_replace(d.text, '[\\w\\s]', '', 'g'))
+                               / CAST(length(d.text) AS DOUBLE), 6) END
+                   AS punct_ratio
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "left_join_orders": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "semi_join_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+    """,
+    "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+    "mode_event_type": """
+        SELECT user_id, event_type, n FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type)
+                       AS rk
+            FROM events GROUP BY user_id, event_type)
+        WHERE rk = 1
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "block_pairs_docs": """
+        SELECT a.source, a.doc_id AS id1, b.doc_id AS id2
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+    "pair_token_overlap": """
+        WITH tk AS (
+            SELECT doc_id, source, tok, count(*) AS c FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents)
+            GROUP BY doc_id, source, tok)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+        FROM tk a JOIN tk b
+          ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """,
+    "diff_nchars_pairs": """
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   max(n_chars) OVER (PARTITION BY source)
+                   - min(n_chars) OVER (PARTITION BY source) AS span
+            FROM documents)
+        SELECT a.source, a.doc_id AS id1, b.doc_id AS id2,
+               CASE WHEN a.span = 0 THEN 0.0
+                    ELSE round(abs(a.n_chars - b.n_chars)
+                               / CAST(a.span AS DOUBLE), 6) END AS diff_nchars
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+    "cc_chain_docs": """
+        WITH edges0 AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 < 3),
+        edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+        RECURSIVE: reach(node, lbl) -- placeholder, replaced below
+    """,
+    "group_collect_lang": """
+        SELECT lang, doc_id,
+               min(doc_id) OVER (PARTITION BY lang) AS cluster_rep,
+               count(*) OVER (PARTITION BY lang) AS cluster_size
+        FROM documents
+    """,
+    "eval_source_vs_lang": """
+        WITH j AS (SELECT doc_id, lang, source FROM documents),
+        gt AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS tot FROM
+               (SELECT count(*) AS n FROM j GROUP BY lang)),
+        pr AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS tot FROM
+               (SELECT count(*) AS n FROM j GROUP BY source)),
+        co AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS tot FROM
+               (SELECT count(*) AS n FROM j GROUP BY lang, source))
+        SELECT round(co.tot / CAST(pr.tot AS DOUBLE), 6) AS precision,
+               round(co.tot / CAST(gt.tot AS DOUBLE), 6) AS recall,
+               round(2.0 * (co.tot / CAST(pr.tot AS DOUBLE))
+                         * (co.tot / CAST(gt.tot AS DOUBLE))
+                     / (co.tot / CAST(pr.tot AS DOUBLE)
+                        + co.tot / CAST(gt.tot AS DOUBLE)), 6) AS f1
+        FROM gt, pr, co
+    """,
+    "window_tumbling_events": """
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type, window_id
+    """,
+    "sessionize_events": """
+        WITH e AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, event_id,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM e)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "ann_topk": """
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS rk
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+        WHERE rk <= 10
+    """,
+    "exact_dedup_docs": """
+        SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+}
+
+# fix up the two oracles that need programmatic assembly
+from dedup_ray.conformance.normalize import oracle_sql_expr  # noqa: E402
+
+ORACLES["normalize_part_names"] = ORACLES["normalize_part_names"].format(
+    expr=oracle_sql_expr("p_name", lowercase=True)
+)
+ORACLES["cc_chain_docs"] = """
+    WITH RECURSIVE edges0 AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 < 3),
+    edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "grouped_stats_events": grouped_stats_events,
+    "pearson_qty_price": pearson_qty_price,
+    "dup_user_events": dup_user_events,
+    "normalize_part_names": normalize_part_names,
+    "last_token_part": last_token_part,
+    "tokenize_docs": tokenize_docs,
+    "token_idf": token_idf,
+    "doc_token_counts": doc_token_counts,
+    "text_quality": text_quality,
+    "left_join_orders": left_join_orders,
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "distinct_lang_source": distinct_lang_source,
+    "mode_event_type": mode_event_type,
+    "top_orders": top_orders,
+    "block_pairs_docs": block_pairs_docs,
+    "pair_token_overlap": pair_token_overlap,
+    "diff_nchars_pairs": diff_nchars_pairs,
+    "cc_chain_docs": cc_chain_docs,
+    "group_collect_lang": group_collect_lang,
+    "eval_source_vs_lang": eval_source_vs_lang,
+    "window_tumbling_events": window_tumbling_events,
+    "sessionize_events": sessionize_events,
+    "ann_topk": ann_topk,
+    "exact_dedup_docs": exact_dedup_docs,
+    # rows-only (non-SQL-expressible: hashing / full pipeline / heuristic)
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_docs": simhash_docs,
+    "fingerprint_docs": fingerprint_docs_q,
+    "lang_id_docs": lang_id_docs,
+    "ann_topk_lsh": ann_topk_lsh,
+}

@@ -88,15 +88,13 @@ def _edges_fingerprint(edges_ds) -> tuple[int, int]:
     return total, acc
 
 
-def _dedup_edges(ds):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+def _dedup_edges(ds, num_partitions: int = 16):
+    from dedup_ray.util.dsutil import partitioned_group_apply
 
-    from dedup_ray.util.dsutil import as_arrow
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id1", "id2"])
 
-    return as_arrow(
-        ds.groupby(["id1", "id2"]).map_groups(first, batch_format="pandas")
-    )
+    return partitioned_group_apply(ds, ["id1", "id2"], dedup, num_partitions)
 
 
 def connected_components_distributed(edges_ds, max_rounds: int = 50):
@@ -115,32 +113,32 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
         canon, batch_format="pyarrow"
     ).materialize()
 
-    def large_star_group(g: pd.DataFrame) -> pd.DataFrame:
-        # group key: node u (column 'u'); neighbors in 'v'
-        u = g["u"].iloc[0]
-        nbrs = g["v"].tolist()
-        m = min(min(nbrs), u)
+    def large_stars(part: pd.DataFrame) -> pd.DataFrame:
+        # per node u: connect strictly-larger neighbors to min(N(u) ∪ {u})
         out1, out2 = [], []
-        for v in nbrs:
-            if v > u:
-                lo, hi = (m, v) if m < v else (v, m)
-                if lo != hi:
-                    out1.append(lo)
-                    out2.append(hi)
+        for u, sub in part.groupby("u", sort=False):
+            nbrs = sub["v"].tolist()
+            m = min(min(nbrs), u)
+            for v in nbrs:
+                if v > u:
+                    lo, hi = (m, v) if m < v else (v, m)
+                    if lo != hi:
+                        out1.append(lo)
+                        out2.append(hi)
         return pd.DataFrame({"id1": out1, "id2": out2})
 
-    def small_star_group(g: pd.DataFrame) -> pd.DataFrame:
-        # directed hi→lo: group key u = hi, neighbors all < u
-        u = g["u"].iloc[0]
-        nbrs = g["v"].tolist()
-        m = min(nbrs)
+    def small_stars(part: pd.DataFrame) -> pd.DataFrame:
+        # directed hi→lo: per u (= hi), connect all smaller neighbors to min
         out1, out2 = [], []
-        for v in nbrs:
-            if v != m:
-                out1.append(m)
-                out2.append(v)
-        out1.append(m)
-        out2.append(u)
+        for u, sub in part.groupby("u", sort=False):
+            nbrs = sub["v"].tolist()
+            m = min(nbrs)
+            for v in nbrs:
+                if v != m:
+                    out1.append(m)
+                    out2.append(v)
+            out1.append(m)
+            out2.append(u)
         return pd.DataFrame({"id1": out1, "id2": out2})
 
     def both_directions(batch: pa.Table) -> pa.Table:
@@ -151,18 +149,18 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
     def hi_to_lo(batch: pa.Table) -> pa.Table:
         return pa.table({"u": batch["id2"], "v": batch["id1"]})  # id2 > id1
 
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
     prev_fp = _edges_fingerprint(edges)
     for _ in range(max_rounds):
-        ls = (
-            edges.map_batches(both_directions, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(large_star_group, batch_format="pandas")
+        ls = partitioned_group_apply(
+            edges.map_batches(both_directions, batch_format="pyarrow"),
+            ["u"],
+            large_stars,
         )
         ls = _dedup_edges(ls).materialize()
-        ss = (
-            ls.map_batches(hi_to_lo, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(small_star_group, batch_format="pandas")
+        ss = partitioned_group_apply(
+            ls.map_batches(hi_to_lo, batch_format="pyarrow"), ["u"], small_stars
         )
         edges = _dedup_edges(
             ss.map_batches(canon, batch_format="pyarrow")
@@ -180,14 +178,10 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
 
     labels = edges.map_batches(to_labels, batch_format="pyarrow")
 
-    def dedup_label(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("cluster_id").head(1)
+    def dedup_label(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(["id", "cluster_id"]).drop_duplicates(subset=["id"])
 
-    from dedup_ray.util.dsutil import as_arrow
-
-    return as_arrow(
-        labels.groupby("id").map_groups(dedup_label, batch_format="pandas")
-    )
+    return partitioned_group_apply(labels, ["id"], dedup_label)
 
 
 def assign_clusters(docs_ds, edges_ds, id_col: str = "url",

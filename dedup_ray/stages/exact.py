@@ -26,32 +26,44 @@ def add_digest(ds, text_col: str = "text", id_col: str = "url", algo: str = "md5
     return ds.map_batches(_digest, batch_format="pyarrow")
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md5"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md5",
+                num_partitions: int = 16):
     """Keep one row per distinct text (min id wins).  Shuffle key: digest."""
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
     with_digest = add_digest(ds, text_col=text_col, id_col=id_col, algo=algo)
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(id_col).drop_duplicates(subset=["digest"])
 
-    return with_digest.groupby("digest").map_groups(keep_first, batch_format="pandas")
+    return partitioned_group_apply(
+        with_digest, ["digest"], keep_first, num_partitions
+    )
 
 
-def exact_dup_edges(ds_with_digest, id_col: str = "url"):
+def exact_dup_edges(ds_with_digest, id_col: str = "url", num_partitions: int = 16):
     """Digest groups → star edges (min_id, other_id) for the component stage.
 
     A group of n identical texts contributes n-1 edges to the duplicate
     graph — the sparse (star) encoding of a clique, same trick as the
     reference's chain-graph glue (``uni_glue_baseline.R:54-56``, SURVEY.md G5).
     """
+    from dedup_ray.util.dsutil import partitioned_group_apply
 
-    def star(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id1": [], "id2": []}).astype({"id1": str, "id2": str})
-        ids = sorted(group[id_col].tolist())
-        return pd.DataFrame({"id1": [ids[0]] * (len(ids) - 1), "id2": ids[1:]})
+    def stars(part: pd.DataFrame) -> pd.DataFrame:
+        out1: list = []
+        out2: list = []
+        for _, sub in part.groupby("digest", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sorted(sub[id_col].tolist())
+            out1.extend([ids[0]] * (len(ids) - 1))
+            out2.extend(ids[1:])
+        return pd.DataFrame({"id1": out1, "id2": out2}).astype(
+            {"id1": object, "id2": object}
+        )
 
-    from dedup_ray.util.dsutil import as_arrow
-
-    return as_arrow(
-        ds_with_digest.groupby("digest").map_groups(star, batch_format="pandas")
+    return partitioned_group_apply(
+        ds_with_digest.select_columns(["digest", id_col]), ["digest"], stars,
+        num_partitions,
     )

@@ -85,29 +85,35 @@ def _emit_pairs(ids: list, cap: int, window: int) -> tuple[list, list, bool]:
 def candidate_pairs(bands_ds, config: DedupConfig | None = None, id_col: str = "url"):
     """Band buckets → distinct candidate (id1, id2) pairs (id1 < id2).
 
-    Two shuffles: groupby (band, bhash) for bucket formation, then groupby
-    (id1, id2) for cross-band dedup — exactly the "band groupby → distinct"
-    plan from SURVEY.md §7.1.
+    Two shuffles: hash-partition on (band, bhash) for bucket formation, then
+    on (id1, id2) for cross-band dedup — the "band groupby → distinct" plan
+    from SURVEY.md §7.1, executed via ``partitioned_group_apply`` (one
+    vectorized task per partition, not one Python call per bucket).
     """
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
     cfg = config or DedupConfig()
 
-    def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id1": [], "id2": [], "capped": []})
-        id1s, id2s, capped = _emit_pairs(
-            group[id_col].tolist(), cfg.max_band_group, cfg.hot_window
-        )
-        return pd.DataFrame({"id1": id1s, "id2": id2s, "capped": capped})
+    def buckets_to_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out1: list = []
+        out2: list = []
+        capped_any = []
+        for _, sub in part.groupby(["band", "bhash"], sort=False):
+            if len(sub) < 2:
+                continue
+            id1s, id2s, capped = _emit_pairs(
+                sub[id_col].tolist(), cfg.max_band_group, cfg.hot_window
+            )
+            out1.extend(id1s)
+            out2.extend(id2s)
+            capped_any.extend([capped] * len(id1s))
+        return pd.DataFrame({"id1": out1, "id2": out2, "capped": capped_any})
 
-    pairs = bands_ds.groupby(["band", "bhash"]).map_groups(
-        bucket_to_pairs, batch_format="pandas"
+    pairs = partitioned_group_apply(
+        bands_ds, ["band", "bhash"], buckets_to_pairs, cfg.num_partitions
     )
 
-    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id1", "id2"])
 
-    from dedup_ray.util.dsutil import as_arrow
-
-    return as_arrow(
-        pairs.groupby(["id1", "id2"]).map_groups(dedup_pair, batch_format="pandas")
-    )
+    return partitioned_group_apply(pairs, ["id1", "id2"], dedup, cfg.num_partitions)

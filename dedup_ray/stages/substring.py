@@ -157,29 +157,33 @@ def explode_chunks(compact_ds, config: DedupConfig, id_col: str = "url"):
 
 
 def chunk_candidate_pairs(chunk_rows, config: DedupConfig, id_col: str = "url"):
-    """groupby(chash) → distinct candidate pairs, hot-key capped like LSH."""
+    """Hash-partition on chash → distinct candidate pairs, hot-key capped
+    like LSH (vectorized per partition, not per bucket)."""
     from dedup_ray.stages.lsh import _emit_pairs
-    from dedup_ray.util.dsutil import as_arrow
+    from dedup_ray.util.dsutil import partitioned_group_apply
 
     cfg = config
 
-    def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].drop_duplicates().tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({"id1": [], "id2": []})
-        id1s, id2s, _ = _emit_pairs(ids, cfg.max_band_group, cfg.hot_window)
-        return pd.DataFrame({"id1": id1s, "id2": id2s})
+    def buckets_to_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out1: list = []
+        out2: list = []
+        for _, sub in part.groupby("chash", sort=False):
+            ids = sub[id_col].drop_duplicates().tolist()
+            if len(ids) < 2:
+                continue
+            id1s, id2s, _ = _emit_pairs(ids, cfg.max_band_group, cfg.hot_window)
+            out1.extend(id1s)
+            out2.extend(id2s)
+        return pd.DataFrame({"id1": out1, "id2": out2})
 
-    pairs = chunk_rows.groupby("chash").map_groups(
-        bucket_to_pairs, batch_format="pandas"
+    pairs = partitioned_group_apply(
+        chunk_rows, ["chash"], buckets_to_pairs, cfg.num_partitions
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id1", "id2"])
 
-    return as_arrow(
-        pairs.groupby(["id1", "id2"]).map_groups(first, batch_format="pandas")
-    )
+    return partitioned_group_apply(pairs, ["id1", "id2"], dedup, cfg.num_partitions)
 
 
 def longest_shared_run(
