@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data dedup engine.
+
+Default mode: one fresh Ray session over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``num_cpus=$RAY_GRAFT_CPUS`` (default 32);
+times the headline end-to-end dedup pipeline (pages -> extract -> MinHash/LSH
++ exact + substring -> connected components -> clusters) plus a set of
+catalog queries, and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "docs": N, "docs_per_sec": N, ...}
+
+``--scaling`` mode (the north-rule two-cluster-size criterion, sandboxed):
+runs the headline pipeline twice in FRESH subprocesses — ``num_cpus=8`` then
+``num_cpus=32`` — on the same input and reports throughput at both plus
+scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
+
+Usage::
+
+    python bench.py                 # full bench, one JSON line to stdout
+    python bench.py --scaling       # N vs 4N CPU scaling evidence
+    python bench.py --headline-only # headline pipeline only (used by --scaling)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Catalog queries timed in the full bench.  A representative slice of
+# SURVEY.md §2: scans+aggregates, string ops, joins, pair machinery, graph
+# CC, windows, ANN, and the hash-dedup family.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "grouped_stats_events",
+    "normalize_part_names",
+    "tokenize_docs",
+    "token_idf",
+    "text_quality",
+    "left_join_orders",
+    "block_pairs_docs",
+    "cc_chain_docs",
+    "window_tumbling_events",
+    "sessionize_events",
+    "ann_topk",
+    "exact_dedup_docs",
+    "minhash_dedup_docs",
+    "simhash_docs",
+    "lang_id_docs",
+]
+
+HEADLINE_AMPLIFY = 2  # pages per source document (dup structure planted)
+
+
+def _consume(result) -> int:
+    """Count rows of a query result without driver-side materialization."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return result.count()  # ray.data.Dataset: streams, returns row count
+
+
+def run_headline(sf_dir: str) -> dict:
+    """End-to-end dedup throughput: docs/sec over the amplified pages table."""
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import pages_from_documents
+
+    cfg = DedupConfig(minhash_concurrency=NUM_CPUS // 4 or 1, num_partitions=32)
+    t0 = time.perf_counter()
+    pages = pages_from_documents(sf_dir, amplify=HEADLINE_AMPLIFY)
+    clusters, _ = dedup_pipeline(pages, cfg)
+    n_docs = clusters.count()  # consumes the stream
+    elapsed = time.perf_counter() - t0
+    return {
+        "sec": round(elapsed, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling()
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        headline = run_headline(SF_DIR)
+        queries = {} if args.headline_only else run_queries(SF_DIR)
+        print(
+            json.dumps(
+                {
+                    "metric": "end-to-end dedup pipeline wall time "
+                    "(extract+MinHash/LSH+exact+substring+CC)",
+                    "value": headline["sec"],
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                    "num_cpus": NUM_CPUS,
+                    "docs": headline["docs"],
+                    "docs_per_sec": headline["docs_per_sec"],
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> None:
+    """North-rule scaling evidence: same job, fresh sessions at 8 and 32 CPUs."""
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for cpus in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr_lo = results[lo_cpus]["docs_per_sec"]
+    thr_hi = results[hi_cpus]["docs_per_sec"]
+    efficiency = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, headline dedup pipeline, "
+                f"{lo_cpus}->{hi_cpus} CPUs (fresh sessions, same input)",
+                "value": round(efficiency, 3),
+                "unit": "efficiency",
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "docs": results[hi_cpus]["docs"],
+                f"docs_per_sec_{lo_cpus}cpu": thr_lo,
+                f"docs_per_sec_{hi_cpus}cpu": thr_hi,
+                f"sec_{lo_cpus}cpu": results[lo_cpus]["value"],
+                f"sec_{hi_cpus}cpu": results[hi_cpus]["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

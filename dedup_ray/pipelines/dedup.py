@@ -99,40 +99,60 @@ def dedup_pipeline(
         materialize=True,  # consumed by every path: edges, joins, final ids
     )
 
+    def _pin(ds):
+        """Force (id1: string, id2: string) so empty parts union cleanly.
+
+        An edge path that found nothing yields zero-row pandas-born blocks
+        whose columns type as Arrow ``null``; casting pins the schema so the
+        lazy union (and a checkpoint parquet write) never sees a mismatch.
+        """
+        import pyarrow as pa
+
+        def cast(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id1": t["id1"].combine_chunks().cast(pa.string()),
+                    "id2": t["id2"].combine_chunks().cast(pa.string()),
+                }
+            )
+
+        return ds.select_columns(["id1", "id2"]).map_batches(
+            cast, batch_format="pyarrow"
+        )
+
     exact_e = stage(
         "exact_edges",
         lambda: exact_dup_edges(
             compact, id_col=id_col, num_partitions=cfg.num_partitions
         ),
     )
-    edge_parts = [exact_e.select_columns(["id1", "id2"])]
+    edge_parts = [_pin(exact_e)]
 
     if use_minhash:
 
         def _near():
             bands = band_explode(compact, cfg, id_col=id_col)
-            cands = candidate_pairs(bands, cfg, id_col=id_col)
+            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
             return verify_pairs(cands, compact, cfg, id_col=id_col)
 
         near = stage("near_edges", _near)
-        edge_parts.append(near.select_columns(["id1", "id2"]))
+        edge_parts.append(_pin(near))
 
     if use_simhash:
         sim = stage("simhash_edges", lambda: simhash_edges(compact, cfg, id_col))
-        edge_parts.append(sim.select_columns(["id1", "id2"]))
+        edge_parts.append(_pin(sim))
 
     if use_substring:
         sub = stage("substring_edges", lambda: substring_edges(compact, cfg, id_col))
-        edge_parts.append(sub.select_columns(["id1", "id2"]))
+        edge_parts.append(_pin(sub))
 
     def _edges():
-        from dedup_ray.stages.verify import empty_edges
-
-        nonempty = [p for p in (q.materialize() for q in edge_parts) if p.count()]
-        if not nonempty:
-            return empty_edges()
-        out = nonempty[0]
-        for part in nonempty[1:]:
+        # Lazy union: no per-part materialize barrier — the streaming
+        # executor runs all edge paths concurrently off the shared
+        # (materialized) signature table.  Duplicate edges across paths are
+        # harmless to union-find CC.
+        out = edge_parts[0]
+        for part in edge_parts[1:]:
             out = out.union(part)
         return out
 

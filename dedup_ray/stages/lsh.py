@@ -82,13 +82,25 @@ def _emit_pairs(ids: list, cap: int, window: int) -> tuple[list, list, bool]:
     return id1s, id2s, True
 
 
-def candidate_pairs(bands_ds, config: DedupConfig | None = None, id_col: str = "url"):
-    """Band buckets → distinct candidate (id1, id2) pairs (id1 < id2).
+def candidate_pairs(
+    bands_ds,
+    config: DedupConfig | None = None,
+    id_col: str = "url",
+    global_dedup: bool = True,
+):
+    """Band buckets → candidate (id1, id2) pairs (id1 < id2).
 
-    Two shuffles: hash-partition on (band, bhash) for bucket formation, then
-    on (id1, id2) for cross-band dedup — the "band groupby → distinct" plan
-    from SURVEY.md §7.1, executed via ``partitioned_group_apply`` (one
-    vectorized task per partition, not one Python call per bucket).
+    One mandatory shuffle: hash-partition on (band, bhash) for bucket
+    formation — the "band groupby → distinct" plan from SURVEY.md §7.1,
+    executed via ``partitioned_group_apply`` (one vectorized task per
+    partition, not one Python call per bucket).
+
+    ``global_dedup=True`` adds a second shuffle on (id1, id2) producing an
+    exactly-distinct pair set.  The end-to-end pipeline passes ``False``:
+    cross-band duplicate pairs (bounded by ``bands`` per pair, typically
+    1-3 in practice) are removed per-batch only, cost a little duplicate
+    verification, and are harmless to union-find CC — cheaper at scale than
+    an extra all-to-all exchange over the full candidate set.
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
 
@@ -116,4 +128,6 @@ def candidate_pairs(bands_ds, config: DedupConfig | None = None, id_col: str = "
     def dedup(part: pd.DataFrame) -> pd.DataFrame:
         return part.drop_duplicates(subset=["id1", "id2"])
 
+    if not global_dedup:
+        return pairs.map_batches(dedup, batch_format="pandas")
     return partitioned_group_apply(pairs, ["id1", "id2"], dedup, cfg.num_partitions)

@@ -59,12 +59,29 @@ def pack_signatures(sigs: np.ndarray) -> pa.Array:
 
 
 def unpack_signatures(col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
-    """fixed_size_binary signature column → (n, num_perms) uint64 matrix."""
+    """Signature column → (n, num_perms) uint64 matrix, zero-copy.
+
+    Handles both layouts the column takes in practice: ``fixed_size_binary``
+    (as produced by the signer) and variable-width ``binary``/``large_binary``
+    (after a pandas round-trip through a shuffle — bytes objects re-encode as
+    variable width).  Every element is exactly ``8 * num_perms`` bytes.
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    arr = np.frombuffer(col.buffers()[1], dtype="<u8")
-    start = col.offset * num_perms
-    return arr[start : start + len(col) * num_perms].reshape(len(col), num_perms)
+    n = len(col)
+    if pa.types.is_fixed_size_binary(col.type):
+        arr = np.frombuffer(col.buffers()[1], dtype="<u8")
+        start = col.offset * num_perms
+        return arr[start : start + n * num_perms].reshape(n, num_perms)
+    # variable-width binary: data buffer indexed through the offsets buffer
+    off_dtype = "<i8" if pa.types.is_large_binary(col.type) else "<i4"
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)
+    start_byte = int(offsets[col.offset])
+    total = int(offsets[col.offset + n]) - start_byte
+    assert total == n * num_perms * 8, "ragged signature column"
+    arr = np.frombuffer(col.buffers()[2], dtype="<u8",
+                        offset=start_byte, count=n * num_perms)
+    return arr.reshape(n, num_perms)
 
 
 class MinHashSigner:

@@ -228,12 +228,27 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() == 0:
         return empty_edges({"shared_bytes": pa.int64()})
+    from dedup_ray.util.dsutil import hash_join
+
     side = compact_ds.select_columns([id_col, "chunks"])
     s1 = _rename(side, {id_col: "id1", "chunks": "ch1"})
     s2 = _rename(side, {id_col: "id2", "chunks": "ch2"})
-    joined = pairs_ds.select_columns(["id1", "id2"]).join(
-        s1, join_type="inner", num_partitions=cfg.num_partitions, on=("id1",)
-    ).join(s2, join_type="inner", num_partitions=cfg.num_partitions, on=("id2",))
+    joined = hash_join(
+        pairs_ds.select_columns(["id1", "id2"]),
+        s1,
+        on="id1",
+        left_cols=["id1", "id2"],
+        right_cols=["id1", "ch1"],
+        num_partitions=cfg.num_partitions,
+    )
+    joined = hash_join(
+        joined,
+        s2,
+        on="id2",
+        left_cols=["id1", "id2", "ch1"],
+        right_cols=["id2", "ch2"],
+        num_partitions=cfg.num_partitions,
+    )
 
     import ray
 

@@ -30,15 +30,32 @@ def _rename(ds, mapping: dict[str, str]):
 
 def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
                       id_col: str = "url"):
-    """pairs(id1,id2) ⋈ sigs on id1 ⋈ sigs on id2 → +sig1 +sig2 columns."""
+    """pairs(id1,id2) ⋈ sigs on id1 ⋈ sigs on id2 → +sig1 +sig2 columns.
+
+    Uses :func:`dedup_ray.util.dsutil.hash_join` (task-based co-partition
+    shuffle) rather than ``Dataset.join`` so several verify paths can fuse
+    into one streaming plan without aggregator-actor CPU starvation.
+    """
+    from dedup_ray.util.dsutil import hash_join
+
     cfg = config or DedupConfig()
     side1 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id1", "sig": "sig1"})
     side2 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id2", "sig": "sig2"})
-    joined = pairs_ds.join(
-        side1, join_type="inner", num_partitions=cfg.num_partitions, on=("id1",)
+    joined = hash_join(
+        pairs_ds.select_columns(["id1", "id2"]),
+        side1,
+        on="id1",
+        left_cols=["id1", "id2"],
+        right_cols=["id1", "sig1"],
+        num_partitions=cfg.num_partitions,
     )
-    return joined.join(
-        side2, join_type="inner", num_partitions=cfg.num_partitions, on=("id2",)
+    return hash_join(
+        joined,
+        side2,
+        on="id2",
+        left_cols=["id1", "id2", "sig1"],
+        right_cols=["id2", "sig2"],
+        num_partitions=cfg.num_partitions,
     )
 
 

@@ -44,3 +44,56 @@ def partitioned_group_apply(ds, key_cols: list[str], fn, num_partitions: int = 1
     return as_arrow(
         parts.groupby("__part").map_groups(apply_part, batch_format="pandas")
     )
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_partitions: int = 16,
+    how: str = "inner",
+):
+    """Equi-join via ONE co-partitioning shuffle — no aggregator actor pools.
+
+    ``Dataset.join`` spawns ``num_partitions`` hash-shuffle aggregator actors
+    per join, each reserving a CPU fraction sized off the whole cluster;
+    several joins fused into one streaming plan can reserve more CPU than the
+    cluster has and starve each other (observed as a full-pipeline hang).
+    This helper instead tags each side, unions them into one schema-aligned
+    stream, hash-partitions on the key via the sort-based shuffle (plain
+    tasks, composable and backpressured), and pandas-merges within each
+    partition.  Both ``on`` columns must share a name (rename first).
+
+    ``left_cols`` / ``right_cols`` are the full column lists of each side
+    (schemas of lazy Datasets are not probed); non-key columns must not
+    collide.
+    """
+    import numpy as np
+    import pandas as pd
+
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag(side: int, cols: list[str]):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: batch[c] if c in cols else None for c in all_cols})
+            out["__side"] = np.int8(side)
+            h = pd.util.hash_pandas_object(batch[on], index=False)
+            out["__part"] = (h % num_partitions).astype("int64")
+            return out
+
+        return f
+
+    combined = left_ds.map_batches(tag(0, left_cols), batch_format="pandas").union(
+        right_ds.map_batches(tag(1, right_cols), batch_format="pandas")
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        lf = part[part["__side"] == 0][left_cols]
+        rf = part[part["__side"] == 1][right_cols]
+        return lf.merge(rf, on=on, how=how)
+
+    return as_arrow(
+        combined.groupby("__part").map_groups(merge, batch_format="pandas")
+    )
