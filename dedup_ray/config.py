@@ -47,6 +47,14 @@ class DedupConfig:
     seed: int = 42
     # --- execution ---------------------------------------------------------
     batch_size: int = 1024  # rows per batch for text-heavy stages
+    # Batch/bundle size of the fused generate→extract→sign text pass, in
+    # rows of ITS INPUT stream.  Small on purpose: when an upstream map is
+    # fused in (e.g. a pages generator), this number — counted in upstream
+    # rows — sets the task granularity of the whole chain; 64 keeps task
+    # count = input block count on real corpora (blocks ≥ 64 rows bundle
+    # whole) while preventing tiny-source benches from collapsing to a
+    # handful of giant tasks.
+    sign_batch_size: int = 64
     minhash_concurrency: int = 4  # actor-pool size for signature stages
     num_partitions: int = 16  # hash partitions for joins/shuffles
     # Driver-side union-find is used when the accepted-edge count is below

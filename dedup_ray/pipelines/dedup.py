@@ -22,6 +22,8 @@ joins), component.  With ``checkpoint_dir`` each stage boundary persists via
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from dedup_ray.config import DedupConfig
 from dedup_ray.ops.evaluate import pairwise_prf_ds
 from dedup_ray.stages.cc import assign_clusters
@@ -132,6 +134,9 @@ def dedup_pipeline(
 
         def _near():
             bands = band_explode(compact, cfg, id_col=id_col)
+            # cross-band duplicate pairs (up to a `bands`-fold factor for a
+            # dup clique) are deduped inside verify's first signature join,
+            # which co-locates rows by id1 anyway — no dedicated shuffle
             cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
             return verify_pairs(cands, compact, cfg, id_col=id_col)
 
@@ -142,31 +147,76 @@ def dedup_pipeline(
         sim = stage("simhash_edges", lambda: simhash_edges(compact, cfg, id_col))
         edge_parts.append(_pin(sim))
 
-    if use_substring:
-        sub = stage("substring_edges", lambda: substring_edges(compact, cfg, id_col))
-        edge_parts.append(_pin(sub))
-
-    def _edges():
+    def _lazy_union(parts):
         # Lazy union: no per-part materialize barrier — the streaming
         # executor runs all edge paths concurrently off the shared
         # (materialized) signature table.  Duplicate edges across paths are
         # harmless to union-find CC.
-        out = edge_parts[0]
-        for part in edge_parts[1:]:
+        out = parts[0]
+        for part in parts[1:]:
             out = out.union(part)
         return out
 
-    edges = stage("edges", _edges)
-    clusters = stage(
-        "clusters",
-        lambda: assign_clusters(
+    def _assign(edge_ds):
+        return assign_clusters(
             compact,
-            edges,
+            edge_ds,
             id_col=id_col,
             local_edge_limit=cfg.cc_local_edge_limit,
             num_partitions=cfg.num_partitions,
-        ),
+        )
+
+    if not use_substring:
+        edges = stage("edges", lambda: _lazy_union(edge_parts))
+        clusters = stage("clusters", lambda: _assign(edges))
+        return clusters, ctx
+
+    # Substring path runs on CLUSTER REPRESENTATIVES of the exact+near
+    # phase, not the raw corpus: a k-duplicate clique shares nearly all its
+    # CDC chunks, so chunk-bucket pair emission over raw docs is O(k²) per
+    # clique for pairs the near path has already connected.  Phase-1 CC
+    # labels identify one representative per cluster (the min-id member);
+    # anti-joining the NON-representatives (a set the size of the dup
+    # surplus, not the corpus) restricts the substring path to reps while
+    # preserving connectivity — a substring edge between reps merges their
+    # phase-1 clusters transitively in the final CC.
+    phase1_edges = stage(
+        "phase1_edges", lambda: _lazy_union(edge_parts), materialize=True
     )
+
+    def _non_reps():
+        import pyarrow.compute as pc
+        import ray.data
+
+        from dedup_ray.stages.cc import component_labels
+
+        labels = component_labels(phase1_edges, cfg.cc_local_edge_limit)
+        if labels is None:
+            return ray.data.from_arrow(pa.table({id_col: pa.array([], pa.string())}))
+        return labels.map_batches(
+            lambda t: pa.table(
+                {id_col: t["id"].combine_chunks().cast(pa.string())}
+            ).filter(pc.not_equal(t["id"], t["cluster_id"])),
+            batch_format="pyarrow",
+        )
+
+    def _sub_edges():
+        from dedup_ray.util.dsutil import hash_join
+
+        rep_chunks = hash_join(
+            compact.select_columns([id_col, "chunks"]),
+            _non_reps(),
+            on=id_col,
+            left_cols=[id_col, "chunks"],
+            right_cols=[id_col],
+            num_partitions=cfg.num_partitions,
+            how="anti",
+        )
+        return substring_edges(rep_chunks, cfg, id_col)
+
+    sub = stage("substring_edges", _sub_edges)
+    edges = stage("edges", lambda: _lazy_union([phase1_edges, _pin(sub)]))
+    clusters = stage("clusters", lambda: _assign(edges))
     return clusters, ctx
 
 

@@ -164,10 +164,20 @@ def pages_from_documents(sf_dir: str, amplify: int = 1, seed: int = 42):
     structure at any scale.  Runs as a distributed ``map_batches``; only
     (doc_id, text, lang) are read off disk.
     """
+    import pyarrow.parquet as pq
     import ray.data
 
+    path = f"{sf_dir}/documents.parquet"
+    # Pin read parallelism to ~64 source docs per block regardless of CPU
+    # count: each block × amplify pages is one task of the fused
+    # generate→extract→sign chain (the signer batches per block), so block
+    # count — not Ray's CPU-derived default, which undershoots badly on
+    # small hosts — decides how many tasks can run in parallel.
+    n_rows = pq.read_metadata(path).num_rows
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        path,
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=max(16, n_rows // 64),
     )
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -200,4 +210,9 @@ def pages_from_documents(sf_dir: str, amplify: int = 1, seed: int = 42):
             }
         )
 
-    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=512)
+    # Small batch size on purpose: this map fuses with the downstream
+    # extract+sign actor-pool chain, so its batch size sets the TASK
+    # granularity of the whole text pass.  64 source docs × amplify pages
+    # per call keeps enough tasks in flight to fill the pool (and the block
+    # count it produces sets the width of every downstream sort-reduce).
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=64)

@@ -184,6 +184,23 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
     return partitioned_group_apply(labels, ["id"], dedup_label)
 
 
+def component_labels(edges_ds, local_edge_limit: int = 2_000_000):
+    """Edges → Dataset(id, cluster_id) for every edge-endpoint node.
+
+    Picks the driver union-find below ``local_edge_limit`` edges, else the
+    distributed Star algorithm.  Returns None for an empty edge set.
+    ``edges_ds`` should be materialized by the caller if it is consumed
+    again afterwards.
+    """
+    edges = edges_ds.select_columns(["id1", "id2"])
+    n_edges = edges.count()
+    if n_edges == 0:
+        return None
+    if n_edges <= local_edge_limit:
+        return ray.data.from_pandas(connected_components_local(edges))
+    return connected_components_distributed(edges)
+
+
 def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
                     local_edge_limit: int = 2_000_000, num_partitions: int = 16):
     """docs + accepted edges → Dataset(id_col, cluster_id); singletons = own id.
@@ -193,20 +210,14 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
     and null labels (docs in no duplicate pair) become their own cluster.
     """
     edges = edges_ds.select_columns(["id1", "id2"]).materialize()
-    n_edges = edges.count()
-    if n_edges == 0:
+    labels = component_labels(edges, local_edge_limit)
+    if labels is None:
         def own(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {id_col: batch[id_col], "cluster_id": batch[id_col]}
             )
 
         return docs_ds.select_columns([id_col]).map_batches(own, batch_format="pyarrow")
-
-    if n_edges <= local_edge_limit:
-        labels_df = connected_components_local(edges)
-        labels = ray.data.from_pandas(labels_df)
-    else:
-        labels = connected_components_distributed(edges)
 
     def rn(batch: pa.Table) -> pa.Table:
         return batch.rename_columns([id_col, "cluster_id"])

@@ -65,18 +65,38 @@ class DocSigner:
         return pa.table(cols)
 
 
+# Per-worker-process signer cache.  The signer's state (permutation table,
+# CDC gear table) costs microseconds to build but must not be rebuilt per
+# BATCH; caching it per worker process gives the once-per-worker semantics
+# of an actor pool WITHOUT actor-pool process spawning — profiling showed
+# a fresh pool of N actors costs 10-20s of cold start that dominates and
+# does not parallelize (the ST2 actor-pool pattern from SURVEY.md §2.3
+# remains the right shape for genuinely expensive state, e.g. model
+# scorers; see stages/ann.py).
+_SIGNER_CACHE: dict = {}
+
+
+def _cached_signer(key: tuple, kwargs: dict) -> DocSigner:
+    signer = _SIGNER_CACHE.get(key)
+    if signer is None:
+        signer = _SIGNER_CACHE[key] = DocSigner(**kwargs)
+    return signer
+
+
 def sign_docs(ds, config: DedupConfig | None = None, id_col: str = "url",
               text_col: str = "text", **kwargs):
     cfg = config or DedupConfig()
+    ctor = {"config": cfg, "id_col": id_col, "text_col": text_col, **kwargs}
+    key = (cfg.config_hash(), id_col, text_col,
+           tuple(sorted((k, v) for k, v in kwargs.items())))
+
+    def sign(batch: pa.Table) -> pa.Table:
+        return _cached_signer(key, ctor)(batch)
+
     return ds.map_batches(
-        DocSigner,
-        fn_constructor_kwargs={
-            "config": cfg,
-            "id_col": id_col,
-            "text_col": text_col,
-            **kwargs,
-        },
+        sign,
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.minhash_concurrency,
+        # NOTE: when an upstream map fuses into this stage, batch_size is
+        # counted in the fused chain's INPUT rows — see config.sign_batch_size
+        batch_size=cfg.sign_batch_size,
     )

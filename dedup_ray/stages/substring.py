@@ -144,46 +144,72 @@ def explode_chunks(compact_ds, config: DedupConfig, id_col: str = "url"):
         ids = batch[id_col].to_pylist()
         for i, blob in zip(ids, batch["chunks"].to_pylist()):
             hh, ll = unpack_chunks(blob)
-            for h, l in zip(hh.tolist(), ll.tolist()):
-                if l >= 16:
-                    ids_out.append(i)
-                    h_out.append(h)
+            hs = hh[ll >= 16]
+            if len(hs):
+                h_out.append(hs)
+                ids_out.append(np.repeat(np.array(i, dtype=object), len(hs)))
+        if not h_out:
+            return pa.table(
+                {id_col: pa.array([], pa.string()), "chash": pa.array([], pa.int64())}
+            )
         return pa.table(
-            {id_col: pa.array(ids_out), "chash": pa.array(h_out, pa.int64())}
+            {
+                id_col: pa.array(np.concatenate(ids_out)),
+                "chash": pa.array(np.concatenate(h_out), pa.int64()),
+            }
         )
 
     return compact_ds.map_batches(f, batch_format="pyarrow",
                                   batch_size=config.batch_size)
 
 
-def chunk_candidate_pairs(chunk_rows, config: DedupConfig, id_col: str = "url"):
-    """Hash-partition on chash → distinct candidate pairs, hot-key capped
-    like LSH (vectorized per partition, not per bucket)."""
-    from dedup_ray.stages.lsh import _emit_pairs
+def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "url"):
+    """ONE chash-partitioned shuffle emitting candidate pairs AND the
+    boilerplate census.
+
+    Every chash group lands whole in one partition, so a group's document
+    frequency is exact locally — the corpus-global IDF-style census
+    (SURVEY.md A1, ``IDF.py:12-17`` analog) fuses into the bucket pass
+    instead of being a separate groupby barrier.  Output rows are either
+    candidate pairs ``(id1, id2, hot_chash=NULL)`` or boilerplate markers
+    ``(NULL, NULL, hot_chash)`` for chunks with df > ``boilerplate_max_df``
+    (cookie banners, templates) — those are skipped for pair emission and
+    excluded from shared-run scoring by the verifier.
+    """
+    from dedup_ray.stages.lsh import emit_bucket_pairs
     from dedup_ray.util.dsutil import partitioned_group_apply
 
     cfg = config
 
-    def buckets_to_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        out1: list = []
-        out2: list = []
-        for _, sub in part.groupby("chash", sort=False):
-            ids = sub[id_col].drop_duplicates().tolist()
-            if len(ids) < 2:
-                continue
-            id1s, id2s, _ = _emit_pairs(ids, cfg.max_band_group, cfg.hot_window)
-            out1.extend(id1s)
-            out2.extend(id2s)
-        return pd.DataFrame({"id1": out1, "id2": out2})
+    def buckets(part: pd.DataFrame) -> pd.DataFrame:
+        pairs, (hot,) = emit_bucket_pairs(
+            part,
+            ["chash"],
+            id_col,
+            cfg.max_band_group,
+            cfg.hot_window,
+            max_df=cfg.boilerplate_max_df,
+        )
+        n_pairs = len(pairs)
+        return pd.DataFrame(
+            {
+                "id1": pd.Series(
+                    list(pairs["id1"]) + [None] * len(hot), dtype=object
+                ),
+                "id2": pd.Series(
+                    list(pairs["id2"]) + [None] * len(hot), dtype=object
+                ),
+                # nullable Int64: chash values use the full signed-64 range;
+                # a float column would corrupt them past 2^53
+                "hot_chash": pd.Series(
+                    [None] * n_pairs + list(hot), dtype="Int64"
+                ),
+            }
+        )
 
-    pairs = partitioned_group_apply(
-        chunk_rows, ["chash"], buckets_to_pairs, cfg.num_partitions
+    return partitioned_group_apply(
+        chunk_rows, ["chash"], buckets, cfg.num_partitions
     )
-
-    def dedup(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(subset=["id1", "id2"])
-
-    return partitioned_group_apply(pairs, ["id1", "id2"], dedup, cfg.num_partitions)
 
 
 def longest_shared_run(
@@ -221,14 +247,9 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
     sharing only a cookie banner never merge.
     """
     from dedup_ray.stages.verify import _rename
-
-    from dedup_ray.stages.verify import empty_edges
+    from dedup_ray.util.dsutil import hash_join
 
     cfg = config
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        return empty_edges({"shared_bytes": pa.int64()})
-    from dedup_ray.util.dsutil import hash_join
 
     side = compact_ds.select_columns([id_col, "chunks"])
     s1 = _rename(side, {id_col: "id1", "chunks": "ch1"})
@@ -240,6 +261,10 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
         left_cols=["id1", "id2"],
         right_cols=["id1", "ch1"],
         num_partitions=cfg.num_partitions,
+        # pairs duplicate once per shared chunk; the join co-locates all
+        # (id1, *) rows, so a partition-local dedup is globally exact and
+        # a dedicated dedup shuffle is unnecessary
+        left_prep=lambda df: df.drop_duplicates(subset=["id1", "id2"]),
     )
     joined = hash_join(
         joined,
@@ -280,43 +305,30 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
     return joined.map_batches(keep, batch_format="pyarrow")
 
 
-def boilerplate_chunks(chunk_rows, config: DedupConfig) -> frozenset:
-    """Global chunk-DF census → chunk hashes present in > boilerplate_max_df docs.
+def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
+    """Full substring path: chunks → fused census+buckets → verified edges.
 
-    The reference's only corpus-global barrier is the IDF fan-in
-    (``IDF.py:12-17`` / SURVEY.md A1); this is its analog for the web
-    payload: a groupby(chash).count() whose heavy tail (boilerplate) is
-    collected to the driver and broadcast.  The tail is tiny by construction
-    (only keys with df > threshold).
+    Plan: explode chunk rows (streaming) → ONE chash shuffle emitting both
+    candidate pairs and the boilerplate census → driver collects the tiny
+    hot set → global (id1,id2) dedup (pairs duplicate once per shared
+    chunk, so this shuffle pays for itself many times over in avoided
+    DP verification) → shared-run verification.
     """
     import pyarrow.compute as pc
 
-    counts = chunk_rows.groupby("chash").count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], config.boilerplate_max_df)),
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    rows = explode_chunks(compact_ds, config, id_col)
+    mixed = chunk_buckets_with_census(rows, config, id_col).materialize()
+
+    hot_rows = mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["hot_chash"])).select(["hot_chash"]),
         batch_format="pyarrow",
-    ).take_all()
-    return frozenset(r["chash"] for r in hot)
+    )
+    hot = frozenset(r["hot_chash"] for r in hot_rows.take_all())
 
-
-def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
-    """Full substring path: chunks → DF census → candidates → verified edges."""
-    import pyarrow.compute as pc
-    import ray
-
-    rows = explode_chunks(compact_ds, config, id_col).materialize()
-    hot = boilerplate_chunks(rows, config)
-    if hot:
-        hot_arr_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
-
-        def drop_hot(batch: pa.Table) -> pa.Table:
-            hot_arr = ray.get(hot_arr_ref)
-            ch = batch["chash"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(hot_arr, ch)
-            idx[idx >= len(hot_arr)] = 0
-            is_hot = hot_arr[idx] == ch
-            return batch.filter(pa.array(~is_hot))
-
-        rows = rows.map_batches(drop_hot, batch_format="pyarrow")
-    cands = chunk_candidate_pairs(rows, config, id_col)
+    cands = mixed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"]),
+        batch_format="pyarrow",
+    )
     return verify_substring_pairs(cands, compact_ds, config, id_col, hot_chunks=hot)

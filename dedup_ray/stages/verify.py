@@ -48,6 +48,10 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
         left_cols=["id1", "id2"],
         right_cols=["id1", "sig1"],
         num_partitions=cfg.num_partitions,
+        # cross-band duplicate pairs dedup here for free: the join already
+        # co-locates every (id1, *) row, so a partition-local
+        # drop_duplicates is globally exact — no dedicated dedup shuffle
+        left_prep=lambda df: df.drop_duplicates(subset=["id1", "id2"]),
     )
     return hash_join(
         joined,
@@ -88,15 +92,12 @@ def verify_pairs(pairs_ds, sigs_ds, config: DedupConfig | None = None,
                  id_col: str = "url"):
     """Candidates → accepted edges (id1, id2, est_jaccard >= threshold).
 
-    Candidates are materialized first: the set is orders of magnitude
-    smaller than the corpus, it feeds two joins (avoids recomputing the band
-    shuffle), and a zero-candidate corpus needs a typed empty short-circuit
-    (an empty Dataset has no schema for the join to bind to).
+    Fully streaming: ``hash_join`` takes explicit column lists, so a
+    zero-candidate corpus needs no materialize-and-count short-circuit —
+    empty partitions merge to empty frames and the schema is pinned
+    downstream.
     """
     cfg = config or DedupConfig()
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        return empty_edges({"est_jaccard": pa.float64()})
     if cfg.verify == "none":
         return pairs_ds.select_columns(["id1", "id2"])
     scored = estimate_jaccard(attach_signatures(pairs_ds, sigs_ds, cfg, id_col), cfg)

@@ -54,6 +54,7 @@ def hash_join(
     right_cols: list[str],
     num_partitions: int = 16,
     how: str = "inner",
+    left_prep=None,
 ):
     """Equi-join via ONE co-partitioning shuffle — no aggregator actor pools.
 
@@ -91,7 +92,15 @@ def hash_join(
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         lf = part[part["__side"] == 0][left_cols]
+        if left_prep is not None:
+            # partition-local preprocessing that is globally correct when
+            # its key set includes `on` (e.g. drop_duplicates on (on, x):
+            # all rows of one `on` key co-locate here) — lets callers fuse
+            # a dedup that would otherwise cost its own shuffle
+            lf = left_prep(lf)
         rf = part[part["__side"] == 1][right_cols]
+        if how == "anti":  # left rows with no key match on the right
+            return lf[~lf[on].isin(set(rf[on]))]
         return lf.merge(rf, on=on, how=how)
 
     return as_arrow(
