@@ -48,8 +48,11 @@ def compact_signature_table(
     """pages → (id, digest, n_shingles, sig[, simhash][, chunks]): ONE text pass."""
     ds = pages_ds
     if extract:
+        # sign_batch_size, not batch_size: this map fuses into the sign
+        # stage and the fused chain's task granularity is the max declared
+        # batch size, counted in chain-input rows (see config.sign_batch_size)
         ds = ds.map_batches(
-            extract_batch, batch_format="pyarrow", batch_size=config.batch_size
+            extract_batch, batch_format="pyarrow", batch_size=config.sign_batch_size
         )
     return sign_docs(
         ds,

@@ -155,29 +155,36 @@ def planted_pages(
     return pages, truth
 
 
-def pages_from_documents(sf_dir: str, amplify: int = 1, seed: int = 42):
+def pages_from_documents(
+    sf_dir: str, amplify: int = 1, seed: int = 42, text_repeat: int = 1
+):
     """documents.parquet → pages Dataset (optionally amplified with dups).
 
-    With ``amplify=f``, each document yields ``f`` pages: copy 0 is the
-    original; copies ``k>0`` are exact duplicates (k%3==0) or deterministic
-    near-duplicate mutations — so the bench corpus has real duplicate
-    structure at any scale.  Runs as a distributed ``map_batches``; only
-    (doc_id, text, lang) are read off disk.
+    With ``amplify=f``, each document yields ``f`` pages in three classes
+    mirroring web-crawl duplicate structure: copy 0 is the original,
+    ``k%3==1`` are exact duplicates (mirrors), ``k%3==2`` are true
+    near-duplicates (1-4% token edits — syndication/edits), and ``k%3==0``
+    (k>0) are UNIQUE pages (fresh deterministic text) — so the corpus mixes
+    clear dups with genuinely distinct documents instead of a mutation
+    ladder of borderline cases.  ``text_repeat=r`` tiles each document's
+    text r times (distinct paragraphs), scaling page size toward realistic
+    web-page length without changing the duplicate-pair structure.  Runs as
+    a distributed ``map_batches``; only (doc_id, text, lang) leave the
+    driver.
     """
     import pyarrow.parquet as pq
     import ray.data
 
     path = f"{sf_dir}/documents.parquet"
-    # Pin read parallelism to ~64 source docs per block regardless of CPU
-    # count: each block × amplify pages is one task of the fused
-    # generate→extract→sign chain (the signer batches per block), so block
-    # count — not Ray's CPU-derived default, which undershoots badly on
-    # small hosts — decides how many tasks can run in parallel.
-    n_rows = pq.read_metadata(path).num_rows
-    ds = ray.data.read_parquet(
-        path,
-        columns=["doc_id", "text", "lang"],
-        override_num_blocks=max(16, n_rows // 64),
+    # The source table is tiny (the AMPLIFIED corpus is the bench payload),
+    # so slice it into ~64-doc blocks on the driver instead of paying
+    # read_parquet's per-block streaming overhead: block count here sets
+    # the task granularity of the fused generate→extract→sign chain.
+    src = pq.read_table(path, columns=["doc_id", "text", "lang"])
+    n_rows = src.num_rows
+    step = 64
+    ds = ray.data.from_arrow(
+        [src.slice(i, step) for i in range(0, n_rows, step)]
     )
 
     def to_pages(batch: pa.Table) -> pa.Table:
@@ -187,13 +194,24 @@ def pages_from_documents(sf_dir: str, amplify: int = 1, seed: int = 42):
         urls, texts, langs, ts = [], [], [], []
         for doc_id, text, lang in zip(doc_ids, src_texts, src_langs):
             text = text or ""
+            if text_repeat > 1:
+                # tile with a distinct marker token per copy so the tiled
+                # page is not trivially self-similar
+                text = "\n".join(
+                    f"part{r} {text}" for r in range(text_repeat)
+                )
             for k in range(amplify):
-                if k == 0:
-                    t = text
-                elif k % 3 == 0:
-                    t = text  # exact duplicate
-                else:
-                    t = mutate_text(text, 0.02 * k, _rng(seed, f"amp/{doc_id}/{k}"))
+                if k == 0 or k % 3 == 1:
+                    t = text  # original / exact duplicate
+                elif k % 3 == 2:
+                    t = mutate_text(
+                        text,
+                        0.01 + 0.01 * (k % 4),
+                        _rng(seed, f"amp/{doc_id}/{k}"),
+                    )
+                else:  # k%3==0, k>0: unique page
+                    rng = _rng(seed, f"uniq/{doc_id}/{k}")
+                    t = _base_text(rng, max(20, len(text.split(" "))))
                 urls.append(f"https://doc{doc_id}.example/v/{k}")
                 texts.append(t)
                 langs.append(lang)

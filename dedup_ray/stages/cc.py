@@ -223,17 +223,28 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
         return batch.rename_columns([id_col, "cluster_id"])
 
     labels = labels.map_batches(rn, batch_format="pyarrow")
-    joined = docs_ds.select_columns([id_col]).join(
+    # task-based hash_join, not Dataset.join: the aggregator-actor pool a
+    # Dataset.join spins up costs seconds of spawn per join and can starve
+    # CPU when plans fuse (see dsutil.hash_join)
+    from dedup_ray.util.dsutil import hash_join
+
+    joined = hash_join(
+        docs_ds.select_columns([id_col]),
         labels,
-        join_type="left_outer",
+        on=id_col,
+        left_cols=[id_col],
+        right_cols=[id_col, "cluster_id"],
         num_partitions=num_partitions,
-        on=(id_col,),
+        how="left",
     )
 
     def fill(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        cid = pc.coalesce(batch["cluster_id"], batch[id_col])
+        cid = pc.coalesce(
+            batch["cluster_id"].combine_chunks().cast(pa.string()),
+            batch[id_col].combine_chunks().cast(pa.string()),
+        )
         return pa.table({id_col: batch[id_col], "cluster_id": cid})
 
     return joined.map_batches(fill, batch_format="pyarrow")

@@ -50,16 +50,21 @@ def exact_dup_edges(ds_with_digest, id_col: str = "url", num_partitions: int = 1
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
 
+    import numpy as np
+
     def stars(part: pd.DataFrame) -> pd.DataFrame:
-        out1: list = []
-        out2: list = []
-        for _, sub in part.groupby("digest", sort=False):
-            if len(sub) < 2:
-                continue
-            ids = sorted(sub[id_col].tolist())
-            out1.extend([ids[0]] * (len(ids) - 1))
-            out2.extend(ids[1:])
-        return pd.DataFrame({"id1": out1, "id2": out2}).astype(
+        # vectorized star emission: sort by (digest, id), detect group
+        # boundaries, repeat each group's min id against its other members
+        d = part["digest"].to_numpy()
+        ids = part[id_col].to_numpy()
+        order = np.lexsort((ids, d))
+        d_s, ids_s = d[order], ids[order]
+        change = np.r_[True, d_s[1:] != d_s[:-1]]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, len(d_s)])
+        id1 = np.repeat(ids_s[starts], sizes - 1)
+        id2 = ids_s[~change]
+        return pd.DataFrame({"id1": id1, "id2": id2}).astype(
             {"id1": object, "id2": object}
         )
 

@@ -60,7 +60,9 @@ def band_explode(sigs_ds, config: DedupConfig | None = None, id_col: str = "url"
     """Stateless task-pool stage (no actor startup cost — state is only cfg)."""
     cfg = config or DedupConfig()
     exploder = BandExploder(cfg, id_col=id_col)
-    return sigs_ds.map_batches(
+    # prune to the two columns this stage reads — compact may carry wide
+    # payload columns (chunk blobs) that the band shuffle must not drag
+    return sigs_ds.select_columns([id_col, "sig"]).map_batches(
         exploder, batch_format="pyarrow", batch_size=cfg.batch_size
     )
 

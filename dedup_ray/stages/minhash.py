@@ -31,22 +31,49 @@ def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signatures(
-    values: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+    values: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    block: int = 4096,
 ) -> np.ndarray:
-    """(n_docs, num_perms) uint64 signature matrix from packed shingle hashes."""
+    """(n_docs, num_perms) uint64 signature matrix from packed shingle hashes.
+
+    Works in doc-aligned segments of ≤ ``block`` shingles so the
+    (num_perms × block) hash panel stays cache-resident: the naive
+    whole-batch formulation writes+reads hundreds of MB of intermediate per
+    batch and turns the stage memory-bandwidth-bound, which caps multi-core
+    scaling well before CPU does.
+    """
     n_docs = len(offsets) - 1
     num_perms = len(a)
     sigs = np.empty((n_docs, num_perms), dtype=np.uint64)
     if len(values) == 0:
         sigs.fill(np.iinfo(np.uint64).max)
         return sigs
-    starts = offsets[:-1]
+    a2, b2 = a[:, None], b[:, None]
+    i = 0
     with np.errstate(over="ignore"):
-        for c0 in range(0, num_perms, 32):  # chunk perms to bound memory
-            c1 = min(c0 + 32, num_perms)
-            phi = a[c0:c1, None] * values[None, :] + b[c0:c1, None]
-            phi %= _MERSENNE
-            sigs[:, c0:c1] = np.minimum.reduceat(phi, starts, axis=1).T
+        while i < n_docs:
+            j = i + 1
+            while j < n_docs and offsets[j + 1] - offsets[i] <= block:
+                j += 1
+            lo, hi = offsets[i], offsets[j]
+            if hi - lo <= block or j > i + 1:
+                phi = a2 * values[None, lo:hi] + b2
+                phi %= _MERSENNE
+                segstarts = offsets[i:j] - lo
+                sigs[i:j] = np.minimum.reduceat(phi, segstarts, axis=1).T
+            else:
+                # single oversized doc: sub-chunk its shingles, fold mins
+                acc = np.full(num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+                for s0 in range(lo, hi, block):
+                    s1 = min(s0 + block, hi)
+                    phi = a2 * values[None, s0:s1] + b2
+                    phi %= _MERSENNE
+                    np.minimum(acc, phi.min(axis=1), out=acc)
+                sigs[i] = acc
+            i = j
     return sigs
 
 

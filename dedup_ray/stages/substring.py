@@ -44,6 +44,7 @@ class _CDC:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
         self.gear = _gear_table(cfg.seed)
+        self.pinv = np.uint64(pow(int(_POLY), -1, 1 << 64))
         with np.errstate(over="ignore"):
             self.coef = np.empty(_WINDOW, dtype=np.uint64)
             c = np.uint64(1)
@@ -55,6 +56,34 @@ class _CDC:
         self.mask = np.uint64(2 ** int(np.log2(self.avg_chunk)) - 1)
         self.min_chunk = 8
         self.max_chunk = self.avg_chunk * 8
+
+    def segment_hashes(
+        self, b_u64: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized content hash of byte segments [starts[i], ends[i]).
+
+        Wraparound-u64 polynomial via prefix sums: with T[i] = Σ_{j<i}
+        b[j]·P⁻ʲ and Ppow[i] = Pⁱ, the segment polynomial Σ b[j]·P^{e-1-j}
+        equals Ppow[e-1]·(T[e]−T[s]); a splitmix finalizer over (value,
+        length, seed) spreads it.  Replaces one Python BLAKE2b call per
+        chunk — the former per-task hot spot — with whole-doc array math.
+        P is odd, hence invertible mod 2^64, so P⁻¹ is exact.
+        """
+        n = len(b_u64)
+        with np.errstate(over="ignore"):
+            pinv_pow = np.empty(n, dtype=np.uint64)
+            pinv_pow[0] = 1
+            np.cumprod(np.full(n - 1, self.pinv, dtype=np.uint64), out=pinv_pow[1:]) if n > 1 else None
+            ppow = np.empty(n, dtype=np.uint64)
+            ppow[0] = 1
+            np.cumprod(np.full(n - 1, _POLY, dtype=np.uint64), out=ppow[1:]) if n > 1 else None
+            T = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(b_u64 * pinv_pow, out=T[1:])
+            seg = ppow[ends - 1] * (T[ends] - T[starts])
+            from dedup_ray.util.hashing import _GOLDEN, mix64
+
+            lens = (ends - starts).astype(np.uint64)
+            return mix64(seg + _GOLDEN * lens + np.uint64(self.cfg.seed))
 
     def chunks(self, data: bytes, doc_key: str) -> tuple[list[int], list[int]]:
         """→ (chunk content hashes, chunk byte lengths)."""
@@ -85,12 +114,10 @@ class _CDC:
                 bounds.append(last)
             if not bounds or bounds[-1] != n:
                 bounds.append(n)
-        hashes, lens, prev = [], [], 0
-        for bd in bounds:
-            hashes.append(stable64(data[prev:bd], seed=self.cfg.seed))
-            lens.append(bd - prev)
-            prev = bd
-        return hashes, lens
+        bounds_np = np.asarray(bounds, dtype=np.int64)
+        starts = np.r_[np.int64(0), bounds_np[:-1]]
+        hashes = self.segment_hashes(b.astype(np.uint64), starts, bounds_np)
+        return hashes.tolist(), (bounds_np - starts).tolist()
 
 
 def pack_chunks(hashes: list[int], lens: list[int]) -> bytes:
@@ -281,6 +308,11 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
 
     def keep(batch: pa.Table) -> pa.Table:
         skip = ray.get(hot_ref)
+        skip_arr = (
+            np.fromiter(skip, dtype=np.int64, count=len(skip))
+            if skip
+            else None
+        )
         id1, id2 = batch["id1"].to_pylist(), batch["id2"].to_pylist()
         k1, k2, runs = [], [], []
         for a, b, blob1, blob2 in zip(
@@ -288,8 +320,19 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
         ):
             h1, l1 = unpack_chunks(blob1)
             h2, l2 = unpack_chunks(blob2)
-            r = longest_shared_run(h1.tolist(), l1.tolist(), h2.tolist(), skip)
             smaller = max(1, min(int(l1.sum()), int(l2.sum())))
+            # Cheap necessary-condition prefilter before the O(matches) DP:
+            # a shared run of R bytes implies the total bytes of doc1
+            # chunks whose hashes appear in doc2 is >= R.  Vectorized
+            # intersection bounds that total; most non-containment pairs
+            # (scattered shared shingles/boilerplate) fail here.
+            shared_mask = np.isin(h1, h2)
+            if skip_arr is not None and shared_mask.any():
+                shared_mask &= ~np.isin(h1, skip_arr)
+            ub = int(l1[shared_mask].sum())
+            if ub < cfg.min_substring_len or ub / smaller < cfg.containment_frac:
+                continue
+            r = longest_shared_run(h1.tolist(), l1.tolist(), h2.tolist(), skip)
             if r >= cfg.min_substring_len and r / smaller >= cfg.containment_frac:
                 k1.append(a)
                 k2.append(b)
