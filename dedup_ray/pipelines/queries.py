@@ -563,6 +563,81 @@ def ann_topk_lsh(sf_dir: str):
     return knn_cosine_lsh(emb, qdf["vec_id"].tolist(), qvecs, k=10, n_planes=6)
 
 
+DISCIPLINE_LISTS: dict[str, frozenset] = {
+    "color": frozenset({"red", "blue", "green", "yellow", "purple", "white"}),
+    "size": frozenset({"small", "large", "tiny", "huge", "mini"}),
+    "temperature": frozenset({"hot", "cold", "warm", "cool"}),
+    "mechanism": frozenset({"gear", "bolt", "spring", "lever", "valve"}),
+}
+
+
+def tag_parts_multilabel(sf_dir: str):
+    """M8: venue→discipline multi-label tagger re-expressed on part names —
+    membership of name tokens in broadcast keyword lists emits 0..n
+    (p_partkey, tag) rows per part (``define_fields_by_venue.R:13-48``)."""
+    import ray
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    lists_ref = ray.put(DISCIPLINE_LISTS)  # J5-style broadcast of small side
+
+    def tag(t: pa.Table) -> pa.Table:
+        lists = ray.get(lists_ref)
+        keys_out, tags_out = [], []
+        for key, name in zip(
+            t["p_partkey"].to_pylist(), t["p_name"].to_pylist()
+        ):
+            toks = set((name or "").split(" "))
+            for tag_name, words in lists.items():
+                if toks & words:
+                    keys_out.append(key)
+                    tags_out.append(tag_name)
+        return pa.table(
+            {
+                "p_partkey": pa.array(keys_out, pa.int64()),
+                "tag": pa.array(tags_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup detection: within-source doc pairs scored by
+    Jaccard of distinct word-3-gram sets, kept at >= 0.05.  The exact
+    small-scale oracle of what MinHash estimates at scale (SURVEY.md §2.5
+    note); the 3-gram is the same shingle unit the signer hashes."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def gen(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        grams: list[set] = []
+        for t in g["text"]:
+            toks = [w for w in (t or "").split(" ") if w != ""]
+            grams.append(
+                {
+                    " ".join(toks[i : i + 3])
+                    for i in range(len(toks) - 2)
+                }
+            )
+        i1, i2, jac = [], [], []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                inter = len(grams[a] & grams[b])
+                if not inter:
+                    continue
+                j = inter / (len(grams[a]) + len(grams[b]) - inter)
+                if j >= 0.05:
+                    i1.append(ids[a])
+                    i2.append(ids[b])
+                    jac.append(round(j, 6))
+        return pd.DataFrame(
+            {"id1": i1, "id2": i2, "jaccard": pd.Series(jac, dtype="float64")}
+        )
+
+    return as_arrow(ds.groupby("source").map_groups(gen, batch_format="pandas"))
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over the pre-registered views)
 # --------------------------------------------------------------------------
@@ -775,6 +850,45 @@ ORACLES: dict[str, str] = {
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
     """,
+    "tag_parts_multilabel": """
+        SELECT p_partkey, 'color' AS tag FROM part
+        WHERE list_has_any(string_split(p_name, ' '),
+              ['red','blue','green','yellow','purple','white'])
+        UNION ALL
+        SELECT p_partkey, 'size' FROM part
+        WHERE list_has_any(string_split(p_name, ' '),
+              ['small','large','tiny','huge','mini'])
+        UNION ALL
+        SELECT p_partkey, 'temperature' FROM part
+        WHERE list_has_any(string_split(p_name, ' '),
+              ['hot','cold','warm','cool'])
+        UNION ALL
+        SELECT p_partkey, 'mechanism' FROM part
+        WHERE list_has_any(string_split(p_name, ' '),
+              ['gear','bolt','spring','lever','valve'])
+    """,
+    "ngram_jaccard_pairs": """
+        WITH l AS (SELECT doc_id, source,
+                          list_filter(string_split(text,' '), x -> x <> '') AS toks
+                   FROM documents),
+        t AS (SELECT doc_id, source, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos FROM l),
+        g AS (SELECT a.doc_id, a.source,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                       JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
+        cnt AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+                  FROM gd x JOIN gd y ON y.source = x.source
+                       AND y.gram = x.gram AND y.doc_id > x.doc_id
+                  GROUP BY x.doc_id, y.doc_id)
+        SELECT id1, id2,
+               round(i * 1.0 / (c1.n + c2.n - i), 6) AS jaccard
+        FROM inter JOIN cnt c1 ON c1.doc_id = id1
+                   JOIN cnt c2 ON c2.doc_id = id2
+        WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.05
+    """,
 }
 
 # fix up the two oracles that need programmatic assembly
@@ -824,6 +938,8 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "ann_topk": ann_topk,
     "exact_dedup_docs": exact_dedup_docs,
+    "tag_parts_multilabel": tag_parts_multilabel,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     # rows-only (non-SQL-expressible: hashing / full pipeline / heuristic)
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,

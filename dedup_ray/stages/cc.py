@@ -241,10 +241,10 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
     def fill(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        ids = batch[id_col].combine_chunks()
         cid = pc.coalesce(
-            batch["cluster_id"].combine_chunks().cast(pa.string()),
-            batch[id_col].combine_chunks().cast(pa.string()),
+            batch["cluster_id"].combine_chunks().cast(ids.type), ids
         )
-        return pa.table({id_col: batch[id_col], "cluster_id": cid})
+        return pa.table({id_col: ids, "cluster_id": cid})
 
     return joined.map_batches(fill, batch_format="pyarrow")
