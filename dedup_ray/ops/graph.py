@@ -1,0 +1,115 @@
+"""Per-block graph features (SURVEY.md G1-G4).
+
+The reference builds a similarity graph per name block and derives pair
+features from it: edge weight ``1/sim`` for ``sim > 0`` and feature
+``1/shortest_path_distance`` (``shortpath.py:45-77``), or a same-connected-
+component indicator (``subgraph.py:56-72``).  Here the block graph is
+re-expressed as ``groupby(block).map_groups`` — one task per block, the ST5
+stateful-block shape from SURVEY.md §2.3.
+
+Partitioning assumption (documented per the custom-operator rule): a block
+must fit one task.  Blocks are bounded by construction upstream (LSH band
+caps / reference name blocks); a pathological block should be capped or
+salted before this operator, not inside it.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+import pandas as pd
+
+from dedup_ray.util.dsutil import as_arrow
+
+
+def _dijkstra(adj: dict, src) -> dict:
+    """Single-source shortest path over a dict adjacency {u: [(v, w)]}."""
+    dist = {src: 0.0}
+    heap = [(0.0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def shortest_path_pairs(df: pd.DataFrame, sim_col: str = "sim") -> pd.DataFrame:
+    """One block's pair sims → all canonical pair rows with ``sp`` feature.
+
+    Reference semantics (``shortpath.py:45-77``): nodes = every id seen in a
+    pair; edges only where ``sim > 0`` with weight ``1/sim``; feature
+    ``sp = 1/dist`` for reachable pairs else 0.  Pairs enumerate in the
+    canonical (id1 < id2) order over the sorted node set (SURVEY.md §1.3).
+    """
+    adj: dict = defaultdict(list)
+    nodes = set()
+    for i1, i2, s in zip(df["id1"], df["id2"], df[sim_col]):
+        nodes.add(i1)
+        nodes.add(i2)
+        if s > 0:
+            w = 1.0 / float(s)
+            adj[i1].append((i2, w))
+            adj[i2].append((i1, w))
+    ids = sorted(nodes)
+    out1, out2, sp = [], [], []
+    for a_idx, a in enumerate(ids):
+        dist = _dijkstra(adj, a)
+        for b in ids[a_idx + 1 :]:
+            d = dist.get(b, 0.0)
+            out1.append(a)
+            out2.append(b)
+            sp.append(1.0 / d if d > 0 else 0.0)
+    return pd.DataFrame({"id1": out1, "id2": out2, "sp": sp})
+
+
+def same_component_pairs(df: pd.DataFrame, sim_col: str = "sim") -> pd.DataFrame:
+    """One block's pair sims → canonical pairs flagged 1.0 when the two ids
+    share a connected component of the sim>0 graph (``subgraph.py:56-72``)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for i1, i2, s in zip(df["id1"], df["id2"], df[sim_col]):
+        nodes.add(i1)
+        nodes.add(i2)
+        if s > 0:
+            ra, rb = find(i1), find(i2)
+            if ra != rb:
+                parent[rb] = ra
+    ids = sorted(nodes)
+    out1, out2, flag = [], [], []
+    for a_idx, a in enumerate(ids):
+        for b in ids[a_idx + 1 :]:
+            out1.append(a)
+            out2.append(b)
+            flag.append(1.0 if find(a) == find(b) else 0.0)
+    return pd.DataFrame({"id1": out1, "id2": out2, "same_comp": flag})
+
+
+def block_graph_features(
+    pairs_ds,
+    block_col: str,
+    sim_col: str = "sim",
+    kind: str = "shortest_path",
+):
+    """Distributed driver: pair rows (block, id1, id2, sim) → per-block graph
+    feature rows via ``groupby(block).map_groups``."""
+    fn = shortest_path_pairs if kind == "shortest_path" else same_component_pairs
+
+    def apply(group: pd.DataFrame) -> pd.DataFrame:
+        out = fn(group, sim_col=sim_col)
+        out.insert(0, block_col, group[block_col].iloc[0])
+        return out
+
+    return as_arrow(pairs_ds.groupby(block_col).map_groups(apply, batch_format="pandas"))

@@ -547,6 +547,60 @@ def lang_id_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def shortpath_source_docs(sf_dir: str):
+    """G2: per-block all-pairs shortest-path feature over a deterministic
+    similarity graph (sim = 1 − |Δn_chars|/span within source blocks, edges
+    where sim > 0, weight 1/sim, feature 1/dist — ``shortpath.py:45-77``).
+    Rows-only: weighted APSP is not SQL-expressible.  Uses the smallest 8
+    sources to bound the O(V·E log V) per-block work in the check."""
+    from dedup_ray.ops.graph import block_graph_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    counts = ds.groupby("source").count().to_pandas()
+    small = set(
+        counts.sort_values(["count()", "source"]).head(8)["source"]
+    )
+    import ray
+
+    small_ref = ray.put(frozenset(small))
+
+    def keep(t: pa.Table) -> pa.Table:
+        keep_set = ray.get(small_ref)
+        mask = pa.array([s in keep_set for s in t["source"].to_pylist()])
+        return t.filter(mask)
+
+    def gen(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        span = int(g["n_chars"].max() - g["n_chars"].min())
+        ids = g["doc_id"].tolist()
+        nc = g["n_chars"].tolist()
+        src = group["source"].iloc[0]
+        rows = []
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                d = abs(nc[a] - nc[b]) / span if span else 0.0
+                rows.append((src, ids[a], ids[b], round(1.0 - d, 6)))
+        return pd.DataFrame(rows, columns=["source", "id1", "id2", "sim"])
+
+    sims = as_arrow(
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(gen, batch_format="pandas")
+    )
+    out = block_graph_features(sims, "source", sim_col="sim")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "id1": t["id1"],
+                "id2": t["id2"],
+                "sp": pc.round(t["sp"], ndigits=6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def ann_topk_lsh(sf_dir: str):
     """Hyperplane-LSH approximate top-k (rows-only; approximate path)."""
     from dedup_ray.stages.ann import knn_cosine_lsh
@@ -946,4 +1000,5 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "lang_id_docs": lang_id_docs,
     "ann_topk_lsh": ann_topk_lsh,
+    "shortpath_source_docs": shortpath_source_docs,
 }

@@ -1,0 +1,151 @@
+"""Per-block graph features vs an independent networkx oracle, and the
+vectorized bucket pair emitter (hot-cap + census) vs brute force."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from dedup_ray.ops.graph import (
+    block_graph_features,
+    same_component_pairs,
+    shortest_path_pairs,
+)
+from dedup_ray.stages.lsh import _emit_pairs, emit_bucket_pairs
+
+
+def make_block(seed: int = 7, n: int = 12, p: float = 0.3) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    rows = []
+    ids = [f"d{i:02d}" for i in range(n)]
+    for a in range(n):
+        for b in range(a + 1, n):
+            if rng.random() < p:
+                rows.append((ids[a], ids[b], float(rng.uniform(0.1, 1.0))))
+            elif rng.random() < 0.2:
+                rows.append((ids[a], ids[b], 0.0))  # sim 0: node, no edge
+    return pd.DataFrame(rows, columns=["id1", "id2", "sim"])
+
+
+def nx_oracle(df: pd.DataFrame) -> dict:
+    import networkx as nx
+
+    g = nx.Graph()
+    nodes = set(df["id1"]) | set(df["id2"])
+    g.add_nodes_from(nodes)
+    for i1, i2, s in zip(df["id1"], df["id2"], df["sim"]):
+        if s > 0:
+            g.add_edge(i1, i2, weight=1.0 / s)
+    return dict(nx.all_pairs_dijkstra_path_length(g))
+
+
+def test_shortest_path_matches_networkx():
+    df = make_block()
+    out = shortest_path_pairs(df)
+    lengths = nx_oracle(df)
+    for i1, i2, sp in zip(out["id1"], out["id2"], out["sp"]):
+        d = lengths.get(i1, {}).get(i2)
+        expect = 1.0 / d if d and d > 0 else 0.0
+        assert abs(sp - expect) < 1e-9, (i1, i2, sp, expect)
+
+
+def test_same_component_matches_networkx():
+    import networkx as nx
+
+    df = make_block(seed=11)
+    out = same_component_pairs(df)
+    g = nx.Graph()
+    g.add_nodes_from(set(df["id1"]) | set(df["id2"]))
+    for i1, i2, s in zip(df["id1"], df["id2"], df["sim"]):
+        if s > 0:
+            g.add_edge(i1, i2)
+    comp = {n: i for i, c in enumerate(nx.connected_components(g)) for n in c}
+    for i1, i2, f in zip(out["id1"], out["id2"], out["same_comp"]):
+        assert f == (1.0 if comp[i1] == comp[i2] else 0.0)
+
+
+def test_block_graph_features_distributed(ray_session):
+    df = make_block(seed=3)
+    df["block"] = "b0"
+    df2 = make_block(seed=4)
+    df2["block"] = "b1"
+    both = pd.concat([df, df2], ignore_index=True)
+    out = (
+        block_graph_features(rd.from_pandas(both), "block")
+        .to_pandas()
+        .sort_values(["block", "id1", "id2"])
+        .reset_index(drop=True)
+    )
+    for blk, sub in both.groupby("block"):
+        local = shortest_path_pairs(sub)
+        got = out[out["block"] == blk].reset_index(drop=True)
+        assert len(got) == len(local)
+        assert np.allclose(
+            got.sort_values(["id1", "id2"])["sp"].to_numpy(),
+            local.sort_values(["id1", "id2"])["sp"].to_numpy(),
+        )
+
+
+# ---------------------------------------------------------------------------
+# emit_bucket_pairs: vectorized vs brute force, hot cap, census
+# ---------------------------------------------------------------------------
+
+def brute_pairs(part: pd.DataFrame, key_cols, id_col, cap, window, max_df=None):
+    pairs, hot = set(), []
+    for key, sub in part.groupby(key_cols, sort=False):
+        ids = sorted(sub[id_col].drop_duplicates())
+        if max_df is not None and len(ids) > max_df:
+            hot.append(key if len(key_cols) > 1 else key)
+            continue
+        if len(ids) < 2:
+            continue
+        a, b, _ = _emit_pairs(np.array(ids, dtype=object), cap, window)
+        pairs.update(zip(a.tolist(), b.tolist()))
+    return pairs, hot
+
+
+def test_emit_bucket_pairs_matches_brute():
+    rng = np.random.default_rng(5)
+    part = pd.DataFrame(
+        {
+            "band": rng.integers(0, 3, size=400),
+            "bhash": rng.integers(0, 12, size=400),
+            "id": [f"u{int(x):03d}" for x in rng.integers(0, 120, size=400)],
+        }
+    )
+    got, hot = emit_bucket_pairs(part, ["band", "bhash"], "id", cap=256, window=2)
+    expect, _ = brute_pairs(part, ["band", "bhash"], "id", 256, 2)
+    assert set(zip(got["id1"], got["id2"])) == expect
+    assert all(len(h) == 0 for h in hot)
+
+
+def test_hot_bucket_capped_but_connected():
+    """A bucket over the cap emits O(n) edges that still connect all ids."""
+    n = 60
+    part = pd.DataFrame(
+        {"k": [1] * n, "id": [f"u{i:02d}" for i in range(n)]}
+    )
+    got, _ = emit_bucket_pairs(part, ["k"], "id", cap=10, window=2)
+    assert got["capped"].all()
+    assert len(got) < n * (n - 1) // 2  # far fewer than all pairs
+    # star to min keeps every id reachable
+    import networkx as nx
+
+    g = nx.Graph(zip(got["id1"], got["id2"]))
+    assert nx.number_connected_components(g) == 1
+    assert g.number_of_nodes() == n
+
+
+def test_census_drops_hot_keys():
+    part = pd.DataFrame(
+        {
+            "chash": [1] * 20 + [2] * 3 + [3] * 2,
+            "id": [f"a{i}" for i in range(20)] + ["x", "y", "z", "p", "q"],
+        }
+    )
+    pairs, (hot,) = emit_bucket_pairs(
+        part, ["chash"], "id", cap=256, window=2, max_df=8
+    )
+    assert list(hot) == [1]
+    keys = set(zip(pairs["id1"], pairs["id2"]))
+    assert ("x", "y") in keys and ("p", "q") in keys
+    assert not any(a.startswith("a") for a, _ in keys)
