@@ -1,0 +1,97 @@
+"""CLI entry point — the payload a driver submits via ``ray job submit``.
+
+    ray job submit --working-dir . -- \
+        python -m dedup_ray --input /data/pages --output /out/clusters \
+            --checkpoint-dir /ckpt/run1 [--no-substring] [--simhash]
+
+Reads a Parquet pages table ``(url, warc_ts, html, text, lang)``, runs the
+full dedup pipeline (extract → sign → exact + MinHash/LSH near +
+representative-substring edges → connected components), and writes
+``clusters(url, cluster_id)`` as partitioned Parquet.  With
+``--checkpoint-dir`` every stage persists per-partition lineage + metrics
+(see ``dedup_ray.state.manifest``) and a resubmitted job resumes from the
+last completed stage.
+
+This module owns a Ray session ONLY when run as a script (guarded init, per
+the embedding contract: library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m dedup_ray")
+    ap.add_argument("--input", required=True, help="pages Parquet path/dir")
+    ap.add_argument("--output", required=True, help="clusters output dir")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--no-extract", action="store_true",
+                    help="input already has extracted text")
+    ap.add_argument("--no-substring", action="store_true")
+    ap.add_argument("--simhash", action="store_true")
+    ap.add_argument("--shingle-k", type=int, default=None)
+    ap.add_argument("--num-perms", type=int, default=None)
+    ap.add_argument("--bands", type=int, default=None)
+    ap.add_argument("--jaccard-threshold", type=float, default=None)
+    ap.add_argument("--num-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    import ray.data
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+
+    overrides = {
+        k: v
+        for k, v in {
+            "shingle_k": args.shingle_k,
+            "num_perms": args.num_perms,
+            "bands": args.bands,
+            "jaccard_threshold": args.jaccard_threshold,
+            "num_partitions": args.num_partitions,
+        }.items()
+        if v is not None
+    }
+    cfg = DedupConfig(**overrides)
+
+    t0 = time.perf_counter()
+    pages = ray.data.read_parquet(args.input)
+    clusters, ctx = dedup_pipeline(
+        pages,
+        cfg,
+        id_col=args.id_col,
+        extract=not args.no_extract,
+        checkpoint_dir=args.checkpoint_dir,
+        use_simhash=args.simhash,
+        use_substring=not args.no_substring,
+    )
+    clusters.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "sec": round(wall, 3),
+                "docs_per_sec": round(n / wall, 1),
+                "config_hash": cfg.config_hash(),
+                "resumed_stages": ctx.hits if ctx else [],
+                "output": args.output,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

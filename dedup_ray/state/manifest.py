@@ -85,12 +85,29 @@ class CheckpointContext:
             shutil.rmtree(data_dir)
         os.rename(tmp_dir, data_dir)
         out = ray.data.read_parquet(data_dir)
+        # per-partition lineage: rows + bytes per part file straight from
+        # parquet footers (no extra Dataset pass); a resumed run can skip
+        # or re-read any individual part and metrics ride along
+        import pyarrow.parquet as pq
+
+        parts = []
+        for fname in sorted(os.listdir(data_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(data_dir, fname)
+            parts.append(
+                {
+                    "file": fname,
+                    "rows": pq.read_metadata(fpath).num_rows,
+                    "bytes": os.stat(fpath).st_size,
+                }
+            )
         manifest = {
             "stage": name,
             "config_hash": self.config_hash,
-            "rows": out.count(),
+            "rows": sum(p["rows"] for p in parts),
             "wall_sec": round(wall, 3),
-            "parts": sorted(os.listdir(data_dir)),
+            "parts": parts,
             "written_at": time.time(),
         }
         with open(mpath + ".tmp", "w") as f:
