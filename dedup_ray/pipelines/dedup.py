@@ -27,7 +27,6 @@ import pyarrow as pa
 from dedup_ray.config import DedupConfig
 from dedup_ray.ops.evaluate import pairwise_prf_ds
 from dedup_ray.stages.cc import assign_clusters
-from dedup_ray.stages.exact import exact_dup_edges
 from dedup_ray.stages.extract import extract_batch
 from dedup_ray.stages.lsh import band_explode, candidate_pairs
 from dedup_ray.stages.signer import sign_docs
@@ -125,29 +124,59 @@ def dedup_pipeline(
             cast, batch_format="pyarrow"
         )
 
-    exact_e = stage(
-        "exact_edges",
-        lambda: exact_dup_edges(
+    # Exact dedup FIRST: one digest shuffle yields the exact-duplicate star
+    # edges AND the representative set (min-id member per distinct text).
+    # Every similarity path below runs on REPRESENTATIVES — k identical
+    # docs have k identical signatures, so raw-corpus banding would emit
+    # O(k²·bands) candidate rows per group where reps cost one row.
+    from dedup_ray.stages.exact import exact_rep_partition
+
+    compact_cols = [id_col, "digest", "n_shingles", "sig"]
+    if use_simhash:
+        compact_cols.append("simhash")
+    if use_substring:
+        compact_cols.append("chunks")
+
+    mixed = stage(
+        "exact_partition",
+        lambda: exact_rep_partition(
             compact, id_col=id_col, num_partitions=cfg.num_partitions
         ),
+        materialize=True,
     )
+
+    def _filter_valid(cols, want_edges):
+        import pyarrow.compute as pc
+
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.is_valid(t["id1"])
+            if not want_edges:
+                mask = pc.invert(mask)
+            return t.filter(mask).select(cols)
+
+        return mixed.map_batches(f, batch_format="pyarrow")
+
+    reps = _filter_valid(compact_cols, want_edges=False)
+    exact_e = _filter_valid(["id1", "id2"], want_edges=True)
     edge_parts = [_pin(exact_e)]
 
     if use_minhash:
 
         def _near():
-            bands = band_explode(compact, cfg, id_col=id_col)
-            # cross-band duplicate pairs (up to a `bands`-fold factor for a
-            # dup clique) are deduped inside verify's first signature join,
-            # which co-locates rows by id1 anyway — no dedicated shuffle
-            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
-            return verify_pairs(cands, compact, cfg, id_col=id_col)
+            bands = band_explode(reps, cfg, id_col=id_col)
+            # global (id1,id2) dedup before the signature joins: a clique of
+            # k near-identical reps still collides in most of the `bands`
+            # bands, and shipping the ~bands-fold duplicate stream through
+            # the 1KB/row signature joins costs far more than one narrow
+            # dedup shuffle
+            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=True)
+            return verify_pairs(cands, reps, cfg, id_col=id_col)
 
         near = stage("near_edges", _near)
         edge_parts.append(_pin(near))
 
     if use_simhash:
-        sim = stage("simhash_edges", lambda: simhash_edges(compact, cfg, id_col))
+        sim = stage("simhash_edges", lambda: simhash_edges(reps, cfg, id_col))
         edge_parts.append(_pin(sim))
 
     def _lazy_union(parts):
@@ -207,7 +236,7 @@ def dedup_pipeline(
         from dedup_ray.util.dsutil import hash_join
 
         rep_chunks = hash_join(
-            compact.select_columns([id_col, "chunks"]),
+            reps.select_columns([id_col, "chunks"]),
             _non_reps(),
             on=id_col,
             left_cols=[id_col, "chunks"],

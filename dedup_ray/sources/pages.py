@@ -209,9 +209,15 @@ def pages_from_documents(
                         0.01 + 0.01 * (k % 4),
                         _rng(seed, f"amp/{doc_id}/{k}"),
                     )
-                else:  # k%3==0, k>0: unique page
+                else:  # k%3==0, k>0: unique page — tokens drawn from a
+                    # ~10^9 space so distinct pages share no shingles even
+                    # at large amplification (a small vocab would make
+                    # "unique" pages random near-dups of each other)
                     rng = _rng(seed, f"uniq/{doc_id}/{k}")
-                    t = _base_text(rng, max(20, len(text.split(" "))))
+                    n_tok = max(20, len(text.split(" ")))
+                    t = " ".join(
+                        f"u{v}" for v in rng.integers(0, 1_000_000_000, size=n_tok)
+                    )
                 urls.append(f"https://doc{doc_id}.example/v/{k}")
                 texts.append(t)
                 langs.append(lang)

@@ -41,6 +41,54 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md
     )
 
 
+def exact_rep_partition(ds_with_digest, id_col: str = "url",
+                        num_partitions: int = 16):
+    """ONE digest shuffle → mixed table of representatives + star edges.
+
+    Output rows are either a REPRESENTATIVE (the min-id member of a digest
+    group, carrying every input column, ``id1``/``id2`` null) or a star
+    EDGE ``(id1=rep, id2=member)`` with the payload columns null.  Callers
+    filter on ``id1``'s validity to split the two.
+
+    Running the near-dup path on representatives instead of the raw corpus
+    is load-bearing at scale: a group of k byte-identical documents has k
+    IDENTICAL MinHash signatures, so raw-corpus banding emits
+    O(k² · bands) candidate rows per group — exactly the blow-up observed
+    at high duplication factors — while reps cost O(k) star edges here and
+    one row downstream.
+    """
+    import numpy as np
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def split(part: pd.DataFrame) -> pd.DataFrame:
+        d = part["digest"].to_numpy()
+        ids = part[id_col].to_numpy()
+        order = np.lexsort((ids, d))
+        part = part.iloc[order]
+        d_s, ids_s = d[order], ids[order]
+        change = np.r_[True, d_s[1:] != d_s[:-1]]
+        reps = part.iloc[np.flatnonzero(change)].copy()
+        reps["id1"] = None
+        reps["id2"] = None
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, len(d_s)])
+        edges = pd.DataFrame(
+            {
+                "id1": np.repeat(ids_s[starts], sizes - 1),
+                "id2": ids_s[~change],
+            }
+        )
+        for c in part.columns:
+            if c not in edges.columns:
+                edges[c] = None
+        return pd.concat([reps, edges[reps.columns]], ignore_index=True)
+
+    return partitioned_group_apply(
+        ds_with_digest, ["digest"], split, num_partitions
+    )
+
+
 def exact_dup_edges(ds_with_digest, id_col: str = "url", num_partitions: int = 16):
     """Digest groups → star edges (min_id, other_id) for the component stage.
 

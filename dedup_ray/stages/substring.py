@@ -370,8 +370,19 @@ def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     )
     hot = frozenset(r["hot_chash"] for r in hot_rows.take_all())
 
-    cands = mixed.map_batches(
+    pairs = mixed.map_batches(
         lambda t: t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"]),
         batch_format="pyarrow",
+    )
+
+    # Narrow (id1,id2) dedup BEFORE the chunk-blob joins: a containment
+    # pair is emitted once per shared chunk (often ~100x for long shared
+    # runs), and shipping that duplicate stream through the ~KB/row chunk
+    # attach joins costs far more than one dedup shuffle of two-string rows.
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id1", "id2"])
+
+    cands = partitioned_group_apply(
+        pairs, ["id1", "id2"], dedup, config.num_partitions
     )
     return verify_substring_pairs(cands, compact_ds, config, id_col, hot_chunks=hot)
