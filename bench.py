@@ -114,7 +114,13 @@ def run_headline(
 
     warm_workers()
     cfg = DedupConfig(
-        minhash_concurrency=max(2, NUM_CPUS - 2), num_partitions=32
+        minhash_concurrency=max(2, NUM_CPUS - 2),
+        num_partitions=32,
+        # substring sensitivity scaled to the corpus: on multi-KB pages a
+        # 50-char shared run is noise; 256 chars (~40 tokens) is the
+        # realistic dedup threshold and keeps CDC chunk volume proportionate
+        # (avg chunk = min_substring_len // 2)
+        min_substring_len=256,
     )
     t0 = time.perf_counter()
     pages = pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat)
