@@ -73,3 +73,22 @@ def test_deterministic_across_parallelism(corpus):
     da = a.to_pandas().sort_values("url").reset_index(drop=True)
     db = b.to_pandas().sort_values("url").reset_index(drop=True)
     assert da.equals(db)
+
+
+def test_distributed_cc_path_matches_local(corpus):
+    """cc_local_edge_limit=0 forces the distributed Large-Star/Small-Star
+    component path end-to-end; the clustering must equal the driver
+    union-find result (content-derived min-id labels are unique)."""
+    pages, truth = corpus
+    cfg_dist = DedupConfig(
+        minhash_concurrency=2,
+        batch_size=256,
+        num_partitions=4,
+        cc_local_edge_limit=0,
+    )
+    a, _ = dedup_pipeline(rd.from_arrow(pages), CFG)
+    b, _ = dedup_pipeline(rd.from_arrow(pages), cfg_dist)
+    da = a.to_pandas().sort_values("url").reset_index(drop=True)
+    db = b.to_pandas().sort_values("url").reset_index(drop=True)
+    assert (da["url"] == db["url"]).all()
+    assert (da["cluster_id"] == db["cluster_id"]).all()
