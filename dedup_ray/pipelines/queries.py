@@ -547,6 +547,20 @@ def lang_id_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def balanced_sample_events(sf_dir: str):
+    """O4: balanced per-class resampling (``classifier.py:252-261``),
+    deterministic variant — first 200 events per event_type in (event_id)
+    order, so the Ray result and the SQL oracle agree exactly.  The
+    reference's seeded ``np.random.choice`` maps to the same grouped-take
+    shape with a seeded shuffle instead of the id sort."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def take(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("event_id").head(200)
+
+    return as_arrow(ds.groupby("event_type").map_groups(take, batch_format="pandas"))
+
+
 def shortpath_source_docs(sf_dir: str):
     """G2: per-block all-pairs shortest-path feature over a deterministic
     similarity graph (sim = 1 − |Δn_chars|/span within source blocks, edges
@@ -921,6 +935,14 @@ ORACLES: dict[str, str] = {
         WHERE list_has_any(string_split(p_name, ' '),
               ['gear','bolt','spring','lever','valve'])
     """,
+    "balanced_sample_events": """
+        SELECT event_id, event_type FROM (
+            SELECT event_id, event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY event_id) AS rk
+            FROM events)
+        WHERE rk <= 200
+    """,
     "ngram_jaccard_pairs": """
         WITH l AS (SELECT doc_id, source,
                           list_filter(string_split(text,' '), x -> x <> '') AS toks
@@ -994,6 +1016,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tag_parts_multilabel": tag_parts_multilabel,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "balanced_sample_events": balanced_sample_events,
     # rows-only (non-SQL-expressible: hashing / full pipeline / heuristic)
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,
