@@ -92,3 +92,22 @@ def test_distributed_cc_path_matches_local(corpus):
     db = b.to_pandas().sort_values("url").reset_index(drop=True)
     assert (da["url"] == db["url"]).all()
     assert (da["cluster_id"] == db["cluster_id"]).all()
+
+
+def test_simhash_path_enabled(corpus):
+    """All four candidate paths on (exact, MinHash, SimHash, substring):
+    recall must hold and precision must not collapse — SimHash edges are
+    hamming-verified, so near-identical docs merge but distinct don't."""
+    pages, truth = corpus
+    cfg = DedupConfig(
+        minhash_concurrency=2, batch_size=256, num_partitions=4
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(pages), cfg, use_simhash=True
+    )
+    m = pairwise_prf_ds(
+        clusters.materialize(), rd.from_arrow(truth), id_col="url",
+        num_partitions=4,
+    )
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.95, m
