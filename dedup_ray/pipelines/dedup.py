@@ -69,7 +69,7 @@ def dedup_pipeline(
     extract: bool = True,
     checkpoint_dir: str | None = None,
     use_minhash: bool = True,
-    use_simhash: bool = False,
+    use_simhash: bool = True,
     use_substring: bool = True,
 ):
     """pages → clusters Dataset(id_col, cluster_id).
@@ -78,8 +78,19 @@ def dedup_pipeline(
     None when checkpointing is off).
     """
     cfg = config or DedupConfig()
+    # Lineage covers the pipeline SHAPE, not just cfg: rerunning the same
+    # checkpoint dir with e.g. --no-substring or a different id_col must
+    # invalidate, or stale 'signatures'/'edges' checkpoints (wrong columns,
+    # wrong paths merged) would be silently reused.
+    import hashlib
+
+    shape = (
+        f"{cfg.config_hash()}|id={id_col}|extract={extract}"
+        f"|mh={use_minhash}|sh={use_simhash}|ss={use_substring}"
+    )
+    lineage_hash = hashlib.sha256(shape.encode()).hexdigest()[:16]
     ctx = (
-        CheckpointContext(root=checkpoint_dir, config_hash=cfg.config_hash())
+        CheckpointContext(root=checkpoint_dir, config_hash=lineage_hash)
         if checkpoint_dir
         else None
     )
@@ -209,9 +220,21 @@ def dedup_pipeline(
     # clique for pairs the near path has already connected.  Phase-1 CC
     # labels identify one representative per cluster (the min-id member);
     # anti-joining the NON-representatives (a set the size of the dup
-    # surplus, not the corpus) restricts the substring path to reps while
-    # preserving connectivity — a substring edge between reps merges their
-    # phase-1 clusters transitively in the final CC.
+    # surplus, not the corpus) restricts the substring path to reps.
+    #
+    # Recall trade, stated explicitly: this preserves phase-1 CONNECTIVITY
+    # (a substring edge between reps merges their phase-1 clusters
+    # transitively in the final CC) but not full substring RECALL — a
+    # containment that holds only for a non-representative member (C
+    # contains B verbatim, B's rep A differs inside the shared region) is
+    # never tested.  Acceptable because phase-1 members are ≥τ-similar to
+    # their rep, so the missed containments are near-duplicates of tested
+    # ones; corpus-wide substring dedup remains available via
+    # use_minhash=False/use_simhash=False (every doc is then its own rep).
+    # Note boilerplate_max_df is likewise counted over REPS, not corpus
+    # docs — the df of template boilerplate only shrinks by the dup factor,
+    # which is the intended direction (more templates identified, not fewer
+    # true containments, since true containments are low-df by definition).
     phase1_edges = stage(
         "phase1_edges", lambda: _lazy_union(edge_parts), materialize=True
     )

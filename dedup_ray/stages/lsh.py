@@ -74,6 +74,7 @@ def emit_bucket_pairs(
     cap: int,
     window: int,
     max_df: int | None = None,
+    value_cols: tuple = (),
 ) -> tuple[pd.DataFrame, np.ndarray]:
     """All-pairs within each key group of one partition, fully vectorized.
 
@@ -87,20 +88,30 @@ def emit_bucket_pairs(
     (hot-band skew policy); with ``max_df`` set, groups above it are
     *dropped* entirely and their keys returned as the census of hot keys
     (substring boilerplate semantics).  Returns ``(pairs_df(id1, id2,
-    capped), hot_keys)`` with one hot-key array per key column.
+    capped[, <v>_1, <v>_2…]), hot_keys)`` with one hot-key array per key
+    column.  ``value_cols`` are per-row payloads gathered onto both pair
+    sides — this lets a narrow payload (e.g. an 8-byte SimHash fingerprint)
+    ride the band shuffle so verification runs inline on the emitted pairs
+    instead of re-joining a corpus-sized side table per pair endpoint.
     """
     cols = [part[c].to_numpy() for c in key_cols]
     ids = part[id_col].to_numpy()
     order = np.lexsort((ids, *cols[::-1]))
     ids_s = ids[order]
     cols_s = [c[order] for c in cols]
+    vals_s = [part[c].to_numpy()[order] for c in value_cols]
+
+    def _empty() -> pd.DataFrame:
+        cols_out = {"id1": pd.Series(dtype=object), "id2": pd.Series(dtype=object),
+                    "capped": pd.Series(dtype=bool)}
+        for c in value_cols:
+            cols_out[f"{c}_1"] = pd.Series(dtype=part[c].dtype)
+            cols_out[f"{c}_2"] = pd.Series(dtype=part[c].dtype)
+        return pd.DataFrame(cols_out)
+
     n = len(ids_s)
     if n == 0:
-        empty = pd.DataFrame(
-            {"id1": pd.Series(dtype=object), "id2": pd.Series(dtype=object),
-             "capped": pd.Series(dtype=bool)}
-        )
-        return empty, [np.array([]) for _ in key_cols]
+        return _empty(), [np.array([]) for _ in key_cols]
     change = np.zeros(n, dtype=bool)
     change[0] = True
     for c in cols_s:
@@ -112,6 +123,7 @@ def emit_bucket_pairs(
         keep = ~dup
         ids_s = ids_s[keep]
         cols_s = [c[keep] for c in cols_s]
+        vals_s = [v[keep] for v in vals_s]
         change = change[keep]
         n = len(ids_s)
     starts = np.flatnonzero(change)
@@ -127,6 +139,8 @@ def emit_bucket_pairs(
     out1: list = []
     out2: list = []
     capped: list = []
+    outv1: list = [[] for _ in value_cols]
+    outv2: list = [[] for _ in value_cols]
     for s in np.unique(sizes):
         if s < 2:
             continue
@@ -138,42 +152,56 @@ def emit_bucket_pairs(
             out1.append(mat[:, i1].ravel())
             out2.append(mat[:, i2].ravel())
             capped.append(np.zeros(len(sel) * len(i1), dtype=bool))
+            for vi, v in enumerate(vals_s):
+                vmat = v[idx]
+                outv1[vi].append(vmat[:, i1].ravel())
+                outv2[vi].append(vmat[:, i2].ravel())
         else:
             for st in starts[sel]:  # hot groups are rare by construction
-                a, b, _ = _emit_pairs(ids_s[st : st + s], cap, window)
-                out1.append(a)
-                out2.append(b)
-                capped.append(np.ones(len(a), dtype=bool))
+                i1, i2 = _pair_index(s, cap, window)
+                out1.append(ids_s[st + i1])
+                out2.append(ids_s[st + i2])
+                capped.append(np.ones(len(i1), dtype=bool))
+                for vi, v in enumerate(vals_s):
+                    outv1[vi].append(v[st + i1])
+                    outv2[vi].append(v[st + i2])
     if not out1:
-        pairs = pd.DataFrame(
-            {"id1": pd.Series(dtype=object), "id2": pd.Series(dtype=object),
-             "capped": pd.Series(dtype=bool)}
-        )
-    else:
-        pairs = pd.DataFrame(
-            {
-                "id1": np.concatenate(out1),
-                "id2": np.concatenate(out2),
-                "capped": np.concatenate(capped),
-            }
-        )
-    return pairs, hot_keys
+        return _empty(), hot_keys
+    data = {
+        "id1": np.concatenate(out1),
+        "id2": np.concatenate(out2),
+        "capped": np.concatenate(capped),
+    }
+    for vi, c in enumerate(value_cols):
+        data[f"{c}_1"] = np.concatenate(outv1[vi])
+        data[f"{c}_2"] = np.concatenate(outv2[vi])
+    return pd.DataFrame(data), hot_keys
+
+
+def _pair_index(n: int, cap: int, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pair index arrays (i1 < i2) into a SORTED group of size n.
+
+    Full triangle when n <= cap; else the sparse star+window pattern —
+    star to index 0 plus a sliding window — O(n·window) edges that keep a
+    true duplicate clique connected while bounding hot-bucket cost.
+    """
+    if n <= cap:
+        return np.triu_indices(n, 1)
+    idx = np.arange(n)
+    parts1 = [np.zeros(n - 1, dtype=np.int64)]
+    parts2 = [idx[1:]]
+    for w in range(1, window + 1):
+        parts1.append(idx[1 : n - w])
+        parts2.append(idx[1 + w : n])
+    return np.concatenate(parts1), np.concatenate(parts2)
 
 
 def _emit_pairs(ids, cap: int, window: int) -> tuple[np.ndarray, np.ndarray, bool]:
     """Pairs for one bucket, vectorized.  Returns (id1s, id2s, capped)."""
     ids = np.sort(np.asarray(ids))
     n = len(ids)
-    if n <= cap:
-        i1, i2 = np.triu_indices(n, 1)
-        return ids[i1], ids[i2], False
-    # hot bucket: star to min + sliding window — O(n·window) edges
-    parts1 = [np.repeat(ids[:1], n - 1)]
-    parts2 = [ids[1:]]
-    for w in range(1, window + 1):
-        parts1.append(ids[1 : n - w])
-        parts2.append(ids[1 + w : n])
-    return np.concatenate(parts1), np.concatenate(parts2), True
+    i1, i2 = _pair_index(n, cap, window)
+    return ids[i1], ids[i2], n > cap
 
 
 def candidate_pairs(
@@ -190,11 +218,13 @@ def candidate_pairs(
     partition, not one Python call per bucket).
 
     ``global_dedup=True`` adds a second shuffle on (id1, id2) producing an
-    exactly-distinct pair set.  The end-to-end pipeline passes ``False``:
-    cross-band duplicate pairs (bounded by ``bands`` per pair, typically
-    1-3 in practice) are removed per-batch only, cost a little duplicate
-    verification, and are harmless to union-find CC — cheaper at scale than
-    an extra all-to-all exchange over the full candidate set.
+    exactly-distinct pair set.  The end-to-end pipeline passes ``True``: a
+    clique of k near-identical reps collides in most of the ``bands`` bands,
+    and shipping that ~bands-fold duplicate stream through the 1KB/row
+    signature joins costs far more than one narrow (id1,id2) dedup shuffle
+    (see ``dedup.py::_near``).  Pass ``False`` only when the downstream
+    consumer is itself a co-partitioning join that can dedup for free
+    (``hash_join(left_prep=…)``).
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
 

@@ -7,8 +7,14 @@ banding from Manku: split the fingerprint into ``simhash_bands`` equal bit
 bands — any two fingerprints within hamming distance ``bands - 1`` share at
 least one exact band, so grouping by (band, band_bits) finds all pairs with
 hamming ≤ simhash_max_hamming when ``simhash_max_hamming < bands``.
-Verification computes the exact hamming distance from the joined
-fingerprints (vectorized popcount).
+
+Scale shape (mirrors the MinHash path in ``lsh.py``): ONE hash-partition
+shuffle on (sband, sbits) with vectorized pair emission per partition
+(``emit_bucket_pairs`` — no per-bucket Python dispatch), the 8-byte
+fingerprint riding the band rows as a value column so exact-hamming
+verification (vectorized popcount) runs INLINE on the emitted pairs — no
+fingerprint join against a corpus-sized side table — then one narrow
+(id1, id2) dedup shuffle over the *verified* pairs only.
 """
 
 from __future__ import annotations
@@ -42,7 +48,12 @@ def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
-    """(id, simhash) → (id, sband, sbits) rows; bands of 64/simhash_bands bits."""
+    """(id, simhash) → (id, sband, sbits, fp) rows; fp = the full fingerprint.
+
+    Carrying the 8-byte fingerprint on every band row costs
+    ``simhash_bands × 8`` bytes/doc in the shuffle and buys inline hamming
+    verification — strictly cheaper than two corpus-sized joins after.
+    """
     cfg = config
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = np.uint64((1 << width) - 1)
@@ -64,80 +75,54 @@ def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
                         id_col: batch[id_col],
                         "sband": pa.array(np.full(n, b, dtype=np.int32)),
                         "sbits": pa.array(bits.view(np.int64)),
+                        "fp": pa.array(fp.view(np.int64)),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    return compact_ds.map_batches(f, batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
-
-
-def simhash_candidates(band_rows, config: DedupConfig, id_col: str = "url"):
-    from dedup_ray.stages.lsh import _emit_pairs
-    from dedup_ray.util.dsutil import as_arrow
-
-    cfg = config
-
-    def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id1": [], "id2": []})
-        id1s, id2s, _ = _emit_pairs(
-            group[id_col].tolist(), cfg.max_band_group, cfg.hot_window
-        )
-        return pd.DataFrame({"id1": id1s, "id2": id2s})
-
-    pairs = band_rows.groupby(["sband", "sbits"]).map_groups(
-        bucket_to_pairs, batch_format="pandas"
+    return compact_ds.select_columns([id_col, "simhash"]).map_batches(
+        f, batch_format="pyarrow", batch_size=cfg.batch_size
     )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return as_arrow(
-        pairs.groupby(["id1", "id2"]).map_groups(first, batch_format="pandas")
-    )
-
-
-def verify_simhash_pairs(pairs_ds, compact_ds, config: DedupConfig,
-                         id_col: str = "url"):
-    """Exact hamming ≤ simhash_max_hamming via fingerprint joins."""
-    from dedup_ray.stages.verify import _rename, empty_edges
-
-    cfg = config
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        return empty_edges({"hamming": pa.int64()})
-    side = compact_ds.select_columns([id_col, "simhash"])
-    s1 = _rename(side, {id_col: "id1", "simhash": "fp1"})
-    s2 = _rename(side, {id_col: "id2", "simhash": "fp2"})
-    joined = pairs_ds.select_columns(["id1", "id2"]).join(
-        s1, join_type="inner", num_partitions=cfg.num_partitions, on=("id1",)
-    ).join(s2, join_type="inner", num_partitions=cfg.num_partitions, on=("id2",))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {"id1": pa.array([], pa.string()), "id2": pa.array([], pa.string()),
-                 "hamming": pa.array([], pa.int64())}
-            )
-        f1 = batch["fp1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f2 = batch["fp2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        d = hamming(f1, f2)
-        keepm = d <= cfg.simhash_max_hamming
-        return pa.table(
-            {
-                "id1": batch["id1"].filter(pa.array(keepm)),
-                "id2": batch["id2"].filter(pa.array(keepm)),
-                "hamming": pa.array(d[keepm].astype(np.int64)),
-            }
-        )
-
-    return joined.map_batches(keep, batch_format="pyarrow")
 
 
 def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
-    """Full SimHash path: band explode → candidates → hamming-verified edges."""
-    rows = simhash_band_explode(compact_ds, config, id_col)
-    cands = simhash_candidates(rows, config, id_col)
-    return verify_simhash_pairs(cands, compact_ds, config, id_col)
+    """Full SimHash path: band explode → inline hamming-verified edges.
+
+    Shuffles: (sband, sbits) bucket formation, then a narrow (id1, id2)
+    dedup over verified pairs only.  Output: Dataset(id1, id2, hamming).
+    """
+    from dedup_ray.stages.lsh import emit_bucket_pairs
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    cfg = config
+    rows = simhash_band_explode(compact_ds, cfg, id_col)
+
+    def buckets_to_edges(part: pd.DataFrame) -> pd.DataFrame:
+        pairs, _ = emit_bucket_pairs(
+            part, ["sband", "sbits"], id_col, cfg.max_band_group, cfg.hot_window,
+            value_cols=("fp",),
+        )
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {"id1": pd.Series(dtype=object), "id2": pd.Series(dtype=object),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        d = hamming(pairs["fp_1"].to_numpy(), pairs["fp_2"].to_numpy())
+        keep = d <= cfg.simhash_max_hamming
+        return pd.DataFrame(
+            {
+                "id1": pairs["id1"].to_numpy()[keep],
+                "id2": pairs["id2"].to_numpy()[keep],
+                "hamming": d[keep].astype(np.int64),
+            }
+        )
+
+    edges = partitioned_group_apply(
+        rows, ["sband", "sbits"], buckets_to_edges, cfg.num_partitions
+    )
+
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id1", "id2"])
+
+    return partitioned_group_apply(edges, ["id1", "id2"], dedup, cfg.num_partitions)

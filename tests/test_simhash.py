@@ -41,3 +41,49 @@ def test_hamming_popcount():
     a = np.array([0b1011, 0], dtype=np.int64)
     b = np.array([0b0010, -1], dtype=np.int64)
     assert hamming(a, b).tolist() == [2, 64]
+
+
+def _flip(fp: int, bits) -> int:
+    for b in bits:
+        fp ^= 1 << b
+    return fp
+
+
+def test_simhash_edges_planted_hamming():
+    """End-to-end banded path: pairs at hamming ≤ max found, > max rejected.
+
+    Includes the adversarial case of a hamming-4 pair that DOES share three
+    exact bands (all 4 flips inside one 16-bit band) — it must be emitted as
+    a candidate and rejected by the inline verification.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.simhash import simhash_edges
+
+    base = 0x0F0F_1234_ABCD_5678
+    fps = {
+        "d0": base,
+        "d1": _flip(base, [5]),            # h(d0)=1
+        "d2": _flip(base, [5, 20, 40]),    # h(d0)=3, h(d1)=2
+        "d3": _flip(base, list(range(8))),  # h(d0)=8: far
+        "d4": _flip(base, list(range(8)) + [50]),  # h(d3)=1
+        "d5": _flip(base, [0, 1, 2, 3]),   # h(d0)=4, shares bands 1-3 with d0
+    }
+    tbl = pa.table(
+        {
+            "url": list(fps),
+            "simhash": pa.array(
+                [np.uint64(v).astype(np.int64) for v in fps.values()], pa.int64()
+            ),
+        }
+    )
+    cfg = DedupConfig(num_partitions=4)
+    edges = simhash_edges(rd.from_arrow(tbl), cfg, id_col="url").to_pandas()
+    got = {tuple(r) for r in edges[["id1", "id2"]].itertuples(index=False)}
+    expect = {("d0", "d1"), ("d0", "d2"), ("d1", "d2"), ("d3", "d4")}
+    assert got == expect
+    ham = dict(zip(zip(edges["id1"], edges["id2"]), edges["hamming"]))
+    assert ham[("d0", "d1")] == 1
+    assert ham[("d0", "d2")] == 3
+    assert ham[("d3", "d4")] == 1
