@@ -23,43 +23,86 @@ import pyarrow as pa
 from dedup_ray.util.dsutil import as_arrow
 
 
-def _key_set_ref(keys_ds, on: str):
-    import ray
+# Above these bounds the key/small side stops being "small": broadcasting
+# it (driver set / driver DataFrame + ray.put) would scale driver memory
+# with the data, so the join degrades to the partitioned task-based
+# ``dsutil.hash_join`` instead.  At 100 TB the key side of a semi-join is
+# routinely corpus-sized; the broadcast path is the reference's case
+# (``lfilter.py``/``valid_index.py`` key sets are tiny).
+BROADCAST_KEY_LIMIT = 2_000_000
+BROADCAST_ROW_LIMIT = 500_000
 
-    vals = set()
+
+def _try_key_array(keys_ds, on: str, limit: int):
+    """Distinct key values as one Arrow array, or None if > limit keys.
+
+    Streams with an early bail-out: the driver never holds more than
+    ``limit`` distinct keys even when the key side is corpus-sized.
+    """
+    vals: set = set()
     for b in keys_ds.select_columns([on]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         vals.update(b[on].to_pylist())
-    return ray.put(frozenset(vals))
+        if len(vals) > limit:
+            return None
+    return pa.array(sorted(vals))
 
 
-def semi_join(ds, keys_ds, on: str):
-    """Keep rows whose ``on`` appears in keys_ds (broadcast membership)."""
+def _membership_join(ds, keys_ds, on: str, keep_match: bool, cols, limit,
+                     num_partitions):
     import ray
 
-    ref = _key_set_ref(keys_ds, on)
+    key_arr = _try_key_array(keys_ds, on, limit)
+    if key_arr is None:
+        # large key side: partitioned task-based semi/anti (one co-partition
+        # shuffle, no driver state) — identical semantics
+        from dedup_ray.util.dsutil import hash_join
+
+        if cols is None:
+            cols = ds.schema().names  # may execute one block; fine vs OOM
+        return hash_join(
+            ds,
+            keys_ds.select_columns([on]),
+            on=on,
+            left_cols=list(cols),
+            right_cols=[on],
+            num_partitions=num_partitions,
+            how="semi" if keep_match else "anti",
+        )
+    ref = ray.put(key_arr)  # broadcast ONCE; workers read zero-copy
 
     def f(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([v in ks for v in batch[on].to_pylist()])
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[on], value_set=ray.get(ref))
+        if not keep_match:
+            mask = pc.invert(mask)
         return batch.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def anti_join(ds, keys_ds, on: str):
-    """Keep rows whose ``on`` does NOT appear in keys_ds."""
-    import ray
+def semi_join(ds, keys_ds, on: str, cols: list[str] | None = None,
+              broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
+              num_partitions: int = 16):
+    """Keep rows whose ``on`` appears in keys_ds.
 
-    ref = _key_set_ref(keys_ds, on)
+    Broadcast membership (vectorized ``pc.is_in``) while the distinct key
+    count fits ``broadcast_key_limit``; above it, a hash-partitioned
+    task-based semi join.  ``cols`` = the column list of ``ds`` (only needed
+    on the partitioned path; probed from the schema when omitted).
+    """
+    return _membership_join(ds, keys_ds, on, True, cols, broadcast_key_limit,
+                            num_partitions)
 
-    def f(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([v not in ks for v in batch[on].to_pylist()])
-        return batch.filter(mask)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+def anti_join(ds, keys_ds, on: str, cols: list[str] | None = None,
+              broadcast_key_limit: int = BROADCAST_KEY_LIMIT,
+              num_partitions: int = 16):
+    """Keep rows whose ``on`` does NOT appear in keys_ds (same gating)."""
+    return _membership_join(ds, keys_ds, on, False, cols, broadcast_key_limit,
+                            num_partitions)
 
 
 def broadcast_left_join(ds, small_df: pd.DataFrame, on: str):
@@ -72,6 +115,44 @@ def broadcast_left_join(ds, small_df: pd.DataFrame, on: str):
         return batch.merge(ray.get(ref), on=on, how="left")
 
     return as_arrow(ds.map_batches(f, batch_format="pandas"))
+
+
+def left_join(big_ds, small_ds, on: str, big_cols: list[str],
+              small_cols: list[str],
+              broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+              num_partitions: int = 16):
+    """big ⟕ small with size-gated strategy choice.
+
+    Collects the right side to the driver and broadcasts it only while it
+    fits ``broadcast_row_limit`` rows (streamed with early bail-out —
+    never a full ``to_pandas`` of an unbounded side); otherwise both sides
+    go through the partitioned task-based ``hash_join(how='left')``.
+    """
+    frames, total = [], 0
+    for b in small_ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > broadcast_row_limit:
+            frames = None
+            break
+    if frames is not None:
+        small_df = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(columns=small_cols)
+        )
+        return broadcast_left_join(big_ds, small_df[small_cols], on)
+    from dedup_ray.util.dsutil import hash_join
+
+    return hash_join(
+        big_ds,
+        small_ds,
+        on=on,
+        left_cols=list(big_cols),
+        right_cols=list(small_cols),
+        num_partitions=num_partitions,
+        how="left",
+    )
 
 
 def block_pairs(ds, block_col: str, id_col: str, value_cols: list[str] | None = None):

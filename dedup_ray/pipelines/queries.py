@@ -23,10 +23,10 @@ import ray.data
 
 from dedup_ray.ops.relational import (
     anti_join,
-    broadcast_left_join,
     distinct_rows,
     group_collect,
     grouped_mode,
+    left_join,
     semi_join,
 )
 from dedup_ray.stages.textstats import idf_table, quality_stats, tokenize_explode
@@ -214,14 +214,16 @@ def text_quality(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def left_join_orders(sf_dir: str):
-    """J1: big ⟕ small via broadcast (``combine-at.R`` shape)."""
+    """J1: big ⟕ small — broadcast while the right side is small, size-gated
+    fallback to the partitioned hash join (``combine-at.R`` shape)."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cust = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-        .to_pandas()
-        .rename(columns={"c_custkey": "o_custkey"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
     )
-    return broadcast_left_join(orders, cust, "o_custkey")
+    return left_join(
+        orders, cust, "o_custkey",
+        big_cols=["o_orderkey", "o_custkey"], small_cols=["o_custkey", "c_name"],
+    )
 
 
 def semi_join_customers(sf_dir: str):
@@ -230,7 +232,7 @@ def semi_join_customers(sf_dir: str):
     keys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
     )
-    return semi_join(cust, keys, "c_custkey")
+    return semi_join(cust, keys, "c_custkey", cols=["c_custkey", "c_name"])
 
 
 def anti_join_customers(sf_dir: str):
@@ -245,7 +247,7 @@ def anti_join_customers(sf_dir: str):
         ).rename_columns(["c_custkey"]),
         batch_format="pyarrow",
     )
-    return anti_join(cust, keys, "c_custkey")
+    return anti_join(cust, keys, "c_custkey", cols=["c_custkey", "c_name"])
 
 
 # --------------------------------------------------------------------------
@@ -342,27 +344,27 @@ def diff_nchars_pairs(sf_dir: str):
 
 def cc_chain_docs(sf_dir: str):
     """G6: connected components over a deterministic sparse doc graph
-    (edges doc u → u+1 where u % 10 < 3; chains of ≤ 4 nodes)."""
+    (edges doc u → u+1 where u % 10 < 3; chains of ≤ 4 nodes).
+
+    The "u+1 exists" membership is a semi-join of candidate edges against
+    the doc table on id2 — size-gated broadcast/partitioned, never a
+    driver-side id set over the whole corpus."""
     from dedup_ray.stages.cc import assign_clusters
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    import ray
 
-    ids = set()
-    for b in docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.update(b["doc_id"].to_pylist())
-    ref = ray.put(frozenset(ids))
-
-    def edges_of(t: pa.Table) -> pa.Table:
-        idset = ray.get(ref)
+    def cand_edges(t: pa.Table) -> pa.Table:
         u = t["doc_id"].to_numpy(zero_copy_only=False)
-        keep = (u % 10 < 3) & np.isin(u + 1, list(idset))
-        uu = u[keep]
+        uu = u[u % 10 < 3]
         return pa.table(
             {"id1": pa.array(uu, pa.int64()), "id2": pa.array(uu + 1, pa.int64())}
         )
 
-    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    cand = docs.map_batches(cand_edges, batch_format="pyarrow")
+    id2_side = docs.map_batches(
+        lambda t: t.rename_columns(["id2"]), batch_format="pyarrow"
+    )
+    edges = semi_join(cand, id2_side, "id2", cols=["id1", "id2"])
     return assign_clusters(docs, edges, id_col="doc_id")
 
 

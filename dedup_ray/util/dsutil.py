@@ -101,6 +101,8 @@ def hash_join(
         rf = part[part["__side"] == 1][right_cols]
         if how == "anti":  # left rows with no key match on the right
             return lf[~lf[on].isin(set(rf[on]))]
+        if how == "semi":  # left rows with at least one key match
+            return lf[lf[on].isin(set(rf[on]))]
         return lf.merge(rf, on=on, how=how)
 
     return as_arrow(

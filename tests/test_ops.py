@@ -81,6 +81,40 @@ def test_semi_anti_broadcast_joins():
     assert out.set_index("k")["label"].dropna().to_dict() == {1: "a", 3: "b"}
 
 
+def test_semi_anti_partitioned_fallback_matches_broadcast():
+    """Forcing the key side over the broadcast limit must route through the
+    partitioned hash join with identical output (the 100-TB path)."""
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(50)])
+    keys = rd.from_items([{"k": i} for i in range(0, 50, 3)] + [{"k": 999}])
+    for fn in (semi_join, anti_join):
+        broad = fn(left, keys, "k", cols=["k", "v"]).to_pandas()
+        part = fn(
+            left, keys, "k", cols=["k", "v"], broadcast_key_limit=0
+        ).to_pandas()
+        assert sorted(map(tuple, part.to_numpy().tolist())) == sorted(
+            map(tuple, broad.to_numpy().tolist())
+        )
+
+
+def test_left_join_partitioned_fallback_matches_broadcast():
+    from dedup_ray.ops.relational import left_join
+
+    big = rd.from_items([{"k": i % 7, "v": i} for i in range(40)])
+    small = rd.from_items([{"k": i, "label": f"L{i}"} for i in range(5)])
+    broad = left_join(
+        big, small, "k", big_cols=["k", "v"], small_cols=["k", "label"]
+    ).to_pandas()
+    part = left_join(
+        big, small, "k", big_cols=["k", "v"], small_cols=["k", "label"],
+        broadcast_row_limit=0,
+    ).to_pandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.fillna("∅")[["k", "v", "label"]].to_numpy().tolist())
+    )
+    assert key(part) == key(broad)
+    assert broad["label"].isna().sum() > 0  # unmatched keys null-filled
+
+
 def test_grouped_mode_and_distinct():
     ds = rd.from_items(
         [{"g": "x", "v": "p"}, {"g": "x", "v": "p"}, {"g": "x", "v": "q"},
