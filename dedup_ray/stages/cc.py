@@ -28,8 +28,6 @@ import pyarrow as pa
 
 import ray.data
 
-from dedup_ray.util.hashing import stable64
-
 
 class _UnionFind:
     __slots__ = ("parent",)
@@ -79,13 +77,31 @@ def connected_components_local(edges_ds) -> pd.DataFrame:
 
 
 def _edges_fingerprint(edges_ds) -> tuple[int, int]:
-    """(count, order-insensitive multiset hash) of the edge list."""
-    total, acc = 0, 0
-    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["id1"].to_pylist(), batch["id2"].to_pylist()):
-            acc = (acc + stable64(f"{a}\x00{b}")) & 0xFFFFFFFFFFFFFFFF
-            total += 1
-    return total, acc
+    """(count, order-insensitive multiset hash) of the edge list.
+
+    Distributed: each task hashes its batch vectorized and emits one
+    (count, wraparound-sum) row; the driver folds the per-block partials —
+    O(#blocks) driver work instead of the former O(E) per-round Python
+    loop, which at the >2M-edge scale where the distributed CC path is
+    chosen was the convergence check's own scalability bug.  The hash only
+    has to be stable within one process (it compares consecutive rounds),
+    so ``pd.util.hash_pandas_object`` qualifies.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            b[["id1", "id2"]], index=False
+        ).to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.uint64(h.sum())
+        return pd.DataFrame({"n": [np.int64(len(b))], "h": [np.int64(s)]})
+
+    parts = edges_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return 0, 0
+    with np.errstate(over="ignore"):
+        acc = np.uint64(parts["h"].to_numpy(dtype=np.int64).view(np.uint64).sum())
+    return int(parts["n"].sum()), int(acc)
 
 
 def _dedup_edges(ds, num_partitions: int = 16):
@@ -113,33 +129,54 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
         canon, batch_format="pyarrow"
     ).materialize()
 
+    def _group_min(part: pd.DataFrame):
+        """Sort rows by (u, v); return (u_s, v_s, gidx, group_u, group_min_v).
+
+        One lexsort + boundary scan replaces the former per-node pandas
+        ``groupby`` loop (Python dispatch per adjacency list); with v sorted
+        within each u-group, the group's first v IS min(N(u)).
+        """
+        u = part["u"].to_numpy()
+        v = part["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u_s, v_s = u[order], v[order]
+        n = len(u_s)
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+            change[1:] = u_s[1:] != u_s[:-1]
+        gidx = np.cumsum(change) - 1
+        return u_s, v_s, gidx, u_s[change], v_s[change]
+
+    _EMPTY = pd.DataFrame(
+        {"id1": pd.Series(dtype=object), "id2": pd.Series(dtype=object)}
+    )
+
     def large_stars(part: pd.DataFrame) -> pd.DataFrame:
         # per node u: connect strictly-larger neighbors to min(N(u) ∪ {u})
-        out1, out2 = [], []
-        for u, sub in part.groupby("u", sort=False):
-            nbrs = sub["v"].tolist()
-            m = min(min(nbrs), u)
-            for v in nbrs:
-                if v > u:
-                    lo, hi = (m, v) if m < v else (v, m)
-                    if lo != hi:
-                        out1.append(lo)
-                        out2.append(hi)
-        return pd.DataFrame({"id1": out1, "id2": out2})
+        if len(part) == 0:
+            return _EMPTY
+        u_s, v_s, gidx, gu, gmin = _group_min(part)
+        m_row = np.minimum(gmin, gu)[gidx]  # min(N(u) ∪ {u}) per row
+        mask = v_s > u_s
+        lo = np.minimum(m_row[mask], v_s[mask])
+        hi = np.maximum(m_row[mask], v_s[mask])
+        keep = lo != hi
+        return pd.DataFrame({"id1": lo[keep], "id2": hi[keep]})
 
     def small_stars(part: pd.DataFrame) -> pd.DataFrame:
         # directed hi→lo: per u (= hi), connect all smaller neighbors to min
-        out1, out2 = [], []
-        for u, sub in part.groupby("u", sort=False):
-            nbrs = sub["v"].tolist()
-            m = min(nbrs)
-            for v in nbrs:
-                if v != m:
-                    out1.append(m)
-                    out2.append(v)
-            out1.append(m)
-            out2.append(u)
-        return pd.DataFrame({"id1": out1, "id2": out2})
+        if len(part) == 0:
+            return _EMPTY
+        u_s, v_s, gidx, gu, gmin = _group_min(part)
+        m_row = gmin[gidx]
+        mask = v_s != m_row
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate([m_row[mask], gmin]),
+                "id2": np.concatenate([v_s[mask], gu]),
+            }
+        )
 
     def both_directions(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"u": batch["id1"], "v": batch["id2"]})

@@ -60,6 +60,22 @@ def test_distributed_matches_brute():
     assert got == brute_cc(edges)
 
 
+def test_distributed_chain_and_int_ids():
+    """Long chains are the slow-convergence worst case for star contraction;
+    integer ids exercise the numeric dtype path of the vectorized rounds."""
+    edges = [(i, i + 1) for i in range(0, 200) if i % 50 != 49]  # 4 chains of 50
+    edges += [(1000 + a, 1000 + b) for a, b in
+              np.random.default_rng(3).integers(0, 80, size=(120, 2)) if a != b]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"id1": [a for a, _ in edges], "id2": [b for _, b in edges]}
+        )
+    )
+    out = connected_components_distributed(ds).to_pandas()
+    got = out.set_index("id")["cluster_id"].to_dict()
+    assert got == brute_cc(edges)
+
+
 def test_assign_clusters_singletons():
     docs = rd.from_items([{"url": f"d{i}"} for i in range(6)])
     edges = rd.from_items([{"id1": "d0", "id2": "d3"}, {"id1": "d3", "id2": "d5"}])
