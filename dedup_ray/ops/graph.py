@@ -97,6 +97,84 @@ def same_component_pairs(df: pd.DataFrame, sim_col: str = "sim") -> pd.DataFrame
     return pd.DataFrame({"id1": out1, "id2": out2, "same_comp": flag})
 
 
+def bipartite_token_distance(
+    ds,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int = 3,
+    max_dist: int = 16,
+):
+    """G3: degree-filtered doc–token bipartite distance
+    (reference ``short_path.R:27-28,65-84``).
+
+    Per block: the "coauthor" nodes are the block's distinct tokens with
+    document frequency in ``[min_df, max_df]`` (the reference's
+    ``1 < count < 4`` node filter); edges connect each doc to its retained
+    tokens PLUS retained tokens co-occurring in one doc to each other (the
+    reference's per-publication coauthor clique edges).  BFS doc-pair
+    distances → ``coau_dist = 2/dist`` (0.0 when unreachable or beyond
+    ``max_dist`` — the reference's ``2/Inf``), ``coau_dummy = (dist == 2)``
+    i.e. the pair shares a retained token.
+
+    Partitioning assumption: one block per task (ST5 shape, bounded blocks).
+    """
+    import itertools as it
+    from collections import Counter
+
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        doc_toks = [
+            set((t or "").split(" ")) - {""} for t in g[text_col]
+        ]
+        df_count = Counter(tok for s in doc_toks for tok in s)
+        retained = {t for t, c in df_count.items() if min_df <= c <= max_df}
+        adj: dict = defaultdict(set)
+        for i, toks in enumerate(doc_toks):
+            r = sorted(toks & retained)
+            for t in r:
+                adj[("d", i)].add(("t", t))
+                adj[("t", t)].add(("d", i))
+            for a, b in it.combinations(r, 2):
+                adj[("t", a)].add(("t", b))
+                adj[("t", b)].add(("t", a))
+        rows = []
+        for i in range(len(ids)):
+            dist = {("d", i): 0}
+            frontier = [("d", i)]
+            d = 0
+            while frontier and d < max_dist:
+                d += 1
+                nxt = []
+                for u in frontier:
+                    for v in adj[u]:
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            for j in range(i + 1, len(ids)):
+                dd = dist.get(("d", j))
+                rows.append(
+                    (
+                        ids[i],
+                        ids[j],
+                        round(2.0 / dd, 6) if dd else 0.0,
+                        1.0 if dd == 2 else 0.0,
+                    )
+                )
+        out = pd.DataFrame(
+            rows, columns=["id1", "id2", "coau_dist", "coau_dummy"]
+        )
+        out.insert(0, block_col, group[block_col].iloc[0])
+        return out
+
+    return as_arrow(
+        ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+    )
+
+
 def block_graph_features(
     pairs_ds,
     block_col: str,

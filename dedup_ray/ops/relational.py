@@ -228,6 +228,45 @@ def grouped_mode(ds, key_col: str, value_col: str):
     return as_arrow(ds.groupby(key_col).map_groups(mode, batch_format="pandas"))
 
 
+def focus_entity_org_bag(ds, block_col: str, name_col: str, org_col: str,
+                         id_col: str):
+    """J8 + A4: focus-entity regex self-lookup, then org-bag clustering.
+
+    Reference semantics (``org_bag.py:18-19`` with the mode-based focus pick
+    of ``uni_glue_baseline.R:26-29``): per block, the focus entity is the
+    modal ``name_col`` value (ties → value ascending); its separator-
+    insensitive key maps every non-word run to ``_`` and back to ``\\W+``
+    in an anchored case-insensitive regex; rows whose name full-matches are
+    the focus rows, clustered by ``org_col`` (A4 collect: keep_id = min id,
+    n_members).
+    """
+    import re
+
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            group.groupby(name_col).size().reset_index(name="n")
+            .sort_values(["n", name_col], ascending=[False, True])
+        )
+        focus = str(counts[name_col].iloc[0])
+        key = re.sub(r"\W+", "_", focus.lower())
+        rx = re.compile("^" + key.replace("_", r"\W+") + "$", re.IGNORECASE)
+        sau = group[
+            group[name_col].map(lambda s: rx.match(str(s)) is not None)
+        ]
+        out = (
+            sau.groupby(org_col)
+            .agg(keep_id=(id_col, "min"), n_members=(id_col, "size"))
+            .reset_index()
+        )
+        out["n_members"] = out["n_members"].astype("int64")
+        out.insert(0, block_col, group[block_col].iloc[0])
+        return out
+
+    return as_arrow(
+        ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
+    )
+
+
 def distinct_rows(ds, cols: list[str]):
     """D1: distinct over a column subset (groupby keep-first)."""
 

@@ -633,6 +633,111 @@ def ann_topk_lsh(sf_dir: str):
     return knn_cosine_lsh(emb, qdf["vec_id"].tolist(), qvecs, k=10, n_planes=6)
 
 
+def focus_org_bag_parts(sf_dir: str):
+    """J8: focus-entity regex self-lookup + org-bag clustering
+    (``org_bag.py:18-19`` + mode pick of ``uni_glue_baseline.R:26-29``) —
+    per brand block, modal part name under the separator-insensitive
+    anchored regex, survivors clustered by p_type."""
+    from dedup_ray.ops.relational import focus_entity_org_bag
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
+    return focus_entity_org_bag(ds, "p_brand", "p_name", "p_type", "p_partkey")
+
+
+def coau_dist_docs(sf_dir: str):
+    """G3: degree-filtered doc–token bipartite graph distance
+    (``short_path.R:27-28,65-84``) over the 8 smallest source blocks —
+    tokens with block df in [2,3] are 'coauthor' nodes, coau_dist = 2/dist,
+    dummy at dist==2.  Oracle: recursive-CTE BFS in DuckDB."""
+    from dedup_ray.ops.graph import bipartite_token_distance
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    counts = ds.groupby("source").count().to_pandas()
+    small = counts.sort_values(["count()", "source"]).head(8)["source"]
+    import ray
+
+    small_ref = ray.put(frozenset(small))
+
+    def keep(t: pa.Table) -> pa.Table:
+        keep_set = ray.get(small_ref)
+        return t.filter(
+            pc.is_in(t["source"], value_set=pa.array(sorted(keep_set)))
+        )
+
+    return bipartite_token_distance(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        "source", "doc_id", "text",
+    )
+
+
+def split_seed_search(sf_dir: str):
+    """O5: deterministic split-seed search (``sample_seed.py:26-41``) — per
+    source block (n docs, n 'en' docs), try seeds 0..499 with val-set rule
+    (min_doc_id + seed) % 5 == 0 and pick the seed minimizing
+    |pos_rate(train) − pos_rate(val)| (ties → smallest seed).  The reference
+    shape exactly: distributed per-block aggregates, driver loop over the
+    tiny aggregate table."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "doc_id": t["doc_id"],
+                "pos": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Min("doc_id", alias_name="bkey"),
+            Count(alias_name="n"),
+            Sum("pos", alias_name="pos"),
+        )
+        .to_pandas()
+    )
+    bkey = agg["bkey"].to_numpy()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    pos = agg["pos"].to_numpy(dtype=np.float64)
+    best_seed, best_diff = None, None
+    for seed in range(500):
+        val = (bkey + seed) % 5 == 0
+        if val.all() or not val.any():
+            continue
+        d = pos[~val].sum() / n[~val].sum() - pos[val].sum() / n[val].sum()
+        if best_diff is None or abs(d) < abs(best_diff):
+            best_seed, best_diff = seed, d
+    return pd.DataFrame(
+        {"best_seed": [best_seed], "diff_pos_rate": [round(float(best_diff), 6)]}
+    )
+
+
+def per_block_accuracy(sf_dir: str):
+    """A9: per-block accuracy screen (``check_train_labels.py:10-17``) —
+    prediction = block-modal lang (ties → lang asc), label = lang,
+    acc = mean(pred == label) per source."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def acc(group: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            group.groupby("lang").size().reset_index(name="n")
+            .sort_values(["n", "lang"], ascending=[False, True])
+        )
+        mode = counts["lang"].iloc[0]
+        return pd.DataFrame(
+            {
+                "source": [group["source"].iloc[0]],
+                "acc": [round(float((group["lang"] == mode).mean()), 6)],
+            }
+        )
+
+    return as_arrow(ds.groupby("source").map_groups(acc, batch_format="pandas"))
+
+
 DISCIPLINE_LISTS: dict[str, frozenset] = {
     "color": frozenset({"red", "blue", "green", "yellow", "purple", "white"}),
     "size": frozenset({"small", "large", "tiny", "huge", "mini"}),
@@ -988,6 +1093,127 @@ ORACLES["cc_chain_docs"] = """
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
+ORACLES["focus_org_bag_parts"] = r"""
+    WITH counts AS (
+        SELECT p_brand, p_name, count(*) AS n FROM part
+        GROUP BY p_brand, p_name),
+    focus AS (
+        SELECT p_brand, p_name AS focus FROM (
+            SELECT p_brand, p_name,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY n DESC, p_name) AS rk
+            FROM counts)
+        WHERE rk = 1),
+    keyed AS (
+        SELECT p_brand,
+               '^' || replace(regexp_replace(lower(focus), '\W+', '_', 'g'),
+                              '_', '\W+') || '$' AS pat
+        FROM focus),
+    sau AS (
+        SELECT p.p_brand, p.p_partkey, p.p_type
+        FROM part p JOIN keyed k ON p.p_brand = k.p_brand
+        WHERE regexp_matches(p.p_name, k.pat, 'i'))
+    SELECT p_brand, p_type, min(p_partkey) AS keep_id,
+           count(*) AS n_members
+    FROM sau GROUP BY p_brand, p_type
+"""
+
+ORACLES["split_seed_search"] = """
+    WITH agg AS (
+        SELECT source, min(doc_id) AS bkey, count(*) AS n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        FROM documents GROUP BY source),
+    seeds AS (SELECT unnest(generate_series(0, 499)) AS seed),
+    split AS (
+        SELECT s.seed,
+               sum(CASE WHEN (bkey + s.seed) % 5 = 0 THEN 0 ELSE pos END)
+                   AS tr_pos,
+               sum(CASE WHEN (bkey + s.seed) % 5 = 0 THEN 0 ELSE n END)
+                   AS tr_n,
+               sum(CASE WHEN (bkey + s.seed) % 5 = 0 THEN pos ELSE 0 END)
+                   AS va_pos,
+               sum(CASE WHEN (bkey + s.seed) % 5 = 0 THEN n ELSE 0 END)
+                   AS va_n
+        FROM seeds s, agg GROUP BY s.seed),
+    valid AS (
+        SELECT seed,
+               tr_pos / CAST(tr_n AS DOUBLE)
+                   - va_pos / CAST(va_n AS DOUBLE) AS d
+        FROM split WHERE tr_n > 0 AND va_n > 0)
+    SELECT seed AS best_seed, round(d, 6) AS diff_pos_rate
+    FROM valid ORDER BY abs(d), seed LIMIT 1
+"""
+
+ORACLES["per_block_accuracy"] = """
+    WITH m AS (
+        SELECT source, lang AS mode FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang) AS rk
+            FROM documents GROUP BY source, lang)
+        WHERE rk = 1)
+    SELECT d.source,
+           round(avg(CASE WHEN d.lang = m.mode THEN 1.0 ELSE 0.0 END), 6)
+               AS acc
+    FROM documents d JOIN m USING (source) GROUP BY d.source
+"""
+
+ORACLES["coau_dist_docs"] = """
+    WITH RECURSIVE blocks AS (
+        SELECT source FROM (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+            ORDER BY n, source LIMIT 8)),
+    dd AS (
+        SELECT d.source, d.doc_id, d.text
+        FROM documents d JOIN blocks USING (source)),
+    tok AS (
+        SELECT DISTINCT source, doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS token
+        FROM dd),
+    ret AS (
+        SELECT source, token FROM (
+            SELECT source, token, count(*) AS c FROM tok
+            GROUP BY source, token)
+        WHERE c BETWEEN 2 AND 3),
+    dt AS (
+        SELECT t.source, t.doc_id, t.token
+        FROM tok t JOIN ret USING (source, token)),
+    edges AS (
+        SELECT DISTINCT source, u, v FROM (
+            SELECT source, 'd:' || CAST(doc_id AS VARCHAR) AS u,
+                   't:' || token AS v FROM dt
+            UNION ALL
+            SELECT source, 't:' || token, 'd:' || CAST(doc_id AS VARCHAR)
+            FROM dt
+            UNION ALL
+            SELECT a.source, 't:' || a.token, 't:' || b.token
+            FROM dt a JOIN dt b
+              ON a.source = b.source AND a.doc_id = b.doc_id
+                 AND a.token <> b.token)),
+    reach(source, src, node, dist) AS (
+        SELECT source, doc_id, 'd:' || CAST(doc_id AS VARCHAR), 0 FROM dd
+        UNION
+        SELECT r.source, r.src, e.v, r.dist + 1
+        FROM reach r JOIN edges e
+          ON e.source = r.source AND e.u = r.node
+        WHERE r.dist < 16),
+    md AS (
+        SELECT source, src, node, min(dist) AS dist FROM reach
+        GROUP BY source, src, node),
+    pairs AS (
+        SELECT a.source, a.doc_id AS id1, b.doc_id AS id2
+        FROM dd a JOIN dd b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT p.source, p.id1, p.id2,
+           CASE WHEN m.dist IS NULL THEN 0.0
+                ELSE round(2.0 / m.dist, 6) END AS coau_dist,
+           CASE WHEN m.dist = 2 THEN 1.0 ELSE 0.0 END AS coau_dummy
+    FROM pairs p LEFT JOIN md m
+      ON m.source = p.source AND m.src = p.id1
+         AND m.node = 'd:' || CAST(p.id2 AS VARCHAR)
+"""
+
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1019,6 +1245,10 @@ QUERIES = {
     "tag_parts_multilabel": tag_parts_multilabel,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "balanced_sample_events": balanced_sample_events,
+    "focus_org_bag_parts": focus_org_bag_parts,
+    "coau_dist_docs": coau_dist_docs,
+    "split_seed_search": split_seed_search,
+    "per_block_accuracy": per_block_accuracy,
     # rows-only (non-SQL-expressible: hashing / full pipeline / heuristic)
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,

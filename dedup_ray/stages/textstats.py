@@ -114,29 +114,33 @@ class LangId:
     """Actor-pool language-ID: stopword-hit + CJK character heuristic.
 
     Deterministic; state (compiled regex, marker sets) built once per actor
-    (ST2 template).  Ties and no-signal default to 'en'.
+    (ST2 template).  Decision rule (mirrored exactly by the SQL oracle):
+    any CJK character → 'zh'; else count ``\\w+`` token hits per language
+    marker set and take the max, ties broken by language-code ascending;
+    zero hits everywhere → 'en'.  Vectorized: token explode + per-language
+    ``isin`` + one grouped sum, no per-row Python loop.
     """
 
     def __init__(self) -> None:
-        self.word = _WORD_RE
         self.cjk = re.compile(r"[一-鿿]")
-        self.markers = {k: v for k, v in STOPWORDS.items() if v}
+        self.langs = sorted(k for k, v in STOPWORDS.items() if v)
+        self.markers = {k: STOPWORDS[k] for k in self.langs}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            t = t or ""
-            if self.cjk.search(t):
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in self.word.findall(t)]
-            best, best_n = "en", 0
-            for lang in sorted(self.markers):
-                n = sum(1 for w in words if w in self.markers[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        texts = pd.Series(batch.column("text").to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        hits = pd.DataFrame(0, index=texts.index, columns=self.langs,
+                            dtype="int64")
+        for lang in self.langs:
+            h = ex[ex.isin(self.markers[lang])].groupby(level=0).size()
+            hits.loc[h.index, lang] = h
+        # idxmax picks the FIRST max column → ties resolve lang-ascending
+        best = hits.idxmax(axis=1).where(hits.max(axis=1) > 0, "en")
+        best = best.where(~texts.str.contains(self.cjk), "zh")
+        return batch.append_column(
+            "lang_pred", pa.array(best.tolist(), pa.string())
+        )
 
 
 def lang_id(ds, concurrency: int = 2, batch_size: int = 1024):
@@ -146,26 +150,53 @@ def lang_id(ds, concurrency: int = 2, batch_size: int = 1024):
     )
 
 
-def fingerprint_docs(ds, id_col: str = "doc_id", text_col: str = "text",
-                     window: int = 8, seed: int = 42):
-    """Winnowing fingerprint: min of rolling token-window hashes (int64).
+def _winnow(values: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD'03): per sliding window
+    of ``w`` consecutive hashes take the min (leftmost on ties — the
+    deterministic choice), dedup by selected position.  The leftmost-min
+    position is non-decreasing as the window slides, so consecutive-position
+    dedup is exact."""
+    n = len(values)
+    if n == 0:
+        return values[:0]
+    if n <= w:
+        return values.min(keepdims=True)
+    sw = np.lib.stride_tricks.sliding_window_view(values, w)
+    pos = sw.argmin(axis=1) + np.arange(len(sw))
+    keep = np.ones(len(pos), dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return values[pos[keep]]
 
-    The keyed analog of the reference's per-doc feature columns; robust to
-    small edits (the min usually survives).
+
+def fingerprint_docs(ds, id_col: str = "doc_id", text_col: str = "text",
+                     shingle_k: int = 8, window: int = 4, seed: int = 42):
+    """True winnowing fingerprints: (id, fingerprint) rows, several per doc.
+
+    k-token shingle hashes → per-window-of-``window`` min with position
+    dedup.  Guarantee: any shared token run of ≥ ``shingle_k + window - 1``
+    tokens contributes at least one identical fingerprint to both docs, and
+    a single token edit perturbs at most ``shingle_k + window - 1`` of a
+    doc's windows — the rest of the fingerprint set is stable (property
+    test in ``tests/test_ops.py``).
     """
     from dedup_ray.stages.shingle import shingle_hash_batch
 
     def f(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_pylist()
-        values, offsets = shingle_hash_batch(texts, ids, window, seed)
-        fps = np.minimum.reduceat(values, offsets[:-1]) if len(values) else (
-            np.empty(0, dtype=np.uint64)
+        values, offsets = shingle_hash_batch(texts, ids, shingle_k, seed)
+        ids_out, fps = [], []
+        for i, did in enumerate(ids):
+            sel = _winnow(values[offsets[i] : offsets[i + 1]], window)
+            ids_out.extend([did] * len(sel))
+            fps.append(sel)
+        flat = (
+            np.concatenate(fps) if fps else np.empty(0, dtype=np.uint64)
         )
         return pa.table(
             {
-                id_col: batch[id_col],
-                "fingerprint": pa.array(fps.view(np.int64)),
+                id_col: pa.array(ids_out),
+                "fingerprint": pa.array(flat.view(np.int64)),
             }
         )
 

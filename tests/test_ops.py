@@ -58,15 +58,41 @@ def test_lang_id_heuristic():
     assert out.loc[2, "lang_pred"] == "en"  # no signal -> default
 
 
-def test_fingerprint_stable_under_small_edit():
+def test_fingerprint_winnowing_stable_under_single_edit():
+    """True winnowing: one token edit perturbs ≤ shingle_k + window - 1
+    windows, so nearly all fingerprints survive; disjoint texts share none."""
+    base = [f"w{i}" for i in range(200)]
+    edited = list(base)
+    edited[97] = "XX"
+    other = [f"z{i}" for i in range(200)]
     ds = rd.from_items(
         [
-            {"doc_id": 0, "text": " ".join(f"w{i}" for i in range(100))},
-            {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(100)) + " tail"},
+            {"doc_id": 0, "text": " ".join(base)},
+            {"doc_id": 1, "text": " ".join(edited)},
+            {"doc_id": 2, "text": " ".join(other)},
         ]
     )
-    fp = fingerprint_docs(ds).to_pandas().set_index("doc_id")["fingerprint"]
-    assert fp[0] == fp[1]  # min rolling hash survives an appended token
+    fp = fingerprint_docs(ds).to_pandas()
+    sets = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    assert inter / union >= 0.7  # most fingerprints stable under 1 edit
+    assert len(sets[0]) > 5  # several fingerprints per doc (not a global min)
+    assert not (sets[0] & sets[2])  # disjoint text shares nothing
+
+
+def test_fingerprint_shared_run_guarantee():
+    """A shared run of >= shingle_k + window - 1 tokens yields >= 1 common
+    fingerprint (the winnowing window guarantee)."""
+    shared = [f"s{i}" for i in range(20)]  # 20 >= 8 + 4 - 1
+    a = [f"a{i}" for i in range(50)] + shared + [f"A{i}" for i in range(50)]
+    b = [f"b{i}" for i in range(30)] + shared + [f"B{i}" for i in range(70)]
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": " ".join(a)}, {"doc_id": 1, "text": " ".join(b)}]
+    )
+    fp = fingerprint_docs(ds).to_pandas()
+    sets = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    assert sets[0] & sets[1]
 
 
 def test_semi_anti_broadcast_joins():
