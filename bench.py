@@ -217,6 +217,12 @@ def run_scaling() -> None:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            if proc.returncode != 0 or not proc.stdout.strip():
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) failed "
+                    f"rc={proc.returncode}; stderr tail:\n"
+                    + "\n".join(proc.stderr.strip().splitlines()[-20:])
+                )
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             if best is None or r["value"] < best["value"]:

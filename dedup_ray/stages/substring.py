@@ -44,7 +44,17 @@ class _CDC:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
         self.gear = _gear_table(cfg.seed)
-        self.pinv = np.uint64(pow(int(_POLY), -1, 1 << 64))
+        # Seed-dependent odd multiplier: the polynomial body itself is
+        # keyed, so same-length colliding chunks are no longer constructible
+        # from the public structure alone (the splitmix finalizer is a
+        # bijection and would not protect an unkeyed body).
+        from dedup_ray.util.hashing import mix64
+
+        self.poly = np.uint64(
+            int(mix64(np.array([cfg.seed], dtype=np.uint64))[0]) | 1
+        ) ^ _POLY
+        self.poly |= np.uint64(1)
+        self.pinv = np.uint64(pow(int(self.poly), -1, 1 << 64))
         with np.errstate(over="ignore"):
             self.coef = np.empty(_WINDOW, dtype=np.uint64)
             c = np.uint64(1)
@@ -76,7 +86,7 @@ class _CDC:
             np.cumprod(np.full(n - 1, self.pinv, dtype=np.uint64), out=pinv_pow[1:]) if n > 1 else None
             ppow = np.empty(n, dtype=np.uint64)
             ppow[0] = 1
-            np.cumprod(np.full(n - 1, _POLY, dtype=np.uint64), out=ppow[1:]) if n > 1 else None
+            np.cumprod(np.full(n - 1, self.poly, dtype=np.uint64), out=ppow[1:]) if n > 1 else None
             T = np.zeros(n + 1, dtype=np.uint64)
             np.cumsum(b_u64 * pinv_pow, out=T[1:])
             seg = ppow[ends - 1] * (T[ends] - T[starts])
