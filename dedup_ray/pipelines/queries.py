@@ -738,6 +738,46 @@ def per_block_accuracy(sf_dir: str):
     return as_arrow(ds.groupby("source").map_groups(acc, batch_format="pandas"))
 
 
+def embed_pair_features(sf_dir: str):
+    """ST2: embedding pair features per label block — the reference pair
+    scorer's exact formulas (``doc2vec_pair_native.py:105-110``): euclidean
+    dist, arccos-clipped angle, sqrt of text-length product (doc lengths
+    broadcast via ``ray.put``, J5 shape).  Vectorized pair gather per block."""
+    from dedup_ray.stages.classifier import embedding_pair_features
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).to_pandas()
+    lookup = dict(zip(docs["doc_id"], docs["n_chars"].astype(float)))
+    return embedding_pair_features(emb, len_lookup=lookup)
+
+
+def logistic_score_embeddings(sf_dir: str):
+    """ST4 + S7: train a deterministic numpy logistic regression (binary
+    target ``label < 5``) on the labeled embeddings sample, persist the
+    fitted model as an .npz artifact (the reference's joblib dump,
+    ``classifier.py:343,373,401``), then score the table with an actor pool
+    that loads the artifact once per actor (``LogisticScorer.__init__``).
+    Training collects only the labeled sample (bounded by design); scoring
+    streams.  Rows-only: training is not SQL-expressible."""
+    import os
+    import tempfile
+
+    from dedup_ray.stages.classifier import (
+        save_model,
+        score_with_model,
+        train_logistic,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    df = emb.to_pandas()
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    y = (df["label"].to_numpy() < 5).astype(np.float64)
+    model = train_logistic(X, y)
+    path = os.path.join(tempfile.gettempdir(), "dedup_ray_logistic.npz")
+    save_model(model, path, ["embedding"])
+    return score_with_model(emb, path).select_columns(["vec_id", "score", "pred"])
+
+
 DISCIPLINE_LISTS: dict[str, frozenset] = {
     "color": frozenset({"red", "blue", "green", "yellow", "purple", "white"}),
     "size": frozenset({"small", "large", "tiny", "huge", "mini"}),
@@ -1093,6 +1133,25 @@ ORACLES["cc_chain_docs"] = """
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
+ORACLES["embed_pair_features"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_inner_product(v, v)) AS nrm
+        FROM e)
+    SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           round(list_distance(a.v, b.v), 6) AS dist,
+           round(acos(least(1.0, greatest(-1.0,
+                 list_inner_product(a.v, b.v) / (a.nrm * b.nrm)))), 6)
+               AS angle,
+           round(sqrt(da.n_chars * db.n_chars), 6) AS lenmul
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN documents da ON da.doc_id = a.vec_id
+    JOIN documents db ON db.doc_id = b.vec_id
+"""
+
 ORACLES["focus_org_bag_parts"] = r"""
     WITH counts AS (
         SELECT p_brand, p_name, count(*) AS n FROM part
@@ -1245,6 +1304,7 @@ QUERIES = {
     "tag_parts_multilabel": tag_parts_multilabel,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "balanced_sample_events": balanced_sample_events,
+    "embed_pair_features": embed_pair_features,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -1255,5 +1315,6 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "lang_id_docs": lang_id_docs,
     "ann_topk_lsh": ann_topk_lsh,
+    "logistic_score_embeddings": logistic_score_embeddings,
     "shortpath_source_docs": shortpath_source_docs,
 }
