@@ -8,8 +8,9 @@
   union of the chain graphs;
 - per-block Kruskal merge trace + Bernoulli-likelihood cut
   (``MT_Kruskal.R:101-185`` G7 + ``likelihood.R:30-93`` G8) as a
-  driver-checkable function and a ``map_groups`` stage.  The constrained
-  (cannot-link, duplicated-id) branch of MT_Kruskal.R:101-146 is not ported.
+  driver-checkable function and a ``map_groups`` stage; the constrained
+  (cannot-link, duplicated-id) branch of MT_Kruskal.R:101-146 is
+  :func:`kruskal_constrained_block` / :func:`kruskal_constrained_cluster`.
 """
 
 from __future__ import annotations
@@ -180,6 +181,90 @@ def kruskal_likelihood_block(pairs: pd.DataFrame) -> pd.DataFrame:
         out_ids.append(x)
         reps.append(mins[lab[x]] if x in lab else x)
     return pd.DataFrame({"id": out_ids, "cluster_rep": reps})
+
+
+def kruskal_constrained_block(
+    pairs: pd.DataFrame,
+    cannot_link: set | frozenset = frozenset(),
+    dup: int = 0,
+) -> pd.DataFrame:
+    """G7 constrained branch (``MT_Kruskal.R:101-146``): Kruskal with
+    cannot-link nodes and a duplicate allowance.
+
+    The reference's ``msTreeKruskal_new(nodes, arcs, disam, dup)``: edges
+    sorted by weight ascending (weight = 1 − sim, :149); an edge is accepted
+    iff it joins two components AND the merged forest still keeps every
+    ``disam`` (cannot-link) node in its own distinct component (:124-126 —
+    the tentative-merge component count over disam equals ``len(disam)``);
+    the loop stops once ``n_nodes − 1 − dup`` edges are accepted (:113),
+    i.e. the final forest is allowed ``1 + dup`` components even without
+    constraints.  Output: (id, cluster_rep) with min-id representatives;
+    nodes touched by no accepted edge are singletons.
+    """
+    p = pairs.copy()
+    p["w"] = 1.0 - p["sim"]
+    p = p.sort_values(["w", "id1", "id2"], kind="mergesort").reset_index(drop=True)
+    nodes = sorted(set(p["id1"]) | set(p["id2"]))
+    target = len(nodes) - 1 - dup
+
+    parent: dict = {}
+    n_disam: dict = {}  # root → count of cannot-link members
+
+    def find(x):
+        parent.setdefault(x, x)
+        if x not in n_disam:
+            n_disam[x] = 1 if x in cannot_link else 0
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    accepted = 0
+    for a, b in zip(p["id1"].values, p["id2"].values):
+        if accepted >= max(target, 0):
+            break
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        # cannot-link: reject a merge that would co-locate two disam nodes
+        if n_disam[ra] >= 1 and n_disam[rb] >= 1:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        n_disam[ra] += n_disam[rb]
+        accepted += 1
+
+    labels = {x: find(x) for x in nodes}
+    mins: dict = {}
+    for x, r in labels.items():
+        mins[r] = min(mins.get(r, x), x)
+    return pd.DataFrame(
+        {"id": nodes, "cluster_rep": [mins[labels[x]] for x in nodes]}
+    )
+
+
+def kruskal_constrained_cluster(
+    pairs_ds,
+    cannot_link: dict[str, set] | None = None,
+    block_col: str = "name",
+    dup: int = 0,
+):
+    """Distributed constrained Kruskal: per-block map_groups, cannot-link
+    sets broadcast once via ``ray.put`` (J5 shape — the per-block disam sets
+    are tiny; a shuffle join would be wasteful)."""
+    import ray
+
+    cl_ref = ray.put(cannot_link or {})
+
+    def f(group: pd.DataFrame) -> pd.DataFrame:
+        blk = group[block_col].iloc[0]
+        cl = ray.get(cl_ref).get(blk, frozenset())
+        out = kruskal_constrained_block(group[["id1", "id2", "sim"]], cl, dup)
+        out.insert(0, block_col, blk)
+        return out
+
+    return as_arrow(pairs_ds.groupby(block_col).map_groups(f, batch_format="pandas"))
 
 
 def kruskal_likelihood_cluster(pairs_ds, block_col: str = "name"):

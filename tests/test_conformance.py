@@ -213,3 +213,44 @@ def test_kruskal_likelihood_single_linkage():
     assert reps["a"] == reps["b"] == reps["c"] == "a"
     assert reps["d"] == reps["e"] == reps["f"] == "d"
     assert reps["a"] != reps["d"]
+
+
+def test_kruskal_constrained_cannot_link():
+    from dedup_ray.conformance.cluster import (
+        kruskal_constrained_block,
+        kruskal_constrained_cluster,
+    )
+
+    # one clique of 4 (all sim .9): unconstrained merges everything,
+    # cannot_link={a,d} must keep a and d in distinct components
+    rows = [
+        {"id1": a, "id2": b, "sim": 0.9}
+        for a, b in it.combinations(list("abcd"), 2)
+    ]
+    free = kruskal_constrained_block(pd.DataFrame(rows))
+    assert free["cluster_rep"].nunique() == 1
+
+    out = kruskal_constrained_block(pd.DataFrame(rows), {"a", "d"})
+    reps = out.set_index("id")["cluster_rep"].to_dict()
+    assert reps["a"] != reps["d"]
+    assert len(set(reps.values())) == 2  # everything else merged maximally
+
+    # dup=2 allowance stops after n-1-dup=1 accepted edge → 3 components
+    capped = kruskal_constrained_block(pd.DataFrame(rows), frozenset(), dup=2)
+    assert capped["cluster_rep"].nunique() == 3
+
+
+def test_kruskal_constrained_cluster_per_block():
+    from dedup_ray.conformance.cluster import kruskal_constrained_cluster
+
+    rows = []
+    for blk in ("n1", "n2"):
+        for a, b in it.combinations([f"{blk}-{x}" for x in "abc"], 2):
+            rows.append({"name": blk, "id1": a, "id2": b, "sim": 0.8})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = kruskal_constrained_cluster(
+        ds, cannot_link={"n1": {"n1-a", "n1-c"}}
+    ).to_pandas()
+    reps = out.set_index("id")["cluster_rep"].to_dict()
+    assert reps["n1-a"] != reps["n1-c"]  # constrained block split
+    assert reps["n2-a"] == reps["n2-b"] == reps["n2-c"]  # free block merged
