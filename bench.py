@@ -204,7 +204,9 @@ def run_scaling() -> None:
     ±30% run-to-run wall-time variance from host contention, and best-of-2
     is the cheapest robust estimator of attainable throughput.
     """
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus, hi_cpus = (
+        int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+    )
     results = {}
     for cpus in (lo_cpus, hi_cpus):
         best = None

@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bands", type=int, default=None)
     ap.add_argument("--jaccard-threshold", type=float, default=None)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--output-buckets", type=int, default=0,
+                    help="write output via the partition-granular resumable "
+                    "sink with this many key-hash buckets (rerun skips "
+                    "committed buckets); 0 = plain write_parquet")
     args = ap.parse_args(argv)
 
     import ray
@@ -74,7 +78,20 @@ def main(argv: list[str] | None = None) -> int:
         use_simhash=args.simhash,
         use_substring=not args.no_substring,
     )
-    clusters.write_parquet(args.output)
+    buckets = {}
+    if args.output_buckets:
+        from dedup_ray.state.partwrite import resumable_write
+
+        res = resumable_write(
+            clusters, args.output, key_col=args.id_col,
+            num_buckets=args.output_buckets,
+        )
+        buckets = {
+            "buckets_written": len(res["written"]),
+            "buckets_skipped": len(res["skipped"]),
+        }
+    else:
+        clusters.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
     wall = time.perf_counter() - t0
     print(
@@ -86,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
                 "config_hash": cfg.config_hash(),
                 "resumed_stages": ctx.hits if ctx else [],
                 "output": args.output,
+                **buckets,
             }
         )
     )

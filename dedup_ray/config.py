@@ -38,6 +38,11 @@ class DedupConfig:
     # Chunks appearing in more than this many docs are boilerplate (cookie
     # banners, templates): excluded from substring candidates and runs.
     # The A1-style global census (groupby(chash).count) finds them.
+    # Unit: since the substring path runs on phase-1 representatives, df
+    # counts DISTINCT phase-1 clusters, not raw corpus docs — the more
+    # robust measure (a 10k-copy dup clique counts once, so real dup
+    # content is never misread as boilerplate while true boilerplate still
+    # crosses the threshold via distinct-cluster spread).
     boilerplate_max_df: int = 8
     # Containment semantics: a substring pair is a duplicate only when the
     # shared run also covers >= this fraction of the smaller document.

@@ -95,11 +95,28 @@ def dedup_pipeline(
         else None
     )
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("DEDUP_STAGE_TIMING") == "1"
+
     def stage(name, fn, materialize=False):
+        t0 = _time.perf_counter()
         if ctx is None:
             ds = fn()
-            return ds.materialize() if materialize else ds
-        return ctx.run_stage(name, fn)
+            if materialize:
+                ds = ds.materialize()
+        else:
+            ds = ctx.run_stage(name, fn)
+        if timing:
+            # lazy stages report ~0 here; their cost lands in the next
+            # materialize barrier / the final consumer
+            print(
+                f"[stage-timing] {name}: "
+                f"{_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        return ds
 
     compact = stage(
         "signatures",
@@ -171,24 +188,44 @@ def dedup_pipeline(
     exact_e = _filter_valid(["id1", "id2"], want_edges=True)
     edge_parts = [_pin(exact_e)]
 
+    branch_stages = []
+
     if use_minhash:
 
         def _near():
             bands = band_explode(reps, cfg, id_col=id_col)
-            # global (id1,id2) dedup before the signature joins: a clique of
-            # k near-identical reps still collides in most of the `bands`
-            # bands, and shipping the ~bands-fold duplicate stream through
-            # the 1KB/row signature joins costs far more than one narrow
-            # dedup shuffle
-            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=True)
+            # No dedicated (id1,id2) dedup round: the first verify join
+            # co-partitions every (id1, *) row by hash(id1), so its
+            # partition-local drop_duplicates (hash_join left_prep) IS a
+            # global dedup — one fewer all-to-all round.  Cross-band
+            # duplicate pairs inflate only the narrow pair stream between
+            # the band shuffle and that join (~80B/row), not the wide
+            # signature joins.
+            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
             return verify_pairs(cands, reps, cfg, id_col=id_col)
 
-        near = stage("near_edges", _near)
-        edge_parts.append(_pin(near))
+        branch_stages.append(("near_edges", _near))
 
     if use_simhash:
-        sim = stage("simhash_edges", lambda: simhash_edges(reps, cfg, id_col))
-        edge_parts.append(_pin(sim))
+        branch_stages.append(("simhash_edges", lambda: simhash_edges(reps, cfg, id_col)))
+
+    # Materialize the similarity branches CONCURRENTLY: a lazy union would
+    # execute them back-to-back (Ray Data runs one streaming plan per
+    # driver thread), serializing their shuffle barriers.  Each branch's
+    # all-to-all rounds cost seconds of fixed latency regardless of CPU
+    # count, so overlapping branches is a direct scaling-efficiency win.
+    if len(branch_stages) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(branch_stages)) as pool:
+            futs = [
+                pool.submit(stage, name, fn, True) for name, fn in branch_stages
+            ]
+            for f in futs:
+                edge_parts.append(_pin(f.result()))
+    else:
+        for name, fn in branch_stages:
+            edge_parts.append(_pin(stage(name, fn)))
 
     def _lazy_union(parts):
         # Lazy union: no per-part materialize barrier — the streaming

@@ -516,8 +516,13 @@ def minhash_dedup_docs(sf_dir: str):
     from dedup_ray.pipelines.dedup import dedup_pipeline
     from dedup_ray.sources.pages import pages_from_documents
 
+    import ray
+
     pages = pages_from_documents(sf_dir, amplify=3)
-    cfg = DedupConfig(minhash_concurrency=4, num_partitions=8)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
+    )
     clusters, _ = dedup_pipeline(pages, cfg)
     return clusters
 
@@ -631,6 +636,25 @@ def ann_topk_lsh(sf_dir: str):
     )
     qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
     return knn_cosine_lsh(emb, qdf["vec_id"].tolist(), qvecs, k=10, n_planes=6)
+
+
+def ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-k (rows-only; clustered scale path — recall vs
+    exact covered by ``tests/test_ann.py``)."""
+    from dedup_ray.stages.ann import knn_cosine_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
+    return knn_cosine_ivf(
+        emb, qdf["vec_id"].tolist(), qvecs, k=10, n_lists=8, nprobe=3
+    )
 
 
 def focus_org_bag_parts(sf_dir: str):
@@ -776,6 +800,34 @@ def logistic_score_embeddings(sf_dir: str):
     path = os.path.join(tempfile.gettempdir(), "dedup_ray_logistic.npz")
     save_model(model, path, ["embedding"])
     return score_with_model(emb, path).select_columns(["vec_id", "score", "pred"])
+
+
+def embed_cosine_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup edges within label blocks (cos >= 0.3),
+    vectorized gram matrix per block.  Oracle: list_cosine_similarity."""
+    from dedup_ray.stages.embed import cosine_dup_edges
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return cosine_dup_edges(emb, "label", threshold=0.3)
+
+
+def embed_cosine_dedup_docs(sf_dir: str):
+    """Full embedding-cosine near-dup pipeline FROM TEXT: hashed-feature
+    embeddings (deterministic, training-free — the doc2vec-production
+    analog) → per-source cosine edges (cos >= 0.6) → union-find clusters.
+    Rows-only: the seeded 64-bit token hash is not SQL-expressible."""
+    from dedup_ray.stages.cc import assign_clusters
+    from dedup_ray.stages.embed import cosine_dup_edges, embed_docs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    emb = embed_docs(docs, dim=64, keep_cols=("source",))
+    edges = cosine_dup_edges(
+        emb, "source", id_col="doc_id", threshold=0.6
+    ).select_columns(["id1", "id2"])
+    return assign_clusters(
+        docs.select_columns(["doc_id"]), edges, id_col="doc_id",
+        num_partitions=8,
+    )
 
 
 DISCIPLINE_LISTS: dict[str, frozenset] = {
@@ -1133,6 +1185,51 @@ ORACLES["cc_chain_docs"] = """
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
+def _lang_id_oracle() -> str:
+    """SQL mirror of ``LangId``: CJK → zh; else max stopword hits with
+    lang-ascending tie-break (the CASE order IS the tie-break); 0 → en."""
+    from dedup_ray.stages.textstats import STOPWORDS
+
+    langs = sorted(k for k, v in STOPWORDS.items() if v)
+    hit_cols = ", ".join(
+        "sum(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS hits_{}".format(
+            ", ".join(repr(w) for w in sorted(STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    gmax = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    picks = " ".join(
+        f"WHEN hits_{lang} = {gmax} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+            FROM documents),
+        h AS (SELECT doc_id, {hit_cols} FROM toks GROUP BY doc_id),
+        best AS (
+            SELECT doc_id,
+                   CASE WHEN {gmax} = 0 THEN 'en' {picks} END AS pred
+            FROM h)
+        SELECT d.doc_id,
+               CASE WHEN regexp_matches(d.text, '[一-鿿]') THEN 'zh'
+                    ELSE coalesce(b.pred, 'en') END AS lang_pred
+        FROM documents d LEFT JOIN best b USING (doc_id)
+    """
+
+
+ORACLES["lang_id_docs"] = _lang_id_oracle()
+
+ORACLES["embed_cosine_dup_pairs"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings)
+    SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
 ORACLES["embed_pair_features"] = """
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -1305,6 +1402,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "balanced_sample_events": balanced_sample_events,
     "embed_pair_features": embed_pair_features,
+    "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -1315,6 +1413,8 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs_q,
     "lang_id_docs": lang_id_docs,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "logistic_score_embeddings": logistic_score_embeddings,
+    "embed_cosine_dedup_docs": embed_cosine_dedup_docs,
     "shortpath_source_docs": shortpath_source_docs,
 }

@@ -7,9 +7,12 @@ Two paths:
   against it and emits its batch-local top-k per query, and a final
   ``groupby(query_id)`` reduces to the global top-k.  Per-batch partial
   top-k bounds the shuffle to O(n_queries · k · n_blocks) rows.
-- :func:`knn_cosine_lsh` — the scale path: random-hyperplane signatures
+- :func:`knn_cosine_lsh` — scale path 1: random-hyperplane signatures
   bucket both sides; each query searches only its bucket (and optionally
   neighboring multiprobe buckets).  Approximate, deterministic, documented.
+- :func:`knn_cosine_ivf` — scale path 2: coarse k-means centroids trained
+  on a bounded sample, vectors assigned per batch, queries probe their
+  ``nprobe`` nearest lists.  Recall/cost dial = ``nprobe / n_lists``.
 """
 
 from __future__ import annotations
@@ -81,6 +84,110 @@ def knn_cosine(
         )
 
     partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    return as_arrow(
+        partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample → IVF centroids.
+
+    Seeded init (random rows), fixed iteration count, cosine assignment on
+    normalized vectors.  Training is driver-side numpy on the SAMPLE only —
+    the standard IVF recipe (train small, assign streamed).
+    """
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(X)
+    rng = np.random.default_rng(seed ^ 0x1BF)
+    cents = X[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_cosine_ivf(
+    embeddings_ds,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 42,
+):
+    """IVF approximate top-k — the clustered scale path next to the
+    hyperplane-LSH one.
+
+    1. train coarse centroids on a ``limit(train_sample)`` sample (bounded
+       driver collect, the only materialization);
+    2. broadcast (queries, centroids, per-query probe lists) once;
+    3. each batch assigns its vectors to nearest centroid and scores only
+       the vectors landing in a probed list — per-batch cost shrinks
+       ~``nprobe / n_lists`` vs brute force;
+    4. per-batch partial top-k → ``groupby(query_id)`` global top-k, same
+       bounded shuffle as :func:`knn_cosine`.
+    """
+    import ray
+
+    sample = _batch_embeddings(
+        pa.Table.from_pandas(
+            embeddings_ds.limit(train_sample).to_pandas()[[vec_col]]
+        ),
+        vec_col,
+    )
+    cents = train_ivf_centroids(sample, n_lists, seed=seed)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, : min(nprobe, len(cents))]
+    ref = ray.put((list(query_ids), q, cents, probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, cm, pr = ray.get(ref)
+        emb = _normalize(_batch_embeddings(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist())
+        assign = (emb @ cm.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            row = qm[qi] @ emb[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(row))
+            top = (
+                np.argpartition(-row, kk - 1)[:kk]
+                if kk < len(row)
+                else np.arange(len(row))
+            )
+            for j in top:
+                if sub_ids[j] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_n.append(sub_ids[j])
+                out_s.append(round(float(row[j]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(

@@ -36,30 +36,49 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
     shuffle) rather than ``Dataset.join`` so several verify paths can fuse
     into one streaming plan without aggregator-actor CPU starvation.
     """
-    from dedup_ray.util.dsutil import hash_join
+    from dedup_ray.util.exchange import exchange_join
 
     cfg = config or DedupConfig()
     side1 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id1", "sig": "sig1"})
     side2 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id2", "sig": "sig2"})
-    joined = hash_join(
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        # cross-band duplicate pairs dedup here for free: the exchange
+        # co-locates every (id1, *) row, so a partition-local pair dedup is
+        # globally exact — no dedicated dedup shuffle.  Narrow columns only.
+        import pandas as pd
+
+        mask = ~pd.DataFrame(
+            {"a": t["id1"].to_pandas(), "b": t["id2"].to_pandas()}
+        ).duplicated().to_numpy()
+        if mask.all():
+            return t
+        return t.filter(pa.array(mask))
+
+    sig_t = pa.binary(cfg.num_perms * 8)
+    joined = exchange_join(
         pairs_ds.select_columns(["id1", "id2"]),
         side1,
         on="id1",
-        left_cols=["id1", "id2"],
-        right_cols=["id1", "sig1"],
         num_partitions=cfg.num_partitions,
-        # cross-band duplicate pairs dedup here for free: the join already
-        # co-locates every (id1, *) row, so a partition-local
-        # drop_duplicates is globally exact — no dedicated dedup shuffle
-        left_prep=lambda df: df.drop_duplicates(subset=["id1", "id2"]),
+        left_prep=dedup_pairs,
+        empty_schema=pa.schema(
+            [("id1", pa.string()), ("id2", pa.string()), ("sig1", sig_t)]
+        ),
     )
-    return hash_join(
+    return exchange_join(
         joined,
         side2,
         on="id2",
-        left_cols=["id1", "id2", "sig1"],
-        right_cols=["id2", "sig2"],
         num_partitions=cfg.num_partitions,
+        empty_schema=pa.schema(
+            [
+                ("id1", pa.string()),
+                ("id2", pa.string()),
+                ("sig1", sig_t),
+                ("sig2", sig_t),
+            ]
+        ),
     )
 
 

@@ -20,8 +20,22 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
+
+# Ray's parquet path resolution probes `fsspec.implementations.http`, which
+# raises (aiohttp absent here).  A clean ModuleNotFoundError is caught by
+# Ray, but two checkpointed stages planning CONCURRENTLY (parallel branch
+# materialization) can race the import machinery and leave the module
+# half-initialized — later imports then raise a bare ImportError Ray does
+# NOT catch.  Probe once, single-threaded, at module load.
+try:  # pragma: no cover - environment-dependent
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except Exception:
+    pass
+
+_PLAN_LOCK = threading.Lock()
 
 
 @dataclass
@@ -53,7 +67,8 @@ class CheckpointContext:
                 manifest = json.load(f)
             if manifest.get("config_hash") == self.config_hash:
                 self.hits.append(name)
-                return ray.data.read_parquet(data_dir)
+                with _PLAN_LOCK:
+                    return ray.data.read_parquet(data_dir)
         self.misses.append(name)
         os.makedirs(sdir, exist_ok=True)
         tmp_dir = data_dir + ".tmp"
@@ -84,7 +99,8 @@ class CheckpointContext:
 
             shutil.rmtree(data_dir)
         os.rename(tmp_dir, data_dir)
-        out = ray.data.read_parquet(data_dir)
+        with _PLAN_LOCK:
+            out = ray.data.read_parquet(data_dir)
         # per-partition lineage: rows + bytes per part file straight from
         # parquet footers (no extra Dataset pass); a resumed run can skip
         # or re-read any individual part and metrics ride along

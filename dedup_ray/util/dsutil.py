@@ -46,6 +46,93 @@ def partitioned_group_apply(ds, key_cols: list[str], fn, num_partitions: int = 1
     )
 
 
+def hash_join_arrow(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    types: dict,
+    num_partitions: int = 16,
+    how: str = "inner",
+    left_prep=None,
+):
+    """Arrow-native co-partitioning equi-join (zero pandas boxing).
+
+    Same plan as :func:`hash_join` (tag → union → one ``__part`` shuffle →
+    per-partition merge) but blocks stay Arrow end to end and the
+    per-partition merge is an Acero ``Table.join``.  For wide payloads
+    (e.g. 1KB MinHash signatures) the pandas path boxes every cell into a
+    Python object twice per round — this path never leaves Arrow buffers.
+
+    ``types`` maps EVERY column of both sides to its ``pa.DataType`` so the
+    tag step can emit typed null columns for the union (schemas of lazy
+    Datasets are not probed).  ``left_prep``, if given, receives the left
+    partition as a ``pa.Table``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag(side: int, cols: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = {}
+            for c in all_cols:
+                if c in cols:
+                    arr = batch[c].combine_chunks()
+                    # fixed-width columns are declared (and carried) as
+                    # VARIABLE-width: a typed null column of fixed width
+                    # materializes full-width buffers on every sort/take of
+                    # the shuffle; variable-width nulls cost zero bytes
+                    if arr.type != types[c]:
+                        arr = arr.cast(types[c])
+                    out[c] = arr
+                else:
+                    out[c] = pa.nulls(n, type=types[c])
+            h = pd.util.hash_pandas_object(
+                batch[on].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            out["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            out["__part"] = pa.array(
+                (h % np.uint64(num_partitions)).astype(np.int64)
+            )
+            return pa.table(out)
+
+        return f
+
+    combined = left_ds.map_batches(tag(0, left_cols), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_cols), batch_format="pyarrow")
+    )
+
+    jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+
+    def merge(part: pa.Table) -> pa.Table:
+        side = part["__side"]
+        import pyarrow.compute as pc
+
+        lf = part.filter(pc.equal(side, 0)).select(left_cols)
+        if left_prep is not None:
+            lf = left_prep(lf)
+        rf = part.filter(pc.equal(side, 1)).select(right_cols)
+        out = lf.join(rf, keys=on, join_type=jt)
+        cols = (
+            left_cols
+            if how in ("semi", "anti")
+            else list(dict.fromkeys(left_cols + right_cols))
+        )
+        return out.select(cols).combine_chunks()
+
+    return combined.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
 def hash_join(
     left_ds,
     right_ds,

@@ -1,0 +1,186 @@
+"""Raw-task hash exchange: the engine's all-to-all primitive.
+
+Ray Data's ``groupby(key).map_groups`` routes through a sort-based shuffle
+plus a group-splitting wrapper that converts every block through pandas —
+for blocks carrying wide binary payloads (1KB MinHash signatures) the
+boxing costs orders of magnitude more than the actual work, and the sort
+adds a sampling pass.  This module drops to raw Ray tasks for exactly the
+all-to-all exchange (the one case SURVEY.md §7 license covers): classic
+two-wave map/reduce —
+
+  wave 1 (one task per input block): split the block into ``P`` Arrow
+    sub-tables by ``hash(key) % P`` (``num_returns=P`` — Ray stores each
+    sub-table as its own object, so a reduce task fetches only its column
+    of the matrix);
+  wave 2 (one task per partition): concat the partition's sub-tables and
+    apply a caller-supplied Arrow-native ``reduce_fn``.
+
+Partitioning assumption (documented per SURVEY §2.12): every row of one
+key lands in exactly one partition — reduce_fn may treat its partition as
+globally complete for its keys.  Blocks stay zero-copy Arrow throughout;
+the object store handles cross-node movement and spilling on a real
+cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from dedup_ray.util.hashing import stable64_array
+
+
+def _key_parts(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
+    """Partition index per row from a seeded 64-bit hash of the key column."""
+    vals = col.to_pylist()
+    h = stable64_array([v if isinstance(v, str) else str(v) for v in vals],
+                       seed=0x5EED)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+@ray.remote
+def _split_block(block, key: str, num_partitions: int):
+    if not isinstance(block, pa.Table):  # pandas-born block
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if key not in block.column_names:
+        if block.num_rows == 0:
+            # Ray map_groups emits zero-row blocks with EMPTY schema when a
+            # task receives no groups; route the void block everywhere
+            return tuple(block for _ in range(num_partitions))
+        raise KeyError(
+            f"exchange key {key!r} missing; block schema: {block.column_names}"
+        )
+    parts = _key_parts(block[key], num_partitions)
+    order = np.argsort(parts, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
+    return tuple(
+        sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p])
+        for p in range(num_partitions)
+    )
+
+
+@ray.remote
+def _reduce(reduce_fn, counts, *flat_chunks):
+    """``flat_chunks``: the partition's sub-tables for all streams laid out
+    flat (Ray resolves ObjectRefs only at the top level of task args);
+    ``counts[i]`` says how many belong to stream ``i``."""
+    tables, pos = [], 0
+    for c in counts:
+        chunks = flat_chunks[pos : pos + c]
+        pos += c
+        live = [t for t in chunks if t.num_rows]
+        if not live:
+            # prefer a schema-ful empty over a void ([]-schema) one
+            with_schema = [t for t in chunks if t.column_names]
+            live = with_schema[:1] or list(chunks[:1])
+        tables.append(pa.concat_tables(live, promote_options="default"))
+    return reduce_fn(*tables)
+
+
+def _block_refs(ds) -> list:
+    mat = ds.materialize()
+    try:
+        bundles = mat.iter_internal_ref_bundles()
+        return [ref for b in bundles for ref in b.block_refs]
+    except AttributeError:  # older API
+        return mat.get_internal_block_refs()
+
+
+def hash_exchange(
+    datasets: list,
+    keys: list[str],
+    reduce_fn,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Co-partition ``datasets[i]`` on ``keys[i]``; apply ``reduce_fn`` per
+    partition.
+
+    ``reduce_fn(t0, t1, ..., tn) -> pa.Table`` receives one Arrow table per
+    input stream, containing every row whose key hashes to the partition.
+    Returns a Dataset of the reduce outputs (lazy over the result refs).
+    """
+    import ray.data
+
+    split_matrix = []  # per stream: list over blocks of per-part ref tuples
+    for ds, key in zip(datasets, keys):
+        refs = _block_refs(ds)
+        split_matrix.append(
+            [
+                _split_block.options(num_returns=num_partitions).remote(
+                    b, key, num_partitions
+                )
+                for b in refs
+            ]
+        )
+
+    counts = tuple(len(stream) for stream in split_matrix)
+    out_refs = []
+    for p in range(num_partitions):
+        flat = [
+            block_parts[p]
+            for stream in split_matrix
+            for block_parts in stream
+        ]
+        out_refs.append(_reduce.remote(reduce_fn, counts, *flat))
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def exchange_join(
+    left_ds,
+    right_ds,
+    on: str,
+    how: str = "inner",
+    num_partitions: int = 32,
+    left_prep=None,
+    post=None,
+    empty_schema: pa.Schema | None = None,
+):
+    """Arrow-native equi-join on the raw-task exchange.
+
+    ``left_prep(table) -> table`` runs on the co-located left partition
+    before the join (e.g. a globally-exact pair dedup).  ``post(table) ->
+    table`` runs on each joined partition (e.g. inline scoring) — fusing
+    what would otherwise be another map round.  ``empty_schema`` is the
+    OUTPUT schema to emit when a whole input stream is void for a
+    partition (possible when upstream produced only schema-less empty
+    blocks); without it such a partition raises.
+    """
+    jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+
+    def reduce_fn(lf: pa.Table, rf: pa.Table) -> pa.Table:
+        if on not in lf.column_names or on not in rf.column_names:
+            if empty_schema is not None and lf.num_rows == 0:
+                return empty_schema.empty_table()
+            if on not in lf.column_names:
+                raise KeyError(
+                    f"join key {on!r} missing from a void left partition "
+                    "and no empty_schema given"
+                )
+            # rf void: inner/semi produce nothing; left/anti keep lf rows
+            if empty_schema is not None:
+                if how in ("inner", "semi"):
+                    return empty_schema.empty_table()
+                rf = pa.table({on: pa.array([], lf[on].type)})
+            else:
+                raise KeyError(
+                    f"join key {on!r} missing from a void right partition "
+                    "and no empty_schema given"
+                )
+        if left_prep is not None:
+            lf = left_prep(lf)
+        out = lf.join(rf, keys=on, join_type=jt)
+        if post is not None:
+            out = post(out)
+        return out.combine_chunks()
+
+    return hash_exchange(
+        [left_ds, right_ds], [on, on], reduce_fn, num_partitions
+    )

@@ -1,0 +1,58 @@
+"""ANN recall vs the exact brute-force path (LSH + IVF scale paths)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from dedup_ray.stages.ann import knn_cosine, knn_cosine_ivf, knn_cosine_lsh
+
+
+def _clustered_corpus(n_clusters=10, per=60, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    vecs = np.concatenate(
+        [c + rng.standard_normal((per, dim)) * 0.3 for c in centers]
+    )
+    ids = list(range(len(vecs)))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(r) for r in vecs]})
+    )
+    return ds, vecs
+
+
+def _topk_sets(df, k):
+    return {
+        q: set(g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True])
+               .head(k)["neighbor_id"])
+        for q, g in df.groupby("query_id")
+    }
+
+
+def _recall(approx: dict, exact: dict, k: int) -> float:
+    return float(
+        np.mean([len(approx.get(q, set()) & exact[q]) / k for q in exact])
+    )
+
+
+def test_ivf_and_lsh_recall_vs_exact():
+    ds, vecs = _clustered_corpus()
+    k = 10
+    qids = [0, 60, 120, 180, 240]
+    qvecs = vecs[qids]
+
+    exact = _topk_sets(knn_cosine(ds, qids, qvecs, k=k).to_pandas(), k)
+
+    ivf = _topk_sets(
+        knn_cosine_ivf(ds, qids, qvecs, k=k, n_lists=10, nprobe=3).to_pandas(),
+        k,
+    )
+    # clustered corpus, 3 probed lists of 10: the query's own cluster is
+    # always probed, so recall should be near-perfect
+    assert _recall(ivf, exact, k) >= 0.9
+
+    lsh = _topk_sets(
+        knn_cosine_lsh(ds, qids, qvecs, k=k, n_planes=4).to_pandas(), k
+    )
+    # 16 hyperplane buckets over 10 tight clusters: same-cluster vectors
+    # mostly share the bucket; recall well above chance but below IVF
+    assert _recall(lsh, exact, k) >= 0.5

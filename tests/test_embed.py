@@ -1,0 +1,51 @@
+"""Hashed text embeddings + embedding-cosine near-dup edges."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from dedup_ray.stages.embed import (
+    cosine_dup_edges,
+    embed_docs,
+    hashed_embedding_batch,
+)
+
+
+def test_hashed_embedding_geometry():
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(95)) + " x1 x2 x3 x4 x5"
+    far = " ".join(f"z{i}" for i in range(100))
+    V = hashed_embedding_batch([base, near, far, ""], dim=64, seed=42)
+    # unit norm (empty doc stays zero)
+    assert np.allclose(np.linalg.norm(V[:3], axis=1), 1.0)
+    assert np.linalg.norm(V[3]) == 0.0
+    cos_near = V[0] @ V[1]
+    cos_far = V[0] @ V[2]
+    assert cos_near > 0.85
+    assert abs(cos_far) < 0.4  # signed hashing: disjoint sets ~orthogonal
+    # deterministic
+    assert np.array_equal(V, hashed_embedding_batch([base, near, far, ""], 64, 42))
+
+
+def test_embed_docs_and_cosine_edges():
+    rows = [
+        {"doc_id": 0, "source": "s1",
+         "text": " ".join(f"w{i}" for i in range(50))},
+        {"doc_id": 1, "source": "s1",
+         "text": " ".join(f"w{i}" for i in range(48)) + " a b"},
+        {"doc_id": 2, "source": "s1",
+         "text": " ".join(f"q{i}" for i in range(50))},
+        {"doc_id": 3, "source": "s2",
+         "text": " ".join(f"w{i}" for i in range(50))},
+    ]
+    ds = rd.from_items(rows)
+    emb = embed_docs(ds, dim=64).to_pandas()
+    src = pd.DataFrame(rows)[["doc_id", "source"]]
+    joined = rd.from_pandas(emb.merge(src, on="doc_id"))
+    edges = cosine_dup_edges(
+        joined, "source", id_col="doc_id", threshold=0.9
+    ).to_pandas()
+    got = set(zip(edges["id1"], edges["id2"]))
+    assert (0, 1) in got  # near-dup pair within block
+    assert all(e[0] != 2 and e[1] != 2 for e in got)  # disjoint text excluded
+    assert all(3 not in e for e in got)  # cross-block never paired
