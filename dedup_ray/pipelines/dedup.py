@@ -293,16 +293,17 @@ def dedup_pipeline(
         )
 
     def _sub_edges():
-        from dedup_ray.util.dsutil import hash_join
+        from dedup_ray.util.exchange import exchange_join
 
-        rep_chunks = hash_join(
+        rep_chunks = exchange_join(
             reps.select_columns([id_col, "chunks"]),
             _non_reps(),
             on=id_col,
-            left_cols=[id_col, "chunks"],
-            right_cols=[id_col],
-            num_partitions=cfg.num_partitions,
             how="anti",
+            num_partitions=cfg.num_partitions,
+            empty_schema=pa.schema(
+                [(id_col, pa.string()), ("chunks", pa.binary())]
+            ),
         )
         return substring_edges(rep_chunks, cfg, id_col)
 

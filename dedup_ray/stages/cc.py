@@ -260,20 +260,11 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
         return batch.rename_columns([id_col, "cluster_id"])
 
     labels = labels.map_batches(rn, batch_format="pyarrow")
-    # task-based hash_join, not Dataset.join: the aggregator-actor pool a
+    # raw-task exchange, not Dataset.join: the aggregator-actor pool a
     # Dataset.join spins up costs seconds of spawn per join and can starve
-    # CPU when plans fuse (see dsutil.hash_join)
-    from dedup_ray.util.dsutil import hash_join
-
-    joined = hash_join(
-        docs_ds.select_columns([id_col]),
-        labels,
-        on=id_col,
-        left_cols=[id_col],
-        right_cols=[id_col, "cluster_id"],
-        num_partitions=num_partitions,
-        how="left",
-    )
+    # CPU when plans fuse; the exchange also fuses the singleton fill into
+    # the join reduce (one fewer map round)
+    from dedup_ray.util.exchange import exchange_join
 
     def fill(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -284,4 +275,14 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
         )
         return pa.table({id_col: ids, "cluster_id": cid})
 
-    return joined.map_batches(fill, batch_format="pyarrow")
+    return exchange_join(
+        docs_ds.select_columns([id_col]),
+        labels,
+        on=id_col,
+        how="left",
+        num_partitions=num_partitions,
+        post=fill,
+        empty_schema=pa.schema(
+            [(id_col, pa.string()), ("cluster_id", pa.string())]
+        ),
+    )

@@ -59,33 +59,46 @@ def exact_rep_partition(ds_with_digest, id_col: str = "url",
     """
     import numpy as np
 
-    from dedup_ray.util.dsutil import partitioned_group_apply
+    from dedup_ray.util.exchange import exchange_group_apply
 
-    def split(part: pd.DataFrame) -> pd.DataFrame:
-        d = part["digest"].to_numpy()
-        ids = part[id_col].to_numpy()
+    def split(part: pa.Table) -> pa.Table:
+        # wide payloads (sig/chunks) stay Arrow; only the two narrow key
+        # columns are gathered to numpy for the group scan
+        d = np.asarray(part["digest"].to_pylist())
+        ids = np.asarray(part[id_col].to_pylist())
         order = np.lexsort((ids, d))
-        part = part.iloc[order]
         d_s, ids_s = d[order], ids[order]
-        change = np.r_[True, d_s[1:] != d_s[:-1]]
-        reps = part.iloc[np.flatnonzero(change)].copy()
-        reps["id1"] = None
-        reps["id2"] = None
+        change = np.r_[True, d_s[1:] != d_s[:-1]] if len(d_s) else np.zeros(0, bool)
+        reps = part.take(pa.array(order[np.flatnonzero(change)]))
+        # fixed-width binary → variable width: the edge rows carry NULL
+        # payloads, and variable-width nulls cost zero bytes through every
+        # downstream filter/take (fixed-width nulls materialize full cells)
+        cols = {}
+        for c in reps.column_names:
+            arr = reps[c].combine_chunks()
+            if pa.types.is_fixed_size_binary(arr.type):
+                arr = arr.cast(pa.binary())
+            cols[c] = arr
+        n_reps = reps.num_rows
+        cols["id1"] = pa.nulls(n_reps, pa.string())
+        cols["id2"] = pa.nulls(n_reps, pa.string())
+        reps_t = pa.table(cols)
         starts = np.flatnonzero(change)
         sizes = np.diff(np.r_[starts, len(d_s)])
-        edges = pd.DataFrame(
-            {
-                "id1": np.repeat(ids_s[starts], sizes - 1),
-                "id2": ids_s[~change],
-            }
-        )
-        for c in part.columns:
-            if c not in edges.columns:
-                edges[c] = None
-        return pd.concat([reps, edges[reps.columns]], ignore_index=True)
+        e1 = np.repeat(ids_s[starts], sizes - 1)
+        e2 = ids_s[~change]
+        edge_cols = {}
+        for c in reps_t.column_names:
+            if c == "id1":
+                edge_cols[c] = pa.array(e1, pa.string())
+            elif c == "id2":
+                edge_cols[c] = pa.array(e2, pa.string())
+            else:
+                edge_cols[c] = pa.nulls(len(e2), reps_t[c].type)
+        return pa.concat_tables([reps_t, pa.table(edge_cols)])
 
-    return partitioned_group_apply(
-        ds_with_digest, ["digest"], split, num_partitions
+    return exchange_group_apply(
+        ds_with_digest, "digest", split, num_partitions
     )
 
 

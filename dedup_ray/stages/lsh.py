@@ -227,22 +227,33 @@ def candidate_pairs(
     (``hash_join(left_prep=…)``).
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
+    from dedup_ray.util.exchange import exchange_group_apply
 
     cfg = config or DedupConfig()
 
-    def buckets_to_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    def buckets_to_pairs_arrow(part: pa.Table) -> pa.Table:
+        df = part.select([id_col, "band", "bhash"]).to_pandas()
         pairs, _ = emit_bucket_pairs(
-            part, ["band", "bhash"], id_col, cfg.max_band_group, cfg.hot_window
+            df, ["band", "bhash"], id_col, cfg.max_band_group, cfg.hot_window
         )
-        return pairs
+        # batch-local pair dedup rides along (cross-band dups are removed
+        # globally by the verify exchange's left_prep)
+        pairs = pairs.drop_duplicates(subset=["id1", "id2"])
+        return pa.table(
+            {
+                "id1": pa.array(pairs["id1"], pa.string()),
+                "id2": pa.array(pairs["id2"], pa.string()),
+                "capped": pa.array(pairs["capped"], pa.bool_()),
+            }
+        )
 
-    pairs = partitioned_group_apply(
-        bands_ds, ["band", "bhash"], buckets_to_pairs, cfg.num_partitions
+    pairs = exchange_group_apply(
+        bands_ds, ["band", "bhash"], buckets_to_pairs_arrow, cfg.num_partitions
     )
+    if not global_dedup:
+        return pairs
 
     def dedup(part: pd.DataFrame) -> pd.DataFrame:
         return part.drop_duplicates(subset=["id1", "id2"])
 
-    if not global_dedup:
-        return pairs.map_batches(dedup, batch_format="pandas")
     return partitioned_group_apply(pairs, ["id1", "id2"], dedup, cfg.num_partitions)

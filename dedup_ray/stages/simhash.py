@@ -118,11 +118,26 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
             }
         )
 
-    edges = partitioned_group_apply(
-        rows, ["sband", "sbits"], buckets_to_edges, cfg.num_partitions
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def buckets_to_edges_arrow(part: pa.Table) -> pa.Table:
+        out = buckets_to_edges(part.to_pandas())
+        return pa.table(
+            {
+                "id1": pa.array(out["id1"], pa.string()),
+                "id2": pa.array(out["id2"], pa.string()),
+                "hamming": pa.array(out["hamming"], pa.int64()),
+            }
+        )
+
+    edges = exchange_group_apply(
+        rows, ["sband", "sbits"], buckets_to_edges_arrow, cfg.num_partitions
     )
 
-    def dedup(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(subset=["id1", "id2"])
+    def dedup_arrow(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["id1", "id2"])
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return partitioned_group_apply(edges, ["id1", "id2"], dedup, cfg.num_partitions)
+    return exchange_group_apply(
+        edges, ["id1", "id2"], dedup_arrow, cfg.num_partitions
+    )

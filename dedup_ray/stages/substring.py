@@ -228,24 +228,29 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
             max_df=cfg.boilerplate_max_df,
         )
         n_pairs = len(pairs)
-        return pd.DataFrame(
+        # int64 chash values use the full signed-64 range; arrow int64 with
+        # nulls carries them exactly (a float column would corrupt > 2^53)
+        return pa.table(
             {
-                "id1": pd.Series(
-                    list(pairs["id1"]) + [None] * len(hot), dtype=object
+                "id1": pa.array(
+                    list(pairs["id1"]) + [None] * len(hot), pa.string()
                 ),
-                "id2": pd.Series(
-                    list(pairs["id2"]) + [None] * len(hot), dtype=object
+                "id2": pa.array(
+                    list(pairs["id2"]) + [None] * len(hot), pa.string()
                 ),
-                # nullable Int64: chash values use the full signed-64 range;
-                # a float column would corrupt them past 2^53
-                "hot_chash": pd.Series(
-                    [None] * n_pairs + list(hot), dtype="Int64"
+                "hot_chash": pa.array(
+                    [None] * n_pairs + [int(h) for h in hot], pa.int64()
                 ),
             }
         )
 
-    return partitioned_group_apply(
-        chunk_rows, ["chash"], buckets, cfg.num_partitions
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def buckets_arrow(part: pa.Table) -> pa.Table:
+        return buckets(part.to_pandas())
+
+    return exchange_group_apply(
+        chunk_rows, "chash", buckets_arrow, cfg.num_partitions
     )
 
 
@@ -284,32 +289,51 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
     sharing only a cookie banner never merge.
     """
     from dedup_ray.stages.verify import _rename
-    from dedup_ray.util.dsutil import hash_join
+    from dedup_ray.util.exchange import exchange_join
 
     cfg = config
 
     side = compact_ds.select_columns([id_col, "chunks"])
     s1 = _rename(side, {id_col: "id1", "chunks": "ch1"})
     s2 = _rename(side, {id_col: "id2", "chunks": "ch2"})
-    joined = hash_join(
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        # pairs duplicate once per shared chunk; the exchange co-locates
+        # all (id1, *) rows, so a partition-local dedup is globally exact
+        import pandas as pd
+
+        mask = ~pd.DataFrame(
+            {"a": t["id1"].to_pandas(), "b": t["id2"].to_pandas()}
+        ).duplicated().to_numpy()
+        if mask.all():
+            return t
+        return t.filter(pa.array(mask))
+
+    ch_t = pa.binary()
+    joined = exchange_join(
         pairs_ds.select_columns(["id1", "id2"]),
         s1,
         on="id1",
-        left_cols=["id1", "id2"],
-        right_cols=["id1", "ch1"],
         num_partitions=cfg.num_partitions,
-        # pairs duplicate once per shared chunk; the join co-locates all
-        # (id1, *) rows, so a partition-local dedup is globally exact and
-        # a dedicated dedup shuffle is unnecessary
-        left_prep=lambda df: df.drop_duplicates(subset=["id1", "id2"]),
+        left_prep=dedup_pairs,
+        empty_schema=pa.schema(
+            [("id1", pa.string()), ("id2", pa.string()), ("ch1", ch_t)]
+        ),
+        return_refs=True,  # chained straight into the id2 exchange
     )
-    joined = hash_join(
+    joined = exchange_join(
         joined,
         s2,
         on="id2",
-        left_cols=["id1", "id2", "ch1"],
-        right_cols=["id2", "ch2"],
         num_partitions=cfg.num_partitions,
+        empty_schema=pa.schema(
+            [
+                ("id1", pa.string()),
+                ("id2", pa.string()),
+                ("ch1", ch_t),
+                ("ch2", ch_t),
+            ]
+        ),
     )
 
     import ray
@@ -380,19 +404,22 @@ def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     )
     hot = frozenset(r["hot_chash"] for r in hot_rows.take_all())
 
+    # Batch-local pair dedup only (a pair repeats once per shared chunk,
+    # often ~100x): shrinks the narrow stream cheaply.  The GLOBAL dedup
+    # rides the first verify exchange — its split wave co-partitions all
+    # (id1, *) rows before the chunk blobs are attached, so left_prep
+    # dedups exactly where a dedicated all-to-all round used to.
+    def local_dedup(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"id1": t["id1"].to_pandas(), "id2": t["id2"].to_pandas()}
+        )
+        mask = ~df.duplicated().to_numpy()
+        return t.filter(pa.array(mask)) if not mask.all() else t
+
     pairs = mixed.map_batches(
-        lambda t: t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"]),
+        lambda t: local_dedup(
+            t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"])
+        ),
         batch_format="pyarrow",
     )
-
-    # Narrow (id1,id2) dedup BEFORE the chunk-blob joins: a containment
-    # pair is emitted once per shared chunk (often ~100x for long shared
-    # runs), and shipping that duplicate stream through the ~KB/row chunk
-    # attach joins costs far more than one dedup shuffle of two-string rows.
-    def dedup(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(subset=["id1", "id2"])
-
-    cands = partitioned_group_apply(
-        pairs, ["id1", "id2"], dedup, config.num_partitions
-    )
-    return verify_substring_pairs(cands, compact_ds, config, id_col, hot_chunks=hot)
+    return verify_substring_pairs(pairs, compact_ds, config, id_col, hot_chunks=hot)

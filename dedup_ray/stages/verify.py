@@ -65,6 +65,7 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
         empty_schema=pa.schema(
             [("id1", pa.string()), ("id2", pa.string()), ("sig1", sig_t)]
         ),
+        return_refs=True,  # chained straight into the id2 exchange
     )
     return exchange_join(
         joined,

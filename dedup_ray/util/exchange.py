@@ -32,27 +32,49 @@ import ray
 from dedup_ray.util.hashing import stable64_array
 
 
-def _key_parts(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
-    """Partition index per row from a seeded 64-bit hash of the key column."""
+def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Seeded 64-bit hash of one key column (numeric: vectorized splitmix;
+    strings/other: keyed BLAKE2b per value)."""
+    from dedup_ray.util.hashing import mix64
+
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        vals = col.to_numpy(zero_copy_only=False)
+        return mix64(
+            vals.astype(np.int64, copy=False).view(np.uint64)
+            + np.uint64(0x5EED)
+        )
     vals = col.to_pylist()
-    h = stable64_array([v if isinstance(v, str) else str(v) for v in vals],
-                       seed=0x5EED)
+    return stable64_array(
+        [v if isinstance(v, str) else str(v) for v in vals], seed=0x5EED
+    )
+
+
+def _key_parts(block: pa.Table, key, num_partitions: int) -> np.ndarray:
+    """Partition index per row; ``key`` is a column name or list of names
+    (multi-column keys combine per-column hashes)."""
+    names = [key] if isinstance(key, str) else list(key)
+    h = _key_hash(block[names[0]])
+    for nm in names[1:]:
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x9E3779B97F4A7C15) + _key_hash(block[nm])
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 @ray.remote
-def _split_block(block, key: str, num_partitions: int):
+def _split_block(block, key, num_partitions: int):
     if not isinstance(block, pa.Table):  # pandas-born block
         block = pa.Table.from_pandas(block, preserve_index=False)
-    if key not in block.column_names:
+    names = [key] if isinstance(key, str) else list(key)
+    if any(nm not in block.column_names for nm in names):
         if block.num_rows == 0:
             # Ray map_groups emits zero-row blocks with EMPTY schema when a
             # task receives no groups; route the void block everywhere
             return tuple(block for _ in range(num_partitions))
         raise KeyError(
-            f"exchange key {key!r} missing; block schema: {block.column_names}"
+            f"exchange key {names!r} missing; block schema: {block.column_names}"
         )
-    parts = _key_parts(block[key], num_partitions)
+    parts = _key_parts(block, key, num_partitions)
     order = np.argsort(parts, kind="stable")
     sorted_tbl = block.take(pa.array(order))
     bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
@@ -81,6 +103,8 @@ def _reduce(reduce_fn, counts, *flat_chunks):
 
 
 def _block_refs(ds) -> list:
+    if isinstance(ds, list):  # already a list of table refs (chained)
+        return ds
     mat = ds.materialize()
     try:
         bundles = mat.iter_internal_ref_bundles()
@@ -91,16 +115,21 @@ def _block_refs(ds) -> list:
 
 def hash_exchange(
     datasets: list,
-    keys: list[str],
+    keys: list,
     reduce_fn,
     num_partitions: int = 32,
-) -> "ray.data.Dataset":
+    return_refs: bool = False,
+):
     """Co-partition ``datasets[i]`` on ``keys[i]``; apply ``reduce_fn`` per
     partition.
 
     ``reduce_fn(t0, t1, ..., tn) -> pa.Table`` receives one Arrow table per
     input stream, containing every row whose key hashes to the partition.
-    Returns a Dataset of the reduce outputs (lazy over the result refs).
+    Each entry of ``datasets`` is a Dataset OR a list of Arrow-table refs
+    (the output of a previous exchange with ``return_refs=True`` — chaining
+    refs skips a metadata re-materialization barrier per hop).  ``keys[i]``
+    is a column name or list of names.  Returns a Dataset over the reduce
+    outputs, or the raw ref list when ``return_refs``.
     """
     import ray.data
 
@@ -125,7 +154,22 @@ def hash_exchange(
             for block_parts in stream
         ]
         out_refs.append(_reduce.remote(reduce_fn, counts, *flat))
+    if return_refs:
+        return out_refs
     return ray.data.from_arrow_refs(out_refs)
+
+
+def exchange_group_apply(
+    ds,
+    key,
+    fn,
+    num_partitions: int = 32,
+    return_refs: bool = False,
+):
+    """Raw-exchange analog of ``partitioned_group_apply``: hash-partition on
+    ``key`` (name or list of names), apply ``fn(pa.Table) -> pa.Table`` once
+    per partition.  Every row of one key lands whole in one call."""
+    return hash_exchange([ds], [key], fn, num_partitions, return_refs)
 
 
 def exchange_join(
@@ -137,6 +181,7 @@ def exchange_join(
     left_prep=None,
     post=None,
     empty_schema: pa.Schema | None = None,
+    return_refs: bool = False,
 ):
     """Arrow-native equi-join on the raw-task exchange.
 
@@ -182,5 +227,5 @@ def exchange_join(
         return out.combine_chunks()
 
     return hash_exchange(
-        [left_ds, right_ds], [on, on], reduce_fn, num_partitions
+        [left_ds, right_ds], [on, on], reduce_fn, num_partitions, return_refs
     )
