@@ -210,8 +210,13 @@ def run_scaling() -> None:
     ±30% run-to-run wall-time variance from host contention, and best-of-2
     is the cheapest robust estimator of attainable throughput.
     """
+    # Default N=2 → 4N=8: the pair where one shared box still has enough
+    # uncontended physical resources that CPU-count scaling is a faithful
+    # stand-in for node-count scaling (beyond ~8-16 workers this VM's
+    # host saturates and every workload plateaus — see BASELINE.md, which
+    # reports 4→16 and 8→32 alongside).  Override with SCALING_CPUS=lo,hi.
     lo_cpus, hi_cpus = (
-        int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("SCALING_CPUS", "2,8").split(",")
     )
     results = {}
     for cpus in (lo_cpus, hi_cpus):
