@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",
     "simhash_docs",
     "lang_id_docs",
+    "embed_pair_features",
+    "ann_topk_ivf",
+    "logistic_score_embeddings",
+    "focus_org_bag_parts",
+    "embed_cosine_dedup_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
