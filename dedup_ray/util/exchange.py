@@ -20,6 +20,16 @@ key lands in exactly one partition — reduce_fn may treat its partition as
 globally complete for its keys.  Blocks stay zero-copy Arrow throughout;
 the object store handles cross-node movement and spilling on a real
 cluster.
+
+At-scale accounting: the driver holds a blocks × partitions ObjectRef
+matrix (~100 B/ref).  At 10^12 docs with 1 GB blocks that is ~10^5 blocks
+× 1024 partitions ≈ 10^8 refs ≈ 10 GB of driver metadata — at THAT size
+either raise the block size, make the exchange hierarchical (exchange
+within each node group, then across groups — same primitive applied
+twice), or fall back to Ray Data's sort shuffle for the single largest
+all-to-all while keeping this exchange for the payload-carrying joins
+where the pandas-boxing tax dominates.  Per-row key hashing and the
+two-wave structure are unchanged in all three variants.
 """
 
 from __future__ import annotations
