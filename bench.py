@@ -136,12 +136,29 @@ def run_headline(
     t0 = time.perf_counter()
     pages = pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat)
     clusters, _ = dedup_pipeline(pages, cfg)
-    n_docs = clusters.count()  # consumes the stream
+    clusters = clusters.materialize()
+    n_docs = clusters.count()
     elapsed = time.perf_counter() - t0
+    # Quality gate OUTSIDE the timed window: throughput is only meaningful
+    # at recall — score predicted clusters against the corpus's implied
+    # truth (BASELINE.md: docs/sec at dup-pair recall >= 0.99).  The
+    # implied truth knows only the PLANTED copies per base doc; the source
+    # `documents` table additionally contains genuine cross-doc near-dups
+    # (~445k same-source pairs with token-jaccard >= 0.5 at sf0.1), which
+    # the pipeline correctly merges — so the precision vs this truth is a
+    # LOWER BOUND, not a defect measure (full-truth precision is covered
+    # by the planted_pages pytest corpus at 1.0).
+    from dedup_ray.ops.evaluate import pairwise_prf_ds
+    from dedup_ray.sources.pages import amplified_truth
+
+    truth = amplified_truth(sf_dir, amplify)
+    prf = pairwise_prf_ds(clusters, truth, id_col="url", num_partitions=16)
     return {
         "sec": round(elapsed, 3),
         "docs": n_docs,
         "docs_per_sec": round(n_docs / elapsed, 1),
+        "dup_pair_recall": round(prf["recall"], 4),
+        "dup_pair_precision_lb": round(prf["precision"], 4),
     }
 
 
@@ -201,6 +218,10 @@ def main() -> None:
                     "num_cpus": NUM_CPUS,
                     "docs": headline["docs"],
                     "docs_per_sec": headline["docs_per_sec"],
+                    "dup_pair_recall": headline.get("dup_pair_recall"),
+                    "dup_pair_precision_lb": headline.get(
+                        "dup_pair_precision_lb"
+                    ),
                 }
             )
         )

@@ -240,3 +240,37 @@ def pages_from_documents(
     # per call keeps enough tasks in flight to fill the pool (and the block
     # count it produces sets the width of every downstream sort-reduce).
     return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=64)
+
+
+def amplified_truth(sf_dir: str, amplify: int):
+    """Ground-truth clusters implied by :func:`pages_from_documents` urls.
+
+    Copy classes per base doc ``d``: ``k == 0`` (original) and
+    ``k % 3 ∈ {1, 2}`` (exact mirror / near-dup) belong to cluster
+    ``…/v/0``; ``k % 3 == 0, k > 0`` (unique pages) are singletons.
+    Returns Dataset(url, cluster_id) — drives the bench's recall report.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = ray.data.from_arrow(
+        [src.slice(i, 256) for i in range(0, src.num_rows, 256)]
+    )
+
+    def truth(batch: pa.Table) -> pa.Table:
+        urls, cids = [], []
+        for doc_id in batch["doc_id"].to_pylist():
+            root = f"https://doc{doc_id}.example/v/0"
+            for k in range(amplify):
+                url = f"https://doc{doc_id}.example/v/{k}"
+                urls.append(url)
+                cids.append(root if (k == 0 or k % 3 in (1, 2)) else url)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "cluster_id": pa.array(cids, pa.string()),
+            }
+        )
+
+    return ds.map_batches(truth, batch_format="pyarrow", batch_size=256)

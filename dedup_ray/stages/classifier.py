@@ -93,6 +93,25 @@ def load_model(path: str) -> tuple[dict, list[str]]:
     return model, [str(c) for c in z["feature_cols"]]
 
 
+def feature_importance(model: dict, feature_names: list[str]) -> "object":
+    """O6 (``classifier.py:345-347``): per-feature importance table.
+
+    For the standardized logistic model, |w_j| is the direct analog of the
+    reference's ``feature_importances_`` series (features are z-scored, so
+    weight magnitudes are comparable).  Returns a pandas Series indexed by
+    feature name, sorted descending — `.to_csv(path)` reproduces the
+    reference's export.
+    """
+    import pandas as pd
+
+    w = np.abs(np.asarray(model["w"], dtype=np.float64))
+    if len(feature_names) == 1 and len(w) > 1:  # one vector column
+        feature_names = [f"{feature_names[0]}[{i}]" for i in range(len(w))]
+    return pd.Series(w, index=feature_names, name="importance").sort_values(
+        ascending=False
+    )
+
+
 def predict_proba(model: dict, X: np.ndarray) -> np.ndarray:
     Xs = (np.asarray(X, dtype=np.float64) - model["mean"]) / model["std"]
     return _sigmoid(Xs @ model["w"] + model["b"])

@@ -102,3 +102,19 @@ def test_pair_features_match_reference_formulas():
             assert row["dist"] == pytest.approx(dist, abs=1e-6)
             assert row["angle"] == pytest.approx(angle, abs=1e-6)
             assert row["lenmul"] == pytest.approx(lenmul, abs=1e-6)
+
+
+def test_feature_importance_export(tmp_path):
+    """O6: separable dim dominates; CSV export round-trips."""
+    from dedup_ray.stages.classifier import feature_importance
+
+    X, y = _planted(n=300, d=6)
+    model = train_logistic(X, y)
+    imp = feature_importance(model, [f"f{i}" for i in range(6)])
+    assert imp.index[0] == "f0"  # the planted separable dimension
+    path = tmp_path / "imp.csv"
+    imp.to_csv(path)
+    assert path.read_text().splitlines()[1].startswith("f0,")
+
+    vec = feature_importance(model, ["embedding"])
+    assert list(vec.index)[0].startswith("embedding[")
