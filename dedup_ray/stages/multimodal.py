@@ -89,3 +89,192 @@ def make_media_table(n: int = 32, width: int = 8, height: int = 8) -> pa.Table:
             "media_type": pa.array(["image/raw-rgb"] * n),
         }
     )
+
+
+class ImageResize:
+    """Actor: nearest-neighbor resize of raw-RGB payloads (REAL kernel —
+    no codec needed for raw frames; ``backend='pil'`` is the encoded-image
+    path, stubbed here).  Output keeps the binary-payload schema so resize
+    chains into decode/feature stages."""
+
+    def __init__(self, out_w: int, out_h: int, backend: str = "raw") -> None:
+        self.out_w, self.out_h = out_w, out_h
+        if backend == "pil":  # pragma: no cover - env-dependent
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "PIL backend requires pillow; use backend='raw'"
+                ) from e
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        ow, oh = self.out_w, self.out_h
+        for payload, w, h in zip(
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+            yi = (np.arange(oh) * h // oh).astype(np.int64)
+            xi = (np.arange(ow) * w // ow).astype(np.int64)
+            out.append(arr[yi][:, xi].tobytes())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([ow] * n, pa.int32()),
+                "height": pa.array([oh] * n, pa.int32()),
+                "media_type": batch["media_type"],
+            }
+        )
+
+
+def resize_images(media_ds, out_w: int, out_h: int, concurrency: int = 2,
+                  batch_size: int = 64):
+    return media_ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class VideoFrameSample:
+    """Actor: raw-frame 'video' (concatenated RGB frames) → every Nth frame
+    as its own image row — the fan-out (flat_map) media shape.  Encoded
+    containers (``backend='ffmpeg'``) are stubbed; raw sampling is real."""
+
+    def __init__(self, every: int = 2, backend: str = "raw") -> None:
+        self.every = every
+        if backend == "ffmpeg":  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "ffmpeg backend not available in this environment; "
+                "use backend='raw'"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames, ws, hs = [], [], [], [], []
+        for mid, payload, w, h, nf in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            fsize = w * h * 3
+            for k in range(0, nf, self.every):
+                ids.append(mid)
+                fidx.append(k)
+                frames.append(payload[k * fsize : (k + 1) * fsize])
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "media_type": pa.array(["image/raw-rgb"] * len(ids)),
+            }
+        )
+
+
+def sample_video_frames(video_ds, every: int = 2, concurrency: int = 2,
+                        batch_size: int = 8):
+    """Tiny batches: video rows are the widest payloads in the engine."""
+    return video_ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioWindow:
+    """Actor: int16-PCM audio → fixed-length windows with RMS energy
+    (real kernel over raw PCM; encoded codecs stubbed)."""
+
+    def __init__(self, window_samples: int = 1024, backend: str = "raw") -> None:
+        self.window = window_samples
+        if backend != "raw":  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "codec backends not available; use backend='raw'"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widx, rms = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            pcm = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+            n_win = max(1, len(pcm) // self.window)
+            trimmed = pcm[: n_win * self.window].reshape(n_win, -1)
+            e = np.sqrt((trimmed**2).mean(axis=1))
+            ids.extend([mid] * n_win)
+            widx.extend(range(n_win))
+            rms.extend(np.round(e, 6).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "window_idx": pa.array(widx, pa.int32()),
+                "rms": pa.array(rms, pa.float64()),
+            }
+        )
+
+
+def window_audio(audio_ds, window_samples: int = 1024, concurrency: int = 2,
+                 batch_size: int = 32):
+    return audio_ds.map_batches(
+        AudioWindow,
+        fn_constructor_kwargs={"window_samples": window_samples},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def make_video_table(n: int = 4, width: int = 8, height: int = 8,
+                     n_frames: int = 6) -> pa.Table:
+    """Deterministic raw-frame video fixture."""
+    ids = [f"v{i:04d}" for i in range(n)]
+    payloads = [
+        b"".join(
+            fake_image(f"{i}/f{k}", width, height) for k in range(n_frames)
+        )
+        for i in ids
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([width] * n, pa.int32()),
+            "height": pa.array([height] * n, pa.int32()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "media_type": pa.array(["video/raw-rgb"] * n),
+        }
+    )
+
+
+def make_audio_table(n: int = 8, n_samples: int = 4096) -> pa.Table:
+    """Deterministic int16-PCM audio fixture."""
+    ids = [f"a{i:04d}" for i in range(n)]
+    payloads = []
+    for i in ids:
+        rng = np.random.default_rng(stable64(f"pcm:{i}"))
+        payloads.append(
+            rng.integers(-32768, 32767, size=n_samples, dtype=np.int16).tobytes()
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "media_type": pa.array(["audio/pcm-s16le"] * n),
+        }
+    )

@@ -197,3 +197,46 @@ def test_multimodal_decode_plumbing():
     a = [tuple(m) for m in out.sort_values("media_id")["rgb_mean"]]
     b = [tuple(m) for m in out2.sort_values("media_id")["rgb_mean"]]
     assert a == b
+
+
+def test_image_resize_chain_into_decode():
+    from dedup_ray.stages.multimodal import (
+        decode_images,
+        make_media_table,
+        resize_images,
+    )
+
+    media = rd.from_arrow(make_media_table(n=6, width=8, height=8))
+    resized = resize_images(media, out_w=4, out_h=4, concurrency=1)
+    out = decode_images(resized, concurrency=1).to_pandas()
+    assert len(out) == 6
+    assert all(len(m) == 3 for m in out["rgb_mean"])
+    # nearest-neighbor of a constant-ish image keeps channel means in range
+    assert out["rgb_mean"].map(lambda m: all(0 <= v <= 255 for v in m)).all()
+
+
+def test_video_frame_sampling_fan_out():
+    from dedup_ray.stages.multimodal import make_video_table, sample_video_frames
+
+    vids = rd.from_arrow(make_video_table(n=3, n_frames=6))
+    frames = sample_video_frames(vids, every=2, concurrency=1).to_pandas()
+    assert len(frames) == 3 * 3  # frames 0, 2, 4 per video
+    assert sorted(frames["frame_idx"].unique()) == [0, 2, 4]
+    # each sampled frame is a full raw image payload
+    assert frames["payload"].map(len).eq(8 * 8 * 3).all()
+
+
+def test_audio_windows_rms():
+    from dedup_ray.stages.multimodal import make_audio_table, window_audio
+
+    audio = rd.from_arrow(make_audio_table(n=4, n_samples=4096))
+    wins = window_audio(audio, window_samples=1024, concurrency=1).to_pandas()
+    assert len(wins) == 4 * 4
+    assert (wins["rms"] > 0).all()
+    # deterministic: same fixture → same energies
+    wins2 = window_audio(
+        rd.from_arrow(make_audio_table(n=4, n_samples=4096)),
+        window_samples=1024, concurrency=1,
+    ).to_pandas()
+    assert wins.sort_values(["media_id", "window_idx"])["rms"].tolist() == \
+        wins2.sort_values(["media_id", "window_idx"])["rms"].tolist()
