@@ -802,6 +802,53 @@ def logistic_score_embeddings(sf_dir: str):
     return score_with_model(emb, path).select_columns(["vec_id", "score", "pred"])
 
 
+def window_hopping_events(sf_dir: str):
+    """Hopping window (size 2h, hop 1h) per event_type: each event belongs
+    to TWO overlapping windows — emitted by a flat-map explode (window_id =
+    hop index of the window START), then one grouped aggregate.  The
+    overlap factor is bounded (size/hop), so the explode multiplies the
+    stream by a constant, not the key cardinality."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hop = 3_600_000_000  # 1h in us
+    k = 2  # size / hop
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // hop
+        parts = []
+        for j in range(k):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_id": pa.array(base - j),
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": t["window_id"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(t["sum_value"], ndigits=2),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def embed_cosine_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup edges within label blocks (cos >= 0.3),
     vectorized gram matrix per block.  Oracle: list_cosine_similarity."""
@@ -1220,6 +1267,19 @@ def _lang_id_oracle() -> str:
 
 ORACLES["lang_id_docs"] = _lang_id_oracle()
 
+ORACLES["window_hopping_events"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS base, value
+        FROM events),
+    x AS (
+        SELECT event_type, base - j AS window_id, value
+        FROM e, (SELECT unnest([0, 1]) AS j))
+    SELECT event_type, window_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM x GROUP BY event_type, window_id
+"""
+
 ORACLES["embed_cosine_dup_pairs"] = """
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -1395,6 +1455,7 @@ QUERIES = {
     "group_collect_lang": group_collect_lang,
     "eval_source_vs_lang": eval_source_vs_lang,
     "window_tumbling_events": window_tumbling_events,
+    "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
     "ann_topk": ann_topk,
     "exact_dedup_docs": exact_dedup_docs,

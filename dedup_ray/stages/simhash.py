@@ -93,7 +93,6 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     dedup over verified pairs only.  Output: Dataset(id1, id2, hamming).
     """
     from dedup_ray.stages.lsh import emit_bucket_pairs
-    from dedup_ray.util.dsutil import partitioned_group_apply
 
     cfg = config
     rows = simhash_band_explode(compact_ds, cfg, id_col)

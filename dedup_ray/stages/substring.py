@@ -393,8 +393,6 @@ def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     """
     import pyarrow.compute as pc
 
-    from dedup_ray.util.dsutil import partitioned_group_apply
-
     rows = explode_chunks(compact_ds, config, id_col)
     mixed = chunk_buckets_with_census(rows, config, id_col).materialize()
 

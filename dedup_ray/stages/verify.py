@@ -14,7 +14,6 @@ plan: candidates ≪ corpus, and the joins hash-partition on the same key.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from dedup_ray.config import DedupConfig
