@@ -93,8 +93,24 @@ def pairwise_prf_ds(pred_ds, truth_ds, id_col: str = "url",
 
     t = truth_ds.map_batches(rn("_gt"), batch_format="pyarrow")
     p = pred_ds.map_batches(rn("_pred"), batch_format="pyarrow")
-    joined = t.join(
-        p, join_type="left_outer", num_partitions=num_partitions, on=(id_col,)
+    # raw-task exchange, not Dataset.join: the aggregator-actor pool a
+    # Dataset.join spins up reserves CPU off the whole cluster and
+    # DEADLOCKS outright at low CPU counts (observed hanging a 2-CPU run)
+    from dedup_ray.util.exchange import exchange_join
+
+    joined = exchange_join(
+        t,
+        p,
+        on=id_col,
+        how="left",
+        num_partitions=num_partitions,
+        empty_schema=pa.schema(
+            [
+                (id_col, pa.string()),
+                ("cluster_id_gt", pa.string()),
+                ("cluster_id_pred", pa.string()),
+            ]
+        ),
     )
 
     def fill_missing(batch: pa.Table) -> pa.Table:
