@@ -18,7 +18,42 @@ Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
 owned by the caller (tests, bench.py, or the driver).
 """
 
-from dedup_ray.config import DedupConfig
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` import race-free.
+
+    Ray's parquet path resolution probes that module on EVERY read/write
+    plan, catching only ``ModuleNotFoundError``.  Here aiohttp is absent, so
+    the module raises partway through execution; two driver threads planning
+    concurrently (parallel branch/part materialization) can race the import
+    machinery and leave a half-initialized module in ``sys.modules`` — later
+    probes then die with a bare ``ImportError: cannot import name
+    'HTTPFileSystem'`` that Ray does not catch.  Installing a stub module
+    (with an ``HTTPFileSystem`` class nothing will ever be an instance of)
+    makes every subsequent probe deterministic: ``_is_http_filesystem``'s
+    isinstance checks simply return False.
+    """
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import fsspec.implementations
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # noqa: N801 - mirrors the real class name
+            def __init__(self, *a, **kw):
+                raise ImportError("aiohttp is not available in this environment")
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+        fsspec.implementations.http = stub
+
+
+_stabilize_fsspec_http()
+
+from dedup_ray.config import DedupConfig  # noqa: E402
 
 __all__ = ["DedupConfig"]
 __version__ = "0.1.0"

@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bands", type=int, default=None)
     ap.add_argument("--jaccard-threshold", type=float, default=None)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--sign-parts", type=int, default=0,
+                    help="with --checkpoint-dir: split the input files into "
+                    "this many groups and commit the signature stage per "
+                    "group, so a killed run re-signs only unfinished groups; "
+                    "0 = whole-stage checkpoint")
     ap.add_argument("--output-buckets", type=int, default=0,
                     help="write output via the partition-granular resumable "
                     "sink with this many key-hash buckets (rerun skips "
@@ -69,6 +74,22 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(args.input)
+    pages_parts = None
+    if args.sign_parts and args.checkpoint_dir:
+        import os
+
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dns, fns in os.walk(args.input)
+            for f in fns
+            if f.endswith(".parquet")
+        ) or [args.input]
+        n = min(args.sign_parts, len(files))
+        groups = [files[i::n] for i in range(n)]
+        pages_parts = [
+            (f"{i:04d}", (lambda g=g: ray.data.read_parquet(g)))
+            for i, g in enumerate(groups)
+        ]
     clusters, ctx = dedup_pipeline(
         pages,
         cfg,
@@ -77,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         use_simhash=args.simhash,
         use_substring=not args.no_substring,
+        pages_parts=pages_parts,
     )
     buckets = {}
     if args.output_buckets:
@@ -102,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_per_sec": round(n / wall, 1),
                 "config_hash": cfg.config_hash(),
                 "resumed_stages": ctx.hits if ctx else [],
+                "resumed_parts": len(ctx.part_hits) if ctx else 0,
                 "output": args.output,
                 **buckets,
             }

@@ -71,11 +71,18 @@ def dedup_pipeline(
     use_minhash: bool = True,
     use_simhash: bool = True,
     use_substring: bool = True,
+    pages_parts: list | None = None,
 ):
     """pages → clusters Dataset(id_col, cluster_id).
 
     Returns ``(clusters_ds, ctx)`` where ctx is the CheckpointContext (or
     None when checkpointing is off).
+
+    ``pages_parts`` — optional ``[(part_id, fn)]`` where ``fn() -> Dataset``
+    yields one slice of the pages input (e.g. one input-file group).  With
+    ``checkpoint_dir`` set, the signature stage then commits per part and a
+    rerun re-signs only uncommitted parts (``CheckpointContext.
+    run_stage_parts``); ``pages_ds`` is ignored for signing in that case.
     """
     cfg = config or DedupConfig()
     # Lineage covers the pipeline SHAPE, not just cfg: rerunning the same
@@ -118,18 +125,34 @@ def dedup_pipeline(
             )
         return ds
 
-    compact = stage(
-        "signatures",
-        lambda: compact_signature_table(
-            pages_ds,
+    def _sign(part_pages):
+        return compact_signature_table(
+            part_pages,
             cfg,
             id_col,
             extract,
             with_simhash=use_simhash,
             with_chunks=use_substring,
-        ),
-        materialize=True,  # consumed by every path: edges, joins, final ids
-    )
+        )
+
+    if pages_parts is not None and ctx is not None:
+        t0 = _time.perf_counter()
+        compact = ctx.run_stage_parts(
+            "signatures",
+            [(pid, (lambda f=fn: _sign(f()))) for pid, fn in pages_parts],
+        )
+        if timing:
+            print(
+                f"[stage-timing] signatures(parts): "
+                f"{_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+    else:
+        compact = stage(
+            "signatures",
+            lambda: _sign(pages_ds),
+            materialize=True,  # consumed by every path: edges, joins, final ids
+        )
 
     def _pin(ds):
         """Force (id1: string, id2: string) so empty parts union cleanly.

@@ -10,10 +10,13 @@ wall time and the part-file list.  On rerun, a stage whose manifest matches
 the current config hash is *read back* instead of recomputed — the config
 hash plays the role of make's mtime staleness check.
 
-Granularity note: this checkpoints at stage boundaries (as make does — one
-recipe = one unit), and each stage's Parquet is partitioned, so a restarted
-run skips every completed stage and re-streams only the stage that was
-in flight when the run died.
+Granularity note: ``run_stage`` checkpoints at stage boundaries (as make
+does — one recipe = one unit).  ``run_stage_parts`` goes one level finer for
+the expensive streaming stages (the signature pass): the stage's INPUT is
+split into named parts, each part's output commits atomically
+(``data/part-<id>`` dir rename), and a rerun recomputes only uncommitted
+parts — a run that dies 80% through the corpus re-signs only the missing
+20%.  ``dedup_ray.state.partwrite`` applies the same idea to the final sink.
 """
 
 from __future__ import annotations
@@ -38,6 +41,47 @@ except Exception:
 _PLAN_LOCK = threading.Lock()
 
 
+def _write_parquet_pinned(ds, out_dir: str) -> None:
+    """Write ``ds`` to ``out_dir``; pin the schema if it wrote no files.
+
+    An empty dataset writes no part files; writing the schema's empty table
+    keeps the checkpoint readable (and unions keep their column types).
+    """
+    ds.write_parquet(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", None) or pa.schema(
+            [(n, t) for n, t in zip(schema.names, schema.types)]
+        )
+        pq.write_table(
+            arrow_schema.empty_table(), os.path.join(out_dir, "empty.parquet")
+        )
+
+
+def _part_lineage(data_dir: str) -> list[dict]:
+    """Rows + bytes per parquet file straight from footers (no Dataset pass)."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for fname in sorted(filenames):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(dirpath, fname)
+            parts.append(
+                {
+                    "file": os.path.relpath(fpath, data_dir),
+                    "rows": pq.read_metadata(fpath).num_rows,
+                    "bytes": os.stat(fpath).st_size,
+                }
+            )
+    return parts
+
+
 @dataclass
 class CheckpointContext:
     """Tracks hits/misses so tests can assert 'completed work not redone'."""
@@ -46,6 +90,8 @@ class CheckpointContext:
     config_hash: str
     hits: list[str] = field(default_factory=list)
     misses: list[str] = field(default_factory=list)
+    part_hits: list[str] = field(default_factory=list)
+    part_misses: list[str] = field(default_factory=list)
 
     def stage_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -78,22 +124,8 @@ class CheckpointContext:
             shutil.rmtree(tmp_dir)
         t0 = time.monotonic()
         ds = fn()
-        ds.write_parquet(tmp_dir)
+        _write_parquet_pinned(ds, tmp_dir)
         wall = time.monotonic() - t0
-        # an empty dataset writes no part files; pin the schema so the
-        # checkpoint stays readable (and unions keep their column types)
-        os.makedirs(tmp_dir, exist_ok=True)
-        if not any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            schema = ds.schema()
-            arrow_schema = getattr(schema, "base_schema", None) or pa.schema(
-                [(n, t) for n, t in zip(schema.names, schema.types)]
-            )
-            pq.write_table(
-                arrow_schema.empty_table(), os.path.join(tmp_dir, "empty.parquet")
-            )
         if os.path.exists(data_dir):
             import shutil
 
@@ -101,23 +133,9 @@ class CheckpointContext:
         os.rename(tmp_dir, data_dir)
         with _PLAN_LOCK:
             out = ray.data.read_parquet(data_dir)
-        # per-partition lineage: rows + bytes per part file straight from
-        # parquet footers (no extra Dataset pass); a resumed run can skip
-        # or re-read any individual part and metrics ride along
-        import pyarrow.parquet as pq
-
-        parts = []
-        for fname in sorted(os.listdir(data_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            fpath = os.path.join(data_dir, fname)
-            parts.append(
-                {
-                    "file": fname,
-                    "rows": pq.read_metadata(fpath).num_rows,
-                    "bytes": os.stat(fpath).st_size,
-                }
-            )
+        # per-partition lineage: a resumed run can skip or re-read any
+        # individual part and metrics ride along
+        parts = _part_lineage(data_dir)
         manifest = {
             "stage": name,
             "config_hash": self.config_hash,
@@ -130,3 +148,92 @@ class CheckpointContext:
             json.dump(manifest, f, indent=1)
         os.replace(mpath + ".tmp", mpath)
         return out
+
+    def run_stage_parts(
+        self,
+        name: str,
+        parts: list[tuple[str, "object"]],
+        max_concurrent: int = 4,
+    ):
+        """Part-granular stage: each input part commits independently.
+
+        ``parts`` is ``[(part_id, fn)]`` where ``fn() -> Dataset`` computes
+        that part's slice of the stage.  Layout::
+
+            <root>/<name>/stage.json              # config hash (staleness)
+            <root>/<name>/data/part-<id>/         # committed (dir rename)
+            <root>/<name>/data/_tmp.part-<id>/    # in-flight, cleaned
+            <root>/<name>/manifest.json           # written on completion
+
+        A rerun after a mid-stage death recomputes ONLY uncommitted parts
+        (``part_hits``/``part_misses`` record the split).  A config-hash
+        mismatch wipes the whole stage, same as ``run_stage``.  Missing
+        parts run as concurrent streaming jobs (each is map-only over its
+        input slice, so intra-part parallelism already spans the cluster;
+        ``max_concurrent`` bounds driver threads, not cluster width).
+        """
+        import shutil
+        from concurrent.futures import ThreadPoolExecutor
+
+        import ray.data
+
+        sdir = self.stage_dir(name)
+        data_dir = os.path.join(sdir, "data")
+        mpath = os.path.join(sdir, "manifest.json")
+        spath = os.path.join(sdir, "stage.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                if json.load(f).get("config_hash") == self.config_hash:
+                    self.hits.append(name)
+                    with _PLAN_LOCK:
+                        return ray.data.read_parquet(data_dir)
+        # stale or partial: wipe on config mismatch, keep committed parts
+        stage_meta = None
+        if os.path.exists(spath):
+            with open(spath) as f:
+                stage_meta = json.load(f)
+        if stage_meta is not None and stage_meta.get("config_hash") != self.config_hash:
+            shutil.rmtree(sdir, ignore_errors=True)
+        self.misses.append(name)
+        os.makedirs(data_dir, exist_ok=True)
+        with open(spath + ".tmp", "w") as f:
+            json.dump({"stage": name, "config_hash": self.config_hash}, f)
+        os.replace(spath + ".tmp", spath)
+        for entry in os.listdir(data_dir):  # in-flight leftovers from a kill
+            if entry.startswith("_tmp."):
+                shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
+
+        t0 = time.monotonic()
+
+        def run_part(pid: str, fn) -> None:
+            final = os.path.join(data_dir, f"part-{pid}")
+            if os.path.isdir(final):
+                self.part_hits.append(f"{name}/{pid}")
+                return
+            self.part_misses.append(f"{name}/{pid}")
+            tmp = os.path.join(data_dir, f"_tmp.part-{pid}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            _write_parquet_pinned(fn(), tmp)
+            os.rename(tmp, final)  # atomic commit
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = [pool.submit(run_part, pid, fn) for pid, fn in parts]
+            for f in futs:
+                f.result()  # re-raise the first part failure
+
+        wall = time.monotonic() - t0
+        lineage = _part_lineage(data_dir)
+        manifest = {
+            "stage": name,
+            "config_hash": self.config_hash,
+            "rows": sum(p["rows"] for p in lineage),
+            "wall_sec": round(wall, 3),
+            "num_parts": len(parts),
+            "parts": lineage,
+            "written_at": time.time(),
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(mpath + ".tmp", mpath)
+        with _PLAN_LOCK:
+            return ray.data.read_parquet(data_dir)

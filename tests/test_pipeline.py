@@ -65,6 +65,64 @@ def test_resume_skips_completed_stages(tmp_path, corpus):
     assert ctx3.hits == []
 
 
+def test_part_granular_signature_resume(tmp_path, corpus):
+    """Kill mid-signature-stage: committed parts are not recomputed.
+
+    Four input parts; part 0001's loader raises on the first run (the
+    'kill').  The rerun must re-invoke ONLY the uncommitted part's loader,
+    and the final clustering must equal a plain whole-input run.
+    """
+    pages, _ = corpus
+    ckpt = str(tmp_path / "ckpt")
+    n = pages.num_rows
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    slices = [pages.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(4)]
+    calls: list[str] = []
+    fail_once = {"0001": True}
+
+    def make_part(pid, sl):
+        def fn():
+            calls.append(pid)
+            if fail_once.get(pid):
+                fail_once[pid] = False
+                raise RuntimeError("simulated mid-stage death")
+            return rd.from_arrow(sl)
+
+        return fn
+
+    parts = [(f"{i:04d}", make_part(f"{i:04d}", sl)) for i, sl in enumerate(slices)]
+
+    with pytest.raises(RuntimeError, match="mid-stage death"):
+        dedup_pipeline(
+            rd.from_arrow(pages), CFG, checkpoint_dir=ckpt, pages_parts=parts
+        )
+    first_run_calls = list(calls)
+    assert "0001" in first_run_calls
+
+    calls.clear()
+    c2, ctx2 = dedup_pipeline(
+        rd.from_arrow(pages), CFG, checkpoint_dir=ckpt, pages_parts=parts
+    )
+    # only parts that had not committed were recomputed
+    assert "0001" in calls
+    recomputed = set(calls)
+    committed_before = set(first_run_calls) - {"0001"}
+    assert recomputed.isdisjoint(committed_before)
+    assert {h.split("/")[1] for h in ctx2.part_hits} == committed_before
+
+    plain, _ = dedup_pipeline(rd.from_arrow(pages), CFG)
+    da = c2.to_pandas().sort_values("url").reset_index(drop=True)
+    db = plain.to_pandas().sort_values("url").reset_index(drop=True)
+    assert da.equals(db)
+
+    # third run: whole-stage manifest hit, no part loaders invoked
+    calls.clear()
+    _, ctx3 = dedup_pipeline(
+        rd.from_arrow(pages), CFG, checkpoint_dir=ckpt, pages_parts=parts
+    )
+    assert calls == [] and "signatures" in ctx3.hits
+
+
 def test_deterministic_across_parallelism(corpus):
     """Same clusters regardless of batch/block layout (stand-in for N vs 4N)."""
     pages, _ = corpus
