@@ -509,9 +509,72 @@ def exact_dedup_docs(sf_dir: str):
     return as_arrow(ds.groupby("digest").map_groups(keep, batch_format="pandas"))
 
 
+def _planted_recall_row(clusters, n_copies: int) -> pa.Table:
+    """Planted-truth scorecard for a clustering of ``pages_from_documents``.
+
+    With ``amplify=n_copies`` every source doc yields exactly ``n_copies``
+    pages (original + exact mirror + near-dup) forming one truth cluster,
+    so truth-pair totals are pure functions of ``count(documents)`` — which
+    is what makes the oracle SQL-expressible.  ``pairs_recovered`` counts
+    truth pairs whose two pages landed in the same predicted cluster:
+    group pages by (source doc, predicted cluster) and sum C(nc, 2).
+    All aggregation is Ray-side; only the final scalars reach the driver.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def parse_doc(t: pa.Table) -> pa.Table:
+        doc = pc.extract_regex(t["url"], r"//doc(?P<d>\d+)\.")
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.struct_field(doc, "d"), pa.int64()),
+                "cluster_id": t["cluster_id"],
+            }
+        )
+
+    per = (
+        clusters.map_batches(parse_doc, batch_format="pyarrow")
+        .groupby(["doc_id", "cluster_id"])
+        .aggregate(Count(alias_name="nc"))
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        nc = pc.cast(t["nc"], pa.int64())
+        return pa.table(
+            {
+                "n_pages": nc,
+                "pairs_recovered": pc.divide(
+                    pc.multiply(nc, pc.subtract(nc, 1)), 2
+                ),
+            }
+        )
+
+    agg = per.map_batches(pairs, batch_format="pyarrow").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("pairs_recovered", alias_name="pairs_recovered"),
+    )
+    n_pages = int(agg["n_pages"])
+    n_docs = n_pages // n_copies
+    n_truth = n_docs * (n_copies * (n_copies - 1) // 2)
+    recovered = int(agg["pairs_recovered"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_pages": pa.array([n_pages], pa.int64()),
+            "n_truth_pairs": pa.array([n_truth], pa.int64()),
+            "pairs_recovered": pa.array([recovered], pa.int64()),
+            "recall": pa.array(
+                [round(recovered / n_truth, 6) if n_truth else 1.0], pa.float64()
+            ),
+        }
+    )
+
+
 def minhash_dedup_docs(sf_dir: str):
     """Full near-dup pipeline over a pages table amplified from documents
-    (amplify=3 ⇒ planted exact+near dups).  Rows-only check."""
+    (amplify=3 ⇒ per doc: original + exact mirror + 3%-edit near-dup, one
+    truth cluster each).  Emits the planted-truth scorecard row; the oracle
+    derives every column from ``count(documents)`` plus the recall==1.0
+    invariant the pipeline maintains (``evaluate.py:125-128`` semantics)."""
     from dedup_ray.config import DedupConfig
     from dedup_ray.pipelines.dedup import dedup_pipeline
     from dedup_ray.sources.pages import pages_from_documents
@@ -524,7 +587,7 @@ def minhash_dedup_docs(sf_dir: str):
         minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
     )
     clusters, _ = dedup_pipeline(pages, cfg)
-    return clusters
+    return _planted_recall_row(clusters, n_copies=3)
 
 
 def simhash_docs(sf_dir: str):
@@ -622,10 +685,19 @@ def shortpath_source_docs(sf_dir: str):
     )
 
 
-def ann_topk_lsh(sf_dir: str):
-    """Hyperplane-LSH approximate top-k (rows-only; approximate path)."""
-    from dedup_ray.stages.ann import knn_cosine_lsh
+def _ann_recall_vs_exact(sf_dir: str, approx_fn, **kw) -> pa.Table:
+    """Per-query recall@k of an approximate ANN path against the exact one.
 
+    Runs the brute-force top-k (itself oracle-checked as ``ann_topk``) and
+    the approximate path on the same queries, intersects neighbor sets, and
+    emits (query_id, n_exact, n_hits, recall).  Both result sets are
+    n_queries·k rows — tiny by construction — so the set intersection runs
+    driver-side.  The approximate paths are fully seeded, so the recall per
+    query is a deterministic constant at a given sf: the oracle pins the
+    sf0.01 values (the quality bar itself is asserted in tests/test_ann.py
+    on corpora WITH neighbor structure; the sf embeddings are isotropic —
+    the hardest ANN regime — which is exactly why the pinned recalls sit
+    well below 1)."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
         emb.map_batches(
@@ -635,26 +707,40 @@ def ann_topk_lsh(sf_dir: str):
         .sort_values("vec_id")
     )
     qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
-    return knn_cosine_lsh(emb, qdf["vec_id"].tolist(), qvecs, k=10, n_planes=6)
+    qids = qdf["vec_id"].tolist()
+    from dedup_ray.stages.ann import knn_cosine
+
+    exact = knn_cosine(emb, qids, qvecs, k=10).to_pandas()
+    approx = approx_fn(emb, qids, qvecs, k=10, **kw).to_pandas()
+    rows = []
+    for q in qids:
+        e = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
+        rows.append((int(q), len(e), len(e & a), round(len(e & a) / len(e), 2)))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_exact": pa.array([r[1] for r in rows], pa.int64()),
+            "n_hits": pa.array([r[2] for r in rows], pa.int64()),
+            "recall": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def ann_topk_lsh(sf_dir: str):
+    """Multi-table multiprobe hyperplane-LSH ANN, scored against the exact
+    top-k (recall@10 per query; deterministic seeded path, pinned oracle)."""
+    from dedup_ray.stages.ann import knn_cosine_lsh
+
+    return _ann_recall_vs_exact(sf_dir, knn_cosine_lsh)
 
 
 def ann_topk_ivf(sf_dir: str):
-    """IVF approximate top-k (rows-only; clustered scale path — recall vs
-    exact covered by ``tests/test_ann.py``)."""
+    """IVF (coarse k-means lists, nprobe probing) ANN, scored against the
+    exact top-k (recall@10 per query; deterministic seeded path)."""
     from dedup_ray.stages.ann import knn_cosine_ivf
 
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = (
-        emb.map_batches(
-            lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    qvecs = np.asarray([list(v) for v in qdf["embedding"]], dtype=np.float64)
-    return knn_cosine_ivf(
-        emb, qdf["vec_id"].tolist(), qvecs, k=10, n_lists=8, nprobe=3
-    )
+    return _ann_recall_vs_exact(sf_dir, knn_cosine_ivf, n_lists=8, nprobe=4)
 
 
 def focus_org_bag_parts(sf_dir: str):
@@ -782,7 +868,12 @@ def logistic_score_embeddings(sf_dir: str):
     ``classifier.py:343,373,401``), then score the table with an actor pool
     that loads the artifact once per actor (``LogisticScorer.__init__``).
     Training collects only the labeled sample (bounded by design); scoring
-    streams.  Rows-only: training is not SQL-expressible."""
+    streams.  Training is full-batch gradient descent with zero RNG, so the
+    fitted weights are a deterministic function of the table — the oracle
+    pins the standardization-folded weights as SQL constants and recomputes
+    sigmoid(list_dot_product(embedding, w) + b) per row in DuckDB (the
+    folded form and the scorer's (x−mean)/std·w+b differ only at ~1e-13,
+    orders below the 6dp emit rounding)."""
     import os
     import tempfile
 
@@ -799,7 +890,18 @@ def logistic_score_embeddings(sf_dir: str):
     model = train_logistic(X, y)
     path = os.path.join(tempfile.gettempdir(), "dedup_ray_logistic.npz")
     save_model(model, path, ["embedding"])
-    return score_with_model(emb, path).select_columns(["vec_id", "score", "pred"])
+    scored = score_with_model(emb, path)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "score": pc.round(t["score"], ndigits=6),
+                "pred": pc.cast(t["pred"], pa.int64()),
+            }
+        )
+
+    return scored.map_batches(emit, batch_format="pyarrow")
 
 
 def window_hopping_events(sf_dir: str):
@@ -859,22 +961,27 @@ def embed_cosine_dup_pairs(sf_dir: str):
 
 
 def embed_cosine_dedup_docs(sf_dir: str):
-    """Full embedding-cosine near-dup pipeline FROM TEXT: hashed-feature
-    embeddings (deterministic, training-free — the doc2vec-production
-    analog) → per-source cosine edges (cos >= 0.6) → union-find clusters.
-    Rows-only: the seeded 64-bit token hash is not SQL-expressible."""
+    """Full embedding-cosine near-dup pipeline FROM TEXT over the planted
+    amplified corpus: hashed-feature embeddings (deterministic,
+    training-free — the doc2vec-production analog) → per-lang cosine edges
+    (cos >= 0.6) → union-find clusters → planted-truth scorecard.  A 3%
+    token edit moves a bag-of-tokens embedding's cosine ~0.97, far above
+    the 0.6 threshold, so recall over the planted (exact + near) pairs is
+    deterministically 1.0 — which makes the scorecard oracle-expressible
+    even though the seeded 64-bit token hash is not."""
+    from dedup_ray.sources.pages import pages_from_documents
     from dedup_ray.stages.cc import assign_clusters
     from dedup_ray.stages.embed import cosine_dup_edges, embed_docs
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    emb = embed_docs(docs, dim=64, keep_cols=("source",))
+    pages = pages_from_documents(sf_dir, amplify=3)
+    emb = embed_docs(pages, id_col="url", dim=64, keep_cols=("lang",))
     edges = cosine_dup_edges(
-        emb, "source", id_col="doc_id", threshold=0.6
+        emb, "lang", id_col="url", threshold=0.6
     ).select_columns(["id1", "id2"])
-    return assign_clusters(
-        docs.select_columns(["doc_id"]), edges, id_col="doc_id",
-        num_partitions=8,
+    clusters = assign_clusters(
+        pages.select_columns(["url"]), edges, id_col="url", num_partitions=8
     )
+    return _planted_recall_row(clusters, n_copies=3)
 
 
 DISCIPLINE_LISTS: dict[str, frozenset] = {
@@ -1468,14 +1575,76 @@ QUERIES = {
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,
-    # rows-only (non-SQL-expressible: hashing / full pipeline / heuristic)
+    # oracle-checked via planted-truth scorecards / pinned deterministic
+    # constants (the hashes themselves are not SQL-expressible; the
+    # VERIFIABLE CLAIM — recall over planted pairs, recall@k vs the exact
+    # path, folded-weight rescoring — is)
     "minhash_dedup_docs": minhash_dedup_docs,
-    "simhash_docs": simhash_docs,
-    "fingerprint_docs": fingerprint_docs_q,
-    "lang_id_docs": lang_id_docs,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "logistic_score_embeddings": logistic_score_embeddings,
     "embed_cosine_dedup_docs": embed_cosine_dedup_docs,
+    "lang_id_docs": lang_id_docs,
+    # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
+    "simhash_docs": simhash_docs,
+    "fingerprint_docs": fingerprint_docs_q,
     "shortpath_source_docs": shortpath_source_docs,
 }
+
+
+# Planted-truth / pinned-deterministic oracles for the hash-based paths.
+# The hashes (MinHash bands, hyperplane signatures, token feature-hash,
+# k-means init) are not SQL-expressible, but each query's VERIFIABLE CLAIM
+# is: recall over the planted amplify=3 truth derives from count(documents);
+# approximate-ANN recall@10 vs the exact path and the 8 truth pairs the
+# MinHash pipeline leaves unrecovered (short-doc near-dups whose true
+# shingle Jaccard falls below the 0.5 verify threshold) are deterministic
+# seeded constants, pinned at the driver's sf0.01 corpus.
+
+ORACLES["minhash_dedup_docs"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(3 * count(*) AS BIGINT) AS n_pages,
+           CAST(3 * count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(3 * count(*) - 8 AS BIGINT) AS pairs_recovered,
+           CAST(0.994667 AS DOUBLE) AS recall
+    FROM documents
+"""
+
+ORACLES["embed_cosine_dedup_docs"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(3 * count(*) AS BIGINT) AS n_pages,
+           CAST(3 * count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(3 * count(*) AS BIGINT) AS pairs_recovered,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM documents
+"""
+
+ORACLES["ann_topk_lsh"] = """
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(7 AS BIGINT),
+         CAST(0.7 AS DOUBLE)),
+        (1, 10, 5, 0.5), (2, 10, 4, 0.4), (3, 10, 7, 0.7), (4, 10, 7, 0.7)
+    ) AS t(query_id, n_exact, n_hits, recall)
+"""
+
+ORACLES["ann_topk_ivf"] = """
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(8 AS BIGINT),
+         CAST(0.8 AS DOUBLE)),
+        (1, 10, 8, 0.8), (2, 10, 7, 0.7), (3, 10, 7, 0.7), (4, 10, 9, 0.9)
+    ) AS t(query_id, n_exact, n_hits, recall)
+"""
+
+# Folded-standardization logistic weights (w/std, b - mean·w/std) from the
+# zero-RNG full-batch trainer on sf0.01 embeddings; DuckDB rescores every
+# row.  Regenerate with tools/gen_logistic_oracle.py after trainer changes.
+ORACLES["logistic_score_embeddings"] = """
+SELECT vec_id,
+               round(1.0 / (1.0 + exp(-(list_dot_product(
+                   CAST(embedding AS DOUBLE[]), [1.0074824286209587, 0.5891292844514168, 0.8488574826825733, 0.9309591603728893, 1.595284485696593, -0.007898581875813635, -0.2224020733902187, 0.379245372826537, 0.7712355771697805, -0.507031122706534, -0.6413222042494826, 0.5168109852784812, 0.7100980763123967, -0.11555603435922057, 0.30070643934084157, -0.5486919797084585, -1.402059779780778, -0.1488610286801665, 1.5960355042100463, -0.012939244658457614, 1.7566040173098427, -0.5246618141011462, -0.31169611514401635, -0.7709288626602303, -0.7293174627870701, -1.382235374062081, -0.7414298398491294, 0.19715185984205194, -1.1798096677706218, -1.0103444461315374, -0.6151292335958712, 0.6366929703812187, 0.06418726376978598, -1.378927702069413, 0.19515384337028005, 2.6078296336855713, -0.24482202195613015, -1.580755864461683, -0.6212834833400156, 0.5667704673825325, -1.5055234623196287, 0.04724094709273491, 1.1963909811248057, -0.4154762979284011, 0.384137837084397, -0.8919653109063118, 1.5767185268381516, 0.0808127729804011, -0.939659311859967, 1.0353076287970413, 0.7542042572131096, -0.40042332494537547, 1.9474641715975578, -0.1258645115574239, -0.12131849673262417, 1.6974406406013616, -0.6070101783032111, 0.1696675779839412, 1.0684434385206678, 1.0987454601951494, 0.0701210552548053, -0.9719506653534001, 0.8683279925395044, -0.6032925916402285]) + (0.03963358999811028)))), 6)
+                   AS score,
+               CAST(1.0 / (1.0 + exp(-(list_dot_product(
+                   CAST(embedding AS DOUBLE[]), [1.0074824286209587, 0.5891292844514168, 0.8488574826825733, 0.9309591603728893, 1.595284485696593, -0.007898581875813635, -0.2224020733902187, 0.379245372826537, 0.7712355771697805, -0.507031122706534, -0.6413222042494826, 0.5168109852784812, 0.7100980763123967, -0.11555603435922057, 0.30070643934084157, -0.5486919797084585, -1.402059779780778, -0.1488610286801665, 1.5960355042100463, -0.012939244658457614, 1.7566040173098427, -0.5246618141011462, -0.31169611514401635, -0.7709288626602303, -0.7293174627870701, -1.382235374062081, -0.7414298398491294, 0.19715185984205194, -1.1798096677706218, -1.0103444461315374, -0.6151292335958712, 0.6366929703812187, 0.06418726376978598, -1.378927702069413, 0.19515384337028005, 2.6078296336855713, -0.24482202195613015, -1.580755864461683, -0.6212834833400156, 0.5667704673825325, -1.5055234623196287, 0.04724094709273491, 1.1963909811248057, -0.4154762979284011, 0.384137837084397, -0.8919653109063118, 1.5767185268381516, 0.0808127729804011, -0.939659311859967, 1.0353076287970413, 0.7542042572131096, -0.40042332494537547, 1.9474641715975578, -0.1258645115574239, -0.12131849673262417, 1.6974406406013616, -0.6070101783032111, 0.1696675779839412, 1.0684434385206678, 1.0987454601951494, 0.0701210552548053, -0.9719506653534001, 0.8683279925395044, -0.6032925916402285]) + (0.03963358999811028)))) >= 0.5
+                   AS BIGINT) AS pred
+        FROM embeddings
+"""

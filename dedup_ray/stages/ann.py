@@ -215,27 +215,52 @@ def knn_cosine_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    probe_radius: int = 1,
     seed: int = 42,
 ):
-    """Approximate top-k: search only vectors sharing the query's
-    random-hyperplane bucket.  2^n_planes buckets; recall grows as n_planes
-    shrinks.  Scale path for corpora where brute force is too wide."""
+    """Approximate top-k: multi-table, multiprobe random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` sign bits each; a
+    vector is a candidate for a query if, in ANY table, its signature lies
+    within hamming distance ``probe_radius`` of the query's (vectorized:
+    clear the ``radius`` lowest set bits of ``sig XOR qsig`` and test zero —
+    no bucket enumeration).  Recall/cost dial = (n_planes ↓, n_tables ↑,
+    radius ↑); candidate fraction ≈ n_tables · P(hamming ≤ r | cos 0), so at
+    the defaults ~16% of the corpus is scored instead of 100%.  On
+    isotropic (structureless) embeddings no LSH separates neighbors well —
+    that regime's measured recall is pinned by the sf0.01 oracle."""
     import ray
 
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    qsig = hyperplane_signatures(q, n_planes, q.shape[1], seed)
-    ref = ray.put((list(query_ids), q, qsig))
+    qsigs = np.stack(
+        [
+            hyperplane_signatures(q, n_planes, q.shape[1], seed ^ (t * 0x9E37))
+            for t in range(n_tables)
+        ]
+    )  # (n_tables, n_queries)
+    ref = ray.put((list(query_ids), q, qsigs))
 
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm, qs = ray.get(ref)
         emb_raw = _batch_embeddings(batch, vec_col)
         emb = _normalize(emb_raw)
-        sigs = hyperplane_signatures(emb, n_planes, emb.shape[1], seed)
+        sigs = np.stack(
+            [
+                hyperplane_signatures(
+                    emb, n_planes, emb.shape[1], seed ^ (t * 0x9E37)
+                )
+                for t in range(n_tables)
+            ]
+        )  # (n_tables, n_batch)
         ids = np.asarray(batch[id_col].to_pylist())
         out_q, out_n, out_s = [], [], []
         for qi in range(qm.shape[0]):
-            mask = sigs == qs[qi]
+            x = sigs ^ qs[:, qi : qi + 1]  # (n_tables, n_batch)
+            for _ in range(probe_radius):  # clear r lowest set bits:
+                x &= x - 1  # zero ⇔ hamming ≤ r
+            mask = (x == 0).any(axis=0)
             if not mask.any():
                 continue
             row = qm[qi] @ emb[mask].T
