@@ -1003,23 +1003,45 @@ def tag_parts_multilabel(sf_dir: str):
 
     def tag(t: pa.Table) -> pa.Table:
         lists = ray.get(lists_ref)
-        keys_out, tags_out = [], []
-        for key, name in zip(
-            t["p_partkey"].to_pylist(), t["p_name"].to_pylist()
-        ):
-            toks = set((name or "").split(" "))
-            for tag_name, words in lists.items():
-                if toks & words:
-                    keys_out.append(key)
-                    tags_out.append(tag_name)
-        return pa.table(
-            {
-                "p_partkey": pa.array(keys_out, pa.int64()),
-                "tag": pa.array(tags_out, pa.string()),
-            }
-        )
+        # vectorized: explode name tokens once, then one is_in + parent-index
+        # gather per tag list — no per-row Python
+        toks = pc.split_pattern(t["p_name"], " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keys = pc.take(t["p_partkey"], parents)
+        outs = []
+        for tag_name, words in lists.items():
+            hit = pc.is_in(flat, value_set=pa.array(sorted(words)))
+            hit_keys = pc.unique(keys.filter(hit))
+            outs.append(
+                pa.table(
+                    {
+                        "p_partkey": pc.cast(hit_keys, pa.int64()),
+                        "tag": pa.array([tag_name] * len(hit_keys), pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def concat_title_abstract(sf_dir: str):
+    """M5: text-field assembly before shingling — ``str(title)+str(abstract)``
+    with the string ``'nan'`` standing in for missing fields
+    (``doc2vec.py:69-81``), re-expressed as source+text per document.
+    Pure vectorized Arrow concat; the output feeds a signer unchanged."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        full = pc.binary_join_element_wise(
+            pc.coalesce(t["source"], pa.scalar("nan")),
+            pc.coalesce(pc.cast(t["text"], pa.string()), pa.scalar("nan")),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "fulltext": full})
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(sf_dir: str):
@@ -1568,6 +1590,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tag_parts_multilabel": tag_parts_multilabel,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "concat_title_abstract": concat_title_abstract,
     "balanced_sample_events": balanced_sample_events,
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
@@ -1647,4 +1670,11 @@ SELECT vec_id,
                    CAST(embedding AS DOUBLE[]), [1.0074824286209587, 0.5891292844514168, 0.8488574826825733, 0.9309591603728893, 1.595284485696593, -0.007898581875813635, -0.2224020733902187, 0.379245372826537, 0.7712355771697805, -0.507031122706534, -0.6413222042494826, 0.5168109852784812, 0.7100980763123967, -0.11555603435922057, 0.30070643934084157, -0.5486919797084585, -1.402059779780778, -0.1488610286801665, 1.5960355042100463, -0.012939244658457614, 1.7566040173098427, -0.5246618141011462, -0.31169611514401635, -0.7709288626602303, -0.7293174627870701, -1.382235374062081, -0.7414298398491294, 0.19715185984205194, -1.1798096677706218, -1.0103444461315374, -0.6151292335958712, 0.6366929703812187, 0.06418726376978598, -1.378927702069413, 0.19515384337028005, 2.6078296336855713, -0.24482202195613015, -1.580755864461683, -0.6212834833400156, 0.5667704673825325, -1.5055234623196287, 0.04724094709273491, 1.1963909811248057, -0.4154762979284011, 0.384137837084397, -0.8919653109063118, 1.5767185268381516, 0.0808127729804011, -0.939659311859967, 1.0353076287970413, 0.7542042572131096, -0.40042332494537547, 1.9474641715975578, -0.1258645115574239, -0.12131849673262417, 1.6974406406013616, -0.6070101783032111, 0.1696675779839412, 1.0684434385206678, 1.0987454601951494, 0.0701210552548053, -0.9719506653534001, 0.8683279925395044, -0.6032925916402285]) + (0.03963358999811028)))) >= 0.5
                    AS BIGINT) AS pred
         FROM embeddings
+"""
+
+ORACLES["concat_title_abstract"] = """
+    SELECT doc_id,
+           concat(coalesce(source, 'nan'), coalesce(CAST(text AS VARCHAR),
+               'nan')) AS fulltext
+    FROM documents
 """

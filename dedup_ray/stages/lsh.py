@@ -218,13 +218,14 @@ def candidate_pairs(
     partition, not one Python call per bucket).
 
     ``global_dedup=True`` adds a second shuffle on (id1, id2) producing an
-    exactly-distinct pair set.  The end-to-end pipeline passes ``True``: a
-    clique of k near-identical reps collides in most of the ``bands`` bands,
-    and shipping that ~bands-fold duplicate stream through the 1KB/row
-    signature joins costs far more than one narrow (id1,id2) dedup shuffle
-    (see ``dedup.py::_near``).  Pass ``False`` only when the downstream
-    consumer is itself a co-partitioning join that can dedup for free
-    (``hash_join(left_prep=…)``).
+    exactly-distinct pair set.  Pass ``False`` when the downstream consumer
+    is itself a co-partitioning join that can dedup for free — which is what
+    the end-to-end pipeline does (``dedup.py::_near``): the first verify
+    ``hash_join`` co-partitions every (id1, *) row by hash(id1), so its
+    ``left_prep`` drop_duplicates IS a global pair dedup, saving one
+    all-to-all round.  Cross-band duplicate pairs then inflate only the
+    narrow ~80B/row pair stream between the band shuffle and that join,
+    never the 1KB/row signature joins.
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
     from dedup_ray.util.exchange import exchange_group_apply
