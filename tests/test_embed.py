@@ -49,3 +49,30 @@ def test_embed_docs_and_cosine_edges():
     assert (0, 1) in got  # near-dup pair within block
     assert all(e[0] != 2 and e[1] != 2 for e in got)  # disjoint text excluded
     assert all(3 not in e for e in got)  # cross-block never paired
+
+
+def test_ngram_embedding_discrimination_and_layout():
+    """3-gram features: near-dups stay close, topically-overlapping but
+    distinct docs go near-orthogonal (the unigram common-word floor is the
+    failure mode this guards), and hashes never depend on batch layout."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]  # SHARED vocab across docs
+    docs = [" ".join(rng.choice(vocab, size=80)) for _ in range(6)]
+    near = docs[0].split()
+    near[10] = "edited"
+    near[50] = "tokens"
+    texts = docs + [" ".join(near), "a b", ""]
+    V1 = hashed_embedding_batch(texts, dim=64, seed=42, ngram=3)
+    # unigram bags of shared-vocab docs are highly similar (the trap) …
+    U = hashed_embedding_batch(texts, dim=64, seed=42, ngram=1)
+    assert U[0] @ U[1] > 0.5
+    # … 3-gram features separate them
+    assert abs(V1[0] @ V1[1]) < 0.35
+    assert V1[0] @ V1[6] > 0.85  # 2 edits in 80 tokens: still a near-dup
+    # short doc (< ngram tokens) embeds from its own tokens, unit norm
+    assert np.isclose(np.linalg.norm(V1[7]), 1.0)
+    assert np.linalg.norm(V1[8]) == 0.0
+    # layout independence: splitting the batch reproduces identical rows
+    V2a = hashed_embedding_batch(texts[:4], dim=64, seed=42, ngram=3)
+    V2b = hashed_embedding_batch(texts[4:], dim=64, seed=42, ngram=3)
+    assert np.array_equal(V1, np.vstack([V2a, V2b]))
