@@ -1048,6 +1048,15 @@ def concat_title_abstract(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def bpe_token_counts_docs(sf_dir: str):
+    """Token counting for LLM-data budgeting: whitespace tokens + BPE-ish
+    pre-tokenizer matches per document (``stages/textstats.py::
+    bpe_token_counts``; RE2 kernel shared verbatim with the oracle)."""
+    from dedup_ray.stages.textstats import bpe_token_counts
+
+    return bpe_token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup detection: within-source doc pairs scored by
     Jaccard of distinct word-3-gram sets, kept at >= 0.05.  The exact
@@ -1595,6 +1604,7 @@ QUERIES = {
     "tag_parts_multilabel": tag_parts_multilabel,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "concat_title_abstract": concat_title_abstract,
+    "bpe_token_counts_docs": bpe_token_counts_docs,
     "balanced_sample_events": balanced_sample_events,
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
@@ -1680,5 +1690,16 @@ ORACLES["concat_title_abstract"] = """
     SELECT doc_id,
            concat(coalesce(source, 'nan'), coalesce(CAST(text AS VARCHAR),
                'nan')) AS fulltext
+    FROM documents
+"""
+
+# RE2 pattern shared with stages/textstats.py::BPE_SPLIT_PATTERN (kept as a
+# literal here so the oracle string is self-contained for the driver).
+ORACLES["bpe_token_counts_docs"] = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS n_bpe_tokens
     FROM documents
 """

@@ -69,6 +69,39 @@ def idf_table(token_ds, token_col: str = "token"):
     return counts.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer, restricted to lookaround-free RE2 syntax so the
+# Arrow kernel, Python re and DuckDB RE2 all agree match-for-match:
+# contractions, optionally-space-prefixed letter runs / digit runs /
+# punctuation runs; bare whitespace is not a token.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc token budget estimate: whitespace tokens + BPE-ish tokens.
+
+    The BPE-ish count is the number of pre-tokenizer matches
+    (``BPE_SPLIT_PATTERN``) — the unit an actual BPE would further merge,
+    and the standard cheap stand-in for "how many LLM tokens is this
+    document".  Pure vectorized Arrow (``count_substring_regex`` is
+    RE2-backed, the same engine DuckDB uses, so the oracle is exact)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, r"\S+"), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, BPE_SPLIT_PATTERN), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 _PUNCT_RE = re.compile(r"[^\w\s]", re.U)
 _WORD_RE = re.compile(r"\w+", re.U)
 
