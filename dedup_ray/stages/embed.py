@@ -126,6 +126,40 @@ def embed_docs(
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _tiled_cosine_pairs(
+    ids: np.ndarray, V: np.ndarray, threshold: float, tile_rows: int = 1024
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (id1 < id2, cos) pairs with round(cos,6) >= threshold.
+
+    Tiles the gram matrix: peak extra memory is O(tile_rows · n), not
+    O(n²), and only the (rare) above-threshold entries are gathered — a
+    15k-row block costs one ~2 GFLOP dgemm instead of a 1.8 GB
+    triu_indices allocation.  ``ids`` must be sorted ascending so the
+    positional upper triangle is the id-ordered pair set.
+    """
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    V = V / norms
+    n = len(ids)
+    out1, out2, outs = [], [], []
+    for lo in range(0, n, tile_rows):
+        hi = min(lo + tile_rows, n)
+        sims = np.round(V[lo:hi] @ V.T, 6)  # (tile, n)
+        keep = sims >= threshold
+        # upper triangle only: column index must exceed global row index
+        keep &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+        r, c = np.nonzero(keep)
+        out1.append(ids[r + lo])
+        out2.append(ids[c])
+        outs.append(sims[r, c])
+    dt = ids.dtype if n else np.int64
+    return (
+        np.concatenate(out1) if out1 else np.array([], dtype=dt),
+        np.concatenate(out2) if out2 else np.array([], dtype=dt),
+        np.concatenate(outs) if outs else np.array([], dtype=np.float64),
+    )
+
+
 def cosine_dup_edges(
     emb_ds,
     block_col: str,
@@ -135,38 +169,17 @@ def cosine_dup_edges(
 ):
     """Embedding-cosine near-dup edges within bounded blocks.
 
-    Per block: one normalized gram matrix, emit pairs with
-    ``round(cos, 6) >= threshold``.  For unbounded corpora compose with the
-    LSH/IVF bucketing from ``stages/ann.py`` instead of a natural block —
-    same per-bucket kernel.
+    Per block: one tiled normalized gram pass, emit pairs with
+    ``round(cos, 6) >= threshold``.  For corpora with no bounded natural
+    block use :func:`cosine_dup_edges_lsh` — the same kernel under
+    multi-table hyperplane-LSH bucketing.
     """
 
-    def per_block(group: pd.DataFrame, tile_rows: int = 1024) -> pd.DataFrame:
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        V = V / norms
-        n = len(ids)
-        # Tile the gram matrix: peak extra memory is O(tile_rows · n), not
-        # O(n²), and only the (rare) above-threshold entries are gathered —
-        # a 15k-row block costs one ~2 GFLOP dgemm instead of a 1.8 GB
-        # triu_indices allocation.
-        out1, out2, outs = [], [], []
-        for lo in range(0, n, tile_rows):
-            hi = min(lo + tile_rows, n)
-            sims = np.round(V[lo:hi] @ V.T, 6)  # (tile, n)
-            keep = sims >= threshold
-            # upper triangle only: column index must exceed global row index
-            keep &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
-            r, c = np.nonzero(keep)
-            out1.append(ids[r + lo])
-            out2.append(ids[c])
-            outs.append(sims[r, c])
-        i1 = np.concatenate(out1) if out1 else np.array([], dtype=ids.dtype)
-        i2 = np.concatenate(out2) if out2 else np.array([], dtype=ids.dtype)
-        cs = np.concatenate(outs) if outs else np.array([], dtype=np.float64)
+        i1, i2, cs = _tiled_cosine_pairs(ids, V, threshold)
         return pd.DataFrame(
             {
                 block_col: group[block_col].iloc[0],
@@ -179,3 +192,101 @@ def cosine_dup_edges(
     return as_arrow(
         emb_ds.groupby(block_col).map_groups(per_block, batch_format="pandas")
     )
+
+
+def cosine_dup_edges_lsh(
+    emb_ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 16,
+    seed: int = 42,
+    num_partitions: int = 32,
+):
+    """Embedding-cosine near-dup edges with NO natural block — the
+    unbounded-corpus scale path.
+
+    Multi-table hyperplane-LSH replaces the block: each vector joins one
+    bucket per table (``n_tables`` narrow replicas through ONE hash
+    shuffle on (table, signature)), each bucket runs the same tiled gram
+    kernel as :func:`cosine_dup_edges`, and a second narrow shuffle on
+    (id1, id2) dedups pairs found by several tables (keeping one cos).
+    Exact-bucket matching (no multiprobe): at the defaults a cos≥0.97
+    near-dup pair collides in ≥1 of 16 tables w.p. ~0.9999; recall decays
+    toward the threshold (cos 0.9 → ~0.98) — the standard LSH-dedup trade,
+    asserted on planted pairs in tests.  Total shuffle volume is
+    n_tables × the (id, vector) width — vectors never fan out
+    quadratically, and no bucket needs more memory than its own gram tile.
+    """
+    from dedup_ray.stages.ann import hyperplane_signatures
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def explode_tables(batch: pa.Table) -> pa.Table:
+        V = _batch_matrix(batch[vec_col])
+        parts = []
+        for t in range(n_tables):
+            sig = hyperplane_signatures(
+                V, n_planes, V.shape[1], seed ^ (t * 0x9E37)
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "__bucket": pa.array(
+                            (np.int64(t) << np.int64(n_planes)) | sig
+                        ),
+                        id_col: batch[id_col],
+                        vec_col: batch[vec_col],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = emb_ds.map_batches(explode_tables, batch_format="pyarrow")
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        out1, out2, outs = [], [], []
+        for _b, g in df.groupby("__bucket"):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+            i1, i2, cs = _tiled_cosine_pairs(ids, V, threshold)
+            out1.append(i1)
+            out2.append(i2)
+            outs.append(cs)
+        if not out1:
+            return pa.table(
+                {
+                    "id1": pa.array([], pa.int64()),
+                    "id2": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id1": pa.array(np.concatenate(out1)),
+                "id2": pa.array(np.concatenate(out2)),
+                "cos_sim": pa.array(np.concatenate(outs), pa.float64()),
+            }
+        )
+
+    pairs = exchange_group_apply(
+        exploded, "__bucket", bucket_pairs, num_partitions=num_partitions
+    )
+
+    def dedup(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["id1", "id2"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return exchange_group_apply(
+        pairs, ["id1", "id2"], dedup, num_partitions=num_partitions
+    )
+
+
+def _batch_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist(), dtype=np.float64)

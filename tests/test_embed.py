@@ -76,3 +76,42 @@ def test_ngram_embedding_discrimination_and_layout():
     V2a = hashed_embedding_batch(texts[:4], dim=64, seed=42, ngram=3)
     V2b = hashed_embedding_batch(texts[4:], dim=64, seed=42, ngram=3)
     assert np.array_equal(V1, np.vstack([V2a, V2b]))
+
+
+def test_cosine_dup_edges_lsh_matches_blocked():
+    """The unbounded-corpus LSH path finds the same near-dup pairs as the
+    exhaustive blocked kernel on a corpus where all true pairs are well
+    above threshold (planted ~2%-edit near-dups of 100-token docs)."""
+    from dedup_ray.stages.embed import cosine_dup_edges_lsh
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        toks = [f"w{v}" for v in rng.integers(0, 1_000_000, size=100)]
+        rows.append({"vec_id": 2 * i, "block": "all", "text": " ".join(toks)})
+        near = list(toks)
+        near[5] = "edited"
+        near[60] = "tokens"
+        rows.append(
+            {"vec_id": 2 * i + 1, "block": "all", "text": " ".join(near)}
+        )
+    ds = rd.from_items(rows)
+    emb = embed_docs(
+        ds, id_col="vec_id", dim=128, ngram=3, keep_cols=("block",)
+    )
+    blocked = cosine_dup_edges(
+        emb, "block", id_col="vec_id", threshold=0.8
+    ).to_pandas()
+    lsh = cosine_dup_edges_lsh(
+        emb.select_columns(["vec_id", "embedding"]),
+        id_col="vec_id",
+        threshold=0.8,
+        num_partitions=4,
+    ).to_pandas()
+    want = set(zip(blocked["id1"], blocked["id2"]))
+    got = set(zip(lsh["id1"], lsh["id2"]))
+    assert want == got  # exhaustive truth recovered exactly (no dupes)
+    assert {(2 * i, 2 * i + 1) for i in range(60)} <= got
+    # cos values agree with the blocked kernel
+    merged = blocked.merge(lsh, on=["id1", "id2"], suffixes=("_b", "_l"))
+    assert np.allclose(merged["cos_sim_b"], merged["cos_sim_l"])

@@ -2,6 +2,11 @@
 DuckDB oracle at sf0.01, compare row-count + schema + sorted values.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [names...]
+
+Note: the oracles for the seeded non-SQL operators (minhash_dedup_docs
+pairs_recovered, ann_topk_lsh / ann_topk_ivf recalls, the logistic
+weights) pin deterministic values MEASURED AT sf0.01 — running this
+harness against another sf_dir will correctly flag those as mismatches.
 """
 
 import sys
