@@ -445,22 +445,28 @@ def window_tumbling_events(sf_dir: str):
 
 def sessionize_events(sf_dir: str):
     """Session windows: per user, 30-min-gap sessionization over the sorted
-    event log (groupby(key).map_groups over ts order — the engine's
-    streaming-window idiom; ordering stated: (ts, event_id))."""
+    event log.  Hash-partitioned by user (every user's history lands whole
+    in one partition), then ONE vectorized pandas pass per partition —
+    user cardinality scales with the corpus, so per-user dispatch would
+    not; ordering stated: (ts, event_id)."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sess(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff().dt.total_seconds()
-        new_s = (gap.isna() | (gap > 1800)).astype(int)
-        g["session_id"] = new_s.cumsum()
-        out = (
-            g.groupby("session_id").size().reset_index(name="n_events")
-        )
-        out.insert(0, "user_id", group["user_id"].iloc[0])
-        return out
+    from dedup_ray.util.dsutil import partitioned_group_apply
 
-    return as_arrow(ds.groupby("user_id").map_groups(sess, batch_format="pandas"))
+    def sess_part(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL users in the partition: one sort, per-user
+        # diff/cumsum via pandas groupby kernels — no per-user dispatch
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        gap = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new_s = (gap.isna() | (gap > 1800)).astype(int)
+        df = df.assign(session_id=new_s.groupby(df["user_id"].values).cumsum())
+        return (
+            df.groupby(["user_id", "session_id"])
+            .size()
+            .reset_index(name="n_events")
+        )
+
+    return partitioned_group_apply(ds, ["user_id"], sess_part)
 
 
 # --------------------------------------------------------------------------
@@ -497,16 +503,20 @@ def exact_dedup_docs(sf_dir: str):
         id_col="doc_id",
     )
 
-    def keep(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "digest": [group["digest"].iloc[0]],
-                "keep_id": [group["doc_id"].min()],
-                "n_copies": pd.Series([len(group)], dtype="int64"),
-            }
-        )
+    from dedup_ray.util.dsutil import partitioned_group_apply
 
-    return as_arrow(ds.groupby("digest").map_groups(keep, batch_format="pandas"))
+    def keep_part(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pandas groupby per partition — digest cardinality
+        # ~ corpus size, so per-group map_groups dispatch would not scale
+        out = (
+            df.groupby("digest")
+            .agg(keep_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+            .reset_index()
+        )
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out
+
+    return partitioned_group_apply(ds, ["digest"], keep_part)
 
 
 def _planted_recall_row(clusters, n_copies: int) -> pa.Table:
