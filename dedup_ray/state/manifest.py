@@ -187,17 +187,31 @@ class CheckpointContext:
                     self.hits.append(name)
                     with _PLAN_LOCK:
                         return ray.data.read_parquet(data_dir)
-        # stale or partial: wipe on config mismatch, keep committed parts
+        # stale or partial: wipe on config-hash OR part-layout mismatch
+        # (a rerun with a different part split would otherwise read stale
+        # committed part dirs alongside the new ones = duplicated rows),
+        # keep committed parts only when both match
+        part_ids = sorted(pid for pid, _fn in parts)
         stage_meta = None
         if os.path.exists(spath):
             with open(spath) as f:
                 stage_meta = json.load(f)
-        if stage_meta is not None and stage_meta.get("config_hash") != self.config_hash:
+        if stage_meta is not None and (
+            stage_meta.get("config_hash") != self.config_hash
+            or stage_meta.get("part_ids") != part_ids
+        ):
             shutil.rmtree(sdir, ignore_errors=True)
         self.misses.append(name)
         os.makedirs(data_dir, exist_ok=True)
         with open(spath + ".tmp", "w") as f:
-            json.dump({"stage": name, "config_hash": self.config_hash}, f)
+            json.dump(
+                {
+                    "stage": name,
+                    "config_hash": self.config_hash,
+                    "part_ids": part_ids,
+                },
+                f,
+            )
         os.replace(spath + ".tmp", spath)
         for entry in os.listdir(data_dir):  # in-flight leftovers from a kill
             if entry.startswith("_tmp."):

@@ -169,3 +169,37 @@ def test_simhash_path_enabled(corpus):
     )
     assert m["recall"] >= 0.99, m
     assert m["precision"] >= 0.95, m
+
+
+def test_part_layout_change_wipes_stale_parts(tmp_path, corpus):
+    """Rerunning with a DIFFERENT part split must not mix stale committed
+    part dirs into the stage output (duplicated rows)."""
+    pages, _ = corpus
+    ckpt = str(tmp_path / "ckpt")
+    n = pages.num_rows
+    halves = [pages.slice(0, n // 2), pages.slice(n // 2, n - n // 2)]
+    quarters = [pages.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+                for i in range(4)]
+
+    fail = {"0001": True}
+
+    def part(pid, sl):
+        def fn():
+            if fail.get(pid):
+                fail[pid] = False
+                raise RuntimeError("die")
+            return rd.from_arrow(sl)
+        return fn
+
+    four = [(f"{i:04d}", part(f"{i:04d}", sl)) for i, sl in enumerate(quarters)]
+    with pytest.raises(RuntimeError):
+        dedup_pipeline(rd.from_arrow(pages), CFG, checkpoint_dir=ckpt,
+                       pages_parts=four)
+    # rerun with a 2-part split: stale 4-way part dirs must be wiped
+    two = [(f"{i:04d}", part(f"h{i}", sl)) for i, sl in enumerate(halves)]
+    c2, _ = dedup_pipeline(rd.from_arrow(pages), CFG, checkpoint_dir=ckpt,
+                           pages_parts=two)
+    plain, _ = dedup_pipeline(rd.from_arrow(pages), CFG)
+    da = c2.to_pandas().sort_values("url").reset_index(drop=True)
+    db = plain.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(da) == pages.num_rows and da.equals(db)
