@@ -1058,6 +1058,32 @@ def concat_title_abstract(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_urls_docs(sf_dir: str):
+    """URL canonicalization (``stages/urlnorm.py``): messy crawl URLs are
+    synthesized deterministically from doc_id (mixed-case authority,
+    default port, tracking params, fragment) on BOTH sides, and only the
+    Ray side runs the normalizer kernel — the oracle re-derives the
+    normalization with the same RE2 rule list via ``oracle_sql_expr``."""
+    from dedup_ray.stages.urlnorm import normalize_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["doc_id"], pa.string())
+        m13 = pa.array((ids % 13).astype(str))
+        m3 = pa.array((ids % 3).astype(str))
+        m5 = pa.array((ids % 5).astype(str))
+        url = pc.binary_join_element_wise(
+            "HTTPS://Site", m13, ".Example.COM:443/p/", d,
+            "/?utm_source=feed&utm_campaign=c", m3, "&id=", d,
+            "&fbclid=x#s", m5, "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    return normalize_urls(ds.map_batches(mk, batch_format="pyarrow"))
+
+
 def bpe_token_counts_docs(sf_dir: str):
     """Token counting for LLM-data budgeting: whitespace tokens + BPE-ish
     pre-tokenizer matches per document (``stages/textstats.py::
@@ -1615,6 +1641,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "concat_title_abstract": concat_title_abstract,
     "bpe_token_counts_docs": bpe_token_counts_docs,
+    "normalize_urls_docs": normalize_urls_docs,
     "balanced_sample_events": balanced_sample_events,
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
@@ -1712,4 +1739,24 @@ ORACLES["bpe_token_counts_docs"] = r"""
                '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
                AS n_bpe_tokens
     FROM documents
+"""
+
+
+# Generated from stages/urlnorm.py rule constants via oracle_sql_expr at
+# import time — the oracle applies the SAME RE2 rules inside DuckDB, so
+# kernel and oracle cannot drift.
+from dedup_ray.stages.urlnorm import oracle_sql_expr as _url_oracle_expr
+
+ORACLES["normalize_urls_docs"] = f"""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://Site' || (doc_id % 13) || '.Example.COM:443/p/' ||
+               doc_id || '/?utm_source=feed&utm_campaign=c' || (doc_id % 3)
+               || '&id=' || doc_id || '&fbclid=x#s' || (doc_id % 5) AS url
+        FROM documents)
+    SELECT doc_id, url,
+           {_url_oracle_expr("url")} AS url_norm,
+           lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+    FROM raw
 """

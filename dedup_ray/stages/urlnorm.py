@@ -1,0 +1,111 @@
+"""URL canonicalization for web-crawl dedup (the M2 normalizer analog for
+the pages domain: ``clean_dirty.R:4-29``'s normalize-before-compare step,
+re-targeted at the engine's native id space).
+
+Two URLs that differ only in scheme/host case, default port, tracking
+parameters or fragment are the same page to a crawler; canonicalizing
+before URL-keyed dedup/grouping is the standard first pass of a web
+pipeline.  All rules are RE2-safe (no lookarounds) and applied with global
+replace, so the SAME rule list drives the vectorized Arrow kernel here and
+the DuckDB oracle (both engines embed RE2 → match-for-match parity, the
+``bpe_token_counts`` trick).
+
+Rule order matters and is part of the spec:
+
+1. strip ``#fragment``;
+2. strip tracking parameters (``utm_*``, ``fbclid``, ``gclid``) — the
+   mid-query rule runs ``_TRACKING_PASSES`` times because global replace
+   does not rescan the string it just rewrote (``?a=1&utm_x=2&utm_y=3``
+   needs two passes), then a tail rule catches a final tracking param;
+3. lowercase scheme+host (authority), leave path/query case alone;
+4. strip default ports (``http://…:80``, ``https://…:443``);
+5. drop a bare root slash (``http://h/`` → ``http://h``) and any dangling
+   ``?`` / ``&`` the parameter strip left behind.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TRACKING = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid)"
+_TRACKING_PASSES = 3
+
+# (pattern, replacement) applied in order with global replace; replacement
+# backreference syntax ``\\1`` works in both Arrow and DuckDB.
+URL_RULES_PRE_LOWER: list[tuple[str, str]] = [
+    (r"#.*$", ""),  # fragment
+] + [
+    # ?utm_x=…& → ?   /   &utm_x=…& → &   (repeated: no rescan per pass)
+    (rf"([?&]){_TRACKING}=[^&]*&", r"\1")
+    for _ in range(_TRACKING_PASSES)
+] + [
+    (rf"[?&]{_TRACKING}=[^&]*$", ""),  # tracking param in tail position
+]
+
+# applies AFTER the authority is lowercased
+URL_RULES_POST_LOWER: list[tuple[str, str]] = [
+    (r"^(http://[^/:?#]+):80([/?#]|$)", r"\1\2"),
+    (r"^(https://[^/:?#]+):443([/?#]|$)", r"\1\2"),
+    (r"^(https?://[^/?#]+)/$", r"\1"),  # bare root slash
+    (r"[?&]$", ""),  # dangling separator after param strip
+]
+
+# authority split: group 1 = scheme://host[:port], group 2 = rest
+_AUTHORITY = r"^(?P<auth>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+
+
+def normalize_url_array(urls: pa.Array) -> pa.Array:
+    """Vectorized canonicalization of a string array (Arrow RE2 kernels)."""
+    out = urls
+    for pat, repl in URL_RULES_PRE_LOWER:
+        out = pc.replace_substring_regex(out, pat, replacement=repl)
+    groups = pc.extract_regex(out, _AUTHORITY)
+    auth = pc.utf8_lower(pc.struct_field(groups, "auth"))
+    rest = pc.struct_field(groups, "rest")
+    # URLs without a scheme://authority shape pass through unchanged
+    lowered = pc.binary_join_element_wise(auth, rest, "")
+    out = pc.coalesce(lowered, out)
+    for pat, repl in URL_RULES_POST_LOWER:
+        out = pc.replace_substring_regex(out, pat, replacement=repl)
+    return out
+
+
+def extract_host_array(urls: pa.Array) -> pa.Array:
+    """Registrable host (lowercased, port stripped) per URL; null if none."""
+    g = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/:?#]+)")
+    return pc.utf8_lower(pc.struct_field(g, "host"))
+
+
+def normalize_urls(ds, url_col: str = "url", out_col: str = "url_norm"):
+    """Dataset stage: append canonicalized URL + host columns."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        return batch.append_column(
+            out_col, normalize_url_array(urls)
+        ).append_column("host", extract_host_array(urls))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def oracle_sql_expr(col: str) -> str:
+    """DuckDB expression mirroring :func:`normalize_url_array` rule-for-rule
+    (generated from the SAME constants, so the oracle cannot drift)."""
+    expr = col
+    for pat, repl in URL_RULES_PRE_LOWER:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    auth = r"'^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(.*)$'"
+    # DuckDB regexp_extract returns '' (not NULL) on no match, so gate the
+    # lowercase rewrite on an explicit scheme://authority match instead of
+    # coalesce
+    expr = (
+        f"CASE WHEN regexp_matches({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+        f" THEN lower(regexp_extract({expr}, {auth}, 1)) || "
+        f"regexp_extract({expr}, {auth}, 2) ELSE {expr} END"
+    )
+    for pat, repl in URL_RULES_POST_LOWER:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

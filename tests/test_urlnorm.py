@@ -1,0 +1,55 @@
+"""URL canonicalization: Arrow kernel vs DuckDB oracle expression parity."""
+
+import duckdb
+import pyarrow as pa
+
+from dedup_ray.stages.urlnorm import (
+    extract_host_array,
+    normalize_url_array,
+    oracle_sql_expr,
+)
+
+MESSY = [
+    "HTTPS://Site3.Example.COM:443/p/7/?utm_source=f&utm_campaign=c&id=7&fbclid=x#s2",
+    "http://HOST.example:80/",
+    "http://host.example:8080/a?x=1&utm_medium=m",
+    "https://h.e/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&q=2",
+    "https://h.e/p?utm_a=1",
+    "ftp://Mixed.Case/Path",
+    "no-scheme-string",
+    "https://h.e/?gclid=g",
+    "HTTP://a.b:80",
+    "https://h.e/p/?id=1&",
+]
+
+
+def test_normalize_semantics():
+    got = normalize_url_array(pa.array(MESSY)).to_pylist()
+    assert got[0] == "https://site3.example.com/p/7/?id=7"
+    assert got[1] == "http://host.example"
+    assert got[2] == "http://host.example:8080/a?x=1"  # non-default port kept
+    assert got[3] == "https://h.e/p?q=2"  # 4 tracking params stripped
+    assert got[6] == "no-scheme-string"  # passthrough
+    assert got[7] == "https://h.e"
+
+
+def test_host_extraction():
+    hosts = extract_host_array(pa.array(MESSY)).to_pylist()
+    assert hosts[0] == "site3.example.com"
+    assert hosts[1] == "host.example"
+    assert hosts[6] is None
+
+
+def test_oracle_expression_parity():
+    """The generated DuckDB expression matches the Arrow kernel on every
+    messy probe — the guarantee the catalog oracle rides on."""
+    got = normalize_url_array(pa.array(MESSY)).to_pylist()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{u}')" for u in MESSY)
+        + ") v(u)"
+    )
+    sql = [r[0] for r in con.execute(
+        f"SELECT {oracle_sql_expr('u')} FROM t").fetchall()]
+    assert got == sql
