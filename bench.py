@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "logistic_score_embeddings",
     "focus_org_bag_parts",
     "embed_cosine_dedup_docs",
+    "line_dedup_docs",
+    "repetition_quality_docs",
+    "decontaminate_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

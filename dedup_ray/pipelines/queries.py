@@ -1131,6 +1131,132 @@ def ngram_jaccard_pairs(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Web-corpus cleaning family (stages/webclean.py): C4-style line dedup,
+# PII redaction, Gopher-style repetition screen, benchmark decontamination,
+# host-level crawl stats
+# --------------------------------------------------------------------------
+
+def line_dedup_docs(sf_dir: str):
+    """C4-style line-level exact dedup: documents explode into fixed
+    12-token lines; a line is kept only at its globally-first occurrence
+    (min ``(doc_id, line_no)`` over identical line text).  Explode is a
+    pure map; the dedup is one int64-keyed exchange on the line hash."""
+    from dedup_ray.stages.webclean import explode_token_lines, line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(explode_token_lines(ds))
+
+
+def redact_pii_docs(sf_dir: str):
+    """PII redaction over synthesized contact-laden pages: the RE2 rule
+    list (``stages/webclean.py::PII_RULES``) drives BOTH the Arrow kernel
+    and the generated DuckDB oracle; counts are taken per rule in
+    application order."""
+    from dedup_ray.stages.webclean import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["doc_id"], pa.string())
+        m7 = pa.array((ids % 7).astype(str))
+        phone_full = pc.binary_join_element_wise(
+            " call +1-", pa.array((300 + ids % 700).astype(str)),
+            "-", pa.array((100 + ids % 900).astype(str)),
+            "-", pa.array((1000 + ids % 9000).astype(str)), "",
+        )
+        phone = pc.if_else(
+            pa.array(ids % 3 == 0), phone_full, pa.scalar("")
+        )
+        ip_full = pc.binary_join_element_wise(
+            " from 10.", pa.array((ids % 256).astype(str)),
+            ".", pa.array((ids % 200).astype(str)),
+            ".", pa.array((ids % 250).astype(str)), "",
+        )
+        ip = pc.if_else(pa.array(ids % 4 == 0), ip_full, pa.scalar(""))
+        text = pc.binary_join_element_wise(
+            t["text"], " contact user", d, "@Example", m7, ".COM now", ""
+        )
+        text = pc.binary_join_element_wise(text, phone, ip, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    return redact_pii(ds.map_batches(mk, batch_format="pyarrow")).map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+def repetition_quality_docs(sf_dir: str):
+    """Gopher-style per-document repetition/quality screen: word count,
+    mean word length, duplicate-2-gram occurrence fraction, top-token
+    share, and the composite keep flag — all computed batch-locally with
+    no shuffle (``stages/webclean.py::repetition_quality``)."""
+    from dedup_ray.stages.webclean import repetition_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_quality(ds)
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 50 == 0`` form the
+    held-out set; every other (training) doc is flagged if it shares any
+    8-token gram with it.  Benchmark gram hashes broadcast once via
+    ``ray.put``; the train sweep is ``np.isin`` per batch."""
+    from dedup_ray.stages.webclean import (
+        benchmark_gram_set,
+        decontaminate,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    grams_ref = benchmark_gram_set(bench)
+    return decontaminate(train, grams_ref)
+
+
+def host_page_stats(sf_dir: str):
+    """Host-level crawl statistics: pages per host and the exact-dup rate
+    within each host (1 − distinct digests / pages).  URLs synthesized
+    deterministically on both sides; host extraction shares the
+    ``stages/urlnorm.py`` kernel with the canonicalizer."""
+    from dedup_ray.stages.urlnorm import extract_host_array
+    from dedup_ray.util.dsutil import partitioned_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "HTTPS://Site",
+            pa.array((t["doc_id"].to_numpy(zero_copy_only=False) % 13)
+                     .astype(str)),
+            ".Example.COM:443/p/", pc.cast(t["doc_id"], pa.string()), "",
+        )
+        dg = content_digest(t["text"].to_pylist(), algo="md5")
+        return pa.table({
+            "host": extract_host_array(url),
+            "digest": pa.array(dg, pa.string()),
+        })
+
+    def agg(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("host", sort=False).agg(
+            n_pages=("digest", "size"), n_distinct=("digest", "nunique")
+        ).reset_index()
+        g["dup_rate"] = (1.0 - g["n_distinct"] / g["n_pages"]).round(6)
+        return g
+
+    pages = ds.map_batches(mk, batch_format="pyarrow")
+    return partitioned_group_apply(pages, ["host"], agg, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over the pre-registered views)
 # --------------------------------------------------------------------------
 
@@ -1645,6 +1771,11 @@ QUERIES = {
     "balanced_sample_events": balanced_sample_events,
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
+    "line_dedup_docs": line_dedup_docs,
+    "redact_pii_docs": redact_pii_docs,
+    "repetition_quality_docs": repetition_quality_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "host_page_stats": host_page_stats,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -1746,6 +1877,110 @@ ORACLES["bpe_token_counts_docs"] = r"""
 # import time — the oracle applies the SAME RE2 rules inside DuckDB, so
 # kernel and oracle cannot drift.
 from dedup_ray.stages.urlnorm import oracle_sql_expr as _url_oracle_expr
+
+def _webclean_oracles() -> dict[str, str]:
+    from dedup_ray.stages.webclean import LINE_WIDTH, pii_oracle_exprs
+
+    out: dict[str, str] = {}
+    out["line_dedup_docs"] = f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, i, toks[i] AS token
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        lines AS (SELECT doc_id, (i - 1) // {LINE_WIDTH} AS line_no,
+                         string_agg(token, ' ' ORDER BY i) AS line
+                  FROM tok GROUP BY doc_id, (i - 1) // {LINE_WIDTH}),
+        ranked AS (SELECT doc_id, line_no, line,
+                          row_number() OVER (
+                              PARTITION BY line ORDER BY doc_id, line_no
+                          ) AS rn
+                   FROM lines)
+        SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+    """
+    clean_expr, count_exprs = pii_oracle_exprs("txt")
+    count_cols = ",\n               ".join(
+        f"CAST({e} AS BIGINT) AS {n}" for n, e in count_exprs.items()
+    )
+    out["redact_pii_docs"] = f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@Example' ||
+                   (doc_id % 7) || '.COM now' ||
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        ' call +1-' || (300 + doc_id % 700) || '-' ||
+                        (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+                   ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0 THEN
+                        ' from 10.' || (doc_id % 256) || '.' ||
+                        (doc_id % 200) || '.' || (doc_id % 250)
+                   ELSE '' END AS txt
+            FROM documents)
+        SELECT doc_id, {clean_expr} AS clean,
+               {count_cols}
+        FROM raw
+    """
+    out["repetition_quality_docs"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, i, toks[i] AS token
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        base AS (SELECT doc_id, count(*) AS n_words,
+                        sum(length(token)) AS sum_len
+                 FROM tok GROUP BY doc_id),
+        g2 AS (SELECT doc_id, token || ' ' ||
+                      lead(token) OVER (PARTITION BY doc_id ORDER BY i) AS g
+               FROM tok QUALIFY g IS NOT NULL),
+        d2 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dist
+               FROM g2 GROUP BY doc_id),
+        tc AS (SELECT doc_id, token, count(*) AS c FROM tok
+               GROUP BY doc_id, token),
+        tt AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+        m AS (SELECT b.doc_id, b.n_words,
+                     b.sum_len * 1.0 / b.n_words AS mwl,
+                     COALESCE((d2.tot - d2.dist) * 1.0 / d2.tot, 0.0) AS dupf,
+                     tt.maxc * 1.0 / b.n_words AS topf
+              FROM base b LEFT JOIN d2 USING (doc_id)
+              JOIN tt USING (doc_id))
+        SELECT doc_id, n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(dupf, 6) AS dup_2gram_frac,
+               round(topf, 6) AS top_token_frac,
+               CAST(CASE WHEN n_words BETWEEN 5 AND 10000 AND dupf <= 0.40
+                         AND topf <= 0.25 AND mwl >= 2.0 AND mwl <= 12.0
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
+    """
+    out["decontaminate_docs"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
+              WHERE len(toks) >= 8),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        hits AS (SELECT g.doc_id, count(*) AS n_contam
+                 FROM g JOIN b USING (gram)
+                 WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_contam, 0) AS n_contam,
+               CAST(CASE WHEN COALESCE(h.n_contam, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 50 <> 0
+    """
+    out["host_page_stats"] = """
+        WITH u AS (SELECT 'site' || (doc_id % 13) || '.example.com' AS host,
+                          md5(text) AS dg
+                   FROM documents)
+        SELECT host, count(*) AS n_pages,
+               count(DISTINCT dg) AS n_distinct,
+               round(1.0 - count(DISTINCT dg) * 1.0 / count(*), 6)
+                   AS dup_rate
+        FROM u GROUP BY host
+    """
+    return out
+
+
+ORACLES.update(_webclean_oracles())
 
 ORACLES["normalize_urls_docs"] = f"""
     WITH raw AS (

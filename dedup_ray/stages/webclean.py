@@ -1,0 +1,369 @@
+"""Web-corpus cleaning operators: line-level exact dedup, PII redaction,
+repetition/quality screening, and benchmark decontamination.
+
+These are the standard passes of a public web-text curation pipeline
+(C4-style line dedup, Gopher-style repetition rules, n-gram test-set
+decontamination) applied on top of the engine's document model — the same
+normalize-before-compare doctrine as the reference's key cleaners
+(``clean_dirty.R:4-29``, ``venue_bag.py:11-15``), lifted from record keys
+to document *content*.
+
+Design notes (100-TB posture):
+
+- Line explode is a pure ``map_batches`` (no shuffle); the global
+  line-dedup is ONE int64-keyed hash exchange where the partition key is a
+  64-bit line hash (vectorized splitmix path through
+  ``exchange._key_hash``) while the within-partition group key is the line
+  STRING — hash collisions cost a partition co-location, never a wrong
+  merge.
+- PII rules are RE2-safe and drive both the Arrow kernel and a generated
+  DuckDB oracle (the ``urlnorm.py`` trick), so the spec cannot drift from
+  its check.
+- Quality metrics need no shuffle at all: every per-document statistic is
+  computed inside the batch with ``np.add.reduceat``/run-length scans over
+  the flattened token array.
+- Decontamination broadcasts the benchmark-side gram-hash set once via
+  ``ray.put`` (benchmark sets are small by construction); the training
+  sweep is an ``np.isin`` per batch.  64-bit gram-hash collisions can only
+  ADD a flagged gram (never hide one) with probability ~n²/2⁶⁴.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dedup_ray.util.hashing import mix64, stable64_array
+
+# --------------------------------------------------------------------------
+# Line-level exact dedup (C4-style: a boilerplate line kept only at its
+# globally-first occurrence)
+# --------------------------------------------------------------------------
+
+LINE_WIDTH = 12  # whitespace tokens per "line" (fixed window; last is short)
+
+
+def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                        width: int = LINE_WIDTH):
+    """Explode documents into fixed-width token lines.
+
+    A "line" is ``width`` consecutive whitespace tokens joined by a single
+    space (the last line of a document may be shorter).  Output columns:
+    ``(id_col, line_no, line, line_h)`` where ``line_h`` is a 64-bit hash
+    of the line used as the dedup shuffle key.
+
+    Vectorized: one ``split_pattern`` per batch, then one
+    ``list_slice``+``binary_join`` pass per line INDEX (loop count =
+    max lines in any batch document — bounded by document length, not
+    batch size; every pass covers all documents at once).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        nlines = pc.cast(
+            pc.ceil(pc.divide(pc.cast(pc.list_value_length(toks), pa.float64()),
+                              float(width))),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        max_lines = int(nlines.max()) if len(nlines) else 0
+        id_parts, no_parts, line_parts = [], [], []
+        for k in range(max_lines):
+            live = nlines > k
+            if not live.any():
+                break
+            sub = pc.binary_join(
+                pc.list_slice(toks, k * width, (k + 1) * width), " "
+            ).to_numpy(zero_copy_only=False)
+            id_parts.append(ids_np[live])
+            no_parts.append(np.full(int(live.sum()), k, np.int64))
+            line_parts.append(sub[live])
+        if not id_parts:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "line_no": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+                "line_h": pa.array([], pa.int64()),
+            })
+        lines = np.concatenate(line_parts)
+        h = stable64_array(list(lines), seed=0x11E5).view(np.int64)
+        return pa.table({
+            id_col: pa.array(np.concatenate(id_parts), t[id_col].type),
+            "line_no": pa.array(np.concatenate(no_parts)),
+            "line": pa.array(lines, pa.string()),
+            "line_h": pa.array(h),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def line_dedup(ds_lines, id_col: str = "doc_id", num_partitions: int = 16):
+    """Keep each distinct line only at its first occurrence — minimum
+    ``(doc_id, line_no)`` over all occurrences of the identical line text.
+
+    One exchange keyed on the int64 ``line_h``; inside a partition the
+    group key is the line STRING (lexsort + boundary scan), so a hash
+    collision merely co-locates two different lines.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def keep_first(part: pa.Table) -> pa.Table:
+        line = np.asarray(part["line"].to_pylist(), dtype=object)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        nos = part["line_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nos, ids, line))
+        first = np.r_[True, line[order][1:] != line[order][:-1]] \
+            if len(order) else np.zeros(0, bool)
+        keep = part.take(pa.array(order[np.flatnonzero(first)]))
+        return keep.select([id_col, "line_no", "line"])
+
+    return exchange_group_apply(ds_lines, "line_h", keep_first, num_partitions)
+
+
+# --------------------------------------------------------------------------
+# PII redaction (RE2 rule list shared verbatim with the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER with global replace; each
+# rule's count is taken on the text as that rule sees it (post prior rules).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone",
+     r"\+\d{1,2}-\d{3}-\d{3}-\d{4}|\(\d{3}\) \d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b",
+     "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_arrays(texts: pa.Array) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """Vectorized redaction; returns (clean_text, {rule_name: count})."""
+    out = texts
+    counts: dict[str, pa.Array] = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(out, pat), pa.int64()
+        )
+        out = pc.replace_substring_regex(out, pat, replacement=repl)
+    return out, counts
+
+
+def redact_pii(ds, text_col: str = "text", out_col: str = "clean"):
+    """Dataset stage: append redacted text + per-category counts."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        clean, counts = redact_pii_arrays(texts)
+        t = t.append_column(out_col, clean)
+        for name, arr in counts.items():
+            t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pii_oracle_exprs(col: str) -> tuple[str, dict[str, str]]:
+    """DuckDB (clean_expr, {count_name: count_expr}) generated from the SAME
+    rule list as the Arrow kernel — rule order and all."""
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    expr = col
+    counts: dict[str, str] = {}
+    for name, pat, repl in PII_RULES:
+        counts[f"n_{name}"] = (
+            f"len(regexp_extract_all({expr}, '{esc(pat)}'))"
+        )
+        expr = f"regexp_replace({expr}, '{esc(pat)}', '{repl}', 'g')"
+    return expr, counts
+
+
+# --------------------------------------------------------------------------
+# Repetition / quality screen (Gopher-style rules over token statistics)
+# --------------------------------------------------------------------------
+
+QUALITY_BOUNDS = {
+    "min_words": 5,
+    "max_words": 10_000,
+    "max_dup_2gram_frac": 0.40,
+    "max_top_token_frac": 0.25,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+}
+
+
+def repetition_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition/quality metrics + keep flag; no shuffle.
+
+    Metrics (all computed inside the batch over the flattened token array):
+    ``n_words``; ``mean_word_len``; ``dup_2gram_frac`` — fraction of word
+    2-gram occurrences beyond the first occurrence of that 2-gram within
+    the document (0 when fewer than 2 tokens); ``top_token_frac`` — share
+    of the most frequent token; ``keep`` — 1 iff every metric is inside
+    ``QUALITY_BOUNDS``.  Token identity is a 64-bit hash (collisions can
+    only over-count repetition, never under-count).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        tok_np = np.asarray(flat.to_pylist(), dtype=object)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(lens)
+        offsets = np.r_[0, np.cumsum(lens)]
+        parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        n_words = lens.astype(np.float64)
+        csum = np.r_[0, np.cumsum(tok_len)]
+        sum_len = csum[offsets[1:]] - csum[offsets[:-1]]
+        mean_word_len = np.divide(
+            sum_len, n_words, out=np.zeros(n), where=lens > 0
+        )
+
+        th = stable64_array(list(tok_np), seed=0x70C5).view(np.uint64) \
+            if len(tok_np) else np.zeros(0, np.uint64)
+
+        # top-token share: runs of identical (doc, token-hash)
+        top_frac = np.zeros(n)
+        if len(th):
+            order = np.lexsort((th, parent))
+            p_s, h_s = parent[order], th[order]
+            run_start = np.r_[True, (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            starts = np.flatnonzero(run_start)
+            run_len = np.diff(np.r_[starts, len(h_s)])
+            run_doc = p_s[starts]
+            doc_first_run = np.r_[True, run_doc[1:] != run_doc[:-1]]
+            max_run = np.maximum.reduceat(run_len, np.flatnonzero(doc_first_run))
+            docs_present = run_doc[doc_first_run]
+            top_frac[docs_present] = max_run / n_words[docs_present]
+
+        # duplicate-2-gram occurrence fraction
+        dup_frac = np.zeros(n)
+        if len(th) > 1:
+            same_doc = parent[1:] == parent[:-1]
+            with np.errstate(over="ignore"):
+                gh = mix64(th[:-1] * np.uint64(0x9E3779B97F4A7C15) + th[1:])
+            g_doc, g_h = parent[:-1][same_doc], gh[same_doc]
+            if len(g_h):
+                order = np.lexsort((g_h, g_doc))
+                d_s, h_s = g_doc[order], g_h[order]
+                is_dup = np.r_[False,
+                               (d_s[1:] == d_s[:-1]) & (h_s[1:] == h_s[:-1])]
+                doc_first = np.r_[True, d_s[1:] != d_s[:-1]]
+                dup_cnt = np.add.reduceat(
+                    is_dup.astype(np.int64), np.flatnonzero(doc_first)
+                )
+                tot = np.add.reduceat(
+                    np.ones(len(d_s), np.int64), np.flatnonzero(doc_first)
+                )
+                docs_present = d_s[doc_first]
+                dup_frac[docs_present] = dup_cnt / tot
+
+        b = QUALITY_BOUNDS
+        keep = (
+            (lens >= b["min_words"]) & (lens <= b["max_words"])
+            & (dup_frac <= b["max_dup_2gram_frac"])
+            & (top_frac <= b["max_top_token_frac"])
+            & (mean_word_len >= b["min_mean_word_len"])
+            & (mean_word_len <= b["max_mean_word_len"])
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pa.array(lens),
+            "mean_word_len": pc.round(pa.array(mean_word_len), ndigits=6),
+            "dup_2gram_frac": pc.round(pa.array(dup_frac), ndigits=6),
+            "top_token_frac": pc.round(pa.array(top_frac), ndigits=6),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against a held-out set)
+# --------------------------------------------------------------------------
+
+NGRAM_WIDTH = 8
+
+
+def _gram_hashes(texts: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index_per_gram, gram_hash) for all ``width``-token grams.
+
+    Rolling polynomial over per-token 64-bit hashes: ``width`` shifted
+    vectorized multiply-adds, no per-gram Python.
+    """
+    toks = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    tok_list = flat.to_pylist()
+    if not tok_list:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    th = stable64_array(tok_list, seed=0xDEC0).view(np.uint64)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = len(th) - width + 1
+    if m <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    gh = np.zeros(m, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            gh = gh * np.uint64(0x100000001B3) + th[j:j + m]
+        gh = mix64(gh)
+    inside = parent[:m] == parent[width - 1:]
+    return parent[:m][inside], gh[inside]
+
+
+def benchmark_gram_set(bench_ds, text_col: str = "text",
+                       width: int = NGRAM_WIDTH):
+    """Distinct gram hashes of the benchmark set as a broadcast ObjectRef."""
+    import ray
+
+    parts = []
+    for t in bench_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts.append(_gram_hashes(texts, width)[1])
+    grams = np.unique(np.concatenate(parts)) if parts \
+        else np.zeros(0, np.uint64)
+    return ray.put(grams)
+
+
+def decontaminate(train_ds, bench_grams_ref, text_col: str = "text",
+                  id_col: str = "doc_id", width: int = NGRAM_WIDTH):
+    """Flag training documents sharing any ``width``-token gram with the
+    benchmark set.  Output: ``(id_col, n_contam, contaminated)``.
+
+    The benchmark gram set rides the object store once (``ray.put`` by the
+    caller via :func:`benchmark_gram_set`); every map task reads the same
+    copy zero-copy — never re-shipped per batch.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        grams = bench_grams_ref
+        if not isinstance(grams, np.ndarray):  # raw ref passed through
+            grams = ray.get(grams)
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, gh = _gram_hashes(texts, width)
+        hit = np.isin(gh, grams) if len(gh) else np.zeros(0, bool)
+        n = t.num_rows
+        contam = np.zeros(n, np.int64)
+        if len(doc_idx):
+            np.add.at(contam, doc_idx, hit.astype(np.int64))
+        return pa.table({
+            id_col: t[id_col],
+            "n_contam": pa.array(contam),
+            "contaminated": pa.array((contam > 0).astype(np.int64)),
+        })
+
+    return train_ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,206 @@
+"""Web-corpus cleaning kernels: line dedup, PII redaction, repetition
+screen, decontamination — brute-force / oracle parity on crafted inputs."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dedup_ray.stages.webclean import (
+    LINE_WIDTH,
+    PII_RULES,
+    _gram_hashes,
+    benchmark_gram_set,
+    decontaminate,
+    explode_token_lines,
+    line_dedup,
+    pii_oracle_exprs,
+    redact_pii_arrays,
+    repetition_quality,
+)
+
+W = LINE_WIDTH
+
+
+def _mkdocs(texts):
+    return ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+    )
+
+
+# --------------------------------------------------------------------------
+# line dedup
+# --------------------------------------------------------------------------
+
+def _words(tag, n):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_explode_token_lines_windows():
+    texts = [_words("a", W * 2 + 3), _words("b", 1), _words("c", W)]
+    rows = explode_token_lines(_mkdocs(texts)).to_pandas()
+    per_doc = rows.groupby("doc_id")["line_no"].count().to_dict()
+    assert per_doc == {0: 3, 1: 1, 2: 1}
+    first = rows[(rows.doc_id == 0) & (rows.line_no == 0)]["line"].iloc[0]
+    assert first == " ".join(f"a{i}" for i in range(W))
+    tail = rows[(rows.doc_id == 0) & (rows.line_no == 2)]["line"].iloc[0]
+    assert tail == " ".join(f"a{i}" for i in range(W * 2, W * 2 + 3))
+
+
+def test_line_dedup_keeps_first_occurrence():
+    boiler = _words("x", W)  # one full shared line
+    texts = [
+        boiler + " " + _words("a", W),  # doc 0: boiler at line 0
+        boiler + " " + _words("b", W),  # doc 1: duplicate boiler dropped
+        _words("c", W) + " " + boiler,  # doc 2: duplicate boiler dropped
+    ]
+    kept = line_dedup(explode_token_lines(_mkdocs(texts)),
+                      num_partitions=4).to_pandas()
+    occ = kept[kept.line == boiler]
+    assert len(occ) == 1
+    assert (occ.doc_id.iloc[0], occ.line_no.iloc[0]) == (0, 0)
+    # non-duplicate lines all survive: a, b, c + the one kept boiler
+    assert len(kept) == 4
+
+
+def test_line_dedup_matches_sql_oracle():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+             for _ in range(60)]
+    kept = line_dedup(explode_token_lines(_mkdocs(texts)),
+                      num_partitions=4).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(doc_id, text)"
+    )
+    sql = con.execute(f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, i, toks[i] AS token
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        lines AS (SELECT doc_id, (i - 1) // {W} AS line_no,
+                         string_agg(token, ' ' ORDER BY i) AS line
+                  FROM tok GROUP BY doc_id, (i - 1) // {W}),
+        ranked AS (SELECT doc_id, line_no, line, row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                   FROM lines)
+        SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+        ORDER BY doc_id, line_no
+    """).df()
+    got = kept.sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    assert got.to_dict("records") == sql.to_dict("records")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+PII_PROBES = [
+    "mail me at john.doe+x@Sub.Example.COM today",
+    "call +1-415-555-0199 or (415) 555-0123 now",
+    "plain 415-555-0199 inline",
+    "server at 192.168.1.254 and 10.0.0.1",
+    "mixed a@b.io then 1.2.3.4 then +12-345-678-9012",
+    "none of it here",
+    "not-an-ip 1.2.3 and half-phone 12-345",
+]
+
+
+def test_redact_pii_semantics():
+    clean, counts = redact_pii_arrays(pa.array(PII_PROBES))
+    got = clean.to_pylist()
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "plain <PHONE> inline"
+    assert got[3] == "server at <IP> and <IP>"
+    assert got[5] == "none of it here"
+    assert got[6] == "not-an-ip 1.2.3 and half-phone 12-345"
+    assert counts["n_email"].to_pylist() == [1, 0, 0, 0, 1, 0, 0]
+    assert counts["n_phone"].to_pylist() == [0, 2, 1, 0, 1, 0, 0]
+    assert counts["n_ip"].to_pylist() == [0, 0, 0, 2, 1, 0, 0]
+
+
+def test_pii_oracle_expression_parity():
+    clean, counts = redact_pii_arrays(pa.array(PII_PROBES))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{s}')" for s in PII_PROBES)
+        + ") v(txt)"
+    )
+    clean_expr, count_exprs = pii_oracle_exprs("txt")
+    cols = ", ".join([f"{clean_expr} AS clean"]
+                     + [f"{e} AS {n}" for n, e in count_exprs.items()])
+    df = con.execute(f"SELECT {cols} FROM t").df()
+    assert df["clean"].tolist() == clean.to_pylist()
+    for name, _, _ in PII_RULES:
+        assert df[f"n_{name}"].tolist() == counts[f"n_{name}"].to_pylist()
+
+
+# --------------------------------------------------------------------------
+# repetition / quality screen
+# --------------------------------------------------------------------------
+
+def test_repetition_quality_metrics():
+    texts = [
+        "aa bb cc dd ee ff",          # clean: 6 words, no repeats
+        "x x x x x x x x",            # degenerate repetition
+        "one two",                    # too short
+        " ".join(["ab cd"] * 5),      # dup 2-grams across repeats
+    ]
+    out = repetition_quality(_mkdocs(texts)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.n_words.tolist() == [6, 8, 2, 10]
+    assert out.mean_word_len.tolist() == [2.0, 1.0, 3.0, 2.0]
+    # doc1: 7 2-gram occurrences, 1 distinct -> 6/7 duplicated
+    assert out.dup_2gram_frac[1] == pytest.approx(6 / 7, abs=1e-6)
+    assert out.top_token_frac[1] == 1.0
+    # doc3: tokens ab*5 cd*5 -> top 0.5; 2grams: 9 occ, 2 distinct
+    assert out.dup_2gram_frac[3] == pytest.approx(7 / 9, abs=1e-6)
+    assert out.keep.tolist() == [1, 0, 0, 0]
+
+
+def test_repetition_quality_empty_and_single():
+    out = repetition_quality(_mkdocs(["solo", "a b a b"])).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.n_words.tolist() == [1, 4]
+    assert out.dup_2gram_frac[0] == 0.0
+    assert out.dup_2gram_frac[1] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+def test_decontaminate_planted_overlap():
+    secret = _words("s", 8)  # exactly one 8-gram
+    bench = _mkdocs([secret + " " + _words("pad", 4)])
+    train_texts = [
+        _words("t", 20),                      # clean
+        _words("u", 5) + " " + secret,        # contains the benchmark gram
+        _words("s", 7),                       # 7-token prefix only: clean
+    ]
+    train = _mkdocs(train_texts)
+    ref = benchmark_gram_set(bench)
+    out = decontaminate(train, ref).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.contaminated.tolist() == [0, 1, 0]
+    assert out.n_contam[1] == 1
+
+
+def test_gram_hashes_respect_doc_boundaries():
+    texts = [_words("a", 4) + " " + _words("b", 4)]
+    # 8 tokens -> 1 gram within the doc
+    doc_idx, gh = _gram_hashes(pa.array(texts), 8)
+    assert len(gh) == 1
+    # two 4-token docs -> no 8-gram spans the boundary
+    doc_idx2, gh2 = _gram_hashes(pa.array([_words("a", 4), _words("b", 4)]), 8)
+    assert len(gh2) == 0
