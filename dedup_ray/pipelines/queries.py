@@ -1256,6 +1256,58 @@ def host_page_stats(sf_dir: str):
     return partitioned_group_apply(pages, ["host"], agg, num_partitions=8)
 
 
+PACK_BUDGET = 256
+
+
+def pack_sequences_docs(sf_dir: str):
+    """Sequence packing for LLM pretraining: documents laid out in doc_id
+    order accumulate whitespace-token counts; each doc's training sequence
+    is ``floor(tokens_before / budget)`` with its start offset inside the
+    sequence.  Distributed two-level prefix scan
+    (``stages/packing.py``): bucket-granular sums to the driver, one
+    exchange for the within-bucket cumsum."""
+    from dedup_ray.stages.packing import pack_sequences, token_counts
+
+    counts = token_counts(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))
+    return pack_sequences(counts, budget=PACK_BUDGET, bucket_width=64)
+
+
+QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact distributed quantiles of document length via value-count
+    histogram: per-batch partial counts, one small grouped sum, driver-side
+    cumsum over the DISTINCT LENGTH VALUES (bounded by max doc length, not
+    corpus size).  Quantile definition: sorted[floor(q·(n−1))], computed in
+    IEEE double on both sides."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"n_chars": pa.array(v, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    hist = as_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars").sum("cnt")
+    ).to_pandas().sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy()
+    cnt = hist["sum(cnt)"].to_numpy()
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    rows = []
+    for q in QUANTILE_QS:
+        idx = int(np.floor(np.float64(q) * (n - 1)))
+        v = int(vals[np.searchsorted(cum, idx + 1)])
+        rows.append((float(q), v))
+    return pd.DataFrame({"q": [r[0] for r in rows],
+                         "v": pd.Series([r[1] for r in rows], dtype="int64")})
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over the pre-registered views)
 # --------------------------------------------------------------------------
@@ -1776,6 +1828,8 @@ QUERIES = {
     "repetition_quality_docs": repetition_quality_docs,
     "decontaminate_docs": decontaminate_docs,
     "host_page_stats": host_page_stats,
+    "pack_sequences_docs": pack_sequences_docs,
+    "doc_length_quantiles": doc_length_quantiles,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -1981,6 +2035,36 @@ def _webclean_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_webclean_oracles())
+
+ORACLES["pack_sequences_docs"] = f"""
+    WITH c AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS before
+          FROM c)
+    SELECT doc_id, n_tokens,
+           before // {PACK_BUDGET} AS seq_id,
+           before % {PACK_BUDGET} AS seq_offset
+    FROM s
+"""
+
+ORACLES["doc_length_quantiles"] = f"""
+    WITH c AS (SELECT n_chars, count(*) AS cnt FROM documents
+               GROUP BY n_chars),
+    o AS (SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+                 (SELECT count(*) FROM documents) AS n
+          FROM c),
+    qs AS (SELECT unnest({QUANTILE_QS!r}) AS q)
+    SELECT CAST(q AS DOUBLE) AS q, CAST(min(n_chars) AS BIGINT) AS v
+    FROM o, qs
+    WHERE cum >= floor(CAST(q AS DOUBLE) * (n - 1)) + 1
+    GROUP BY q
+"""
 
 ORACLES["normalize_urls_docs"] = f"""
     WITH raw AS (
