@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "line_dedup_docs",
     "repetition_quality_docs",
     "decontaminate_docs",
+    "curate_docs",
+    "pack_sequences_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

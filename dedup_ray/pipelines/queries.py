@@ -1256,6 +1256,17 @@ def host_page_stats(sf_dir: str):
     return partitioned_group_apply(pages, ["host"], agg, num_partitions=8)
 
 
+def curate_docs(sf_dir: str):
+    """End-to-end corpus curation (``pipelines/curate.py``): Gopher-style
+    quality screen → PII redaction → C4-style line dedup → document
+    reassembly.  Four deterministic stages, two narrow-key exchanges; the
+    oracle re-derives the whole chain in SQL."""
+    from dedup_ray.pipelines.curate import curate_pipeline
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return curate_pipeline(docs)
+
+
 PACK_BUDGET = 256
 
 
@@ -1830,6 +1841,7 @@ QUERIES = {
     "host_page_stats": host_page_stats,
     "pack_sequences_docs": pack_sequences_docs,
     "doc_length_quantiles": doc_length_quantiles,
+    "curate_docs": curate_docs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2035,6 +2047,64 @@ def _webclean_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_webclean_oracles())
+
+def _curate_oracle() -> str:
+    from dedup_ray.stages.webclean import (
+        LINE_WIDTH,
+        QUALITY_BOUNDS,
+        pii_oracle_exprs,
+    )
+
+    clean_expr, _ = pii_oracle_exprs("text")
+    b = QUALITY_BOUNDS
+    return f"""
+        WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+        tok0 AS (SELECT doc_id, i, toks[i] AS token
+                 FROM t0, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        base AS (SELECT doc_id, count(*) AS n_words,
+                        sum(length(token)) AS sum_len
+                 FROM tok0 GROUP BY doc_id),
+        g2 AS (SELECT doc_id, token || ' ' ||
+                      lead(token) OVER (PARTITION BY doc_id ORDER BY i) AS g
+               FROM tok0 QUALIFY g IS NOT NULL),
+        d2 AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dist
+               FROM g2 GROUP BY doc_id),
+        tc AS (SELECT doc_id, token, count(*) AS c FROM tok0
+               GROUP BY doc_id, token),
+        tt AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+        m AS (SELECT bb.doc_id, bb.n_words,
+                     bb.sum_len * 1.0 / bb.n_words AS mwl,
+                     COALESCE((d2.tot - d2.dist) * 1.0 / d2.tot, 0.0)
+                         AS dupf,
+                     tt.maxc * 1.0 / bb.n_words AS topf
+              FROM base bb LEFT JOIN d2 USING (doc_id)
+              JOIN tt USING (doc_id)),
+        keepids AS (SELECT doc_id FROM m
+                    WHERE n_words BETWEEN {b["min_words"]}
+                          AND {b["max_words"]}
+                      AND dupf <= {b["max_dup_2gram_frac"]}
+                      AND topf <= {b["max_top_token_frac"]}
+                      AND mwl >= {b["min_mean_word_len"]}
+                      AND mwl <= {b["max_mean_word_len"]}),
+        src AS (SELECT d.doc_id, {clean_expr} AS text
+                FROM documents d JOIN keepids USING (doc_id)),
+        t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+        tok2 AS (SELECT doc_id, i, toks[i] AS token
+                 FROM t2, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        lines AS (SELECT doc_id, (i - 1) // {LINE_WIDTH} AS line_no,
+                         string_agg(token, ' ' ORDER BY i) AS line
+                  FROM tok2 GROUP BY doc_id, (i - 1) // {LINE_WIDTH}),
+        ranked AS (SELECT doc_id, line_no, line, row_number() OVER (
+                       PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                   FROM lines),
+        kept AS (SELECT doc_id, line_no, line FROM ranked WHERE rn = 1)
+        SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+        FROM kept GROUP BY doc_id
+    """
+
+
+ORACLES["curate_docs"] = _curate_oracle()
 
 ORACLES["pack_sequences_docs"] = f"""
     WITH c AS (SELECT doc_id,

@@ -121,6 +121,45 @@ def line_dedup(ds_lines, id_col: str = "doc_id", num_partitions: int = 16):
     return exchange_group_apply(ds_lines, "line_h", keep_first, num_partitions)
 
 
+def reassemble_docs(kept_lines, id_col: str = "doc_id",
+                    num_partitions: int = 16):
+    """Rebuild document text from surviving lines (post :func:`line_dedup`):
+    one exchange on the document id, then a vectorized in-partition join —
+    lines sorted by ``line_no``, doc boundaries found by scan, and the
+    per-doc concat done with ``ListArray`` offsets + ``binary_join`` (no
+    per-doc Python).  Output: ``(id_col, text)``."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def join_lines(part: pa.Table) -> pa.Table:
+        id_type = part[id_col].type if id_col in part.column_names \
+            else pa.int64()
+        if part.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "text": pa.array([], pa.string()),
+            })
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        nos = part["line_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nos, ids))
+        lines = part["line"].combine_chunks() if isinstance(
+            part["line"], pa.ChunkedArray) else part["line"]
+        lines_s = lines.take(pa.array(order))
+        ids_s = ids[order]
+        first = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        starts = np.flatnonzero(first)
+        offsets = pa.array(np.r_[starts, len(ids_s)].astype(np.int32))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, lines_s), " "
+        )
+        return pa.table({
+            id_col: pa.array(ids_s[starts], id_type),
+            "text": joined,
+        })
+
+    return exchange_group_apply(kept_lines, id_col, join_lines,
+                                num_partitions)
+
+
 # --------------------------------------------------------------------------
 # PII redaction (RE2 rule list shared verbatim with the DuckDB oracle)
 # --------------------------------------------------------------------------
@@ -206,7 +245,19 @@ def repetition_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
     ``QUALITY_BOUNDS``.  Token identity is a 64-bit hash (collisions can
     only over-count repetition, never under-count).
     """
+    f = _quality_batch_fn(text_col, id_col, emit_metrics=True)
+    return ds.map_batches(f, batch_format="pyarrow")
 
+
+def quality_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Drop documents failing the :data:`QUALITY_BOUNDS` screen, keeping
+    the input columns — the filtering form of :func:`repetition_quality`,
+    fused into one batch-local pass (metrics never leave the task)."""
+    f = _quality_batch_fn(text_col, id_col, emit_metrics=False)
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _quality_batch_fn(text_col: str, id_col: str, emit_metrics: bool):
     def f(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t[text_col], " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
@@ -273,6 +324,8 @@ def repetition_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
             & (mean_word_len >= b["min_mean_word_len"])
             & (mean_word_len <= b["max_mean_word_len"])
         )
+        if not emit_metrics:
+            return t.filter(pa.array(keep))
         return pa.table({
             id_col: t[id_col],
             "n_words": pa.array(lens),
@@ -282,7 +335,7 @@ def repetition_quality(ds, text_col: str = "text", id_col: str = "doc_id"):
             "keep": pa.array(keep.astype(np.int64)),
         })
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return f
 
 
 # --------------------------------------------------------------------------

@@ -204,3 +204,41 @@ def test_gram_hashes_respect_doc_boundaries():
     # two 4-token docs -> no 8-gram spans the boundary
     doc_idx2, gh2 = _gram_hashes(pa.array([_words("a", 4), _words("b", 4)]), 8)
     assert len(gh2) == 0
+
+
+# --------------------------------------------------------------------------
+# curation pipeline composition
+# --------------------------------------------------------------------------
+
+def test_curate_pipeline_composition():
+    from dedup_ray.pipelines.curate import curate_pipeline
+
+    boiler = _words("x", W)
+    texts = [
+        boiler + " " + _words("a", W),        # keeps boiler (first)
+        boiler + " mail b@c.de " + _words("b", W - 2),  # boiler deduped, PII out
+        "spam spam spam spam spam spam",      # fails quality screen
+        boiler,                               # ALL lines duplicate -> vanishes
+    ]
+    out = curate_pipeline(_mkdocs(texts), num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.text[0] == texts[0]
+    assert out.text[1].startswith("mail <EMAIL>")
+    assert boiler not in out.text[1]
+
+
+def test_reassemble_roundtrip_without_dedup():
+    from dedup_ray.stages.webclean import (
+        explode_token_lines,
+        reassemble_docs,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = [" ".join(rng.choice([f"w{i}" for i in range(50)],
+                                 rng.integers(1, 60)))
+             for _ in range(40)]
+    lines = explode_token_lines(_mkdocs(texts))
+    out = reassemble_docs(lines, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.text.tolist() == texts
