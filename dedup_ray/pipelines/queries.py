@@ -1267,6 +1267,19 @@ def curate_docs(sf_dir: str):
     return curate_pipeline(docs)
 
 
+SHUFFLE_SEED = 42
+
+
+def shuffle_rank_docs(sf_dir: str):
+    """Reproducible global training-order shuffle: rank = position in
+    ``md5(doc_id:seed)`` order (``stages/ordering.py``, two-level scan —
+    256 coarse key buckets, driver sees 256 counter rows, one exchange)."""
+    from dedup_ray.stages.ordering import shuffle_rank
+
+    return shuffle_rank(_read(sf_dir, "documents", columns=["doc_id"]),
+                        seed=SHUFFLE_SEED)
+
+
 PACK_BUDGET = 256
 
 
@@ -1842,6 +1855,7 @@ QUERIES = {
     "pack_sequences_docs": pack_sequences_docs,
     "doc_length_quantiles": doc_length_quantiles,
     "curate_docs": curate_docs,
+    "shuffle_rank_docs": shuffle_rank_docs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2105,6 +2119,14 @@ def _curate_oracle() -> str:
 
 
 ORACLES["curate_docs"] = _curate_oracle()
+
+ORACLES["shuffle_rank_docs"] = f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(doc_id || ':{SHUFFLE_SEED}'), doc_id
+           ) - 1 AS BIGINT) AS rank
+    FROM documents
+"""
 
 ORACLES["pack_sequences_docs"] = f"""
     WITH c AS (SELECT doc_id,
