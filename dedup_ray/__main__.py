@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="write output via the partition-granular resumable "
                     "sink with this many key-hash buckets (rerun skips "
                     "committed buckets); 0 = plain write_parquet")
+    ap.add_argument("--curate-only", action="store_true",
+                    help="run the curation chain (quality screen -> PII "
+                    "redaction -> line-level dedup -> reassembly) instead "
+                    "of the dedup pipeline; writes curated (id, text)")
     args = ap.parse_args(argv)
 
     import ray
@@ -74,6 +78,27 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(args.input)
+
+    if args.curate_only:
+        from dedup_ray.pipelines.curate import curate_pipeline
+        from dedup_ray.stages.extract import extract_pages
+
+        docs = pages if args.no_extract else extract_pages(pages)
+        curated = curate_pipeline(
+            docs, id_col=args.id_col,
+            num_partitions=cfg.num_partitions,
+        )
+        curated.write_parquet(args.output)
+        n = ray.data.read_parquet(args.output).count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "docs": n, "sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1),
+            "mode": "curate", "output": args.output,
+        }))
+        ray.shutdown()
+        return 0
+
     pages_parts = None
     if args.sign_parts and args.checkpoint_dir:
         import os
