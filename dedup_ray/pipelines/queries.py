@@ -1267,6 +1267,18 @@ def curate_docs(sf_dir: str):
     return curate_pipeline(docs)
 
 
+def hll_token_registers_docs(sf_dir: str):
+    """Distinct-token HyperLogLog sketch (``stages/sketch.py``): the md5
+    register layout makes the SKETCH ITSELF oracle-checkable — the DuckDB
+    oracle recomputes every register from the data.  Per batch ≤256 partial
+    rows leave the task; the merge is one tiny groupby-max."""
+    from dedup_ray.stages.sketch import hll_token_registers
+
+    return hll_token_registers(
+        _read(sf_dir, "documents", columns=["text"])
+    )
+
+
 SHUFFLE_SEED = 42
 
 
@@ -1856,6 +1868,7 @@ QUERIES = {
     "doc_length_quantiles": doc_length_quantiles,
     "curate_docs": curate_docs,
     "shuffle_rank_docs": shuffle_rank_docs,
+    "hll_token_registers_docs": hll_token_registers_docs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2119,6 +2132,32 @@ def _curate_oracle() -> str:
 
 
 ORACLES["curate_docs"] = _curate_oracle()
+
+ORACLES["hll_token_registers_docs"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    h AS (SELECT md5(token) AS hx FROM tok),
+    parts AS (SELECT
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS idx,
+        length(regexp_extract(substr(hx, 3, 13), '^0*')) AS lz,
+        substr(hx,
+               3 + length(regexp_extract(substr(hx, 3, 13), '^0*')),
+               1) AS d0
+      FROM h),
+    r AS (SELECT idx,
+                 CASE WHEN lz >= 13 THEN 53
+                      ELSE 4 * lz + 1 +
+                           CASE WHEN d0 IN ('8','9','a','b','c','d','e','f')
+                                    THEN 0
+                                WHEN d0 IN ('4','5','6','7') THEN 1
+                                WHEN d0 IN ('2','3') THEN 2
+                                ELSE 3 END
+                 END AS rho
+          FROM parts)
+    SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
+    FROM r GROUP BY idx
+"""
 
 ORACLES["shuffle_rank_docs"] = f"""
     SELECT doc_id,

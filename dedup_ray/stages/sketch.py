@@ -1,0 +1,108 @@
+"""Mergeable distinct-count sketch (HyperLogLog) over corpus tokens.
+
+At 100 TB, "how many distinct tokens / urls / shingles" is a sketch
+question — an exact distinct is a corpus-wide shuffle.  HLL registers
+merge with ``max``, so the whole sketch is: one vectorized register pass
+per batch (≤ ``m`` partial rows emitted per batch, regardless of batch
+size) and one tiny ``groupby.max`` over ``m`` register ids.  Nothing
+corpus-sized moves.
+
+The hash is md5 — deliberately public, like ``stages/ordering.py``: the
+register table ``(idx, rho)`` is EXACTLY reproducible by any engine from
+the data alone, so the sketch itself (not just a tolerance band around
+its estimate) is oracle-checkable.  Layout per token::
+
+    h = md5(token)                    # 32 hex chars
+    idx = int(h[0:2], 16)             # register, p=8 → m=256
+    rho = leading-zero BITS of h[2:15] (52 bits) + 1   # ∈ [1, 53]
+
+The float estimator (``hll_estimate``) applies the standard bias-corrected
+formula with linear counting for the small range; it is kept OUT of the
+oracle-checked surface (libm ``ln`` is not bit-specified across engines)
+and is instead property-tested against exact distinct counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_REST_HEX = 13  # hex chars of rho material → 52 bits
+
+
+def _hex_vals(dg: list[str], n_chars: int) -> np.ndarray:
+    """(len(dg), n_chars) int matrix of hex-digit values, vectorized."""
+    u = np.array(dg, dtype=f"U{n_chars}")
+    codes = u.view(np.uint32).reshape(len(dg), n_chars).astype(np.int64)
+    return codes - 48 - 39 * (codes >= 97)
+
+
+def hll_partial(tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(idx, rho) per token from md5 — vectorized after the digest pass."""
+    import hashlib
+
+    dg = [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+          for t in tokens]
+    vals = _hex_vals(dg, 2 + _REST_HEX)
+    idx = vals[:, 0] * 16 + vals[:, 1]
+    rest = vals[:, 2:]
+    nz = rest != 0
+    any_nz = nz.any(axis=1)
+    first_nz = np.where(any_nz, nz.argmax(axis=1), _REST_HEX)
+    # leading zero bits inside the first nonzero hex digit
+    d = rest[np.arange(len(dg)), np.minimum(first_nz, _REST_HEX - 1)]
+    in_digit = np.select(
+        [d >= 8, d >= 4, d >= 2], [0, 1, 2], default=3
+    )
+    rho = np.where(any_nz, 4 * first_nz + in_digit + 1, 4 * _REST_HEX + 1)
+    return idx, rho.astype(np.int64)
+
+
+def hll_token_registers(ds, text_col: str = "text"):
+    """Corpus-distinct-token HLL registers: Dataset ``(idx, rho)``, one row
+    per touched register, ``rho`` already max-merged."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        tok_list = toks.to_pylist()
+        if not tok_list:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        idx, rho = hll_partial(tok_list)
+        regs = np.zeros(HLL_M, np.int64)
+        np.maximum.at(regs, idx, rho)
+        hit = np.flatnonzero(regs)
+        return pa.table({"idx": pa.array(hit),
+                         "rho": pa.array(regs[hit])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("idx").max("rho").map_batches(
+        lambda t: pa.table({"idx": t["idx"],
+                            "rho": pc.cast(t["max(rho)"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def hll_estimate(registers) -> float:
+    """Bias-corrected HLL estimate from a ``(idx, rho)`` table/Dataset.
+    Registers never touched count as zero."""
+    import pandas as pd
+
+    if hasattr(registers, "to_pandas"):
+        df = registers.to_pandas()
+    elif isinstance(registers, pd.DataFrame):
+        df = registers
+    else:
+        df = pa.table(registers).to_pandas()
+    regs = np.zeros(HLL_M, np.float64)
+    regs[df["idx"].to_numpy()] = df["rho"].to_numpy()
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)

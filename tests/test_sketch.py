@@ -1,0 +1,61 @@
+"""HyperLogLog sketch: estimate accuracy and merge property."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dedup_ray.stages.sketch import (
+    HLL_M,
+    hll_estimate,
+    hll_partial,
+    hll_token_registers,
+)
+
+
+def _corpus(n_docs, vocab, rng):
+    return ray.data.from_arrow(pa.table({
+        "text": pa.array(
+            [" ".join(rng.choice(vocab, 30)) for _ in range(n_docs)],
+            pa.string(),
+        )
+    }))
+
+
+def test_hll_estimate_within_expected_error():
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(2000)]
+    ds = _corpus(400, vocab, rng)
+    regs = hll_token_registers(ds).to_pandas()
+    est = hll_estimate(regs)
+    # every vocab word almost surely appears in 400*30 draws; standard HLL
+    # error at m=256 is ~6.5%, allow 3 sigma
+    exact = 2000
+    assert abs(est - exact) / exact < 0.20
+
+
+def test_hll_small_range_linear_counting():
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(40)]
+    est = hll_estimate(hll_token_registers(_corpus(50, vocab, rng)).to_pandas())
+    assert abs(est - 40) / 40 < 0.10
+
+
+def test_hll_registers_merge_by_max():
+    toks_a = [f"a{i}" for i in range(500)]
+    toks_b = [f"b{i}" for i in range(500)]
+    ia, ra = hll_partial(toks_a)
+    ib, rb = hll_partial(toks_b)
+    iu, ru = hll_partial(toks_a + toks_b)
+    merged = np.zeros(HLL_M, np.int64)
+    np.maximum.at(merged, ia, ra)
+    np.maximum.at(merged, ib, rb)
+    union = np.zeros(HLL_M, np.int64)
+    np.maximum.at(union, iu, ru)
+    assert (merged == union).all()
+
+
+def test_hll_rho_bounds():
+    idx, rho = hll_partial([f"x{i}" for i in range(5000)])
+    assert idx.min() >= 0 and idx.max() < HLL_M
+    assert rho.min() >= 1 and rho.max() <= 53
