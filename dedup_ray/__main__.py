@@ -84,10 +84,12 @@ def main(argv: list[str] | None = None) -> int:
         from dedup_ray.stages.extract import extract_pages
 
         docs = pages if args.no_extract else extract_pages(pages)
-        curated = curate_pipeline(
+        res = curate_pipeline(
             docs, id_col=args.id_col,
             num_partitions=cfg.num_partitions,
+            checkpoint_dir=args.checkpoint_dir,
         )
+        curated, cctx = res if args.checkpoint_dir else (res, None)
         curated.write_parquet(args.output)
         n = ray.data.read_parquet(args.output).count()
         wall = time.perf_counter() - t0
@@ -95,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
             "docs": n, "sec": round(wall, 3),
             "docs_per_sec": round(n / wall, 1),
             "mode": "curate", "output": args.output,
+            "resumed_stages": cctx.hits if cctx else [],
         }))
         ray.shutdown()
         return 0

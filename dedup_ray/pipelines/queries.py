@@ -1267,6 +1267,31 @@ def curate_docs(sf_dir: str):
     return curate_pipeline(docs)
 
 
+def top_tokens_docs(sf_dir: str):
+    """Corpus heavy hitters: top-20 tokens by frequency (ties broken by
+    token).  Pre-aggregated inside each batch (np.unique partials), one
+    small grouped sum, then a bounded sort+limit — the groupby payload is
+    (token, partial_count) rows, never raw tokens."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        v, c = np.unique(
+            np.asarray(toks.to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table({"token": pa.array(v, pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("cnt")
+    top = agg.map_batches(
+        lambda t: pa.table({"token": t["token"],
+                            "n": pc.cast(t["sum(cnt)"], pa.int64())}),
+        batch_format="pyarrow",
+    ).sort(["n", "token"], descending=[True, False]).limit(20)
+    return top
+
+
 def hll_token_registers_docs(sf_dir: str):
     """Distinct-token HyperLogLog sketch (``stages/sketch.py``): the md5
     register layout makes the SKETCH ITSELF oracle-checkable — the DuckDB
@@ -1869,6 +1894,7 @@ QUERIES = {
     "curate_docs": curate_docs,
     "shuffle_rank_docs": shuffle_rank_docs,
     "hll_token_registers_docs": hll_token_registers_docs,
+    "top_tokens_docs": top_tokens_docs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2132,6 +2158,13 @@ def _curate_oracle() -> str:
 
 
 ORACLES["curate_docs"] = _curate_oracle()
+
+ORACLES["top_tokens_docs"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+    SELECT token, count(*) AS n FROM tok
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
 
 ORACLES["hll_token_registers_docs"] = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token

@@ -242,3 +242,23 @@ def test_reassemble_roundtrip_without_dedup():
     out = reassemble_docs(lines, num_partitions=4).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out.text.tolist() == texts
+
+
+def test_curate_pipeline_checkpoint_resume(tmp_path):
+    from dedup_ray.pipelines.curate import curate_pipeline
+
+    texts = [_words("a", W * 2), _words("b", W) + " " + _words("a", W)]
+    ck = str(tmp_path / "ck")
+    out1, ctx1 = curate_pipeline(_mkdocs(texts), num_partitions=2,
+                                 checkpoint_dir=ck)
+    df1 = out1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert ctx1.hits == []
+    out2, ctx2 = curate_pipeline(_mkdocs(texts), num_partitions=2,
+                                 checkpoint_dir=ck)
+    df2 = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(ctx2.hits) == {"kept_lines", "curated"}
+    assert df1.to_dict("records") == df2.to_dict("records")
+    # changing the pipeline shape invalidates the stale checkpoint
+    out3, ctx3 = curate_pipeline(_mkdocs(texts), num_partitions=2,
+                                 checkpoint_dir=ck, with_pii=False)
+    assert ctx3.hits == []
