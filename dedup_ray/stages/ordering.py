@@ -50,8 +50,15 @@ def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,
 
     with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
-    counts = with_key.groupby("bucket").count().to_pandas() \
-        .sort_values("bucket")
+    counts = with_key.groupby("bucket").count().to_pandas()
+    if counts.empty:  # empty corpus
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+    counts = counts.sort_values("bucket")
     buckets = counts["bucket"].to_numpy()
     offsets = np.r_[0, np.cumsum(counts["count()"].to_numpy())[:-1]]
     offset_ref = ray.put((buckets, offsets))

@@ -68,6 +68,15 @@ def pack_sequences(ds_counts, budget: int, id_col: str = "doc_id",
     # level-1 scan: per-bucket sums -> driver cumsum -> broadcast offsets.
     # The aggregate output is bucket-granular (tiny), not corpus-granular.
     sums = with_bucket.groupby("bucket").sum("n_tokens").to_pandas()
+    if sums.empty:  # empty corpus: nothing to pack
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64()),
+            "seq_offset": pa.array([], pa.int64()),
+        }))
     sums = sums.sort_values("bucket")
     buckets = sums["bucket"].to_numpy()
     totals = sums["sum(n_tokens)"].to_numpy()

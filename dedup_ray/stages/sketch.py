@@ -79,10 +79,16 @@ def hll_token_registers(ds, text_col: str = "text"):
                          "rho": pa.array(regs[hit])})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "max(rho)" not in t.column_names:  # empty-corpus aggregate
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        return pa.table({"idx": t["idx"],
+                         "rho": pc.cast(t["max(rho)"], pa.int64())})
+
     return partials.groupby("idx").max("rho").map_batches(
-        lambda t: pa.table({"idx": t["idx"],
-                            "rho": pc.cast(t["max(rho)"], pa.int64())}),
-        batch_format="pyarrow",
+        rename, batch_format="pyarrow"
     )
 
 
@@ -98,7 +104,8 @@ def hll_estimate(registers) -> float:
     else:
         df = pa.table(registers).to_pandas()
     regs = np.zeros(HLL_M, np.float64)
-    regs[df["idx"].to_numpy()] = df["rho"].to_numpy()
+    if len(df):
+        regs[df["idx"].to_numpy()] = df["rho"].to_numpy()
     m = float(HLL_M)
     alpha = 0.7213 / (1 + 1.079 / m)
     e = alpha * m * m / np.sum(np.exp2(-regs))

@@ -109,6 +109,14 @@ def line_dedup(ds_lines, id_col: str = "doc_id", num_partitions: int = 16):
     from dedup_ray.util.exchange import exchange_group_apply
 
     def keep_first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:  # exchange void blocks carry no schema
+            id_type = part[id_col].type if id_col in part.column_names \
+                else pa.int64()
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "line_no": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+            })
         line = np.asarray(part["line"].to_pylist(), dtype=object)
         ids = part[id_col].to_numpy(zero_copy_only=False)
         nos = part["line_no"].to_numpy(zero_copy_only=False)

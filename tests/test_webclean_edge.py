@@ -1,0 +1,79 @@
+"""Edge-corpus robustness: new operators on empty / single-doc / empty-text
+inputs (the exchange emits schema-less empty blocks — the known hazard)."""
+
+import pyarrow as pa
+
+import ray.data
+
+from dedup_ray.stages.packing import pack_sequences, token_counts
+from dedup_ray.stages.ordering import shuffle_rank
+from dedup_ray.stages.sketch import hll_estimate, hll_token_registers
+from dedup_ray.stages.webclean import (
+    explode_token_lines,
+    line_dedup,
+    reassemble_docs,
+    repetition_quality,
+)
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+EMPTY = _docs([])
+SINGLE = _docs(["one tiny doc"])
+BLANK = _docs([""])
+
+
+def test_line_dedup_edges():
+    assert line_dedup(explode_token_lines(EMPTY), num_partitions=2) \
+        .count() == 0
+    out = line_dedup(explode_token_lines(SINGLE), num_partitions=2) \
+        .to_pandas()
+    assert out.line.tolist() == ["one tiny doc"]
+    # empty text still yields its (empty-string) line deterministically
+    blank = line_dedup(explode_token_lines(BLANK), num_partitions=2) \
+        .to_pandas()
+    assert blank.line.tolist() == [""]
+
+
+def test_reassemble_edges():
+    assert reassemble_docs(explode_token_lines(EMPTY),
+                           num_partitions=2).count() == 0
+    out = reassemble_docs(explode_token_lines(SINGLE),
+                          num_partitions=2).to_pandas()
+    assert out.text.tolist() == ["one tiny doc"]
+
+
+def test_quality_edges():
+    assert repetition_quality(EMPTY).count() == 0
+    out = repetition_quality(BLANK).to_pandas()
+    # "" splits to one empty token: 1 word of length 0
+    assert out.n_words.tolist() == [1]
+    assert out.keep.tolist() == [0]
+
+
+def test_packing_edges():
+    assert pack_sequences(token_counts(EMPTY), budget=64,
+                          num_partitions=2).count() == 0
+    out = pack_sequences(token_counts(SINGLE), budget=64,
+                         num_partitions=2).to_pandas()
+    assert out.seq_id.tolist() == [0]
+    assert out.seq_offset.tolist() == [0]
+
+
+def test_shuffle_rank_edges():
+    assert shuffle_rank(EMPTY, num_partitions=2).count() == 0
+    out = shuffle_rank(SINGLE, num_partitions=2).to_pandas()
+    assert out["rank"].tolist() == [0]
+
+
+def test_sketch_edges():
+    regs = hll_token_registers(EMPTY).to_pandas()
+    assert len(regs) == 0
+    assert hll_estimate(regs) == 0.0
+    regs1 = hll_token_registers(SINGLE).to_pandas()
+    assert len(regs1) == 3  # three distinct tokens -> three registers
