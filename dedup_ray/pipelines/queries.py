@@ -1267,6 +1267,113 @@ def curate_docs(sf_dir: str):
     return curate_pipeline(docs)
 
 
+def media_pipeline_docs(sf_dir: str):
+    """Multimodal plumbing, driver-checked: per doc a raw-RGB image, a raw
+    video and an int16 PCM audio payload are synthesized deterministically
+    (sizes are pure functions of doc_id, payload bytes are zeros); the REAL
+    actor-pool stages (``stages/multimodal.py``: nearest-neighbor resize,
+    every-Nth frame fan-out, fixed windowing) run over the binary columns,
+    and the oracle recomputes every size/count arithmetically.  Counts are
+    Ray groupbys; the three per-doc aggregates combine via ``hash_join``,
+    never a driver merge."""
+    from dedup_ray.stages.multimodal import (
+        VideoFrameSample,
+        resize_images,
+        window_audio,
+    )
+    from dedup_ray.util.dsutil import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_img(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = (4 + ids % 5).astype(np.int32)
+        h = (3 + ids % 4).astype(np.int32)
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array([bytes(int(a * b) * 3) for a, b in zip(w, h)],
+                                pa.binary()),
+            "width": pa.array(w), "height": pa.array(h),
+            "media_type": pa.array(["image/raw-rgb"] * len(ids)),
+        })
+
+    def mk_vid(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nf = (2 + ids % 6).astype(np.int32)
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array([bytes(int(k) * 12) for k in nf],
+                                pa.binary()),
+            "width": pa.array(np.full(len(ids), 2, np.int32)),
+            "height": pa.array(np.full(len(ids), 2, np.int32)),
+            "n_frames": pa.array(nf),
+        })
+
+    def mk_aud(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ns = 700 + ids % 600
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array([bytes(int(k) * 2) for k in ns],
+                                pa.binary()),
+        })
+
+    resized = resize_images(
+        docs.map_batches(mk_img, batch_format="pyarrow"), 4, 4
+    ).map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "img_out_bytes": pc.cast(
+                pc.binary_length(t["payload"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    frames = docs.map_batches(mk_vid, batch_format="pyarrow").map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"every": 2},
+        batch_format="pyarrow", concurrency=2, batch_size=64,
+    ).groupby("media_id").count().map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "n_sampled_frames": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    wins = window_audio(
+        docs.map_batches(mk_aud, batch_format="pyarrow"), 256
+    ).groupby("media_id").count().map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "n_audio_windows": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        hash_join(
+            resized, frames, "media_id",
+            ["media_id", "img_out_bytes"],
+            ["media_id", "n_sampled_frames"],
+            num_partitions=8,
+        ),
+        wins, "media_id",
+        ["media_id", "img_out_bytes", "n_sampled_frames"],
+        ["media_id", "n_audio_windows"],
+        num_partitions=8,
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["media_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": d,
+            "img_in_bytes": ((4 + d % 5) * (3 + d % 4) * 3).astype("int64"),
+            "img_out_bytes": df["img_out_bytes"].astype("int64"),
+            "n_frames": (2 + d % 6).astype("int64"),
+            "n_sampled_frames": df["n_sampled_frames"].astype("int64"),
+            "n_audio_windows": df["n_audio_windows"].astype("int64"),
+        })
+
+    return joined.map_batches(final, batch_format="pandas")
+
+
 def top_tokens_docs(sf_dir: str):
     """Corpus heavy hitters: top-20 tokens by frequency (ties broken by
     token).  Pre-aggregated inside each batch (np.unique partials), one
@@ -1895,6 +2002,7 @@ QUERIES = {
     "shuffle_rank_docs": shuffle_rank_docs,
     "hll_token_registers_docs": hll_token_registers_docs,
     "top_tokens_docs": top_tokens_docs,
+    "media_pipeline_docs": media_pipeline_docs,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2158,6 +2266,18 @@ def _curate_oracle() -> str:
 
 
 ORACLES["curate_docs"] = _curate_oracle()
+
+ORACLES["media_pipeline_docs"] = """
+    SELECT doc_id,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS BIGINT)
+               AS img_in_bytes,
+           CAST(48 AS BIGINT) AS img_out_bytes,
+           CAST(2 + doc_id % 6 AS BIGINT) AS n_frames,
+           CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS n_sampled_frames,
+           CAST(GREATEST(1, (700 + doc_id % 600) // 256) AS BIGINT)
+               AS n_audio_windows
+    FROM documents
+"""
 
 ORACLES["top_tokens_docs"] = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
