@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "curate_docs",
     "pack_sequences_docs",
+    "shuffle_rank_docs",
+    "hll_token_registers_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
