@@ -1267,6 +1267,33 @@ def curate_docs(sf_dir: str):
     return curate_pipeline(docs)
 
 
+def salted_stats_events(sf_dir: str):
+    """Grouped event statistics computed through the SALTED two-phase plan
+    (``util/salted.py``): rows shard over (key, salt) first, shard partials
+    merge on the key alone — a hot event_type never converges on one
+    reducer.  Oracle: the plain SQL groupby (results identical)."""
+    from dedup_ray.util.salted import salted_group_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = salted_group_agg(
+        ds, ["event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum"),
+         "min_value": ("value", "min"), "max_value": ("value", "max")},
+        salt=8,
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], ndigits=2),
+            "min_value": pc.round(t["min_value"], ndigits=6),
+            "max_value": pc.round(t["max_value"], ndigits=6),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def media_pipeline_docs(sf_dir: str):
     """Multimodal plumbing, driver-checked: per doc a raw-RGB image, a raw
     video and an int16 PCM audio payload are synthesized deterministically
@@ -2003,6 +2030,7 @@ QUERIES = {
     "hll_token_registers_docs": hll_token_registers_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
+    "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
@@ -2266,6 +2294,14 @@ def _curate_oracle() -> str:
 
 
 ORACLES["curate_docs"] = _curate_oracle()
+
+ORACLES["salted_stats_events"] = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+"""
 
 ORACLES["media_pipeline_docs"] = """
     SELECT doc_id,
