@@ -92,6 +92,54 @@ def hll_token_registers(ds, text_col: str = "text"):
     )
 
 
+def bloom_build(hashes: np.ndarray, bits_log2: int = 24,
+                k: int = 4) -> np.ndarray:
+    """Bloom bitset (uint64 words) from 64-bit element hashes.
+
+    The membership sketch for broadcast sides too large to ship raw: a
+    2²⁴-bit filter is 2 MB regardless of element count (vs 8 B/element for
+    the exact set) at ~(1−e^(−kn/m))^k false-positive rate.  Probe
+    positions derive from ``k`` splitmix remixes of the element hash, so
+    build and query agree by construction.
+    """
+    from dedup_ray.util.hashing import mix64
+
+    m = 1 << bits_log2
+    words = np.zeros(m >> 6, np.uint64)
+    h = hashes.astype(np.uint64, copy=True)
+    mask = np.uint64(m - 1)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            h = mix64(h + np.uint64((i * 0x9E3779B97F4A7C15 + 1)
+                                     & 0xFFFFFFFFFFFFFFFF))
+        pos = h & mask
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray,
+                   k: int = 4) -> np.ndarray:
+    """Vectorized membership probe; false positives possible, false
+    negatives impossible — the safe direction for decontamination (a FP
+    flags an extra training doc, never hides a contaminated one)."""
+    from dedup_ray.util.hashing import mix64
+
+    m = np.uint64(len(words) << 6)
+    mask = m - np.uint64(1)
+    out = np.ones(len(hashes), bool)
+    h = hashes.astype(np.uint64, copy=True)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            h = mix64(h + np.uint64((i * 0x9E3779B97F4A7C15 + 1)
+                                     & 0xFFFFFFFFFFFFFFFF))
+        pos = h & mask
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out
+
+
 def hll_estimate(registers) -> float:
     """Bias-corrected HLL estimate from a ``(idx, rho)`` table/Dataset.
     Registers never touched count as zero."""

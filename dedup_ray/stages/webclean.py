@@ -396,27 +396,55 @@ def benchmark_gram_set(bench_ds, text_col: str = "text",
     return ray.put(grams)
 
 
+def benchmark_gram_bloom(bench_ds, text_col: str = "text",
+                         width: int = NGRAM_WIDTH, bits_log2: int = 20):
+    """Bloom-filter form of :func:`benchmark_gram_set` — the scale path
+    when the benchmark gram set itself is too large to broadcast raw (the
+    filter is ``2^bits_log2/8`` bytes regardless of gram count).  False
+    positives flag extra training docs (conservative); false negatives
+    cannot occur."""
+    import ray
+
+    from dedup_ray.stages.sketch import bloom_build
+
+    parts = []
+    for t in bench_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts.append(_gram_hashes(texts, width)[1])
+    grams = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    return ray.put(("bloom", bloom_build(grams, bits_log2=bits_log2)))
+
+
 def decontaminate(train_ds, bench_grams_ref, text_col: str = "text",
                   id_col: str = "doc_id", width: int = NGRAM_WIDTH):
     """Flag training documents sharing any ``width``-token gram with the
     benchmark set.  Output: ``(id_col, n_contam, contaminated)``.
 
     The benchmark gram set rides the object store once (``ray.put`` by the
-    caller via :func:`benchmark_gram_set`); every map task reads the same
-    copy zero-copy — never re-shipped per batch.
+    caller via :func:`benchmark_gram_set` — exact uint64 set — or
+    :func:`benchmark_gram_bloom` — fixed-size filter); every map task
+    reads the same copy zero-copy — never re-shipped per batch.
     """
+    from dedup_ray.stages.sketch import bloom_contains
 
     def f(t: pa.Table) -> pa.Table:
         import ray
 
         grams = bench_grams_ref
-        if not isinstance(grams, np.ndarray):  # raw ref passed through
+        if not isinstance(grams, (np.ndarray, tuple)):  # raw ref passed
             grams = ray.get(grams)
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         doc_idx, gh = _gram_hashes(texts, width)
-        hit = np.isin(gh, grams) if len(gh) else np.zeros(0, bool)
+        if len(gh) == 0:
+            hit = np.zeros(0, bool)
+        elif isinstance(grams, tuple):  # ("bloom", words)
+            hit = bloom_contains(grams[1], gh)
+        else:
+            hit = np.isin(gh, grams)
         n = t.num_rows
         contam = np.zeros(n, np.int64)
         if len(doc_idx):

@@ -59,3 +59,47 @@ def test_hll_rho_bounds():
     idx, rho = hll_partial([f"x{i}" for i in range(5000)])
     assert idx.min() >= 0 and idx.max() < HLL_M
     assert rho.min() >= 1 and rho.max() <= 53
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    from dedup_ray.stages.sketch import bloom_build, bloom_contains
+
+    rng = np.random.default_rng(21)
+    members = rng.integers(0, 2**63, 20_000, dtype=np.uint64)
+    others = rng.integers(0, 2**63, 20_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    bloom = bloom_build(members, bits_log2=20, k=4)
+    assert bloom_contains(bloom, members).all()  # zero false negatives
+    fp = bloom_contains(bloom, others).mean()
+    # n/m = 20k/1M -> theoretical fp ~ (1-e^(-4*0.02))^4 ~ 3.5e-5
+    assert fp < 0.01
+
+
+def test_decontaminate_bloom_path_matches_exact():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.webclean import (
+        benchmark_gram_bloom,
+        benchmark_gram_set,
+        decontaminate,
+    )
+
+    def docs(texts):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    secret = " ".join(f"s{i}" for i in range(8))
+    bench = docs([secret])
+    train = docs([
+        " ".join(f"t{i}" for i in range(20)),
+        "pre " + secret + " post",
+    ])
+    exact = decontaminate(train, benchmark_gram_set(bench)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bloom = decontaminate(train, benchmark_gram_bloom(bench)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert exact.contaminated.tolist() == [0, 1]
+    assert bloom.contaminated.tolist() == [0, 1]
