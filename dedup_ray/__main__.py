@@ -90,7 +90,20 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
         )
         curated, cctx = res if args.checkpoint_dir else (res, None)
-        curated.write_parquet(args.output)
+        cur_buckets = {}
+        if args.output_buckets:
+            from dedup_ray.state.partwrite import resumable_write
+
+            wres = resumable_write(
+                curated, args.output, key_col=args.id_col,
+                num_buckets=args.output_buckets,
+            )
+            cur_buckets = {
+                "buckets_written": len(wres["written"]),
+                "buckets_skipped": len(wres["skipped"]),
+            }
+        else:
+            curated.write_parquet(args.output)
         n = ray.data.read_parquet(args.output).count()
         wall = time.perf_counter() - t0
         print(json.dumps({
@@ -98,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             "docs_per_sec": round(n / wall, 1),
             "mode": "curate", "output": args.output,
             "resumed_stages": cctx.hits if cctx else [],
+            **cur_buckets,
         }))
         ray.shutdown()
         return 0

@@ -2134,8 +2134,15 @@ ORACLES["bpe_token_counts_docs"] = r"""
 from dedup_ray.stages.urlnorm import oracle_sql_expr as _url_oracle_expr
 
 def _webclean_oracles() -> dict[str, str]:
-    from dedup_ray.stages.webclean import LINE_WIDTH, pii_oracle_exprs
+    from dedup_ray.stages.webclean import (
+        LINE_WIDTH,
+        NGRAM_WIDTH,
+        QUALITY_BOUNDS,
+        pii_oracle_exprs,
+    )
 
+    qb = QUALITY_BOUNDS
+    w = NGRAM_WIDTH
     out: dict[str, str] = {}
     out["line_dedup_docs"] = f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -2174,7 +2181,7 @@ def _webclean_oracles() -> dict[str, str]:
                {count_cols}
         FROM raw
     """
-    out["repetition_quality_docs"] = """
+    out["repetition_quality_docs"] = f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
         tok AS (SELECT doc_id, i, toks[i] AS token
@@ -2200,17 +2207,22 @@ def _webclean_oracles() -> dict[str, str]:
                round(mwl, 6) AS mean_word_len,
                round(dupf, 6) AS dup_2gram_frac,
                round(topf, 6) AS top_token_frac,
-               CAST(CASE WHEN n_words BETWEEN 5 AND 10000 AND dupf <= 0.40
-                         AND topf <= 0.25 AND mwl >= 2.0 AND mwl <= 12.0
+               CAST(CASE WHEN n_words BETWEEN {qb["min_words"]}
+                              AND {qb["max_words"]}
+                         AND dupf <= {qb["max_dup_2gram_frac"]}
+                         AND topf <= {qb["max_top_token_frac"]}
+                         AND mwl >= {qb["min_mean_word_len"]}
+                         AND mwl <= {qb["max_mean_word_len"]}
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM m
     """
-    out["decontaminate_docs"] = """
+    out["decontaminate_docs"] = f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                    FROM documents),
-        g AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
-              FROM t, UNNEST(range(1, len(toks) - 6)) AS r(i)
-              WHERE len(toks) >= 8),
+        g AS (SELECT doc_id, i,
+                     array_to_string(toks[i:i+{w - 1}], ' ') AS gram
+              FROM t, UNNEST(range(1, len(toks) - {w - 2})) AS r(i)
+              WHERE len(toks) >= {w}),
         b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
         hits AS (SELECT g.doc_id, count(*) AS n_contam
                  FROM g JOIN b USING (gram)
@@ -2296,7 +2308,7 @@ def _curate_oracle() -> str:
 ORACLES["curate_docs"] = _curate_oracle()
 
 ORACLES["salted_stats_events"] = """
-    SELECT event_type, count(*) AS n_events,
+    SELECT event_type, count(value) AS n_events,
            round(sum(value), 2) AS sum_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value

@@ -51,11 +51,13 @@ def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,
     with_key = ds.map_batches(keyed, batch_format="pyarrow").materialize()
 
     counts = with_key.groupby("bucket").count().to_pandas()
-    if counts.empty:  # empty corpus
+    if counts.empty:  # empty corpus — keep the id TYPE
         import ray.data
 
+        from dedup_ray.stages.packing import _schema_type
+
         return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], _schema_type(with_key, id_col)),
             "rank": pa.array([], pa.int64()),
         }))
     counts = counts.sort_values("bucket")

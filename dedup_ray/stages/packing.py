@@ -30,12 +30,26 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _schema_type(ds, col: str) -> pa.DataType:
+    """Arrow type of ``col`` from a (possibly empty) Dataset's schema;
+    int64 when the schema itself is unknown."""
+    try:
+        s = ds.schema()
+        return dict(zip(s.names, s.types))[col]
+    except Exception:
+        return pa.int64()
+
+
 def token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Append whitespace token count (split on single space, no empty-token
     filtering — the count every packing consumer sees)."""
 
     def f(t: pa.Table) -> pa.Table:
-        n = pc.list_value_length(pc.split_pattern(t[text_col], " "))
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))  # null text == ""
+        n = pc.list_value_length(pc.split_pattern(txt, " "))
         return pa.table({
             id_col: t[id_col],
             "n_tokens": pc.cast(n, pa.int64()),
@@ -68,11 +82,11 @@ def pack_sequences(ds_counts, budget: int, id_col: str = "doc_id",
     # level-1 scan: per-bucket sums -> driver cumsum -> broadcast offsets.
     # The aggregate output is bucket-granular (tiny), not corpus-granular.
     sums = with_bucket.groupby("bucket").sum("n_tokens").to_pandas()
-    if sums.empty:  # empty corpus: nothing to pack
+    if sums.empty:  # empty corpus: nothing to pack — keep the id TYPE
         import ray.data
 
         return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], _schema_type(with_bucket, id_col)),
             "n_tokens": pa.array([], pa.int64()),
             "seq_id": pa.array([], pa.int64()),
             "seq_offset": pa.array([], pa.int64()),

@@ -66,7 +66,11 @@ def hll_token_registers(ds, text_col: str = "text"):
     per touched register, ``rho`` already max-merged."""
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(t[text_col], " "))
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))  # null text == ""
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
         tok_list = toks.to_pylist()
         if not tok_list:
             return pa.table({"idx": pa.array([], pa.int64()),

@@ -44,6 +44,16 @@ from dedup_ray.util.hashing import mix64, stable64_array
 LINE_WIDTH = 12  # whitespace tokens per "line" (fixed window; last is short)
 
 
+def _text_col(t: pa.Table, col: str) -> pa.Array:
+    """Text column with the engine's null policy applied: null text == ""
+    (a crawler row with no extracted text is an empty page, not a crash).
+    Also flattens chunked columns once for the kernels below."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.coalesce(arr, pa.scalar("", arr.type))
+
+
 def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                         width: int = LINE_WIDTH):
     """Explode documents into fixed-width token lines.
@@ -60,7 +70,7 @@ def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     """
 
     def f(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col], " ")
+        toks = pc.split_pattern(_text_col(t, text_col), " ")
         nlines = pc.cast(
             pc.ceil(pc.divide(pc.cast(pc.list_value_length(toks), pa.float64()),
                               float(width))),
@@ -155,9 +165,11 @@ def reassemble_docs(kept_lines, id_col: str = "doc_id",
         ids_s = ids[order]
         first = np.r_[True, ids_s[1:] != ids_s[:-1]]
         starts = np.flatnonzero(first)
-        offsets = pa.array(np.r_[starts, len(ids_s)].astype(np.int32))
+        # int64 offsets + LargeList: a partition can legitimately hold
+        # >2^31 line rows at the module's stated scale
+        offsets = pa.array(np.r_[starts, len(ids_s)].astype(np.int64))
         joined = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, lines_s), " "
+            pa.LargeListArray.from_arrays(offsets, lines_s), " "
         )
         return pa.table({
             id_col: pa.array(ids_s[starts], id_type),
@@ -267,7 +279,7 @@ def quality_filter(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def _quality_batch_fn(text_col: str, id_col: str, emit_metrics: bool):
     def f(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col], " ")
+        toks = pc.split_pattern(_text_col(t, text_col), " ")
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         flat = pc.list_flatten(toks)
@@ -357,9 +369,10 @@ def _gram_hashes(texts: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
     """(doc_index_per_gram, gram_hash) for all ``width``-token grams.
 
     Rolling polynomial over per-token 64-bit hashes: ``width`` shifted
-    vectorized multiply-adds, no per-gram Python.
+    vectorized multiply-adds, no per-gram Python.  Null texts count as
+    empty (no grams).
     """
-    toks = pc.split_pattern(texts, " ")
+    toks = pc.split_pattern(pc.coalesce(texts, pa.scalar("", texts.type)), " ")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     flat = pc.list_flatten(toks)

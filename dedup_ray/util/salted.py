@@ -49,7 +49,9 @@ def salted_group_agg(ds, key_cols: list[str], agg_spec: dict[str, tuple],
         out = pd.DataFrame(index=g.size().index)
         for out_col, (in_col, how) in agg_spec.items():
             if how == "count":
-                out[out_col] = g.size()
+                # SQL count(col) semantics: nulls excluded (g.size() would
+                # count rows, contradicting the (in_col, "count") spec)
+                out[out_col] = g[in_col].count()
             else:
                 out[out_col] = g[in_col].agg(how)
         return out.reset_index().drop(columns="__salt")

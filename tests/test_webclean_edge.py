@@ -77,3 +77,27 @@ def test_sketch_edges():
     assert hll_estimate(regs) == 0.0
     regs1 = hll_token_registers(SINGLE).to_pandas()
     assert len(regs1) == 3  # three distinct tokens -> three registers
+
+
+def test_null_text_policy():
+    """Null text == empty page across every text kernel (the crawler row
+    with no extracted text must not crash or emit garbage)."""
+    from dedup_ray.stages.packing import token_counts
+    from dedup_ray.stages.sketch import hll_token_registers
+    from dedup_ray.stages.webclean import _gram_hashes
+
+    nulls = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["real words here", None], pa.string()),
+    }))
+    lines = line_dedup(explode_token_lines(nulls), num_partitions=2) \
+        .to_pandas()
+    assert set(lines[lines.doc_id == 1].line) == {""}
+    q = repetition_quality(nulls).to_pandas().sort_values("doc_id")
+    assert q.n_words.tolist() == [3, 1]  # null -> "" -> one empty token
+    assert q.keep.tolist() == [0, 0]
+    tc = token_counts(nulls).to_pandas().sort_values("doc_id")
+    assert tc.n_tokens.tolist() == [3, 1]
+    assert hll_token_registers(nulls).count() >= 3
+    di, gh = _gram_hashes(pa.array(["a b", None]), 2)
+    assert (di == 0).all()
