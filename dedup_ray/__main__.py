@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="write output via the partition-granular resumable "
                     "sink with this many key-hash buckets (rerun skips "
                     "committed buckets); 0 = plain write_parquet")
+    ap.add_argument("--submission-zip", default=None, metavar="PATH",
+                    help="also write the cluster assignment as a "
+                    "result.json submission zip (reference Makefile:30-32 "
+                    "shape) at PATH")
     ap.add_argument("--curate-only", action="store_true",
                     help="run the curation chain (quality screen -> PII "
                     "redaction -> line-level dedup -> reassembly) instead "
@@ -156,6 +160,16 @@ def main(argv: list[str] | None = None) -> int:
         }
     else:
         clusters.write_parquet(args.output)
+    sub = {}
+    if args.submission_zip:
+        from dedup_ray.state.submission import write_submission_zip
+
+        sub = {
+            "submission": write_submission_zip(
+                ray.data.read_parquet(args.output), args.submission_zip,
+                id_col=args.id_col, cluster_col="cluster_id",
+            )
+        }
     n = ray.data.read_parquet(args.output).count()
     wall = time.perf_counter() - t0
     print(
@@ -169,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
                 "resumed_parts": len(ctx.part_hits) if ctx else 0,
                 "output": args.output,
                 **buckets,
+                **sub,
             }
         )
     )

@@ -85,6 +85,13 @@ def dedup_pipeline(
     run_stage_parts``); ``pages_ds`` is ignored for signing in that case.
     """
     cfg = config or DedupConfig()
+    # Native id dtype (string urls OR int64 doc ids) — threaded to every
+    # edge/label schema below.  ``schema()`` on a fresh read is a
+    # metadata-only fetch; on in-memory inputs it is already computed.
+    try:
+        id_type = pages_ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_type = pa.string()
     # Lineage covers the pipeline SHAPE, not just cfg: rerunning the same
     # checkpoint dir with e.g. --no-substring or a different id_col must
     # invalidate, or stale 'signatures'/'edges' checkpoints (wrong columns,
@@ -155,7 +162,7 @@ def dedup_pipeline(
         )
 
     def _pin(ds):
-        """Force (id1: string, id2: string) so empty parts union cleanly.
+        """Force (id1, id2) to the corpus id dtype so empty parts union cleanly.
 
         An edge path that found nothing yields zero-row pandas-born blocks
         whose columns type as Arrow ``null``; casting pins the schema so the
@@ -166,8 +173,8 @@ def dedup_pipeline(
         def cast(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "id1": t["id1"].combine_chunks().cast(pa.string()),
-                    "id2": t["id2"].combine_chunks().cast(pa.string()),
+                    "id1": t["id1"].combine_chunks().cast(id_type),
+                    "id2": t["id2"].combine_chunks().cast(id_type),
                 }
             )
 
@@ -225,7 +232,7 @@ def dedup_pipeline(
             # the band shuffle and that join (~80B/row), not the wide
             # signature joins.
             cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
-            return verify_pairs(cands, reps, cfg, id_col=id_col)
+            return verify_pairs(cands, reps, cfg, id_col=id_col, id_type=id_type)
 
         branch_stages.append(("near_edges", _near))
 
@@ -267,6 +274,7 @@ def dedup_pipeline(
             id_col=id_col,
             local_edge_limit=cfg.cc_local_edge_limit,
             num_partitions=cfg.num_partitions,
+            id_type=id_type,
         )
 
     if not use_substring:
@@ -307,10 +315,10 @@ def dedup_pipeline(
 
         labels = component_labels(phase1_edges, cfg.cc_local_edge_limit)
         if labels is None:
-            return ray.data.from_arrow(pa.table({id_col: pa.array([], pa.string())}))
+            return ray.data.from_arrow(pa.table({id_col: pa.array([], id_type)}))
         return labels.map_batches(
             lambda t: pa.table(
-                {id_col: t["id"].combine_chunks().cast(pa.string())}
+                {id_col: t["id"].combine_chunks().cast(id_type)}
             ).filter(pc.not_equal(t["id"], t["cluster_id"])),
             batch_format="pyarrow",
         )
@@ -325,10 +333,10 @@ def dedup_pipeline(
             how="anti",
             num_partitions=cfg.num_partitions,
             empty_schema=pa.schema(
-                [(id_col, pa.string()), ("chunks", pa.binary())]
+                [(id_col, id_type), ("chunks", pa.binary())]
             ),
         )
-        return substring_edges(rep_chunks, cfg, id_col)
+        return substring_edges(rep_chunks, cfg, id_col, id_type=id_type)
 
     sub = stage("substring_edges", _sub_edges)
     edges = stage("edges", lambda: _lazy_union([phase1_edges, _pin(sub)]))

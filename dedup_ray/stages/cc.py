@@ -239,7 +239,8 @@ def component_labels(edges_ds, local_edge_limit: int = 2_000_000):
 
 
 def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
-                    local_edge_limit: int = 2_000_000, num_partitions: int = 16):
+                    local_edge_limit: int = 2_000_000, num_partitions: int = 16,
+                    id_type=None):
     """docs + accepted edges → Dataset(id_col, cluster_id); singletons = own id.
 
     Picks the driver union-find below ``local_edge_limit`` edges, else the
@@ -283,6 +284,7 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
         num_partitions=num_partitions,
         post=fill,
         empty_schema=pa.schema(
-            [(id_col, pa.string()), ("cluster_id", pa.string())]
+            [(id_col, id_type or pa.string()),
+             ("cluster_id", id_type or pa.string())]
         ),
     )

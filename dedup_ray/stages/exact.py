@@ -80,8 +80,11 @@ def exact_rep_partition(ds_with_digest, id_col: str = "url",
                 arr = arr.cast(pa.binary())
             cols[c] = arr
         n_reps = reps.num_rows
-        cols["id1"] = pa.nulls(n_reps, pa.string())
-        cols["id2"] = pa.nulls(n_reps, pa.string())
+        # edge id columns carry the id column's native type (url corpora
+        # are string-keyed, documents tables int64-keyed — both must work)
+        id_type = part.schema.field(id_col).type
+        cols["id1"] = pa.nulls(n_reps, id_type)
+        cols["id2"] = pa.nulls(n_reps, id_type)
         reps_t = pa.table(cols)
         starts = np.flatnonzero(change)
         sizes = np.diff(np.r_[starts, len(d_s)])
@@ -90,9 +93,9 @@ def exact_rep_partition(ds_with_digest, id_col: str = "url",
         edge_cols = {}
         for c in reps_t.column_names:
             if c == "id1":
-                edge_cols[c] = pa.array(e1, pa.string())
+                edge_cols[c] = pa.array(e1, id_type)
             elif c == "id2":
-                edge_cols[c] = pa.array(e2, pa.string())
+                edge_cols[c] = pa.array(e2, id_type)
             else:
                 edge_cols[c] = pa.nulls(len(e2), reps_t[c].type)
         return pa.concat_tables([reps_t, pa.table(edge_cols)])

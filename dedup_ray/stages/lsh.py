@@ -233,6 +233,7 @@ def candidate_pairs(
     cfg = config or DedupConfig()
 
     def buckets_to_pairs_arrow(part: pa.Table) -> pa.Table:
+        id_type = part.schema.field(id_col).type  # string OR int64 corpora
         df = part.select([id_col, "band", "bhash"]).to_pandas()
         pairs, _ = emit_bucket_pairs(
             df, ["band", "bhash"], id_col, cfg.max_band_group, cfg.hot_window
@@ -242,8 +243,8 @@ def candidate_pairs(
         pairs = pairs.drop_duplicates(subset=["id1", "id2"])
         return pa.table(
             {
-                "id1": pa.array(pairs["id1"], pa.string()),
-                "id2": pa.array(pairs["id2"], pa.string()),
+                "id1": pa.array(pairs["id1"], id_type),
+                "id2": pa.array(pairs["id2"], id_type),
                 "capped": pa.array(pairs["capped"], pa.bool_()),
             }
         )

@@ -128,11 +128,12 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_to_edges_arrow(part: pa.Table) -> pa.Table:
+        id_type = part.schema.field(id_col).type  # string OR int64 corpora
         out = buckets_to_edges(part.to_pandas())
         return pa.table(
             {
-                "id1": pa.array(out["id1"], pa.string()),
-                "id2": pa.array(out["id2"], pa.string()),
+                "id1": pa.array(out["id1"], id_type),
+                "id2": pa.array(out["id2"], id_type),
                 "hamming": pa.array(out["hamming"], pa.int64()),
             }
         )

@@ -218,7 +218,7 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
 
     cfg = config
 
-    def buckets(part: pd.DataFrame) -> pd.DataFrame:
+    def buckets(part: pd.DataFrame, id_type) -> pa.Table:
         pairs, (hot,) = emit_bucket_pairs(
             part,
             ["chash"],
@@ -233,10 +233,10 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
         return pa.table(
             {
                 "id1": pa.array(
-                    list(pairs["id1"]) + [None] * len(hot), pa.string()
+                    list(pairs["id1"]) + [None] * len(hot), id_type
                 ),
                 "id2": pa.array(
-                    list(pairs["id2"]) + [None] * len(hot), pa.string()
+                    list(pairs["id2"]) + [None] * len(hot), id_type
                 ),
                 "hot_chash": pa.array(
                     [None] * n_pairs + [int(h) for h in hot], pa.int64()
@@ -247,7 +247,8 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_arrow(part: pa.Table) -> pa.Table:
-        return buckets(part.to_pandas())
+        # id dtype follows the corpus (string urls OR int64 doc ids)
+        return buckets(part.to_pandas(), part.schema.field(id_col).type)
 
     return exchange_group_apply(
         chunk_rows, "chash", buckets_arrow, cfg.num_partitions
@@ -281,17 +282,22 @@ def longest_shared_run(
 
 
 def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
-                           id_col: str = "url", hot_chunks=None):
+                           id_col: str = "url", hot_chunks=None,
+                           id_type=None):
     """Candidates → accepted edges where a shared chunk run ≥ min_substring_len.
 
     ``hot_chunks`` (frozenset of boilerplate chunk hashes, broadcast via
     ``ray.put`` — SURVEY.md J5 pattern) are excluded from runs, so two pages
-    sharing only a cookie banner never merge.
+    sharing only a cookie banner never merge.  ``id_type`` is the native
+    Arrow dtype of the id column (string urls OR int64 doc ids); it only
+    shapes the zero-candidate empty schemas — non-empty paths take the
+    type from the data.
     """
     from dedup_ray.stages.verify import _rename
     from dedup_ray.util.exchange import exchange_join
 
     cfg = config
+    idt = id_type if id_type is not None else pa.string()
 
     side = compact_ds.select_columns([id_col, "chunks"])
     s1 = _rename(side, {id_col: "id1", "chunks": "ch1"})
@@ -317,7 +323,7 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
         num_partitions=cfg.num_partitions,
         left_prep=dedup_pairs,
         empty_schema=pa.schema(
-            [("id1", pa.string()), ("id2", pa.string()), ("ch1", ch_t)]
+            [("id1", idt), ("id2", idt), ("ch1", ch_t)]
         ),
         return_refs=True,  # chained straight into the id2 exchange
     )
@@ -328,8 +334,8 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
         num_partitions=cfg.num_partitions,
         empty_schema=pa.schema(
             [
-                ("id1", pa.string()),
-                ("id2", pa.string()),
+                ("id1", idt),
+                ("id2", idt),
                 ("ch1", ch_t),
                 ("ch2", ch_t),
             ]
@@ -371,10 +377,11 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
                 k1.append(a)
                 k2.append(b)
                 runs.append(r)
+        out_idt = batch.schema.field("id1").type
         return pa.table(
             {
-                "id1": pa.array(k1, pa.string()),
-                "id2": pa.array(k2, pa.string()),
+                "id1": pa.array(k1, out_idt),
+                "id2": pa.array(k2, out_idt),
                 "shared_bytes": pa.array(runs, pa.int64()),
             }
         )
@@ -382,7 +389,8 @@ def verify_substring_pairs(pairs_ds, compact_ds, config: DedupConfig,
     return joined.map_batches(keep, batch_format="pyarrow")
 
 
-def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
+def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url",
+                    id_type=None):
     """Full substring path: chunks → fused census+buckets → verified edges.
 
     Plan: explode chunk rows (streaming) → ONE chash shuffle emitting both
@@ -420,4 +428,5 @@ def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
         ),
         batch_format="pyarrow",
     )
-    return verify_substring_pairs(pairs, compact_ds, config, id_col, hot_chunks=hot)
+    return verify_substring_pairs(pairs, compact_ds, config, id_col,
+                                  hot_chunks=hot, id_type=id_type)

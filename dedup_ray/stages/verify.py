@@ -28,7 +28,7 @@ def _rename(ds, mapping: dict[str, str]):
 
 
 def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
-                      id_col: str = "url"):
+                      id_col: str = "url", id_type=None):
     """pairs(id1,id2) ⋈ sigs on id1 ⋈ sigs on id2 → +sig1 +sig2 columns.
 
     Uses :func:`dedup_ray.util.dsutil.hash_join` (task-based co-partition
@@ -38,6 +38,7 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
     from dedup_ray.util.exchange import exchange_join
 
     cfg = config or DedupConfig()
+    idt = id_type if id_type is not None else pa.string()
     side1 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id1", "sig": "sig1"})
     side2 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id2", "sig": "sig2"})
 
@@ -62,7 +63,7 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
         num_partitions=cfg.num_partitions,
         left_prep=dedup_pairs,
         empty_schema=pa.schema(
-            [("id1", pa.string()), ("id2", pa.string()), ("sig1", sig_t)]
+            [("id1", idt), ("id2", idt), ("sig1", sig_t)]
         ),
         return_refs=True,  # chained straight into the id2 exchange
     )
@@ -73,8 +74,8 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
         num_partitions=cfg.num_partitions,
         empty_schema=pa.schema(
             [
-                ("id1", pa.string()),
-                ("id2", pa.string()),
+                ("id1", idt),
+                ("id2", idt),
                 ("sig1", sig_t),
                 ("sig2", sig_t),
             ]
@@ -108,7 +109,7 @@ def empty_edges(extra: dict | None = None):
 
 
 def verify_pairs(pairs_ds, sigs_ds, config: DedupConfig | None = None,
-                 id_col: str = "url"):
+                 id_col: str = "url", id_type=None):
     """Candidates → accepted edges (id1, id2, est_jaccard >= threshold).
 
     Fully streaming: ``hash_join`` takes explicit column lists, so a
@@ -119,7 +120,9 @@ def verify_pairs(pairs_ds, sigs_ds, config: DedupConfig | None = None,
     cfg = config or DedupConfig()
     if cfg.verify == "none":
         return pairs_ds.select_columns(["id1", "id2"])
-    scored = estimate_jaccard(attach_signatures(pairs_ds, sigs_ds, cfg, id_col), cfg)
+    scored = estimate_jaccard(
+        attach_signatures(pairs_ds, sigs_ds, cfg, id_col, id_type=id_type), cfg
+    )
     thr = cfg.jaccard_threshold
 
     def keep(batch: pa.Table) -> pa.Table:

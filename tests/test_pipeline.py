@@ -203,3 +203,30 @@ def test_part_layout_change_wipes_stale_parts(tmp_path, corpus):
     da = c2.to_pandas().sort_values("url").reset_index(drop=True)
     db = plain.to_pandas().sort_values("url").reset_index(drop=True)
     assert len(da) == pages.num_rows and da.equals(db)
+
+
+def test_int64_id_corpus_full_pipeline(corpus):
+    """Every stage must carry the corpus's NATIVE id dtype: documents
+    tables are int64-keyed (doc_id) while page corpora are string-keyed
+    (url).  Regression: edge/label schemas were once hardcoded string and
+    the Acero joins failed on int64 ids."""
+    import pyarrow as pa
+
+    pages, truth = corpus
+    # same planted corpus, re-keyed by int64 row number
+    id_map = {u: i for i, u in enumerate(pages["url"].to_pylist())}
+    pages_i = pages.drop_columns(["url"]).append_column(
+        "doc_id", pa.array([id_map[u] for u in pages["url"].to_pylist()],
+                           pa.int64())
+    )
+    clusters, _ = dedup_pipeline(rd.from_arrow(pages_i), CFG, id_col="doc_id")
+    df = clusters.to_pandas()
+    assert len(df) == pages.num_rows
+    assert str(df["doc_id"].dtype) == "int64"
+    # same partition as the string-keyed run (dtype must not change results)
+    base, _ = dedup_pipeline(rd.from_arrow(pages), CFG)
+    bdf = base.to_pandas()
+    bdf["doc_id"] = bdf["url"].map(id_map)
+    got = {frozenset(g["doc_id"]) for _, g in df.groupby("cluster_id")}
+    want = {frozenset(g["doc_id"]) for _, g in bdf.groupby("cluster_id")}
+    assert got == want
