@@ -600,6 +600,142 @@ def minhash_dedup_docs(sf_dir: str):
     return _planted_recall_row(clusters, n_copies=3)
 
 
+def incremental_dedup_docs(sf_dir: str):
+    """Incremental dedup scorecard: batch-dedup the base corpus (one page
+    per document), persist it as a bucketed index (``state/dedupindex``),
+    then cluster a NEW shard against that index touching only the shard's
+    own key buckets (``pipelines/incremental`` — O(shard), not O(corpus)).
+
+    Shard construction (docs of ≥40 tokens, so MinHash anchoring is
+    deterministic — a 2% edit is 1-2 tokens, shingle Jaccard ≥0.86, and at
+    k=3/32×4 LSH the per-doc miss probability is ~1e-9; exact copies hit
+    the digest path): ``doc_id % 7 == 0`` contributes an exact
+    copy, ``doc_id % 7 == 3`` a 2%-edit near-dup.  Every shard doc must
+    anchor to its source document's base cluster and no cluster merges may
+    occur; the oracle derives all counts from the documents table."""
+    import tempfile
+
+    import ray
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import (
+        compact_signature_table,
+        dedup_pipeline,
+    )
+    from dedup_ray.pipelines.incremental import dedup_against_index
+    from dedup_ray.sources.pages import _rng, mutate_text, pages_from_documents
+    from dedup_ray.state.dedupindex import build_index
+    from dedup_ray.util.exchange import exchange_join
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, cpus // 2), num_partitions=max(8, cpus)
+    )
+
+    pages = pages_from_documents(sf_dir, amplify=1)
+    clusters, _ = dedup_pipeline(
+        pages, cfg, extract=False, use_simhash=False, use_substring=False
+    )
+    clusters = clusters.materialize()
+    compact = compact_signature_table(
+        pages, cfg, "url", extract=False, with_simhash=False, with_chunks=False
+    )
+    root = tempfile.mkdtemp(prefix="dedupindex-", dir="/tmp")
+    build_index(compact, clusters, root, cfg, id_col="url", num_buckets=32)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            text = text or ""
+            if len(text.split(" ")) < 40:
+                continue
+            m = int(d) % 7
+            if m == 0:
+                urls.append(f"https://shard.example/exact/{d}")
+                texts.append(text)
+            elif m == 3:
+                urls.append(f"https://shard.example/near/{d}")
+                texts.append(mutate_text(text, 0.02, _rng(42, f"inc/{d}")))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        )
+
+    shard = docs.map_batches(to_shard, batch_format="pyarrow")
+    out, report = dedup_against_index(shard, root, cfg, extract=False)
+
+    # expected anchor per shard doc = its SOURCE page's base cluster (join,
+    # not the url formula, so identical base docs collapsing into one
+    # cluster cannot fake a mismatch)
+    def parse_out(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["url"], r"example/(?P<k>exact|near)/(?P<d>\d+)$")
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.struct_field(m, "d"), pa.int64()),
+                "kind": pc.struct_field(m, "k"),
+                "got": t["cluster_id"],
+            }
+        )
+
+    def parse_base(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["url"], r"//doc(?P<d>\d+)\.")
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.struct_field(m, "d"), pa.int64()),
+                "base_cluster": t["cluster_id"],
+            }
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t["got"], t["base_cluster"])
+        ex = pc.equal(t["kind"], "exact")
+        return pa.table(
+            {
+                "anchored_exact": pc.cast(pc.and_(ok, ex), pa.int64()),
+                "anchored_near": pc.cast(
+                    pc.and_(ok, pc.invert(ex)), pa.int64()
+                ),
+            }
+        )
+
+    joined = exchange_join(
+        out.map_batches(parse_out, batch_format="pyarrow"),
+        clusters.map_batches(parse_base, batch_format="pyarrow"),
+        on="doc_id",
+        how="inner",
+        num_partitions=cfg.num_partitions,
+        post=score,
+        empty_schema=pa.schema(
+            [("anchored_exact", pa.int64()), ("anchored_near", pa.int64())]
+        ),
+    )
+    from ray.data.aggregate import Sum
+
+    agg = joined.aggregate(
+        Sum("anchored_exact", alias_name="anchored_exact"),
+        Sum("anchored_near", alias_name="anchored_near"),
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_shard": pa.array([report["n_docs"]], pa.int64()),
+            "anchored_exact": pa.array(
+                [int(agg["anchored_exact"] or 0)], pa.int64()
+            ),
+            "anchored_near": pa.array(
+                [int(agg["anchored_near"] or 0)], pa.int64()
+            ),
+            "merges": pa.array([int(report["merges"])], pa.int64()),
+        }
+    )
+
+
 def simhash_docs(sf_dir: str):
     """SimHash fingerprints per document (rows-only)."""
     from dedup_ray.config import DedupConfig
@@ -2040,6 +2176,7 @@ QUERIES = {
     # VERIFIABLE CLAIM — recall over planted pairs, recall@k vs the exact
     # path, folded-weight rescoring — is)
     "minhash_dedup_docs": minhash_dedup_docs,
+    "incremental_dedup_docs": incremental_dedup_docs,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "logistic_score_embeddings": logistic_score_embeddings,
@@ -2060,6 +2197,21 @@ QUERIES = {
 # MinHash pipeline leaves unrecovered (short-doc near-dups whose true
 # shingle Jaccard falls below the 0.5 verify threshold) are deterministic
 # seeded constants, pinned at the driver's sf0.01 corpus.
+
+ORACLES["incremental_dedup_docs"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id % 7 IN (0, 3)
+                 AND array_length(string_split(text, ' ')) >= 40)
+                AS BIGINT) AS n_shard,
+           CAST(count(*) FILTER (WHERE doc_id % 7 = 0
+                 AND array_length(string_split(text, ' ')) >= 40)
+                AS BIGINT) AS anchored_exact,
+           CAST(count(*) FILTER (WHERE doc_id % 7 = 3
+                 AND array_length(string_split(text, ' ')) >= 40)
+                AS BIGINT) AS anchored_near,
+           CAST(0 AS BIGINT) AS merges
+    FROM documents
+"""
 
 ORACLES["minhash_dedup_docs"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

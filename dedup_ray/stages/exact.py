@@ -62,6 +62,21 @@ def exact_rep_partition(ds_with_digest, id_col: str = "url",
     from dedup_ray.util.exchange import exchange_group_apply
 
     def split(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            # small shards leave exchange partitions empty; the numpy scan
+            # below would type-infer float64 from [] and break the id cast
+            if id_col not in part.column_names:
+                return part  # void block — contributes nothing
+            idt = part.schema.field(id_col).type
+            cols = {}
+            for c in part.column_names:
+                t = part.schema.field(c).type
+                if pa.types.is_fixed_size_binary(t):
+                    t = pa.binary()
+                cols[c] = pa.array([], t)
+            cols["id1"] = pa.array([], idt)
+            cols["id2"] = pa.array([], idt)
+            return pa.table(cols)
         # wide payloads (sig/chunks) stay Arrow; only the two narrow key
         # columns are gathered to numpy for the group scan
         d = np.asarray(part["digest"].to_pylist())

@@ -1,0 +1,243 @@
+"""Incremental dedup against a persisted index.
+
+Covers: index build/append round-trip, exact + near anchoring of a new
+shard to existing clusters, fresh docs forming their own clusters,
+cluster-merge recording + chain resolution across shards, and the
+partition-equivalence invariant: (base run → index → incremental shard)
+groups shard docs the same way as one batch run over base ∪ shard.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.config import DedupConfig
+from dedup_ray.pipelines.dedup import compact_signature_table, dedup_pipeline
+from dedup_ray.pipelines.incremental import dedup_against_index
+from dedup_ray.sources.pages import planted_pages
+from dedup_ray.state.dedupindex import build_index, load_manifest, load_merges
+
+CFG = DedupConfig(
+    minhash_concurrency=2, num_partitions=4, sign_batch_size=256
+)
+
+
+def _mutate(text: str, frac: float = 0.02) -> str:
+    """Deterministic ~frac token edit (near-duplicate generator)."""
+    toks = text.split()
+    step = max(2, int(1 / frac))
+    for i in range(0, len(toks), step):
+        toks[i] = toks[i] + "x"
+    return " ".join(toks)
+
+
+def _fresh(i: int) -> str:
+    return " ".join(f"fresh{i}tok{j}q{(i * 31 + j * 7) % 97}" for j in range(120))
+
+
+@pytest.fixture(scope="module")
+def base_index(tmp_path_factory):
+    """Base corpus run (minhash+exact only) → clusters + persisted index."""
+    root = str(tmp_path_factory.mktemp("dedupindex"))
+    pages, _ = planted_pages(n_base=40, seed=7)
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(pages), CFG, use_simhash=False, use_substring=False
+    )
+    clusters = clusters.materialize()
+    compact = compact_signature_table(
+        rd.from_arrow(pages), CFG, "url", extract=True,
+        with_simhash=False, with_chunks=False,
+    )
+    man = build_index(compact, clusters, root, CFG, id_col="url",
+                      num_buckets=16)
+    return root, pages, clusters.to_pandas(), man
+
+
+def test_index_manifest(base_index):
+    root, pages, clusters, man = base_index
+    assert man["rows"]["sigs"] == pages.num_rows
+    assert man["rows"]["bands"] == pages.num_rows * CFG.bands
+    # digests ≤ docs (exact dups collapse)
+    assert 0 < man["rows"]["digests"] <= pages.num_rows
+    assert load_manifest(root)["config_hash"] == CFG.config_hash()
+
+
+def test_config_mismatch_rejected(base_index):
+    root, *_ = base_index
+    shard = rd.from_arrow(
+        pa.table({"url": ["s://x"], "text": [_fresh(0)], "lang": ["en"]})
+    )
+    with pytest.raises(ValueError, match="different DedupConfig"):
+        dedup_against_index(shard, root, DedupConfig(num_perms=64, bands=16))
+
+
+def test_shard_anchors_and_fresh_docs(base_index):
+    root, pages, clusters, _ = base_index
+    texts = pages["text"].to_pylist()
+    urls = pages["url"].to_pylist()
+    cl = dict(zip(clusters["url"], clusters["cluster_id"]))
+
+    # shard: exact copy of base doc 0, near-dup of base doc 1, two fresh
+    # docs that duplicate each other, one fresh singleton
+    shard = pa.table(
+        {
+            "url": ["s://exact", "s://near", "s://pair-a", "s://pair-b",
+                     "s://solo"],
+            "text": [texts[0], _mutate(texts[1]), _fresh(1), _fresh(1),
+                      _fresh(2)],
+            "lang": ["en"] * 5,
+        }
+    )
+    out, report = dedup_against_index(
+        rd.from_arrow(shard), root, CFG, extract=False
+    )
+    got = dict(zip(*(out.to_pandas()[c] for c in ("url", "cluster_id"))))
+
+    assert got["s://exact"] == cl[urls[0]]          # digest-path anchor
+    assert got["s://near"] == cl[urls[1]]           # band-path anchor
+    assert got["s://pair-a"] == got["s://pair-b"]   # in-shard dedup
+    assert got["s://pair-a"] == "s://pair-a"        # fresh cluster, min id
+    assert got["s://solo"] == "s://solo"            # untouched singleton
+    assert report["n_docs"] == 5
+    assert report["digest_hits"] >= 1
+    assert report["merges"] == 0
+
+
+def test_bridge_merge(tmp_path):
+    """Two distinct base clusters; a shard doc near-dups both → single
+    component with two anchors → min-anchor wins, merge recorded, and the
+    retired id resolves through load_merges for the NEXT shard."""
+    root = str(tmp_path / "idx")
+    # Calibrated geometry (shingle_k=3, est-Jaccard τ=0.5): A and B share
+    # half their shingles (J(A,B)≈1/3 < τ → distinct clusters); bridge
+    # C = A ∪ B superset (J(C,A)=|A|/|C|≈0.5+ε… superset Jaccard =
+    # |A|/|A∪B| = 1/2).  MinHash ESTIMATES hover at the threshold for
+    # J=0.5, so push overlap: A and B share 40%, C = A∪B gives
+    # J(C,A)=J(C,B)≈0.7 ≥ τ while J(A,B)≈0.25 < τ.
+    shared = [f"common{j}w{j % 13}" for j in range(40)]
+    only_a = [f"alpha{j}u{j % 11}" for j in range(60)]
+    only_b = [f"beta{j}v{j % 11}" for j in range(60)]
+    text_a = " ".join(shared + only_a)
+    text_b = " ".join(shared + only_b)
+    text_c = " ".join(shared + only_a + only_b)
+
+    base = pa.table(
+        {
+            "url": ["b://a", "b://b"],
+            "text": [text_a, text_b],
+            "lang": ["en", "en"],
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    cdf = clusters.to_pandas()
+    assert cdf["cluster_id"].nunique() == 2, "base clusters must be distinct"
+    compact = compact_signature_table(
+        rd.from_arrow(base), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=False,
+    )
+    build_index(compact, clusters, root, CFG, id_col="url", num_buckets=8)
+
+    shard1 = pa.table(
+        {"url": ["s://bridge"], "text": [text_c], "lang": ["en"]}
+    )
+    out1, rep1 = dedup_against_index(
+        rd.from_arrow(shard1), root, CFG, extract=False, update_index=True
+    )
+    d1 = out1.to_pandas()
+    assert d1["cluster_id"].iloc[0] == "b://a"  # min of the two anchors
+    assert rep1["merges"] == 1
+    assert load_merges(root) == {"b://b": "b://a"}
+
+    # next shard: exact dup of text_b — its index digest row predates the
+    # merge and carries the RETIRED id; the anchor remap must resolve it
+    shard2 = pa.table(
+        {"url": ["s://late"], "text": [text_b], "lang": ["en"]}
+    )
+    out2, rep2 = dedup_against_index(
+        rd.from_arrow(shard2), root, CFG, extract=False
+    )
+    d2 = out2.to_pandas()
+    assert d2["cluster_id"].iloc[0] == "b://a"
+    assert rep2["digest_hits"] >= 1
+
+
+def test_empty_shard(base_index):
+    """An empty crawl slice (everything filtered upstream) returns an empty
+    typed result and a zeroed report instead of crashing on schema=None."""
+    root, *_ = base_index
+    shard = pa.schema(
+        [("url", pa.string()), ("text", pa.large_string()),
+         ("lang", pa.string())]
+    ).empty_table()
+    out, report = dedup_against_index(rd.from_arrow(shard), root, CFG)
+    assert out.count() == 0
+    assert out.schema().names == ["url", "cluster_id"]
+    assert report["n_docs"] == 0 and report["merges"] == 0
+
+
+def test_incremental_matches_batch_partition(base_index):
+    """(base → index → shard incremental) and (batch over base ∪ shard)
+    must induce the same partition over the SHARD docs (labels differ —
+    incremental keeps old ids stable; sets must not)."""
+    root, pages, clusters, _ = base_index
+    texts = pages["text"].to_pylist()
+    urls = pages["url"].to_pylist()
+
+    shard_rows = []
+    for i in range(0, 12):
+        if i % 3 == 0:
+            shard_rows.append((f"s://{i:03d}", texts[i]))          # exact
+        elif i % 3 == 1:
+            shard_rows.append((f"s://{i:03d}", _mutate(texts[i]))) # near
+        else:
+            shard_rows.append((f"s://{i:03d}", _fresh(100 + i)))   # fresh
+    shard = pa.table(
+        {
+            "url": [u for u, _ in shard_rows],
+            "text": [t for _, t in shard_rows],
+            "lang": ["en"] * len(shard_rows),
+        }
+    )
+
+    inc, _ = dedup_against_index(rd.from_arrow(shard), root, CFG, extract=False)
+    inc_df = inc.to_pandas()
+
+    both = pa.table(
+        {
+            "url": urls + shard["url"].to_pylist(),
+            "text": texts + shard["text"].to_pylist(),
+            "lang": ["en"] * (len(urls) + shard.num_rows),
+        }
+    )
+    batch, _ = dedup_pipeline(
+        rd.from_arrow(both), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    batch_df = batch.to_pandas()
+
+    # compare partitions restricted to (shard ∪ base) docs: group sets of
+    # shard docs together with which base docs they joined
+    def groups(df):
+        out = {}
+        for u, c in zip(df.iloc[:, 0], df["cluster_id"]):
+            out.setdefault(c, set()).add(u)
+        return {frozenset(g) for g in out.values() if any(
+            m.startswith("s://") for m in g)}
+
+    # incremental output covers shard docs only; expand with the base
+    # members of each anchored cluster from the base run
+    base_members = {}
+    for u, c in zip(clusters["url"], clusters["cluster_id"]):
+        base_members.setdefault(c, set()).add(u)
+    inc_groups = {}
+    for u, c in zip(inc_df["url"], inc_df["cluster_id"]):
+        inc_groups.setdefault(c, set()).add(u)
+    inc_sets = set()
+    for c, g in inc_groups.items():
+        inc_sets.add(frozenset(g | base_members.get(c, set())))
+
+    assert inc_sets == groups(batch_df)
