@@ -12,6 +12,11 @@ representative-substring edges → connected components), and writes
 (see ``dedup_ray.state.manifest``) and a resubmitted job resumes from the
 last completed stage.
 
+Continuous-crawl mode: ``--build-index DIR`` persists the bucketed dedup
+index after a batch run, and ``--incremental DIR`` clusters a NEW shard
+against that index in O(shard) work (``--update-index`` makes the shard
+visible to the next one).
+
 This module owns a Ray session ONLY when run as a script (guarded init, per
 the embedding contract: library code never calls ``ray.init``).
 """
@@ -52,6 +57,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the cluster assignment as a "
                     "result.json submission zip (reference Makefile:30-32 "
                     "shape) at PATH")
+    ap.add_argument("--build-index", default=None, metavar="DIR",
+                    help="after the dedup run, persist the bucketed dedup "
+                    "index (digests/LSH bands/signatures) at DIR for later "
+                    "--incremental runs; reuses the signatures checkpoint "
+                    "when --checkpoint-dir is set")
+    ap.add_argument("--index-buckets", type=int, default=64,
+                    help="bucket count for --build-index (size so one "
+                    "bucket is a sane Parquet read; ~64k at 10^11 docs)")
+    ap.add_argument("--incremental", default=None, metavar="DIR",
+                    help="cluster the input as a NEW shard against the "
+                    "index at DIR — O(shard) work, anchors duplicates to "
+                    "existing cluster ids — instead of the batch pipeline")
+    ap.add_argument("--update-index", action="store_true",
+                    help="with --incremental: append the shard's "
+                    "signatures and cluster merges to the index so the "
+                    "next shard sees this one")
     ap.add_argument("--curate-only", action="store_true",
                     help="run the curation chain (quality screen -> PII "
                     "redaction -> line-level dedup -> reassembly) instead "
@@ -120,6 +141,29 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
         return 0
 
+    if args.incremental:
+        from dedup_ray.pipelines.incremental import dedup_against_index
+
+        out, report = dedup_against_index(
+            pages,
+            args.incremental,
+            cfg,
+            extract=not args.no_extract,
+            update_index=args.update_index,
+        )
+        out.write_parquet(args.output)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "mode": "incremental",
+            "sec": round(wall, 3),
+            "docs_per_sec": round(report["n_docs"] / wall, 1)
+            if report["n_docs"] else 0.0,
+            "output": args.output,
+            **report,
+        }))
+        ray.shutdown()
+        return 0
+
     pages_parts = None
     if args.sign_parts and args.checkpoint_dir:
         import os
@@ -160,6 +204,31 @@ def main(argv: list[str] | None = None) -> int:
         }
     else:
         clusters.write_parquet(args.output)
+    index = {}
+    if args.build_index:
+        import os
+
+        from dedup_ray.state.dedupindex import build_index
+
+        sig_data = (
+            os.path.join(ctx.stage_dir("signatures"), "data")
+            if ctx is not None
+            else None
+        )
+        if sig_data and os.path.isdir(sig_data):
+            compact = ray.data.read_parquet(sig_data)
+        else:  # no checkpoint to reuse: one extra signing pass
+            from dedup_ray.pipelines.dedup import compact_signature_table
+
+            compact = compact_signature_table(
+                pages, cfg, args.id_col, extract=not args.no_extract,
+                with_simhash=False, with_chunks=False,
+            )
+        man = build_index(
+            compact, ray.data.read_parquet(args.output), args.build_index,
+            cfg, id_col=args.id_col, num_buckets=args.index_buckets,
+        )
+        index = {"index": args.build_index, "index_rows": man["rows"]}
     sub = {}
     if args.submission_zip:
         from dedup_ray.state.submission import write_submission_zip
@@ -183,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
                 "resumed_parts": len(ctx.part_hits) if ctx else 0,
                 "output": args.output,
                 **buckets,
+                **index,
                 **sub,
             }
         )
