@@ -150,6 +150,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg,
             extract=not args.no_extract,
             update_index=args.update_index,
+            # None = follow the index (substring on iff it has chunk tables)
+            with_substring=False if args.no_substring else None,
         )
         out.write_parquet(args.output)
         wall = time.perf_counter() - t0
@@ -222,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
 
             compact = compact_signature_table(
                 pages, cfg, args.id_col, extract=not args.no_extract,
-                with_simhash=False, with_chunks=False,
+                with_simhash=False, with_chunks=not args.no_substring,
             )
         man = build_index(
             compact, ray.data.read_parquet(args.output), args.build_index,

@@ -26,9 +26,14 @@ shard's key spread, not the corpus.  Anchors are OLD CLUSTER IDS used as
 CC nodes — linking a new doc to its anchor reuses the existing cluster
 without loading its members.
 
-Covers the exact + MinHash paths (the flagship's scale paths); the
-substring path needs a chunk-hash index table — a layout extension, not a
-redesign — and is out of incremental scope for now.
+Covers the exact + MinHash paths always, and the substring/CDC containment
+path when the index was built from a ``with_chunks`` signature table
+(``state/dedupindex`` chunks/chunkblobs tables): shard chunk hashes join
+bucket-pruned index chunk rows, document frequency is bucket-locally exact
+so boilerplate chunks (cookie banners) are excluded without a global
+census, and accepted shared-run edges anchor like the near path.  The
+in-shard substring pass reuses the batch plan; its boilerplate census is
+shard-local (same per-run semantics as the batch pipeline).
 """
 
 from __future__ import annotations
@@ -65,6 +70,13 @@ def _remap_anchor_col(col: pa.ChunkedArray, merges: dict, idt) -> pa.Array:
     )
 
 
+def _rename_map(name_map: dict):
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([name_map.get(c, c) for c in t.column_names])
+
+    return f
+
+
 def _bucket_ids(ds, fn) -> list:
     """Distinct bucket ids present in ``ds`` (≤ num_buckets values reach
     the driver — the per-batch fn collapses rows to bucket ids first)."""
@@ -83,11 +95,15 @@ def dedup_against_index(
     config: DedupConfig | None = None,
     extract: bool = False,
     update_index: bool = False,
+    with_substring: bool | None = None,
 ):
     """Shard pages → ``(clusters_ds(id, cluster_id), report)``.
 
     ``cluster_id`` is an EXISTING cluster id when the doc duplicates
-    indexed content (exactly or near), else a fresh id (min new member).
+    indexed content (exactly, near, or — when the index carries chunk
+    tables — by substring containment), else a fresh id (min new member).
+    ``with_substring=None`` follows the index (on iff it has chunk
+    tables); forcing ``True`` against a chunk-less index raises.
     ``report`` counts each path's contribution plus recorded merges.
     With ``update_index`` the shard's signatures are appended to the index
     under their final labels and merges are persisted, so the next shard
@@ -113,10 +129,18 @@ def dedup_against_index(
         )
     id_col = man["id_col"]
     nb = man["num_buckets"]
+    has_chunks = man.get("has_chunks", False)
+    use_sub = has_chunks if with_substring is None else with_substring
+    if use_sub and not has_chunks:
+        raise ValueError(
+            "with_substring=True but the index has no chunk tables "
+            "(build it from a with_chunks signature table)"
+        )
     merges_seen = load_merges(index_root)
 
     compact = compact_signature_table(
-        shard_ds, cfg, id_col, extract, with_simhash=False, with_chunks=False
+        shard_ds, cfg, id_col, extract, with_simhash=False,
+        with_chunks=use_sub,
     ).materialize()
     n_docs = compact.count()
     if n_docs == 0:  # empty crawl slice: nothing to anchor, no index change
@@ -151,10 +175,23 @@ def dedup_against_index(
 
         return mixed.map_batches(f, batch_format="pyarrow")
 
-    reps = _filter_valid([id_col, "digest", "n_shingles", "sig"], False)
+    rep_cols = [id_col, "digest", "n_shingles", "sig"] + (
+        ["chunks"] if use_sub else []
+    )
+    reps = _filter_valid(rep_cols, False)
     exact_e = _filter_valid(["id1", "id2"], True)
 
     anchor_schema = pa.schema([("id1", idt), ("id2", idt)])
+
+    def _anchor_post(t: pa.Table) -> pa.Table:
+        # accepted (shard id, old DOC id) + joined cluster_id → anchor edge
+        # (shard id, merge-resolved old CLUSTER id)
+        return pa.table(
+            {
+                "id1": t["id1"].combine_chunks().cast(idt),
+                "id2": _remap_anchor_col(t["cluster_id"], merges_seen, idt),
+            }
+        )
 
     # ---- exact vs index: rep digests ⋈ bucket-pruned index digests ------
     rep_dig = reps.select_columns([id_col, "digest"])
@@ -231,19 +268,14 @@ def dedup_against_index(
     if idx_bands is None:
         cross_mixed = _empty_ds(pair_schema)
     else:
-
-        def rn(name_map):
-            def f(t: pa.Table) -> pa.Table:
-                return t.rename_columns(
-                    [name_map.get(c, c) for c in t.column_names]
-                )
-
-            return f
-
         cross_mixed = hash_exchange(
             [
-                bands.map_batches(rn({id_col: "id1"}), batch_format="pyarrow"),
-                idx_bands.map_batches(rn({"id": "id2"}), batch_format="pyarrow"),
+                bands.map_batches(
+                    _rename_map({id_col: "id1"}), batch_format="pyarrow"
+                ),
+                idx_bands.map_batches(
+                    _rename_map({"id": "id2"}), batch_format="pyarrow"
+                ),
             ],
             [["band", "bhash"], ["band", "bhash"]],
             cross_reduce,
@@ -291,15 +323,6 @@ def dedup_against_index(
             cross_pairs, side, cfg, id_col=id_col, id_type=idt
         )
 
-        # translate accepted old DOC ids → their (merge-resolved) cluster id
-        def to_cluster(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "id1": t["id1"].combine_chunks().cast(idt),
-                    "id2": _remap_anchor_col(t["cluster_id"], merges_seen, idt),
-                }
-            )
-
         cross_edges = exchange_join(
             accepted.select_columns(["id1", "id2"]),
             idx_sigs.map_batches(
@@ -311,7 +334,7 @@ def dedup_against_index(
             on="id2",
             how="inner",
             num_partitions=cfg.num_partitions,
-            post=to_cluster,
+            post=_anchor_post,
             # empty_schema is the POST-output schema (returned directly on
             # void partitions)
             empty_schema=anchor_schema,
@@ -328,6 +351,148 @@ def dedup_against_index(
         id_col=id_col,
         id_type=idt,
     )
+
+    # ---- substring/CDC containment path (index chunk tables) ------------
+    sub_report = {}
+    sub_edges = _empty_ds(anchor_schema)
+    if use_sub:
+        from dedup_ray.stages.substring import (
+            explode_chunks,
+            substring_edges,
+            verify_substring_pairs,
+        )
+
+        # in-shard containment: the batch plan over shard representatives
+        in_sub = substring_edges(reps, cfg, id_col=id_col, id_type=idt)
+        edge_parts.append(
+            in_sub.select_columns(["id1", "id2"]).materialize()
+        )
+
+        # cross: shard chunk rows ⋈ bucket-pruned index chunk rows
+        chunk_rows = explode_chunks(
+            reps.select_columns([id_col, "chunks"]), cfg, id_col
+        ).materialize()
+        idx_chunks = read_buckets(
+            index_root,
+            "chunks",
+            _bucket_ids(
+                chunk_rows, lambda t: band_bucket(t["chash"].to_numpy(), nb)
+            ),
+        )
+        sub_schema = pa.schema(
+            [("id1", idt), ("id2", idt), ("hot_chash", pa.int64())]
+        )
+
+        def sub_cross_reduce(lf: pa.Table, rf: pa.Table) -> pa.Table:
+            if "chash" not in lf.column_names or "chash" not in rf.column_names:
+                return sub_schema.empty_table()
+            ldf = lf.to_pandas()  # shard (id1, chash)
+            rdf = rf.to_pandas()  # index (chash, id2)
+            # df is exact here — every index row for a chash lives in this
+            # partition, shard occurrences included.  Chunks over the df
+            # bound are boilerplate (banners/templates): no pairs, and the
+            # marker row feeds the verifier's run-scoring skip set.
+            df = (
+                rdf.groupby("chash")["chash"]
+                .size()
+                .add(ldf.groupby("chash")["chash"].size(), fill_value=0)
+            )
+            hot = df.index[df > cfg.boilerplate_max_df]
+            out = (
+                ldf[~ldf["chash"].isin(hot)]
+                .merge(rdf[~rdf["chash"].isin(hot)], on="chash")[
+                    ["id1", "id2"]
+                ]
+                .drop_duplicates()
+            )
+            out = out[out["id1"] != out["id2"]]
+            n_hot = len(hot)
+            return pa.table(
+                {
+                    "id1": pa.array(list(out["id1"]) + [None] * n_hot, idt),
+                    "id2": pa.array(list(out["id2"]) + [None] * n_hot, idt),
+                    "hot_chash": pa.array(
+                        [None] * len(out) + [int(h) for h in hot], pa.int64()
+                    ),
+                }
+            )
+
+        if idx_chunks is None:
+            sub_mixed = _empty_ds(sub_schema)
+        else:
+            sub_mixed = hash_exchange(
+                [
+                    chunk_rows.map_batches(
+                        _rename_map({id_col: "id1"}), batch_format="pyarrow"
+                    ),
+                    idx_chunks.map_batches(
+                        _rename_map({"id": "id2"}), batch_format="pyarrow"
+                    ),
+                ],
+                [["chash"], ["chash"]],
+                sub_cross_reduce,
+                num_partitions=cfg.num_partitions,
+            )
+        sub_mixed = sub_mixed.materialize()
+        hot_sub = frozenset(
+            r["hot_chash"]
+            for r in _where(
+                sub_mixed,
+                lambda t: pc.is_valid(t["hot_chash"]),
+                ["hot_chash"],
+            ).take_all()
+        )
+        sub_pairs = _where(
+            sub_mixed, lambda t: pc.is_valid(t["id1"]), ["id1", "id2"]
+        ).materialize()
+
+        idx_blobs = read_buckets(
+            index_root,
+            "chunkblobs",
+            _bucket_ids(
+                sub_pairs.select_columns(["id2"]),
+                lambda t: _bucket_of(t["id2"].to_pylist(), nb),
+            )
+            if sub_pairs.count() > 0
+            else [],
+        )
+        if idx_blobs is not None:
+            idx_blobs = idx_blobs.materialize()
+            side = reps.select_columns([id_col, "chunks"]).union(
+                idx_blobs.map_batches(
+                    lambda t: pa.table(
+                        {
+                            id_col: t["id"].combine_chunks().cast(idt),
+                            "chunks": t["chunks"],
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            accepted_sub = verify_substring_pairs(
+                sub_pairs, side, cfg, id_col=id_col,
+                hot_chunks=hot_sub, id_type=idt,
+            )
+            sub_edges = exchange_join(
+                accepted_sub.select_columns(["id1", "id2"]),
+                idx_blobs.map_batches(
+                    lambda t: pa.table(
+                        {"id2": t["id"], "cluster_id": t["cluster_id"]}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on="id2",
+                how="inner",
+                num_partitions=cfg.num_partitions,
+                post=_anchor_post,
+                empty_schema=anchor_schema,
+            ).materialize()
+            edge_parts.append(sub_edges)
+        sub_report = {
+            "substring_candidates": sub_pairs.count(),
+            "substring_edges": sub_edges.count(),
+            "hot_chunks_excluded": len(hot_sub),
+        }
 
     def _pin(ds):
         def cast(t: pa.Table) -> pa.Table:
@@ -354,6 +519,7 @@ def dedup_against_index(
         "cross_candidates": cross_pairs.count(),
         "cross_edges": cross_edges.count(),
         "hot_buckets_dropped": hot_buckets,
+        **sub_report,
     }
 
     labels = component_labels(edges, cfg.cc_local_edge_limit)
@@ -379,7 +545,8 @@ def dedup_against_index(
 
         anchors = exchange_group_apply(
             digest_hits.select_columns(["id2"]).union(
-                cross_edges.select_columns(["id2"])
+                cross_edges.select_columns(["id2"]),
+                sub_edges.select_columns(["id2"]),
             ).map_batches(
                 lambda t: pa.table(
                     {"id": t["id2"].combine_chunks().cast(idt)}

@@ -10,12 +10,24 @@ it touching only the index buckets its own keys hash into.  Layout::
       bands/bucket=K/part-*.parquet    # (band, bhash, id)         K = bhash mod B
       sigs/bucket=K/part-*.parquet     # (id, sig, cluster_id)     K = h(id) % B
       merges/part-*.parquet            # (retired, final) cluster renames
+      # optional (index built from a with_chunks signature table):
+      chunks/bucket=K/part-*.parquet      # (chash, id)            K = chash mod B
+      chunkblobs/bucket=K/part-*.parquet  # (id, chunks, cluster_id) K = h(id) % B
 
-Sizes: the index is ~(16B digest + bands×16B + num_perms×8B sig) per
+Sizes: the base index is ~(16B digest + bands×16B + num_perms×8B sig) per
 document — ~1.1 KB/doc at the default config, i.e. ~1% of a 100 KB-page
 corpus — and every incremental lookup reads only the buckets present in
 the incoming shard (bucket pruning happens on directory names, before any
-bytes are read).
+bytes are read).  The OPTIONAL substring extension is the expensive part:
+CDC chunk fingerprints cost ~12 bytes per ~25-byte chunk, i.e. roughly
+half the text bytes again — enable it only when the containment path is
+worth that footprint.
+
+Boilerplate document frequency stays EXACT under this layout: all index
+rows for a given ``chash`` live in one bucket directory, so a shard that
+reads the buckets its own chunk hashes select sees the complete corpus
+count for every chunk it shares — df-based hot-chunk exclusion needs no
+global census pass.
 
 Bucket functions are content-derived and stable across runs/parallelism
 (same convention as ``state/partwrite``), so a shard computes its buckets
@@ -132,30 +144,34 @@ def _write_manifest(root: str, m: dict) -> None:
 
 def _labeled_signatures(compact_ds, clusters_ds, cfg: DedupConfig,
                         id_col: str):
-    """compact(id, digest, sig) ⋈ clusters(id, cluster_id) — the only
-    corpus-sized step of an index write (co-partitioned raw-task
-    exchange).  Returns ``(labeled_ds, id_type)``."""
+    """compact(id, digest, sig[, chunks]) ⋈ clusters(id, cluster_id) — the
+    only corpus-sized step of an index write (co-partitioned raw-task
+    exchange).  Returns ``(labeled_ds, id_type, has_chunks)``."""
     from dedup_ray.util.exchange import exchange_join
 
-    compact = compact_ds.select_columns([id_col, "digest", "sig"]).materialize()
+    base = compact_ds.schema().base_schema
+    has_chunks = "chunks" in base.names
+    cols = [id_col, "digest", "sig"] + (["chunks"] if has_chunks else [])
+    compact = compact_ds.select_columns(cols).materialize()
     id_type = compact.schema().base_schema.field(id_col).type
 
+    fields = [
+        (id_col, id_type),
+        ("digest", pa.string()),
+        ("sig", pa.binary(cfg.num_perms * 8)),
+    ]
+    if has_chunks:
+        fields.append(("chunks", pa.binary()))
+    fields.append(("cluster_id", id_type))
     labeled = exchange_join(
         compact,
         clusters_ds.select_columns([id_col, "cluster_id"]),
         on=id_col,
         how="left",
         num_partitions=cfg.num_partitions,
-        empty_schema=pa.schema(
-            [
-                (id_col, id_type),
-                ("digest", pa.string()),
-                ("sig", pa.binary(cfg.num_perms * 8)),
-                ("cluster_id", id_type),
-            ]
-        ),
+        empty_schema=pa.schema(fields),
     ).materialize()
-    return labeled, id_type
+    return labeled, id_type, has_chunks
 
 
 def _persist_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
@@ -233,6 +249,55 @@ def _persist_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
     return {"sigs": n_sigs, "digests": n_digests, "bands": n_bands}
 
 
+def _persist_chunk_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
+                          id_type, num_buckets: int) -> dict:
+    """Write the substring-extension tables (append semantics).
+
+    ``chunks`` carries one (chash, id) row per long CDC chunk — the
+    candidate-generation side, bucketed by the chunk hash so a shard's
+    lookups prune on directory names and per-chash document frequency is
+    bucket-locally exact.  ``chunkblobs`` carries each doc's full packed
+    chunk sequence plus its cluster id — the verification side, bucketed
+    by doc id so only blobs for actual candidate hits are read.
+    """
+    from dedup_ray.stages.substring import explode_chunks
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "id": t[id_col],
+                "chunks": t["chunks"],
+                "cluster_id": pc.coalesce(
+                    t["cluster_id"].combine_chunks().cast(id_type),
+                    t[id_col].combine_chunks(),
+                ),
+            }
+        )
+
+    n_blobs = _append_bucketed(
+        labeled.map_batches(sig_rows, batch_format="pyarrow"),
+        os.path.join(root, "chunkblobs"),
+        lambda b: _bucket_of(b["id"].to_pylist(), num_buckets),
+        num_buckets,
+    )
+
+    rows = explode_chunks(
+        labeled.select_columns([id_col, "chunks"]), cfg, id_col
+    ).map_batches(
+        lambda t: pa.table({"chash": t["chash"], "id": t[id_col]}),
+        batch_format="pyarrow",
+    )
+    n_chunks = _append_bucketed(
+        rows,
+        os.path.join(root, "chunks"),
+        lambda b: band_bucket(b["chash"].to_numpy(), num_buckets),
+        num_buckets,
+    )
+    return {"chunkblobs": n_blobs, "chunks": n_chunks}
+
+
 def build_index(
     compact_ds,
     clusters_ds,
@@ -250,13 +315,22 @@ def build_index(
     (~64 at test scale, ~64k for a 10^11-doc corpus).
     """
     cfg = config or DedupConfig()
-    labeled, id_type = _labeled_signatures(compact_ds, clusters_ds, cfg, id_col)
+    labeled, id_type, has_chunks = _labeled_signatures(
+        compact_ds, clusters_ds, cfg, id_col
+    )
     rows = _persist_tables(labeled, root, cfg, id_col, id_type, num_buckets)
+    if has_chunks:
+        rows.update(
+            _persist_chunk_tables(
+                labeled, root, cfg, id_col, id_type, num_buckets
+            )
+        )
     m = {
         "config_hash": cfg.config_hash(),
         "id_col": id_col,
         "id_type": str(id_type),
         "num_buckets": num_buckets,
+        "has_chunks": has_chunks,
         "rows": rows,
     }
     _write_manifest(root, m)
@@ -283,12 +357,24 @@ def append_index(
             "index was built with a different DedupConfig "
             f"({m['config_hash']} != {cfg.config_hash()})"
         )
-    labeled, id_type = _labeled_signatures(
+    labeled, id_type, has_chunks = _labeled_signatures(
         compact_ds, clusters_ds, cfg, m["id_col"]
     )
+    if has_chunks != m.get("has_chunks", False):
+        raise ValueError(
+            "substring extension mismatch: index has_chunks="
+            f"{m.get('has_chunks', False)} but shard signatures "
+            f"{'carry' if has_chunks else 'lack'} a chunks column"
+        )
     rows = _persist_tables(
         labeled, root, cfg, m["id_col"], id_type, m["num_buckets"]
     )
+    if has_chunks:
+        rows.update(
+            _persist_chunk_tables(
+                labeled, root, cfg, m["id_col"], id_type, m["num_buckets"]
+            )
+        )
     m["rows"] = {k: m["rows"][k] + rows[k] for k in rows}
     _write_manifest(root, m)
     return m

@@ -165,6 +165,180 @@ def test_bridge_merge(tmp_path):
     assert rep2["digest_hits"] >= 1
 
 
+def _long_text(tag: str, n: int = 150) -> str:
+    return " ".join(f"{tag}{j}m{(j * 13) % 89}" for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def chunked_index(tmp_path_factory):
+    """Index WITH the substring extension (chunks/chunkblobs tables)."""
+    root = str(tmp_path_factory.mktemp("chunkidx"))
+    base = pa.table(
+        {
+            "url": [f"b://doc{i}" for i in range(6)],
+            "text": [_long_text(f"base{i}") for i in range(6)],
+            "lang": ["en"] * 6,
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(base), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=True,
+    )
+    man = build_index(compact, clusters, root, CFG, id_col="url",
+                      num_buckets=8)
+    return root, base, man
+
+
+def test_chunked_manifest(chunked_index):
+    root, base, man = chunked_index
+    assert man["has_chunks"] is True
+    assert man["rows"]["chunkblobs"] == base.num_rows
+    assert man["rows"]["chunks"] > 0
+    assert load_manifest(root)["has_chunks"] is True
+
+
+def test_substring_containment_anchor(chunked_index):
+    """A shard page CONTAINING an indexed doc verbatim anchors through the
+    chunk tables even though MinHash misses (superset Jaccard < 0.5) and
+    the digest differs."""
+    root, base, _ = chunked_index
+    inner = base["text"][1].as_py()
+    shard = pa.table(
+        {
+            "url": ["s://superset", "s://unrelated"],
+            # padding >> inner so shingle Jaccard ~ |inner|/|superset| < 0.5
+            "text": [
+                _long_text("pad-a", 200) + " " + inner + " "
+                + _long_text("pad-b", 200),
+                _long_text("nothing-shared", 180),
+            ],
+            "lang": ["en"] * 2,
+        }
+    )
+    out, report = dedup_against_index(rd.from_arrow(shard), root, CFG)
+    got = dict(zip(*(out.to_pandas()[c] for c in ("url", "cluster_id"))))
+    assert report["substring_edges"] >= 1
+    assert got["s://superset"] == "b://doc1"
+    assert got["s://unrelated"] == "s://unrelated"
+    # forcing the substring path off loses the containment anchor
+    out2, rep2 = dedup_against_index(
+        rd.from_arrow(shard), root, CFG, with_substring=False
+    )
+    got2 = dict(zip(*(out2.to_pandas()[c] for c in ("url", "cluster_id"))))
+    assert got2["s://superset"] == "s://superset"
+    assert "substring_edges" not in rep2
+
+
+def test_boilerplate_chunks_do_not_anchor(tmp_path):
+    """Many indexed docs share a cookie banner; a shard doc sharing ONLY
+    the banner must not anchor — its chunks exceed the df bound and are
+    excluded from pair emission and run scoring."""
+    root = str(tmp_path / "bidx")
+    banner = " ".join(
+        "this website uses cookies accept decline privacy policy "
+        "terms of service contact imprint newsletter subscribe "
+        "follow us on social media all rights reserved".split()
+    )
+    n = 12  # > boilerplate_max_df=8 docs carry the banner
+    base = pa.table(
+        {
+            "url": [f"b://page{i}" for i in range(n)],
+            "text": [_long_text(f"body{i}", 120) + " " + banner
+                     for i in range(n)],
+            "lang": ["en"] * n,
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(base), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=True,
+    )
+    build_index(compact, clusters, root, CFG, id_col="url", num_buckets=8)
+
+    shard = pa.table(
+        {
+            "url": ["s://banner-only"],
+            "text": [_long_text("fresh-body", 120) + " " + banner],
+            "lang": ["en"],
+        }
+    )
+    out, report = dedup_against_index(rd.from_arrow(shard), root, CFG)
+    got = out.to_pandas()
+    assert got["cluster_id"].iloc[0] == "s://banner-only"
+    assert report["substring_edges"] == 0
+    assert report["hot_chunks_excluded"] > 0
+
+
+def test_substring_update_index_round_trip(tmp_path):
+    """update_index appends the shard's chunk tables too: a later shard
+    that CONTAINS an earlier shard's fresh text anchors to it."""
+    root = str(tmp_path / "uidx")
+    base = pa.table(
+        {
+            "url": ["b://only"],
+            "text": [_long_text("seed", 120)],
+            "lang": ["en"],
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(base), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=True,
+    )
+    build_index(compact, clusters, root, CFG, id_col="url", num_buckets=8)
+
+    fresh = _long_text("wave1", 150)
+    shard1 = pa.table(
+        {"url": ["s1://fresh"], "text": [fresh], "lang": ["en"]}
+    )
+    _, rep1 = dedup_against_index(
+        rd.from_arrow(shard1), root, CFG, update_index=True
+    )
+    assert load_manifest(root)["rows"]["chunkblobs"] == 2
+
+    shard2 = pa.table(
+        {
+            "url": ["s2://contains-wave1"],
+            "text": [_long_text("pad2", 200) + " " + fresh + " "
+                     + _long_text("pad3", 200)],
+            "lang": ["en"],
+        }
+    )
+    out2, rep2 = dedup_against_index(rd.from_arrow(shard2), root, CFG)
+    assert rep2["substring_edges"] >= 1
+    assert out2.to_pandas()["cluster_id"].iloc[0] == "s1://fresh"
+
+
+def test_chunk_mismatch_append_rejected(chunked_index):
+    """Appending chunk-less signatures to a chunked index is an error —
+    later shards would silently lose substring coverage of this one."""
+    from dedup_ray.state.dedupindex import append_index
+
+    root, *_ = chunked_index
+    shard = pa.table(
+        {"url": ["s://x"], "text": [_long_text("mm", 80)], "lang": ["en"]}
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(shard), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=False,
+    )
+    clusters = rd.from_arrow(
+        pa.table({"url": ["s://x"], "cluster_id": ["s://x"]})
+    )
+    with pytest.raises(ValueError, match="substring extension mismatch"):
+        append_index(compact, clusters, root, CFG)
+
+
 def test_empty_shard(base_index):
     """An empty crawl slice (everything filtered upstream) returns an empty
     typed result and a zeroed report instead of crashing on schema=None."""
