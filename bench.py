@@ -169,6 +169,110 @@ def run_headline(
     }
 
 
+def run_incremental(sf_dir: str) -> dict:
+    """Continuous-crawl mode evidence: clustering a NEW shard against a
+    persisted index must cost O(shard), not O(corpus).
+
+    Builds an index from a batch run (amplify=4, ~13× the shard), then
+    times ONLY ``dedup_against_index`` over a shard mixing exact copies,
+    2%-edit near-dups and fresh docs (30% of source docs).  Comparable
+    numbers: ``shard_docs_per_sec`` vs ``batch_docs_per_sec`` from the
+    same config — parity or better means the per-shard cost does not grow
+    with the already-indexed corpus.
+    """
+    import tempfile
+
+    import pyarrow as pa
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import (
+        compact_signature_table,
+        dedup_pipeline,
+    )
+    from dedup_ray.pipelines.incremental import dedup_against_index
+    from dedup_ray.sources.pages import _rng, mutate_text, pages_from_documents
+    from dedup_ray.state.dedupindex import build_index
+
+    import ray.data
+
+    amplify, text_repeat = 4, 2
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, NUM_CPUS - 2), num_partitions=32
+    )
+    t0 = time.perf_counter()
+    clusters, _ = dedup_pipeline(
+        pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat),
+        cfg,
+        use_simhash=False,
+        use_substring=False,
+    )
+    clusters = clusters.materialize()
+    base_docs = clusters.count()
+    base_sec = time.perf_counter() - t0
+    compact = compact_signature_table(
+        pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat),
+        cfg, "url", extract=True, with_simhash=False, with_chunks=False,
+    )
+    root = tempfile.mkdtemp(prefix="benchidx-", dir="/tmp")
+    t0 = time.perf_counter()
+    build_index(compact, clusters, root, cfg, id_col="url", num_buckets=64)
+    index_sec = time.perf_counter() - t0
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            # must match the INDEXED page text: same tiling as the base run
+            tiled = "\n".join(
+                f"part{r} {text or ''}" for r in range(text_repeat)
+            )
+            m = int(d) % 10
+            if m == 0:
+                urls.append(f"s://exact/{d}")
+                texts.append(tiled)
+            elif m == 3:
+                urls.append(f"s://near/{d}")
+                texts.append(mutate_text(tiled, 0.02, _rng(7, f"bi/{d}")))
+            elif m == 6:
+                urls.append(f"s://fresh/{d}")
+                rng = _rng(7, f"bf/{d}")
+                texts.append(
+                    " ".join(
+                        f"u{v}"
+                        for v in rng.integers(0, 1_000_000_000, size=200)
+                    )
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(["en"] * len(urls), pa.string()),
+            }
+        )
+
+    shard = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(to_shard, batch_format="pyarrow", batch_size=256)
+        .materialize()  # shard generation excluded from the timed window
+    )
+    t0 = time.perf_counter()
+    out, report = dedup_against_index(shard, root, cfg, extract=False)
+    n_shard = out.count()
+    shard_sec = time.perf_counter() - t0
+    return {
+        "index_docs": base_docs,
+        "index_build_sec": round(index_sec, 3),
+        "batch_docs_per_sec": round(base_docs / base_sec, 1),
+        "shard_docs": n_shard,
+        "shard_sec": round(shard_sec, 3),
+        "shard_docs_per_sec": round(n_shard / shard_sec, 1),
+        "digest_hits": report["digest_hits"],
+        "cross_edges": report["cross_edges"],
+        "merges": report["merges"],
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from dedup_ray.pipelines.queries import QUERIES
 
@@ -213,6 +317,11 @@ def main() -> None:
             if args.headline_only or args.scaling_input
             else run_queries(SF_DIR)
         )
+        incremental = (
+            {}
+            if args.headline_only or args.scaling_input
+            else run_incremental(SF_DIR)
+        )
         print(
             json.dumps(
                 {
@@ -221,6 +330,7 @@ def main() -> None:
                     "value": headline["sec"],
                     "unit": "sec",
                     "queries": queries,
+                    "incremental": incremental,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "num_cpus": NUM_CPUS,
                     "docs": headline["docs"],

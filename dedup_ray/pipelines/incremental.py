@@ -38,6 +38,8 @@ shard-local (same per-run semantics as the batch pipeline).
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -158,6 +160,18 @@ def dedup_against_index(
             },
         )
     idt = compact.schema().base_schema.field(id_col).type
+    # exchange width tracks the SHARD, not the corpus: every all-to-all in
+    # this pipeline moves shard-proportional rows (index reads are bucket-
+    # pruned), so a small shard over-partitioned at the batch default pays
+    # pure task-dispatch latency.  ~1k rows/partition floor, capped at the
+    # configured width.  ``index_cfg`` keeps the caller's exact config for
+    # every index interaction — num_partitions is in config_hash, and the
+    # adjusted copy must never reach a manifest check or an append.
+    index_cfg = cfg
+    cfg = replace(
+        cfg,
+        num_partitions=max(2, min(cfg.num_partitions, n_docs // 1000 + 1)),
+    )
 
     # ---- in-shard exact: one digest shuffle → reps + star edges ---------
     mixed = exact_rep_partition(
@@ -661,7 +675,7 @@ def dedup_against_index(
     report["merges"] = len(merges_new)
 
     if update_index:
-        append_index(compact, final, index_root, cfg)
+        append_index(compact, final, index_root, index_cfg)
         append_merges(index_root, merges_new)
         report["index_rows"] = load_manifest(index_root)["rows"]
 
