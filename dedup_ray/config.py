@@ -75,6 +75,31 @@ class DedupConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    # Execution-tuning knobs: they change with cluster size and input
+    # shape but never change what a digest / signature / band / chunk
+    # MEANS.  Artifacts that outlive one process (the persisted dedup
+    # index, which a differently-sized cluster must be able to read)
+    # key on semantic_hash; same-run checkpoints keep the conservative
+    # full config_hash.
+    _EXECUTION_KNOBS = (
+        "batch_size",
+        "sign_batch_size",
+        "minhash_concurrency",
+        "num_partitions",
+        "cc_local_edge_limit",
+    )
+
+    def semantic_hash(self) -> str:
+        """Hash of the signature-semantics knobs only (execution tuning
+        excluded), for long-lived artifacts shared across cluster sizes."""
+        d = {
+            k: v
+            for k, v in asdict(self).items()
+            if k not in self._EXECUTION_KNOBS
+        }
+        payload = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
     def __post_init__(self) -> None:
         if self.num_perms % self.bands != 0:
             raise ValueError("num_perms must be divisible by bands")

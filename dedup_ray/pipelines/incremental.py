@@ -124,10 +124,13 @@ def dedup_against_index(
 
     cfg = config or DedupConfig()
     man = load_manifest(index_root)
-    if man["config_hash"] != cfg.config_hash():
+    # semantic hash: execution knobs (partitions/concurrency/batch sizes)
+    # legitimately differ between the cluster that built the index and the
+    # one consuming it; only signature-semantics knobs must match.
+    if man["semantic_hash"] != cfg.semantic_hash():
         raise ValueError(
-            "index was built with a different DedupConfig "
-            f"({man['config_hash']} != {cfg.config_hash()})"
+            "index was built with semantically different DedupConfig "
+            f"knobs ({man['semantic_hash']} != {cfg.semantic_hash()})"
         )
     id_col = man["id_col"]
     nb = man["num_buckets"]
@@ -164,10 +167,9 @@ def dedup_against_index(
     # this pipeline moves shard-proportional rows (index reads are bucket-
     # pruned), so a small shard over-partitioned at the batch default pays
     # pure task-dispatch latency.  ~1k rows/partition floor, capped at the
-    # configured width.  ``index_cfg`` keeps the caller's exact config for
-    # every index interaction — num_partitions is in config_hash, and the
-    # adjusted copy must never reach a manifest check or an append.
-    index_cfg = cfg
+    # configured width.  (num_partitions is execution-only — outside
+    # semantic_hash — so the adjusted copy is safe everywhere, appends
+    # included.)
     cfg = replace(
         cfg,
         num_partitions=max(2, min(cfg.num_partitions, n_docs // 1000 + 1)),
@@ -254,9 +256,11 @@ def dedup_against_index(
         rdf = rf.to_pandas()
         # hot-bucket cap, both sides: a boilerplate band bucket with h
         # index members × s shard members would emit h·s pairs; dropping
-        # it mirrors lsh's skew policy (recall backed by the digest path
-        # and the remaining independent bands), and the drop is counted,
-        # never silent.
+        # it mirrors lsh's skew policy, and the drop is counted, never
+        # silent.  Both sides hold one row per DISTINCT TEXT (shard side =
+        # exact reps, index side = digest reps — state/dedupindex), so a
+        # bucket only goes hot on genuine content diversity; a 10k-copy
+        # syndicated page is ONE row here and its near-dups still anchor.
         n_hot = 0
         for df_side in (ldf, rdf):
             sz = df_side.groupby(["band", "bhash"])["band"].transform("size")
@@ -308,7 +312,8 @@ def dedup_against_index(
     hot_buckets = int(cross_mixed.sum("hot") or 0)
     cross_pairs = _where(
         cross_mixed, lambda t: pc.is_valid(t["id1"]), ["id1", "id2"]
-    )
+    ).materialize()  # read twice (bucket ids + verify) and counted once
+    n_cross = cross_pairs.count()
 
     # ---- verify cross pairs: sigs = shard reps ∪ pruned index sigs ------
     idx_sigs = read_buckets(
@@ -318,7 +323,7 @@ def dedup_against_index(
             cross_pairs.select_columns(["id2"]),
             lambda t: _bucket_of(t["id2"].to_pylist(), nb),
         )
-        if cross_pairs.count() > 0
+        if n_cross > 0
         else [],
     )
     edge_parts = []
@@ -406,10 +411,14 @@ def dedup_against_index(
             # partition, shard occurrences included.  Chunks over the df
             # bound are boilerplate (banners/templates): no pairs, and the
             # marker row feeds the verifier's run-scoring skip set.
+            # DISTINCT docs per chash, not raw rows: the index side is
+            # (chash, id)-deduped rep rows already, but the shard side is
+            # one row per occurrence — a doc repeating one chunk 9× must
+            # not turn that chunk into "boilerplate" on its own.
             df = (
-                rdf.groupby("chash")["chash"]
-                .size()
-                .add(ldf.groupby("chash")["chash"].size(), fill_value=0)
+                rdf.groupby("chash")["id2"]
+                .nunique()
+                .add(ldf.groupby("chash")["id1"].nunique(), fill_value=0)
             )
             hot = df.index[df > cfg.boilerplate_max_df]
             out = (
@@ -459,6 +468,7 @@ def dedup_against_index(
         sub_pairs = _where(
             sub_mixed, lambda t: pc.is_valid(t["id1"]), ["id1", "id2"]
         ).materialize()
+        n_sub = sub_pairs.count()
 
         idx_blobs = read_buckets(
             index_root,
@@ -467,7 +477,7 @@ def dedup_against_index(
                 sub_pairs.select_columns(["id2"]),
                 lambda t: _bucket_of(t["id2"].to_pylist(), nb),
             )
-            if sub_pairs.count() > 0
+            if n_sub > 0
             else [],
         )
         if idx_blobs is not None:
@@ -503,7 +513,7 @@ def dedup_against_index(
             ).materialize()
             edge_parts.append(sub_edges)
         sub_report = {
-            "substring_candidates": sub_pairs.count(),
+            "substring_candidates": n_sub,
             "substring_edges": sub_edges.count(),
             "hot_chunks_excluded": len(hot_sub),
         }
@@ -530,7 +540,7 @@ def dedup_against_index(
     report = {
         "n_docs": n_docs,
         "digest_hits": digest_hits.count(),
-        "cross_candidates": cross_pairs.count(),
+        "cross_candidates": n_cross,
         "cross_edges": cross_edges.count(),
         "hot_buckets_dropped": hot_buckets,
         **sub_report,
@@ -675,7 +685,7 @@ def dedup_against_index(
     report["merges"] = len(merges_new)
 
     if update_index:
-        append_index(compact, final, index_root, index_cfg)
+        append_index(compact, final, index_root, cfg)
         append_merges(index_root, merges_new)
         report["index_rows"] = load_manifest(index_root)["rows"]
 

@@ -5,7 +5,7 @@ the prior run persists a compact index and each new shard is checked against
 it touching only the index buckets its own keys hash into.  Layout::
 
     root/
-      manifest.json                    # config_hash, id_col, counts
+      manifest.json                    # semantic_hash, id_col, counts
       digests/bucket=K/part-*.parquet  # (digest, cluster_id)      K = h(digest) % B
       bands/bucket=K/part-*.parquet    # (band, bhash, id)         K = bhash mod B
       sigs/bucket=K/part-*.parquet     # (id, sig, cluster_id)     K = h(id) % B
@@ -14,11 +14,14 @@ it touching only the index buckets its own keys hash into.  Layout::
       chunks/bucket=K/part-*.parquet      # (chash, id)            K = chash mod B
       chunkblobs/bucket=K/part-*.parquet  # (id, chunks, cluster_id) K = h(id) % B
 
-Sizes: the base index is ~(16B digest + bands×16B + num_perms×8B sig) per
-document — ~1.1 KB/doc at the default config, i.e. ~1% of a 100 KB-page
-corpus — and every incremental lookup reads only the buckets present in
-the incoming shard (bucket pruning happens on directory names, before any
-bytes are read).  The OPTIONAL substring extension is the expensive part:
+Every table holds one row (set) per DISTINCT TEXT — digest
+representatives, not raw docs (see ``_labeled_reps`` for why this is a
+recall requirement, not just a size win).  Sizes: the base index is
+~(16B digest + bands×16B + num_perms×8B sig) per distinct text —
+~1.1 KB at the default config, i.e. ≤1% of a 100 KB-page corpus — and
+every incremental lookup reads only the buckets present in the incoming
+shard (bucket pruning happens on directory names, before any bytes are
+read).  The OPTIONAL substring extension is the expensive part:
 CDC chunk fingerprints cost ~12 bytes per ~25-byte chunk, i.e. roughly
 half the text bytes again — enable it only when the containment path is
 worth that footprint.
@@ -63,33 +66,42 @@ def band_bucket(bhash, num_buckets: int):
     )
 
 
-def _append_bucketed(ds, root: str, bucket_fn, num_buckets: int) -> int:
+def _append_bucketed(
+    ds, root: str, bucket_fn, num_buckets: int, dedup_subset=None
+) -> int:
     """Append ``ds`` rows into ``root/bucket=K/part-<uuid>.parquet``.
 
     APPEND, not overwrite: incremental updates add part files to existing
     bucket dirs.  Each file is written to a temp name and renamed —
-    atomic per part on any local/posix filesystem.
+    atomic per part on any local/posix filesystem.  Stays Arrow end to
+    end: the corpus-sized sig/chunk payloads must not pay a pandas
+    object-boxing round-trip on the index's only corpus-sized write.
+
+    ``dedup_subset``: when set, rows are collapsed to distinct values of
+    these columns before writing (Arrow ``group_by``; valid only when the
+    subset IS the full output schema).  All rows sharing a bucket key are
+    co-located by the exchange, so the dedup is global per build/append.
     """
     os.makedirs(root, exist_ok=True)
+    out_schema = pa.schema([("rows", pa.int64())])
 
-    def write(part: pd.DataFrame) -> pd.DataFrame:
-        if len(part) == 0:
-            return pd.DataFrame({"rows": pd.Series(dtype="int64")})
+    def write(t: pa.Table) -> pa.Table:
+        if "__bucket" not in t.column_names or t.num_rows == 0:
+            return out_schema.empty_table()
+        if dedup_subset:
+            t = t.group_by(list(dedup_subset) + ["__bucket"]).aggregate([])
+        buckets = t["__bucket"].to_numpy(zero_copy_only=False)
         n = 0
-        for bkt, g in part.groupby("__bucket", sort=False):
+        for bkt in np.unique(buckets):
+            g = t.filter(pa.array(buckets == bkt)).drop_columns(["__bucket"])
             d = os.path.join(root, f"bucket={int(bkt):04d}")
             os.makedirs(d, exist_ok=True)
             name = f"part-{uuid.uuid4().hex}.parquet"
             tmp = os.path.join(d, f"_tmp.{name}")
-            pq.write_table(
-                pa.Table.from_pandas(
-                    g.drop(columns="__bucket"), preserve_index=False
-                ),
-                tmp,
-            )
+            pq.write_table(g, tmp)
             os.rename(tmp, os.path.join(d, name))
-            n += len(g)
-        return pd.DataFrame({"rows": [n]})
+            n += g.num_rows
+        return pa.table({"rows": pa.array([n], pa.int64())})
 
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column("__bucket", pa.array(bucket_fn(b)))
@@ -100,12 +112,11 @@ def _append_bucketed(ds, root: str, bucket_fn, num_buckets: int) -> int:
     written = exchange_group_apply(
         ds.map_batches(tag, batch_format="pyarrow"),
         "__bucket",
-        lambda t: pa.Table.from_pandas(
-            write(t.to_pandas()), preserve_index=False
-        ),
+        write,
         num_partitions=min(num_buckets, 32),
     )
-    return int(written.to_pandas()["rows"].sum())
+    df = written.to_pandas()
+    return int(df["rows"].sum()) if len(df) else 0
 
 
 def read_buckets(root: str, table: str, bucket_ids):
@@ -142,11 +153,26 @@ def _write_manifest(root: str, m: dict) -> None:
     os.replace(tmp, os.path.join(root, "manifest.json"))
 
 
-def _labeled_signatures(compact_ds, clusters_ds, cfg: DedupConfig,
-                        id_col: str):
-    """compact(id, digest, sig[, chunks]) ⋈ clusters(id, cluster_id) — the
-    only corpus-sized step of an index write (co-partitioned raw-task
-    exchange).  Returns ``(labeled_ds, id_type, has_chunks)``."""
+def _labeled_reps(compact_ds, clusters_ds, cfg: DedupConfig, id_col: str):
+    """One labeled row per DISTINCT TEXT: digest-representative rows of
+    ``compact`` joined to their cluster ids.
+
+    Collapsing byte-identical copies before indexing is load-bearing for
+    recall, not just size: k identical docs have identical sigs, so
+    per-doc band rows would make every band bucket of a heavily
+    syndicated page "hot" (> max_band_group) — and the incremental
+    lookup's hot-bucket cap would then drop ALL candidate pairs for
+    exactly the most-duplicated content, while its digest path only
+    catches exact copies, not near-dups of it.  Rep rows keep bucket
+    sizes proportional to content DIVERSITY (the batch pipeline bands
+    the same rep set), so the cap only ever fires on true boilerplate.
+
+    Two exchanges, both rep-bounded on the output side: the digest
+    rep-partition (wide, one pass — same exchange the batch pipeline
+    pays) and a narrow id-keyed label join.  Returns
+    ``(labeled_reps_ds, id_type, has_chunks)``.
+    """
+    from dedup_ray.stages.exact import exact_rep_partition
     from dedup_ray.util.exchange import exchange_join
 
     base = compact_ds.schema().base_schema
@@ -155,31 +181,44 @@ def _labeled_signatures(compact_ds, clusters_ds, cfg: DedupConfig,
     compact = compact_ds.select_columns(cols).materialize()
     id_type = compact.schema().base_schema.field(id_col).type
 
-    fields = [
-        (id_col, id_type),
-        ("digest", pa.string()),
-        ("sig", pa.binary(cfg.num_perms * 8)),
-    ]
+    mixed = exact_rep_partition(
+        compact, id_col=id_col, num_partitions=cfg.num_partitions
+    )
+
+    # rep rows cast fixed-size-binary payloads to variable binary
+    rep_fields = [(id_col, id_type), ("digest", pa.string()),
+                  ("sig", pa.binary())]
     if has_chunks:
-        fields.append(("chunks", pa.binary()))
-    fields.append(("cluster_id", id_type))
+        rep_fields.append(("chunks", pa.binary()))
+    rep_schema = pa.schema(rep_fields)
+
+    def only_reps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "id1" not in t.column_names:  # void exchange partition
+            return rep_schema.empty_table()
+        return t.filter(pc.is_null(t["id1"])).select(cols)
+
+    reps = mixed.map_batches(only_reps, batch_format="pyarrow")
     labeled = exchange_join(
-        compact,
+        reps,
         clusters_ds.select_columns([id_col, "cluster_id"]),
         on=id_col,
         how="left",
         num_partitions=cfg.num_partitions,
-        empty_schema=pa.schema(fields),
+        empty_schema=pa.schema(
+            list(rep_fields) + [("cluster_id", id_type)]
+        ),
     ).materialize()
     return labeled, id_type, has_chunks
 
 
 def _persist_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
                     id_type, num_buckets: int) -> dict:
-    """Write the three bucketed index tables from a labeled signature
-    Dataset; append semantics.  Returns per-table row counts."""
+    """Write the three bucketed index tables from the labeled
+    digest-representative Dataset (one row per distinct text — see
+    ``_labeled_reps``); append semantics.  Returns per-table row counts."""
     from dedup_ray.stages.lsh import band_explode
-    from dedup_ray.util.exchange import exchange_group_apply
 
     def sig_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -203,27 +242,15 @@ def _persist_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
         num_buckets,
     )
 
-    def digest_rows(part: pa.Table) -> pa.Table:
-        # one row per distinct digest (any member's cluster_id — identical
-        # texts share a cluster by construction)
-        df = part.to_pandas().drop_duplicates(subset=["digest"])
-        return pa.Table.from_pandas(
-            df[["digest", "cluster_id"]], preserve_index=False
-        )
-
-    digests = exchange_group_apply(
-        labeled.map_batches(
-            lambda t: pa.table(
-                {
-                    "digest": t["digest"],
-                    "cluster_id": sig_rows(t)["cluster_id"],
-                }
-            ),
-            batch_format="pyarrow",
+    # labeled is rep rows: already one row per distinct digest this
+    # build/append (across appends a re-crawled text adds one more row per
+    # shard — readers drop duplicate pairs, boundedness comes from shards,
+    # not copies)
+    digests = labeled.map_batches(
+        lambda t: pa.table(
+            {"digest": t["digest"], "cluster_id": sig_rows(t)["cluster_id"]}
         ),
-        "digest",
-        digest_rows,
-        num_partitions=cfg.num_partitions,
+        batch_format="pyarrow",
     )
     n_digests = _append_bucketed(
         digests,
@@ -253,12 +280,19 @@ def _persist_chunk_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
                           id_type, num_buckets: int) -> dict:
     """Write the substring-extension tables (append semantics).
 
-    ``chunks`` carries one (chash, id) row per long CDC chunk — the
-    candidate-generation side, bucketed by the chunk hash so a shard's
-    lookups prune on directory names and per-chash document frequency is
-    bucket-locally exact.  ``chunkblobs`` carries each doc's full packed
-    chunk sequence plus its cluster id — the verification side, bucketed
-    by doc id so only blobs for actual candidate hits are read.
+    ``chunks`` carries one (chash, id) row per DISTINCT long CDC chunk per
+    representative doc — the candidate-generation side, bucketed by the
+    chunk hash so a shard's lookups prune on directory names.  Rows are
+    deduped on (chash, id) at write (a chunk repeated within one doc is
+    one row) and docs are digest representatives (``_labeled_reps``), so
+    the per-chash row count a shard sees IS the distinct-text document
+    frequency — the df that boilerplate exclusion must measure; raw
+    occurrence counts would mark a popular-but-legitimate doc's chunks as
+    boilerplate after ~``boilerplate_max_df`` exact copies or within-doc
+    repeats.  ``chunkblobs`` carries each rep doc's full packed chunk
+    sequence plus its cluster id — the verification side, bucketed by doc
+    id so only blobs for actual candidate hits are read (non-rep copies
+    are byte-identical, so their blobs would never be read anyway).
     """
     from dedup_ray.stages.substring import explode_chunks
 
@@ -294,6 +328,7 @@ def _persist_chunk_tables(labeled, root: str, cfg: DedupConfig, id_col: str,
         os.path.join(root, "chunks"),
         lambda b: band_bucket(b["chash"].to_numpy(), num_buckets),
         num_buckets,
+        dedup_subset=("chash", "id"),
     )
     return {"chunkblobs": n_blobs, "chunks": n_chunks}
 
@@ -315,7 +350,7 @@ def build_index(
     (~64 at test scale, ~64k for a 10^11-doc corpus).
     """
     cfg = config or DedupConfig()
-    labeled, id_type, has_chunks = _labeled_signatures(
+    labeled, id_type, has_chunks = _labeled_reps(
         compact_ds, clusters_ds, cfg, id_col
     )
     rows = _persist_tables(labeled, root, cfg, id_col, id_type, num_buckets)
@@ -326,7 +361,11 @@ def build_index(
             )
         )
     m = {
-        "config_hash": cfg.config_hash(),
+        # semantic_hash, not config_hash: the index outlives any one
+        # cluster size, and execution knobs (partitions, concurrency,
+        # batch sizes) don't change what a signature means — a reader
+        # tuned differently must still be allowed in.
+        "semantic_hash": cfg.semantic_hash(),
         "id_col": id_col,
         "id_type": str(id_type),
         "num_buckets": num_buckets,
@@ -352,12 +391,12 @@ def append_index(
     """
     cfg = config or DedupConfig()
     m = load_manifest(root)
-    if m["config_hash"] != cfg.config_hash():
+    if m["semantic_hash"] != cfg.semantic_hash():
         raise ValueError(
             "index was built with a different DedupConfig "
-            f"({m['config_hash']} != {cfg.config_hash()})"
+            f"({m['semantic_hash']} != {cfg.semantic_hash()})"
         )
-    labeled, id_type, has_chunks = _labeled_signatures(
+    labeled, id_type, has_chunks = _labeled_reps(
         compact_ds, clusters_ds, cfg, m["id_col"]
     )
     if has_chunks != m.get("has_chunks", False):

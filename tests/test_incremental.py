@@ -56,11 +56,13 @@ def base_index(tmp_path_factory):
 
 def test_index_manifest(base_index):
     root, pages, clusters, man = base_index
-    assert man["rows"]["sigs"] == pages.num_rows
-    assert man["rows"]["bands"] == pages.num_rows * CFG.bands
-    # digests ≤ docs (exact dups collapse)
-    assert 0 < man["rows"]["digests"] <= pages.num_rows
-    assert load_manifest(root)["config_hash"] == CFG.config_hash()
+    # every table is per DISTINCT TEXT (digest representative): exact
+    # copies collapse, so sigs == digests < docs on a planted corpus
+    n_reps = man["rows"]["sigs"]
+    assert 0 < n_reps < pages.num_rows
+    assert man["rows"]["digests"] == n_reps
+    assert man["rows"]["bands"] == n_reps * CFG.bands
+    assert load_manifest(root)["semantic_hash"] == CFG.semantic_hash()
 
 
 def test_config_mismatch_rejected(base_index):
@@ -415,3 +417,79 @@ def test_incremental_matches_batch_partition(base_index):
         inc_sets.add(frozenset(g | base_members.get(c, set())))
 
     assert inc_sets == groups(batch_df)
+
+
+def test_syndicated_clique_near_dup_anchors(tmp_path):
+    """A near-dup of content with MORE exact copies than max_band_group
+    must still anchor.  The index holds one band row per DISTINCT TEXT
+    (digest representatives), so a syndicated clique can never make its
+    own band buckets hot; with per-doc banding every bucket of the clique
+    would exceed the cap, cross_reduce would drop them all, and the digest
+    path cannot catch a near-dup — the doc would silently form a fresh
+    cluster."""
+    cfg = DedupConfig(
+        minhash_concurrency=2, num_partitions=4, sign_batch_size=256,
+        max_band_group=4, hot_window=1,
+    )
+    root = str(tmp_path / "hotidx")
+    syndicated = " ".join(f"story{j}syn{(j * 17) % 71}" for j in range(150))
+    n_copies = 10  # > max_band_group
+    base = pa.table(
+        {
+            "url": [f"b://mirror{i}" for i in range(n_copies)] + ["b://other"],
+            "text": [syndicated] * n_copies + [_fresh(55)],
+            "lang": ["en"] * (n_copies + 1),
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), cfg, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(base), cfg, "url", extract=False,
+        with_simhash=False, with_chunks=False,
+    )
+    man = build_index(compact, clusters, root, cfg, id_col="url",
+                      num_buckets=8)
+    assert man["rows"]["bands"] == 2 * cfg.bands  # 2 distinct texts
+
+    shard = pa.table(
+        {
+            "url": ["s://nearmirror"],
+            "text": [_mutate(syndicated)],
+            "lang": ["en"],
+        }
+    )
+    out, report = dedup_against_index(
+        rd.from_arrow(shard), root, cfg, extract=False
+    )
+    assert report["hot_buckets_dropped"] == 0
+    assert out.to_pandas()["cluster_id"].iloc[0] == "b://mirror0"
+
+
+def test_execution_knobs_do_not_invalidate_index(base_index):
+    """An index is a long-lived artifact read by differently-sized
+    clusters: execution knobs (partitions, concurrency, batch sizes) must
+    not fail the manifest check — only signature semantics are compared."""
+    from dataclasses import replace
+
+    root, pages, clusters, _ = base_index
+    retuned = replace(
+        CFG, num_partitions=2, minhash_concurrency=1, batch_size=128,
+        sign_batch_size=32, cc_local_edge_limit=10,
+    )
+    shard = pa.table(
+        {
+            "url": ["s://retuned-exact"],
+            "text": [pages["text"][0].as_py()],
+            "lang": ["en"],
+        }
+    )
+    out, report = dedup_against_index(
+        rd.from_arrow(shard), root, retuned, extract=False
+    )
+    assert report["digest_hits"] >= 1
+    got = out.to_pandas()
+    assert got["cluster_id"].iloc[0] == dict(
+        zip(clusters["url"], clusters["cluster_id"])
+    )[pages["url"][0].as_py()]
