@@ -213,10 +213,31 @@ def run_incremental(sf_dir: str) -> dict:
         pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat),
         cfg, "url", extract=True, with_simhash=False, with_chunks=False,
     )
+    import shutil
+
     root = tempfile.mkdtemp(prefix="benchidx-", dir="/tmp")
-    t0 = time.perf_counter()
-    build_index(compact, clusters, root, cfg, id_col="url", num_buckets=64)
-    index_sec = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        build_index(compact, clusters, root, cfg, id_col="url",
+                    num_buckets=64)
+        index_sec = time.perf_counter() - t0
+        return _run_incremental_shard(
+            sf_dir, root, cfg, text_repeat, base_docs, base_sec, index_sec
+        )
+    finally:
+        # corpus-scale tree (~1 KB/doc); repeated bench runs must not
+        # accumulate index roots in /tmp
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
+                           base_sec, index_sec):
+    import pyarrow as pa
+
+    import ray.data
+
+    from dedup_ray.pipelines.incremental import dedup_against_index
+    from dedup_ray.sources.pages import _rng, mutate_text
 
     def to_shard(t: pa.Table) -> pa.Table:
         urls, texts = [], []

@@ -79,6 +79,32 @@ def main(argv: list[str] | None = None) -> int:
                     "of the dedup pipeline; writes curated (id, text)")
     args = ap.parse_args(argv)
 
+    # modes are exclusive and each supports a subset of the shared flags;
+    # rejecting bad combinations beats silently ignoring them (a user who
+    # passed --submission-zip must not discover at delivery time that no
+    # zip was written)
+    if args.update_index and not args.incremental:
+        ap.error("--update-index requires --incremental")
+    if args.incremental and args.curate_only:
+        ap.error("--incremental and --curate-only are exclusive modes")
+    if args.incremental:
+        for val, name in (
+            (args.build_index, "--build-index"),
+            (args.checkpoint_dir, "--checkpoint-dir"),
+            (args.sign_parts, "--sign-parts"),
+            (args.submission_zip, "--submission-zip"),
+        ):
+            if val:
+                ap.error(f"{name} is not supported with --incremental")
+    if args.curate_only:
+        for val, name in (
+            (args.build_index, "--build-index"),
+            (args.sign_parts, "--sign-parts"),
+            (args.submission_zip, "--submission-zip"),
+        ):
+            if val:
+                ap.error(f"{name} is not supported with --curate-only")
+
     import ray
 
     if not ray.is_initialized():
@@ -153,7 +179,20 @@ def main(argv: list[str] | None = None) -> int:
             # None = follow the index (substring on iff it has chunk tables)
             with_substring=False if args.no_substring else None,
         )
-        out.write_parquet(args.output)
+        inc_buckets = {}
+        if args.output_buckets:
+            from dedup_ray.state.partwrite import resumable_write
+
+            wres = resumable_write(
+                out, args.output, key_col=args.id_col,
+                num_buckets=args.output_buckets,
+            )
+            inc_buckets = {
+                "buckets_written": len(wres["written"]),
+                "buckets_skipped": len(wres["skipped"]),
+            }
+        else:
+            out.write_parquet(args.output)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "mode": "incremental",
@@ -161,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             "docs_per_sec": round(report["n_docs"] / wall, 1)
             if report["n_docs"] else 0.0,
             "output": args.output,
+            **inc_buckets,
             **report,
         }))
         ray.shutdown()

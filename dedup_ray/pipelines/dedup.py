@@ -161,26 +161,10 @@ def dedup_pipeline(
             materialize=True,  # consumed by every path: edges, joins, final ids
         )
 
+    from dedup_ray.util.dsutil import pin_edge_ids, split_mixed_rows
+
     def _pin(ds):
-        """Force (id1, id2) to the corpus id dtype so empty parts union cleanly.
-
-        An edge path that found nothing yields zero-row pandas-born blocks
-        whose columns type as Arrow ``null``; casting pins the schema so the
-        lazy union (and a checkpoint parquet write) never sees a mismatch.
-        """
-        import pyarrow as pa
-
-        def cast(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "id1": t["id1"].combine_chunks().cast(id_type),
-                    "id2": t["id2"].combine_chunks().cast(id_type),
-                }
-            )
-
-        return ds.select_columns(["id1", "id2"]).map_batches(
-            cast, batch_format="pyarrow"
-        )
+        return pin_edge_ids(ds, id_type)
 
     # Exact dedup FIRST: one digest shuffle yields the exact-duplicate star
     # edges AND the representative set (min-id member per distinct text).
@@ -203,19 +187,8 @@ def dedup_pipeline(
         materialize=True,
     )
 
-    def _filter_valid(cols, want_edges):
-        import pyarrow.compute as pc
-
-        def f(t: pa.Table) -> pa.Table:
-            mask = pc.is_valid(t["id1"])
-            if not want_edges:
-                mask = pc.invert(mask)
-            return t.filter(mask).select(cols)
-
-        return mixed.map_batches(f, batch_format="pyarrow")
-
-    reps = _filter_valid(compact_cols, want_edges=False)
-    exact_e = _filter_valid(["id1", "id2"], want_edges=True)
+    reps = split_mixed_rows(mixed, compact_cols, want_edges=False)
+    exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
     edge_parts = [_pin(exact_e)]
 
     branch_stages = []

@@ -72,13 +72,6 @@ def _remap_anchor_col(col: pa.ChunkedArray, merges: dict, idt) -> pa.Array:
     )
 
 
-def _rename_map(name_map: dict):
-    def f(t: pa.Table) -> pa.Table:
-        return t.rename_columns([name_map.get(c, c) for c in t.column_names])
-
-    return f
-
-
 def _bucket_ids(ds, fn) -> list:
     """Distinct bucket ids present in ``ds`` (≤ num_buckets values reach
     the driver — the per-batch fn collapses rows to bucket ids first)."""
@@ -180,22 +173,17 @@ def dedup_against_index(
         compact, id_col=id_col, num_partitions=cfg.num_partitions
     ).materialize()
 
-    def _filter_valid(cols, want_edges):
-        import pyarrow.compute as pc
-
-        def f(t: pa.Table) -> pa.Table:
-            mask = pc.is_valid(t["id1"])
-            if not want_edges:
-                mask = pc.invert(mask)
-            return t.filter(mask).select(cols)
-
-        return mixed.map_batches(f, batch_format="pyarrow")
+    from dedup_ray.util.dsutil import (
+        pin_edge_ids,
+        rename_columns,
+        split_mixed_rows,
+    )
 
     rep_cols = [id_col, "digest", "n_shingles", "sig"] + (
         ["chunks"] if use_sub else []
     )
-    reps = _filter_valid(rep_cols, False)
-    exact_e = _filter_valid(["id1", "id2"], True)
+    reps = split_mixed_rows(mixed, rep_cols, want_edges=False)
+    exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
 
     anchor_schema = pa.schema([("id1", idt), ("id2", idt)])
 
@@ -288,12 +276,8 @@ def dedup_against_index(
     else:
         cross_mixed = hash_exchange(
             [
-                bands.map_batches(
-                    _rename_map({id_col: "id1"}), batch_format="pyarrow"
-                ),
-                idx_bands.map_batches(
-                    _rename_map({"id": "id2"}), batch_format="pyarrow"
-                ),
+                rename_columns(bands, {id_col: "id1"}),
+                rename_columns(idx_bands, {"id": "id2"}),
             ],
             [["band", "bhash"], ["band", "bhash"]],
             cross_reduce,
@@ -445,12 +429,8 @@ def dedup_against_index(
         else:
             sub_mixed = hash_exchange(
                 [
-                    chunk_rows.map_batches(
-                        _rename_map({id_col: "id1"}), batch_format="pyarrow"
-                    ),
-                    idx_chunks.map_batches(
-                        _rename_map({"id": "id2"}), batch_format="pyarrow"
-                    ),
+                    rename_columns(chunk_rows, {id_col: "id1"}),
+                    rename_columns(idx_chunks, {"id": "id2"}),
                 ],
                 [["chash"], ["chash"]],
                 sub_cross_reduce,
@@ -519,17 +499,7 @@ def dedup_against_index(
         }
 
     def _pin(ds):
-        def cast(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "id1": t["id1"].combine_chunks().cast(idt),
-                    "id2": t["id2"].combine_chunks().cast(idt),
-                }
-            )
-
-        return ds.select_columns(["id1", "id2"]).map_batches(
-            cast, batch_format="pyarrow"
-        )
+        return pin_edge_ids(ds, idt)
 
     edges = _pin(exact_e).union(_pin(in_near), _pin(digest_hits))
     for part in edge_parts:

@@ -640,7 +640,24 @@ def incremental_dedup_docs(sf_dir: str):
     compact = compact_signature_table(
         pages, cfg, "url", extract=False, with_simhash=False, with_chunks=False
     )
+    import shutil
+
     root = tempfile.mkdtemp(prefix="dedupindex-", dir="/tmp")
+    try:
+        return _incremental_scorecard(
+            sf_dir, root, cfg, compact, clusters, build_index
+        )
+    finally:
+        # the index is corpus-scale (~1 KB/doc); repeated catalog runs
+        # must not accumulate trees in /tmp
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _incremental_scorecard(sf_dir, root, cfg, compact, clusters, build_index):
+    from dedup_ray.pipelines.incremental import dedup_against_index
+    from dedup_ray.sources.pages import _rng, mutate_text
+    from dedup_ray.util.exchange import exchange_join
+
     build_index(compact, clusters, root, cfg, id_col="url", num_buckets=32)
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])

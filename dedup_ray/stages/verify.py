@@ -20,11 +20,7 @@ from dedup_ray.config import DedupConfig
 from dedup_ray.stages.minhash import unpack_signatures
 
 
-def _rename(ds, mapping: dict[str, str]):
-    def f(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
-
-    return ds.map_batches(f, batch_format="pyarrow")
+from dedup_ray.util.dsutil import rename_columns as _rename
 
 
 def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,

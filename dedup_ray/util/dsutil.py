@@ -14,6 +14,58 @@ def as_arrow(ds):
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
+def rename_columns(ds, mapping: dict[str, str]):
+    """Streaming column rename (columns absent from ``mapping`` pass
+    through unchanged)."""
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pin_edge_ids(ds, id_type):
+    """Force ``(id1, id2)`` to the corpus id dtype so empty parts union
+    cleanly.
+
+    An edge path that found nothing yields zero-row pandas-born blocks
+    whose columns type as Arrow ``null``; casting pins the schema so a
+    lazy union (and a checkpoint parquet write) never sees a mismatch.
+    """
+    import pyarrow as pa
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id1": t["id1"].combine_chunks().cast(id_type),
+                "id2": t["id2"].combine_chunks().cast(id_type),
+            }
+        )
+
+    return ds.select_columns(["id1", "id2"]).map_batches(
+        cast, batch_format="pyarrow"
+    )
+
+
+def split_mixed_rows(mixed_ds, cols, want_edges: bool):
+    """Split an ``exact_rep_partition``-style mixed Dataset into its edge
+    rows (``id1`` valid) or payload rows (``id1`` null), selecting
+    ``cols``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t["id1"])
+        if not want_edges:
+            mask = pc.invert(mask)
+        return t.filter(mask).select(cols)
+
+    return mixed_ds.map_batches(f, batch_format="pyarrow")
+
+
 def partitioned_group_apply(ds, key_cols: list[str], fn, num_partitions: int = 16):
     """Hash-partition by key columns, then apply ``fn`` per PARTITION.
 
