@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "shuffle_rank_docs",
     "hll_token_registers_docs",
+    "normalize_text_docs",
+    "mix_sources_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -2135,6 +2135,55 @@ ORACLES["coau_dist_docs"] = """
 """
 
 
+def normalize_text_docs(sf_dir: str):
+    """Unicode normalization over documents (``stages/normtext``): NFC +
+    an ordered RE2 rule chain (control strip, CRLF→LF, horizontal-space
+    collapse, newline trim, blank-line squeeze).  The oracle below is
+    GENERATED from the same rule list at import time, so kernel and SQL
+    cannot drift."""
+    from dedup_ray.stages.normtext import normalize_text
+
+    return normalize_text(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+# Shared mixing recipe: weights 0.25 / 1.0 / 1.75 / 2.5 cycling over the
+# synthetic sources — exercises drop-most, identity, one-full-plus-frac
+# and two-full-plus-frac in one query.  The SQL oracle is generated from
+# THIS dict (stages/mixing.mix_sql), thresholds included.
+MIX_WEIGHTS = {f"src{i}": (0.25, 1.0, 1.75, 2.5)[i % 4] for i in range(20)}
+MIX_SEED = 13
+
+
+def mix_sources_docs(sf_dir: str):
+    """Deterministic weighted source mixing (``stages/mixing``): doc of
+    weight w appears floor(w) times plus once more iff its keyed md5
+    prefix clears the fractional threshold — exact, shuffle-free,
+    engine-portable membership."""
+    from dedup_ray.stages.mixing import mix_sources
+
+    return mix_sources(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        MIX_WEIGHTS,
+        seed=MIX_SEED,
+    )
+
+
+def _register_generated_oracles() -> None:
+    # generated from the SAME rule list / weights dict the kernels use
+    from dedup_ray.stages.mixing import mix_sql
+    from dedup_ray.stages.normtext import norm_sql_expr
+
+    ORACLES["normalize_text_docs"] = (
+        f"SELECT doc_id, {norm_sql_expr('text')} AS text FROM documents"
+    )
+    ORACLES["mix_sources_docs"] = mix_sql(MIX_WEIGHTS, seed=MIX_SEED)
+
+
+_register_generated_oracles()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "grouped_stats_events": grouped_stats_events,
@@ -2185,6 +2234,8 @@ QUERIES = {
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
+    "normalize_text_docs": normalize_text_docs,
+    "mix_sources_docs": mix_sources_docs,
     "coau_dist_docs": coau_dist_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,

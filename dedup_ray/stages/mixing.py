@@ -1,0 +1,160 @@
+"""Deterministic weighted dataset mixing.
+
+Training-corpus recipes weight sources differently ("wiki ×2.5, common
+crawl ×0.3").  At 100 TB the mix must be computable without a shuffle,
+reproducible across retries and engines, and exact — not "approximately
+30%" but the SAME documents every run.  The standard device: a document
+of weight ``w`` appears ``floor(w)`` times unconditionally (epochs
+``0..floor(w)-1``) plus once more (epoch ``floor(w)``) iff a keyed hash
+of ``(seed, epoch, id)`` falls under the fractional part.
+
+The hash test is md5 — public, so any engine recomputes membership from
+``(id, seed)`` alone (same rationale as ``stages/ordering.shuffle_rank``)
+— and the comparison is LEXICOGRAPHIC on the first 8 hex chars against a
+precomputed 8-hex-char threshold: equal-length lowercase hex compares
+identically as string or integer, so the engine and a SQL oracle need no
+integer parsing to agree bit-for-bit (:func:`frac_threshold_hex`,
+:func:`mix_sql`).
+
+One streaming map over the corpus, output O(Σwᵢ·nᵢ) rows, no shuffle.
+Downstream, ``shuffle_rank`` over the (id, epoch) pairs gives the
+reproducible training order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dedup_ray.util.hashing import content_digest
+
+
+def frac_threshold_hex(weight: float) -> str:
+    """8-hex-char threshold for the fractional epoch: keep iff
+    ``md5(f"{seed}:{epoch}:{id}")[:8] < threshold``."""
+    frac = weight - int(weight)
+    return format(min(int(frac * 2**32), 2**32 - 1), "08x")
+
+
+def mix_sources(
+    ds,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    default_weight: float = 1.0,
+):
+    """Weighted mixture over a corpus with a source tag column.
+
+    Output rows ``(id_col, source_col, epoch)``: each input row of source
+    ``s`` (weight ``w = weights.get(s, default_weight)``) appears with
+    ``epoch = 0..floor(w)-1`` always and ``epoch = floor(w)`` iff its
+    keyed md5 prefix clears :func:`frac_threshold_hex`.  Deterministic in
+    (id, seed) — partitioning-independent, resumable, engine-portable.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be nonnegative")
+
+    def f(t: pa.Table) -> pa.Table:
+        idt = t[id_col].type
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], idt),
+                    source_col: pa.array([], pa.string()),
+                    "epoch": pa.array([], pa.int64()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        w = np.array(
+            [weights.get(s, default_weight) for s in src], dtype=np.float64
+        )
+        full = w.astype(np.int64)  # floor for w >= 0
+
+        out_ids, out_src, out_ep = [], [], []
+        # full epochs: every row with floor(w) > e, batched per epoch so
+        # the work is O(output rows), all numpy gathers
+        for e in range(int(full.max(initial=0))):
+            m = full > e
+            out_ids.append(ids[m])
+            out_src.append(src[m])
+            out_ep.append(np.full(int(m.sum()), e, dtype=np.int64))
+
+        # fractional epoch: md5 prefix under the per-source threshold
+        fm = w > full
+        if fm.any():
+            f_ids, f_src, f_full = ids[fm], src[fm], full[fm]
+            dg = content_digest(
+                [
+                    f"{seed}:{e}:{v}"
+                    for e, v in zip(f_full.tolist(), f_ids.tolist())
+                ],
+                algo="md5",
+            )
+            pref = np.array([d[:8] for d in dg])
+            thr = np.array(
+                [
+                    frac_threshold_hex(weights.get(s, default_weight))
+                    for s in f_src
+                ]
+            )
+            keep = pref < thr
+            out_ids.append(f_ids[keep])
+            out_src.append(f_src[keep])
+            out_ep.append(f_full[keep])
+
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), idt)
+                if out_ids
+                else pa.array([], idt),
+                source_col: pa.array(
+                    np.concatenate(out_src) if out_src else [], pa.string()
+                ),
+                "epoch": pa.array(
+                    np.concatenate(out_ep) if out_ep else [], pa.int64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, source_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def mix_sql(
+    weights: dict[str, float],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+    default_weight: float = 1.0,
+) -> str:
+    """DuckDB query equivalent to :func:`mix_sources`, generated from the
+    SAME weights dict (thresholds shared via :func:`frac_threshold_hex`,
+    membership via lexicographic md5-prefix compare)."""
+    w_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN CAST({int(w)} AS BIGINT)"
+        for s, w in weights.items()
+    ) + f" ELSE CAST({int(default_weight)} AS BIGINT) END"
+    t_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN '{frac_threshold_hex(w)}'"
+        for s, w in weights.items()
+    ) + f" ELSE '{frac_threshold_hex(default_weight)}' END"
+    max_epochs = int(
+        max(list(weights.values()) + [default_weight])
+    ) + 1
+    return f"""
+        WITH w AS (
+            SELECT {id_col}, {source_col},
+                   {w_case} AS full_epochs, {t_case} AS thr
+            FROM {table}
+        ),
+        e AS (SELECT unnest(range({max_epochs})) AS epoch)
+        SELECT w.{id_col}, w.{source_col}, CAST(e.epoch AS BIGINT) AS epoch
+        FROM w JOIN e ON e.epoch <= w.full_epochs
+        WHERE e.epoch < w.full_epochs
+           OR substr(md5('{seed}' || ':' || e.epoch || ':' || w.{id_col}),
+                     1, 8) < w.thr
+    """

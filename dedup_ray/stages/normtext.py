@@ -1,0 +1,117 @@
+"""Unicode text normalization for web corpora.
+
+Web-crawled text arrives with mixed Unicode composition (é as one
+codepoint or e+combining accent), stray C0 control bytes from bad
+decodes, CRLF/CR line endings, exotic horizontal whitespace (NBSP, CJK
+space, thin spaces) and run-on blank lines.  Every downstream exact /
+near-dup signature treats these as distinct bytes, so two renderings of
+the same page dedup only if normalization runs first.
+
+The spec is data, not code: ``NORM_RULES`` is an ordered RE2 rule list
+applied after NFC canonicalization, and the DuckDB oracle is GENERATED
+from the same list at import time (:func:`norm_sql_expr`) — the same
+kernel-vs-oracle sharing the URL canonicalizer uses, so the two cannot
+drift.
+
+NFC itself runs through Python ``unicodedata`` (a C loop,
+Unicode-table-matched to DuckDB's ``nfc_normalize`` in this image —
+verified codepoint-for-codepoint; this build's
+``pyarrow.compute.utf8_normalize`` only DEcomposes regardless of the
+requested form and cannot be used).  A vectorized bytes==chars screen
+skips pure-ASCII rows, and ``str.isascii()`` (also C) skips ASCII rows
+inside a mixed batch — web corpora are ASCII-dominant, so the per-row
+path touches a small minority.
+
+Null policy: null text == empty page (house rule, policy-tested).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Ordered (pattern, replacement) RE2 rules, applied after NFC.  ORDER
+# MATTERS: whitespace runs collapse to one space (3) before the
+# around-newline trim (4), which therefore only needs to eat one space
+# per side; blank-line squeeze (5) runs after CR canonicalization (2).
+NORM_RULES: tuple[tuple[str, str], ...] = (
+    # C0 controls except \t \n \r, plus DEL — bad-decode debris
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    # CRLF / lone CR → LF
+    (r"\r\n?", "\n"),
+    # horizontal whitespace runs (incl. NBSP, ogham, en/em/thin spaces,
+    # narrow NBSP, math space, CJK space) → one ASCII space
+    (r"[ \t\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]+",
+     " "),
+    # spaces hugging a newline (post-collapse: at most one per side)
+    (r" ?\n ?", "\n"),
+    # 2+ blank lines → one blank line
+    (r"\n{3,}", "\n\n"),
+)
+
+
+def nfc_array(arr) -> pa.Array:
+    """NFC-normalize a string array; nulls become empty strings.
+
+    Pure-ASCII batches return after two vectorized length kernels; mixed
+    batches pay one C-level pass with ``isascii`` short-circuits.
+    """
+    s = pc.fill_null(arr, "")
+    needs = pc.any(
+        pc.not_equal(pc.binary_length(s), pc.utf8_length(s))
+    ).as_py()
+    if not needs:
+        return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    return pa.array(
+        [
+            v if v.isascii() else unicodedata.normalize("NFC", v)
+            for v in s.to_pylist()
+        ],
+        type=pa.large_string()
+        if pa.types.is_large_string(s.type)
+        else pa.string(),
+    )
+
+
+def normalize_column(arr) -> pa.Array:
+    """NFC + the ``NORM_RULES`` chain over one string array."""
+    s = nfc_array(arr)
+    for pat, repl in NORM_RULES:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return s
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, text) → (id, text) with NFC + rule-chain normalization.
+
+    One streaming map, no shuffle; run it BEFORE signing so byte-level
+    rendering differences cannot defeat exact/near dedup.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t[id_col], text_col: normalize_column(t[text_col])}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_str(s: str) -> str:
+    """Escape-literal form of a replacement string for DuckDB (e'...')."""
+    return (
+        "e'"
+        + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+        + "'"
+    )
+
+
+def norm_sql_expr(col: str) -> str:
+    """DuckDB expression equivalent to :func:`normalize_column`, generated
+    from the SAME rule list (patterns are RE2 on both engines; plain
+    '...' literals keep backslashes verbatim)."""
+    expr = f"nfc_normalize(coalesce({col}, ''))"
+    for pat, repl in NORM_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', {_sql_str(repl)}, 'g')"
+    return expr

@@ -1,0 +1,92 @@
+"""Weighted dataset mixing: exact epoch counts, hash-threshold
+proportions, determinism across partitionings, and parity with the
+generated DuckDB oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.stages.mixing import frac_threshold_hex, mix_sources, mix_sql
+
+N = 2000
+WEIGHTS = {"drop": 0.0, "sub": 0.3, "keep": 1.0, "up": 2.25}
+
+
+def _corpus():
+    srcs = ["drop", "sub", "keep", "up"]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(N), pa.int64()),
+            "source": pa.array([srcs[i % 4] for i in range(N)], pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def mixed(ray_session):
+    out = (
+        mix_sources(rd.from_arrow(_corpus()), WEIGHTS, seed=7)
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_epoch_counts_per_weight(mixed):
+    per = mixed.groupby("source").size()
+    n = N // 4
+    assert "drop" not in per.index                    # w=0: nothing
+    assert per["keep"] == n                           # w=1: exactly once
+    assert n * 2 <= per["up"] <= n * 3                # w=2.25: 2 + frac
+    # fractional membership tracks the threshold (binomial, 5σ slack)
+    for s, w in (("sub", 0.3), ("up", 0.25)):
+        frac_rows = per[s] - int(WEIGHTS[s]) * n
+        sd = (n * w * (1 - w)) ** 0.5
+        assert abs(frac_rows - n * w) < 5 * sd, (s, frac_rows)
+
+
+def test_full_epochs_always_present(mixed):
+    up = mixed[mixed["source"] == "up"]
+    counts = up.groupby("doc_id")["epoch"].agg(["min", "count"])
+    assert (counts["count"] >= 2).all()
+    assert (counts["min"] == 0).all()
+
+
+def test_deterministic_and_partition_independent(ray_session):
+    a = mix_sources(
+        rd.from_arrow(_corpus()), WEIGHTS, seed=7
+    ).to_pandas()
+    b = mix_sources(
+        rd.from_arrow(_corpus()).repartition(13), WEIGHTS, seed=7
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert key(a) == key(b)
+    c = mix_sources(rd.from_arrow(_corpus()), WEIGHTS, seed=8).to_pandas()
+    assert key(a) != key(c)  # seed participates
+
+
+def test_matches_generated_sql_oracle(mixed):
+    documents = _corpus()  # noqa: F841 — duckdb reads the local scope
+    sql = mix_sql(WEIGHTS, table="documents", seed=7)
+    oracle = duckdb.sql(sql).df().sort_values(["doc_id", "epoch"])
+    got = mixed[["doc_id", "source", "epoch"]].reset_index(drop=True)
+    want = oracle[["doc_id", "source", "epoch"]].reset_index(drop=True)
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_threshold_hex_bounds():
+    assert frac_threshold_hex(1.0) == "00000000"  # no fractional epoch
+    assert frac_threshold_hex(0.0) == "00000000"
+    assert frac_threshold_hex(0.9999999999) == "ffffffff"
+    # monotone in the fraction
+    ts = [frac_threshold_hex(w) for w in np.linspace(0, 0.999, 50)]
+    assert ts == sorted(ts)
+
+
+def test_negative_weight_rejected(ray_session):
+    with pytest.raises(ValueError, match="nonnegative"):
+        mix_sources(rd.from_arrow(_corpus()), {"drop": -1.0})

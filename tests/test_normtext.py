@@ -1,0 +1,80 @@
+"""Unicode normalization: kernel-vs-oracle parity, idempotence, and the
+dedup motivation (two renderings of one page digest-equal afterwards)."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from dedup_ray.stages.normtext import (
+    norm_sql_expr,
+    normalize_column,
+    normalize_text,
+)
+
+NASTY = [
+    "cafe\u0301 society",         # decomposed e+accent -> composed
+    "caf\u00e9 society",           # already composed (same page!)
+    "a\x00b\x08c\x1fd",            # C0 controls stripped
+    "line1\r\nline2\rline3",       # CRLF + lone CR -> LF
+    "x\u00a0\u2003 y\u3000z",      # NBSP/em-space/CJK space runs -> ' '
+    "  lead \n trail  \n\n\n\n end",  # newline trim + blank-line squeeze
+    "plain ascii, untouched.",
+    "",
+    None,
+    "\ufb01n de si\u00e8cle\t\ttabs",  # ligature kept by NFC (not NFKC)
+    "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8   test",
+]
+
+
+def _oracle(vals):
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    return [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {norm_sql_expr('s')} FROM t"
+        ).fetchall()
+    ]
+
+
+def test_kernel_matches_generated_oracle():
+    got = normalize_column(pa.array(NASTY, pa.string())).to_pylist()
+    assert got == _oracle(NASTY)
+
+
+def test_idempotent():
+    once = normalize_column(pa.array(NASTY, pa.string()))
+    twice = normalize_column(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+def test_decomposed_and_composed_unify():
+    out = normalize_column(pa.array(NASTY[:2], pa.string())).to_pylist()
+    assert out[0] == out[1] == "café society"
+
+
+def test_two_renderings_become_identical():
+    # same page: decomposed accents + CRLF + NBSP vs composed + LF + space
+    a = "café au lait\nsecond line"
+    b = "café au lait\r\nsecond line"
+    out = normalize_column(pa.array([a, b])).to_pylist()
+    assert out[0] == out[1]
+
+
+def test_ascii_fast_path_is_identity_for_clean_text():
+    clean = ["already clean text", "one\ntwo", "tabs become spaces?"]
+    got = normalize_column(pa.array(clean)).to_pylist()
+    assert got == clean
+
+
+def test_dataset_stage(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(NASTY)), pa.int64()),
+                "text": pa.array(NASTY, pa.large_string()),
+            }
+        )
+    )
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == _oracle(NASTY)
