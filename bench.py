@@ -296,6 +296,48 @@ def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
     }
 
 
+def run_distributed_cc(n_edges: int = 200_000, chain: int = 50) -> dict:
+    """Time the distributed Large-Star/Small-Star CC path directly.
+
+    The flagship's near-dup edge lists at bench scale stay far below
+    ``cc_local_edge_limit`` (driver union-find wins there by design), so
+    the distributed iteration would never be measured.  This entry
+    synthesizes ``n_edges`` chain edges (worst-ish case: diameter
+    ``chain``, so several rounds), forces the distributed path with
+    limit=0, and checks the component count exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dedup_ray.stages.cc import component_labels
+
+    ids = np.arange(n_edges, dtype=np.int64)
+    mask = (ids % chain) != chain - 1  # break into chains of `chain` nodes
+    t = pa.table(
+        {
+            "id1": pa.array(ids[mask], pa.int64()),
+            "id2": pa.array(ids[mask] + 1, pa.int64()),
+        }
+    )
+    t0 = time.perf_counter()
+    labels = component_labels(
+        ray.data.from_arrow(t), local_edge_limit=0
+    ).materialize()
+    sec = time.perf_counter() - t0
+    n_components = labels.unique("cluster_id")
+    n_components = len(n_components)
+    expect = n_edges // chain
+    return {
+        "edges": int(mask.sum()),
+        "sec": round(sec, 3),
+        "edges_per_sec": round(int(mask.sum()) / sec, 1),
+        "components": n_components,
+        "components_ok": n_components == expect,
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from dedup_ray.pipelines.queries import QUERIES
 
@@ -345,6 +387,11 @@ def main() -> None:
             if args.headline_only or args.scaling_input
             else run_incremental(SF_DIR)
         )
+        cc_distributed = (
+            {}
+            if args.headline_only or args.scaling_input
+            else run_distributed_cc()
+        )
         print(
             json.dumps(
                 {
@@ -354,6 +401,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": queries,
                     "incremental": incremental,
+                    "cc_distributed": cc_distributed,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "num_cpus": NUM_CPUS,
                     "docs": headline["docs"],

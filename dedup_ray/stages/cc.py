@@ -134,12 +134,22 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
 
         One lexsort + boundary scan replaces the former per-node pandas
         ``groupby`` loop (Python dispatch per adjacency list); with v sorted
-        within each u-group, the group's first v IS min(N(u)).
+        within each u-group, the group's first v IS min(N(u)).  Duplicate
+        (u, v) rows collapse here for free (consecutive after the sort) —
+        the exchange already co-located every copy of (u, v), so this is a
+        GLOBAL dedup and the rounds need no separate dedup exchange on
+        their inputs.
         """
         u = part["u"].to_numpy()
         v = part["v"].to_numpy()
         order = np.lexsort((v, u))
         u_s, v_s = u[order], v[order]
+        n = len(u_s)
+        if n:
+            first = np.zeros(n, dtype=bool)
+            first[0] = True
+            first[1:] = (u_s[1:] != u_s[:-1]) | (v_s[1:] != v_s[:-1])
+            u_s, v_s = u_s[first], v_s[first]
         n = len(u_s)
         change = np.zeros(n, dtype=bool)
         if n:
@@ -188,19 +198,33 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
 
     from dedup_ray.util.dsutil import partitioned_group_apply
 
+    # exchange width tracks the edge count: the path activates above the
+    # local-union-find limit (2M edges) where 16+ partitions amortize, but
+    # a forced small run (benchmarks, tests) must not pay 16 tasks × ~5
+    # stages × rounds of pure dispatch for kilobyte partitions.
+    n_edges = edges.count()
+    npart = int(max(4, min(64, n_edges // 250_000 + 4)))
+
+    # Per round: TWO exchanges (large-star, small-star).  (u, v) dedup is
+    # fused into the reducers' lexsort (global — the exchange co-locates
+    # duplicates), and only the round's OUTPUT gets a dedup exchange, so
+    # the convergence fingerprint sees a canonical edge multiset.
     prev_fp = _edges_fingerprint(edges)
     for _ in range(max_rounds):
         ls = partitioned_group_apply(
             edges.map_batches(both_directions, batch_format="pyarrow"),
             ["u"],
             large_stars,
+            npart,
         )
-        ls = _dedup_edges(ls).materialize()
         ss = partitioned_group_apply(
-            ls.map_batches(hi_to_lo, batch_format="pyarrow"), ["u"], small_stars
+            ls.map_batches(hi_to_lo, batch_format="pyarrow"),
+            ["u"],
+            small_stars,
+            npart,
         )
         edges = _dedup_edges(
-            ss.map_batches(canon, batch_format="pyarrow")
+            ss.map_batches(canon, batch_format="pyarrow"), npart
         ).materialize()
         fp = _edges_fingerprint(edges)
         if fp == prev_fp:
@@ -218,7 +242,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
     def dedup_label(part: pd.DataFrame) -> pd.DataFrame:
         return part.sort_values(["id", "cluster_id"]).drop_duplicates(subset=["id"])
 
-    return partitioned_group_apply(labels, ["id"], dedup_label)
+    return partitioned_group_apply(labels, ["id"], dedup_label, npart)
 
 
 def component_labels(edges_ds, local_edge_limit: int = 2_000_000):
