@@ -72,11 +72,18 @@ def dedup_pipeline(
     use_simhash: bool = True,
     use_substring: bool = True,
     pages_parts: list | None = None,
+    tier_edges_out: dict | None = None,
 ):
     """pages → clusters Dataset(id_col, cluster_id).
 
     Returns ``(clusters_ds, ctx)`` where ctx is the CheckpointContext (or
     None when checkpointing is off).
+
+    ``tier_edges_out`` — optional dict the pipeline fills with the edge
+    Dataset of each enabled tier (``"exact"``, ``"near_minhash"``,
+    ``"near_simhash"``, ``"substring"``), pinned to ``(id1, id2)``.
+    Observability hook for per-tier attribution (``dedup_tier_report``);
+    costs nothing when None (the same datasets are built either way).
 
     ``pages_parts`` — optional ``[(part_id, fn)]`` where ``fn() -> Dataset``
     yields one slice of the pages input (e.g. one input-file group).  With
@@ -190,6 +197,9 @@ def dedup_pipeline(
     reps = split_mixed_rows(mixed, compact_cols, want_edges=False)
     exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
     edge_parts = [_pin(exact_e)]
+    _TIER_NAMES = {"near_edges": "near_minhash", "simhash_edges": "near_simhash"}
+    if tier_edges_out is not None:
+        tier_edges_out["exact"] = edge_parts[0]
 
     branch_stages = []
 
@@ -224,11 +234,17 @@ def dedup_pipeline(
             futs = [
                 pool.submit(stage, name, fn, True) for name, fn in branch_stages
             ]
-            for f in futs:
-                edge_parts.append(_pin(f.result()))
+            for (name, _), f in zip(branch_stages, futs):
+                pinned = _pin(f.result())
+                edge_parts.append(pinned)
+                if tier_edges_out is not None:
+                    tier_edges_out[_TIER_NAMES[name]] = pinned
     else:
         for name, fn in branch_stages:
-            edge_parts.append(_pin(stage(name, fn)))
+            pinned = _pin(stage(name, fn))
+            edge_parts.append(pinned)
+            if tier_edges_out is not None:
+                tier_edges_out[_TIER_NAMES[name]] = pinned
 
     def _lazy_union(parts):
         # Lazy union: no per-part materialize barrier — the streaming
@@ -312,6 +328,8 @@ def dedup_pipeline(
         return substring_edges(rep_chunks, cfg, id_col, id_type=id_type)
 
     sub = stage("substring_edges", _sub_edges)
+    if tier_edges_out is not None:
+        tier_edges_out["substring"] = _pin(sub)
     edges = stage("edges", lambda: _lazy_union([phase1_edges, _pin(sub)]))
     clusters = stage("clusters", lambda: _assign(edges))
     return clusters, ctx

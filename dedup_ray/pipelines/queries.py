@@ -368,6 +368,74 @@ def cc_chain_docs(sf_dir: str):
     return assign_clusters(docs, edges, id_col="doc_id")
 
 
+def cluster_rep_longest(sf_dir: str):
+    """Post-dedup representative selection: keep the LONGEST member per
+    cluster, ties broken by min doc_id.
+
+    The pipeline's min-id keeper is an arbitrary member; training-data
+    curation usually keeps the most complete copy (quality-keep).  Cluster
+    structure: the deterministic ``cc_chain_docs`` graph.  Shape: one
+    token-count map, one co-partitioning join, one partitioned per-cluster
+    argmax — no driver state, no per-group dispatch.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.dsutil import hash_join, partitioned_group_apply
+
+    labels = cc_chain_docs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(pc.cast(t["text"], pa.string()), "")
+        n = pc.list_value_length(pc.split_pattern(txt, " "))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    j = hash_join(
+        labels,
+        docs.map_batches(ntok, batch_format="pyarrow"),
+        on="doc_id",
+        left_cols=["doc_id", "cluster_id"],
+        right_cols=["doc_id", "n_tokens"],
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        out = df.groupby("cluster_id", as_index=False).agg(
+            keep_id=("doc_id", "first"),
+            best_len=("n_tokens", "first"),
+            cluster_size=("doc_id", "size"),
+        )
+        out["cluster_size"] = out["cluster_size"].astype("int64")
+        return out
+
+    return partitioned_group_apply(j, ["cluster_id"], pick)
+
+
+def soft_dedup_weights_docs(sf_dir: str):
+    """Soft dedup: down-weight instead of drop — every member of a
+    duplicate cluster gets training weight ``1 / cluster_size`` so the
+    cluster contributes one document's worth of gradient in aggregate.
+    Cluster structure: the deterministic ``cc_chain_docs`` graph.  One
+    partitioned group pass (size + per-row weight) — no driver state.
+    """
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    labels = cc_chain_docs(sf_dir)
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["weight"] = 1.0 / df.groupby("cluster_id")["doc_id"].transform(
+            "size"
+        )
+        return df
+
+    return partitioned_group_apply(labels, ["cluster_id"], weight)
+
+
 def group_collect_lang(sf_dir: str):
     """A4: exact-key clustering of docs by language."""
     return group_collect(
@@ -598,6 +666,70 @@ def minhash_dedup_docs(sf_dir: str):
     )
     clusters, _ = dedup_pipeline(pages, cfg)
     return _planted_recall_row(clusters, n_copies=3)
+
+
+def dedup_tier_report(sf_dir: str):
+    """Per-tier duplicate attribution: which dedup tier earned each merge.
+
+    The engine's flagship is TIERED — exact digest → MinHash/LSH → SimHash
+    → substring/CDC — and a 100-TB operator needs to see what each tier
+    contributes before paying for it.  This query runs the full pipeline
+    over a tier-separable planted corpus (:func:`pages_tiered`: per
+    qualifying doc an exact mirror only the exact tier can claim and an
+    append-one-token near-dup only a near tier can claim) and attributes
+    unions by CUMULATIVE component counting: processing tiers in pipeline
+    order, ``n_unions(t) = components(edges of tiers < t) − components(
+    edges of tiers ≤ t)`` — the distributed formulation (4 CC runs over
+    materialized edge sets), no driver edge state, so the report works
+    unchanged at corpus scale.
+
+    Oracle: exact claims one union per qualifying doc (the planted
+    mirror); MinHash claims the planted near-dup per doc PLUS the merges
+    of the corpus's own cross-document near-dup graph, which the SQL
+    re-derives from first principles (distinct 3-token shingles, true
+    Jaccard ≥ the verify threshold, recursive-CTE CC); SimHash and
+    substring contribute 0 new unions (their edges duplicate existing
+    connectivity on this corpus).
+    """
+    import ray
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import pages_tiered
+    from dedup_ray.stages.cc import component_labels
+
+    pages = pages_tiered(sf_dir, min_tokens=40)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
+    )
+    tiers: dict = {}
+    dedup_pipeline(pages, cfg, tier_edges_out=tiers)
+    n_nodes = pages.count()
+
+    rows = []
+    prev_comps = n_nodes
+    cum = None
+    for tier in ("exact", "near_minhash", "near_simhash", "substring"):
+        if tier not in tiers:
+            continue
+        cum = tiers[tier] if cum is None else cum.union(tiers[tier])
+        cum = cum.materialize()
+        labels = component_labels(cum, cfg.cc_local_edge_limit)
+        if labels is None:
+            comps = n_nodes
+        else:
+            lab = labels.materialize()
+            comps = n_nodes - lab.count() + len(lab.unique("cluster_id"))
+        rows.append((tier, prev_comps - comps, comps))
+        prev_comps = comps
+    return pa.table(
+        {
+            "tier": pa.array([r[0] for r in rows], pa.string()),
+            "n_unions": pa.array([r[1] for r in rows], pa.int64()),
+            "components_after": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
 
 
 def incremental_dedup_docs(sf_dir: str):
@@ -1936,6 +2068,45 @@ ORACLES["cc_chain_docs"] = """
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """
 
+# Shared chain-cluster CTE prefix for the post-dedup policy queries.
+_CHAIN_COMP_CTE = """
+    WITH RECURSIVE edges0 AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 < 3),
+    edges AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+"""
+
+# keep_id: deterministic argmax via a composite score — n_tokens majorizes
+# (doc_id < 2^32), minus doc_id breaks ties toward the SMALLEST id.
+ORACLES["cluster_rep_longest"] = _CHAIN_COMP_CTE + """
+    , tok AS (
+        SELECT doc_id,
+               CAST(array_length(string_split(coalesce(text, ''), ' '))
+                    AS BIGINT) AS n_tokens
+        FROM documents)
+    SELECT c.cluster_id,
+           CAST(max(t.n_tokens) AS BIGINT) AS best_len,
+           CAST(max(t.n_tokens) * 4294967296
+                - max(t.n_tokens * 4294967296 - t.doc_id)
+                AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS cluster_size
+    FROM comp c JOIN tok t USING (doc_id)
+    GROUP BY c.cluster_id
+"""
+
+ORACLES["soft_dedup_weights_docs"] = _CHAIN_COMP_CTE + """
+    SELECT doc_id, cluster_id,
+           1.0 / (count(*) OVER (PARTITION BY cluster_id)) AS weight
+    FROM comp
+"""
+
 def _lang_id_oracle() -> str:
     """SQL mirror of ``LangId``: CJK → zh; else max stopword hits with
     lang-ascending tie-break (the CASE order IS the tie-break); 0 → en."""
@@ -2205,6 +2376,8 @@ QUERIES = {
     "pair_token_overlap": pair_token_overlap,
     "diff_nchars_pairs": diff_nchars_pairs,
     "cc_chain_docs": cc_chain_docs,
+    "cluster_rep_longest": cluster_rep_longest,
+    "soft_dedup_weights_docs": soft_dedup_weights_docs,
     "group_collect_lang": group_collect_lang,
     "eval_source_vs_lang": eval_source_vs_lang,
     "window_tumbling_events": window_tumbling_events,
@@ -2244,6 +2417,7 @@ QUERIES = {
     # VERIFIABLE CLAIM — recall over planted pairs, recall@k vs the exact
     # path, folded-weight rescoring — is)
     "minhash_dedup_docs": minhash_dedup_docs,
+    "dedup_tier_report": dedup_tier_report,
     "incremental_dedup_docs": incremental_dedup_docs,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -2265,6 +2439,66 @@ QUERIES = {
 # MinHash pipeline leaves unrecovered (short-doc near-dups whose true
 # shingle Jaccard falls below the 0.5 verify threshold) are deterministic
 # seeded constants, pinned at the driver's sf0.01 corpus.
+
+# Tier attribution from first principles: the exact tier claims one union
+# per qualifying doc (the planted mirror); the MinHash tier claims the
+# planted near-dup PLUS every merge of the cross-document near-dup graph
+# that exists in the corpus itself — which the oracle re-derives exactly:
+# distinct 3-token shingles per doc, true Jaccard >= the 0.5 verify
+# threshold, recursive-CTE connected components.  est-Jaccard (128 perms)
+# vs true Jaccard cannot disagree here: at sf0.01 the closest cross-doc
+# pair to the threshold sits at J=0.974 and the closest non-pair below
+# 0.3, so the LSH+verify decision is deterministic.  SimHash and
+# substring arrive after connectivity is complete (0 new unions).
+ORACLES["dedup_tier_report"] = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents
+      WHERE array_length(string_split(text, ' ')) >= 40
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, array_length(toks) - 1)) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+      FROM idx
+    ),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges0 AS (
+      SELECT u, v FROM inter
+      JOIN card ca ON ca.doc_id = inter.u
+      JOIN card cb ON cb.doc_id = inter.v
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS root FROM reach GROUP BY node),
+    m AS (
+      SELECT count(*) - count(DISTINCT root) AS merges FROM comp
+    ),
+    n AS (SELECT count(*) AS n40 FROM docs)
+    SELECT t.tier,
+           CAST(CASE t.tier WHEN 'exact' THEN n.n40
+                WHEN 'near_minhash' THEN n.n40 + m.merges
+                ELSE 0 END AS BIGINT) AS n_unions,
+           CAST(CASE t.tier WHEN 'exact' THEN 2 * n.n40
+                ELSE n.n40 - m.merges END AS BIGINT) AS components_after
+    FROM n, m, (VALUES ('exact'), ('near_minhash'),
+                       ('near_simhash'), ('substring')) AS t(tier)
+"""
 
 ORACLES["incremental_dedup_docs"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

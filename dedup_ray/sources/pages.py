@@ -274,3 +274,61 @@ def amplified_truth(sf_dir: str, amplify: int):
         )
 
     return ds.map_batches(truth, batch_format="pyarrow", batch_size=256)
+
+
+def pages_tiered(sf_dir: str, min_tokens: int = 40):
+    """documents → pages with TIER-SEPARABLE planted duplicates.
+
+    Per qualifying document (≥ ``min_tokens`` whitespace tokens, so the
+    near-dup's shingle Jaccard ≥ (n-k+1)/(n-k+2) ≈ 0.97 is far above the
+    verify threshold and LSH miss probability is ~0): three pages —
+
+    - ``v/0`` the original,
+    - ``v/1`` a byte-exact mirror (→ the EXACT tier must union it),
+    - ``v/2`` the text with ONE marker token appended (→ never byte-equal,
+      so only a NEAR tier can union it).
+
+    Unlike :func:`pages_from_documents`' ``mutate_text`` (whose random
+    replacement can coincidentally reproduce the original, shifting a pair
+    from the near tier to the exact tier), the appended token makes the
+    tier attribution of every planted union a deterministic function of
+    the document count — which is what lets ``dedup_tier_report``'s SQL
+    oracle derive per-tier union counts from ``count(documents)``.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = ray.data.from_arrow(
+        [src.slice(i, 64) for i in range(0, src.num_rows, 64)]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, texts, langs, ts = [], [], [], []
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            text = text or ""
+            if len(text.split(" ")) < min_tokens:
+                continue
+            for k, t in enumerate((text, text, text + f" ndup{doc_id}")):
+                urls.append(f"https://doc{doc_id}.example/v/{k}")
+                texts.append(t)
+                langs.append(lang)
+                ts.append(EPOCH_US + 1_000_000 * (doc_id * 3 + k))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(
+                    [wrap_html(t, title=u) for t, u in zip(texts, urls)],
+                    pa.binary(),
+                ),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=64)
