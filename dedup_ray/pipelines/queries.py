@@ -537,6 +537,110 @@ def sessionize_events(sf_dir: str):
     return partitioned_group_apply(ds, ["user_id"], sess_part)
 
 
+def asof_join_events(sf_dir: str):
+    """AS-OF join — an operator Ray Data has no native form of: for every
+    'click' event, the most recent STRICTLY-prior 'view' by the same user.
+
+    Scale shape: hash-partition by user (each user's history lands whole),
+    then ONE vectorized ``pd.merge_asof`` per partition — no per-user
+    dispatch, no driver state.  Strictly-prior (``allow_exact_matches=
+    False`` == SQL ``a.ts > b.ts``) keeps tie semantics engine-independent;
+    emitted times are int64 epoch-microseconds (no NaT/resolution hazards).
+    Inner semantics: clicks with no prior view are dropped (a nullable
+    match column would be the only NULL in the catalog's hash compare).
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        # int64 epoch-us keys throughout: merge_asof needs identical key
+        # dtypes and datetime resolutions vary by source — ints do not
+        df = df.assign(ts_us=df["ts"].astype("int64"))
+        clicks = df[df["event_type"] == "click"].sort_values("ts_us")
+        views = df[df["event_type"] == "view"].sort_values("ts_us")
+        j = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts_us"]],
+            views[["user_id", "ts_us"]].assign(view_ts_us=views["ts_us"]),
+            on="ts_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        ).dropna(subset=["view_ts_us"])
+        view_us = j["view_ts_us"].astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": j["event_id"].to_numpy(),
+                "user_id": j["user_id"].to_numpy(),
+                "ts_us": j["ts_us"].to_numpy(),
+                "view_ts_us": view_us.to_numpy(),
+                "lag_us": (j["ts_us"] - view_us).to_numpy(),
+            }
+        )
+
+    return partitioned_group_apply(ds, ["user_id"], asof_part)
+
+
+def range_join_events(sf_dir: str):
+    """Range (interval) join — likewise absent from Ray Data: per 'signup'
+    event, the count of the user's 'purchase' events in [ts, ts + 7 days).
+
+    Distributed form: co-partition by user, then express the interval
+    count as a DIFFERENCE OF TWO AS-OF LOOKUPS against the per-user
+    cumulative purchase counter — ``n = f(ts+7d) − f(ts)`` where ``f(t)``
+    = purchases strictly before ``t`` (one ``merge_asof`` each, fully
+    vectorized; duplicate purchase timestamps are safe because backward
+    as-of picks the LAST sorted row = the max cumulative count).  Zero
+    counts kept (left semantics).
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+    def range_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_us=df["ts"].astype("int64"))
+        sign = df[df["event_type"] == "signup"][
+            ["event_id", "user_id", "ts_us"]
+        ].copy()
+        pur = df[df["event_type"] == "purchase"][["user_id", "ts_us"]].copy()
+        pur = pur.sort_values(["user_id", "ts_us"], kind="mergesort")
+        pur["cum"] = pur.groupby("user_id").cumcount() + 1
+        pur = pur.sort_values("ts_us", kind="mergesort")
+
+        def f_strictly_before(t_us: pd.Series) -> np.ndarray:
+            q = pd.DataFrame(
+                {
+                    "user_id": sign["user_id"].to_numpy(),
+                    "ts_us": t_us.to_numpy(),
+                }
+            ).sort_values("ts_us", kind="mergesort")
+            m = pd.merge_asof(
+                q.reset_index(),
+                pur,
+                on="ts_us",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=False,
+            ).set_index("index")
+            return (
+                m["cum"].fillna(0).astype("int64").sort_index().to_numpy()
+            )
+
+        ts_us = sign["ts_us"].reset_index(drop=True)
+        n = f_strictly_before(ts_us + WINDOW_US) - f_strictly_before(ts_us)
+        return pd.DataFrame(
+            {
+                "event_id": sign["event_id"].to_numpy(),
+                "user_id": sign["user_id"].to_numpy(),
+                "n_in_window": n,
+            }
+        )
+
+    return partitioned_group_apply(ds, ["user_id"], range_part)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -2107,6 +2211,32 @@ ORACLES["soft_dedup_weights_docs"] = _CHAIN_COMP_CTE + """
     FROM comp
 """
 
+# DuckDB's native ASOF JOIN is the oracle for the partitioned merge_asof;
+# strictly-prior semantics (a.ts > b.ts) make ties engine-independent.
+ORACLES["asof_join_events"] = """
+    SELECT a.event_id, a.user_id,
+           CAST(epoch_us(a.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(b.ts) AS BIGINT) AS view_ts_us,
+           CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS lag_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') a
+    ASOF JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'view') b
+      ON a.user_id = b.user_id AND a.ts > b.ts
+"""
+
+ORACLES["range_join_events"] = """
+    SELECT s.event_id, s.user_id,
+           CAST(count(p.ts) AS BIGINT) AS n_in_window
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+    GROUP BY 1, 2
+"""
+
 def _lang_id_oracle() -> str:
     """SQL mirror of ``LangId``: CJK → zh; else max stopword hits with
     lang-ascending tie-break (the CASE order IS the tie-break); 0 → en."""
@@ -2383,6 +2513,8 @@ QUERIES = {
     "window_tumbling_events": window_tumbling_events,
     "window_hopping_events": window_hopping_events,
     "sessionize_events": sessionize_events,
+    "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
     "ann_topk": ann_topk,
     "exact_dedup_docs": exact_dedup_docs,
     "tag_parts_multilabel": tag_parts_multilabel,
