@@ -537,6 +537,93 @@ def sessionize_events(sf_dir: str):
     return partitioned_group_apply(ds, ["user_id"], sess_part)
 
 
+def topk_per_user_events(sf_dir: str):
+    """Grouped top-k: each user's 3 highest-value events, ranked.
+
+    Ties broken by ascending event_id so the rank is total.  One
+    partitioned pass: vectorized sort + ``groupby.cumcount`` — the
+    distributed form of ``row_number() OVER (PARTITION BY …)``; per-user
+    state never leaves its partition.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.assign(rank=df.groupby("user_id").cumcount() + 1)
+        return df[df["rank"] <= 3]
+
+    return partitioned_group_apply(ds, ["user_id"], topk)
+
+
+def rolling_mean_events(sf_dir: str):
+    """Per-user rolling mean over the trailing 3 events (ordered by
+    ``(ts, event_id)``) — the windowed-aggregate shape feature pipelines
+    use for activity features.  Explicit shift-and-add (not pandas'
+    sliding-sum rolling kernel) keeps float association identical to the
+    SQL window frame.  One partitioned vectorized pass.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_us=df["ts"].astype("int64")).sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id")["value"]
+        v1, v2 = g.shift(1), g.shift(2)
+        total = df["value"].add(v1, fill_value=0.0).add(v2, fill_value=0.0)
+        n = 1 + v1.notna().astype("int64") + v2.notna().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "mean3": (total / n).to_numpy(),
+            }
+        )
+
+    return partitioned_group_apply(ds, ["user_id"], roll)
+
+
+def pivot_event_counts(sf_dir: str):
+    """Pivot/crosstab: per user, one count column per event type.
+
+    Two-level: vectorized per-batch crosstab partials, then ONE grouped
+    sum over (user × 5 columns) — the shuffle carries pre-aggregated
+    partials, never raw events.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # crosstab of nothing drops columns → pin schema
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    **{f"n_{t}": pd.Series(dtype="int64") for t in types},
+                }
+            )
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype("int64")
+        ct.columns = [f"n_{c}" for c in types]
+        return ct.reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+    return out
+
+
 def asof_join_events(sf_dir: str):
     """AS-OF join — an operator Ray Data has no native form of: for every
     'click' event, the most recent STRICTLY-prior 'view' by the same user.
@@ -2225,6 +2312,41 @@ ORACLES["asof_join_events"] = """
       ON a.user_id = b.user_id AND a.ts > b.ts
 """
 
+ORACLES["topk_per_user_events"] = """
+    SELECT event_id, user_id, value, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT event_id, user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS rank
+      FROM events)
+    WHERE rank <= 3
+"""
+
+ORACLES["rolling_mean_events"] = """
+    SELECT event_id, user_id,
+           avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS mean3
+    FROM events
+"""
+
+ORACLES["pivot_event_counts"] = """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS n_view
+    FROM events GROUP BY user_id
+"""
+
 ORACLES["range_join_events"] = """
     SELECT s.event_id, s.user_id,
            CAST(count(p.ts) AS BIGINT) AS n_in_window
@@ -2515,6 +2637,9 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
     "range_join_events": range_join_events,
+    "topk_per_user_events": topk_per_user_events,
+    "rolling_mean_events": rolling_mean_events,
+    "pivot_event_counts": pivot_event_counts,
     "ann_topk": ann_topk,
     "exact_dedup_docs": exact_dedup_docs,
     "tag_parts_multilabel": tag_parts_multilabel,
