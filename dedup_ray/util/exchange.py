@@ -23,13 +23,14 @@ cluster.
 
 At-scale accounting: the driver holds a blocks × partitions ObjectRef
 matrix (~100 B/ref).  At 10^12 docs with 1 GB blocks that is ~10^5 blocks
-× 1024 partitions ≈ 10^8 refs ≈ 10 GB of driver metadata — at THAT size
-either raise the block size, make the exchange hierarchical (exchange
-within each node group, then across groups — same primitive applied
-twice), or fall back to Ray Data's sort shuffle for the single largest
-all-to-all while keeping this exchange for the payload-carrying joins
-where the pandas-boxing tax dominates.  Per-row key hashing and the
-two-wave structure are unchanged in all three variants.
+× 1024 partitions ≈ 10^8 refs ≈ 10 GB of driver metadata — past
+``HIERARCHICAL_REF_LIMIT`` the exchange therefore routes itself through
+:func:`hash_exchange_hierarchical` (the same primitive applied twice:
+split+concat within block groups of ~√B, then reduce across groups),
+bounding peak live refs at ~√B × P ≈ 3×10^5 for the same job.  Raising
+the block size or falling back to Ray Data's sort shuffle for the single
+largest all-to-all remain available; per-row key hashing and the
+two-wave structure are identical in every variant.
 """
 
 from __future__ import annotations
@@ -112,6 +113,18 @@ def _reduce(reduce_fn, counts, *flat_chunks):
     return reduce_fn(*tables)
 
 
+@ray.remote
+def _concat_parts(*chunks):
+    """Fold one (block-group × partition) column of sub-tables into a single
+    table — the hierarchical exchange's intermediate hop.  Mirrors
+    ``_reduce``'s empty-block policy (schema-ful empty preferred)."""
+    live = [t for t in chunks if t.num_rows]
+    if not live:
+        with_schema = [t for t in chunks if t.column_names]
+        live = with_schema[:1] or list(chunks[:1])
+    return pa.concat_tables(live, promote_options="default")
+
+
 def _block_refs(ds) -> list:
     if isinstance(ds, list):  # already a list of table refs (chained)
         return ds
@@ -123,12 +136,21 @@ def _block_refs(ds) -> list:
         return mat.get_internal_block_refs()
 
 
+# Above this many (block × partition) ObjectRefs the flat exchange's driver
+# metadata matrix stops being negligible (~100 B/ref) and the two-level
+# exchange takes over automatically: peak live refs drop from B×P to
+# ~sqrt(B)×P per stage.  250k refs ≈ 25 MB — far below any real pressure,
+# so the hierarchical path gets exercised well before it is load-bearing.
+HIERARCHICAL_REF_LIMIT = 250_000
+
+
 def hash_exchange(
     datasets: list,
     keys: list,
     reduce_fn,
     num_partitions: int = 32,
     return_refs: bool = False,
+    ref_limit: int = HIERARCHICAL_REF_LIMIT,
 ):
     """Co-partition ``datasets[i]`` on ``keys[i]``; apply ``reduce_fn`` per
     partition.
@@ -140,12 +162,23 @@ def hash_exchange(
     refs skips a metadata re-materialization barrier per hop).  ``keys[i]``
     is a column name or list of names.  Returns a Dataset over the reduce
     outputs, or the raw ref list when ``return_refs``.
+
+    When the driver-side ref matrix would exceed ``ref_limit`` entries the
+    call routes through :func:`hash_exchange_hierarchical` — same
+    semantics, bounded metadata (the module docstring's 10^12-doc
+    accounting made concrete).
     """
     import ray.data
 
+    ref_lists = [_block_refs(ds) for ds in datasets]
+    if sum(len(r) for r in ref_lists) * num_partitions > ref_limit:
+        return hash_exchange_hierarchical(
+            ref_lists, keys, reduce_fn, num_partitions,
+            return_refs=return_refs,
+        )
+
     split_matrix = []  # per stream: list over blocks of per-part ref tuples
-    for ds, key in zip(datasets, keys):
-        refs = _block_refs(ds)
+    for refs, key in zip(ref_lists, keys):
         split_matrix.append(
             [
                 _split_block.options(num_returns=num_partitions).remote(
@@ -162,6 +195,66 @@ def hash_exchange(
             block_parts[p]
             for stream in split_matrix
             for block_parts in stream
+        ]
+        out_refs.append(_reduce.remote(reduce_fn, counts, *flat))
+    if return_refs:
+        return out_refs
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def hash_exchange_hierarchical(
+    datasets: list,
+    keys: list,
+    reduce_fn,
+    num_partitions: int = 32,
+    group_blocks: int | None = None,
+    return_refs: bool = False,
+):
+    """Two-level exchange: the same primitive applied twice, for inputs
+    whose flat ``blocks × partitions`` ObjectRef matrix would swamp driver
+    metadata (the 10^12-doc accounting above).
+
+    Stage 1 chunks each stream's block list into groups of
+    ``group_blocks`` (default ``⌈√B⌉``) and, per group, splits + concats
+    into ONE table per (group, partition) — pure data movement, no
+    ``reduce_fn``, because a block group does not hold its keys whole.
+    Stage 2 concats each partition's per-group tables across all groups
+    and applies ``reduce_fn`` once — identical partition contents to the
+    flat exchange (same per-row hash, same modulus), so semantics are
+    unchanged.  Peak live refs: ``max(G, B/G) × P ≈ √B × P`` instead of
+    ``B × P``.
+    """
+    import math
+
+    import ray.data
+
+    grouped = []  # per stream: list over groups of per-partition refs
+    for ds, key in zip(datasets, keys):
+        refs = _block_refs(ds)
+        g = group_blocks or max(1, math.isqrt(max(len(refs), 1)))
+        stream_groups = []
+        for i in range(0, len(refs), g):
+            splits = [
+                _split_block.options(num_returns=num_partitions).remote(
+                    b, key, num_partitions
+                )
+                for b in refs[i : i + g]
+            ]
+            stream_groups.append(
+                [
+                    _concat_parts.remote(*[s[p] for s in splits])
+                    for p in range(num_partitions)
+                ]
+            )
+        grouped.append(stream_groups)
+
+    counts = tuple(len(stream_groups) for stream_groups in grouped)
+    out_refs = []
+    for p in range(num_partitions):
+        flat = [
+            group_parts[p]
+            for stream_groups in grouped
+            for group_parts in stream_groups
         ]
         out_refs.append(_reduce.remote(reduce_fn, counts, *flat))
     if return_refs:

@@ -1,6 +1,7 @@
 """Raw-task hash exchange: join modes, multi-column keys, group apply,
 void-block tolerance, ref chaining."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -132,3 +133,85 @@ def test_void_blocks_with_empty_schema():
     tables = ray.get(refs)
     assert all(t.num_rows == 0 for t in tables)
     assert all(t.schema == schema for t in tables)
+
+
+def _mk_blocks(n_blocks=9, rows=200, keys=23, seed=3):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        pa.table(
+            {
+                "k": pa.array(
+                    rng.integers(0, keys, size=rows).astype("int64")
+                ),
+                "v": pa.array(
+                    rng.integers(0, 100, size=rows).astype("int64")
+                ),
+            }
+        )
+        for _ in range(n_blocks)
+    ]
+    expected = (
+        pa.concat_tables(tables)
+        .to_pandas()
+        .groupby("k", as_index=False)["v"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    return rd.from_arrow(tables), expected
+
+
+def _group_sum_fn():
+    # returned as a closure: module-level functions pickle by reference
+    # and workers cannot import the test module
+    def group_sum(t: pa.Table) -> pa.Table:
+        out = t.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return group_sum
+
+
+def test_hierarchical_exchange_matches_flat():
+    """Two-level exchange (explicit group size → several block groups)
+    produces exactly the flat exchange's partition contents."""
+    from dedup_ray.util.exchange import (
+        exchange_group_apply,
+        hash_exchange_hierarchical,
+    )
+
+    ds, expected = _mk_blocks()
+    flat = (
+        exchange_group_apply(ds, ["k"], _group_sum_fn(), num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    hier = (
+        hash_exchange_hierarchical(
+            [ds], [["k"]], _group_sum_fn(), num_partitions=4, group_blocks=2
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(flat, expected)
+    pd.testing.assert_frame_equal(hier, expected)
+
+
+def test_exchange_auto_routes_hierarchical():
+    """A tiny ref_limit forces the flat entry point onto the two-level
+    path; results are unchanged."""
+    from dedup_ray.util.exchange import hash_exchange
+
+    ds, expected = _mk_blocks(seed=4)
+    out = (
+        hash_exchange(
+            [ds], [["k"]], _group_sum_fn(), num_partitions=4, ref_limit=1
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, expected)
