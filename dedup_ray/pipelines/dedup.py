@@ -73,6 +73,7 @@ def dedup_pipeline(
     use_substring: bool = True,
     pages_parts: list | None = None,
     tier_edges_out: dict | None = None,
+    tier_edges_only: bool = False,
 ):
     """pages → clusters Dataset(id_col, cluster_id).
 
@@ -84,6 +85,9 @@ def dedup_pipeline(
     ``"near_simhash"``, ``"substring"``), pinned to ``(id1, id2)``.
     Observability hook for per-tier attribution (``dedup_tier_report``);
     costs nothing when None (the same datasets are built either way).
+    With ``tier_edges_only`` the call returns ``(None, ctx)`` right after
+    the tiers are populated, skipping the final edge union + clustering —
+    for consumers (the tier report) that run their own CC passes.
 
     ``pages_parts`` — optional ``[(part_id, fn)]`` where ``fn() -> Dataset``
     yields one slice of the pages input (e.g. one input-file group).  With
@@ -267,6 +271,8 @@ def dedup_pipeline(
         )
 
     if not use_substring:
+        if tier_edges_out is not None and tier_edges_only:
+            return None, ctx
         edges = stage("edges", lambda: _lazy_union(edge_parts))
         clusters = stage("clusters", lambda: _assign(edges))
         return clusters, ctx
@@ -327,10 +333,12 @@ def dedup_pipeline(
         )
         return substring_edges(rep_chunks, cfg, id_col, id_type=id_type)
 
-    sub = stage("substring_edges", _sub_edges)
+    sub = _pin(stage("substring_edges", _sub_edges))
     if tier_edges_out is not None:
-        tier_edges_out["substring"] = _pin(sub)
-    edges = stage("edges", lambda: _lazy_union([phase1_edges, _pin(sub)]))
+        tier_edges_out["substring"] = sub
+        if tier_edges_only:
+            return None, ctx
+    edges = stage("edges", lambda: _lazy_union([phase1_edges, sub]))
     clusters = stage("clusters", lambda: _assign(edges))
     return clusters, ctx
 

@@ -573,9 +573,9 @@ def rolling_mean_events(sf_dir: str):
     from dedup_ray.util.dsutil import partitioned_group_apply
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(ts_us=df["ts"].astype("int64")).sort_values(
-            ["user_id", "ts_us", "event_id"], kind="mergesort"
-        )
+        df = df.assign(
+            ts_us=df["ts"].astype("datetime64[us]").astype("int64")
+        ).sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         g = df.groupby("user_id")["value"]
         v1, v2 = g.shift(1), g.shift(2)
         total = df["value"].add(v1, fill_value=0.0).add(v2, fill_value=0.0)
@@ -643,7 +643,7 @@ def asof_join_events(sf_dir: str):
     def asof_part(df: pd.DataFrame) -> pd.DataFrame:
         # int64 epoch-us keys throughout: merge_asof needs identical key
         # dtypes and datetime resolutions vary by source — ints do not
-        df = df.assign(ts_us=df["ts"].astype("int64"))
+        df = df.assign(ts_us=df["ts"].astype("datetime64[us]").astype("int64"))
         clicks = df[df["event_type"] == "click"].sort_values("ts_us")
         views = df[df["event_type"] == "view"].sort_values("ts_us")
         j = pd.merge_asof(
@@ -687,7 +687,7 @@ def range_join_events(sf_dir: str):
     WINDOW_US = 7 * 24 * 3600 * 1_000_000
 
     def range_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(ts_us=df["ts"].astype("int64"))
+        df = df.assign(ts_us=df["ts"].astype("datetime64[us]").astype("int64"))
         sign = df[df["event_type"] == "signup"][
             ["event_id", "user_id", "ts_us"]
         ].copy()
@@ -895,7 +895,7 @@ def dedup_tier_report(sf_dir: str):
         minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
     )
     tiers: dict = {}
-    dedup_pipeline(pages, cfg, tier_edges_out=tiers)
+    dedup_pipeline(pages, cfg, tier_edges_out=tiers, tier_edges_only=True)
     n_nodes = pages.count()
 
     rows = []

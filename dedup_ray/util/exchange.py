@@ -95,6 +95,17 @@ def _split_block(block, key, num_partitions: int):
     )
 
 
+def _concat_live(chunks) -> pa.Table:
+    """Concat a partition's sub-tables, guarding zero-row void-schema
+    blocks: prefer a schema-ful empty over a void ([]-schema) one.  The
+    single copy of this policy — both exchange waves must agree on it."""
+    live = [t for t in chunks if t.num_rows]
+    if not live:
+        with_schema = [t for t in chunks if t.column_names]
+        live = with_schema[:1] or list(chunks[:1])
+    return pa.concat_tables(live, promote_options="default")
+
+
 @ray.remote
 def _reduce(reduce_fn, counts, *flat_chunks):
     """``flat_chunks``: the partition's sub-tables for all streams laid out
@@ -102,27 +113,17 @@ def _reduce(reduce_fn, counts, *flat_chunks):
     ``counts[i]`` says how many belong to stream ``i``."""
     tables, pos = [], 0
     for c in counts:
-        chunks = flat_chunks[pos : pos + c]
+        tables.append(_concat_live(flat_chunks[pos : pos + c]))
         pos += c
-        live = [t for t in chunks if t.num_rows]
-        if not live:
-            # prefer a schema-ful empty over a void ([]-schema) one
-            with_schema = [t for t in chunks if t.column_names]
-            live = with_schema[:1] or list(chunks[:1])
-        tables.append(pa.concat_tables(live, promote_options="default"))
     return reduce_fn(*tables)
 
 
 @ray.remote
 def _concat_parts(*chunks):
     """Fold one (block-group × partition) column of sub-tables into a single
-    table — the hierarchical exchange's intermediate hop.  Mirrors
-    ``_reduce``'s empty-block policy (schema-ful empty preferred)."""
-    live = [t for t in chunks if t.num_rows]
-    if not live:
-        with_schema = [t for t in chunks if t.column_names]
-        live = with_schema[:1] or list(chunks[:1])
-    return pa.concat_tables(live, promote_options="default")
+    table — the hierarchical exchange's intermediate hop.  Shares
+    ``_concat_live`` so both waves apply one void-block policy."""
+    return _concat_live(chunks)
 
 
 def _block_refs(ds) -> list:
