@@ -165,3 +165,81 @@ def hll_estimate(registers) -> float:
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+# --------------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketch (Masson/Lee/Rim, VLDB'19 idea):
+# relative-error-bounded quantiles over unbounded positive values.  The
+# exact value-count histogram (doc_length_quantiles) is the right tool for
+# low-cardinality ints; for continuous values at 100 TB its driver state is
+# corpus-sized — this sketch's state is <= log_gamma(max/min) bins
+# (~2,300 bins spanning 10 orders of magnitude at 1% error), mergeable by
+# plain addition and deterministic at any parallelism (no randomness: the
+# bin of a value is a pure function of the value).
+# --------------------------------------------------------------------------
+
+def dd_gamma(rel_err: float) -> float:
+    """γ such that midpoint estimates carry relative error ≤ ``rel_err``."""
+    return (1.0 + rel_err) / (1.0 - rel_err)
+
+
+def dd_bins(values: np.ndarray, gamma: float) -> np.ndarray:
+    """DDSketch bin per positive value: ``ceil(log_γ v)`` (vectorized)."""
+    return np.ceil(np.log(values) / np.log(gamma)).astype(np.int64)
+
+
+def dd_sketch(ds, value_col: str, rel_err: float = 0.01):
+    """Dataset → sketch Dataset(bin:int64, n:int64).
+
+    ONE grouped sum merges per-batch partials; nothing else moves.  Rows
+    with non-positive or null values are excluded (log-bins are defined on
+    v > 0) — count them separately if the distribution needs them.
+    """
+    from ray.data.aggregate import Sum
+
+    gamma = dd_gamma(rel_err)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        bins, counts = np.unique(dd_bins(v, gamma), return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def dd_quantiles(sketch, qs: list[float], rel_err: float = 0.01):
+    """Sketch rows → midpoint quantile estimates (driver-side: the sketch
+    is bounded by bin count, not corpus size).
+
+    Rank convention: the estimate for ``q`` is the bin holding order
+    statistic ``floor(q·(n−1))`` (0-indexed); the midpoint ``2γ^b/(γ+1)``
+    is within ``rel_err`` of every value in the bin.
+    """
+    import pandas as pd
+
+    df = (
+        sketch.to_pandas()
+        if hasattr(sketch, "to_pandas")
+        else pd.DataFrame(sketch)
+    )
+    df = df.sort_values("bin").reset_index(drop=True)
+    gamma = dd_gamma(rel_err)
+    total = int(df["n"].sum())
+    cum = df["n"].cumsum().to_numpy()
+    out = []
+    for q in qs:
+        rank = int(np.floor(q * (total - 1)))
+        i = int(np.searchsorted(cum, rank + 1))
+        b = int(df["bin"].iloc[i])
+        out.append(2.0 * gamma**b / (gamma + 1.0))
+    return out

@@ -103,3 +103,57 @@ def test_decontaminate_bloom_path_matches_exact():
         .sort_values("doc_id").reset_index(drop=True)
     assert exact.contaminated.tolist() == [0, 1]
     assert bloom.contaminated.tolist() == [0, 1]
+
+
+def test_dd_sketch_quantile_guarantee():
+    """DDSketch bound: every midpoint estimate within rel_err of the exact
+    order statistic, over a heavy-tailed distribution spanning 6 orders of
+    magnitude; the sketch state stays bounded by bin count."""
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import dd_quantiles, dd_sketch
+
+    rng = np.random.default_rng(19)
+    vals = np.exp(rng.normal(0, 3, size=20_000))  # lognormal, ~1e-6..1e6
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    rel = 0.01
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    sk = dd_sketch(ds, "value", rel_err=rel).materialize()
+    assert sk.count() < 3000  # bounded state, not corpus-sized
+    est = dd_quantiles(sk, qs, rel_err=rel)
+    srt = np.sort(vals)
+    for q, e in zip(qs, est):
+        exact = srt[int(np.floor(q * (len(vals) - 1)))]
+        assert abs(e / exact - 1.0) <= rel + 1e-12, (q, e, exact)
+
+
+def test_dd_sketch_merge_and_parallelism_invariance():
+    """Bin assignment is a pure function of the value, so sketches are
+    identical at any block structure and shard merges are plain addition."""
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import dd_sketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0.01, 500.0, size=5_000)
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+
+    def rows(ds):
+        return sorted(
+            map(tuple, dd_sketch(ds, "value").to_pandas().to_numpy())
+        )
+
+    one_block = rows(rd.from_arrow(t))
+    many_blocks = rows(
+        rd.from_arrow([t.slice(i, 137) for i in range(0, len(vals), 137)])
+    )
+    assert one_block == many_blocks
+    # shard-merge = concatenate partials and re-sum (what groupby did)
+    import pandas as pd
+
+    a = dd_sketch(rd.from_arrow(t.slice(0, 2500)), "value").to_pandas()
+    b = dd_sketch(rd.from_arrow(t.slice(2500)), "value").to_pandas()
+    merged = (
+        pd.concat([a, b]).groupby("bin", as_index=False)["n"].sum()
+    )
+    assert sorted(map(tuple, merged.to_numpy())) == one_block
