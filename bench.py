@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "hll_token_registers_docs",
     "normalize_text_docs",
     "mix_sources_docs",
+    "asof_join_events",
+    "topk_per_user_events",
+    "quantile_sketch_events",
+    "dedup_tier_report",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
