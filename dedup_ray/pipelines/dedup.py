@@ -88,6 +88,8 @@ def dedup_pipeline(
     With ``tier_edges_only`` the call returns ``(None, ctx)`` right after
     the tiers are populated, skipping the final edge union + clustering —
     for consumers (the tier report) that run their own CC passes.
+    Requires ``tier_edges_out`` (the flag is meaningless without a place
+    to put the tiers).
 
     ``pages_parts`` — optional ``[(part_id, fn)]`` where ``fn() -> Dataset``
     yields one slice of the pages input (e.g. one input-file group).  With
@@ -95,6 +97,8 @@ def dedup_pipeline(
     rerun re-signs only uncommitted parts (``CheckpointContext.
     run_stage_parts``); ``pages_ds`` is ignored for signing in that case.
     """
+    if tier_edges_only and tier_edges_out is None:
+        raise ValueError("tier_edges_only requires tier_edges_out")
     cfg = config or DedupConfig()
     # Native id dtype (string urls OR int64 doc ids) — threaded to every
     # edge/label schema below.  ``schema()`` on a fresh read is a

@@ -557,15 +557,32 @@ def quantile_sketch_events(sf_dir: str):
 
     # exact order statistics via a distributed value-count histogram
     # (driver state = distinct values; fine at catalog scale — the sketch
-    # is the path that replaces this at 100 TB)
+    # is the path that replaces this at 100 TB).  Filtered to the SAME
+    # domain the sketch bins (positive finite values) so both sides rank
+    # over one population; `n` in the output stays count(events) because
+    # the oracle pins that, and the sf data is all-positive — if a future
+    # generator emits v <= 0 the domain counts diverge and this assert
+    # points at the cause rather than a phantom accuracy failure.
     from ray.data.aggregate import Count
 
+    def pos_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(
+            _pc.and_(
+                _pc.is_valid(t["value"]), _pc.greater(t["value"], 0.0)
+            )
+        )
+
     vc = (
-        ds.groupby("value")
+        ds.map_batches(pos_only, batch_format="pyarrow")
+        .groupby("value")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
         .sort_values("value")
     )
+    if len(vc) == 0:
+        raise ValueError("no positive finite event values to rank")
     cum = vc["n"].cumsum().to_numpy()
     total = int(cum[-1])
     rows = []

@@ -232,6 +232,11 @@ def dd_quantiles(sketch, qs: list[float], rel_err: float = 0.01):
         if hasattr(sketch, "to_pandas")
         else pd.DataFrame(sketch)
     )
+    # a zero-row sketch arrives as a column-less frame (empty groupby)
+    if len(df) == 0 or "bin" not in df.columns or int(df["n"].sum()) == 0:
+        raise ValueError(
+            "empty sketch: no positive finite values were sketched"
+        )
     df = df.sort_values("bin").reset_index(drop=True)
     gamma = dd_gamma(rel_err)
     total = int(df["n"].sum())

@@ -157,3 +157,19 @@ def test_dd_sketch_merge_and_parallelism_invariance():
         pd.concat([a, b]).groupby("bin", as_index=False)["n"].sum()
     )
     assert sorted(map(tuple, merged.to_numpy())) == one_block
+
+
+def test_dd_sketch_empty_raises():
+    """All-nonpositive input sketches to nothing; quantile extraction must
+    fail loudly, not with an opaque IndexError."""
+    import pytest
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import dd_quantiles, dd_sketch
+
+    ds = rd.from_arrow(
+        pa.table({"value": pa.array([-1.0, 0.0, float("nan")])})
+    )
+    sk = dd_sketch(ds, "value").materialize()
+    with pytest.raises(ValueError, match="empty sketch"):
+        dd_quantiles(sk, [0.5])

@@ -78,3 +78,18 @@ def test_tier_edges_out_population():
     for name in ("exact", "near_minhash"):
         sch = tiers[name].schema()
         assert sch.names == ["id1", "id2"]
+
+
+def test_tier_edges_only_requires_out_dict():
+    import pytest
+    import ray.data as rd
+
+    from dedup_ray import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import planted_pages
+
+    pages, _ = planted_pages(n_base=5, seed=1)
+    with pytest.raises(ValueError, match="tier_edges_only"):
+        dedup_pipeline(
+            rd.from_arrow(pages), DedupConfig(), tier_edges_only=True
+        )
