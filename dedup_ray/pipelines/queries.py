@@ -600,6 +600,47 @@ def quantile_sketch_events(sf_dir: str):
     )
 
 
+def quantile_sketch_by_type_events(sf_dir: str):
+    """Grouped quantile sketch: per event_type, p50/p90 from the grouped
+    DDSketch, scored against exact per-group order statistics (the same
+    1%-bound claim as ``quantile_sketch_events``, per key).  The sketch
+    shuffle carries (group, bin, n) partials — bounded by groups × bins.
+    """
+    from dedup_ray.stages.sketch import dd_quantiles_grouped, dd_sketch_grouped
+
+    REL = 0.01
+    QS = [0.5, 0.9]
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    sk = dd_sketch_grouped(ds, "value", ["event_type"], rel_err=REL)
+    est = dd_quantiles_grouped(sk, ["event_type"], QS, rel_err=REL)
+
+    from ray.data.aggregate import Count
+
+    vc = (
+        ds.groupby(["event_type", "value"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "value"])
+    )
+    rows = []
+    for etype, g in vc.groupby("event_type"):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        for q, e in zip(QS, est[(etype,)]):
+            rank = int(np.floor(q * (total - 1)))
+            exact = float(g["value"].iloc[int(np.searchsorted(cum, rank + 1))])
+            ok = abs(e / exact - 1.0) <= REL + 1e-12
+            rows.append((etype, q, total, int(ok)))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "q": pa.array([r[1] for r in rows], pa.float64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "ok": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def topk_per_user_events(sf_dir: str):
     """Grouped top-k: each user's 3 highest-value events, ranked.
 
@@ -2382,6 +2423,14 @@ ORACLES["quantile_sketch_events"] = """
     FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS t(q)
 """
 
+ORACLES["quantile_sketch_by_type_events"] = """
+    SELECT e.event_type, t.q,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS ok
+    FROM events e, (VALUES (0.5), (0.9)) AS t(q)
+    GROUP BY 1, 2
+"""
+
 ORACLES["topk_per_user_events"] = """
     SELECT event_id, user_id, value, CAST(rank AS BIGINT) AS rank
     FROM (
@@ -2709,6 +2758,7 @@ QUERIES = {
     "range_join_events": range_join_events,
     "topk_per_user_events": topk_per_user_events,
     "quantile_sketch_events": quantile_sketch_events,
+    "quantile_sketch_by_type_events": quantile_sketch_by_type_events,
     "rolling_mean_events": rolling_mean_events,
     "pivot_event_counts": pivot_event_counts,
     "ann_topk": ann_topk,

@@ -248,3 +248,64 @@ def dd_quantiles(sketch, qs: list[float], rel_err: float = 0.01):
         b = int(df["bin"].iloc[i])
         out.append(2.0 * gamma**b / (gamma + 1.0))
     return out
+
+
+def dd_sketch_grouped(ds, value_col: str, group_cols: list[str],
+                      rel_err: float = 0.01):
+    """Grouped DDSketch: Dataset → (group_cols…, bin, n) — one grouped sum
+    merges per-batch partials, exactly the global form with the group key
+    prepended.  Extraction cost is bounded by groups × bins, not corpus
+    size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    gamma = dd_gamma(rel_err)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        keep = np.isfinite(v) & (v > 0)
+        sub = df.loc[keep, group_cols].copy()
+        sub["bin"] = dd_bins(v[keep], gamma)
+        out = (
+            sub.groupby(group_cols + ["bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_cols + ["bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def dd_quantiles_grouped(sketch, group_cols: list[str], qs: list[float],
+                         rel_err: float = 0.01):
+    """Grouped sketch rows → {group_key_tuple: [estimates per q]}."""
+    import pandas as pd
+
+    df = (
+        sketch.to_pandas()
+        if hasattr(sketch, "to_pandas")
+        else pd.DataFrame(sketch)
+    )
+    if len(df) == 0:
+        raise ValueError(
+            "empty sketch: no positive finite values were sketched"
+        )
+    gamma = dd_gamma(rel_err)
+    out = {}
+    for key, g in df.groupby(group_cols):
+        g = g.sort_values("bin")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        ests = []
+        for q in qs:
+            rank = int(np.floor(q * (total - 1)))
+            i = int(np.searchsorted(cum, rank + 1))
+            b = int(g["bin"].iloc[i])
+            ests.append(2.0 * gamma**b / (gamma + 1.0))
+        out[key if isinstance(key, tuple) else (key,)] = ests
+    return out
