@@ -233,6 +233,16 @@ def candidate_pairs(
     cfg = config or DedupConfig()
 
     def buckets_to_pairs_arrow(part: pa.Table) -> pa.Table:
+        if id_col not in part.column_names:
+            # void-schema zero-row block: an entirely-empty corpus (every
+            # page filtered upstream) reaches the exchange with no columns
+            return pa.table(
+                {
+                    "id1": pa.array([], pa.string()),
+                    "id2": pa.array([], pa.string()),
+                    "capped": pa.array([], pa.bool_()),
+                }
+            )
         id_type = part.schema.field(id_col).type  # string OR int64 corpora
         df = part.select([id_col, "band", "bhash"]).to_pandas()
         pairs, _ = emit_bucket_pairs(

@@ -128,6 +128,15 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_to_edges_arrow(part: pa.Table) -> pa.Table:
+        if id_col not in part.column_names:
+            # void-schema zero-row block (entirely-empty corpus)
+            return pa.table(
+                {
+                    "id1": pa.array([], pa.string()),
+                    "id2": pa.array([], pa.string()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
         id_type = part.schema.field(id_col).type  # string OR int64 corpora
         out = buckets_to_edges(part.to_pandas())
         return pa.table(

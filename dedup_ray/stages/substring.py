@@ -247,6 +247,15 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_arrow(part: pa.Table) -> pa.Table:
+        if id_col not in part.column_names:
+            # void-schema zero-row block (entirely-empty corpus)
+            return pa.table(
+                {
+                    "id1": pa.array([], pa.string()),
+                    "id2": pa.array([], pa.string()),
+                    "hot_chash": pa.array([], pa.int64()),
+                }
+            )
         # id dtype follows the corpus (string urls OR int64 doc ids)
         return buckets(part.to_pandas(), part.schema.field(id_col).type)
 
