@@ -222,13 +222,17 @@ def dedup_pipeline(
             # duplicate pairs inflate only the narrow pair stream between
             # the band shuffle and that join (~80B/row), not the wide
             # signature joins.
-            cands = candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False)
+            cands = candidate_pairs(
+                bands, cfg, id_col=id_col, global_dedup=False, id_type=id_type
+            )
             return verify_pairs(cands, reps, cfg, id_col=id_col, id_type=id_type)
 
         branch_stages.append(("near_edges", _near))
 
     if use_simhash:
-        branch_stages.append(("simhash_edges", lambda: simhash_edges(reps, cfg, id_col)))
+        branch_stages.append(
+            ("simhash_edges", lambda: simhash_edges(reps, cfg, id_col, id_type))
+        )
 
     # Materialize the similarity branches CONCURRENTLY: a lazy union would
     # execute them back-to-back (Ray Data runs one streaming plan per

@@ -348,7 +348,9 @@ def dedup_against_index(
 
     # ---- in-shard near edges (same plan as the batch pipeline) ----------
     in_near = verify_pairs(
-        candidate_pairs(bands, cfg, id_col=id_col, global_dedup=False),
+        candidate_pairs(
+            bands, cfg, id_col=id_col, global_dedup=False, id_type=idt
+        ),
         reps,
         cfg,
         id_col=id_col,

@@ -616,12 +616,24 @@ def quantile_sketch_by_type_events(sf_dir: str):
 
     from ray.data.aggregate import Count
 
+    # exact side ranks over the SAME positive-finite domain the sketch
+    # bins (mirrors quantile_sketch_events' pos_only rationale): a group
+    # with non-positive values would otherwise desynchronize the ranks,
+    # and an all-nonpositive group would appear here but not in `est`
+    def pos_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t["value"]), pc.greater(t["value"], 0.0))
+        )
+
     vc = (
-        ds.groupby(["event_type", "value"])
+        ds.map_batches(pos_only, batch_format="pyarrow")
+        .groupby(["event_type", "value"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()
         .sort_values(["event_type", "value"])
     )
+    if len(vc) == 0:
+        raise ValueError("no positive finite event values to rank")
     rows = []
     for etype, g in vc.groupby("event_type"):
         cum = g["n"].cumsum().to_numpy()

@@ -209,6 +209,7 @@ def candidate_pairs(
     config: DedupConfig | None = None,
     id_col: str = "url",
     global_dedup: bool = True,
+    id_type: pa.DataType | None = None,
 ):
     """Band buckets → candidate (id1, id2) pairs (id1 < id2).
 
@@ -233,16 +234,6 @@ def candidate_pairs(
     cfg = config or DedupConfig()
 
     def buckets_to_pairs_arrow(part: pa.Table) -> pa.Table:
-        if id_col not in part.column_names:
-            # void-schema zero-row block: an entirely-empty corpus (every
-            # page filtered upstream) reaches the exchange with no columns
-            return pa.table(
-                {
-                    "id1": pa.array([], pa.string()),
-                    "id2": pa.array([], pa.string()),
-                    "capped": pa.array([], pa.bool_()),
-                }
-            )
         id_type = part.schema.field(id_col).type  # string OR int64 corpora
         df = part.select([id_col, "band", "bhash"]).to_pandas()
         pairs, _ = emit_bucket_pairs(
@@ -259,8 +250,21 @@ def candidate_pairs(
             }
         )
 
+    # empty_schema covers the entirely-empty-corpus case (every page
+    # filtered upstream → all exchange blocks void); the caller supplies
+    # the corpus id dtype since a void block carries none
     pairs = exchange_group_apply(
-        bands_ds, ["band", "bhash"], buckets_to_pairs_arrow, cfg.num_partitions
+        bands_ds,
+        ["band", "bhash"],
+        buckets_to_pairs_arrow,
+        cfg.num_partitions,
+        empty_schema=pa.schema(
+            [
+                (id_col, id_type or pa.string()),
+                ("band", pa.int32()),
+                ("bhash", pa.int64()),
+            ]
+        ),
     )
     if not global_dedup:
         return pairs

@@ -94,7 +94,8 @@ def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
     )
 
 
-def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
+def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url",
+                  id_type=None):
     """Full SimHash path: band explode → inline hamming-verified edges.
 
     Shuffles: (sband, sbits) bucket formation, then a narrow (id1, id2)
@@ -128,15 +129,6 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_to_edges_arrow(part: pa.Table) -> pa.Table:
-        if id_col not in part.column_names:
-            # void-schema zero-row block (entirely-empty corpus)
-            return pa.table(
-                {
-                    "id1": pa.array([], pa.string()),
-                    "id2": pa.array([], pa.string()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
         id_type = part.schema.field(id_col).type  # string OR int64 corpora
         out = buckets_to_edges(part.to_pandas())
         return pa.table(
@@ -148,7 +140,19 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url"):
         )
 
     edges = exchange_group_apply(
-        rows, ["sband", "sbits"], buckets_to_edges_arrow, cfg.num_partitions
+        rows,
+        ["sband", "sbits"],
+        buckets_to_edges_arrow,
+        cfg.num_partitions,
+        # entirely-empty corpus → all blocks void; caller supplies id dtype
+        empty_schema=pa.schema(
+            [
+                (id_col, id_type or pa.string()),
+                ("sband", pa.int32()),
+                ("sbits", pa.int64()),
+                ("fp", pa.int64()),
+            ]
+        ),
     )
 
     def dedup_arrow(part: pa.Table) -> pa.Table:

@@ -295,17 +295,11 @@ def dd_quantiles_grouped(sketch, group_cols: list[str], qs: list[float],
         raise ValueError(
             "empty sketch: no positive finite values were sketched"
         )
-    gamma = dd_gamma(rel_err)
     out = {}
     for key, g in df.groupby(group_cols):
-        g = g.sort_values("bin")
-        cum = g["n"].cumsum().to_numpy()
-        total = int(cum[-1])
-        ests = []
-        for q in qs:
-            rank = int(np.floor(q * (total - 1)))
-            i = int(np.searchsorted(cum, rank + 1))
-            b = int(g["bin"].iloc[i])
-            ests.append(2.0 * gamma**b / (gamma + 1.0))
-        out[key if isinstance(key, tuple) else (key,)] = ests
+        # one rank-extraction implementation: delegate per group so the
+        # global and grouped estimates can never diverge
+        out[key if isinstance(key, tuple) else (key,)] = dd_quantiles(
+            g[["bin", "n"]], qs, rel_err
+        )
     return out

@@ -200,7 +200,8 @@ def explode_chunks(compact_ds, config: DedupConfig, id_col: str = "url"):
                                   batch_size=config.batch_size)
 
 
-def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "url"):
+def chunk_buckets_with_census(chunk_rows, config: DedupConfig,
+                              id_col: str = "url", id_type=None):
     """ONE chash-partitioned shuffle emitting candidate pairs AND the
     boilerplate census.
 
@@ -247,20 +248,18 @@ def chunk_buckets_with_census(chunk_rows, config: DedupConfig, id_col: str = "ur
     from dedup_ray.util.exchange import exchange_group_apply
 
     def buckets_arrow(part: pa.Table) -> pa.Table:
-        if id_col not in part.column_names:
-            # void-schema zero-row block (entirely-empty corpus)
-            return pa.table(
-                {
-                    "id1": pa.array([], pa.string()),
-                    "id2": pa.array([], pa.string()),
-                    "hot_chash": pa.array([], pa.int64()),
-                }
-            )
         # id dtype follows the corpus (string urls OR int64 doc ids)
         return buckets(part.to_pandas(), part.schema.field(id_col).type)
 
     return exchange_group_apply(
-        chunk_rows, "chash", buckets_arrow, cfg.num_partitions
+        chunk_rows,
+        "chash",
+        buckets_arrow,
+        cfg.num_partitions,
+        # entirely-empty corpus → all blocks void; caller supplies id dtype
+        empty_schema=pa.schema(
+            [(id_col, id_type or pa.string()), ("chash", pa.int64())]
+        ),
     )
 
 
@@ -411,7 +410,9 @@ def substring_edges(compact_ds, config: DedupConfig, id_col: str = "url",
     import pyarrow.compute as pc
 
     rows = explode_chunks(compact_ds, config, id_col)
-    mixed = chunk_buckets_with_census(rows, config, id_col).materialize()
+    mixed = chunk_buckets_with_census(
+        rows, config, id_col, id_type
+    ).materialize()
 
     hot_rows = mixed.map_batches(
         lambda t: t.filter(pc.is_valid(t["hot_chash"])).select(["hot_chash"]),

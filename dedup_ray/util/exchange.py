@@ -269,10 +269,29 @@ def exchange_group_apply(
     fn,
     num_partitions: int = 32,
     return_refs: bool = False,
+    empty_schema: pa.Schema | None = None,
 ):
     """Raw-exchange analog of ``partitioned_group_apply``: hash-partition on
     ``key`` (name or list of names), apply ``fn(pa.Table) -> pa.Table`` once
-    per partition.  Every row of one key lands whole in one call."""
+    per partition.  Every row of one key lands whole in one call.
+
+    ``empty_schema`` — the reducer-input schema to substitute when a
+    partition is entirely VOID (zero-row, column-less) blocks, which
+    happens exactly when the whole input stream is empty (an
+    entirely-filtered corpus).  With it, ``fn`` always sees a correctly
+    typed (possibly empty) table and needs no hand-rolled guard; without
+    it, ``fn`` must handle column-less input itself.  The caller knows
+    the true dtypes (e.g. string vs int64 corpus ids) — the exchange
+    cannot infer them from void blocks, which is why this is a parameter
+    and not automatic."""
+    if empty_schema is not None:
+        inner = fn
+
+        def fn(t: pa.Table, _inner=inner, _schema=empty_schema):
+            if t.num_rows == 0 and not t.column_names:
+                t = _schema.empty_table()
+            return _inner(t)
+
     return hash_exchange([ds], [key], fn, num_partitions, return_refs)
 
 

@@ -64,3 +64,30 @@ def test_tier_report_on_unqualified_corpus(tmp_path):
     assert len(df) == 4
     assert (df["n_unions"] == 0).all()
     assert (df["components_after"] == 0).all()
+
+
+def test_empty_corpus_int64_ids():
+    """Zero-row pipeline input with INT64 ids: the exchange void-schema
+    substitution must carry the caller's id dtype — a hardcoded string
+    empty would crash the downstream Acero signature join on mismatched
+    key types even at zero rows."""
+    import ray.data as rd
+
+    from dedup_ray import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "html": pa.array([], pa.binary()),
+            "text": pa.array([], pa.large_string()),
+            "lang": pa.array([], pa.string()),
+        }
+    )
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(empty),
+        DedupConfig(minhash_concurrency=2, num_partitions=4),
+        id_col="doc_id",
+    )
+    assert clusters.count() == 0
