@@ -342,6 +342,71 @@ def run_distributed_cc(n_edges: int = 200_000, chain: int = 50) -> dict:
     }
 
 
+def run_exchange_modes(n_blocks: int = 64, rows: int = 100_000) -> dict:
+    """Flat vs hierarchical exchange on the same group-sum job.
+
+    The hierarchical form trades one extra concat hop for a √B×P driver
+    ref bound; this entry measures what that hop costs on real data so
+    the HIERARCHICAL_REF_LIMIT default is a measured number, not a guess.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from dedup_ray.util.exchange import (
+        exchange_group_apply,
+        hash_exchange_hierarchical,
+    )
+
+    rng = np.random.default_rng(5)
+    tables = [
+        pa.table(
+            {
+                "k": pa.array(
+                    rng.integers(0, 10_000, size=rows).astype("int64")
+                ),
+                "v": pa.array(
+                    rng.integers(0, 100, size=rows).astype("int64")
+                ),
+            }
+        )
+        for _ in range(n_blocks)
+    ]
+
+    def group_sum(t: pa.Table) -> pa.Table:
+        import pyarrow as pa  # noqa: PLC0415 (worker-side import)
+
+        out = t.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    total = n_blocks * rows
+    out = {"rows": total}
+    for mode in ("flat", "hierarchical"):
+        best, n_groups = None, 0
+        for _ in range(2):  # best-of-2: first pass pays worker warm-up
+            ds = ray.data.from_arrow(tables)
+            t0 = time.perf_counter()
+            if mode == "flat":
+                res = exchange_group_apply(ds, ["k"], group_sum, 32)
+            else:
+                res = hash_exchange_hierarchical(
+                    [ds], [["k"]], group_sum, 32, group_blocks=8
+                )
+            n_groups = res.count()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        out[mode] = {
+            "sec": round(best, 3),
+            "rows_per_sec": round(total / best, 1),
+            "groups": n_groups,
+        }
+    out["hierarchical_overhead_x"] = round(
+        out["hierarchical"]["sec"] / out["flat"]["sec"], 3
+    )
+    return out
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from dedup_ray.pipelines.queries import QUERIES
 
@@ -396,6 +461,11 @@ def main() -> None:
             if args.headline_only or args.scaling_input
             else run_distributed_cc()
         )
+        exchange_modes = (
+            {}
+            if args.headline_only or args.scaling_input
+            else run_exchange_modes()
+        )
         print(
             json.dumps(
                 {
@@ -406,6 +476,7 @@ def main() -> None:
                     "queries": queries,
                     "incremental": incremental,
                     "cc_distributed": cc_distributed,
+                    "exchange_modes": exchange_modes,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "num_cpus": NUM_CPUS,
                     "docs": headline["docs"],
