@@ -186,8 +186,14 @@ def explode_chunks(compact_ds, config: DedupConfig, id_col: str = "url"):
                 h_out.append(hs)
                 ids_out.append(np.repeat(np.array(i, dtype=object), len(hs)))
         if not h_out:
+            # id dtype follows the BATCH (string urls OR int64 doc ids):
+            # a hardcoded string empty would schema-clash with the typed
+            # blocks of an int64 corpus whenever one batch has no chunks
             return pa.table(
-                {id_col: pa.array([], pa.string()), "chash": pa.array([], pa.int64())}
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "chash": pa.array([], pa.int64()),
+                }
             )
         return pa.table(
             {
