@@ -1382,6 +1382,69 @@ def coau_dist_docs(sf_dir: str):
     )
 
 
+# PageRank query constants, shared between the Ray implementation and the
+# generated DuckDB oracle so the two graphs (and the arithmetic) cannot
+# drift: edges u → expr(u) mod N per expression.  The expressions are
+# deliberately NON-injective (a linear map with gcd(a, N)=1 is a
+# permutation, making in-degree constant and PageRank trivially uniform —
+# no oracle power); quadratic + integer-division maps give an uneven
+# in-degree distribution.  Each expression is valid both as NumPy over an
+# int64 array ``u`` and, with ``u`` → ``doc_id``, as DuckDB SQL.
+PR_EDGE_EXPRS = ("u * u + 3", "u // 3 + 1")
+PR_DAMPING = 0.85
+PR_ITERS = 8
+PR_ROUND = 9
+
+
+def pagerank_docs(sf_dir: str):
+    """Distributed PageRank (``ops/pagerank.py``) over a deterministic doc
+    link graph: every doc u links to (u²+3) mod N and (u//3+1) mod N
+    (doc_ids are dense 0..N−1 in the synthetic corpus; N from one O(1)
+    count).  Two narrow exchanges per iteration, rank vector never on the
+    driver; oracle: the same power iteration unrolled as chained CTEs.
+
+    Output is integer nano-ranks (``round(pr·10⁹)``): engines' float
+    ``round()`` kernels disagree by 1 ulp on the nearest-double of a
+    rounded decimal, so hash-comparable float columns are a trap — the
+    integer is identical as long as the two sides' pre-round sums agree to
+    ≪0.5 nano, which 8 contraction iterations guarantee."""
+    from dedup_ray.ops.pagerank import pagerank
+    from dedup_ray.util.dsutil import rename_columns
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u for _ in PR_EDGE_EXPRS])
+        dst = np.concatenate(
+            [eval(expr, {"u": u}) % n for expr in PR_EDGE_EXPRS]  # noqa: S307
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = rename_columns(docs, {"doc_id": "node"})
+    pr = pagerank(
+        nodes,
+        edges,
+        damping=PR_DAMPING,
+        iters=PR_ITERS,
+        round_to=None,
+    )
+
+    def to_nano(t: pa.Table) -> pa.Table:
+        e9 = np.rint(
+            t["pagerank"].to_numpy(zero_copy_only=False) * 10.0**PR_ROUND
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["node"], "pagerank_e9": pa.array(e9, pa.int64())}
+        )
+
+    return pr.map_batches(to_nano, batch_format="pyarrow")
+
+
 def split_seed_search(sf_dir: str):
     """O5: deterministic split-seed search (``sample_seed.py:26-41``) — per
     source block (n docs, n 'en' docs), try seeds 0..499 with val-set rule
@@ -2689,6 +2752,51 @@ ORACLES["coau_dist_docs"] = """
 """
 
 
+def _pagerank_oracle() -> str:
+    """Power iteration unrolled as chained CTEs, generated from the SAME
+    constants the Ray query uses (edge formulas, damping, iteration count,
+    rounding) so graph and arithmetic cannot drift.  Every doc emits one
+    edge per formula, so out-degree is len(PR_EDGE_FORMULAS) for every node
+    and the dangling term is zero on both sides."""
+    import re
+
+    d = PR_DAMPING
+    edge_selects = " UNION ALL ".join(
+        "SELECT doc_id AS src, ("
+        + re.sub(r"\bu\b", "doc_id", expr)
+        + ") % (SELECT n FROM nn) AS dst FROM documents"
+        for expr in PR_EDGE_EXPRS
+    )
+    ctes = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS ({edge_selects})",
+        "outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS pr "
+        "FROM documents)",
+    ]
+    for k in range(PR_ITERS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT dcs.doc_id AS node, "
+            f"(1.0 - {d}) / (SELECT n FROM nn) "
+            f"+ {d} * coalesce(s.c, 0.0) AS pr "
+            "FROM documents dcs LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.pr / o.outdeg) AS c "
+            f"FROM edges e JOIN r{k} r ON r.node = e.src "
+            "JOIN outd o ON o.src = e.src GROUP BY e.dst"
+            ") s ON s.node = dcs.doc_id)"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + "\n    SELECT node AS doc_id, "
+        f"CAST(round(pr * 1e{PR_ROUND}) AS BIGINT) AS pagerank_e9"
+        f" FROM r{PR_ITERS}"
+    )
+
+
+ORACLES["pagerank_docs"] = _pagerank_oracle()
+
+
 def normalize_text_docs(sf_dir: str):
     """Unicode normalization over documents (``stages/normtext``): NFC +
     an ordered RE2 rule chain (control strip, CRLF→LF, horizontal-space
@@ -2800,6 +2908,7 @@ QUERIES = {
     "normalize_text_docs": normalize_text_docs,
     "mix_sources_docs": mix_sources_docs,
     "coau_dist_docs": coau_dist_docs,
+    "pagerank_docs": pagerank_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,
     # oracle-checked via planted-truth scorecards / pinned deterministic

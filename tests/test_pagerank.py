@@ -1,0 +1,73 @@
+"""Distributed PageRank vs a dense NumPy reference (ops/pagerank.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dedup_ray.ops.pagerank import pagerank, pagerank_reference
+
+
+def _run(n, edges, num_partitions=4, **kw):
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(range(n), pa.int64())})
+    )
+    e = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    )
+    out = (
+        pagerank(nodes, e, num_partitions=num_partitions, round_to=None, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_matches_dense_reference(ray_session):
+    n = 40
+    edges = [(u, (u * 7 + 3) % n) for u in range(n)] + [
+        (u, (u * 13 + 5) % n) for u in range(n)
+    ]
+    got = _run(n, edges)
+    want = pagerank_reference(n, edges)
+    assert np.allclose(got["pagerank"].to_numpy(), want, atol=1e-12)
+    assert got["pagerank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_nodes_redistribute(ray_session):
+    # node 3 and 4 have no out-edges; their mass spreads uniformly
+    n = 5
+    edges = [(0, 1), (1, 2), (2, 3), (2, 4), (0, 3)]
+    got = _run(n, edges)
+    want = pagerank_reference(n, edges)
+    assert np.allclose(got["pagerank"].to_numpy(), want, atol=1e-12)
+    assert got["pagerank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multi_edge_counts_per_occurrence(ray_session):
+    n = 3
+    edges = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+    got = _run(n, edges)
+    want = pagerank_reference(n, edges)
+    assert np.allclose(got["pagerank"].to_numpy(), want, atol=1e-12)
+    # node 1 receives 2/3 of node 0's emitted mass, node 2 only 1/3
+    assert got["pagerank"][1] > got["pagerank"][2]
+
+
+def test_partition_count_invariance(ray_session):
+    n = 30
+    edges = [(u, (u * 5 + 1) % n) for u in range(n)] + [
+        (u, (u * 11 + 2) % n) for u in range(n) if u % 3
+    ]
+    a = _run(n, edges, num_partitions=2)
+    b = _run(n, edges, num_partitions=8)
+    assert np.allclose(
+        a["pagerank"].to_numpy(), b["pagerank"].to_numpy(), atol=1e-12
+    )
