@@ -1445,6 +1445,46 @@ def pagerank_docs(sf_dir: str):
     return pr.map_batches(to_nano, batch_format="pyarrow")
 
 
+def similarity_join_docs(sf_dir: str):
+    """Cross-table fuzzy join (``ops/simjoin.py``): documents (≥40 tokens)
+    joined against a deterministically-derived second table (every 3rd doc
+    with its last 10 tokens dropped — a truncation near-dup) on 3-shingle
+    Jaccard ≥ 0.5, blocked on shingles with df ≤ 8 across both sides.
+    The oracle replays blocking AND verification on shingle strings, so
+    candidate generation itself is checked, not just the verify step."""
+    from dedup_ray.ops.simjoin import similarity_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def long_docs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " "
+        )
+        return t.filter(pc.greater_equal(pc.list_value_length(toks), 40))
+
+    left = docs.map_batches(long_docs, batch_format="pyarrow")
+
+    def truncate(t: pa.Table) -> pa.Table:
+        keep, out_txt = [], []
+        ids = t["doc_id"].to_pylist()
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            if ids[i] % 3 == 0 and len(toks) >= 40:
+                keep.append(ids[i])
+                out_txt.append(" ".join(toks[: len(toks) - 10]))
+        return pa.table(
+            {
+                "doc_id": pa.array(keep, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    right = docs.map_batches(truncate, batch_format="pyarrow")
+    return similarity_join(
+        left, right, "doc_id", "doc_id", k=3, tau=0.5, max_df=8
+    )
+
+
 def split_seed_search(sf_dir: str):
     """O5: deterministic split-seed search (``sample_seed.py:26-41``) — per
     source block (n docs, n 'en' docs), try seeds 0..499 with val-set rule
@@ -2909,6 +2949,7 @@ QUERIES = {
     "mix_sources_docs": mix_sources_docs,
     "coau_dist_docs": coau_dist_docs,
     "pagerank_docs": pagerank_docs,
+    "similarity_join_docs": similarity_join_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,
     # oracle-checked via planted-truth scorecards / pinned deterministic
@@ -2997,6 +3038,54 @@ ORACLES["dedup_tier_report"] = """
                 ELSE n.n40 - m.merges END AS BIGINT) AS components_after
     FROM n, m, (VALUES ('exact'), ('near_minhash'),
                        ('near_simhash'), ('substring')) AS t(tier)
+"""
+
+ORACLES["similarity_join_docs"] = """
+    WITH lt AS (
+        SELECT doc_id AS id_l, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE array_length(string_split(text, ' ')) >= 40),
+    rt AS (
+        SELECT doc_id AS id_r,
+               (string_split(text, ' '))
+                   [1 : array_length(string_split(text, ' ')) - 10] AS toks
+        FROM documents
+        WHERE doc_id % 3 = 0
+          AND array_length(string_split(text, ' ')) >= 40),
+    shl AS (
+        SELECT DISTINCT id_l, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM (SELECT id_l, toks,
+                     unnest(range(1, array_length(toks) - 1)) AS i
+              FROM lt)),
+    shr AS (
+        SELECT DISTINCT id_r, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM (SELECT id_r, toks,
+                     unnest(range(1, array_length(toks) - 1)) AS i
+              FROM rt)),
+    cardl AS (SELECT id_l, count(*) AS n_l FROM shl GROUP BY id_l),
+    cardr AS (SELECT id_r, count(*) AS n_r FROM shr GROUP BY id_r),
+    dfc AS (
+        SELECT s, count(*) AS df FROM (
+            SELECT s FROM shl UNION ALL SELECT s FROM shr) GROUP BY s),
+    rare AS (SELECT s FROM dfc WHERE df <= 8),
+    cand AS (
+        SELECT DISTINCT l.id_l, r.id_r
+        FROM shl l JOIN rare USING (s) JOIN shr r ON r.s = l.s),
+    ints AS (
+        SELECT c.id_l, c.id_r, count(*) AS inter
+        FROM cand c
+        JOIN shl a ON a.id_l = c.id_l
+        JOIN shr b ON b.id_r = c.id_r AND b.s = a.s
+        GROUP BY c.id_l, c.id_r)
+    SELECT i.id_l, i.id_r,
+           CAST(cl.n_l AS BIGINT) AS n_l,
+           CAST(cr.n_r AS BIGINT) AS n_r,
+           CAST(i.inter AS BIGINT) AS inter,
+           CAST(i.inter AS DOUBLE) / (cl.n_l + cr.n_r - i.inter) AS jaccard
+    FROM ints i
+    JOIN cardl cl USING (id_l)
+    JOIN cardr cr USING (id_r)
+    WHERE CAST(i.inter AS DOUBLE) / (cl.n_l + cr.n_r - i.inter) >= 0.5
 """
 
 ORACLES["incremental_dedup_docs"] = """
