@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "topk_per_user_events",
     "quantile_sketch_events",
     "dedup_tier_report",
+    "pagerank_docs",
+    "similarity_join_docs",
+    "similarity_self_join_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -141,6 +141,184 @@ _OUT = pa.schema(
 )
 
 
+def _prefix_rows(sets: list[np.ndarray], tau: float) -> list[np.ndarray]:
+    """Prefix-filter blocking keys: the smallest ``|X| − ⌈τ·|X|⌉ + 1``
+    hashes of each (sorted) set.
+
+    Prefix-filtering principle (Chaudhuri/Bayardo ``ppjoin`` family): if
+    ``J(A,B) ≥ τ`` then ``|A∩B| ≥ τ·max(|A|,|B|) ≥ ⌈τ·|X|⌉`` for each
+    side, and two sorted sets with overlap ≥ o must share an element in
+    their ``(|X|−o+1)``-prefixes — so blocking on prefix elements has
+    recall exactly 1 with no frequency cap.  Sets are already sorted
+    (``np.unique``)."""
+    out = []
+    for s in sets:
+        if len(s) == 0:
+            out.append(s)
+            continue
+        o = int(np.ceil(tau * len(s)))
+        out.append(s[: len(s) - o + 1])
+    return out
+
+
+def similarity_self_join(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    tau: float = 0.5,
+    num_partitions: int = 16,
+):
+    """All pairs (id1 < id2) within ONE table with shingle-set Jaccard ≥
+    ``tau`` — exact, via prefix filtering: blocking has recall 1 by the
+    prefix principle, and candidates are verified with the exact Jaccard,
+    so the output EQUALS the brute-force all-pairs answer (which is the
+    oracle).  Returns ``(id1, id2, n1, n2, inter, jaccard)``.
+
+    Skew note: prefix elements are each set's smallest hashes, so a
+    boilerplate shingle that ranks lowest for many docs makes a hot
+    bucket; the in-bucket length filter (``|B| ≥ τ·|A|`` is necessary for
+    ``J ≥ τ``) prunes pairs but the worst case stays quadratic in the
+    hottest bucket.  This operator trades skew-boundedness for an exact
+    recall contract — for adversarial corpora layer the df-capped
+    :func:`similarity_join` or the MinHash/LSH tier instead.
+    """
+
+    def per_batch(t: pa.Table):
+        sets = _doc_shingle_sets(t[text_col].to_pylist(), k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return sets, ids
+
+    def flat_full(t: pa.Table) -> pa.Table:
+        sets, ids = per_batch(t)
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "sh": pa.array(
+                    np.concatenate(sets) if sets else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                # set size rides along so the blocking step can length-filter
+                "n": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    def flat_prefix(t: pa.Table) -> pa.Table:
+        sets, ids = per_batch(t)
+        pref = _prefix_rows(sets, tau)
+        counts = np.array([len(p) for p in pref], dtype=np.int64)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "sh": pa.array(
+                    np.concatenate(pref) if pref else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.repeat(sizes, counts), pa.int64()),
+            }
+        )
+
+    full = ds.map_batches(flat_full, batch_format="pyarrow")
+    prefix = ds.map_batches(flat_prefix, batch_format="pyarrow")
+
+    flat_schema = pa.schema(
+        [("id", pa.int64()), ("sh", pa.int64()), ("n", pa.int64())]
+    )
+    cand_schema = pa.schema([("id_l", pa.int64()), ("id_r", pa.int64())])
+
+    def block(pf: pa.Table) -> pa.Table:
+        pd_ = _pd(pf, flat_schema)
+        pairs = pd_.merge(pd_, on="sh", suffixes=("_l", "_r"))
+        pairs = pairs[pairs["id_l"] < pairs["id_r"]]
+        # length filter: J >= tau requires tau*max(n_l,n_r) <= min(n_l,n_r)
+        lo = np.minimum(pairs["n_l"], pairs["n_r"])
+        hi = np.maximum(pairs["n_l"], pairs["n_r"])
+        pairs = pairs[lo >= tau * hi]
+        out = pairs[["id_l", "id_r"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(cand_schema)
+
+    cand = hash_exchange(
+        [prefix],
+        ["sh"],
+        block,
+        num_partitions=num_partitions,
+        return_refs=True,
+    )
+
+    expand_schema = pa.schema(
+        [
+            ("id_l", pa.int64()),
+            ("id_r", pa.int64()),
+            ("sh", pa.int64()),
+            ("n_l", pa.int64()),
+        ]
+    )
+
+    def attach_left(c: pa.Table, f: pa.Table) -> pa.Table:
+        cd = _pd(c, cand_schema).drop_duplicates()  # id_l co-located: global
+        fd = _pd(f, flat_schema).rename(
+            columns={"id": "id_l", "n": "n_l"}
+        )
+        j = cd.merge(fd, on="id_l")
+        return pa.Table.from_pandas(
+            j[["id_l", "id_r", "sh", "n_l"]], preserve_index=False
+        ).cast(expand_schema)
+
+    expanded = hash_exchange(
+        [cand, full],
+        ["id_l", "id"],
+        attach_left,
+        num_partitions=num_partitions,
+        return_refs=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("id1", pa.int64()),
+            ("id2", pa.int64()),
+            ("n1", pa.int64()),
+            ("n2", pa.int64()),
+            ("inter", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def verify(e: pa.Table, f: pa.Table) -> pa.Table:
+        ed = _pd(e, expand_schema)
+        fd = _pd(f, flat_schema).rename(columns={"id": "id_r", "n": "n_r"})
+        m = ed.merge(fd, on=["id_r", "sh"])
+        g = (
+            m.groupby(["id_l", "id_r", "n_l", "n_r"], as_index=False)
+            .size()
+            .rename(columns={"size": "inter"})
+        )
+        inter = g["inter"].to_numpy(dtype=np.int64)
+        union = (g["n_l"] + g["n_r"]).to_numpy(dtype=np.int64) - inter
+        jac = inter / np.maximum(union, 1)
+        out = pd.DataFrame(
+            {
+                "id1": g["id_l"],
+                "id2": g["id_r"],
+                "n1": g["n_l"],
+                "n2": g["n_r"],
+                "inter": inter,
+                "jaccard": jac,
+            }
+        )
+        return pa.Table.from_pandas(
+            out[out["jaccard"] >= tau], preserve_index=False
+        ).cast(out_schema)
+
+    return hash_exchange(
+        [expanded, full],
+        ["id_r", "id"],
+        verify,
+        num_partitions=num_partitions,
+    )
+
+
 def similarity_join(
     left_ds,
     right_ds,

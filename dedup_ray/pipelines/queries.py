@@ -1485,6 +1485,30 @@ def similarity_join_docs(sf_dir: str):
     )
 
 
+def similarity_self_join_docs(sf_dir: str):
+    """Exact all-pairs similarity self-join (``ops/simjoin.py``) over
+    documents (≥40 tokens), 3-shingle Jaccard ≥ 0.5, via prefix-filter
+    blocking whose recall is exactly 1 — so the oracle is the BRUTE-FORCE
+    all-pairs answer, checking the prefix-principle guarantee itself
+    rather than replaying the blocking."""
+    from dedup_ray.ops.simjoin import similarity_self_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def long_docs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " "
+        )
+        return t.filter(pc.greater_equal(pc.list_value_length(toks), 40))
+
+    return similarity_self_join(
+        docs.map_batches(long_docs, batch_format="pyarrow"),
+        "doc_id",
+        k=3,
+        tau=0.5,
+    )
+
+
 def split_seed_search(sf_dir: str):
     """O5: deterministic split-seed search (``sample_seed.py:26-41``) — per
     source block (n docs, n 'en' docs), try seeds 0..499 with val-set rule
@@ -2950,6 +2974,7 @@ QUERIES = {
     "coau_dist_docs": coau_dist_docs,
     "pagerank_docs": pagerank_docs,
     "similarity_join_docs": similarity_join_docs,
+    "similarity_self_join_docs": similarity_self_join_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,
     # oracle-checked via planted-truth scorecards / pinned deterministic
@@ -3086,6 +3111,34 @@ ORACLES["similarity_join_docs"] = """
     JOIN cardl cl USING (id_l)
     JOIN cardr cr USING (id_r)
     WHERE CAST(i.inter AS DOUBLE) / (cl.n_l + cr.n_r - i.inter) >= 0.5
+"""
+
+ORACLES["similarity_self_join_docs"] = """
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE array_length(string_split(text, ' ')) >= 40),
+    idx AS (
+        SELECT doc_id, toks, unnest(range(1, array_length(toks) - 1)) AS i
+        FROM docs),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM idx),
+    card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ints AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT u AS id1, v AS id2,
+           CAST(ca.n AS BIGINT) AS n1,
+           CAST(cb.n AS BIGINT) AS n2,
+           CAST(i AS BIGINT) AS inter,
+           CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM ints
+    JOIN card ca ON ca.doc_id = u
+    JOIN card cb ON cb.doc_id = v
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
 """
 
 ORACLES["incremental_dedup_docs"] = """

@@ -66,6 +66,64 @@ def test_df_cap_blocks_boilerplate_only_pairs(ray_session):
     assert len(got) == 8
 
 
+def _brute_force_pairs(rows, k=3, tau=0.5):
+    """Independent reference: all-pairs distinct-shingle Jaccard."""
+    sets = {}
+    for i, txt in rows:
+        toks = (txt or "").split(" ")
+        if len(toks) >= k:
+            sets[i] = {
+                " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+            }
+    ids = sorted(sets)
+    out = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            sa, sb = sets[ids[a]], sets[ids[b]]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                out.add((ids[a], ids[b]))
+    return out
+
+
+def test_self_join_equals_brute_force(ray_session):
+    from dedup_ray.ops.simjoin import similarity_self_join
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choices(vocab, k=25))))
+    # planted near-dup: copy with small edits
+    base = rows[5][1].split(" ")
+    base[3] = "EDIT"
+    rows.append((100, " ".join(base)))
+    got = similarity_self_join(
+        _mk(rows), "id", tau=0.5, num_partitions=4
+    ).to_pandas()
+    assert set(zip(got["id1"], got["id2"])) == _brute_force_pairs(rows)
+    assert (5, 100) in set(zip(got["id1"], got["id2"]))
+
+
+def test_self_join_tau_sweep_recall_exact(ray_session):
+    from dedup_ray.ops.simjoin import similarity_self_join
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"u{i}" for i in range(12)]  # tiny vocab -> many shared shingles
+    rows = [(i, " ".join(rng.choices(vocab, k=15))) for i in range(30)]
+    for tau in (0.2, 0.4, 0.7):
+        got = similarity_self_join(
+            _mk(rows), "id", tau=tau, num_partitions=4
+        ).to_pandas()
+        # Ray's to_pandas drops the schema when every block is empty
+        pairs = (
+            set() if got.empty else set(zip(got["id1"], got["id2"]))
+        )
+        assert pairs == _brute_force_pairs(rows, tau=tau), f"tau={tau}"
+
+
 def test_short_and_empty_docs_never_join(ray_session):
     left = _mk([(1, "a b"), (2, ""), (3, None), (4, _words(4, 40))])
     right = _mk([(1, "a b"), (4, _words(4, 40))])
