@@ -1,4 +1,4 @@
-"""Similarity (fuzzy) join between two tables on text Jaccard.
+"""Similarity (fuzzy) joins on text Jaccard: cross-table and exact self-join.
 
 The engine's dedup paths find near-duplicates WITHIN one corpus; record
 linkage across TWO tables (new crawl vs reference corpus, supplier feed vs
@@ -7,35 +7,30 @@ across sources) needs a standalone join operator:
 
     similarity_join(L, R) = { (l, r) : J(shingles(l), shingles(r)) ≥ τ }
 
-Blocking is **rare-shingle** based, not MinHash-banded, so the operator is
-exactly reproducible by an independent engine (the DuckDB oracle): a pair
-is a candidate iff it shares at least one k-shingle whose document
-frequency across BOTH sides is ≤ ``max_df``; candidates are then verified
-with the exact Jaccard over full distinct-shingle sets.  Consequences,
-documented per the custom-operator rule:
+Two variants with complementary contracts:
 
-- recall is exact for pairs sharing ≥1 rare shingle; a pair of documents
-  ALL of whose common shingles are boilerplate-frequent (> max_df) is not
-  found — at τ ≥ 0.5 such pairs are boilerplate mirrors, which the
-  substring/CDC tier targets instead;
-- the df cap bounds every blocking bucket at ``max_df`` docs (≤ max_df²/4
-  cross pairs), so no hot-shingle quadratic blow-up: the cap IS the skew
-  policy;
-- shingles travel as 64-bit keyed hashes (collision ≈ |shingles|²/2⁶⁵ —
-  negligible); the oracle compares shingle strings, so a collision would
-  surface as a hash mismatch in CI rather than silently.
+- :func:`similarity_join` (cross-table): **rare-shingle blocking** — a
+  pair is a candidate iff it shares a k-shingle with document frequency ≤
+  ``max_df`` across both sides.  The df cap bounds every blocking bucket
+  (≤ max_df²/4 cross pairs — the cap IS the skew policy) at the price of
+  missing pairs whose every common shingle is boilerplate-frequent; at
+  τ ≥ 0.5 those are boilerplate mirrors, the substring/CDC tier's job.
+- :func:`similarity_self_join`: **prefix filtering** (Chaudhuri/Bayardo
+  ``ppjoin`` family) — recall is exactly 1, so the verified output EQUALS
+  the brute-force all-pairs answer; the worst case is a hot rare shingle
+  (adversarial corpora) rather than a bounded bucket.
 
-Dataflow — three narrow exchanges, no list columns, no driver state:
+Both are engine-reproducible end to end (blocking included), which is what
+makes the DuckDB oracles possible: rare-shingle blocking is replayed in
+SQL, and the prefix-filter output is checked against brute force (the
+guarantee itself).  Shingles travel as 64-bit keyed hashes (collision ≈
+|shingles|²/2⁶⁵); the oracle compares shingle strings, so a collision
+would surface as a hash mismatch in CI rather than silently.
 
-  1. blocking: co-partition both flat ``(id, sh)`` streams on ``sh``;
-     per partition compute df, keep rare shingles, emit cross-side pairs;
-  2. left attach: co-partition candidates with the left stream on
-     ``id_l`` — pair dedup is globally correct here (every row of one
-     ``id_l`` co-locates) — and expand each pair to its left shingles
-     (bounded: candidates × |set|, candidates already df-capped);
-  3. verify: co-partition the expansion with the right stream on
-     ``id_r``; matched ``(id_r, sh)`` rows count the intersection, the
-     partition holds each right doc's whole set so ``n_r`` is exact.
+All reduce bodies are Arrow-native (Acero joins + group_by): a pandas
+``merge`` on the expansion stage measured 3.7 s single-process for a
+~10⁶-row output where Acero takes milliseconds — at 16 concurrent reduces
+that was the difference between a 30 s stage and a sub-second one.
 
 ``jaccard`` is the unrounded IEEE division ``inter / (n_l + n_r − inter)``
 — identical integer operands give the identical double on any engine, so
@@ -45,8 +40,8 @@ the column is hash-comparable without a rounding convention.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dedup_ray.util.exchange import hash_exchange
 from dedup_ray.util.hashing import stable64_array
@@ -92,7 +87,8 @@ def _doc_shingle_sets(texts: list[str | None], k: int) -> list[np.ndarray]:
 
 
 def _flat_shingles(ds, id_col: str, text_col: str, out_id: str, k: int):
-    """Flat distinct ``(id, sh)`` rows per document, streaming."""
+    """Flat distinct ``(id, sh, n)`` rows per document, streaming
+    (``n`` = the doc's set size, riding along for filters)."""
 
     def flat(t: pa.Table) -> pa.Table:
         sets = _doc_shingle_sets(t[text_col].to_pylist(), k)
@@ -105,60 +101,164 @@ def _flat_shingles(ds, id_col: str, text_col: str, out_id: str, k: int):
                     np.concatenate(sets) if sets else np.empty(0, np.int64),
                     pa.int64(),
                 ),
+                "n": pa.array(np.repeat(counts, counts), pa.int64()),
             }
         )
 
     return ds.map_batches(flat, batch_format="pyarrow")
 
 
-def _pd(t: pa.Table, schema: pa.Schema) -> pd.DataFrame:
-    """Void-block guard + pandas conversion."""
+def _guard(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Void-block guard: an entirely-empty partition arrives column-less."""
     if t.num_rows == 0 and not t.column_names:
-        t = schema.empty_table()
-    return t.to_pandas()
+        return schema.empty_table()
+    return t
 
 
-_FLAT_L = pa.schema([("id_l", pa.int64()), ("sh", pa.int64())])
-_FLAT_R = pa.schema([("id_r", pa.int64()), ("sh", pa.int64())])
+def _distinct(t: pa.Table, keys: list[str]) -> pa.Table:
+    return t.select(keys).group_by(keys).aggregate([])
+
+
+def _flat_schema(id_name: str) -> pa.Schema:
+    return pa.schema(
+        [(id_name, pa.int64()), ("sh", pa.int64()), ("n", pa.int64())]
+    )
+
+
 _CAND = pa.schema([("id_l", pa.int64()), ("id_r", pa.int64())])
 _EXPAND = pa.schema(
     [
         ("id_l", pa.int64()),
         ("id_r", pa.int64()),
+        ("n_l", pa.int64()),
         ("sh", pa.int64()),
-        ("n_l", pa.int64()),
-    ]
-)
-_OUT = pa.schema(
-    [
-        ("id_l", pa.int64()),
-        ("id_r", pa.int64()),
-        ("n_l", pa.int64()),
-        ("n_r", pa.int64()),
-        ("inter", pa.int64()),
-        ("jaccard", pa.float64()),
     ]
 )
 
 
-def _prefix_rows(sets: list[np.ndarray], tau: float) -> list[np.ndarray]:
-    """Prefix-filter blocking keys: the smallest ``|X| − ⌈τ·|X|⌉ + 1``
-    hashes of each (sorted) set.
+def _out_schema(n1: str, n2: str, i1: str, i2: str) -> pa.Schema:
+    return pa.schema(
+        [
+            (i1, pa.int64()),
+            (i2, pa.int64()),
+            (n1, pa.int64()),
+            (n2, pa.int64()),
+            ("inter", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
 
-    Prefix-filtering principle (Chaudhuri/Bayardo ``ppjoin`` family): if
-    ``J(A,B) ≥ τ`` then ``|A∩B| ≥ τ·max(|A|,|B|) ≥ ⌈τ·|X|⌉`` for each
-    side, and two sorted sets with overlap ≥ o must share an element in
-    their ``(|X|−o+1)``-prefixes — so blocking on prefix elements has
-    recall exactly 1 with no frequency cap.  Sets are already sorted
-    (``np.unique``)."""
-    out = []
-    for s in sets:
-        if len(s) == 0:
-            out.append(s)
-            continue
-        o = int(np.ceil(tau * len(s)))
-        out.append(s[: len(s) - o + 1])
-    return out
+
+def _attach_left(c: pa.Table, lf: pa.Table) -> pa.Table:
+    """Expand deduped candidate pairs with the left side's shingles.
+    Pair dedup is globally correct here: every row of one ``id_l``
+    co-locates in this partition."""
+    cd = _distinct(_guard(c, _CAND), ["id_l", "id_r"])
+    fd = _guard(lf, _flat_schema("id_l")).rename_columns(
+        ["id_l", "sh", "n_l"]
+    )
+    return cd.join(fd, keys="id_l", join_type="inner").select(
+        ["id_l", "id_r", "n_l", "sh"]
+    ).cast(_EXPAND).combine_chunks()
+
+
+def _verify(
+    e: pa.Table, rf: pa.Table, tau: float, out_schema: pa.Schema
+) -> pa.Table:
+    """Count the shingle intersection per candidate pair (the partition
+    holds each right doc's whole set, so ``n_r`` is exact) and keep pairs
+    with exact Jaccard ≥ tau."""
+    ed = _guard(e, _EXPAND)
+    rd = _guard(rf, _flat_schema("id_r")).rename_columns(["id_r", "sh", "n_r"])
+    m = ed.join(rd, keys=["id_r", "sh"], join_type="inner")
+    g = m.group_by(["id_l", "id_r", "n_l", "n_r"]).aggregate([("sh", "count")])
+    inter = g["sh_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_l = g["n_l"].to_numpy(zero_copy_only=False)
+    n_r = g["n_r"].to_numpy(zero_copy_only=False)
+    union = n_l + n_r - inter
+    jac = inter / np.maximum(union, 1)
+    keep = jac >= tau
+    names = out_schema.names
+    return pa.table(
+        {
+            names[0]: pa.array(g["id_l"].to_numpy(zero_copy_only=False)[keep]),
+            names[1]: pa.array(g["id_r"].to_numpy(zero_copy_only=False)[keep]),
+            names[2]: pa.array(n_l[keep]),
+            names[3]: pa.array(n_r[keep]),
+            "inter": pa.array(inter[keep]),
+            "jaccard": pa.array(jac[keep]),
+        }
+    ).cast(out_schema)
+
+
+def similarity_join(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    left_text: str = "text",
+    right_text: str = "text",
+    k: int = 3,
+    tau: float = 0.5,
+    max_df: int = 8,
+    num_partitions: int = 16,
+):
+    """Join rows of ``left_ds`` to rows of ``right_ds`` with shingle-set
+    Jaccard ≥ ``tau``; returns ``(id_l, id_r, n_l, n_r, inter, jaccard)``.
+
+    Dataflow — three narrow exchanges, no list columns, no driver state:
+    blocking on ``sh`` (df cap + cross-side pairs), pair dedup + left
+    expansion on ``id_l``, intersection count + Jaccard filter on ``id_r``.
+    """
+    left_flat = _flat_shingles(left_ds, left_id, left_text, "id_l", k)
+    right_flat = _flat_shingles(right_ds, right_id, right_text, "id_r", k)
+
+    def block(lf: pa.Table, rf: pa.Table) -> pa.Table:
+        ld = _guard(lf, _flat_schema("id_l"))
+        rd = _guard(rf, _flat_schema("id_r"))
+        # document frequency across BOTH sides (rows are distinct per doc;
+        # a shingle's rows all hash to this partition, so df is exact)
+        both = pa.concat_tables(
+            [ld.select(["sh"]), rd.select(["sh"])]
+        )
+        vc = pc.value_counts(both["sh"].combine_chunks())
+        rare = vc.field("values").filter(
+            pc.less_equal(vc.field("counts"), max_df)
+        )
+        ld = ld.filter(pc.is_in(ld["sh"], value_set=rare))
+        rd = rd.filter(pc.is_in(rd["sh"], value_set=rare))
+        j = ld.select(["id_l", "sh"]).join(
+            rd.select(["id_r", "sh"]), keys="sh", join_type="inner"
+        )
+        return _distinct(j, ["id_l", "id_r"]).cast(_CAND).combine_chunks()
+
+    cand = hash_exchange(
+        [left_flat, right_flat],
+        ["sh", "sh"],
+        block,
+        num_partitions=num_partitions,
+        return_refs=True,
+    )
+
+    expanded = hash_exchange(
+        [cand, left_flat],
+        ["id_l", "id_l"],
+        _attach_left,
+        num_partitions=num_partitions,
+        return_refs=True,
+    )
+
+    out_schema = _out_schema("n_l", "n_r", "id_l", "id_r")
+
+    def verify(e: pa.Table, rf: pa.Table) -> pa.Table:
+        return _verify(e, rf, tau, out_schema)
+
+    return hash_exchange(
+        [expanded, right_flat],
+        ["id_r", "id_r"],
+        verify,
+        num_partitions=num_partitions,
+    )
 
 
 def similarity_self_join(
@@ -175,230 +275,124 @@ def similarity_self_join(
     so the output EQUALS the brute-force all-pairs answer (which is the
     oracle).  Returns ``(id1, id2, n1, n2, inter, jaccard)``.
 
-    Skew note: prefix elements are each set's smallest hashes, so a
-    boilerplate shingle that ranks lowest for many docs makes a hot
-    bucket; the in-bucket length filter (``|B| ≥ τ·|A|`` is necessary for
-    ``J ≥ τ``) prunes pairs but the worst case stays quadratic in the
-    hottest bucket.  This operator trades skew-boundedness for an exact
-    recall contract — for adversarial corpora layer the df-capped
-    :func:`similarity_join` or the MinHash/LSH tier instead.
+    Prefix-filtering principle (Chaudhuri/Bayardo ``ppjoin`` family): if
+    ``J(A,B) ≥ τ`` then ``|A∩B| ≥ τ·max(|A|,|B|) ≥ ⌈τ·|X|⌉`` for each
+    side, and two sets with overlap ≥ o must share an element in their
+    ``(|X|−o+1)``-prefixes **under any one global element order** — so
+    blocking on prefix elements has recall exactly 1.  The canonical
+    order here is ascending (document frequency, hash): prefixes hold
+    each set's RAREST shingles, so boilerplate never enters a prefix
+    unless a set is tiny — which keeps candidate counts near the shared-
+    rare-shingle pair count instead of quadratic.  Worst case is still a
+    hot RARE shingle (adversarial corpora): layer the df-capped
+    :func:`similarity_join` or the MinHash/LSH tier when that matters
+    more than the exactness contract.
+
+    Dataflow — five narrow exchanges, no broadcast (the df table is
+    corpus-sized at web scale, so frequencies are attached by
+    co-partition on ``sh``, never shipped whole):
+
+      1. df-annotate: flat ``(id, sh, n)`` co-partitioned on ``sh``;
+      2. prefix: co-partition on ``id``; per doc rank by (df, sh)
+         ascending, keep ranks < ``|X| − ⌈τ|X|⌉ + 1``;
+      3. block on ``sh``: in-bucket self-pairs + length filter
+         (``τ·max(n_l, n_r) ≤ min`` is necessary for J ≥ τ);
+      4-5. expansion + intersection count, shared with the cross join.
     """
+    full = _flat_shingles(ds, id_col, text_col, "id", k)
 
-    def per_batch(t: pa.Table):
-        sets = _doc_shingle_sets(t[text_col].to_pylist(), k)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return sets, ids
-
-    def flat_full(t: pa.Table) -> pa.Table:
-        sets, ids = per_batch(t)
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        return pa.table(
-            {
-                "id": pa.array(np.repeat(ids, counts), pa.int64()),
-                "sh": pa.array(
-                    np.concatenate(sets) if sets else np.empty(0, np.int64),
-                    pa.int64(),
-                ),
-                # set size rides along so the blocking step can length-filter
-                "n": pa.array(np.repeat(counts, counts), pa.int64()),
-            }
-        )
-
-    def flat_prefix(t: pa.Table) -> pa.Table:
-        sets, ids = per_batch(t)
-        pref = _prefix_rows(sets, tau)
-        counts = np.array([len(p) for p in pref], dtype=np.int64)
-        sizes = np.array([len(s) for s in sets], dtype=np.int64)
-        return pa.table(
-            {
-                "id": pa.array(np.repeat(ids, counts), pa.int64()),
-                "sh": pa.array(
-                    np.concatenate(pref) if pref else np.empty(0, np.int64),
-                    pa.int64(),
-                ),
-                "n": pa.array(np.repeat(sizes, counts), pa.int64()),
-            }
-        )
-
-    full = ds.map_batches(flat_full, batch_format="pyarrow")
-    prefix = ds.map_batches(flat_prefix, batch_format="pyarrow")
-
-    flat_schema = pa.schema(
-        [("id", pa.int64()), ("sh", pa.int64()), ("n", pa.int64())]
+    flat_schema = _flat_schema("id")
+    ann_schema = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("sh", pa.int64()),
+            ("n", pa.int64()),
+            ("df", pa.int64()),
+        ]
     )
-    cand_schema = pa.schema([("id_l", pa.int64()), ("id_r", pa.int64())])
+
+    def annotate_df(f: pa.Table) -> pa.Table:
+        fd = _guard(f, flat_schema)
+        counts = fd.group_by(["sh"]).aggregate([("id", "count")])
+        j = fd.join(counts, keys="sh", join_type="inner").select(
+            ["id", "sh", "n", "id_count"]
+        )
+        return j.rename_columns(["id", "sh", "n", "df"]).cast(
+            ann_schema
+        ).combine_chunks()
+
+    annotated = hash_exchange(
+        [full], ["sh"], annotate_df,
+        num_partitions=num_partitions, return_refs=True,
+    )
+
+    def take_prefix(a: pa.Table) -> pa.Table:
+        ad = _guard(a, ann_schema)
+        order = pc.sort_indices(
+            ad,
+            sort_keys=[("id", "ascending"), ("df", "ascending"),
+                       ("sh", "ascending")],
+        )
+        ad = ad.take(order)
+        ids = ad["id"].to_numpy(zero_copy_only=False)
+        # rank within doc: position minus the doc's first-row position
+        starts = np.searchsorted(ids, ids, side="left")
+        rank = np.arange(len(ids), dtype=np.int64) - starts
+        n = ad["n"].to_numpy(zero_copy_only=False)
+        plen = n - np.ceil(tau * n).astype(np.int64) + 1
+        return ad.filter(pa.array(rank < plen)).select(
+            ["id", "sh", "n"]
+        ).combine_chunks()
+
+    prefix = hash_exchange(
+        [annotated], ["id"], take_prefix,
+        num_partitions=num_partitions, return_refs=True,
+    )
 
     def block(pf: pa.Table) -> pa.Table:
-        pd_ = _pd(pf, flat_schema)
-        pairs = pd_.merge(pd_, on="sh", suffixes=("_l", "_r"))
-        pairs = pairs[pairs["id_l"] < pairs["id_r"]]
-        # length filter: J >= tau requires tau*max(n_l,n_r) <= min(n_l,n_r)
-        lo = np.minimum(pairs["n_l"], pairs["n_r"])
-        hi = np.maximum(pairs["n_l"], pairs["n_r"])
-        pairs = pairs[lo >= tau * hi]
-        out = pairs[["id_l", "id_r"]].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False).cast(cand_schema)
+        t = _guard(pf, flat_schema)
+        lf = t.rename_columns(["id_l", "sh", "n_l"])
+        rf = t.rename_columns(["id_r", "sh", "n_r"])
+        j = lf.join(rf, keys="sh", join_type="inner")
+        n_l = j["n_l"].to_numpy(zero_copy_only=False)
+        n_r = j["n_r"].to_numpy(zero_copy_only=False)
+        id_l = j["id_l"].to_numpy(zero_copy_only=False)
+        id_r = j["id_r"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(n_l, n_r)
+        hi = np.maximum(n_l, n_r)
+        keep = (id_l < id_r) & (lo >= tau * hi)
+        return _distinct(
+            j.filter(pa.array(keep)), ["id_l", "id_r"]
+        ).cast(_CAND).combine_chunks()
 
     cand = hash_exchange(
-        [prefix],
-        ["sh"],
-        block,
-        num_partitions=num_partitions,
-        return_refs=True,
+        [prefix], ["sh"], block,
+        num_partitions=num_partitions, return_refs=True,
     )
 
-    expand_schema = pa.schema(
-        [
-            ("id_l", pa.int64()),
-            ("id_r", pa.int64()),
-            ("sh", pa.int64()),
-            ("n_l", pa.int64()),
-        ]
+    full_l = full.map_batches(
+        lambda t: t.rename_columns(["id_l", "sh", "n"]),
+        batch_format="pyarrow",
     )
-
-    def attach_left(c: pa.Table, f: pa.Table) -> pa.Table:
-        cd = _pd(c, cand_schema).drop_duplicates()  # id_l co-located: global
-        fd = _pd(f, flat_schema).rename(
-            columns={"id": "id_l", "n": "n_l"}
-        )
-        j = cd.merge(fd, on="id_l")
-        return pa.Table.from_pandas(
-            j[["id_l", "id_r", "sh", "n_l"]], preserve_index=False
-        ).cast(expand_schema)
-
     expanded = hash_exchange(
-        [cand, full],
-        ["id_l", "id"],
-        attach_left,
-        num_partitions=num_partitions,
-        return_refs=True,
-    )
-
-    out_schema = pa.schema(
-        [
-            ("id1", pa.int64()),
-            ("id2", pa.int64()),
-            ("n1", pa.int64()),
-            ("n2", pa.int64()),
-            ("inter", pa.int64()),
-            ("jaccard", pa.float64()),
-        ]
-    )
-
-    def verify(e: pa.Table, f: pa.Table) -> pa.Table:
-        ed = _pd(e, expand_schema)
-        fd = _pd(f, flat_schema).rename(columns={"id": "id_r", "n": "n_r"})
-        m = ed.merge(fd, on=["id_r", "sh"])
-        g = (
-            m.groupby(["id_l", "id_r", "n_l", "n_r"], as_index=False)
-            .size()
-            .rename(columns={"size": "inter"})
-        )
-        inter = g["inter"].to_numpy(dtype=np.int64)
-        union = (g["n_l"] + g["n_r"]).to_numpy(dtype=np.int64) - inter
-        jac = inter / np.maximum(union, 1)
-        out = pd.DataFrame(
-            {
-                "id1": g["id_l"],
-                "id2": g["id_r"],
-                "n1": g["n_l"],
-                "n2": g["n_r"],
-                "inter": inter,
-                "jaccard": jac,
-            }
-        )
-        return pa.Table.from_pandas(
-            out[out["jaccard"] >= tau], preserve_index=False
-        ).cast(out_schema)
-
-    return hash_exchange(
-        [expanded, full],
-        ["id_r", "id"],
-        verify,
-        num_partitions=num_partitions,
-    )
-
-
-def similarity_join(
-    left_ds,
-    right_ds,
-    left_id: str,
-    right_id: str,
-    left_text: str = "text",
-    right_text: str = "text",
-    k: int = 3,
-    tau: float = 0.5,
-    max_df: int = 8,
-    num_partitions: int = 16,
-):
-    """Join rows of ``left_ds`` to rows of ``right_ds`` with shingle-set
-    Jaccard ≥ ``tau``; returns ``(id_l, id_r, n_l, n_r, inter, jaccard)``."""
-    left_flat = _flat_shingles(left_ds, left_id, left_text, "id_l", k)
-    right_flat = _flat_shingles(right_ds, right_id, right_text, "id_r", k)
-
-    def block(lf: pa.Table, rf: pa.Table) -> pa.Table:
-        ld = _pd(lf, _FLAT_L)
-        rd = _pd(rf, _FLAT_R)
-        # document frequency across BOTH sides (rows are distinct per doc;
-        # a shingle's rows all hash to this partition, so df is exact)
-        df = pd.concat([ld["sh"], rd["sh"]]).value_counts()
-        rare = df[df <= max_df].index
-        ld = ld[ld["sh"].isin(rare)]
-        rd = rd[rd["sh"].isin(rare)]
-        pairs = ld.merge(rd, on="sh")[["id_l", "id_r"]].drop_duplicates()
-        return pa.Table.from_pandas(pairs, preserve_index=False).cast(_CAND)
-
-    cand = hash_exchange(
-        [left_flat, right_flat],
-        ["sh", "sh"],
-        block,
-        num_partitions=num_partitions,
-        return_refs=True,
-    )
-
-    def attach_left(c: pa.Table, lf: pa.Table) -> pa.Table:
-        cd = _pd(c, _CAND).drop_duplicates()  # global: id_l co-located
-        ld = _pd(lf, _FLAT_L)
-        n_l = ld.groupby("id_l").size().rename("n_l")
-        j = cd.merge(ld, on="id_l").join(n_l, on="id_l")
-        return pa.Table.from_pandas(
-            j[["id_l", "id_r", "sh", "n_l"]], preserve_index=False
-        ).cast(_EXPAND)
-
-    expanded = hash_exchange(
-        [cand, left_flat],
+        [cand, full_l],
         ["id_l", "id_l"],
-        attach_left,
+        _attach_left,
         num_partitions=num_partitions,
         return_refs=True,
     )
+
+    full_r = full.map_batches(
+        lambda t: t.rename_columns(["id_r", "sh", "n"]),
+        batch_format="pyarrow",
+    )
+    out_schema = _out_schema("n1", "n2", "id1", "id2")
 
     def verify(e: pa.Table, rf: pa.Table) -> pa.Table:
-        ed = _pd(e, _EXPAND)
-        rd = _pd(rf, _FLAT_R)
-        n_r = rd.groupby("id_r").size().rename("n_r")
-        m = ed.merge(rd, on=["id_r", "sh"])
-        g = m.groupby(["id_l", "id_r", "n_l"], as_index=False).size()
-        g = g.rename(columns={"size": "inter"}).join(n_r, on="id_r")
-        inter = g["inter"].to_numpy(dtype=np.int64)
-        union = (g["n_l"] + g["n_r"]).to_numpy(dtype=np.int64) - inter
-        jac = inter / np.maximum(union, 1)
-        out = pd.DataFrame(
-            {
-                "id_l": g["id_l"],
-                "id_r": g["id_r"],
-                "n_l": g["n_l"],
-                "n_r": g["n_r"],
-                "inter": inter,
-                "jaccard": jac,
-            }
-        )
-        return pa.Table.from_pandas(
-            out[out["jaccard"] >= tau], preserve_index=False
-        ).cast(_OUT)
+        return _verify(e, rf, tau, out_schema)
 
     return hash_exchange(
-        [expanded, right_flat],
+        [expanded, full_r],
         ["id_r", "id_r"],
         verify,
         num_partitions=num_partitions,
