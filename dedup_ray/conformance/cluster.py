@@ -267,6 +267,107 @@ def kruskal_constrained_cluster(
     return as_arrow(pairs_ds.groupby(block_col).map_groups(f, batch_format="pandas"))
 
 
+def affinity_propagation_block(
+    pairs: pd.DataFrame,
+    preference: float | None = None,
+    damping: float = 0.9,
+    max_iter: int = 500,
+    conv_iter: int = 50,
+) -> pd.DataFrame:
+    """G9: affinity propagation over one block's pair similarities.
+
+    Reference shape: ``ap_cluster.R:16-34`` — per-name pair predictions are
+    spread into a dense similarity matrix and handed to ``apcluster``.  This
+    is the standard Frey–Dueck message-passing algorithm (Science 315, 2007)
+    vectorized in numpy: responsibilities ``r(i,k) = s(i,k) − max_{k'≠k}
+    (a(i,k') + s(i,k'))`` and availabilities ``a(i,k) = min(0, r(k,k) +
+    Σ_{i'∉{i,k}} max(0, r(i',k)))`` with damping, exemplars where
+    ``a(k,k)+r(k,k) > 0``.  Defaults mirror apcluster: preference = median
+    of the observed similarities, damping 0.9.  Missing pairs (the matrix is
+    built from an id1<id2 edge list) get a similarity below the observed
+    range, the dense analog of apcluster's sparse −Inf.
+
+    Deterministic: no jitter is added (ties break toward the lower index),
+    so repeated runs and different parallelism give identical clusters.
+
+    Input columns: ``id1, id2, sim``.  Output: ``(id, cluster_rep)`` with
+    ``cluster_rep`` = the exemplar's id.  Dense O(n²) state per block — the
+    same per-name locality assumption the reference makes; blocks must stay
+    bounded (SURVEY.md §4 skew note).
+    """
+    ids = np.unique(
+        np.concatenate([pairs["id1"].to_numpy(), pairs["id2"].to_numpy()])
+    )
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame({"id": ids, "cluster_rep": ids})
+    if n == 1:
+        return pd.DataFrame({"id": ids, "cluster_rep": ids})
+    pos = {v: i for i, v in enumerate(ids)}
+    sims = pairs["sim"].to_numpy(dtype=np.float64)
+    if preference is None:
+        preference = float(np.median(sims)) if len(sims) else 0.0
+    lo = float(sims.min()) if len(sims) else 0.0
+    hi = float(sims.max()) if len(sims) else 0.0
+    fill = lo - (hi - lo) - 1.0
+    S = np.full((n, n), fill, dtype=np.float64)
+    i1 = np.fromiter((pos[v] for v in pairs["id1"]), dtype=np.int64, count=len(pairs))
+    i2 = np.fromiter((pos[v] for v in pairs["id2"]), dtype=np.int64, count=len(pairs))
+    S[i1, i2] = sims
+    S[i2, i1] = sims
+    np.fill_diagonal(S, preference)
+
+    R = np.zeros((n, n))
+    A = np.zeros((n, n))
+    idx = np.arange(n)
+    last_e = None
+    stable = 0
+    for _ in range(max_iter):
+        # responsibilities
+        AS = A + S
+        first = AS.argmax(axis=1)
+        max1 = AS[idx, first]
+        AS[idx, first] = -np.inf
+        max2 = AS.max(axis=1)
+        Rn = S - max1[:, None]
+        Rn[idx, first] = S[idx, first] - max2
+        R = damping * R + (1.0 - damping) * Rn
+        # availabilities
+        Rp = np.maximum(R, 0.0)
+        Rp[idx, idx] = R[idx, idx]
+        colsum = Rp.sum(axis=0)
+        An = np.minimum(0.0, colsum[None, :] - Rp)
+        An[idx, idx] = colsum - Rp[idx, idx]
+        A = damping * A + (1.0 - damping) * An
+        e = (A[idx, idx] + R[idx, idx]) > 0
+        if last_e is not None and np.array_equal(e, last_e):
+            stable += 1
+            if stable >= conv_iter and e.any():
+                break
+        else:
+            stable = 0
+        last_e = e
+    exemplars = np.flatnonzero((A[idx, idx] + R[idx, idx]) > 0)
+    if len(exemplars) == 0:
+        exemplars = np.array([int((A[idx, idx] + R[idx, idx]).argmax())])
+    assign = exemplars[S[:, exemplars].argmax(axis=1)]
+    assign[exemplars] = exemplars
+    return pd.DataFrame({"id": ids, "cluster_rep": ids[assign]})
+
+
+def affinity_propagation_cluster(pairs_ds, block_col: str = "name", **kw):
+    """Distributed G9: per-block AP via map_groups (ap_cluster.R's per-name
+    loop, one bounded task per block).  Input: Dataset(block, id1, id2, sim).
+    """
+
+    def f(group: pd.DataFrame) -> pd.DataFrame:
+        out = affinity_propagation_block(group[["id1", "id2", "sim"]], **kw)
+        out.insert(0, block_col, group[block_col].iloc[0])
+        return out
+
+    return as_arrow(pairs_ds.groupby(block_col).map_groups(f, batch_format="pandas"))
+
+
 def kruskal_likelihood_cluster(pairs_ds, block_col: str = "name"):
     """Distributed G7+G8: per-block merge-trace clustering via map_groups.
 

@@ -338,6 +338,37 @@ def diff_nchars_pairs(sf_dir: str):
     return as_arrow(ds.groupby("source").map_groups(gen, batch_format="pandas"))
 
 
+def ap_cluster_docs(sf_dir: str):
+    """G9: affinity propagation per source block (``ap_cluster.R:16-34``).
+
+    Pair similarity = −|Δn_chars| (negative distance, the canonical AP
+    input); exemplars/assignments from the Frey–Dueck iteration in
+    :func:`dedup_ray.conformance.cluster.affinity_propagation_block`.
+    Rows-only: the fixed-point of a damped message-passing iteration is not
+    SQL-expressible (same class as simhash_docs/fingerprint_docs); the
+    algorithm itself is pytest-verified on planted-blob fixtures.
+    """
+    from dedup_ray.conformance.cluster import affinity_propagation_block
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        nc = g["n_chars"].to_numpy(dtype=np.float64)
+        a, b = np.triu_indices(len(ids), k=1)
+        pairs = pd.DataFrame(
+            {"id1": ids[a], "id2": ids[b], "sim": -np.abs(nc[a] - nc[b])}
+        )
+        out = affinity_propagation_block(pairs)
+        out.insert(0, "source", group["source"].iloc[0])
+        return out.rename(columns={"id": "doc_id"})
+
+    return as_arrow(
+        ds.groupby("source").map_groups(per_block, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # G-series: graph / clustering / evaluation
 # --------------------------------------------------------------------------
@@ -2928,6 +2959,7 @@ QUERIES = {
     "mode_event_type": mode_event_type,
     "top_orders": top_orders,
     "block_pairs_docs": block_pairs_docs,
+    "ap_cluster_docs": ap_cluster_docs,
     "pair_token_overlap": pair_token_overlap,
     "diff_nchars_pairs": diff_nchars_pairs,
     "cc_chain_docs": cc_chain_docs,

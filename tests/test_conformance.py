@@ -254,3 +254,76 @@ def test_kruskal_constrained_cluster_per_block():
     reps = out.set_index("id")["cluster_rep"].to_dict()
     assert reps["n1-a"] != reps["n1-c"]  # constrained block split
     assert reps["n2-a"] == reps["n2-b"] == reps["n2-c"]  # free block merged
+
+
+def test_affinity_propagation_planted_blobs():
+    """G9: AP recovers planted line blobs; exemplars are the blob centers."""
+    from dedup_ray.conformance.cluster import affinity_propagation_block
+
+    xs = [0, 1, 2, 10, 11, 12, 20, 21, 22]
+    rows = [
+        (i, j, -abs(xs[i] - xs[j]))
+        for i, j in it.combinations(range(len(xs)), 2)
+    ]
+    pairs = pd.DataFrame(rows, columns=["id1", "id2", "sim"])
+    out = affinity_propagation_block(pairs)
+    groups = sorted(
+        sorted(g) for g in out.groupby("cluster_rep")["id"].apply(list)
+    )
+    assert groups == [[0, 1, 2], [3, 4, 5], [6, 7, 8]]
+    # exemplars are members of their own cluster (the blob centers here)
+    assert set(out["cluster_rep"]) == {1, 4, 7}
+    # deterministic: no jitter, identical rerun
+    assert out.equals(affinity_propagation_block(pairs))
+
+
+def test_affinity_propagation_distributed_matches_local():
+    from dedup_ray.conformance.cluster import (
+        affinity_propagation_block,
+        affinity_propagation_cluster,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for blk in ("a", "b", "c"):
+        xs = np.sort(rng.randint(0, 100, size=12))
+        a, b = np.triu_indices(len(xs), k=1)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "name": blk,
+                    "id1": a,
+                    "id2": b,
+                    "sim": -np.abs(xs[a] - xs[b]).astype(float),
+                }
+            )
+        )
+    pairs = pd.concat(frames, ignore_index=True)
+    got = (
+        affinity_propagation_cluster(rd.from_pandas(pairs), block_col="name")
+        .to_pandas()
+        .sort_values(["name", "id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for blk, g in pairs.groupby("name"):
+        o = affinity_propagation_block(g[["id1", "id2", "sim"]])
+        o.insert(0, "name", blk)
+        want.append(o)
+    want = (
+        pd.concat(want, ignore_index=True)
+        .sort_values(["name", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_affinity_propagation_degenerate():
+    from dedup_ray.conformance.cluster import affinity_propagation_block
+
+    # single pair: one cluster, exemplar = lower id
+    p2 = pd.DataFrame({"id1": [0], "id2": [1], "sim": [-1.0]})
+    out = affinity_propagation_block(p2)
+    assert len(out) == 2 and out["cluster_rep"].nunique() == 1
+    # every point assigned exactly once
+    assert out["id"].is_unique
