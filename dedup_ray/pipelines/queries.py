@@ -1720,6 +1720,19 @@ def embed_cosine_dup_pairs(sf_dir: str):
     return cosine_dup_edges(emb, "label", threshold=0.3)
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic pruning (Abbas et al. 2023) over the embeddings
+    table: k-means cells → within-cell cos>=tau components → keep the
+    member farthest from its centroid.  Rows-only: the k-means fixed point
+    is not SQL-expressible (same class as ap_cluster_docs); the policy and
+    the distributed machinery are pytest-verified (planted groups, local
+    parity, partition invariance) in tests/test_semdedup.py."""
+    from dedup_ray.stages.semdedup import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, n_cells=8, tau=0.3, num_partitions=8)
+
+
 def embed_cosine_dedup_docs(sf_dir: str):
     """Full embedding-cosine near-dup pipeline FROM TEXT over the planted
     amplified corpus: hashed-feature embeddings (deterministic,
@@ -3020,6 +3033,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "logistic_score_embeddings": logistic_score_embeddings,
     "embed_cosine_dedup_docs": embed_cosine_dedup_docs,
+    "semdedup_embeddings": semdedup_embeddings,
     "lang_id_docs": lang_id_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
