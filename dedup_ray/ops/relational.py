@@ -267,6 +267,50 @@ def focus_entity_org_bag(ds, block_col: str, name_col: str, org_col: str,
     )
 
 
+def cap_per_key(
+    ds,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    num_partitions: int = 16,
+):
+    """Deterministic per-key cap: keep at most ``k`` rows per key.
+
+    The web-pipeline shape is "at most K pages per host" — without a cap a
+    crawler-trap domain dominates the corpus.  Selection must not depend on
+    arrival order, so members are ranked by ``md5(f"{seed}:{id}")`` (tie:
+    id) — a pure function of (id, seed), making the kept set identical at
+    any parallelism and reproducible by a SQL oracle (``row_number`` over
+    the same md5 ordering).  One narrow (key, id) exchange; per-partition
+    work is a vectorized sort + grouped head.
+    """
+    from dedup_ray.util.dsutil import partitioned_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return part[[key_col, id_col]]
+        part = part.copy()
+        part["__rk"] = [
+            d[:16]
+            for d in content_digest(
+                [f"{seed}:{v}" for v in part[id_col].tolist()], algo="md5"
+            )
+        ]
+        part = part.sort_values(["__rk", id_col], kind="mergesort")
+        return part.groupby(key_col, sort=False).head(k)[[key_col, id_col]]
+
+    return as_arrow(
+        partitioned_group_apply(
+            ds.select_columns([key_col, id_col]),
+            [key_col],
+            per_part,
+            num_partitions=num_partitions,
+        )
+    )
+
+
 def distinct_rows(ds, cols: list[str]):
     """D1: distinct over a column subset (groupby keep-first)."""
 

@@ -2940,6 +2940,66 @@ def mix_sources_docs(sf_dir: str):
     )
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 17
+HOST_CAP_K = 10
+HOST_CAP_SEED = 42
+
+
+def split_assign_docs(sf_dir: str):
+    """Deterministic train/val/test assignment by keyed md5 bucket
+    (``stages/mixing.split_assign``): shuffle-free, append-stable, the SQL
+    oracle is generated from the SAME fractions dict."""
+    from dedup_ray.stages.mixing import split_assign
+
+    return split_assign(
+        _read(sf_dir, "documents", columns=["doc_id"]),
+        SPLIT_FRACTIONS,
+        seed=SPLIT_SEED,
+    )
+
+
+def cap_per_host_docs(sf_dir: str):
+    """Per-key deterministic cap (``ops/relational.cap_per_key``): at most
+    K docs per source, ranked by keyed md5 so the kept set is identical at
+    any parallelism.  The crawler-trap-domain guard of a web pipeline."""
+    from dedup_ray.ops.relational import cap_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_key(
+        ds, "source", "doc_id", k=HOST_CAP_K, seed=HOST_CAP_SEED,
+        num_partitions=8,
+    )
+
+
+def filter_below_quantile_docs(sf_dir: str):
+    """Global-threshold filter: drop documents below the exact 0.1 length
+    quantile.  The threshold comes from the value-count histogram (partial
+    per-batch counts → one grouped sum → driver cumsum over DISTINCT
+    values — state bounded by max doc length, not corpus size), then one
+    broadcast-threshold filter pass.  Quantile def sorted[floor(q·(n−1))]
+    on both sides."""
+    q = 0.1
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"n_chars": pa.array(v, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    hist = as_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_chars").sum("cnt")
+    ).to_pandas().sort_values("n_chars")
+    cum = np.cumsum(hist["sum(cnt)"].to_numpy())
+    n = int(cum[-1])
+    idx = int(np.floor(np.float64(q) * (n - 1)))
+    thr = int(hist["n_chars"].to_numpy()[np.searchsorted(cum, idx + 1)])
+    return ds.filter(expr=f"n_chars >= {thr}")
+
+
 def _register_generated_oracles() -> None:
     # generated from the SAME rule list / weights dict the kernels use
     from dedup_ray.stages.mixing import mix_sql
@@ -2949,6 +3009,28 @@ def _register_generated_oracles() -> None:
         f"SELECT doc_id, {norm_sql_expr('text')} AS text FROM documents"
     )
     ORACLES["mix_sources_docs"] = mix_sql(MIX_WEIGHTS, seed=MIX_SEED)
+    from dedup_ray.stages.mixing import split_sql
+
+    ORACLES["split_assign_docs"] = split_sql(SPLIT_FRACTIONS, seed=SPLIT_SEED)
+    ORACLES["cap_per_host_docs"] = f"""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5('{HOST_CAP_SEED}:' || doc_id), 1, 16),
+                                doc_id) AS rn
+            FROM documents) WHERE rn <= {HOST_CAP_K}
+    """
+    ORACLES["filter_below_quantile_docs"] = """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (
+            SELECT n_chars FROM (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars) AS rn,
+                       count(*) OVER () AS n
+                FROM documents)
+            WHERE rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1)
+    """
 
 
 _register_generated_oracles()
@@ -3016,6 +3098,9 @@ QUERIES = {
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
     "mix_sources_docs": mix_sources_docs,
+    "split_assign_docs": split_assign_docs,
+    "cap_per_host_docs": cap_per_host_docs,
+    "filter_below_quantile_docs": filter_below_quantile_docs,
     "coau_dist_docs": coau_dist_docs,
     "pagerank_docs": pagerank_docs,
     "similarity_join_docs": similarity_join_docs,

@@ -158,3 +158,93 @@ def mix_sql(
            OR substr(md5('{seed}' || ':' || e.epoch || ':' || w.{id_col}),
                      1, 8) < w.thr
     """
+
+
+def split_thresholds_hex(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, cumulative 8-hex upper bound)], last bound = 'ffffffff'+.
+
+    Cumulative fractions land on the same 32-bit grid as
+    :func:`frac_threshold_hex`, so engine and SQL oracle share the exact
+    boundary strings.
+    """
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    out, cum = [], 0.0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        cum += fractions[name]
+        bound = (
+            "g" * 8  # lexicographically above every hex digest prefix
+            if i == len(names) - 1
+            else format(min(int(cum * 2**32), 2**32 - 1), "08x")
+        )
+        out.append((name, bound))
+    return out
+
+
+def split_assign(
+    ds,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Deterministic train/val/test assignment by keyed md5 bucket.
+
+    ``split = first name whose cumulative bound exceeds
+    md5(f"{seed}:split:{id}")[:8]`` — a pure function of (id, seed): no
+    shuffle, stable under repartitioning/retries/appends (a new document
+    never moves an old one between splits), and reproducible by any
+    engine.  The ':split:' salt decorrelates it from the mixing-epoch
+    hash so splitting and up-weighting stay independent decisions.
+    """
+    bounds = split_thresholds_hex(fractions)
+
+    def f(t: pa.Table) -> pa.Table:
+        idt = t[id_col].type
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], idt),
+                 "split": pa.array([], pa.string())}
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pref = np.array(
+            [
+                d[:8]
+                for d in content_digest(
+                    [f"{seed}:split:{v}" for v in ids.tolist()], algo="md5"
+                )
+            ]
+        )
+        split = np.full(len(ids), bounds[-1][0], dtype=object)
+        assigned = np.zeros(len(ids), dtype=bool)
+        for name, bound in bounds[:-1]:
+            m = ~assigned & (pref < bound)
+            split[m] = name
+            assigned |= m
+        return pa.table(
+            {id_col: t[id_col], "split": pa.array(split, pa.string())}
+        )
+
+    return ds.select_columns([id_col]).map_batches(f, batch_format="pyarrow")
+
+
+def split_sql(
+    fractions: dict[str, float],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB query equivalent to :func:`split_assign`, generated from the
+    SAME fractions dict (boundary hex strings shared via
+    :func:`split_thresholds_hex`)."""
+    bounds = split_thresholds_hex(fractions)
+    whens = " ".join(
+        f"WHEN substr(md5('{seed}' || ':split:' || {id_col}), 1, 8) "
+        f"< '{bound}' THEN '{name}'"
+        for name, bound in bounds[:-1]
+    )
+    return f"""
+        SELECT {id_col},
+               CASE {whens} ELSE '{bounds[-1][0]}' END AS split
+        FROM {table}
+    """

@@ -90,3 +90,75 @@ def test_threshold_hex_bounds():
 def test_negative_weight_rejected(ray_session):
     with pytest.raises(ValueError, match="nonnegative"):
         mix_sources(rd.from_arrow(_corpus()), {"drop": -1.0})
+
+
+def test_split_assign_fractions_and_stability():
+    """Keyed md5 split: fractions within tolerance, append-stable."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import split_assign
+
+    ids = list(range(5000))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = (
+        split_assign(rd.from_pandas(pd.DataFrame({"doc_id": ids})), fr, seed=17)
+        .to_pandas()
+    )
+    counts = out["split"].value_counts(normalize=True)
+    for name, f in fr.items():
+        assert abs(counts[name] - f) < 0.03
+    # append stability: the first 1000 ids get the same split whether or
+    # not the other 4000 exist (pure function of id+seed)
+    sub = (
+        split_assign(
+            rd.from_pandas(pd.DataFrame({"doc_id": ids[:1000]})), fr, seed=17
+        ).to_pandas()
+    )
+    merged = out[out["doc_id"] < 1000].sort_values("doc_id").reset_index(drop=True)
+    sub = sub.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, sub)
+
+
+def test_split_assign_bad_fractions():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(
+            rd.from_pandas(pd.DataFrame({"doc_id": [1]})),
+            {"a": 0.5, "b": 0.2},
+        )
+
+
+def test_cap_per_key_deterministic_and_bounded():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.relational import cap_per_key
+
+    df = pd.DataFrame(
+        {
+            "host": [f"h{i % 7}" for i in range(300)],
+            "doc_id": list(range(300)),
+        }
+    )
+    a = (
+        cap_per_key(rd.from_pandas(df), "host", "doc_id", k=5, num_partitions=3)
+        .to_pandas().sort_values(["host", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        cap_per_key(rd.from_pandas(df), "host", "doc_id", k=5, num_partitions=11)
+        .to_pandas().sort_values(["host", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("host").size() <= 5).all()
+    assert a.groupby("host").size().sum() == 7 * 5
+    # k larger than every group: identity on membership
+    full = cap_per_key(
+        rd.from_pandas(df), "host", "doc_id", k=1000, num_partitions=3
+    ).to_pandas()
+    assert len(full) == len(df)
