@@ -93,11 +93,23 @@ def semdedup(
     """
     import ray
 
+    sample_df = emb_ds.limit(train_sample).to_pandas()
+    if vec_col not in sample_df.columns or not len(sample_df):
+        # entirely-empty corpus: nothing to train on, nothing to prune
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "cent_cos": pa.array([], pa.float64()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        )
     sample = _batch_embeddings(
-        pa.Table.from_pandas(
-            emb_ds.limit(train_sample).to_pandas()[[vec_col]]
-        ),
-        vec_col,
+        pa.Table.from_pandas(sample_df[[vec_col]]), vec_col
     )
     cents = train_ivf_centroids(sample, n_cells, seed=seed)
     cents_ref = ray.put(cents)

@@ -121,3 +121,21 @@ def test_semdedup_partition_invariance():
         .to_pandas().sort_values("id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_empty_corpus():
+    import pyarrow as pa
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = semdedup(empty, n_cells=4)
+    # Ray's to_pandas drops columns at 0 rows; the Dataset schema is the
+    # contract that survives unions/joins downstream (verify.empty_edges).
+    assert out.schema().names == ["id", "cell", "cent_cos", "keep"]
+    assert out.count() == 0
