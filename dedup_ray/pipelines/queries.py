@@ -2201,6 +2201,17 @@ def hll_token_registers_docs(sf_dir: str):
     )
 
 
+def cms_token_registers_docs(sf_dir: str):
+    """Token-frequency Count-Min sketch (``stages/sketch.py``): like the
+    HLL query, the register table ITSELF is the checked artifact — the
+    DuckDB oracle recomputes every (hrow, bucket, cnt) register from
+    md5(token) hex-digit pairs.  ≤1024 partial rows per batch, one grouped
+    sum."""
+    from dedup_ray.stages.sketch import cms_token_registers
+
+    return cms_token_registers(_read(sf_dir, "documents", columns=["text"]))
+
+
 SHUFFLE_SEED = 42
 
 
@@ -3092,6 +3103,7 @@ QUERIES = {
     "curate_docs": curate_docs,
     "shuffle_rank_docs": shuffle_rank_docs,
     "hll_token_registers_docs": hll_token_registers_docs,
+    "cms_token_registers_docs": cms_token_registers_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,
@@ -3584,6 +3596,21 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["cms_token_registers_docs"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    h AS (SELECT md5(token) AS hx FROM tok),
+    b AS (SELECT r.j AS hrow,
+                 (strpos('0123456789abcdef', substr(hx, 2 * r.j + 1, 1)) - 1)
+                     * 16 +
+                 (strpos('0123456789abcdef', substr(hx, 2 * r.j + 2, 1)) - 1)
+                     AS bucket
+          FROM h CROSS JOIN (SELECT unnest(range(4)) AS j) r)
+    SELECT CAST(hrow AS BIGINT) AS hrow, CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM b GROUP BY hrow, bucket
 """
 
 ORACLES["shuffle_rank_docs"] = f"""

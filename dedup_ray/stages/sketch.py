@@ -96,6 +96,98 @@ def hll_token_registers(ds, text_col: str = "text"):
     )
 
 
+CMS_D = 4  # Count-Min hash rows
+CMS_W = 256  # buckets per row = one md5 hex-digit pair
+
+
+def cms_partial(tokens: list[str]) -> np.ndarray:
+    """(CMS_D, CMS_W) count matrix for one token batch.
+
+    Row ``j`` buckets a token by md5 hex digits ``[2j, 2j+1]`` — disjoint
+    slices of ONE strong digest stand in for d independent hashes (the
+    Kirsch–Mitzenmacher device), which keeps the register layout exactly
+    reproducible by a SQL oracle: any engine recomputes every bucket from
+    ``md5(token)`` alone.
+    """
+    import hashlib
+
+    dg = [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+          for t in tokens]
+    vals = _hex_vals(dg, 2 * CMS_D)
+    counts = np.zeros((CMS_D, CMS_W), np.int64)
+    for j in range(CMS_D):
+        b = vals[:, 2 * j] * 16 + vals[:, 2 * j + 1]
+        np.add.at(counts[j], b, 1)
+    return counts
+
+
+def cms_token_registers(ds, text_col: str = "text"):
+    """Corpus token-frequency Count-Min sketch (Cormode–Muthukrishnan '05):
+    Dataset ``(hrow, bucket, cnt)``, one row per touched register.
+
+    Registers merge by SUM, so the whole sketch is one vectorized pass
+    (≤ d·w = 1024 partial rows per batch, independent of batch size) and
+    one tiny grouped sum — the frequency analog of the HLL distinct
+    sketch above, with the same register-for-register oracle story.
+    Point queries via :func:`cms_estimate` overcount only:
+    ``min_j cnt[j, b_j(t)] ≥ true(t)``, and exceeds it by ≈ N/w per row
+    in expectation.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))  # null text == ""
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
+        tok_list = toks.to_pylist()
+        if not tok_list:
+            return pa.table({"hrow": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        counts = cms_partial(tok_list)
+        r, b = np.nonzero(counts)
+        return pa.table({"hrow": pa.array(r.astype(np.int64)),
+                         "bucket": pa.array(b.astype(np.int64)),
+                         "cnt": pa.array(counts[r, b])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "sum(cnt)" not in t.column_names:  # empty-corpus aggregate
+            return pa.table({"hrow": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"hrow": t["hrow"], "bucket": t["bucket"],
+                         "cnt": pc.cast(t["sum(cnt)"], pa.int64())})
+
+    return partials.groupby(["hrow", "bucket"]).sum("cnt").map_batches(
+        rename, batch_format="pyarrow"
+    )
+
+
+def cms_estimate(registers, tokens: list[str]) -> np.ndarray:
+    """Driver-side point queries against a register table (pandas or Arrow
+    with columns hrow/bucket/cnt): est(t) = min over rows — never below the
+    true count."""
+    if hasattr(registers, "to_pandas"):
+        registers = registers.to_pandas()
+    table = np.zeros((CMS_D, CMS_W), np.int64)
+    table[registers["hrow"].to_numpy(), registers["bucket"].to_numpy()] = (
+        registers["cnt"].to_numpy()
+    )
+    import hashlib
+
+    dg = [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+          for t in tokens]
+    vals = _hex_vals(dg, 2 * CMS_D)
+    ests = np.full(len(tokens), np.iinfo(np.int64).max)
+    for j in range(CMS_D):
+        b = vals[:, 2 * j] * 16 + vals[:, 2 * j + 1]
+        ests = np.minimum(ests, table[j, b])
+    return ests
+
+
 def bloom_build(hashes: np.ndarray, bits_log2: int = 24,
                 k: int = 4) -> np.ndarray:
     """Bloom bitset (uint64 words) from 64-bit element hashes.

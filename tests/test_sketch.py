@@ -173,3 +173,57 @@ def test_dd_sketch_empty_raises():
     sk = dd_sketch(ds, "value").materialize()
     with pytest.raises(ValueError, match="empty sketch"):
         dd_quantiles(sk, [0.5])
+
+
+def test_cms_never_undercounts_and_bounds_overcount():
+    """The Count-Min guarantee itself: est >= true for every token, and
+    E[overcount] per row ~ N/w — assert a generous 5x bound on the mean."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import CMS_W, cms_estimate, cms_token_registers
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(1000)]
+    # zipf-ish frequencies over a 30k-token corpus
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    toks = rng.choice(vocab, size=30_000, p=weights)
+    docs = [" ".join(toks[i: i + 100]) for i in range(0, len(toks), 100)]
+    regs = cms_token_registers(
+        rd.from_pandas(pd.DataFrame({"text": docs}))
+    ).to_pandas()
+    exact = pd.Series(toks).value_counts()
+    qs = exact.index.tolist()
+    est = cms_estimate(regs, qs)
+    true = exact.to_numpy()
+    assert (est >= true).all()
+    n = len(toks)
+    assert (est - true).mean() <= 5 * n / CMS_W
+    # the heavy hitters are essentially exact (their register dominates)
+    assert (est[:10] - true[:10]).max() <= n / 10
+
+
+def test_cms_registers_merge_by_sum():
+    """Sketch of a union == summed sketches of the parts (mergeability)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import cms_token_registers
+
+    a = ["a b c", "a a d"]
+    b = ["c c e", "b"]
+    whole = cms_token_registers(
+        rd.from_pandas(pd.DataFrame({"text": a + b}))
+    ).to_pandas().set_index(["hrow", "bucket"])["cnt"]
+    pa_ = cms_token_registers(
+        rd.from_pandas(pd.DataFrame({"text": a}))
+    ).to_pandas().set_index(["hrow", "bucket"])["cnt"]
+    pb_ = cms_token_registers(
+        rd.from_pandas(pd.DataFrame({"text": b}))
+    ).to_pandas().set_index(["hrow", "bucket"])["cnt"]
+    merged = pa_.add(pb_, fill_value=0).astype("int64")
+    pd.testing.assert_series_equal(
+        whole.sort_index(), merged.sort_index(), check_names=False
+    )
