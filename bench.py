@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "pagerank_docs",
     "similarity_join_docs",
     "similarity_self_join_docs",
+    "semdedup_embeddings",
+    "cms_token_registers_docs",
+    "cap_per_host_docs",
+    "split_assign_docs",
+    "ap_cluster_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

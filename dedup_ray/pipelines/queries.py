@@ -3011,6 +3011,108 @@ def filter_below_quantile_docs(sf_dir: str):
     return ds.filter(expr=f"n_chars >= {thr}")
 
 
+RECIPE_CAP_K = 15
+
+
+def training_recipe_docs(sf_dir: str):
+    """End-to-end corpus recipe, oracle-checked WHOLE (the composition
+    analog of ``curate_docs``): exact dedup (md5 text, min-id rep) →
+    per-source cap (keyed md5 rank) → train/val/test split (keyed md5
+    bucket) → weighted epoch mixing of the train split.  Two narrow
+    exchanges total (digest, source); split and mix are shuffle-free maps.
+    The DuckDB oracle replays the whole chain as CTEs generated from the
+    SAME constants (cap seed, split fractions, mix weights)."""
+    from dedup_ray.ops.relational import cap_per_key
+    from dedup_ray.stages.exact import exact_dedup
+    from dedup_ray.stages.mixing import mix_sources, split_assign
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    surv = as_arrow(
+        exact_dedup(docs, text_col="text", id_col="doc_id", num_partitions=8)
+    ).select_columns(["doc_id", "source"])
+    capped = cap_per_key(
+        surv, "source", "doc_id", k=RECIPE_CAP_K, seed=HOST_CAP_SEED,
+        num_partitions=8,
+    )
+    sp = split_assign(
+        capped, SPLIT_FRACTIONS, seed=SPLIT_SEED, keep_cols=("source",)
+    )
+
+    def only_train(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["split"], "train")).select(
+            ["doc_id", "source"]
+        )
+
+    def tag_others(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["split"], "train")))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "split": t["split"],
+                "epoch": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    mixed = mix_sources(
+        sp.map_batches(only_train, batch_format="pyarrow"),
+        MIX_WEIGHTS,
+        seed=MIX_SEED,
+    )
+
+    def tag_train(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "split": pa.array(["train"] * t.num_rows, pa.string()),
+                "epoch": t["epoch"],
+            }
+        )
+
+    return as_arrow(
+        mixed.map_batches(tag_train, batch_format="pyarrow").union(
+            sp.map_batches(tag_others, batch_format="pyarrow")
+        )
+    )
+
+
+def _recipe_oracle_sql() -> str:
+    from dedup_ray.stages.mixing import mix_sql, split_case_expr
+
+    case = split_case_expr(SPLIT_FRACTIONS, id_col="doc_id", seed=SPLIT_SEED)
+    mix_inner = mix_sql(
+        MIX_WEIGHTS, table="sp_train", id_col="doc_id",
+        source_col="source", seed=MIX_SEED,
+    )
+    return f"""
+        WITH dedup AS (
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1),
+        capped AS (
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY substr(md5('{HOST_CAP_SEED}:' || doc_id),
+                                           1, 16),
+                                    doc_id) AS rn
+                FROM dedup) WHERE rn <= {RECIPE_CAP_K}),
+        sp AS (SELECT doc_id, source, {case} AS split FROM capped),
+        sp_train AS (SELECT doc_id, source FROM sp WHERE split = 'train'),
+        mixed AS ({mix_inner})
+        SELECT doc_id, source, 'train' AS split, epoch FROM mixed
+        UNION ALL
+        SELECT doc_id, source, split, CAST(0 AS BIGINT) AS epoch
+        FROM sp WHERE split <> 'train'
+    """
+
+
 def _register_generated_oracles() -> None:
     # generated from the SAME rule list / weights dict the kernels use
     from dedup_ray.stages.mixing import mix_sql
@@ -3023,6 +3125,7 @@ def _register_generated_oracles() -> None:
     from dedup_ray.stages.mixing import split_sql
 
     ORACLES["split_assign_docs"] = split_sql(SPLIT_FRACTIONS, seed=SPLIT_SEED)
+    ORACLES["training_recipe_docs"] = _recipe_oracle_sql()
     ORACLES["cap_per_host_docs"] = f"""
         SELECT source, doc_id FROM (
             SELECT source, doc_id,
@@ -3111,6 +3214,7 @@ QUERIES = {
     "normalize_text_docs": normalize_text_docs,
     "mix_sources_docs": mix_sources_docs,
     "split_assign_docs": split_assign_docs,
+    "training_recipe_docs": training_recipe_docs,
     "cap_per_host_docs": cap_per_host_docs,
     "filter_below_quantile_docs": filter_below_quantile_docs,
     "coau_dist_docs": coau_dist_docs,

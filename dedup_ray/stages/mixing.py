@@ -187,6 +187,7 @@ def split_assign(
     fractions: dict[str, float],
     id_col: str = "doc_id",
     seed: int = 42,
+    keep_cols: tuple = (),
 ):
     """Deterministic train/val/test assignment by keyed md5 bucket.
 
@@ -202,10 +203,11 @@ def split_assign(
     def f(t: pa.Table) -> pa.Table:
         idt = t[id_col].type
         if t.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], idt),
-                 "split": pa.array([], pa.string())}
-            )
+            cols = {id_col: pa.array([], idt)}
+            for c in keep_cols:
+                cols[c] = pa.array([], t[c].type)
+            cols["split"] = pa.array([], pa.string())
+            return pa.table(cols)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         pref = np.array(
             [
@@ -221,11 +223,30 @@ def split_assign(
             m = ~assigned & (pref < bound)
             split[m] = name
             assigned |= m
-        return pa.table(
-            {id_col: t[id_col], "split": pa.array(split, pa.string())}
-        )
+        cols = {id_col: t[id_col]}
+        for c in keep_cols:
+            cols[c] = t[c]
+        cols["split"] = pa.array(split, pa.string())
+        return pa.table(cols)
 
-    return ds.select_columns([id_col]).map_batches(f, batch_format="pyarrow")
+    return ds.select_columns([id_col, *keep_cols]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def split_case_expr(
+    fractions: dict[str, float], id_col: str = "doc_id", seed: int = 42
+) -> str:
+    """The split-assignment CASE expression alone, for embedding in larger
+    generated oracles (boundary hex strings shared via
+    :func:`split_thresholds_hex`)."""
+    bounds = split_thresholds_hex(fractions)
+    whens = " ".join(
+        f"WHEN substr(md5('{seed}' || ':split:' || {id_col}), 1, 8) "
+        f"< '{bound}' THEN '{name}'"
+        for name, bound in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
 
 
 def split_sql(
@@ -235,16 +256,9 @@ def split_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB query equivalent to :func:`split_assign`, generated from the
-    SAME fractions dict (boundary hex strings shared via
-    :func:`split_thresholds_hex`)."""
-    bounds = split_thresholds_hex(fractions)
-    whens = " ".join(
-        f"WHEN substr(md5('{seed}' || ':split:' || {id_col}), 1, 8) "
-        f"< '{bound}' THEN '{name}'"
-        for name, bound in bounds[:-1]
-    )
+    SAME fractions dict."""
+    case = split_case_expr(fractions, id_col=id_col, seed=seed)
     return f"""
-        SELECT {id_col},
-               CASE {whens} ELSE '{bounds[-1][0]}' END AS split
+        SELECT {id_col}, {case} AS split
         FROM {table}
     """
