@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "cap_per_host_docs",
     "split_assign_docs",
     "ap_cluster_docs",
+    "token_logfreq_score_docs",
+    "training_recipe_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

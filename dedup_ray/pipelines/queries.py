@@ -209,6 +209,18 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def token_logfreq_score_docs(sf_dir: str):
+    """CCNet-style pseudo-perplexity quality score: mean ln(corpus unigram
+    count) over each doc's tokens (``stages/textstats.py``).  Lookup is a
+    co-partitioned join — no broadcast vocabulary."""
+    from dedup_ray.stages.textstats import token_logfreq_score
+
+    return token_logfreq_score(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_partitions=8,
+    )
+
+
 # --------------------------------------------------------------------------
 # J-series: joins
 # --------------------------------------------------------------------------
@@ -3207,6 +3219,7 @@ QUERIES = {
     "shuffle_rank_docs": shuffle_rank_docs,
     "hll_token_registers_docs": hll_token_registers_docs,
     "cms_token_registers_docs": cms_token_registers_docs,
+    "token_logfreq_score_docs": token_logfreq_score_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,
@@ -3700,6 +3713,13 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["token_logfreq_score_docs"] = TOKENS_CTE + """
+    , c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+    SELECT t.doc_id, round(avg(ln(c.cnt)), 6) AS logfreq_score
+    FROM toks t JOIN c USING (token)
+    GROUP BY t.doc_id
 """
 
 ORACLES["cms_token_registers_docs"] = """

@@ -69,6 +69,70 @@ def idf_table(token_ds, token_col: str = "token"):
     return counts.map_batches(f, batch_format="pyarrow")
 
 
+def token_logfreq_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """Frequency-based pseudo-perplexity quality score: per document, the
+    mean over its tokens of ln(corpus count of the token).
+
+    Rare-token-heavy documents (garbled text, hash soup) score low; prose
+    over a common vocabulary scores high — the CCNet language-model
+    quality-filter shape (Wenzek et al. 2020) with corpus unigram
+    frequencies standing in for the LM.  Empty docs carry the sentinel
+    token (count 1 → ln 1) and score 0.
+
+    Distributed: token explode → grouped counts (narrow (token, cnt)
+    rows) → co-partitioned hash join of tokens to counts → per-batch
+    partial (Σ ln cnt, n) per doc → one grouped sum → final divide.  NO
+    broadcast vocabulary: at web scale the vocab is unbounded, so the
+    lookup is a join, not a ``ray.put`` dict.
+    """
+    from dedup_ray.util.dsutil import hash_join
+
+    toks = tokenize_explode(ds, id_col=id_col, text_col=text_col)
+
+    def cnt_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"token": batch["token"],
+                         "cnt": pc.cast(batch["count()"], pa.float64())})
+
+    counts = toks.groupby("token").count().map_batches(
+        cnt_col, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        toks, counts, on="token",
+        left_cols=[id_col, "token"], right_cols=["token", "cnt"],
+        num_partitions=num_partitions,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "lc": np.log(batch["cnt"].to_numpy(zero_copy_only=False)),
+            }
+        )
+        g = df.groupby(id_col, sort=False).agg(
+            s=("lc", "sum"), n=("lc", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = batch["sum(s)"].to_numpy(zero_copy_only=False)
+        n = batch["sum(n)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "logfreq_score": pa.array(np.round(s / n, 6)),
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .sum(["s", "n"])
+        .map_batches(final, batch_format="pyarrow")
+    )
+
+
 # GPT-2-style pre-tokenizer, restricted to lookaround-free RE2 syntax so the
 # Arrow kernel, Python re and DuckDB RE2 all agree match-for-match:
 # contractions, optionally-space-prefixed letter runs / digit runs /

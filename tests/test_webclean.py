@@ -262,3 +262,27 @@ def test_curate_pipeline_checkpoint_resume(tmp_path):
     out3, ctx3 = curate_pipeline(_mkdocs(texts), num_partitions=2,
                                  checkpoint_dir=ck, with_pii=False)
     assert ctx3.hits == []
+
+
+def test_token_logfreq_score_orders_quality():
+    """Docs made of corpus-common tokens outscore garbled rare-token docs;
+    empty docs score exactly 0 (sentinel token, count 1)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.textstats import token_logfreq_score
+
+    common = "the cat sat on the mat " * 20
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [common.strip(), "qzx vbnk jjwq pllx", ""],
+        }
+    )
+    out = (
+        token_logfreq_score(rd.from_pandas(docs), num_partitions=3)
+        .to_pandas().set_index("doc_id")["logfreq_score"]
+    )
+    assert out[0] > out[1] > 0 or (out[0] > out[1] and out[1] >= 0)
+    assert out[0] > out[1]
+    assert out[2] == 0.0
