@@ -209,6 +209,24 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_tokens_docs(sf_dir: str):
+    """Context-window chunking (``stages/packing.py::chunk_tokens``):
+    overlapping fixed-token chunks, shuffle-free, every token covered.
+    Oracle replays the slicing with list_slice + range from the same
+    window/stride constants."""
+    from dedup_ray.stages.packing import chunk_tokens
+
+    return chunk_tokens(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+    )
+
+
 def token_logfreq_score_docs(sf_dir: str):
     """CCNet-style pseudo-perplexity quality score: mean ln(corpus unigram
     count) over each doc's tokens (``stages/textstats.py``).  Lookup is a
@@ -3220,6 +3238,7 @@ QUERIES = {
     "hll_token_registers_docs": hll_token_registers_docs,
     "cms_token_registers_docs": cms_token_registers_docs,
     "token_logfreq_score_docs": token_logfreq_score_docs,
+    "chunk_tokens_docs": chunk_tokens_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,
@@ -3713,6 +3732,22 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["chunk_tokens_docs"] = f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, greatest(n - {CHUNK_WINDOW - CHUNK_STRIDE}, 1),
+                              {CHUNK_STRIDE})) AS start
+          FROM n)
+    SELECT doc_id, CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + {CHUNK_WINDOW}], ' ')
+               AS chunk_text
+    FROM c
 """
 
 ORACLES["token_logfreq_score_docs"] = TOKENS_CTE + """

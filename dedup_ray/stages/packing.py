@@ -132,3 +132,64 @@ def pack_sequences(ds_counts, budget: int, id_col: str = "doc_id",
     return exchange_group_apply(
         with_bucket, "bucket", assign, num_partitions
     )
+
+
+def chunk_tokens(
+    ds,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Overlapping fixed-token chunks per document — the context-window
+    preprocessing step (chunk i covers tokens [i·stride, i·stride+window);
+    consecutive chunks overlap by window−stride, every token is covered,
+    the tail chunk may be short).
+
+    Shuffle-free: one streaming pass; each output row is
+    ``(id, chunk_id, chunk_text)``.  Empty documents emit one empty chunk
+    so downstream joins never lose the document.  Vectorized: tokens are
+    flattened once per batch (Arrow split + numpy offset math); only the
+    final per-chunk string join is per-output-row.
+    """
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))
+        lists = pc.split_pattern(txt, " ")
+        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False
+        )
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        nrows = batch.num_rows
+        n = np.bincount(parents, minlength=nrows).astype(np.int64)
+        starts_of_doc = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(n[:-1], out=starts_of_doc[1:]) if nrows > 1 else None
+        # chunk count per doc: len(range(0, max(n-(w-s), 1), s))
+        span = np.maximum(n - (window - stride), 1)
+        n_chunks = -(-span // stride)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_cid, out_txt = [], [], []
+        for r in range(nrows):
+            base = starts_of_doc[r]
+            for c in range(n_chunks[r]):
+                lo = base + c * stride
+                hi = min(base + c * stride + window, base + n[r])
+                out_id.append(ids[r])
+                out_cid.append(c)
+                out_txt.append(" ".join(flat[lo:hi]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -52,3 +52,36 @@ def test_token_counts_plain_split():
     )
     out = token_counts(ds).to_pandas().sort_values("doc_id")
     assert out.n_tokens.tolist() == [3, 1]
+
+
+def test_chunk_tokens_coverage_and_overlap():
+    """Every token appears in some chunk; consecutive chunks overlap by
+    window-stride; empty docs emit exactly one empty chunk."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from dedup_ray.stages.packing import chunk_tokens
+
+    toks = [f"t{i}" for i in range(53)]
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [" ".join(toks), "a b", ""]}
+    )
+    out = chunk_tokens(rd.from_pandas(df), window=10, stride=7).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_id")
+    covered = []
+    prev = None
+    for _, row in d1.iterrows():
+        c = row["chunk_text"].split(" ")
+        assert len(c) <= 10
+        if prev is not None:
+            assert prev[-3:] == c[:3]  # overlap = window - stride
+        covered.extend(c)
+        prev = c
+    assert set(covered) == set(toks)
+    # short doc: single chunk, intact
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["a b"]
+    # empty doc: one empty chunk
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == [""]
+    with pytest.raises(ValueError):
+        chunk_tokens(rd.from_pandas(df), window=5, stride=6)
