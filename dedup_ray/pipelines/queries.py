@@ -385,12 +385,15 @@ def ap_cluster_docs(sf_dir: str):
     def per_block(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        nc = g["n_chars"].to_numpy(dtype=np.float64)
-        a, b = np.triu_indices(len(ids), k=1)
-        pairs = pd.DataFrame(
-            {"id1": ids[a], "id2": ids[b], "sim": -np.abs(nc[a] - nc[b])}
-        )
-        out = affinity_propagation_block(pairs)
+        if len(ids) < 2:  # singleton block: its own exemplar (no pairs)
+            out = pd.DataFrame({"id": ids, "cluster_rep": ids})
+        else:
+            nc = g["n_chars"].to_numpy(dtype=np.float64)
+            a, b = np.triu_indices(len(ids), k=1)
+            pairs = pd.DataFrame(
+                {"id1": ids[a], "id2": ids[b], "sim": -np.abs(nc[a] - nc[b])}
+            )
+            out = affinity_propagation_block(pairs)
         out.insert(0, "source", group["source"].iloc[0])
         return out.rename(columns={"id": "doc_id"})
 
@@ -3064,9 +3067,11 @@ def training_recipe_docs(sf_dir: str):
         surv, "source", "doc_id", k=RECIPE_CAP_K, seed=HOST_CAP_SEED,
         num_partitions=8,
     )
+    # materialize: sp feeds BOTH the train-mix branch and the others
+    # branch; without it the dedup+cap+split chain executes twice
     sp = split_assign(
         capped, SPLIT_FRACTIONS, seed=SPLIT_SEED, keep_cols=("source",)
-    )
+    ).materialize()
 
     def only_train(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t["split"], "train")).select(
@@ -3758,7 +3763,8 @@ ORACLES["token_logfreq_score_docs"] = TOKENS_CTE + """
 """
 
 ORACLES["cms_token_registers_docs"] = """
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+    WITH tok AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                     AS token
                  FROM documents),
     h AS (SELECT md5(token) AS hx FROM tok),
     b AS (SELECT r.j AS hrow,

@@ -241,6 +241,8 @@ def split_case_expr(
     generated oracles (boundary hex strings shared via
     :func:`split_thresholds_hex`)."""
     bounds = split_thresholds_hex(fractions)
+    if len(bounds) == 1:  # degenerate single split: a bare literal
+        return f"'{bounds[-1][0]}'"
     whens = " ".join(
         f"WHEN substr(md5('{seed}' || ':split:' || {id_col}), 1, 8) "
         f"< '{bound}' THEN '{name}'"

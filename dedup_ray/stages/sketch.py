@@ -109,11 +109,9 @@ def cms_partial(tokens: list[str]) -> np.ndarray:
     reproducible by a SQL oracle: any engine recomputes every bucket from
     ``md5(token)`` alone.
     """
-    import hashlib
+    from dedup_ray.util.hashing import content_digest
 
-    dg = [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
-          for t in tokens]
-    vals = _hex_vals(dg, 2 * CMS_D)
+    vals = _hex_vals(content_digest(tokens), 2 * CMS_D)
     counts = np.zeros((CMS_D, CMS_W), np.int64)
     for j in range(CMS_D):
         b = vals[:, 2 * j] * 16 + vals[:, 2 * j + 1]
@@ -176,11 +174,9 @@ def cms_estimate(registers, tokens: list[str]) -> np.ndarray:
     table[registers["hrow"].to_numpy(), registers["bucket"].to_numpy()] = (
         registers["cnt"].to_numpy()
     )
-    import hashlib
+    from dedup_ray.util.hashing import content_digest
 
-    dg = [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
-          for t in tokens]
-    vals = _hex_vals(dg, 2 * CMS_D)
+    vals = _hex_vals(content_digest(tokens), 2 * CMS_D)
     ests = np.full(len(tokens), np.iinfo(np.int64).max)
     for j in range(CMS_D):
         b = vals[:, 2 * j] * 16 + vals[:, 2 * j + 1]

@@ -88,7 +88,9 @@ def token_logfreq_score(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     from dedup_ray.util.dsutil import hash_join
 
-    toks = tokenize_explode(ds, id_col=id_col, text_col=text_col)
+    # materialized: toks feeds both the count aggregate and the join's
+    # left side — without it the tokenizer pass runs twice
+    toks = tokenize_explode(ds, id_col=id_col, text_col=text_col).materialize()
 
     def cnt_col(batch: pa.Table) -> pa.Table:
         return pa.table({"token": batch["token"],

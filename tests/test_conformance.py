@@ -327,3 +327,24 @@ def test_affinity_propagation_degenerate():
     assert len(out) == 2 and out["cluster_rep"].nunique() == 1
     # every point assigned exactly once
     assert out["id"].is_unique
+
+
+def test_ap_cluster_docs_singleton_block(tmp_path):
+    """A one-doc source must still get a cluster row (its own exemplar)."""
+    import pyarrow.parquet as pq
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["solo", "duo", "duo", "duo"]),
+            "n_chars": pa.array([5, 7, 8, 100], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["ap_cluster_docs"](str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4]
+    assert out.set_index("doc_id").loc[1, "cluster_rep"] == 1

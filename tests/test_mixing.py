@@ -162,3 +162,13 @@ def test_cap_per_key_deterministic_and_bounded():
         rd.from_pandas(df), "host", "doc_id", k=1000, num_partitions=3
     ).to_pandas()
     assert len(full) == len(df)
+
+
+def test_split_sql_single_split_is_valid():
+    import duckdb
+
+    from dedup_ray.stages.mixing import split_sql
+
+    duckdb.sql("CREATE OR REPLACE VIEW documents AS SELECT 1 AS doc_id")
+    out = duckdb.sql(split_sql({"all": 1.0})).fetchall()
+    assert out == [(1, "all")]
