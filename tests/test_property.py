@@ -120,3 +120,33 @@ def test_union_find_matches_networkx(edges):
     comp = {n: min(c) for c in nx.connected_components(g) for n in c}
     for n in g.nodes:
         assert uf.find(n) == comp[n]
+
+
+@given(
+    n_tokens=st.integers(0, 120),
+    window=st.integers(1, 40),
+    stride_off=st.integers(0, 39),
+)
+@settings(max_examples=40, deadline=None)
+def test_chunk_reconstruction_property(n_tokens, window, stride_off):
+    """Dropping each chunk's first (window-stride) tokens (except chunk 0)
+    and concatenating reconstructs the original token stream exactly —
+    the lossless-coverage invariant of overlapping chunking, for any
+    (window, stride) with stride <= window."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.packing import chunk_tokens
+
+    stride = max(1, window - stride_off)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = pd.DataFrame({"doc_id": [7], "text": [" ".join(toks)]})
+    out = (
+        chunk_tokens(rd.from_pandas(df), window=window, stride=stride)
+        .to_pandas().sort_values("chunk_id")
+    )
+    rebuilt = []
+    for i, row in enumerate(out["chunk_text"]):
+        parts = row.split(" ") if row else []
+        rebuilt.extend(parts if i == 0 else parts[window - stride:])
+    assert rebuilt == toks
