@@ -100,6 +100,21 @@ class DedupConfig:
         payload = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    @classmethod
+    def tuned(cls, threshold: float, num_perms: int = 128,
+              fp_weight: float = 0.5, fn_weight: float = 0.5, **kw):
+        """Config with (bands, num_perms) chosen by the LSH S-curve
+        optimizer (``functions/lshtune.optimal_bands_rows``) for a target
+        Jaccard threshold under a permutation budget.  The chosen b·r may
+        be below the budget; num_perms is set to exactly b·r so signatures
+        carry no dead rows."""
+        from dedup_ray.functions.lshtune import optimal_bands_rows
+
+        p = optimal_bands_rows(threshold, num_perms,
+                               fp_weight=fp_weight, fn_weight=fn_weight)
+        return cls(num_perms=p.num_perms, bands=p.bands,
+                   jaccard_threshold=threshold, **kw)
+
     def __post_init__(self) -> None:
         if self.num_perms % self.bands != 0:
             raise ValueError("num_perms must be divisible by bands")

@@ -48,3 +48,23 @@ def test_engine_default_config_is_sane():
     # the engine's shipped defaults: 32 bands x 4 rows at tau=0.5 must
     # propose essentially every pair at the acceptance threshold
     assert config_recall_at(0.5, 32, 4) > 0.85
+
+
+def test_config_tuned_constructor():
+    from dedup_ray.config import DedupConfig
+
+    cfg = DedupConfig.tuned(0.5, 128, minhash_concurrency=2)
+    assert cfg.num_perms % cfg.bands == 0
+    assert cfg.num_perms <= 128
+    assert cfg.jaccard_threshold == 0.5
+    assert cfg.minhash_concurrency == 2
+    # balanced weights put the S-curve midpoint AT the threshold
+    from dedup_ray.functions.lshtune import collision_probability
+
+    p_mid = collision_probability(0.5, cfg.bands, cfg.rows_per_band)
+    assert 0.3 < p_mid < 0.8
+    # recall-leaning weights push the curve left: higher P at the threshold
+    recall_cfg = DedupConfig.tuned(0.5, 128, fp_weight=0.1, fn_weight=0.9)
+    assert collision_probability(
+        0.5, recall_cfg.bands, recall_cfg.rows_per_band
+    ) > p_mid
