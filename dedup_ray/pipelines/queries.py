@@ -209,6 +209,58 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+NOVELTY_BUCKET = 100
+
+
+def novelty_curve_docs(sf_dir: str):
+    """Crawl-saturation curve: duplicate rate per arrival bucket (doc_id
+    stands in for crawl order).  A doc is a duplicate iff an earlier doc
+    (smaller id) has the same text digest — the running-dedup-rate metric
+    a crawl operator watches to decide when a frontier is exhausted.
+
+    One digest exchange marks duplicates (vectorized grouped min per
+    partition); the per-bucket rollup is a tiny grouped sum.
+    """
+    from dedup_ray.stages.exact import add_digest
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    ds = add_digest(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text",
+        id_col="doc_id",
+    ).select_columns(["doc_id", "digest"])
+
+    def mark(part: pd.DataFrame) -> pd.DataFrame:
+        first = part.groupby("digest")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "bucket": part["doc_id"] // NOVELTY_BUCKET,
+                "n": np.int64(1),
+                "n_dup": (part["doc_id"] > first).astype("int64"),
+            }
+        )
+
+    marked = partitioned_group_apply(ds, ["digest"], mark, num_partitions=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(n)"], pa.int64())
+        nd = pc.cast(t["sum(n_dup)"], pa.int64())
+        rate = pc.round(
+            pc.divide(pc.cast(nd, pa.float64()), pc.cast(n, pa.float64())),
+            ndigits=6,
+        )
+        return pa.table(
+            {"bucket": t["bucket"], "n": n, "n_dup": nd, "dup_rate": rate}
+        )
+
+    return (
+        as_arrow(marked)
+        .groupby("bucket")
+        .sum(["n", "n_dup"])
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
 
@@ -3244,6 +3296,7 @@ QUERIES = {
     "cms_token_registers_docs": cms_token_registers_docs,
     "token_logfreq_score_docs": token_logfreq_score_docs,
     "chunk_tokens_docs": chunk_tokens_docs,
+    "novelty_curve_docs": novelty_curve_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,
@@ -3737,6 +3790,18 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["novelty_curve_docs"] = f"""
+    WITH d AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+               FROM documents)
+    SELECT CAST(doc_id // {NOVELTY_BUCKET} AS BIGINT) AS bucket,
+           count(*) AS n,
+           sum(CAST(doc_id > first_id AS BIGINT)) AS n_dup,
+           round(sum(CAST(doc_id > first_id AS BIGINT)) / count(*), 6)
+               AS dup_rate
+    FROM d GROUP BY bucket
 """
 
 ORACLES["chunk_tokens_docs"] = f"""
