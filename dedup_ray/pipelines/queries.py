@@ -209,6 +209,18 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def compression_ratio_docs(sf_dir: str):
+    """zlib compression-ratio gibberish/template screen
+    (``stages/webclean.py::compression_ratio``).  Rows-only: the oracle
+    engine has no zlib; the screen's behavior (noise fails low, templates
+    fail high, prose passes) is property-tested instead."""
+    from dedup_ray.stages.webclean import compression_ratio
+
+    return compression_ratio(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 NOVELTY_BUCKET = 100
 
 
@@ -3297,6 +3309,7 @@ QUERIES = {
     "token_logfreq_score_docs": token_logfreq_score_docs,
     "chunk_tokens_docs": chunk_tokens_docs,
     "novelty_curve_docs": novelty_curve_docs,
+    "compression_ratio_docs": compression_ratio_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "salted_stats_events": salted_stats_events,

@@ -34,19 +34,40 @@ STOPWORDS = {
 
 def tokenize_explode(ds, id_col: str = "doc_id", text_col: str = "text"):
     """M4: one row per single-space-separated token; empty docs emit their
-    own id as a sentinel token (``wordlist.py:24-27`` — never intersects)."""
+    own id as a sentinel token (``wordlist.py:24-27`` — never intersects).
+
+    Vectorized: Arrow split + list_parent_indices + an empty-token filter;
+    only the (rare) zero-token sentinel rows are built in Python.
+    """
 
     def f(batch: pa.Table) -> pa.Table:
-        ids_out, toks = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            parts = [w for w in (t or "").split(" ") if w != ""]
-            if not parts:
-                parts = [str(i)]
-            ids_out.extend([i] * len(parts))
-            toks.extend(parts)
-        return pa.table(
-            {id_col: pa.array(ids_out), "token": pa.array(toks, pa.string())}
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))
+        lists = pc.split_pattern(txt, " ")
+        flat = lists.flatten()
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parents = parents.filter(mask)
+        out_ids = ids.take(parents)
+        out_toks = pc.cast(flat, pa.string())
+        n = np.bincount(
+            parents.to_numpy(zero_copy_only=False), minlength=batch.num_rows
         )
+        empty_rows = np.flatnonzero(n == 0)
+        if len(empty_rows):
+            sent_ids = ids.take(pa.array(empty_rows))
+            sent_toks = pa.array(
+                [str(v) for v in sent_ids.to_pylist()], pa.string()
+            )
+            out_ids = pa.concat_arrays([out_ids, sent_ids])
+            out_toks = pa.concat_arrays([out_toks, sent_toks])
+        return pa.table({id_col: out_ids, "token": out_toks})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -81,12 +102,13 @@ def token_logfreq_score(ds, id_col: str = "doc_id", text_col: str = "text",
     token (count 1 → ln 1) and score 0.
 
     Distributed: token explode → grouped counts (narrow (token, cnt)
-    rows) → co-partitioned hash join of tokens to counts → per-batch
-    partial (Σ ln cnt, n) per doc → one grouped sum → final divide.  NO
-    broadcast vocabulary: at web scale the vocab is unbounded, so the
-    lookup is a join, not a ``ray.put`` dict.
+    rows) → co-partitioned raw-task ``exchange_join`` of tokens to counts
+    with the per-doc partial (Σ ln cnt, n) FUSED into the join reduce →
+    one grouped sum → final divide.  NO broadcast vocabulary: at web
+    scale the vocab is unbounded, so the lookup is a join, not a
+    ``ray.put`` dict.
     """
-    from dedup_ray.util.dsutil import hash_join
+    from dedup_ray.util.exchange import exchange_join
 
     # materialized: toks feeds both the count aggregate and the join's
     # left side — without it the tokenizer pass runs twice
@@ -99,23 +121,23 @@ def token_logfreq_score(ds, id_col: str = "doc_id", text_col: str = "text",
     counts = toks.groupby("token").count().map_batches(
         cnt_col, batch_format="pyarrow"
     )
-    joined = hash_join(
-        toks, counts, on="token",
-        left_cols=[id_col, "token"], right_cols=["token", "cnt"],
-        num_partitions=num_partitions,
-    )
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def partial(joined: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                id_col: batch[id_col].to_numpy(zero_copy_only=False),
-                "lc": np.log(batch["cnt"].to_numpy(zero_copy_only=False)),
+                id_col: joined[id_col].to_numpy(zero_copy_only=False),
+                "lc": np.log(joined["cnt"].to_numpy(zero_copy_only=False)),
             }
         )
         g = df.groupby(id_col, sort=False).agg(
             s=("lc", "sum"), n=("lc", "size")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    joined = exchange_join(
+        toks, counts, on="token", num_partitions=num_partitions,
+        post=partial,
+    )
 
     def final(batch: pa.Table) -> pa.Table:
         s = batch["sum(s)"].to_numpy(zero_copy_only=False)
@@ -128,8 +150,7 @@ def token_logfreq_score(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(id_col)
+        joined.groupby(id_col)
         .sum(["s", "n"])
         .map_batches(final, batch_format="pyarrow")
     )

@@ -469,3 +469,45 @@ def decontaminate(train_ds, bench_grams_ref, text_col: str = "text",
         })
 
     return train_ds.map_batches(f, batch_format="pyarrow")
+
+
+def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                      max_ratio: float = 8.0, min_ratio: float = 1.5):
+    """Per-document zlib compression ratio + keep flag; no shuffle.
+
+    ``ratio = raw_bytes / compressed_bytes`` (level 6).  The standard
+    cheap gibberish detector the token screens miss both ways: machine
+    noise / base64 soup compresses poorly (measured ~1.2 for random
+    printable ASCII, ~1.35 for random CJK — below ``min_ratio``) while
+    template spam and degenerate repetition compress extremely well
+    (ratio above ``max_ratio``) even when no single token or 2-gram
+    dominates.  Varied prose sits ~2–4.  Empty docs keep ratio 0 and are
+    kept (the length screens own that case).
+
+    Per-row zlib call — C code per document, the same per-doc granularity
+    as the reference's per-record scorers (ST2); state-free, so a plain
+    task pool suffices.  Not SQL-expressible (no zlib in the oracle
+    engine): the screen is property-tested instead (random bytes fail
+    low, repeated templates fail high, prose passes).
+    """
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = _text_col(t, text_col)
+        ratios = np.zeros(t.num_rows, dtype=np.float64)
+        for i, s in enumerate(txt.to_pylist()):
+            if s:
+                raw = s.encode("utf-8", "surrogatepass")
+                ratios[i] = len(raw) / len(zlib.compress(raw, 6))
+        ratios = np.round(ratios, 6)
+        keep = ((ratios == 0.0)
+                | ((ratios >= min_ratio) & (ratios <= max_ratio)))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "compression_ratio": pa.array(ratios),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -286,3 +286,32 @@ def test_token_logfreq_score_orders_quality():
     assert out[0] > out[1] > 0 or (out[0] > out[1] and out[1] >= 0)
     assert out[0] > out[1]
     assert out[2] == 0.0
+
+
+def test_compression_ratio_screen():
+    """Random bytes fail low, repeated templates fail high, prose passes,
+    empty docs are kept with ratio 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.webclean import compression_ratio
+
+    rng = np.random.default_rng(3)
+    noise = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    spam = "click here to win a prize now " * 200
+    vocab = [f"word{i}" for i in range(300)] + ["the", "a", "of", "to"] * 30
+    prose = " ".join(rng.choice(vocab, size=600))
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [noise, spam, prose, ""]}
+    )
+    out = (
+        compression_ratio(rd.from_pandas(df))
+        .to_pandas().set_index("doc_id")
+    )
+    assert not out.loc[0, "keep"]          # incompressible noise
+    assert out.loc[0, "compression_ratio"] < 1.5
+    assert not out.loc[1, "keep"]          # hyper-compressible template
+    assert out.loc[1, "compression_ratio"] > 8.0
+    assert out.loc[2, "keep"]              # varied prose in band
+    assert out.loc[3, "keep"] and out.loc[3, "compression_ratio"] == 0.0
