@@ -252,6 +252,7 @@ def novelty_curve_docs(sf_dir: str):
             }
         )
 
+    # partitioned_group_apply already re-encodes to Arrow blocks
     marked = partitioned_group_apply(ds, ["digest"], mark, num_partitions=8)
 
     def fin(t: pa.Table) -> pa.Table:
@@ -266,8 +267,7 @@ def novelty_curve_docs(sf_dir: str):
         )
 
     return (
-        as_arrow(marked)
-        .groupby("bucket")
+        marked.groupby("bucket")
         .sum(["n", "n_dup"])
         .map_batches(fin, batch_format="pyarrow")
     )

@@ -156,19 +156,11 @@ def chunk_tokens(
         raise ValueError("need 0 < stride <= window")
 
     def f(batch: pa.Table) -> pa.Table:
-        txt = batch[text_col]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        txt = pc.coalesce(txt, pa.scalar("", txt.type))
-        lists = pc.split_pattern(txt, " ")
-        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
-        parents = pc.list_parent_indices(lists).to_numpy(
-            zero_copy_only=False
-        )
-        keep = flat != ""
-        flat, parents = flat[keep], parents[keep]
+        from dedup_ray.stages.textstats import explode_tokens
+
         nrows = batch.num_rows
-        n = np.bincount(parents, minlength=nrows).astype(np.int64)
+        flat_pa, parents, n = explode_tokens(batch[text_col], nrows)
+        flat = np.asarray(flat_pa.to_pylist(), dtype=object)
         starts_of_doc = np.zeros(nrows, dtype=np.int64)
         np.cumsum(n[:-1], out=starts_of_doc[1:]) if nrows > 1 else None
         # chunk count per doc: len(range(0, max(n-(w-s), 1), s))

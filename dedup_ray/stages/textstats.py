@@ -32,6 +32,29 @@ STOPWORDS = {
 }
 
 
+def explode_tokens(
+    txt, num_rows: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Shared token-explode preamble: split a (chunked) string column on
+    single spaces, drop empty tokens, null text == empty page.
+
+    → (flat tokens as a string Array, parent row index per token,
+    token count per input row).  Used by the tokenizer and the
+    context-window chunker so the explode idiom lives in one place.
+    """
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.coalesce(txt, pa.scalar("", txt.type))
+    lists = pc.split_pattern(txt, " ")
+    flat = lists.flatten()
+    parents = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = pc.cast(flat.filter(mask), pa.string())
+    parents = parents.filter(mask).to_numpy(zero_copy_only=False)
+    n = np.bincount(parents, minlength=num_rows).astype(np.int64)
+    return flat, parents, n
+
+
 def tokenize_explode(ds, id_col: str = "doc_id", text_col: str = "text"):
     """M4: one row per single-space-separated token; empty docs emit their
     own id as a sentinel token (``wordlist.py:24-27`` — never intersects).
@@ -44,21 +67,9 @@ def tokenize_explode(ds, id_col: str = "doc_id", text_col: str = "text"):
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        txt = batch[text_col]
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        txt = pc.coalesce(txt, pa.scalar("", txt.type))
-        lists = pc.split_pattern(txt, " ")
-        flat = lists.flatten()
-        parents = pc.list_parent_indices(lists)
-        mask = pc.not_equal(flat, "")
-        flat = flat.filter(mask)
-        parents = parents.filter(mask)
-        out_ids = ids.take(parents)
-        out_toks = pc.cast(flat, pa.string())
-        n = np.bincount(
-            parents.to_numpy(zero_copy_only=False), minlength=batch.num_rows
-        )
+        flat, parents, n = explode_tokens(batch[text_col], batch.num_rows)
+        out_ids = ids.take(pa.array(parents))
+        out_toks = flat
         empty_rows = np.flatnonzero(n == 0)
         if len(empty_rows):
             sent_ids = ids.take(pa.array(empty_rows))

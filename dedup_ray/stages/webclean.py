@@ -472,7 +472,8 @@ def decontaminate(train_ds, bench_grams_ref, text_col: str = "text",
 
 
 def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
-                      max_ratio: float = 8.0, min_ratio: float = 1.5):
+                      max_ratio: float = 8.0, min_ratio: float = 1.5,
+                      min_bytes: int = 120):
     """Per-document zlib compression ratio + keep flag; no shuffle.
 
     ``ratio = raw_bytes / compressed_bytes`` (level 6).  The standard
@@ -482,7 +483,10 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
     template spam and degenerate repetition compress extremely well
     (ratio above ``max_ratio``) even when no single token or 2-gram
     dominates.  Varied prose sits ~2–4.  Empty docs keep ratio 0 and are
-    kept (the length screens own that case).
+    kept (the length screens own that case); docs under ``min_bytes`` are
+    likewise kept regardless of ratio — zlib's ~11-byte stream overhead
+    makes the ratio meaningless for short text (a 41-byte sentence
+    measures 0.91), and short-doc policy belongs to the length screens.
 
     Per-row zlib call — C code per document, the same per-doc granularity
     as the reference's per-record scorers (ST2); state-free, so a plain
@@ -495,12 +499,14 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
     def f(t: pa.Table) -> pa.Table:
         txt = _text_col(t, text_col)
         ratios = np.zeros(t.num_rows, dtype=np.float64)
+        short = np.zeros(t.num_rows, dtype=bool)
         for i, s in enumerate(txt.to_pylist()):
             if s:
                 raw = s.encode("utf-8", "surrogatepass")
                 ratios[i] = len(raw) / len(zlib.compress(raw, 6))
+                short[i] = len(raw) < min_bytes
         ratios = np.round(ratios, 6)
-        keep = ((ratios == 0.0)
+        keep = ((ratios == 0.0) | short
                 | ((ratios >= min_ratio) & (ratios <= max_ratio)))
         return pa.table(
             {

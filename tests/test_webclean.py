@@ -302,8 +302,9 @@ def test_compression_ratio_screen():
     spam = "click here to win a prize now " * 200
     vocab = [f"word{i}" for i in range(300)] + ["the", "a", "of", "to"] * 30
     prose = " ".join(rng.choice(vocab, size=600))
+    short = "The cat sat on the mat and looked around."
     df = pd.DataFrame(
-        {"doc_id": [0, 1, 2, 3], "text": [noise, spam, prose, ""]}
+        {"doc_id": [0, 1, 2, 3, 4], "text": [noise, spam, prose, "", short]}
     )
     out = (
         compression_ratio(rd.from_pandas(df))
@@ -315,3 +316,6 @@ def test_compression_ratio_screen():
     assert out.loc[1, "compression_ratio"] > 8.0
     assert out.loc[2, "keep"]              # varied prose in band
     assert out.loc[3, "keep"] and out.loc[3, "compression_ratio"] == 0.0
+    # short legitimate text is kept: zlib stream overhead makes the ratio
+    # meaningless under min_bytes (this one measures ~0.9)
+    assert out.loc[4, "keep"]
