@@ -301,9 +301,16 @@ def cap_per_key(
         part = part.sort_values(["__rk", id_col], kind="mergesort")
         return part.groupby(key_col, sort=False).head(k)[[key_col, id_col]]
 
+    # per-BATCH pre-cap: the global k smallest ranks of a key are a
+    # subset of the union of per-batch k smallest, so a hot key (a
+    # crawler-trap host with 10⁹ pages) ships ≤ k rows per batch into
+    # the exchange instead of every page into one partition.
+    precapped = ds.select_columns([key_col, id_col]).map_batches(
+        per_part, batch_format="pandas"
+    )
     return as_arrow(
         partitioned_group_apply(
-            ds.select_columns([key_col, id_col]),
+            precapped,
             [key_col],
             per_part,
             num_partitions=num_partitions,

@@ -230,8 +230,12 @@ def novelty_curve_docs(sf_dir: str):
     (smaller id) has the same text digest — the running-dedup-rate metric
     a crawl operator watches to decide when a frontier is exhausted.
 
-    One digest exchange marks duplicates (vectorized grouped min per
-    partition); the per-bucket rollup is a tiny grouped sum.
+    Two-phase: each batch emits one (digest, bucket, n, min_id) partial
+    per (digest, bucket) it sees — a hot digest (a page mirrored 10⁶×)
+    ships one partial per batch, never every copy into one reducer — then
+    a digest exchange finds the global min id per digest and charges each
+    bucket ``n − 1{holds the global min}`` duplicates.  The per-bucket
+    rollup is a tiny grouped sum.
     """
     from dedup_ray.stages.exact import add_digest
     from dedup_ray.util.dsutil import partitioned_group_apply
@@ -242,18 +246,37 @@ def novelty_curve_docs(sf_dir: str):
         id_col="doc_id",
     ).select_columns(["doc_id", "digest"])
 
-    def mark(part: pd.DataFrame) -> pd.DataFrame:
-        first = part.groupby("digest")["doc_id"].transform("min")
+    def partial(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.assign(bucket=part["doc_id"] // NOVELTY_BUCKET)
+        return (
+            part.groupby(["digest", "bucket"])["doc_id"]
+            .agg(n="size", min_id="min")
+            .reset_index()
+        )
+
+    def per_digest(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.groupby(["digest", "bucket"])
+            .agg(n=("n", "sum"), min_id=("min_id", "min"))
+            .reset_index()
+        )
+        gm = g.groupby("digest")["min_id"].transform("min")
         return pd.DataFrame(
             {
-                "bucket": part["doc_id"] // NOVELTY_BUCKET,
-                "n": np.int64(1),
-                "n_dup": (part["doc_id"] > first).astype("int64"),
+                "bucket": g["bucket"],
+                "n": g["n"].astype("int64"),
+                "n_dup": (
+                    g["n"] - (g["min_id"] == gm).astype("int64")
+                ).astype("int64"),
             }
         )
 
-    # partitioned_group_apply already re-encodes to Arrow blocks
-    marked = partitioned_group_apply(ds, ["digest"], mark, num_partitions=8)
+    marked = partitioned_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digest"],
+        per_digest,
+        num_partitions=8,
+    )
 
     def fin(t: pa.Table) -> pa.Table:
         n = pc.cast(t["sum(n)"], pa.int64())

@@ -28,7 +28,13 @@ def add_digest(ds, text_col: str = "text", id_col: str = "url", algo: str = "md5
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md5",
                 num_partitions: int = 16):
-    """Keep one row per distinct text (min id wins).  Shuffle key: digest."""
+    """Keep one row per distinct text (min id wins).  Shuffle key: digest.
+
+    A per-BATCH pre-dedup (the min-id row per digest survives locally)
+    runs before the shuffle: global-min-id selection is a combinable
+    aggregate, so a hot digest (a page mirrored 10⁶×) ships one row per
+    batch instead of every copy into a single reducer partition.
+    """
     from dedup_ray.util.dsutil import partitioned_group_apply
 
     with_digest = add_digest(ds, text_col=text_col, id_col=id_col, algo=algo)
@@ -36,8 +42,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md
     def keep_first(part: pd.DataFrame) -> pd.DataFrame:
         return part.sort_values(id_col).drop_duplicates(subset=["digest"])
 
+    precombined = with_digest.map_batches(
+        keep_first, batch_format="pandas"
+    )
     return partitioned_group_apply(
-        with_digest, ["digest"], keep_first, num_partitions
+        precombined, ["digest"], keep_first, num_partitions
     )
 
 
