@@ -74,6 +74,7 @@ def dedup_pipeline(
     pages_parts: list | None = None,
     tier_edges_out: dict | None = None,
     tier_edges_only: bool = False,
+    extra_edges: list | None = None,
 ):
     """pages → clusters Dataset(id_col, cluster_id).
 
@@ -90,6 +91,15 @@ def dedup_pipeline(
     for consumers (the tier report) that run their own CC passes.
     Requires ``tier_edges_out`` (the flag is meaningless without a place
     to put the tiers).
+
+    ``extra_edges`` — optional list of caller-supplied edge Datasets
+    ``(id1, id2, …)``, e.g. the embedding-cosine tier
+    (``stages/embed.cosine_dup_edges``) or a custom scorer, unioned into
+    phase 1 alongside the built-in tiers (so the substring pass also runs
+    on the merged representatives).  The §2.12 extension point at the
+    pipeline level.  Like the pages input, their CONTENT is not part of
+    the checkpoint lineage — reruns that change extra edge data need a
+    fresh ``checkpoint_dir`` (the count is mixed into the shape hash).
 
     ``pages_parts`` — optional ``[(part_id, fn)]`` where ``fn() -> Dataset``
     yields one slice of the pages input (e.g. one input-file group).  With
@@ -116,6 +126,7 @@ def dedup_pipeline(
     shape = (
         f"{cfg.config_hash()}|id={id_col}|extract={extract}"
         f"|mh={use_minhash}|sh={use_simhash}|ss={use_substring}"
+        f"|xe={len(extra_edges or [])}"
     )
     lineage_hash = hashlib.sha256(shape.encode()).hexdigest()[:16]
     ctx = (
@@ -208,6 +219,11 @@ def dedup_pipeline(
     _TIER_NAMES = {"near_edges": "near_minhash", "simhash_edges": "near_simhash"}
     if tier_edges_out is not None:
         tier_edges_out["exact"] = edge_parts[0]
+    for i, xe in enumerate(extra_edges or []):
+        pinned_xe = _pin(xe.select_columns(["id1", "id2"]))
+        edge_parts.append(pinned_xe)
+        if tier_edges_out is not None:
+            tier_edges_out[f"extra{i}"] = pinned_xe
 
     branch_stages = []
 

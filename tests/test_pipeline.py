@@ -230,3 +230,35 @@ def test_int64_id_corpus_full_pipeline(corpus):
     got = {frozenset(g["doc_id"]) for _, g in df.groupby("cluster_id")}
     want = {frozenset(g["doc_id"]) for _, g in bdf.groupby("cluster_id")}
     assert got == want
+
+
+def test_extra_edges_merge_into_clusters():
+    """extra_edges is the pipeline-level extension point: a caller-supplied
+    edge merges two otherwise-unrelated documents' clusters."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import planted_pages
+
+    pages, _ = planted_pages(n_base=30, seed=9)
+    cfg = DedupConfig(minhash_concurrency=2, num_partitions=4)
+    base, _ = dedup_pipeline(rd.from_arrow(pages), cfg)
+    base = base.to_pandas()
+    # pick two docs in different clusters and bridge them
+    reps = base.groupby("cluster_id")["url"].min().tolist()
+    assert len(reps) >= 2
+    a, b = sorted(reps)[:2]
+    bridge = rd.from_arrow(
+        pa.table({"id1": pa.array([a]), "id2": pa.array([b])})
+    )
+    merged, _ = dedup_pipeline(
+        rd.from_arrow(pages), cfg, extra_edges=[bridge]
+    )
+    merged = merged.to_pandas().set_index("url")["cluster_id"]
+    assert merged[a] == merged[b]
+    # everything else unchanged up to relabeling: same number of clusters
+    # minus the one merge
+    assert merged.nunique() == base["cluster_id"].nunique() - 1
