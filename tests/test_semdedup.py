@@ -139,3 +139,29 @@ def test_semdedup_empty_corpus():
     # contract that survives unions/joins downstream (verify.empty_edges).
     assert out.schema().names == ["id", "cell", "cent_cos", "keep"]
     assert out.count() == 0
+
+
+def test_semdedup_hot_cell_extreme_skew():
+    """Pathological skew: hundreds of near-identical vectors.  k-means over
+    an all-alike blob yields near-identical centroids that fragment it
+    across cells arbitrarily, and pruning is CELL-LOCAL by design (the
+    paper's trade: redundancy spanning cells is not pruned) — so the
+    contract is one keeper PER TOUCHED CELL, bounded by n_cells, not one
+    global keeper.  The tiled kernel keeps the dense-gram memory bounded
+    throughout."""
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    V = base + rng.normal(scale=0.005, size=(400, 16))
+    df = pd.DataFrame(
+        {"vec_id": range(400), "embedding": [v.astype(np.float32) for v in V]}
+    )
+    out = semdedup(
+        rd.from_pandas(df), n_cells=8, tau=0.95, num_partitions=4
+    ).to_pandas()
+    assert len(out) == 400
+    kept = out[out["keep"]]
+    assert 1 <= len(kept) <= 8
+    # exactly one keeper per touched cell: within a cell everything is
+    # one cos>=tau component here
+    assert (out.groupby("cell")["keep"].sum() == 1).all()
