@@ -428,16 +428,65 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_stats() -> None:
+    """Observability mode: run the headline pipeline once and print the
+    Ray Data per-stage stats (wall time, rows, memory) of the final
+    clusters dataset to stderr — the `ds.stats()` read that drives the
+    tune-until-compute-bound loop.  Prints the usual one-line JSON last.
+    """
+    import sys
+
+    from dedup_ray.config import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import pages_from_documents
+
+    warm_workers()
+    cfg = DedupConfig(
+        minhash_concurrency=max(2, NUM_CPUS - 2),
+        num_partitions=32,
+        min_substring_len=256,
+    )
+    t0 = time.perf_counter()
+    pages = pages_from_documents(sf_dir=SF_DIR, amplify=HEADLINE_AMPLIFY,
+                                 text_repeat=HEADLINE_TEXT_REPEAT)
+    clusters, _ = dedup_pipeline(pages, cfg)
+    clusters = clusters.materialize()
+    n = clusters.count()
+    elapsed = time.perf_counter() - t0
+    print(clusters.stats(), file=sys.stderr)
+    print(json.dumps({
+        "metric": "headline wall with per-stage stats on stderr",
+        "value": round(elapsed, 3), "unit": "sec",
+        "docs": n, "sf": os.path.basename(SF_DIR).lstrip("sf"),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling-input", action="store_true",
                     help="headline-only over the heavier --scaling corpus")
+    ap.add_argument("--stats", action="store_true",
+                    help="run the headline once and dump per-stage "
+                         "ds.stats() to stderr")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling()
+        return
+
+    if args.stats:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, logging_level="ERROR")
+        try:
+            run_stats()
+        finally:
+            ray.shutdown()
         return
 
     import ray
