@@ -462,6 +462,35 @@ def run_stats() -> None:
     }))
 
 
+def run_linearity() -> None:
+    """Data-size scaling evidence: headline pipeline at 1×/3×/6× corpus
+    in ONE warm session.  Back-to-back runs share the VM-contention
+    factor, so the time-ratio/data-ratio column is contention-robust
+    even when absolute docs/sec is not.  A ratio ≤ 1 at each step means
+    no superlinear term (candidate generation, substring census, CC)
+    as the dup graph grows.  Prints one JSON line.
+    """
+    warm_workers()
+    levels = []
+    for amp in (8, 24, 48):
+        r = run_headline(SF_DIR, amplify=amp, text_repeat=2)
+        r["amplify"] = amp
+        levels.append(r)
+    base = levels[0]
+    for r in levels[1:]:
+        r["time_ratio_over_data_ratio"] = round(
+            (r["sec"] / base["sec"]) / (r["docs"] / base["docs"]), 3
+        )
+    print(json.dumps({
+        "metric": "corpus-size scaling, headline pipeline, 1x/3x/6x "
+                  "(one warm session; ratios contention-robust)",
+        "value": levels[-1]["time_ratio_over_data_ratio"],
+        "unit": "time-ratio/data-ratio at 6x",
+        "levels": levels, "sf": os.path.basename(SF_DIR).lstrip("sf"),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -471,20 +500,23 @@ def main() -> None:
     ap.add_argument("--stats", action="store_true",
                     help="run the headline once and dump per-stage "
                          "ds.stats() to stderr")
+    ap.add_argument("--linearity", action="store_true",
+                    help="headline at 1x/3x/6x corpus in one session; "
+                         "reports time-ratio/data-ratio per level")
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling()
         return
 
-    if args.stats:
+    if args.stats or args.linearity:
         import ray
 
         if not ray.is_initialized():
             ray.init(address="local", num_cpus=NUM_CPUS,
                      include_dashboard=False, logging_level="ERROR")
         try:
-            run_stats()
+            run_stats() if args.stats else run_linearity()
         finally:
             ray.shutdown()
         return
