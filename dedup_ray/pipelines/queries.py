@@ -2362,6 +2362,51 @@ def pack_sequences_docs(sf_dir: str):
     return pack_sequences(counts, budget=PACK_BUDGET, bucket_width=64)
 
 
+TOKEN_BUDGET = 15_000
+
+
+def token_budget_select_docs(sf_dir: str):
+    """Quality-ranked token-budget selection ("take the best B tokens"):
+    keep documents in ``(score DESC, doc_id ASC)`` order while the running
+    token total stays ≤ ``TOKEN_BUDGET`` — the budgeted-selection step of a
+    pre-training recipe, = ``SUM(n_tokens) OVER (ORDER BY score DESC,
+    doc_id) <= B`` in SQL, computed WITHOUT a global sort
+    (``stages/ordering.py::token_budget_select``: per-distinct-score sums
+    to the driver, boundary group tie-broken by id, broadcast filter).
+    Score = distinct-token count (lexical diversity); tokens = non-empty
+    whitespace tokens."""
+    from dedup_ray.stages.ordering import token_budget_select
+    from dedup_ray.util.hashing import stable64_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keepmask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        p = parent[keepmask]
+        n_tokens = np.bincount(p, minlength=n).astype(np.int64)
+        words = flat.filter(pa.array(keepmask)).to_pylist()
+        score = np.zeros(n, dtype=np.int64)
+        if words:
+            h = stable64_array(words, seed=0xB4D6).view(np.uint64)
+            order = np.lexsort((h, p))
+            ps, hs = p[order], h[order]
+            newrun = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+            score = np.bincount(ps[newrun], minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "score": pa.array(score),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    per_doc = ds.map_batches(feats, batch_format="pyarrow")
+    return token_budget_select(per_doc, budget=TOKEN_BUDGET,
+                               id_col="doc_id")
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3330,6 +3375,7 @@ QUERIES = {
     "hll_token_registers_docs": hll_token_registers_docs,
     "cms_token_registers_docs": cms_token_registers_docs,
     "token_logfreq_score_docs": token_logfreq_score_docs,
+    "token_budget_select_docs": token_budget_select_docs,
     "chunk_tokens_docs": chunk_tokens_docs,
     "novelty_curve_docs": novelty_curve_docs,
     "compression_ratio_docs": compression_ratio_docs,
@@ -3861,6 +3907,22 @@ ORACLES["token_logfreq_score_docs"] = TOKENS_CTE + """
     SELECT t.doc_id, round(avg(ln(c.cnt)), 6) AS logfreq_score
     FROM toks t JOIN c USING (token)
     GROUP BY t.doc_id
+"""
+
+ORACLES["token_budget_select_docs"] = f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    f AS (SELECT doc_id,
+                 CAST(length(list_distinct(toks)) AS BIGINT) AS score,
+                 CAST(length(toks) AS BIGINT) AS n_tokens
+          FROM t),
+    w AS (SELECT doc_id, score, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM f)
+    SELECT doc_id, score, n_tokens FROM w WHERE cum <= {TOKEN_BUDGET}
 """
 
 ORACLES["cms_token_registers_docs"] = """

@@ -31,6 +31,83 @@ def _hex2_to_int(dg: list[str]) -> np.ndarray:
     return vals[:, 0] * 16 + vals[:, 1]
 
 
+def token_budget_select(ds, budget: int, id_col: str = "doc_id",
+                        score_col: str = "score", tokens_col: str = "n_tokens"):
+    """Quality-ranked token-budget selection: keep documents in
+    ``(score DESC, id ASC)`` order while the running token total stays
+    ≤ ``budget`` — the "take the best B tokens" step of a pre-training
+    data recipe, exactly ``SUM(tokens) OVER (ORDER BY score DESC, id)
+    <= budget`` in SQL.
+
+    Sort-free distributed plan (a global sort of the corpus would be an
+    all-to-all over every row; the selection needs none of it):
+
+    1. one grouped sum → per-DISTINCT-SCORE ``(sum_tokens, n_docs)``
+       rows stream to the driver — cardinality is bounded by the score
+       domain (word counts, binned floats), not the corpus;
+    2. driver cumsum over scores descending finds the boundary score
+       ``s*`` where the budget crosses — every doc scoring above ``s*``
+       is kept outright;
+    3. ONLY the boundary group (docs with score == ``s*``) is collected
+       (id, tokens), sorted by id, and cut where the remaining budget
+       runs out.  Driver memory is one score-value group — the operator's
+       documented skew bound (a float score makes it ~1 doc; a coarse
+       integer score can make it large);
+    4. the verdict ``(s*, cutoff id)`` broadcasts into one filter pass.
+
+    Returns the kept rows ``(id_col, score_col, tokens_col)``.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    slim = ds.select_columns([id_col, score_col, tokens_col])
+
+    def typed_empty():
+        sch = slim.schema()
+        return ray.data.from_arrow(pa.table({
+            n: pa.array([], t) for n, t in zip(sch.names, sch.types)
+        }))
+
+    per_score = slim.groupby(score_col).aggregate(
+        Sum(tokens_col, alias_name="toks"),
+    ).to_pandas()
+    if per_score.empty or budget <= 0:
+        return typed_empty()
+    per_score = per_score.sort_values(score_col, ascending=False)
+    cum = per_score["toks"].to_numpy().cumsum()
+    crossing = np.flatnonzero(cum > budget)
+    if len(crossing) == 0:  # whole corpus fits
+        return slim
+    bi = int(crossing[0])
+    s_star = per_score[score_col].iloc[bi]
+    spent = int(cum[bi - 1]) if bi > 0 else 0
+
+    boundary = slim.map_batches(
+        lambda t: t.filter(pc.equal(t[score_col], s_star))
+                   .select([id_col, tokens_col]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    boundary = boundary.sort_values(id_col)
+    fits = np.flatnonzero(
+        spent + boundary[tokens_col].to_numpy().cumsum() > budget
+    )
+    n_fit = int(fits[0]) if len(fits) else len(boundary)
+    cutoff_id = boundary[id_col].iloc[n_fit - 1] if n_fit > 0 else None
+    if bi == 0 and cutoff_id is None:  # nothing above s*, nothing at it fits
+        return typed_empty()
+
+    def keep(t: pa.Table) -> pa.Table:
+        above = pc.greater(t[score_col], s_star)
+        if cutoff_id is None:
+            return t.filter(above)
+        at = pc.and_(pc.equal(t[score_col], s_star),
+                     pc.less_equal(t[id_col], cutoff_id))
+        return t.filter(pc.or_(above, at))
+
+    return slim.map_batches(keep, batch_format="pyarrow")
+
+
 def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,
                  num_partitions: int = 16):
     """Assign ``rank`` = global position of each row in ``md5(f"{id}:{seed}")``

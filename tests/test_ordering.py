@@ -47,3 +47,66 @@ def test_shuffle_rank_seed_changes_order():
     c = shuffle_rank(ds, seed=1, num_partitions=3).to_pandas()
     rc = dict(zip(c.doc_id, c["rank"]))
     assert ra == rc
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select
+
+
+def _brute_budget(rows, budget):
+    """Brute force: sort (score DESC, id ASC), keep while cumsum <= budget."""
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    kept, cum = [], 0
+    for rid, score, toks in order:
+        if cum + toks > budget:
+            break  # strict prefix of the order, like the SQL window
+        cum += toks
+        kept.append(rid)
+    return sorted(kept)
+
+
+def _select(rows, budget, parallelism=4):
+    from dedup_ray.stages.ordering import token_budget_select
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(parallelism)
+    out = token_budget_select(ds, budget=budget).to_pandas()
+    if "doc_id" not in out.columns:  # empty to_pandas drops columns
+        assert out.empty
+        return []
+    return sorted(out.doc_id.tolist())
+
+
+def test_token_budget_matches_brute_force():
+    rng = np.random.default_rng(11)
+    rows = [(i, int(rng.integers(0, 12)), int(rng.integers(1, 40)))
+            for i in range(200)]
+    for budget in (0, 37, 500, 2000, 10**9):
+        assert _select(rows, budget) == _brute_budget(rows, budget), budget
+
+
+def test_token_budget_boundary_tiebreak_by_id():
+    # all docs share ONE score: the boundary group is the whole corpus and
+    # selection must be an id-ascending prefix
+    rows = [(i, 5, 10) for i in range(20)]
+    assert _select(rows, 35) == [0, 1, 2]  # 3 docs of 10 fit in 35
+    assert _select(rows, 200) == list(range(20))
+
+
+def test_token_budget_partition_invariance_and_empty():
+    rows = [(i, i % 7, 5 + i % 3) for i in range(150)]
+    a = _select(rows, 300, parallelism=2)
+    b = _select(rows, 300, parallelism=16)
+    assert a == b == _brute_budget(rows, 300)
+    from dedup_ray.stages.ordering import token_budget_select
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+    }))
+    assert token_budget_select(empty, budget=100).count() == 0
