@@ -367,6 +367,87 @@ def anti_join_customers(sf_dir: str):
     return anti_join(cust, keys, "c_custkey", cols=["c_custkey", "c_name"])
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1997-06-01"
+
+
+def q3_shipping_priority(sf_dir: str):
+    """J6+A-series composition (TPC-H Q3 shape): customer ⋈ orders ⋈
+    lineitem, grouped revenue, top-10.  The scale plan keeps every wide
+    step narrow: lineitem revenue is pre-aggregated per orderkey BEFORE
+    any join (combiner ahead of the shuffle — the fact table never moves
+    with payload), the customer side degrades to a semi-join key set
+    (size-gated broadcast, ``ops/relational.py``), and only the
+    date-filtered orders rows carry (date, priority) into the final
+    co-partitioned ``hash_join``.  Top-10 is a bounded global sort on the
+    already-aggregated result."""
+    from ray.data.aggregate import Sum
+
+    from dedup_ray.util.dsutil import hash_join
+
+    cutoff = pa.scalar(pd.Timestamp(Q3_DATE))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: pa.table({
+            "o_custkey":
+                t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))["c_custkey"]
+        }),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    orders = semi_join(
+        orders, keys, "o_custkey",
+        cols=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        }),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        r = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+
+    li_agg = li.map_batches(rev, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+
+    j = hash_join(
+        li_agg, orders, "l_orderkey",
+        ["l_orderkey", "revenue"],
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        num_partitions=8,
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.round(t["revenue"], ndigits=2),
+            # date as ISO string: timestamps change resolution through the
+            # pandas merge and hash differently across engines
+            "o_orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+            "o_orderpriority": t["o_orderpriority"],
+        }),
+        batch_format="pyarrow",
+    )
+    return j.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
 # --------------------------------------------------------------------------
 # D/O-series: distinct / mode / top-k
 # --------------------------------------------------------------------------
@@ -2407,6 +2488,41 @@ def token_budget_select_docs(sf_dir: str):
                                id_col="doc_id")
 
 
+LANG_TOKEN_BUDGET = 3_000
+
+
+def lang_token_budget_docs(sf_dir: str):
+    """Stratified token-budget selection: the best ``LANG_TOKEN_BUDGET``
+    tokens PER LANGUAGE (score = token count, preferring long documents),
+    = ``SUM(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC,
+    doc_id) <= B``.  Same sort-free plan as ``token_budget_select_docs``
+    keyed on (lang, score); the per-language budget is the standard
+    multilingual-recipe shape (cap every language at the same token
+    mass)."""
+    from dedup_ray.stages.ordering import token_budget_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keepmask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(
+            parent[keepmask], minlength=t.num_rows
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "score": pa.array(n_tokens),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    per_doc = ds.map_batches(feats, batch_format="pyarrow")
+    return token_budget_select(per_doc, budget=LANG_TOKEN_BUDGET,
+                               id_col="doc_id", group_col="lang")
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3376,6 +3492,8 @@ QUERIES = {
     "cms_token_registers_docs": cms_token_registers_docs,
     "token_logfreq_score_docs": token_logfreq_score_docs,
     "token_budget_select_docs": token_budget_select_docs,
+    "lang_token_budget_docs": lang_token_budget_docs,
+    "q3_shipping_priority": q3_shipping_priority,
     "chunk_tokens_docs": chunk_tokens_docs,
     "novelty_curve_docs": novelty_curve_docs,
     "compression_ratio_docs": compression_ratio_docs,
@@ -3923,6 +4041,37 @@ ORACLES["token_budget_select_docs"] = f"""
                                      ROWS UNBOUNDED PRECEDING) AS cum
           FROM f)
     SELECT doc_id, score, n_tokens FROM w WHERE cum <= {TOKEN_BUDGET}
+"""
+
+ORACLES["lang_token_budget_docs"] = f"""
+    WITH f AS (SELECT doc_id, lang,
+                      CAST(length(list_filter(
+                          string_split(coalesce(text, ''), ' '),
+                          x -> x <> '')) AS BIGINT) AS score
+               FROM documents),
+    w AS (SELECT doc_id, lang, score, score AS n_tokens,
+                 SUM(score) OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM f)
+    SELECT doc_id, lang, score, n_tokens
+    FROM w WHERE cum <= {LANG_TOKEN_BUDGET}
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
 """
 
 ORACLES["cms_token_registers_docs"] = """

@@ -32,12 +32,22 @@ def _hex2_to_int(dg: list[str]) -> np.ndarray:
 
 
 def token_budget_select(ds, budget: int, id_col: str = "doc_id",
-                        score_col: str = "score", tokens_col: str = "n_tokens"):
+                        score_col: str = "score", tokens_col: str = "n_tokens",
+                        group_col: str | None = None):
     """Quality-ranked token-budget selection: keep documents in
     ``(score DESC, id ASC)`` order while the running token total stays
     ≤ ``budget`` — the "take the best B tokens" step of a pre-training
     data recipe, exactly ``SUM(tokens) OVER (ORDER BY score DESC, id)
     <= budget`` in SQL.
+
+    With ``group_col`` the budget applies PER GROUP (the stratified
+    recipe: "the best B tokens of every language"), = ``SUM(tokens)
+    OVER (PARTITION BY group ORDER BY score DESC, id) <= budget``.
+    Same sort-free plan — the per-score rollup keys on (group, score),
+    the driver holds one cumsum per group, and ONE boundary pass
+    collects every group's boundary score class.  Driver state is
+    bounded by Σ_g (distinct scores + boundary class size), never the
+    corpus.
 
     Sort-free distributed plan (a global sort of the corpus would be an
     all-to-all over every row; the selection needs none of it):
@@ -61,13 +71,22 @@ def token_budget_select(ds, budget: int, id_col: str = "doc_id",
     import ray.data
     from ray.data.aggregate import Sum
 
-    slim = ds.select_columns([id_col, score_col, tokens_col])
+    cols = [id_col, score_col, tokens_col]
+    if group_col is not None:
+        cols.insert(1, group_col)
+    slim = ds.select_columns(cols)
 
     def typed_empty():
         sch = slim.schema()
         return ray.data.from_arrow(pa.table({
             n: pa.array([], t) for n, t in zip(sch.names, sch.types)
         }))
+
+    if group_col is not None:
+        return _grouped_budget_select(
+            slim, budget, id_col, score_col, tokens_col, group_col,
+            typed_empty,
+        )
 
     per_score = slim.groupby(score_col).aggregate(
         Sum(tokens_col, alias_name="toks"),
@@ -106,6 +125,67 @@ def token_budget_select(ds, budget: int, id_col: str = "doc_id",
         return t.filter(pc.or_(above, at))
 
     return slim.map_batches(keep, batch_format="pyarrow")
+
+
+def _grouped_budget_select(slim, budget, id_col, score_col, tokens_col,
+                           group_col, typed_empty):
+    """Per-group branch of :func:`token_budget_select` — one (group, score)
+    rollup, driver cumsum per group, ONE boundary pass for all groups."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if budget <= 0:
+        return typed_empty()
+
+    per = slim.groupby([group_col, score_col]).aggregate(
+        Sum(tokens_col, alias_name="toks"),
+    ).to_pandas()
+    if per.empty:
+        return typed_empty()
+    per = per.sort_values([group_col, score_col], ascending=[True, False])
+    cum = per.groupby(group_col, sort=False)["toks"].cumsum().to_numpy()
+    over = cum > budget
+
+    # first crossing row per group (groups with none fit whole)
+    sstar_map: dict = {}   # group -> boundary score s*
+    spent_map: dict = {}   # group -> tokens consumed above s*
+    gvals = per[group_col].to_numpy()
+    svals = per[score_col].to_numpy()
+    for i in np.flatnonzero(over):
+        g = gvals[i]
+        if g in sstar_map:
+            continue
+        sstar_map[g] = svals[i]
+        spent_map[g] = int(cum[i - 1]) if i > 0 and gvals[i - 1] == g else 0
+    if not sstar_map:  # every group fits whole
+        return slim
+
+    def at_boundary(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[score_col] == df[group_col].map(sstar_map)
+        return df.loc[m.fillna(False), [group_col, id_col, tokens_col]]
+
+    boundary = slim.map_batches(at_boundary, batch_format="pandas").to_pandas()
+    boundary = boundary.sort_values([group_col, id_col])
+    cutoff_map: dict = {}  # group -> last id kept at s* (absent: none fit)
+    for g, part in boundary.groupby(group_col, sort=False):
+        fits = np.flatnonzero(
+            spent_map[g] + part[tokens_col].to_numpy().cumsum() > budget
+        )
+        n_fit = int(fits[0]) if len(fits) else len(part)
+        if n_fit > 0:
+            cutoff_map[g] = part[id_col].iloc[n_fit - 1]
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        sst = df[group_col].map(sstar_map)
+        above = sst.isna() | (df[score_col] > sst)
+        cut = df[group_col].map(cutoff_map)
+        at = (df[score_col] == sst) & cut.notna()
+        if at.any():
+            at.loc[at] = df.loc[at, id_col] <= cut[at]
+        return df[above | at]
+
+    return slim.map_batches(keep, batch_format="pandas")
 
 
 def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,

@@ -110,3 +110,53 @@ def test_token_budget_partition_invariance_and_empty():
         "n_tokens": pa.array([], pa.int64()),
     }))
     assert token_budget_select(empty, budget=100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select, grouped
+
+
+def _brute_grouped(rows, budget):
+    """rows = (id, group, score, toks); per-group (score DESC, id) prefix."""
+    kept = []
+    for g in {r[1] for r in rows}:
+        sub = [(r[0], r[2], r[3]) for r in rows if r[1] == g]
+        kept += _brute_budget(sub, budget)
+    return sorted(kept)
+
+
+def _select_grouped(rows, budget, parallelism=4):
+    from dedup_ray.stages.ordering import token_budget_select
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "grp": pa.array([r[1] for r in rows], pa.string()),
+        "score": pa.array([r[2] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(parallelism)
+    out = token_budget_select(ds, budget=budget, group_col="grp").to_pandas()
+    if "doc_id" not in out.columns:
+        assert out.empty
+        return []
+    return sorted(out.doc_id.tolist())
+
+
+def test_grouped_budget_matches_brute_force():
+    rng = np.random.default_rng(7)
+    rows = [(i, f"g{int(rng.integers(0, 4))}", int(rng.integers(0, 10)),
+             int(rng.integers(1, 30))) for i in range(300)]
+    for budget in (0, 50, 400, 10**9):
+        got = _select_grouped(rows, budget)
+        assert got == _brute_grouped(rows, budget), budget
+
+
+def test_grouped_budget_mixed_fit_and_crossing():
+    # g_small fits whole; g_big crosses and must cut at the boundary class
+    rows = ([(i, "g_small", 1, 5) for i in range(3)]          # 15 tokens
+            + [(100 + i, "g_big", 2, 40) for i in range(10)])  # 400 tokens
+    got = _select_grouped(rows, 100)
+    assert got == [0, 1, 2, 100, 101]  # small whole; big: 2 docs of 40
+
+    # partition invariance
+    assert _select_grouped(rows, 100, parallelism=16) == got
