@@ -2558,6 +2558,35 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+EXACT_SUBSTR_LEN = 40  # chars; shared by the kernel and the oracle
+
+
+def exact_substring_docs(sf_dir: str):
+    """ExactSubstr coverage (Lee et al. 2022 semantics, char windows):
+    per-doc count of positions covered by a corpus-duplicated substring of
+    length >= 40.  Exact — a duplicated >=L substring covers a position
+    iff a duplicated L-window does — via one narrow (ghash, count)
+    exchange + broadcast dup set (``stages/exactsubstr.py``); the CDC path
+    (``stages/substring.py``) is the scale-side approximation of the same
+    semantics."""
+    from dedup_ray.stages.exactsubstr import exact_substring_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_coverage(ds, min_len=EXACT_SUBSTR_LEN)
+
+
+def exact_substring_cut_docs(sf_dir: str):
+    """ExactSubstr removal: text with every duplicated->=40-char-covered
+    position cut (all-occurrence policy — output is a pure function of
+    corpus content, partition/order-invariant).  The oracle reconstructs
+    the kept text with merged cover islands + complement-segment
+    ``string_agg``."""
+    from dedup_ray.stages.exactsubstr import exact_substring_cut
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_cut(ds, min_len=EXACT_SUBSTR_LEN)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over the pre-registered views)
 # --------------------------------------------------------------------------
@@ -3433,6 +3462,72 @@ def _register_generated_oracles() -> None:
 _register_generated_oracles()
 
 
+def _exact_substr_ctes(L: int) -> str:
+    """Shared CTE chain: duplicated L-window starts over documents."""
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       1, greatest(length(text) - {L} + 1, 0))) AS i,
+                   text
+            FROM documents),
+        gg AS (SELECT doc_id, i::INT AS i, substr(text, i::INT, {L}) AS gram
+               FROM g),
+        dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+        s AS (SELECT doc_id, i FROM gg
+              WHERE gram IN (SELECT gram FROM dup))
+    """
+
+
+def _register_exact_substr_oracles() -> None:
+    L = EXACT_SUBSTR_LEN
+    ORACLES["exact_substring_docs"] = _exact_substr_ctes(L) + f""",
+        isl AS (SELECT doc_id, i,
+                       lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+                FROM s),
+        cov AS (SELECT doc_id,
+                       sum(CASE WHEN pi IS NULL OR i - pi >= {L}
+                                THEN {L} ELSE i - pi END) AS dup_chars
+                FROM isl GROUP BY doc_id)
+        SELECT d.doc_id, length(d.text) AS nchars,
+               coalesce(c.dup_chars, 0)::BIGINT AS dup_chars
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+    """
+    ORACLES["exact_substring_cut_docs"] = _exact_substr_ctes(L) + f""",
+        m AS (SELECT doc_id, i,
+                     CASE WHEN i - max(i) OVER (
+                              PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) < {L}
+                          THEN 0 ELSE 1 END AS newgrp
+              FROM s),
+        grp AS (SELECT doc_id, i,
+                       sum(newgrp) OVER (PARTITION BY doc_id
+                                         ORDER BY i) AS gid
+                FROM m),
+        isl AS (SELECT doc_id, gid, min(i) AS a, max(i) + {L} AS b
+                FROM grp GROUP BY doc_id, gid),
+        seg AS (SELECT doc_id, b AS gstart,
+                       lead(a) OVER (PARTITION BY doc_id
+                                     ORDER BY a) AS gend
+                FROM isl
+                UNION ALL
+                SELECT doc_id, 1, min(a) FROM isl GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN count(s.gstart) = 0 THEN any_value(d.text)
+                    ELSE coalesce(string_agg(
+                        substr(d.text, s.gstart,
+                               coalesce(s.gend, length(d.text) + 1)
+                               - s.gstart),
+                        '' ORDER BY s.gstart), '') END AS text
+        FROM documents d LEFT JOIN seg s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id
+    """
+
+
+_register_exact_substr_oracles()
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "grouped_stats_events": grouped_stats_events,
@@ -3480,6 +3575,8 @@ QUERIES = {
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
     "line_dedup_docs": line_dedup_docs,
+    "exact_substring_docs": exact_substring_docs,
+    "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
     "decontaminate_docs": decontaminate_docs,
