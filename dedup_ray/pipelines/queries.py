@@ -2558,6 +2558,19 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+def range_rank_orders(sf_dir: str):
+    """Global ``ORDER BY (o_totalprice, o_orderkey)`` rank WITHOUT a
+    global sort: sample-based range partitioning (deterministic md5
+    sample → boundary quantiles → one bucket exchange → local sorts +
+    exact offsets from B per-bucket counters).  Boundaries affect only
+    load balance — ranks are exact for any boundary choice
+    (``stages/ordering.py::range_rank``)."""
+    from dedup_ray.stages.ordering import range_rank
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return range_rank(ds, key_col="o_totalprice", id_col="o_orderkey")
+
+
 EXACT_SUBSTR_LEN = 40  # chars; shared by the kernel and the oracle
 
 
@@ -3479,6 +3492,14 @@ def _exact_substr_ctes(L: int) -> str:
     """
 
 
+ORACLES["range_rank_orders"] = """
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+               AS rank
+    FROM orders
+"""
+
+
 def _register_exact_substr_oracles() -> None:
     L = EXACT_SUBSTR_LEN
     ORACLES["exact_substring_docs"] = _exact_substr_ctes(L) + f""",
@@ -3576,6 +3597,7 @@ QUERIES = {
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
     "line_dedup_docs": line_dedup_docs,
     "exact_substring_docs": exact_substring_docs,
+    "range_rank_orders": range_rank_orders,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -188,6 +188,109 @@ def _grouped_budget_select(slim, budget, id_col, score_col, tokens_col,
     return slim.map_batches(keep, batch_format="pandas")
 
 
+def range_rank(ds, key_col: str, id_col: str, sample_rate: float = 0.05,
+               seed: int = 7, num_partitions: int = 16):
+    """Global ``ORDER BY (key, id)`` rank via sample-based range
+    partitioning — the scalable alternative to a full ``ds.sort``
+    (which re-sorts and merges every block through one all-to-all).
+
+    Plan: (1) a DETERMINISTIC keyed-hash sample (md5(id:seed) hex-prefix
+    threshold, the ``stages/mixing.py`` trick) streams ~``sample_rate``
+    of the key values to the driver; its quantiles become the range-
+    bucket boundaries.  (2) one exchange routes each row to its range
+    bucket.  (3) tiny per-bucket counts (B rows) cumsum into exact
+    global offsets, and each bucket sorts locally — rank = offset +
+    local position.  Boundaries affect only LOAD BALANCE, never the
+    output: ranks are exact for any boundary choice, so a skewed sample
+    degrades a task's size, not correctness.  Driver state: the sample
+    (``rate × n`` keys — pick rate so this is ~10⁵–10⁶ rows at scale)
+    plus B counters.
+
+    Output: ``(id_col, key_col, rank)`` with 0-based dense positions,
+    ties broken by id.
+    """
+    import ray
+    import ray.data
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    slim = ds.select_columns([id_col, key_col])
+    # hex-prefix threshold: keep iff first 4 hex digits < rate * 16^4
+    thresh = format(max(int(sample_rate * 0x10000), 1), "04x")
+
+    def sampled(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        dg = content_digest([f"{v}:{seed}" for v in ids], algo="md5")
+        keep = np.array([d[:4] < thresh for d in dg])
+        return pa.table({key_col: t[key_col].filter(pa.array(keep))})
+
+    sample_keys = np.sort(np.concatenate(
+        [b[key_col].to_numpy(zero_copy_only=False)
+         for b in slim.map_batches(sampled, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([])]
+    ))
+    if len(sample_keys):
+        picks = np.unique(sample_keys[
+            (np.linspace(0, 1, num_partitions + 1)[1:-1]
+             * (len(sample_keys) - 1)).astype(np.int64)
+        ])
+    else:
+        picks = np.array([])  # degenerate sample: one bucket, still exact
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(picks, keys, side="right").astype(np.int64)
+        return t.append_column("bucket", pa.array(bkt))
+
+    with_bkt = slim.map_batches(assign, batch_format="pyarrow").materialize()
+    counts = with_bkt.groupby("bucket").count().to_pandas()
+    if counts.empty:
+        from dedup_ray.stages.packing import _schema_type
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], _schema_type(with_bkt, id_col)),
+            key_col: pa.array([], _schema_type(with_bkt, key_col)),
+            "rank": pa.array([], pa.int64()),
+        }))
+    counts = counts.sort_values("bucket")
+    buckets = counts["bucket"].to_numpy()
+    offsets = np.r_[0, np.cumsum(counts["count()"].to_numpy())[:-1]]
+    offset_ref = ray.put((buckets, offsets))
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:  # exchange void blocks carry no schema
+            id_t = part[id_col].type if id_col in part.column_names \
+                else pa.int64()
+            key_t = part[key_col].type if key_col in part.column_names \
+                else pa.float64()
+            return pa.table({
+                id_col: pa.array([], id_t),
+                key_col: pa.array([], key_t),
+                "rank": pa.array([], pa.int64()),
+            })
+        bks, offs = ray.get(offset_ref)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        keys = part[key_col].to_numpy(zero_copy_only=False)
+        bkt = part["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys, bkt))
+        bkt_s = bkt[order]
+        first = np.r_[True, bkt_s[1:] != bkt_s[:-1]]
+        local = np.arange(len(order), dtype=np.int64)
+        base = np.repeat(local[first], np.diff(
+            np.r_[np.flatnonzero(first), len(order)]
+        ))
+        rank = offs[np.searchsorted(bks, bkt_s)] + (local - base)
+        return pa.table({
+            id_col: pa.array(ids[order], part[id_col].type),
+            key_col: pa.array(keys[order], part[key_col].type),
+            "rank": pa.array(rank),
+        })
+
+    return exchange_group_apply(with_bkt, "bucket", rank_part,
+                                num_partitions)
+
+
 def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,
                  num_partitions: int = 16):
     """Assign ``rank`` = global position of each row in ``md5(f"{id}:{seed}")``

@@ -160,3 +160,47 @@ def test_grouped_budget_mixed_fit_and_crossing():
 
     # partition invariance
     assert _select_grouped(rows, 100, parallelism=16) == got
+
+
+def test_range_rank_matches_sorted_order():
+    from dedup_ray.stages.ordering import range_rank
+
+    rng = np.random.default_rng(3)
+    n = 500
+    keys = rng.choice([1.5, 2.25, 7.0, 9.5, 11.0], size=n)  # heavy ties
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "k": pa.array(keys),
+    })).repartition(5)
+    out = range_rank(ds, key_col="k", id_col="id",
+                     num_partitions=6).to_pandas()
+    order = np.lexsort((ids, keys))
+    want = {int(ids[j]): pos for pos, j in enumerate(order)}
+    assert dict(zip(out["id"], out["rank"])) == want
+    assert sorted(out["rank"]) == list(range(n))
+
+
+def test_range_rank_partition_invariance_and_tiny_sample():
+    from dedup_ray.stages.ordering import range_rank
+
+    ids = np.arange(40, dtype=np.int64)
+    keys = (ids % 7).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"id": pa.array(ids),
+                                       "k": pa.array(keys)}))
+    # sample_rate so low the sample is empty -> one bucket, still exact
+    a = range_rank(ds, "k", "id", sample_rate=1e-9,
+                   num_partitions=2).to_pandas().sort_values("id")
+    b = range_rank(ds.repartition(8), "k", "id", sample_rate=0.5,
+                   num_partitions=5).to_pandas().sort_values("id")
+    assert a["rank"].tolist() == b["rank"].tolist()
+
+
+def test_range_rank_empty():
+    from dedup_ray.stages.ordering import range_rank
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()), "k": pa.array([], pa.float64()),
+    }))
+    out = range_rank(ds, "k", "id")
+    assert out.count() == 0
+    assert out.schema().names == ["id", "k", "rank"]
