@@ -2558,6 +2558,24 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+BPE_MERGES = 8  # rounds; shared by the trainer and the generated oracle
+
+
+def bpe_train_docs(sf_dir: str):
+    """Distributed BPE merge training (Sennrich 2016): the merge-rule
+    table learned from the corpus.  One corpus-sized pass builds the word
+    histogram; each round then runs over the vocab-bounded histogram
+    (partial pair counts → one small grouped sum → argmax; greedy
+    leftmost-non-overlapping application).  The oracle UNROLLS all
+    rounds as generated materialized CTEs — pair counting, tie-break and
+    the run-parity merge rule are checked round by round
+    (``stages/bpetrain.py``)."""
+    from dedup_ray.stages.bpetrain import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, BPE_MERGES)
+
+
 def range_rank_orders(sf_dir: str):
     """Global ``ORDER BY (o_totalprice, o_orderkey)`` rank WITHOUT a
     global sort: sample-based range partitioning (deterministic md5
@@ -3492,6 +3510,15 @@ def _exact_substr_ctes(L: int) -> str:
     """
 
 
+def _register_bpe_oracle() -> None:
+    from dedup_ray.stages.bpetrain import bpe_sql
+
+    ORACLES["bpe_train_docs"] = bpe_sql(BPE_MERGES)
+
+
+_register_bpe_oracle()
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3598,6 +3625,7 @@ QUERIES = {
     "line_dedup_docs": line_dedup_docs,
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
+    "bpe_train_docs": bpe_train_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
