@@ -2576,6 +2576,20 @@ def bpe_train_docs(sf_dir: str):
     return bpe_train(ds, BPE_MERGES)
 
 
+def bpe_encode_docs(sf_dir: str):
+    """BPE tokenization with the merges learned from this corpus: per-doc
+    BPE token count after applying all 8 trained rules.  Encoding replays
+    the merges on each batch's DISTINCT words only; the oracle reuses the
+    trainer's unrolled CTEs and joins doc words against the final symbol
+    state."""
+    from dedup_ray.stages.bpetrain import bpe_encode_counts, bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(_read(sf_dir, "documents", columns=["text"]),
+                       BPE_MERGES)
+    return bpe_encode_counts(ds, merges)
+
+
 def range_rank_orders(sf_dir: str):
     """Global ``ORDER BY (o_totalprice, o_orderkey)`` rank WITHOUT a
     global sort: sample-based range partitioning (deterministic md5
@@ -3511,9 +3525,10 @@ def _exact_substr_ctes(L: int) -> str:
 
 
 def _register_bpe_oracle() -> None:
-    from dedup_ray.stages.bpetrain import bpe_sql
+    from dedup_ray.stages.bpetrain import bpe_encode_sql, bpe_sql
 
     ORACLES["bpe_train_docs"] = bpe_sql(BPE_MERGES)
+    ORACLES["bpe_encode_docs"] = bpe_encode_sql(BPE_MERGES)
 
 
 _register_bpe_oracle()
@@ -3626,6 +3641,7 @@ QUERIES = {
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
     "bpe_train_docs": bpe_train_docs,
+    "bpe_encode_docs": bpe_encode_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

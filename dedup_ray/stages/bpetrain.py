@@ -229,3 +229,72 @@ def bpe_sql(num_merges: int, table: str = "documents",
         for r in range(1, num_merges + 1)
     )
     return "WITH " + ",".join(ctes) + " " + finals
+
+
+def bpe_encode_counts(ds, merges: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Apply a learned merge table and count BPE tokens per document.
+
+    The rule list broadcasts via task closure (it is ``num_merges`` rows);
+    each batch tokenizes, dedups to its DISTINCT words, replays the merges
+    on that word set with the same vectorized kernel the trainer uses, and
+    scatters the per-word token counts back to documents — per-batch work
+    is O(distinct words · merges), not O(corpus · merges).  Output:
+    ``(id_col, n_bpe)``.
+    """
+    rules = list(zip(merges["left_sym"].to_pylist(),
+                     merges["right_sym"].to_pylist()))
+
+    def enc(t: pa.Table) -> pa.Table:
+        texts = pc.coalesce(t[text_col], pa.scalar("", t[text_col].type))
+        toks = pc.split_pattern(texts, " ")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat_tok = np.asarray(
+            pc.list_flatten(toks).to_pylist(), object)
+        live = flat_tok != ""
+        flat_tok, parent = flat_tok[live], parent[live]
+        n_bpe = np.zeros(t.num_rows, np.int64)
+        if len(flat_tok):
+            uniq, inv = np.unique(flat_tok, return_inverse=True)
+            sym_flat, offs = [], [0]
+            for w in uniq:
+                sym_flat.extend(w)
+                sym_flat.append(END_MARK)
+                offs.append(len(sym_flat))
+            state = pa.table({
+                "n": pa.array(np.ones(len(uniq), np.int64)),
+                "syms": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(sym_flat, pa.string())),
+            })
+            for a, b in rules:
+                state = _apply_merge(state, a, b)
+            _, offsets, _ = _flat(state)
+            klen = np.diff(offsets)
+            np.add.at(n_bpe, parent, klen[inv])
+        return pa.table({id_col: t[id_col], "n_bpe": pa.array(n_bpe)})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def bpe_encode_sql(num_merges: int, table: str = "documents",
+                   text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle for :func:`bpe_encode_counts` over the merges learned from
+    the same corpus: reuse the trainer's unrolled CTEs, then join each
+    document's words against the final symbol state."""
+    train = bpe_sql(num_merges, table, text_col)
+    # keep the CTE chain, drop the trainer's final UNION ALL select
+    head = train.split(" SELECT 1 AS merge_round")[0]
+    return head + f"""
+        , wordtok AS (SELECT word, length(syms)::BIGINT AS k
+                      FROM s{num_merges}),
+        docw AS (SELECT {id_col},
+                        unnest(list_filter(string_split({text_col}, ' '),
+                               x -> x <> '')) AS word
+                 FROM {table})
+        SELECT d.{id_col}, coalesce(sum(w.k), 0)::BIGINT AS n_bpe
+        FROM {table} d
+        LEFT JOIN docw dw ON d.{id_col} = dw.{id_col}
+        LEFT JOIN wordtok w ON dw.word = w.word
+        GROUP BY d.{id_col}
+    """

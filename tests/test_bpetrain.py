@@ -82,3 +82,38 @@ def test_exhausted_corpus_stops_early():
     # one 2-symbol word type: round 1 merges it whole, round 2 has no pairs
     got = _run(["x x x"], 4)
     assert got == [(1, "x", END_MARK, 3)]
+
+
+def test_encode_counts_match_reference():
+    from dedup_ray.stages.bpetrain import bpe_encode_counts
+
+    texts = ["the cat sat on the mat", "the bat and the cat chat",
+             "low lower lowest", ""]
+    hist_merges = _ref_bpe([t for t in texts if t], 6)
+    # reference encode: replay merges per word
+    vocab = {}
+    for s in texts:
+        for w in s.split(" "):
+            if w:
+                vocab[w] = list(w) + [END_MARK]
+    for _, a, b, _ in hist_merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    want = [sum(len(vocab[w]) for w in s.split(" ") if w) for s in texts]
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    merges = bpe_train(ds, 6)
+    out = bpe_encode_counts(ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_bpe"].tolist() == want
