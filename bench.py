@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "ap_cluster_docs",
     "token_logfreq_score_docs",
     "training_recipe_docs",
+    "exact_substring_docs",
+    "range_rank_orders",
+    "bpe_train_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

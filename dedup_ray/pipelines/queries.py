@@ -2558,6 +2558,20 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+NGRAM_N, NGRAM_MIN, NGRAM_K = 3, 5, 50  # shared with the oracle
+
+
+def frequent_ngrams_docs(sf_dir: str):
+    """Boilerplate-phrase census: top-50 token 3-grams with corpus count
+    >= 5 — per-batch np.unique partials, one small grouped sum, bounded
+    sort/limit (``stages/webclean.py::frequent_ngrams``)."""
+    from dedup_ray.stages.webclean import frequent_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return frequent_ngrams(ds, n=NGRAM_N, min_count=NGRAM_MIN,
+                           top_k=NGRAM_K)
+
+
 BPE_MERGES = 8  # rounds; shared by the trainer and the generated oracle
 
 
@@ -3534,6 +3548,20 @@ def _register_bpe_oracle() -> None:
 _register_bpe_oracle()
 
 
+ORACLES["frequent_ngrams_docs"] = f"""
+    WITH toks AS (SELECT list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS l FROM documents),
+    g AS (SELECT unnest(generate_series(
+              1, greatest(length(l) - {NGRAM_N} + 1, 0))) AS i, l
+          FROM toks),
+    grams AS (SELECT array_to_string(l[i:i + {NGRAM_N} - 1], ' ') AS gram
+              FROM g)
+    SELECT gram, count(*)::BIGINT AS n FROM grams
+    GROUP BY gram HAVING count(*) >= {NGRAM_MIN}
+    ORDER BY n DESC, gram LIMIT {NGRAM_K}
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3642,6 +3670,7 @@ QUERIES = {
     "range_rank_orders": range_rank_orders,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
+    "frequent_ngrams_docs": frequent_ngrams_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

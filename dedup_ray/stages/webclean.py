@@ -517,3 +517,60 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Frequent n-gram detection (boilerplate phrase census)
+# --------------------------------------------------------------------------
+
+
+def frequent_ngrams(ds, n: int = 3, min_count: int = 5, top_k: int = 50,
+                    text_col: str = "text"):
+    """Corpus-wide frequent token n-grams: the boilerplate-phrase census
+    web pipelines run before writing line/substring dedup rules ("click
+    here to subscribe" style phrases surface at the top).
+
+    Heavy-hitter shape: per-batch PARTIAL counts (all n-gram strings of a
+    batch collapse through ``np.unique`` before leaving the task), one
+    small grouped sum, ``count >= min_count`` filter, bounded
+    ``sort.limit``.  The shuffle carries (gram, partial_count) rows —
+    the same narrow-payload discipline as ``top_tokens``; for corpora
+    where even distinct-gram cardinality hurts, the Count-Min sketch
+    (``stages/sketch.py``) is the pre-filter scale path.
+
+    Output: ``(gram, n)`` ordered by ``(n DESC, gram)``, top ``top_k``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_text_col(t, text_col), " ")
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), object)
+        live = flat != ""
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)[live]
+        flat = flat[live]
+        if len(flat) < n:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        import pandas as pd
+
+        gram = pd.Series(flat[: len(flat) - n + 1], dtype=object)
+        ok = parent[: len(flat) - n + 1] == parent[n - 1:]
+        for j in range(1, n):
+            gram = gram + " " + pd.Series(flat[j: len(flat) - n + 1 + j],
+                                          dtype=object)
+        vals = gram.to_numpy()[ok]
+        u, c = np.unique(vals, return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").sum("cnt")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["sum(cnt)"], pa.int64())
+        keep = pc.greater_equal(cnt, min_count)
+        return pa.table({"gram": t["gram"],
+                         "n": cnt}).filter(keep)
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n", "gram"], descending=[True, False]).limit(top_k)

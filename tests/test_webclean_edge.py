@@ -101,3 +101,29 @@ def test_null_text_policy():
     assert hll_token_registers(nulls).count() >= 3
     di, gh = _gram_hashes(pa.array(["a b", None]), 2)
     assert (di == 0).all()
+
+
+def test_frequent_ngrams_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from dedup_ray.stages.webclean import frequent_ngrams
+
+    texts = ["click here to subscribe now", "click here to unsubscribe",
+             "please click here to subscribe", None, "", "one two",
+             "to subscribe click here to subscribe"]
+    n = 3
+    ref = Counter()
+    for s in texts:
+        toks = [t for t in (s or "").split(" ") if t]
+        for i in range(len(toks) - n + 1):
+            ref[" ".join(toks[i:i + n])] += 1
+    want = sorted(((g, c) for g, c in ref.items() if c >= 2),
+                  key=lambda gc: (-gc[1], gc[0]))[:10]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = frequent_ngrams(ds, n=n, min_count=2, top_k=10).to_pandas()
+    assert list(zip(out["gram"], out["n"])) == want
+    assert ("click here to", 4) in want  # cross-doc counts accumulate
