@@ -2559,6 +2559,35 @@ def doc_length_quantiles(sf_dir: str):
 
 
 NGRAM_N, NGRAM_MIN, NGRAM_K = 3, 5, 50  # shared with the oracle
+FUZZY_W, FUZZY_TAU = 3, 0.05  # fuzzy-decontamination gram width/threshold
+
+
+def fuzzy_decontaminate_docs(sf_dir: str):
+    """GPT-3/PaLM-style fuzzy decontamination: per (train doc, benchmark
+    doc) pair, distinct-3-gram containment (|inter|/|train grams|) and
+    Jaccard, kept at containment >= 0.05.  The benchmark posting index
+    broadcasts once; the training sweep is one shuffle-free pass
+    (``stages/webclean.py::fuzzy_decontaminate``).  Benchmark docs =
+    ``doc_id %% 50 == 0`` as in ``decontaminate_docs``."""
+    from dedup_ray.stages.webclean import (
+        benchmark_gram_index,
+        fuzzy_decontaminate,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    idx = benchmark_gram_index(bench, width=FUZZY_W)
+    return fuzzy_decontaminate(train, idx, width=FUZZY_W,
+                               min_containment=FUZZY_TAU)
 
 
 def frequent_ngrams_docs(sf_dir: str):
@@ -3562,6 +3591,27 @@ ORACLES["frequent_ngrams_docs"] = f"""
 """
 
 
+ORACLES["fuzzy_decontaminate_docs"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 array_to_string(toks[i:i + {FUZZY_W} - 1], ' ') AS gram
+          FROM t, UNNEST(range(1, len(toks) - {FUZZY_W} + 2)) AS r(i)
+          WHERE len(toks) >= {FUZZY_W}),
+    tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+    bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0),
+    dt AS (SELECT doc_id, count(*) AS nd FROM tg GROUP BY doc_id),
+    db AS (SELECT bench_id, count(*) AS nb FROM bg GROUP BY bench_id),
+    ov AS (SELECT tg.doc_id, bg.bench_id, count(*)::BIGINT AS inter
+           FROM tg JOIN bg USING (gram) GROUP BY 1, 2)
+    SELECT o.doc_id, o.bench_id, o.inter,
+           round(o.inter / dt.nd, 6) AS containment,
+           round(o.inter / (dt.nd + db.nb - o.inter), 6) AS jaccard
+    FROM ov o JOIN dt USING (doc_id) JOIN db USING (bench_id)
+    WHERE o.inter / dt.nd >= {FUZZY_TAU}
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3671,6 +3721,7 @@ QUERIES = {
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
     "frequent_ngrams_docs": frequent_ngrams_docs,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -574,3 +574,127 @@ def frequent_ngrams(ds, n: int = 3, min_count: int = 5, top_k: int = 50,
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["n", "gram"], descending=[True, False]).limit(top_k)
+
+
+# --------------------------------------------------------------------------
+# Fuzzy decontamination (n-gram overlap fraction vs the benchmark set)
+# --------------------------------------------------------------------------
+
+
+def benchmark_gram_index(bench_ds, text_col: str = "text",
+                         id_col: str = "doc_id", width: int = 3):
+    """Posting index of the benchmark set's DISTINCT grams, broadcast
+    once: ``(sorted gram hashes H, CSR offsets, bench ids per posting,
+    bench ids, per-bench distinct-gram counts)``.  Benchmark sets are
+    small by construction — when one is not, the cross-table similarity
+    join (``ops/simjoin.py``) is the shuffle path for the same
+    semantics."""
+    import ray
+
+    did, gh = [], []
+    for t in bench_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        d, g = _gram_hashes(texts, width)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        did.append(ids[d])
+        gh.append(g)
+    if not gh or not sum(len(g) for g in gh):
+        empty = np.zeros(0, np.int64)
+        return ray.put((np.zeros(0, np.uint64), np.zeros(1, np.int64),
+                        empty, empty, empty))
+    did, gh = np.concatenate(did), np.concatenate(gh)
+    # distinct (bench, gram)
+    order = np.lexsort((did, gh))
+    did, gh = did[order], gh[order]
+    first = np.r_[True, (gh[1:] != gh[:-1]) | (did[1:] != did[:-1])]
+    did, gh = did[first], gh[first]
+    hashes, inv = np.unique(gh, return_inverse=True)
+    counts = np.bincount(inv, minlength=len(hashes))
+    offsets = np.zeros(len(hashes) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    postings = did[np.argsort(inv, kind="stable")]
+    bids, sizes = np.unique(did, return_counts=True)
+    return ray.put((hashes, offsets, postings, bids, sizes))
+
+
+def fuzzy_decontaminate(train_ds, index_ref, text_col: str = "text",
+                        id_col: str = "doc_id", width: int = 3,
+                        min_containment: float = 0.15):
+    """GPT-3/PaLM-style fuzzy decontamination: for every (train doc,
+    benchmark doc) pair sharing enough DISTINCT ``width``-token grams,
+    emit overlap statistics — ``containment`` = |∩| / |train grams| (the
+    "fraction of the doc's n-grams seen in the benchmark" rule) and
+    Jaccard — keeping pairs with containment >= ``min_containment``.
+
+    One pass over training data, no shuffle: the posting index rides the
+    object store; per batch the doc's distinct gram hashes binary-search
+    the index and scatter-add into a dense (batch docs x bench docs)
+    counter (benchmark side is small; see :func:`benchmark_gram_index`).
+
+    Output: ``(id_col, bench_id, inter, containment, jaccard)``,
+    rounded to 6dp for engine-exact comparison.
+    """
+    import ray
+
+    def f(t: pa.Table) -> pa.Table:
+        hashes, offsets, postings, bids, sizes = ray.get(index_ref) \
+            if not isinstance(index_ref, tuple) else index_ref
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_idx, gh = _gram_hashes(texts, width)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        id_type = t[id_col].type
+
+        def empty():
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "bench_id": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+                "containment": pa.array([], pa.float64()),
+                "jaccard": pa.array([], pa.float64()),
+            })
+
+        if len(gh) == 0 or len(hashes) == 0:
+            return empty()
+        # per-doc distinct grams
+        order = np.lexsort((gh, doc_idx))
+        doc_idx, gh = doc_idx[order], gh[order]
+        first = np.r_[True, (doc_idx[1:] != doc_idx[:-1])
+                      | (gh[1:] != gh[:-1])]
+        doc_idx, gh = doc_idx[first], gh[first]
+        dt = np.bincount(doc_idx, minlength=t.num_rows)
+
+        pos = np.searchsorted(hashes, gh)
+        pos[pos == len(hashes)] = 0
+        hit = hashes[pos] == gh
+        hdoc, hpos = doc_idx[hit], pos[hit]
+        plen = (offsets[hpos + 1] - offsets[hpos])
+        if plen.sum() == 0:
+            return empty()
+        # expand posting ranges
+        doc_rep = np.repeat(hdoc, plen)
+        gather = np.repeat(offsets[hpos], plen) + (
+            np.arange(int(plen.sum())) -
+            np.repeat(np.cumsum(plen) - plen, plen))
+        bench_rep = postings[gather]
+        bcol = np.searchsorted(bids, bench_rep)
+        mat = np.zeros((t.num_rows, len(bids)), np.int64)
+        np.add.at(mat, (doc_rep, bcol), 1)
+        di, bi = np.nonzero(mat)
+        inter = mat[di, bi]
+        cont = inter / dt[di]
+        jacc = inter / (dt[di] + sizes[bi] - inter)
+        keep = cont >= min_containment
+        di, bi, inter = di[keep], bi[keep], inter[keep]
+        return pa.table({
+            id_col: pa.array(ids[di], id_type),
+            "bench_id": pa.array(bids[bi].astype(np.int64)),
+            "inter": pa.array(inter),
+            "containment": pa.array(np.round(cont[keep], 6)),
+            "jaccard": pa.array(np.round(jacc[keep], 6)),
+        })
+
+    return train_ds.map_batches(f, batch_format="pyarrow")

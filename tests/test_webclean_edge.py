@@ -127,3 +127,51 @@ def test_frequent_ngrams_bruteforce():
     out = frequent_ngrams(ds, n=n, min_count=2, top_k=10).to_pandas()
     assert list(zip(out["gram"], out["n"])) == want
     assert ("click here to", 4) in want  # cross-doc counts accumulate
+
+
+def test_fuzzy_decontaminate_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.webclean import (
+        benchmark_gram_index,
+        fuzzy_decontaminate,
+    )
+
+    bench_texts = ["the quick brown fox jumps over the lazy dog",
+                   "an entirely different benchmark sentence here"]
+    train_texts = ["the quick brown fox jumps over a sleepy dog today",
+                   "nothing in common with anything at all",
+                   "an entirely different benchmark sentence here too",
+                   None]
+    W = 3
+
+    def grams(s):
+        toks = (s or "").split(" ")
+        return {" ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)}
+
+    want = []
+    for ti, ts in enumerate(train_texts):
+        tg = grams(ts)
+        for bi, bs in enumerate(bench_texts):
+            bg = grams(bs)
+            inter = len(tg & bg)
+            if tg and inter / len(tg) >= 0.2:
+                want.append((ti, 100 + bi, inter,
+                             round(inter / len(tg), 6),
+                             round(inter / (len(tg) + len(bg) - inter), 6)))
+
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(bench_texts, pa.string())}))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(train_texts)), pa.int64()),
+        "text": pa.array(train_texts, pa.string())})).repartition(2)
+    idx = benchmark_gram_index(bench, width=W)
+    out = fuzzy_decontaminate(train, idx, width=W, min_containment=0.2) \
+        .to_pandas().sort_values(["doc_id", "bench_id"])
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == sorted(want)
+    assert any(r[0] == 0 for r in got) and any(r[0] == 2 for r in got)
+    assert not any(r[0] == 1 for r in got)
