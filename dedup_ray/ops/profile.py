@@ -1,0 +1,130 @@
+"""Distributed table profiling: per-column null counts, exact distinct
+counts, and numeric min/max — the schema-discovery pass a pipeline runs
+before choosing partition keys, salting policies and filter pushdowns.
+
+Shapes (per profiled column, all narrow):
+
+- nulls / min / max: one per-batch partial row per column, combined on
+  the driver (C rows total — no shuffle);
+- exact distinct count: per-batch ``np.unique`` partials then ONE grouped
+  count per column, so the shuffle payload is each batch's distinct
+  values, never raw rows.  This is the exact path; for columns whose
+  distinct cardinality is itself corpus-sized, the HyperLogLog sketch
+  (``stages/sketch.py``) is the bounded-state substitute.
+
+Reference analog: the ad-hoc sanity screens of ``check_features.py:34-43``
+/ ``dual_marry.py:14-17`` — feature-by-feature scans over whole files —
+lifted to one declarative operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def profile_table(ds, columns: list[str]) -> pa.Table:
+    """Profile ``columns`` of ``ds``.
+
+    Returns one row per column:
+    ``(column, n_rows, n_nulls, n_distinct, min_num, max_num)`` where
+    ``min_num``/``max_num`` are the native min/max cast to float64 for
+    numeric/temporal columns and null for strings (casting a string
+    extremum to a shared output type would change its ordering
+    semantics, so it is not reported).
+    """
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in columns:
+            col = t[c]
+            n = len(col)
+            nulls = col.null_count
+            is_num = pa.types.is_floating(types[c]) \
+                or pa.types.is_integer(types[c]) \
+                or pa.types.is_temporal(types[c])
+            if is_num and n - nulls > 0:
+                mn = pc.min(col).cast(pa.int64()).as_py() \
+                    if pa.types.is_temporal(types[c]) \
+                    else pc.min(col).as_py()
+                mx = pc.max(col).cast(pa.int64()).as_py() \
+                    if pa.types.is_temporal(types[c]) \
+                    else pc.max(col).as_py()
+            else:
+                mn = mx = None
+            rows.append((c, n, nulls,
+                         float(mn) if mn is not None else None,
+                         float(mx) if mx is not None else None))
+        return pa.table({
+            "col_name": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "nulls": pa.array([r[2] for r in rows], pa.int64()),
+            "mn": pa.array([r[3] for r in rows], pa.float64()),
+            "mx": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        import pandas as pd
+
+        parts = pd.DataFrame({"col_name": columns,
+                              "n": 0, "nulls": 0,
+                              "mn": np.nan, "mx": np.nan})
+    agg = parts.groupby("col_name").agg(
+        n=("n", "sum"), nulls=("nulls", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+
+    distincts = {}
+    for c in columns:
+        def uniq(t: pa.Table, c=c) -> pa.Table:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pa.table({c: col.drop_null().unique()})
+
+        distincts[c] = (
+            ds.select_columns([c])
+            .map_batches(uniq, batch_format="pyarrow")
+            .groupby(c).count().count()
+        )
+
+    return pa.table({
+        "col_name": pa.array(columns, pa.string()),
+        "n_rows": pa.array([int(agg.loc[c, "n"]) for c in columns],
+                           pa.int64()),
+        "n_nulls": pa.array([int(agg.loc[c, "nulls"]) for c in columns],
+                            pa.int64()),
+        "n_distinct": pa.array([int(distincts[c]) for c in columns],
+                               pa.int64()),
+        "min_num": pa.array([agg.loc[c, "mn"] for c in columns],
+                            pa.float64()),
+        "max_num": pa.array([agg.loc[c, "mx"] for c in columns],
+                            pa.float64()),
+    })
+
+
+def profile_sql(table: str, columns: list[str],
+                types: dict[str, str]) -> str:
+    """Generated oracle: one UNION ALL branch per column.  ``types[c]``
+    is 'num' (cast min/max to DOUBLE), 'ts' (epoch-micros DOUBLE) or
+    'str' (null min/max)."""
+    parts = []
+    for c in columns:
+        if types[c] == "num":
+            mm = f"min({c})::DOUBLE, max({c})::DOUBLE"
+        elif types[c] == "ts":
+            mm = (f"epoch_us(min({c}))::DOUBLE, "
+                  f"epoch_us(max({c}))::DOUBLE")
+        else:
+            mm = "NULL::DOUBLE, NULL::DOUBLE"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows, "
+            f"(count(*) - count({c}))::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"{mm.split(', ')[0]} AS min_num, "
+            f"{mm.split(', ')[1]} AS max_num FROM {table}"
+        )
+    return " UNION ALL ".join(parts)

@@ -2558,6 +2558,20 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+PROFILE_COLS = {"user_id": "num", "event_type": "str", "value": "num",
+                "ts": "ts"}  # shared with the generated oracle
+
+
+def profile_events(sf_dir: str):
+    """Distributed table profiling over events: per-column null count,
+    EXACT distinct count (per-batch unique partials -> one grouped count
+    per column) and native-typed min/max (``ops/profile.py``)."""
+    from dedup_ray.ops.profile import profile_table
+
+    ds = _read(sf_dir, "events", columns=list(PROFILE_COLS))
+    return profile_table(ds, list(PROFILE_COLS))
+
+
 NGRAM_N, NGRAM_MIN, NGRAM_K = 3, 5, 50  # shared with the oracle
 FUZZY_W, FUZZY_TAU = 3, 0.05  # fuzzy-decontamination gram width/threshold
 
@@ -3612,6 +3626,16 @@ ORACLES["fuzzy_decontaminate_docs"] = f"""
 """
 
 
+def _register_profile_oracle() -> None:
+    from dedup_ray.ops.profile import profile_sql
+
+    ORACLES["profile_events"] = profile_sql(
+        "events", list(PROFILE_COLS), PROFILE_COLS)
+
+
+_register_profile_oracle()
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3722,6 +3746,7 @@ QUERIES = {
     "bpe_encode_docs": bpe_encode_docs,
     "frequent_ngrams_docs": frequent_ngrams_docs,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "profile_events": profile_events,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
