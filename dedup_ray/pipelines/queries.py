@@ -2558,6 +2558,34 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+def corpus_diff_docs(sf_dir: str):
+    """Crawl-to-crawl snapshot diff: old = docs with doc_id %% 10 != 0,
+    new = docs with doc_id %% 11 != 0 and text amended when
+    doc_id %% 7 == 0 — per-doc added/removed/changed/same status via ONE
+    co-partitioned exchange with exact in-partition text comparison
+    (``ops/diff.py::corpus_diff``)."""
+    from dedup_ray.ops.diff import corpus_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 0))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 11 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        amended = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" amended"), "")
+        text = pc.if_else(pa.array(ids % 7 == 0), amended, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 PROFILE_COLS = {"user_id": "num", "event_type": "str", "value": "num",
                 "ts": "ts"}  # shared with the generated oracle
 
@@ -3636,6 +3664,21 @@ def _register_profile_oracle() -> None:
 _register_profile_oracle()
 
 
+ORACLES["corpus_diff_docs"] = """
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+    new AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' amended'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'same' END AS status
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3747,6 +3790,7 @@ QUERIES = {
     "frequent_ngrams_docs": frequent_ngrams_docs,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "profile_events": profile_events,
+    "corpus_diff_docs": corpus_diff_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
