@@ -1436,10 +1436,16 @@ def simhash_docs(sf_dir: str):
 
 
 def fingerprint_docs_q(sf_dir: str):
-    """Winnowing fingerprints (rows-only)."""
-    from dedup_ray.stages.textstats import fingerprint_docs
+    """Winnowing fingerprints, md5-hash twin so every fingerprint is
+    oracle-recomputable (fixed-width hex compares exactly as the uint64
+    it encodes; leftmost-min + position dedup replayed with window
+    functions).  The keyed-BLAKE2b variant
+    (``textstats.fingerprint_docs``) remains the production path,
+    property-tested in ``tests/test_ops.py``."""
+    from dedup_ray.stages.textstats import fingerprint_docs_md5
 
-    return fingerprint_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return fingerprint_docs_md5(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def lang_id_docs(sf_dir: str):
@@ -3676,6 +3682,33 @@ ORACLES["corpus_diff_docs"] = """
                 WHEN o.text <> n.text THEN 'changed'
                 ELSE 'same' END AS status
     FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+
+ORACLES["fingerprint_docs"] = """
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS l
+               FROM documents),
+    sh AS (SELECT doc_id, i::BIGINT AS i,
+                  substr(md5(array_to_string(l[i:i + 7], ' ')), 1, 16) AS h
+           FROM t, UNNEST(range(1, len(l) - 8 + 2)) AS r(i)
+           WHERE len(l) >= 8),
+    n AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id),
+    small AS (SELECT s.doc_id, min(s.h) AS fingerprint
+              FROM sh s JOIN n USING (doc_id) WHERE n.m <= 4
+              GROUP BY s.doc_id),
+    ws AS (SELECT doc_id, unnest(range(1, m - 4 + 2)) AS s
+           FROM n WHERE m > 4),
+    win AS (SELECT sh.doc_id, ws.s, sh.i, sh.h
+            FROM ws JOIN sh ON sh.doc_id = ws.doc_id
+                           AND sh.i BETWEEN ws.s AND ws.s + 3),
+    pick AS (SELECT doc_id, s, i, h,
+                    row_number() OVER (PARTITION BY doc_id, s
+                                       ORDER BY h, i) AS rn
+             FROM win),
+    selpos AS (SELECT DISTINCT doc_id, i, h FROM pick WHERE rn = 1)
+    SELECT doc_id, h AS fingerprint FROM selpos
+    UNION ALL SELECT doc_id, fingerprint FROM small
 """
 
 

@@ -291,7 +291,8 @@ def _winnow(values: np.ndarray, w: int) -> np.ndarray:
     if n == 0:
         return values[:0]
     if n <= w:
-        return values.min(keepdims=True)
+        j = int(values.argmin())  # argmin (not .min): works for the md5
+        return values[j:j + 1]    # hex-string dtype too
     sw = np.lib.stride_tricks.sliding_window_view(values, w)
     pos = sw.argmin(axis=1) + np.arange(len(sw))
     keep = np.ones(len(pos), dtype=bool)
@@ -330,5 +331,61 @@ def fingerprint_docs(ds, id_col: str = "doc_id", text_col: str = "text",
                 "fingerprint": pa.array(flat.view(np.int64)),
             }
         )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint_docs_md5(ds, id_col: str = "doc_id", text_col: str = "text",
+                         shingle_k: int = 8, window: int = 4):
+    """Winnowing fingerprints over md5 shingle hashes — the ORACLE-SIDE
+    twin of :func:`fingerprint_docs`.
+
+    Same selection algorithm (leftmost-min per sliding window, position
+    dedup), but the shingle hash is the first 16 hex chars of
+    ``md5(shingle string)`` so any engine — including the DuckDB oracle —
+    can recompute every fingerprint.  Fixed-width hex compares
+    lexicographically exactly as the underlying uint64 compares, so the
+    min is taken on the hex STRING on both sides.  The keyed-BLAKE2b
+    variant stays the production path (adversary-resistant, no per-row
+    Python md5); this one is the spec the oracle checks.
+
+    Output: ``(id_col, fingerprint: 16-hex string)`` rows.
+    """
+    from dedup_ray.util.hashing import content_digest
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, parent, counts = explode_tokens(batch[text_col],
+                                              batch.num_rows)
+        ids = batch[id_col]
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        n = len(toks)
+        k = shingle_k
+        out_ids, out_fp = [], []
+        if n >= 1:
+            m = n - k + 1
+            if m >= 1:
+                sh = pd.Series(toks[:m], dtype=object)
+                for j in range(1, k):
+                    sh = sh + " " + pd.Series(toks[j:m + j], dtype=object)
+                inside = parent[:m] == parent[k - 1:]
+                sdoc = parent[:m][inside]
+                dg = content_digest(list(sh.to_numpy()[inside]),
+                                    algo="md5")
+                hx = np.array([d[:16] for d in dg], dtype="<U16")
+                # winnow per doc over its contiguous shingle slice
+                first = np.r_[True, sdoc[1:] != sdoc[:-1]] \
+                    if len(sdoc) else np.zeros(0, bool)
+                starts = np.flatnonzero(first)
+                bounds = np.r_[starts, len(sdoc)]
+                for si in range(len(starts)):
+                    lo, hi = bounds[si], bounds[si + 1]
+                    sel = _winnow(hx[lo:hi], window)
+                    did = ids[int(sdoc[lo])].as_py()
+                    out_ids.extend([did] * len(sel))
+                    out_fp.extend(sel.tolist())
+        return pa.table({
+            id_col: pa.array(out_ids, ids.type),
+            "fingerprint": pa.array(out_fp, pa.string()),
+        })
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -240,3 +240,43 @@ def test_audio_windows_rms():
     ).to_pandas()
     assert wins.sort_values(["media_id", "window_idx"])["rms"].tolist() == \
         wins2.sort_values(["media_id", "window_idx"])["rms"].tolist()
+
+
+def test_fingerprint_md5_matches_bruteforce():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.textstats import fingerprint_docs_md5
+
+    texts = ["a b c d e f g h i j k l m n", "one two three", None,
+             "a b c d e f g h i j k l m n o p q r"]
+    K, W = 8, 4
+
+    def brute(s):
+        toks = [t for t in (s or "").split(" ") if t]
+        m = len(toks) - K + 1
+        if m < 1:
+            return []
+        hs = [hashlib.md5(" ".join(toks[i:i + K]).encode())
+              .hexdigest()[:16] for i in range(m)]
+        if m <= W:
+            return [min(hs)]
+        picked, out = None, []
+        for s0 in range(m - W + 1):
+            win = hs[s0:s0 + W]
+            p = s0 + int(np.argmin(win))
+            if p != picked:
+                out.append(hs[p])
+                picked = p
+        return out
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = fingerprint_docs_md5(ds).to_pandas()
+    for i, s in enumerate(texts):
+        got = sorted(out[out.doc_id == i].fingerprint)
+        assert got == sorted(brute(s)), i
