@@ -1435,6 +1435,16 @@ def simhash_docs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def simhash_md5_docs(sf_dir: str):
+    """SimHash spec twin over md5 token-hash bit planes — every majority
+    bit oracle-recomputable (token x 64-bit-plane explode, hex-digit
+    decode, sign sums, nibble repack).  The signer's keyed SimHash stays
+    the production path (``simhash_docs``, rows-only)."""
+    from dedup_ray.stages.simhash import simhash_md5_docs as impl
+
+    return impl(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def fingerprint_docs_q(sf_dir: str):
     """Winnowing fingerprints, md5-hash twin so every fingerprint is
     oracle-recomputable (fixed-width hex compares exactly as the uint64
@@ -3712,6 +3722,35 @@ ORACLES["fingerprint_docs"] = """
 """
 
 
+ORACLES["simhash_md5_docs"] = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS token
+                  FROM documents),
+    h AS (SELECT doc_id, substr(md5(token), 1, 16) AS hx FROM toks),
+    bits AS (SELECT doc_id, bb.b AS b,
+                    sum(2 * (((strpos('0123456789abcdef',
+                                      substr(hx, 16 - (bb.b // 4), 1)) - 1)
+                              // (CASE bb.b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                  WHEN 2 THEN 4 ELSE 8 END)) % 2) - 1) AS s
+             FROM h, UNNEST(range(0, 64)) AS bb(b)
+             GROUP BY doc_id, bb.b),
+    fpb AS (SELECT doc_id, b,
+                   CASE WHEN s >= 0 THEN 1 ELSE 0 END AS bit FROM bits),
+    dig AS (SELECT doc_id, b // 4 AS dignib,
+                   sum(bit * (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                              WHEN 2 THEN 4 ELSE 8 END)) AS v
+            FROM fpb GROUP BY doc_id, b // 4),
+    hexstr AS (SELECT doc_id,
+                      string_agg(substr('0123456789abcdef', (v + 1)::BIGINT, 1), ''
+                                 ORDER BY dignib DESC) AS simhex
+               FROM dig GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(hs.simhex, 'ffffffffffffffff') AS simhex
+    FROM documents d LEFT JOIN hexstr hs USING (doc_id)
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3824,6 +3863,7 @@ QUERIES = {
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "profile_events": profile_events,
     "corpus_diff_docs": corpus_diff_docs,
+    "simhash_md5_docs": simhash_md5_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -162,3 +162,48 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url",
     return exchange_group_apply(
         edges, ["id1", "id2"], dedup_arrow, cfg.num_partitions
     )
+
+
+def simhash_md5_docs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash fingerprints over md5 token-hash bit planes — the
+    ORACLE-SIDE spec twin of the signer's keyed SimHash.
+
+    Standard SimHash: every token OCCURRENCE contributes +1/-1 per bit of
+    its 64-bit hash; fingerprint bit b = 1 iff the per-doc sum >= 0 (the
+    tie goes to 1).  Here the token hash is the first 16 hex chars of
+    ``md5(token)``, so the DuckDB oracle can replay every bit: explode
+    tokens x 64 bit positions, decode the covering hex digit, sum the
+    signs, repack the majority bits into a 16-hex fingerprint.  Output:
+    ``(id_col, simhex)`` with the fingerprint as a fixed-width hex string
+    (compares exactly as the uint64 it encodes).  A document with no
+    tokens has all-zero sums, hence all-ones fingerprint.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.hashing import content_digest
+
+    def f(t: pa.Table) -> pa.Table:
+        flat, parent, _ = explode_tokens(t[text_col], t.num_rows)
+        n = t.num_rows
+        sums = np.zeros((n, 64), np.int64)
+        toks = flat.to_pylist()
+        if toks:
+            u, inv = np.unique(np.asarray(toks, object),
+                               return_inverse=True)
+            hu = np.array(
+                [int(d[:16], 16) for d in content_digest(list(u),
+                                                         algo="md5")],
+                dtype=np.uint64)
+            h = hu[inv]
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int64)
+            np.add.at(sums, parent, 2 * bits - 1)
+        fp = (sums >= 0).astype(np.uint64)
+        vals = (fp << np.arange(64, dtype=np.uint64)).sum(axis=1,
+                                                          dtype=np.uint64)
+        hexes = [format(int(v), "016x") for v in vals]
+        return pa.table({id_col: t[id_col],
+                         "simhex": pa.array(hexes, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -87,3 +87,25 @@ def test_simhash_edges_planted_hamming():
     assert ham[("d0", "d1")] == 1
     assert ham[("d0", "d2")] == 3
     assert ham[("d3", "d4")] == 1
+
+
+def test_simhash_md5_properties():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.simhash import simhash_md5_docs
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edit = base.replace("lazy", "hasty")  # every occurrence
+    far = "completely unrelated words about entirely other topics now"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, base, edit, "", far], pa.string()),
+    })).repartition(2)
+    out = simhash_md5_docs(ds).to_pandas().set_index("doc_id")["simhex"]
+    assert out[0] == out[1]  # identical text, any partitioning
+    ham_near = bin(int(out[0], 16) ^ int(out[2], 16)).count("1")
+    ham_far = bin(int(out[0], 16) ^ int(out[4], 16)).count("1")
+    assert ham_near <= 16  # one-word swap stays near in hamming space
+    assert ham_far > ham_near  # unrelated text lands farther
+    assert out[3] == "f" * 16  # empty doc: all-ones by the >=0 tie rule
