@@ -136,33 +136,79 @@ def _apply_merge(t: pa.Table, a: str, b: str) -> pa.Table:
     return pa.table({"n": pa.array(n, pa.int64()), "syms": syms})
 
 
-def bpe_train(ds, num_merges: int, text_col: str = "text") -> pa.Table:
+def _local_top_pair(t: pa.Table):
+    """Argmax pair of one in-memory state table, same tie-break as the
+    distributed sort: (count DESC, a, b)."""
+    p = _pair_partials(t)
+    if p.num_rows == 0:
+        return None
+    a = p["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = p["b"].to_numpy(zero_copy_only=False).astype(str)
+    c = p["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a, -c))
+    j = order[0]
+    return str(a[j]), str(b[j]), int(c[j])
+
+
+def bpe_train(ds, num_merges: int, text_col: str = "text",
+              local_vocab_limit: int = 200_000) -> pa.Table:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
     Returns ``(merge_round, left_sym, right_sym, pair_count)`` — the rule
     table a tokenizer would apply.  Stops early if the corpus runs out of
     pairs (matching the generated oracle, whose later rounds then select
-    nothing)."""
-    state = _init_state(word_histogram(ds, text_col)).materialize()
+    nothing).
+
+    Size gate (the ``cc_local_edge_limit`` pattern): the merge loop runs
+    over the word histogram, so when the histogram has at most
+    ``local_vocab_limit`` types it collects ONCE and every round runs the
+    SAME vectorized kernels driver-side — 2 Ray jobs total instead of
+    2 per round, identical output (equivalence pytest).  Above the bound
+    the loop stays fully distributed: per-round partial pair counts,
+    one grouped sum + sort/limit argmax, vectorized merge apply.
+    """
+    hist = word_histogram(ds, text_col)
+    n_vocab = hist.count()
     rounds, lefts, rights, counts = [], [], [], []
-    for r in range(1, num_merges + 1):
-        top = (
-            state.map_batches(_pair_partials, batch_format="pyarrow")
-            .groupby(["a", "b"]).sum("cnt")
-            .sort(["sum(cnt)", "a", "b"], descending=[True, False, False])
-            .limit(1).take_all()
-        )
-        if not top:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["sum(cnt)"])
-        rounds.append(r)
-        lefts.append(a)
-        rights.append(b)
-        counts.append(cnt)
-        state = state.map_batches(
-            lambda t, a=a, b=b: _apply_merge(t, a, b),
-            batch_format="pyarrow",
-        ).materialize()
+
+    if n_vocab <= local_vocab_limit:
+        parts = list(_init_state(hist).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        state_t = pa.concat_tables(parts) if parts else pa.table({
+            "n": pa.array([], pa.int64()),
+            "syms": pa.array([], pa.list_(pa.string())),
+        })
+        for r in range(1, num_merges + 1):
+            top = _local_top_pair(state_t)
+            if top is None:
+                break
+            a, b, cnt = top
+            rounds.append(r)
+            lefts.append(a)
+            rights.append(b)
+            counts.append(cnt)
+            state_t = _apply_merge(state_t, a, b)
+    else:
+        state = _init_state(hist).materialize()
+        for r in range(1, num_merges + 1):
+            top = (
+                state.map_batches(_pair_partials, batch_format="pyarrow")
+                .groupby(["a", "b"]).sum("cnt")
+                .sort(["sum(cnt)", "a", "b"],
+                      descending=[True, False, False])
+                .limit(1).take_all()
+            )
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["sum(cnt)"])
+            rounds.append(r)
+            lefts.append(a)
+            rights.append(b)
+            counts.append(cnt)
+            state = state.map_batches(
+                lambda t, a=a, b=b: _apply_merge(t, a, b),
+                batch_format="pyarrow",
+            ).materialize()
     return pa.table({
         "merge_round": pa.array(rounds, pa.int64()),
         "left_sym": pa.array(lefts, pa.string()),

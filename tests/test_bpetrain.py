@@ -117,3 +117,13 @@ def test_encode_counts_match_reference():
     out = bpe_encode_counts(ds, merges).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["n_bpe"].tolist() == want
+
+
+def test_local_and_distributed_paths_agree():
+    texts = ["the cat sat on the mat", "the bat and the cat chat",
+             "aaaa aaaa banana bandana"]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    local = bpe_train(ds, 6).to_pandas()
+    dist = bpe_train(ds, 6, local_vocab_limit=0).to_pandas()
+    assert local.equals(dist)
