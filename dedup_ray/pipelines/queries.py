@@ -1435,6 +1435,30 @@ def simhash_docs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+FOLD_WORDS = ["Café", "Über", "naïve", "Señor", "Crème-Brûlée"]
+
+
+def fold_text_docs(sf_dir: str):
+    """Case/accent folding over accent-synthesized pages: per-doc text
+    gains an accented token chosen by doc_id %% 5 (same CASE in the
+    oracle), then folds through strip-accents + Unicode lower
+    (``stages/normtext.py::fold_text``)."""
+    from dedup_ray.stages.normtext import fold_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        extra = pa.array([" " + FOLD_WORDS[int(i) % 5] for i in ids],
+                         pa.string())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(t["text"], extra, ""),
+        })
+
+    return fold_text(ds.map_batches(synth, batch_format="pyarrow"))
+
+
 def simhash_md5_docs(sf_dir: str):
     """SimHash spec twin over md5 token-hash bit planes — every majority
     bit oracle-recomputable (token x 64-bit-plane explode, hex-digit
@@ -3751,6 +3775,14 @@ ORACLES["simhash_md5_docs"] = """
 """
 
 
+ORACLES["fold_text_docs"] = """
+    SELECT doc_id,
+           lower(strip_accents(text || CASE doc_id % 5 WHEN 0 THEN ' Café' WHEN 1 THEN ' Über' WHEN 2 THEN ' naïve' WHEN 3 THEN ' Señor' WHEN 4 THEN ' Crème-Brûlée' END))
+               AS folded
+    FROM documents
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3864,6 +3896,7 @@ QUERIES = {
     "profile_events": profile_events,
     "corpus_diff_docs": corpus_diff_docs,
     "simhash_md5_docs": simhash_md5_docs,
+    "fold_text_docs": fold_text_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

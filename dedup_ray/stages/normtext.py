@@ -115,3 +115,41 @@ def norm_sql_expr(col: str) -> str:
     for pat, repl in NORM_RULES:
         expr = f"regexp_replace({expr}, '{pat}', {_sql_str(repl)}, 'g')"
     return expr
+
+
+def fold_text(ds, text_col: str = "text", id_col: str = "doc_id",
+              out_col: str = "folded"):
+    """Case/accent folding for dedup normalization: strip combining
+    accents (NFD → drop Mn marks — verified char-for-char against
+    DuckDB's ``strip_accents`` on the Latin range; both leave ß æ ø đ ł œ
+    untouched), then Unicode lowercase.  ASCII batches skip the NFD pass
+    (zero-copy check, the ``normalize_text`` trick); mixed batches fold
+    per doc via ``unicodedata``.
+
+    Rendering variants of one page ("Café" vs "Cafe", headline case
+    changes) collapse to one digest under exact dedup — the doctrine of
+    ``venue_author_preprocess.R:18-39`` (reference normalizes BEFORE
+    comparing) applied to accents and case.
+    """
+    import unicodedata
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.coalesce(texts, pa.scalar("", texts.type))
+        nbytes = pc.sum(pc.binary_length(texts)).as_py() or 0
+        nchars = pc.sum(pc.utf8_length(texts)).as_py() or 0
+        if nbytes != nchars:  # non-ASCII present: strip accents per doc
+            stripped = [
+                "".join(c for c in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(c))
+                for s in texts.to_pylist()
+            ]
+            texts = pa.array(stripped, pa.string())
+        return pa.table({
+            id_col: t[id_col],
+            out_col: pc.utf8_lower(texts),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

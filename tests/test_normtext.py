@@ -78,3 +78,19 @@ def test_dataset_stage(ray_session):
     )
     out = normalize_text(ds).to_pandas().sort_values("doc_id")
     assert list(out["text"]) == _oracle(NASTY)
+
+
+def test_fold_text_accents_and_case():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.normtext import fold_text
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Café NAÏVE Señor", "plain ASCII Text",
+                          None, "ß stays æ ø"], pa.string()),
+    })).repartition(2)
+    out = fold_text(ds).to_pandas().sort_values("doc_id")
+    assert out["folded"].tolist() == [
+        "cafe naive senor", "plain ascii text", "", "ß stays æ ø"]
