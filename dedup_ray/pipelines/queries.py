@@ -1617,6 +1617,15 @@ def ann_topk_ivf(sf_dir: str):
     return _ann_recall_vs_exact(sf_dir, knn_cosine_ivf, n_lists=8, nprobe=4)
 
 
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (per-subspace codebooks, ADC screen,
+    in-batch exact re-rank), scored against the exact top-k (recall@10
+    per query; deterministic seeded path, pinned oracle)."""
+    from dedup_ray.stages.ann import knn_cosine_pq
+
+    return _ann_recall_vs_exact(sf_dir, knn_cosine_pq)
+
+
 def focus_org_bag_parts(sf_dir: str):
     """J8: focus-entity regex self-lookup + org-bag clustering
     (``org_bag.py:18-19`` + mode pick of ``uni_glue_baseline.R:26-29``) —
@@ -3783,6 +3792,19 @@ ORACLES["fold_text_docs"] = """
 """
 
 
+# PQ recall pinned from the deterministic seeded path (same pattern as
+# the LSH/IVF ANN oracles): ADC screen + exact re-rank reaches the full
+# exact top-10 for every probe query at sf0.01.
+ORACLES["ann_topk_pq"] = """
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT),
+         CAST(1.0 AS DOUBLE)),
+        (1, 10, 10, 1.0), (2, 10, 10, 1.0), (3, 10, 10, 1.0),
+        (4, 10, 10, 1.0)
+    ) AS t(query_id, n_exact, n_hits, recall)
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3897,6 +3919,7 @@ QUERIES = {
     "corpus_diff_docs": corpus_diff_docs,
     "simhash_md5_docs": simhash_md5_docs,
     "fold_text_docs": fold_text_docs,
+    "ann_topk_pq": ann_topk_pq,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

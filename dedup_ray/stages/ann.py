@@ -293,3 +293,111 @@ def knn_cosine_lsh(
     return as_arrow(
         partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
     )
+
+
+def train_pq_codebooks(sample: np.ndarray, n_sub: int, n_cent: int,
+                       seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means codebooks: ``(n_sub, n_cent, dim/n_sub)``.
+    Each subspace trains independently with the same seeded Lloyd loop
+    the IVF path uses (bounded sample, deterministic)."""
+    dim = sample.shape[1]
+    dsub = dim // n_sub
+    books = np.empty((n_sub, n_cent, dsub), np.float64)
+    for s in range(n_sub):
+        books[s] = train_ivf_centroids(
+            np.ascontiguousarray(sample[:, s * dsub:(s + 1) * dsub]),
+            n_cent, seed=seed + s)
+    return books
+
+
+def knn_cosine_pq(
+    embeddings_ds,
+    query_ids: list,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    n_cent: int = 16,
+    rerank: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 42,
+):
+    """Product-quantization ANN with in-batch exact re-rank — the
+    compressed-memory scale path next to LSH and IVF: codes are
+    ``n_sub`` bytes/vector (64x smaller than a float64 row), so a
+    10^12-vector index fits where raw vectors cannot.
+
+    1. train per-subspace codebooks on a bounded seeded sample;
+    2. broadcast (queries, codebooks, per-query ADC lookup tables
+       ``T[q, s, c] = q_s · codebook[s, c]`` — precomputed ONCE, so the
+       batch scan is a pure table gather);
+    3. per batch: encode vectors (nearest centroid per subspace),
+       ADC-score every query against the codes, keep the top
+       ``rerank·k`` candidates and re-score them EXACTLY against the
+       raw in-batch vectors — emitted scores are true cosines, PQ only
+       decides who gets scored;
+    4. same bounded per-query top-k shuffle as :func:`knn_cosine`.
+    """
+    import ray
+
+    sample = _batch_embeddings(
+        pa.Table.from_pandas(
+            embeddings_ds.limit(train_sample).to_pandas()[[vec_col]]
+        ),
+        vec_col,
+    )
+    books = train_pq_codebooks(_normalize(sample), n_sub, n_cent, seed)
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    dsub = q.shape[1] // n_sub
+    # ADC tables: T[qi, s, c]
+    T = np.einsum("qsd,scd->qsc",
+                  q.reshape(len(q), n_sub, dsub), books)
+    ref = ray.put((list(query_ids), q, books, T))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, bks, tab = ray.get(ref)
+        emb = _normalize(_batch_embeddings(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist())
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        sub = emb.reshape(n, n_sub, dsub)
+        # encode: nearest centroid per subspace (L2 == max dot - half norm)
+        codes = np.empty((n, n_sub), np.int32)
+        for s in range(n_sub):
+            d = sub[:, s, :] @ bks[s].T  # (n, n_cent)
+            d -= 0.5 * (bks[s] ** 2).sum(axis=1)
+            codes[:, s] = d.argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        m = min(rerank * k + 1, n)
+        for qi in range(qm.shape[0]):
+            adc = tab[qi][np.arange(n_sub), codes].sum(axis=1)
+            cand = (np.argpartition(-adc, m - 1)[:m]
+                    if m < n else np.arange(n))
+            row = qm[qi] @ emb[cand].T  # exact re-rank
+            for j in range(len(cand)):
+                if ids[cand[j]] == qids[qi]:
+                    continue
+                out_q.append(qids[qi])
+                out_n.append(ids[cand[j]])
+                out_s.append(round(float(row[j]), 6))
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "cos_sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+
+    return as_arrow(
+        partials.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pandas")
+    )

@@ -56,3 +56,30 @@ def test_ivf_and_lsh_recall_vs_exact():
     # 16 hyperplane buckets over 10 tight clusters: same-cluster vectors
     # mostly share the bucket; recall well above chance but below IVF
     assert _recall(lsh, exact, k) >= 0.5
+
+
+def test_pq_recall_and_compression():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.ann import knn_cosine, knn_cosine_pq
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 64
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })).repartition(3)
+    qids = [0, 7, 42]
+    qv = mat[qids]
+    exact = knn_cosine(ds, qids, qv, k=5).to_pandas()
+    approx = knn_cosine_pq(ds, qids, qv, k=5).to_pandas()
+    for q in qids:
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        a = set(approx.loc[approx.query_id == q, "neighbor_id"])
+        assert len(e & a) / len(e) >= 0.6  # ADC screen + exact re-rank
+    # emitted scores are true cosines (re-ranked), matching exact's values
+    m = exact.merge(approx, on=["query_id", "neighbor_id"])
+    assert (m.cos_sim_x == m.cos_sim_y).all()
