@@ -1438,6 +1438,29 @@ def simhash_docs(sf_dir: str):
 FOLD_WORDS = ["Café", "Über", "naïve", "Señor", "Crème-Brûlée"]
 
 
+BLOCKED_DOMAINS = ["site3.example.com", "site7.example.com",
+                   "example.net"]
+
+
+def blocklist_filter_docs(sf_dir: str):
+    """Domain-blocklist crawl filter (subdomain semantics: host == d or
+    endswith '.d') over the same synthesized hosts as
+    ``host_page_stats``; the list broadcasts in the closure and matching
+    is k vectorized passes (``stages/urlnorm.py::blocklist_filter``)."""
+    from dedup_ray.stages.urlnorm import blocklist_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), ".example.com", "")
+        return pa.table({"doc_id": t["doc_id"], "host": host})
+
+    return blocklist_filter(ds.map_batches(mk, batch_format="pyarrow"),
+                            "host", BLOCKED_DOMAINS)
+
+
 def fold_text_docs(sf_dir: str):
     """Case/accent folding over accent-synthesized pages: per-doc text
     gains an accented token chosen by doc_id %% 5 (same CASE in the
@@ -3805,6 +3828,20 @@ ORACLES["ann_topk_pq"] = """
 """
 
 
+def _blocklist_oracle() -> str:
+    conds = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+        WITH u AS (SELECT doc_id,
+                          'site' || (doc_id % 13) || '.example.com' AS host
+                   FROM documents)
+        SELECT doc_id, host FROM u WHERE NOT ({conds})
+    """
+
+
+ORACLES["blocklist_filter_docs"] = _blocklist_oracle()
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -3920,6 +3957,7 @@ QUERIES = {
     "simhash_md5_docs": simhash_md5_docs,
     "fold_text_docs": fold_text_docs,
     "ann_topk_pq": ann_topk_pq,
+    "blocklist_filter_docs": blocklist_filter_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

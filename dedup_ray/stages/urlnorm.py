@@ -109,3 +109,24 @@ def oracle_sql_expr(col: str) -> str:
     for pat, repl in URL_RULES_POST_LOWER:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+def blocklist_filter(ds, hosts_col: str, blocked_domains: list[str]):
+    """Domain-blocklist filter with subdomain semantics: a page whose
+    host equals a blocked domain OR ends with ``.<domain>`` is dropped.
+
+    The blocklist broadcasts in the task closure (domain lists are
+    small); matching is ``k`` vectorized ``ends_with``/``equal`` passes
+    over the host column — no per-row Python, no shuffle.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        hosts = t[hosts_col]
+        mask = None
+        for d in blocked_domains:
+            hit = pc.or_(pc.equal(hosts, d), pc.ends_with(hosts, "." + d))
+            mask = hit if mask is None else pc.or_(mask, hit)
+        if mask is None:
+            return t
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -53,3 +53,19 @@ def test_oracle_expression_parity():
     sql = [r[0] for r in con.execute(
         f"SELECT {oracle_sql_expr('u')} FROM t").fetchall()]
     assert got == sql
+
+
+def test_blocklist_filter_subdomain_semantics():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.urlnorm import blocklist_filter
+
+    t = pa.table({"host": pa.array(
+        ["site3.example.com", "a.site3.example.com", "site4.example.com",
+         "notsite3.example.com", "x.example.net", "example.net"])})
+    out = blocklist_filter(ray.data.from_arrow(t), "host",
+                           ["site3.example.com", "example.net"]).to_pandas()
+    # endswith '.d' must not match 'notsite3...' (no dot boundary bypass)
+    assert sorted(out["host"]) == ["notsite3.example.com",
+                                   "site4.example.com"]
