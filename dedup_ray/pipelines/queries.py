@@ -600,6 +600,39 @@ def cc_chain_docs(sf_dir: str):
     return assign_clusters(docs, edges, id_col="doc_id")
 
 
+def cluster_stats_docs(sf_dir: str):
+    """Cluster analytics rollup: per CC cluster (the deterministic
+    ``cc_chain_docs`` graph), member count and min/max/total document
+    length — the post-dedup audit a curation run reports.  One
+    co-partitioning join + one narrow grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from dedup_ray.util.dsutil import hash_join
+
+    clusters = cc_chain_docs(sf_dir)
+    lens = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    joined = hash_join(clusters, lens, on="doc_id",
+                       left_cols=["doc_id", "cluster_id"],
+                       right_cols=["doc_id", "n_chars"], how="inner")
+    agg = joined.groupby("cluster_id").aggregate(
+        Count(alias_name="n_docs"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Sum("n_chars", alias_name="total_chars"),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "min_chars": pc.cast(t["min_chars"], pa.int64()),
+            "max_chars": pc.cast(t["max_chars"], pa.int64()),
+            "total_chars": pc.cast(t["total_chars"], pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
 def cluster_rep_longest(sf_dir: str):
     """Post-dedup representative selection: keep the LONGEST member per
     cluster, ties broken by min doc_id.
@@ -3086,6 +3119,16 @@ _CHAIN_COMP_CTE = """
 
 # keep_id: deterministic argmax via a composite score — n_tokens majorizes
 # (doc_id < 2^32), minus doc_id breaks ties toward the SMALLEST id.
+ORACLES["cluster_stats_docs"] = _CHAIN_COMP_CTE + """
+    SELECT c.cluster_id, count(*)::BIGINT AS n_docs,
+           min(d.n_chars)::BIGINT AS min_chars,
+           max(d.n_chars)::BIGINT AS max_chars,
+           sum(d.n_chars)::BIGINT AS total_chars
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.cluster_id
+"""
+
+
 ORACLES["cluster_rep_longest"] = _CHAIN_COMP_CTE + """
     , tok AS (
         SELECT doc_id,
@@ -3958,6 +4001,7 @@ QUERIES = {
     "fold_text_docs": fold_text_docs,
     "ann_topk_pq": ann_topk_pq,
     "blocklist_filter_docs": blocklist_filter_docs,
+    "cluster_stats_docs": cluster_stats_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
