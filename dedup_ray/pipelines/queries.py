@@ -2695,6 +2695,26 @@ PROFILE_COLS = {"user_id": "num", "event_type": "str", "value": "num",
                 "ts": "ts"}  # shared with the generated oracle
 
 
+PSEUDO_SECRET = "s3cr3t"
+
+
+def pseudonymize_events(sf_dir: str):
+    """Privacy-preserving identifier tokens: user ids replaced by keyed
+    md5 tokens, then grouped to show joins/groupbys survive
+    pseudonymization (``stages/mixing.py::pseudonymize``)."""
+    from dedup_ray.stages.mixing import pseudonymize
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    tok = pseudonymize(ds, ["user_id"], PSEUDO_SECRET)
+    return tok.groupby("user_id_token").count().map_batches(
+        lambda t: pa.table({
+            "user_id_token": t["user_id_token"],
+            "n_events": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def profile_events(sf_dir: str):
     """Distributed table profiling over events: per-column null count,
     EXACT distinct count (per-batch unique partials -> one grouped count
@@ -3885,6 +3905,14 @@ def _blocklist_oracle() -> str:
 ORACLES["blocklist_filter_docs"] = _blocklist_oracle()
 
 
+ORACLES["pseudonymize_events"] = f"""
+    SELECT substr(md5('{PSEUDO_SECRET}:' || user_id), 1, 16)
+               AS user_id_token,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -4002,6 +4030,7 @@ QUERIES = {
     "ann_topk_pq": ann_topk_pq,
     "blocklist_filter_docs": blocklist_filter_docs,
     "cluster_stats_docs": cluster_stats_docs,
+    "pseudonymize_events": pseudonymize_events,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -264,3 +264,33 @@ def split_sql(
         SELECT {id_col}, {case} AS split
         FROM {table}
     """
+
+
+def pseudonymize(ds, cols: list[str], secret: str):
+    """Replace identifier columns with deterministic keyed tokens:
+    ``md5(f"{secret}:{value}")[:16]`` — equal values map to equal tokens,
+    so grouping and joins still work across tables pseudonymized with
+    the same secret, while raw identifiers never leave the task.
+
+    md5 keeps the op oracle-checkable (the ``shuffle_rank`` doctrine:
+    public-spec hashes where the hash IS the contract); for adversarial
+    settings swap in the engine's keyed BLAKE2b (``util/hashing``) and
+    give up the SQL oracle.  Shuffle-free, one pass.
+    """
+    from dedup_ray.util.hashing import content_digest
+
+    def f(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in t.column_names:
+            if c in cols:
+                vals = t[c].to_pylist()
+                dg = content_digest([f"{secret}:{v}" for v in vals],
+                                    algo="md5")
+                arrays.append(pa.array([d[:16] for d in dg], pa.string()))
+                names.append(c + "_token")
+            else:
+                arrays.append(t[c])
+                names.append(c)
+        return pa.table(dict(zip(names, arrays)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -172,3 +172,24 @@ def test_split_sql_single_split_is_valid():
     duckdb.sql("CREATE OR REPLACE VIEW documents AS SELECT 1 AS doc_id")
     out = duckdb.sql(split_sql({"all": 1.0})).fetchall()
     assert out == [(1, "all")]
+
+
+def test_pseudonymize_tokens_stable_and_join_safe():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.mixing import pseudonymize
+
+    a = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())}))
+    out = pseudonymize(a, ["user_id"], "k1").to_pandas()
+    assert list(out.columns) == ["user_id_token", "v"]
+    t1 = hashlib.md5(b"k1:1").hexdigest()[:16]
+    assert out["user_id_token"].tolist() == [
+        t1, hashlib.md5(b"k1:2").hexdigest()[:16], t1]
+    # different secret -> different token space
+    out2 = pseudonymize(a, ["user_id"], "k2").to_pandas()
+    assert set(out2["user_id_token"]) != set(out["user_id_token"])
