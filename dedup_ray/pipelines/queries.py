@@ -2768,6 +2768,18 @@ def frequent_ngrams_docs(sf_dir: str):
                            top_k=NGRAM_K)
 
 
+def frequent_ngrams_cms_docs(sf_dir: str):
+    """CMS-prefiltered heavy hitters: fixed-size sketch pass, then an
+    exact recount of only plausibly-frequent grams — output EQUAL to
+    ``frequent_ngrams_docs`` by the never-undercount guarantee, so it
+    shares that oracle verbatim."""
+    from dedup_ray.stages.webclean import frequent_ngrams_cms
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return frequent_ngrams_cms(ds, n=NGRAM_N, min_count=NGRAM_MIN,
+                               top_k=NGRAM_K)
+
+
 BPE_MERGES = 8  # rounds; shared by the trainer and the generated oracle
 
 
@@ -3913,6 +3925,9 @@ ORACLES["pseudonymize_events"] = f"""
 """
 
 
+ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -4031,6 +4046,7 @@ QUERIES = {
     "blocklist_filter_docs": blocklist_filter_docs,
     "cluster_stats_docs": cluster_stats_docs,
     "pseudonymize_events": pseudonymize_events,
+    "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

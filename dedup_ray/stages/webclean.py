@@ -542,23 +542,10 @@ def frequent_ngrams(ds, n: int = 3, min_count: int = 5, top_k: int = 50,
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(_text_col(t, text_col), " ")
-        flat = np.asarray(pc.list_flatten(toks).to_pylist(), object)
-        live = flat != ""
-        parent = pc.list_parent_indices(toks).to_numpy(
-            zero_copy_only=False)[live]
-        flat = flat[live]
-        if len(flat) < n:
+        vals = _gram_strings(t, n, text_col)
+        if len(vals) == 0:
             return pa.table({"gram": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        import pandas as pd
-
-        gram = pd.Series(flat[: len(flat) - n + 1], dtype=object)
-        ok = parent[: len(flat) - n + 1] == parent[n - 1:]
-        for j in range(1, n):
-            gram = gram + " " + pd.Series(flat[j: len(flat) - n + 1 + j],
-                                          dtype=object)
-        vals = gram.to_numpy()[ok]
         u, c = np.unique(vals, return_counts=True)
         return pa.table({"gram": pa.array(u, pa.string()),
                          "cnt": pa.array(c.astype(np.int64))})
@@ -698,3 +685,110 @@ def fuzzy_decontaminate(train_ds, index_ref, text_col: str = "text",
         })
 
     return train_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _gram_strings(t: pa.Table, n: int, text_col: str) -> np.ndarray:
+    """All token n-gram strings of a batch (within-doc windows only)."""
+    toks = pc.split_pattern(_text_col(t, text_col), " ")
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), object)
+    live = flat != ""
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False)[live]
+    flat = flat[live]
+    if len(flat) < n:
+        return np.zeros(0, object)
+    import pandas as pd
+
+    gram = pd.Series(flat[: len(flat) - n + 1], dtype=object)
+    ok = parent[: len(flat) - n + 1] == parent[n - 1:]
+    for j in range(1, n):
+        gram = gram + " " + pd.Series(flat[j: len(flat) - n + 1 + j],
+                                      dtype=object)
+    return gram.to_numpy()[ok]
+
+
+CMS_DEPTH, CMS_WIDTH_LOG2 = 4, 16
+
+
+def frequent_ngrams_cms(ds, n: int = 3, min_count: int = 5, top_k: int = 50,
+                        text_col: str = "text", seed: int = 0x515):
+    """:func:`frequent_ngrams` with a Count-Min pre-filter — the scale
+    path when the DISTINCT-gram exchange itself is the bottleneck.
+
+    Pass 1 builds a FIXED-SIZE sketch (depth x 2^16 registers; the
+    grouped sum carries at most depth·width partial rows per batch, never
+    gram strings).  Pass 2 re-derives each batch's grams and forwards
+    only those whose CMS estimate reaches ``min_count`` into the exact
+    grouped count.  CMS never undercounts, so the candidate set is a
+    SUPERSET of the true heavy hitters and the exact recount makes the
+    final output EQUAL to the one-pass exact operator — pinned by an
+    equality test.  What shrinks is the gram-keyed shuffle: only
+    plausibly-frequent grams ever leave a task.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    W = 1 << CMS_WIDTH_LOG2
+    salts = [np.uint64(seed * 1000003 + d) for d in range(CMS_DEPTH)]
+
+    def slots_of(grams: np.ndarray) -> np.ndarray:
+        h = stable64_array(list(grams), seed=seed).view(np.uint64)
+        return np.stack([
+            (mix64(h ^ s) & np.uint64(W - 1)).astype(np.int64) + d * W
+            for d, s in enumerate(salts)
+        ])  # (depth, n_grams)
+
+    def reg_partial(t: pa.Table) -> pa.Table:
+        grams = _gram_strings(t, n, text_col)
+        if len(grams) == 0:
+            return pa.table({"slot": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        slots = slots_of(grams).ravel()
+        u, c = np.unique(slots, return_counts=True)
+        return pa.table({"slot": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def reg_sum(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"slot": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        sl = part["slot"].to_numpy(zero_copy_only=False)
+        c = part["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(sl, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"slot": pa.array(u), "cnt": pa.array(tot)})
+
+    reg_rows = exchange_group_apply(
+        ds.map_batches(reg_partial, batch_format="pyarrow"),
+        "slot", reg_sum, 8)
+    import ray
+
+    regs = np.zeros(CMS_DEPTH * W, np.int64)
+    for b in reg_rows.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        regs[b["slot"].to_numpy(zero_copy_only=False)] = \
+            b["cnt"].to_numpy(zero_copy_only=False)
+    regs_ref = ray.put(regs)
+
+    def candidate_partial(t: pa.Table) -> pa.Table:
+        r = ray.get(regs_ref)
+        grams = _gram_strings(t, n, text_col)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(grams, return_counts=True)
+        est = r[slots_of(u)].min(axis=0)
+        keep = est >= min_count
+        return pa.table({"gram": pa.array(u[keep], pa.string()),
+                         "cnt": pa.array(c[keep].astype(np.int64))})
+
+    agg = ds.map_batches(candidate_partial, batch_format="pyarrow") \
+        .groupby("gram").sum("cnt")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = pc.cast(t["sum(cnt)"], pa.int64())
+        return pa.table({"gram": t["gram"], "n": cnt}).filter(
+            pc.greater_equal(cnt, min_count))
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["n", "gram"], descending=[True, False]).limit(top_k)

@@ -175,3 +175,20 @@ def test_fuzzy_decontaminate_bruteforce():
     assert got == sorted(want)
     assert any(r[0] == 0 for r in got) and any(r[0] == 2 for r in got)
     assert not any(r[0] == 1 for r in got)
+
+
+def test_frequent_ngrams_cms_equals_exact():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.webclean import frequent_ngrams, frequent_ngrams_cms
+
+    texts = (["click here to subscribe now"] * 4
+             + ["one off sentence with no repeats at all",
+                "click here to unsubscribe today please",
+                None, ""])
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    exact = frequent_ngrams(ds, n=3, min_count=2, top_k=20).to_pandas()
+    cms = frequent_ngrams_cms(ds, n=3, min_count=2, top_k=20).to_pandas()
+    assert exact.equals(cms)  # CMS prefilter is output-equal by design
