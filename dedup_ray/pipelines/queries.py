@@ -2663,6 +2663,33 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+def union_evolve_docs(sf_dir: str):
+    """Schema-evolution union: an old-generation slice (doc_id, text)
+    unions with a new-generation slice (doc_id, text, lang) — missing
+    columns become typed nulls, matching ``UNION ALL BY NAME``
+    (``util/dsutil.py::union_evolve``)."""
+    from dedup_ray.util.dsutil import union_evolve
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0)).select(["doc_id", "text"])
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 1))
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    return union_evolve(
+        [old, new],
+        schemas=[{"doc_id": pa.int64(), "text": pa.string()},
+                 {"doc_id": pa.int64(), "text": pa.string(),
+                  "lang": pa.string()}],
+    )
+
+
 def corpus_diff_docs(sf_dir: str):
     """Crawl-to-crawl snapshot diff: old = docs with doc_id %% 10 != 0,
     new = docs with doc_id %% 11 != 0 and text amended when
@@ -3928,6 +3955,14 @@ ORACLES["pseudonymize_events"] = f"""
 ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
 
 
+ORACLES["union_evolve_docs"] = """
+    SELECT doc_id, text, NULL::VARCHAR AS lang FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -4047,6 +4082,7 @@ QUERIES = {
     "cluster_stats_docs": cluster_stats_docs,
     "pseudonymize_events": pseudonymize_events,
     "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
+    "union_evolve_docs": union_evolve_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -247,3 +247,53 @@ def hash_join(
     return as_arrow(
         combined.groupby("__part").map_groups(merge, batch_format="pandas")
     )
+
+
+def union_evolve(datasets: list, schemas: list[dict] | None = None):
+    """Union datasets whose schemas differ (schema evolution across crawl
+    generations): the unified schema is the ordered union of all column
+    names; a dataset missing a column contributes typed nulls for it.
+
+    ``schemas`` optionally pins ``{col: pa.DataType}`` per dataset (lazy
+    Datasets are not probed); otherwise each dataset's ``schema()`` is
+    read once.  Columns sharing a name must share a type (mismatches
+    raise rather than silently cast — evolution means ADDING columns).
+    Streaming: one ``map_batches`` per input, then ``Dataset.union``.
+    """
+    import pyarrow as pa
+
+    if schemas is None:
+        schemas = []
+        for ds in datasets:
+            s = ds.schema()
+            schemas.append(dict(zip(s.names, s.types)))
+    unified: dict = {}
+    for sch in schemas:
+        for name, typ in sch.items():
+            if name in unified and unified[name] != typ:
+                raise ValueError(
+                    f"union_evolve: column {name!r} has conflicting types "
+                    f"{unified[name]} vs {typ}"
+                )
+            unified.setdefault(name, typ)
+
+    def align(cols_present: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            arrays = []
+            for name, typ in unified.items():
+                if name in cols_present:
+                    arrays.append(batch[name])
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, typ))
+            return pa.table(dict(zip(unified.keys(), arrays)))
+
+        return f
+
+    aligned = [
+        ds.map_batches(align(sch), batch_format="pyarrow")
+        for ds, sch in zip(datasets, schemas)
+    ]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

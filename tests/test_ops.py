@@ -280,3 +280,26 @@ def test_fingerprint_md5_matches_bruteforce():
     for i, s in enumerate(texts):
         got = sorted(out[out.doc_id == i].fingerprint)
         assert got == sorted(brute(s)), i
+
+
+def test_union_evolve():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from dedup_ray.util.dsutil import union_evolve
+
+    a = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "lang": pa.array(["en"], pa.string())}))
+    out = union_evolve([a, b]).to_pandas().sort_values("id")
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["lang"].tolist()[:2] == [None, None]
+    assert out["lang"].tolist()[2] == "en"
+    # conflicting type for a shared column must raise, not cast
+    c = ray.data.from_arrow(pa.table({
+        "id": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError):
+        union_evolve([a, c])
