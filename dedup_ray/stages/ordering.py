@@ -215,13 +215,19 @@ def range_rank(ds, key_col: str, id_col: str, sample_rate: float = 0.05,
     from dedup_ray.util.exchange import exchange_group_apply
 
     slim = ds.select_columns([id_col, key_col])
-    # hex-prefix threshold: keep iff first 4 hex digits < rate * 16^4
-    thresh = format(max(int(sample_rate * 0x10000), 1), "04x")
+    # Vectorized keyed-hash sample: boundaries only steer load balance
+    # (ranks are exact for ANY boundary set), so the fast mix64 path is
+    # used rather than the public-spec md5 — no oracle depends on which
+    # rows were sampled.
+    from dedup_ray.util.exchange import _key_hash
+    from dedup_ray.util.hashing import mix64
+
+    thresh = np.uint64(max(int(sample_rate * 2**64), 1))
 
     def sampled(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        dg = content_digest([f"{v}:{seed}" for v in ids], algo="md5")
-        keep = np.array([d[:4] < thresh for d in dg])
+        h = mix64(_key_hash(t[id_col]).view(np.uint64)
+                  ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64))
+        keep = h < thresh
         return pa.table({key_col: t[key_col].filter(pa.array(keep))})
 
     sample_keys = np.sort(np.concatenate(
