@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --incremental: append the shard's "
                     "signatures and cluster merges to the index so the "
                     "next shard sees this one")
+    ap.add_argument("--exact-substring-cut", action="store_true",
+                    help="ExactSubstr mode (Lee et al. 2022 semantics): "
+                    "remove every char covered by a corpus-duplicated "
+                    "substring of >= --min-substring-chars; writes "
+                    "(id, text)")
+    ap.add_argument("--min-substring-chars", type=int, default=40)
     ap.add_argument("--curate-only", action="store_true",
                     help="run the curation chain (quality screen -> PII "
                     "redaction -> line-level dedup -> reassembly) instead "
@@ -87,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--update-index requires --incremental")
     if args.incremental and args.curate_only:
         ap.error("--incremental and --curate-only are exclusive modes")
+    if args.exact_substring_cut and (args.incremental or args.curate_only):
+        ap.error("--exact-substring-cut is an exclusive mode")
     if args.incremental:
         for val, name in (
             (args.build_index, "--build-index"),
@@ -129,6 +137,38 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(args.input)
+
+    if args.exact_substring_cut:
+        from dedup_ray.stages.exactsubstr import (
+            exact_substring_coverage,
+            exact_substring_cut,
+        )
+        from dedup_ray.stages.extract import extract_pages
+
+        docs = pages if args.no_extract else extract_pages(pages)
+        cut = exact_substring_cut(
+            docs, id_col=args.id_col, min_len=args.min_substring_chars,
+            num_partitions=cfg.num_partitions,
+        )
+        cut.write_parquet(args.output)
+        cov = exact_substring_coverage(
+            docs, id_col=args.id_col, min_len=args.min_substring_chars,
+            num_partitions=cfg.num_partitions,
+        )
+        import pyarrow as pa  # noqa: F401
+        from ray.data.aggregate import Sum
+
+        tot = cov.aggregate(Sum("nchars"), Sum("dup_chars"))
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "mode": "exact_substring_cut",
+            "docs": ray.data.read_parquet(args.output).count(),
+            "total_chars": int(tot["sum(nchars)"]),
+            "dup_chars_removed": int(tot["sum(dup_chars)"]),
+            "min_substring_chars": args.min_substring_chars,
+            "wall_sec": round(wall, 3),
+        }))
+        return 0
 
     if args.curate_only:
         from dedup_ray.pipelines.curate import curate_pipeline
