@@ -2663,6 +2663,22 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+STRAT_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.0}
+STRAT_SEED = 77
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Per-language deterministic downsampling ("keep 30%% of en, all of
+    de, half of fr, drop es, drop unlisted"): keyed-md5 threshold per
+    group, shuffle-free and append-stable
+    (``stages/mixing.py::stratified_sample``)."""
+    from dedup_ray.stages.mixing import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, STRAT_FRACTIONS, group_col="lang",
+                             seed=STRAT_SEED)
+
+
 def union_evolve_docs(sf_dir: str):
     """Schema-evolution union: an old-generation slice (doc_id, text)
     unions with a new-generation slice (doc_id, text, lang) — missing
@@ -3742,6 +3758,11 @@ def _register_generated_oracles() -> None:
 
     ORACLES["split_assign_docs"] = split_sql(SPLIT_FRACTIONS, seed=SPLIT_SEED)
     ORACLES["training_recipe_docs"] = _recipe_oracle_sql()
+    from dedup_ray.stages.mixing import stratified_sample_sql
+
+    ORACLES["stratified_sample_docs"] = stratified_sample_sql(
+        STRAT_FRACTIONS, "lang", seed=STRAT_SEED,
+    ).replace("SELECT *", "SELECT doc_id, lang")
     ORACLES["cap_per_host_docs"] = f"""
         SELECT source, doc_id FROM (
             SELECT source, doc_id,
@@ -4083,6 +4104,7 @@ QUERIES = {
     "pseudonymize_events": pseudonymize_events,
     "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
     "union_evolve_docs": union_evolve_docs,
+    "stratified_sample_docs": stratified_sample_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -294,3 +294,46 @@ def pseudonymize(ds, cols: list[str], secret: str):
         return pa.table(dict(zip(names, arrays)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds, fractions: dict[str, float], group_col: str,
+                      id_col: str = "doc_id", seed: int = 42):
+    """Per-group deterministic sampling: keep a row iff
+    ``md5(f"{seed}:strat:{id}")[:8]`` clears its group's fraction
+    threshold — the per-language downsampling step of a corpus recipe
+    ("keep 30%% of en, all of de"), shuffle-free and append-stable like
+    :func:`split_assign` (a new document never flips an old one's fate).
+    Groups absent from ``fractions`` are dropped (an explicit recipe
+    beats a silent keep-all default).
+    """
+    thr = {g: format(min(int(f * 2**32), 2**32 - 1), "08x")
+           for g, f in fractions.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        groups = t[group_col].to_pylist()
+        pref = np.array([
+            d[:8] for d in content_digest(
+                [f"{seed}:strat:{v}" for v in ids.tolist()], algo="md5")
+        ])
+        bounds = np.array([thr.get(g, "") for g in groups])
+        return t.filter(pa.array(pref < bounds))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample_sql(fractions: dict[str, float], group_col: str,
+                          table: str = "documents",
+                          id_col: str = "doc_id", seed: int = 42) -> str:
+    """Generated oracle for :func:`stratified_sample` (same dict/seed)."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{format(min(int(f * 2**32), 2**32 - 1), '08x')}'"
+        for g, f in fractions.items()
+    )
+    return f"""
+        SELECT * FROM {table}
+        WHERE substr(md5('{seed}' || ':strat:' || {id_col}), 1, 8)
+              < CASE {group_col} {cases} ELSE '' END
+    """

@@ -193,3 +193,32 @@ def test_pseudonymize_tokens_stable_and_join_safe():
     # different secret -> different token space
     out2 = pseudonymize(a, ["user_id"], "k2").to_pandas()
     assert set(out2["user_id_token"]) != set(out["user_id_token"])
+
+
+def test_stratified_sample_fractions_and_stability():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.mixing import stratified_sample
+
+    n = 4000
+    langs = np.where(np.arange(n) % 2 == 0, "en", "de")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(langs.tolist(), pa.string())}))
+    out = stratified_sample(ds, {"en": 0.25, "de": 1.0}, "lang",
+                            seed=9).to_pandas()
+    en = (out["lang"] == "en").sum()
+    de = (out["lang"] == "de").sum()
+    assert de == n // 2  # fraction 1.0 keeps everything
+    assert abs(en / (n // 2) - 0.25) < 0.05
+    # append-stable: the same doc keeps its fate in a superset corpus
+    half = ds.limit(2000)
+    out_half = stratified_sample(half, {"en": 0.25, "de": 1.0}, "lang",
+                                 seed=9).to_pandas()
+    kept_ids = set(out[out.doc_id < 2000].doc_id)
+    assert set(out_half.doc_id) == kept_ids
+    # unlisted group drops
+    out2 = stratified_sample(ds, {"en": 0.25}, "lang", seed=9).to_pandas()
+    assert (out2["lang"] == "de").sum() == 0
