@@ -2663,6 +2663,48 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+DEBOUNCE_SEC = 3600
+
+
+def debounce_events(sf_dir: str):
+    """Event debounce dedup: drop an event when the PREVIOUS event of the
+    same (user, type) — ordered by (ts, event_id) — is within 1 hour.
+    One co-partitioning exchange on user_id; inside a partition the
+    predicate is a vectorized lag over the lexsorted rows (== SQL
+    ``lag(ts) OVER (PARTITION BY user_id, event_type
+    ORDER BY ts, event_id)``)."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def keep(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+            })
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(part["event_type"].to_pylist(), object)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)  # epoch micros
+        order = np.lexsort((eid, ts, et, uid))
+        u, e, t2, i2 = uid[order], et[order], ts[order], eid[order]
+        same = np.r_[False, (u[1:] == u[:-1]) & (e[1:] == e[:-1])]
+        gap = np.r_[np.int64(0), t2[1:] - t2[:-1]]
+        keep_m = ~same | (gap > DEBOUNCE_SEC * 1_000_000)
+        sel = order[keep_m]
+        return pa.table({
+            "event_id": part["event_id"].take(pa.array(sel)),
+            "user_id": part["user_id"].take(pa.array(sel)),
+            "event_type": part["event_type"].take(pa.array(sel)),
+        })
+
+    return exchange_group_apply(ds, "user_id", keep, 16)
+
+
 STRAT_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.0}
 STRAT_SEED = 77
 
@@ -3984,6 +4026,17 @@ ORACLES["union_evolve_docs"] = """
 """
 
 
+ORACLES["debounce_events"] = f"""
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap
+        FROM events)
+    WHERE gap IS NULL OR gap > {DEBOUNCE_SEC}::BIGINT * 1000000
+"""
+
+
 ORACLES["range_rank_orders"] = """
     SELECT o_orderkey, o_totalprice,
            row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
@@ -4105,6 +4158,7 @@ QUERIES = {
     "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
     "union_evolve_docs": union_evolve_docs,
     "stratified_sample_docs": stratified_sample_docs,
+    "debounce_events": debounce_events,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,
