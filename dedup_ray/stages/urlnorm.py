@@ -127,6 +127,8 @@ def blocklist_filter(ds, hosts_col: str, blocked_domains: list[str]):
             mask = hit if mask is None else pc.or_(mask, hit)
         if mask is None:
             return t
-        return t.filter(pc.invert(mask))
+        # a null host matches no domain: keep the row (null would
+        # otherwise propagate through invert() and silently drop it)
+        return t.filter(pc.invert(pc.coalesce(mask, pa.scalar(False))))
 
     return ds.map_batches(f, batch_format="pyarrow")

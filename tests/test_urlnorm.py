@@ -63,9 +63,10 @@ def test_blocklist_filter_subdomain_semantics():
 
     t = pa.table({"host": pa.array(
         ["site3.example.com", "a.site3.example.com", "site4.example.com",
-         "notsite3.example.com", "x.example.net", "example.net"])})
+         "notsite3.example.com", "x.example.net", "example.net", None])})
     out = blocklist_filter(ray.data.from_arrow(t), "host",
                            ["site3.example.com", "example.net"]).to_pandas()
-    # endswith '.d' must not match 'notsite3...' (no dot boundary bypass)
-    assert sorted(out["host"]) == ["notsite3.example.com",
-                                   "site4.example.com"]
+    # endswith '.d' must not match 'notsite3...' (no dot boundary
+    # bypass); a null host matches no domain and is kept
+    assert sorted(out["host"], key=str) == [None, "notsite3.example.com",
+                                            "site4.example.com"]
