@@ -140,20 +140,25 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.exact_substring_cut:
         from dedup_ray.stages.exactsubstr import (
+            _dup_set_ref,
+            duplicated_grams,
             exact_substring_coverage,
             exact_substring_cut,
         )
         from dedup_ray.stages.extract import extract_pages
 
         docs = pages if args.no_extract else extract_pages(pages)
+        dup_ref = _dup_set_ref(duplicated_grams(
+            docs, "text", args.min_substring_chars,
+            num_partitions=cfg.num_partitions))  # one gram pass, both uses
         cut = exact_substring_cut(
             docs, id_col=args.id_col, min_len=args.min_substring_chars,
-            num_partitions=cfg.num_partitions,
+            num_partitions=cfg.num_partitions, dup_ref=dup_ref,
         )
         cut.write_parquet(args.output)
         cov = exact_substring_coverage(
             docs, id_col=args.id_col, min_len=args.min_substring_chars,
-            num_partitions=cfg.num_partitions,
+            num_partitions=cfg.num_partitions, dup_ref=dup_ref,
         )
         import pyarrow as pa  # noqa: F401
         from ray.data.aggregate import Sum

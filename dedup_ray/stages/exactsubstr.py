@@ -214,6 +214,7 @@ def exact_substring_coverage(
     min_len: int = DEFAULT_MIN_LEN,
     seed: int = 0,
     num_partitions: int = 16,
+    dup_ref=None,
 ):
     """Per-doc duplicated-substring coverage:
     ``(id_col, nchars, dup_chars)`` where ``dup_chars`` counts positions
@@ -224,8 +225,10 @@ def exact_substring_coverage(
     ``sum(first-in-doc ? L : min(L, gap to previous start))`` — the
     gaps-and-islands identity, one vectorized pass.
     """
-    dup_ref = _dup_set_ref(
-        duplicated_grams(docs, text_col, min_len, seed, num_partitions))
+    if dup_ref is None:
+        dup_ref = _dup_set_ref(
+            duplicated_grams(docs, text_col, min_len, seed,
+                             num_partitions))
 
     def cover(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
@@ -257,6 +260,7 @@ def exact_substring_cut(
     min_len: int = DEFAULT_MIN_LEN,
     seed: int = 0,
     num_partitions: int = 16,
+    dup_ref=None,
 ):
     """Remove every char covered by a duplicated >=L substring from every
     document (all-occurrence policy — see module docstring).  Output:
@@ -267,8 +271,10 @@ def exact_substring_cut(
     > 0); ASCII batches rebuild the string column directly from the kept
     bytes + new offsets with no per-doc Python.
     """
-    dup_ref = _dup_set_ref(
-        duplicated_grams(docs, text_col, min_len, seed, num_partitions))
+    if dup_ref is None:
+        dup_ref = _dup_set_ref(
+            duplicated_grams(docs, text_col, min_len, seed,
+                             num_partitions))
 
     def cut(t: pa.Table) -> pa.Table:
         dup_sorted = ray.get(dup_ref)
