@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "exact_substring_docs",
     "range_rank_orders",
     "bpe_train_docs",
+    "frequent_ngrams_cms_docs",
+    "fuzzy_decontaminate_docs",
+    "corpus_diff_docs",
+    "profile_events",
+    "debounce_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
