@@ -26,7 +26,8 @@ Plan (two passes over text, one narrow shuffle):
    The surviving set (distinct *duplicated* grams only — boilerplate-
    bounded, not corpus-bounded) broadcasts via ``ray.put``; above the
    broadcast budget the same table joins back through a second
-   co-partitioned exchange instead (``broadcast=False``).
+   co-partitioned exchange instead
+   (:func:`exact_substring_coverage_joined`, output-equal by test).
 3. Per batch: recompute window hashes, mark duplicated starts
    (``np.searchsorted`` against the sorted broadcast set), and reduce to
    per-doc covered-char counts (interval-union via the gaps-and-islands
@@ -312,3 +313,86 @@ def exact_substring_cut(
         return pa.table({id_col: t[id_col], "text": out})
 
     return docs.map_batches(cut, batch_format="pyarrow")
+
+
+def exact_substring_coverage_joined(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = DEFAULT_MIN_LEN,
+    seed: int = 0,
+    num_partitions: int = 16,
+):
+    """Join-back form of :func:`exact_substring_coverage` — the overflow
+    path when the duplicated-gram set exceeds the broadcast budget
+    (see ``_dup_set_ref``): instead of shipping the dup set to every
+    task, per-window ``(ghash, id, pos)`` rows semi-join the dup table
+    on a ``ghash``-keyed exchange, and a second exchange on the doc id
+    reduces surviving starts to covered chars.  Trade: the window
+    stream is O(corpus chars) rows through the first exchange — pay it
+    only when the broadcast path cannot hold the dup set.  Output and
+    semantics identical to the broadcast path (equality test)."""
+    from dedup_ray.util.exchange import exchange_join, hash_exchange
+
+    dup = duplicated_grams(docs, text_col, min_len, seed, num_partitions)
+
+    def windows(t: pa.Table) -> pa.Table:
+        vals, offsets = _flat_codepoints(_text_array(t, text_col))
+        h, doc_idx, pos = _window_hashes(vals, offsets, min_len, seed)
+        ids = t[id_col].take(pa.array(doc_idx))
+        return pa.table({
+            "ghash": pa.array(h.view(np.int64)),
+            id_col: ids,
+            "pos": pa.array(pos),
+        })
+
+    def lengths(t: pa.Table) -> pa.Table:
+        texts = _text_array(t, text_col)
+        return pa.table({
+            id_col: t[id_col],
+            "nchars": pc.cast(pc.utf8_length(texts), pa.int64()),
+        })
+
+    win = docs.map_batches(windows, batch_format="pyarrow")
+    hits = exchange_join(
+        win, dup, on="ghash", how="semi",
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([("ghash", pa.int64()),
+                                (id_col, pa.int64()),
+                                ("pos", pa.int64())]),
+    )
+    lens = docs.map_batches(lengths, batch_format="pyarrow")
+
+    def cover_part(t_hits: pa.Table, t_lens: pa.Table) -> pa.Table:
+        if t_lens.num_rows == 0:
+            id_t = t_lens[id_col].type if id_col in t_lens.column_names \
+                else pa.int64()
+            return pa.table({
+                id_col: pa.array([], id_t),
+                "nchars": pa.array([], pa.int64()),
+                "dup_chars": pa.array([], pa.int64()),
+            })
+        lid = t_lens[id_col].to_numpy(zero_copy_only=False)
+        order_l = np.argsort(lid, kind="stable")
+        lid_s = lid[order_l]
+        nch = t_lens["nchars"].to_numpy(zero_copy_only=False)[order_l]
+        dup_chars = np.zeros(len(lid_s), np.int64)
+        if t_hits.num_rows and id_col in t_hits.column_names:
+            hid = t_hits[id_col].to_numpy(zero_copy_only=False)
+            pos = t_hits["pos"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((pos, hid))
+            hid, pos = hid[o], pos[o]
+            first = np.r_[True, hid[1:] != hid[:-1]]
+            gaps = np.r_[np.int64(min_len), pos[1:] - pos[:-1]]
+            contr = np.where(first, np.int64(min_len),
+                             np.minimum(np.int64(min_len), gaps))
+            tgt = np.searchsorted(lid_s, hid)
+            np.add.at(dup_chars, tgt, contr)
+        return pa.table({
+            id_col: t_lens[id_col].take(pa.array(order_l)),
+            "nchars": pa.array(nch),
+            "dup_chars": pa.array(dup_chars),
+        })
+
+    return hash_exchange([hits, lens], [id_col, id_col], cover_part,
+                         num_partitions)

@@ -113,3 +113,18 @@ def test_random_corpus_property(L):
     want = ["".join(ch for j, ch in enumerate(s) if j not in c)
             for s, c in zip(texts, ref)]
     assert cut["text"].tolist() == want
+
+
+def test_joined_coverage_equals_broadcast():
+    from dedup_ray.stages.exactsubstr import exact_substring_coverage_joined
+
+    L = 20
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(CORPUS)), pa.int64()),
+        "text": pa.array(CORPUS, pa.string()),
+    })).repartition(3)
+    a = exact_substring_coverage(ds, min_len=L, num_partitions=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = exact_substring_coverage_joined(ds, min_len=L, num_partitions=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
