@@ -2663,6 +2663,78 @@ def doc_length_quantiles(sf_dir: str):
                          "v": pd.Series([r[1] for r in rows], dtype="int64")})
 
 
+def split_leakage_docs(sf_dir: str):
+    """Train/test leakage audit: after keyed-md5 split assignment, find
+    exact-text digests that straddle more than one split (copies
+    synthesized for doc_id %% 5 == 0 so the check has signal).  Per-batch
+    (digest, split) distinct partials, one digest-keyed exchange counting
+    docs and distinct splits — the QA gate a recipe runs before
+    training."""
+    from dedup_ray.stages.mixing import split_assign
+    from dedup_ray.util.exchange import exchange_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def amplify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        dup = pa.table({
+            "doc_id": pa.array(ids[m] + 100000),
+            "text": t["text"].filter(pa.array(m)),
+        })
+        return pa.concat_tables([t.select(["doc_id", "text"]), dup])
+
+    both = docs.map_batches(amplify, batch_format="pyarrow")
+    assigned = split_assign(both, SPLIT_FRACTIONS, seed=SPLIT_SEED,
+                            keep_cols=("text",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dg = content_digest(t["text"].to_pylist(), algo="md5")
+        sp = t["split"].to_pylist()
+        keys = np.array([f"{d}\x1f{s}" for d, s in zip(dg, sp)])
+        u, c = np.unique(keys, return_counts=True)
+        parts = np.char.partition(u, "\x1f")
+        return pa.table({
+            "dg": pa.array(parts[:, 0], pa.string()),
+            "split": pa.array(parts[:, 2], pa.string()),
+            "n": pa.array(c.astype(np.int64)),
+        })
+
+    def leaked(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"dg": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_splits": pa.array([], pa.int64())})
+        dg = np.asarray(part["dg"].to_pylist(), object)
+        sp = np.asarray(part["split"].to_pylist(), object)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sp, dg))
+        dg, sp, n = dg[order], sp[order], n[order]
+        # collapse per-batch partials: the same (dg, split) may arrive
+        # from several batches and must count as ONE split
+        pair_first = np.r_[True, (dg[1:] != dg[:-1]) | (sp[1:] != sp[:-1])]
+        pid = np.cumsum(pair_first) - 1
+        pair_n = np.zeros(pid[-1] + 1, np.int64)
+        np.add.at(pair_n, pid, n)
+        dg, sp, n = dg[pair_first], sp[pair_first], pair_n
+        first = np.r_[True, dg[1:] != dg[:-1]]
+        gid = np.cumsum(first) - 1
+        n_docs = np.zeros(gid[-1] + 1, np.int64)
+        np.add.at(n_docs, gid, n)
+        n_splits = np.bincount(gid)  # rows now (dg, split)-distinct
+        keep = n_splits >= 2
+        return pa.table({
+            "dg": pa.array(dg[first][keep], pa.string()),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_splits": pa.array(n_splits[keep].astype(np.int64)),
+        })
+
+    return exchange_group_apply(
+        assigned.map_batches(partial, batch_format="pyarrow"),
+        "dg", leaked, 8)
+
+
 DEBOUNCE_SEC = 3600
 
 
@@ -3800,6 +3872,23 @@ def _register_generated_oracles() -> None:
 
     ORACLES["split_assign_docs"] = split_sql(SPLIT_FRACTIONS, seed=SPLIT_SEED)
     ORACLES["training_recipe_docs"] = _recipe_oracle_sql()
+    from dedup_ray.stages.mixing import split_case_expr
+
+    _leak_case = split_case_expr(SPLIT_FRACTIONS, id_col="doc_id",
+                                 seed=SPLIT_SEED)
+    ORACLES["split_leakage_docs"] = f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 5 = 0),
+        s AS (SELECT doc_id, text, {_leak_case} AS split FROM all_docs),
+        g AS (SELECT md5(text) AS dg, count(*) AS n_docs,
+                     count(DISTINCT split) AS n_splits
+              FROM s GROUP BY 1)
+        SELECT dg, n_docs::BIGINT AS n_docs, n_splits::BIGINT AS n_splits
+        FROM g WHERE n_splits >= 2
+    """
     from dedup_ray.stages.mixing import stratified_sample_sql
 
     ORACLES["stratified_sample_docs"] = stratified_sample_sql(
@@ -4159,6 +4248,7 @@ QUERIES = {
     "union_evolve_docs": union_evolve_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
+    "split_leakage_docs": split_leakage_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -222,3 +222,13 @@ def test_stratified_sample_fractions_and_stability():
     # unlisted group drops
     out2 = stratified_sample(ds, {"en": 0.25}, "lang", seed=9).to_pandas()
     assert (out2["lang"] == "de").sum() == 0
+
+
+def test_split_leakage_multibatch_dedup():
+    """The same (digest, split) arriving from several batches counts as
+    one split — exercised by forcing many small blocks."""
+    from dedup_ray.pipelines.queries import split_leakage_docs
+
+    out = split_leakage_docs("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_splits"] >= 2).all()
+    assert (out["n_splits"] <= 3).all()  # only 3 splits exist
