@@ -5,10 +5,13 @@ reference pipeline (``heroxbd/dedup``, see SURVEY.md) on idiomatic Ray Data:
 
 - ``sources``     : Parquet/pages readers + deterministic synthetic corpora
 - ``stages``      : batch transforms (extract, shingle, MinHash, LSH, SimHash,
-                    suffix-array, verification, connected components, text stats,
-                    ANN, multimodal plumbing)
+                    CDC substring + ExactSubstr coverage/cut, verification,
+                    connected components, text stats, BPE train/encode,
+                    ANN (brute/LSH/IVF/PQ), sketches, web cleaning,
+                    mixing/packing/ordering, multimodal plumbing)
 - ``ops``         : relational building blocks (joins, pair generation,
-                    grouped collect, pairwise-cluster evaluation)
+                    grouped collect, pairwise-cluster evaluation, PageRank,
+                    similarity joins, table profiling, snapshot diff)
 - ``conformance`` : reference-faithful operators (normalizers, token features,
                     labels, bag/glue clusterings) used as small-scale oracles
 - ``pipelines``   : end-to-end near-dup dedup pipeline
