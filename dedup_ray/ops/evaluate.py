@@ -17,7 +17,9 @@ positives — identical to ``evaluate.py:125-128``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _pair_count(sizes: pd.Series) -> int:
@@ -149,3 +151,65 @@ def pairwise_prf_ds(pred_ds, truth_ds, id_col: str = "url",
         2 * precision * recall / (precision + recall)
     )
     return {"precision": precision, "recall": recall, "f1": f1}
+
+
+def bcubed_scores(pred, truth, id_col: str = "doc_id",
+                  pred_col: str = "cluster_id", truth_col: str = "truth_id",
+                  num_partitions: int = 16):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the standard
+    entity-resolution metric family next to the reference's pairwise F1
+    (``evaluate.py:125-128``): per item, precision = |C(i) ∩ T(i)|/|C(i)|
+    and recall = |C(i) ∩ T(i)|/|T(i)|, averaged over items.
+
+    Closed-form over the overlap cells: with n(c,t) items in predicted
+    cluster c AND truth cluster t,
+
+        B³P = (1/N) Σ_cells n(c,t)² / |c|
+        B³R = (1/N) Σ_cells n(c,t)² / |t|
+
+    so the whole metric is one co-partitioning join + three grouped
+    counts + two cell-size joins — no per-item state, cells bounded by
+    cluster structure, never materialized to the driver (only the three
+    final sums are).  Returns a 1-row ``pa.Table`` rounded to 6dp.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.dsutil import hash_join
+
+    joined = hash_join(
+        pred, truth, on=id_col,
+        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
+        num_partitions=num_partitions, how="inner",
+    )
+    cells = joined.groupby([pred_col, truth_col]).count()
+    csize = pred.groupby(pred_col).count()
+    tsize = truth.groupby(truth_col).count()
+
+    def ratio(cells_ds, size_ds, key, out):
+        from dedup_ray.util.dsutil import rename_columns
+
+        sz = rename_columns(size_ds, {"count()": "sz"})
+        j = hash_join(
+            cells_ds, sz, on=key,
+            left_cols=[pred_col, truth_col, "count()"],
+            right_cols=[key, "sz"],
+            num_partitions=num_partitions, how="inner",
+        )
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t["count()"].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            s = t["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({out: pa.array(n * n / s, pa.float64())})
+
+        return j.map_batches(f, batch_format="pyarrow").sum(out)
+
+    n_items = joined.count()
+    p = ratio(cells, csize, pred_col, "pc") / n_items
+    r = ratio(cells, tsize, truth_col, "rc") / n_items
+    f1 = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    return pa.table({
+        "bcubed_p": pa.array([round(p, 6)], pa.float64()),
+        "bcubed_r": pa.array([round(r, 6)], pa.float64()),
+        "bcubed_f1": pa.array([round(f1, 6)], pa.float64()),
+    })

@@ -633,6 +633,25 @@ def cluster_stats_docs(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def bcubed_eval_docs(sf_dir: str):
+    """B-cubed precision/recall/F1 of the chain-CC clustering against a
+    block-of-4 truth partition — the entity-resolution metric family next
+    to the reference's pairwise F1, in closed form over overlap cells
+    (``ops/evaluate.py::bcubed_scores``)."""
+    from dedup_ray.ops.evaluate import bcubed_scores
+
+    pred = cc_chain_docs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def truth_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "truth_id": pa.array(ids // 4)})
+
+    truth = docs.map_batches(truth_of, batch_format="pyarrow")
+    return bcubed_scores(pred, truth)
+
+
 def cluster_rep_longest(sf_dir: str):
     """Post-dedup representative selection: keep the LONGEST member per
     cluster, ties broken by min doc_id.
@@ -3318,6 +3337,27 @@ ORACLES["cluster_stats_docs"] = _CHAIN_COMP_CTE + """
 """
 
 
+ORACLES["bcubed_eval_docs"] = _CHAIN_COMP_CTE + """,
+    truth AS (SELECT doc_id, doc_id // 4 AS truth_id FROM documents),
+    j AS (SELECT c.doc_id, c.cluster_id, t.truth_id
+          FROM comp c JOIN truth t USING (doc_id)),
+    cells AS (SELECT cluster_id, truth_id, count(*)::DOUBLE AS n
+              FROM j GROUP BY 1, 2),
+    cs AS (SELECT cluster_id, count(*)::DOUBLE AS sz FROM comp GROUP BY 1),
+    ts AS (SELECT truth_id, count(*)::DOUBLE AS sz FROM truth GROUP BY 1),
+    p AS (SELECT sum(n * n / cs.sz) AS v
+          FROM cells JOIN cs USING (cluster_id)),
+    r AS (SELECT sum(n * n / ts.sz) AS v
+          FROM cells JOIN ts USING (truth_id)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM j)
+    SELECT round(p.v / nn.n, 6) AS bcubed_p,
+           round(r.v / nn.n, 6) AS bcubed_r,
+           round(2 * (p.v / nn.n) * (r.v / nn.n)
+                 / ((p.v / nn.n) + (r.v / nn.n)), 6) AS bcubed_f1
+    FROM p, r, nn
+"""
+
+
 ORACLES["cluster_rep_longest"] = _CHAIN_COMP_CTE + """
     , tok AS (
         SELECT doc_id,
@@ -4249,6 +4289,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,
+    "bcubed_eval_docs": bcubed_eval_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

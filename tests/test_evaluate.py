@@ -71,3 +71,30 @@ def test_distributed_matches_pandas():
     m2 = pairwise_prf_ds(rd.from_pandas(pred), rd.from_pandas(truth), num_partitions=4)
     for k in ("precision", "recall", "f1"):
         assert abs(m1[k] - m2[k]) < 1e-12
+
+
+def test_bcubed_handmade():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.ops.evaluate import bcubed_scores
+
+    # pred: {1,2},{3}; truth: {1},{2,3}
+    pred = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "cluster_id": pa.array([10, 10, 20], pa.int64())}))
+    truth = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "truth_id": pa.array([100, 200, 200], pa.int64())}))
+    out = bcubed_scores(pred, truth).to_pandas().iloc[0]
+    # P_i: 1/2, 1/2, 1 -> 2/3 ; R_i: 1, 1/2, 1/2 -> 2/3
+    assert out["bcubed_p"] == round(2 / 3, 6)
+    assert out["bcubed_r"] == round(2 / 3, 6)
+    assert out["bcubed_f1"] == round(2 / 3, 6)
+
+    # perfect clustering scores 1.0 everywhere
+    same = bcubed_scores(pred, ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "truth_id": pa.array([10, 10, 20], pa.int64()),
+    }))).to_pandas().iloc[0]
+    assert same.tolist() == [1.0, 1.0, 1.0]
