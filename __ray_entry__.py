@@ -31,9 +31,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator family from SURVEY.md §2.
 
-    See ``dedup_ray/pipelines/queries.py`` for the catalog; keys without an
-    ``oracle_sql`` entry are the non-SQL-expressible operators (hash-based
-    dedup/fingerprints, heuristic lang-id, LSH ANN, full pipeline)."""
+    See ``dedup_ray/pipelines/queries.py`` for the catalog; the five keys
+    without an ``oracle_sql`` entry are the non-SQL-expressible operators
+    (keyed-hash SimHash, weighted APSP, iterative fixed points — affinity
+    propagation and SemDeDup k-means — and the zlib compression screen)."""
     from dedup_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)

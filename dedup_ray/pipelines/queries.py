@@ -649,7 +649,7 @@ def bcubed_eval_docs(sf_dir: str):
                          "truth_id": pa.array(ids // 4)})
 
     truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return bcubed_scores(pred, truth)
+    return bcubed_scores(pred, truth, num_partitions=4)
 
 
 def cluster_rep_longest(sf_dir: str):
