@@ -213,3 +213,51 @@ def bcubed_scores(pred, truth, id_col: str = "doc_id",
         "bcubed_r": pa.array([round(r, 6)], pa.float64()),
         "bcubed_f1": pa.array([round(f1, 6)], pa.float64()),
     })
+
+
+def ari_score(pred, truth, id_col: str = "doc_id",
+              pred_col: str = "cluster_id", truth_col: str = "truth_id",
+              num_partitions: int = 16):
+    """Adjusted Rand Index — the chance-corrected form of the pairwise
+    agreement the reference scores (``evaluate.py:125-128`` counts
+    pair-level TP/FP/FN; ARI corrects the same contingency for the
+    agreement two random partitions would reach).
+
+    Closed form over the contingency: with cells n(c,t), row sums a_c,
+    col sums b_t and N items,
+
+        ARI = (S_cells - S_a*S_b/S_N) / ((S_a + S_b)/2 - S_a*S_b/S_N)
+
+    where S_x = sum of C(x, 2).  Everything is grouped counts + three
+    distributed pair-sums; only four integers reach the driver.  Returns
+    a 1-row table ``(ari,)`` rounded to 6dp (1.0 when both partitions
+    are identical up to relabeling).
+    """
+    from dedup_ray.util.dsutil import hash_join
+
+    joined = hash_join(
+        pred, truth, on=id_col,
+        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
+        num_partitions=num_partitions, how="inner",
+    )
+
+    def pair_sum(ds, col):
+        def f(t: pa.Table) -> pa.Table:
+            n = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(n * (n - 1) // 2)})
+
+        return ds.map_batches(f, batch_format="pyarrow").sum("s")
+
+    s_cells = pair_sum(joined.groupby([pred_col, truth_col]).count(),
+                       "count()")
+    s_a = pair_sum(joined.groupby(pred_col).count(), "count()")
+    s_b = pair_sum(joined.groupby(truth_col).count(), "count()")
+    n = joined.count()
+    s_n = n * (n - 1) // 2
+    if s_n == 0:
+        ari = 1.0
+    else:
+        exp = s_a * s_b / s_n
+        mx = (s_a + s_b) / 2
+        ari = 1.0 if mx == exp else (s_cells - exp) / (mx - exp)
+    return pa.table({"ari": pa.array([round(ari, 6)], pa.float64())})

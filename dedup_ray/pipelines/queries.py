@@ -652,6 +652,24 @@ def bcubed_eval_docs(sf_dir: str):
     return bcubed_scores(pred, truth, num_partitions=4)
 
 
+def ari_eval_docs(sf_dir: str):
+    """Adjusted Rand Index of the chain-CC clustering vs the block-of-4
+    truth — the chance-corrected pairwise agreement, closed form over
+    contingency cells (``ops/evaluate.py::ari_score``)."""
+    from dedup_ray.ops.evaluate import ari_score
+
+    pred = cc_chain_docs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def truth_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "truth_id": pa.array(ids // 4)})
+
+    truth = docs.map_batches(truth_of, batch_format="pyarrow")
+    return ari_score(pred, truth, num_partitions=4)
+
+
 def cluster_rep_longest(sf_dir: str):
     """Post-dedup representative selection: keep the LONGEST member per
     cluster, ties broken by min doc_id.
@@ -3358,6 +3376,25 @@ ORACLES["bcubed_eval_docs"] = _CHAIN_COMP_CTE + """,
 """
 
 
+ORACLES["ari_eval_docs"] = _CHAIN_COMP_CTE + """,
+    truth AS (SELECT doc_id, doc_id // 4 AS truth_id FROM documents),
+    j AS (SELECT c.doc_id, c.cluster_id, t.truth_id
+          FROM comp c JOIN truth t USING (doc_id)),
+    sc AS (SELECT sum(n * (n - 1) // 2) AS v FROM (
+               SELECT count(*)::BIGINT AS n FROM j
+               GROUP BY cluster_id, truth_id)),
+    sa AS (SELECT sum(n * (n - 1) // 2) AS v FROM (
+               SELECT count(*)::BIGINT AS n FROM j GROUP BY cluster_id)),
+    sb AS (SELECT sum(n * (n - 1) // 2) AS v FROM (
+               SELECT count(*)::BIGINT AS n FROM j GROUP BY truth_id)),
+    nn AS (SELECT count(*)::BIGINT AS n FROM j)
+    SELECT round((sc.v - sa.v * sb.v * 2.0 / (nn.n * (nn.n - 1)))
+                 / ((sa.v + sb.v) / 2.0
+                    - sa.v * sb.v * 2.0 / (nn.n * (nn.n - 1))), 6) AS ari
+    FROM sc, sa, sb, nn
+"""
+
+
 ORACLES["cluster_rep_longest"] = _CHAIN_COMP_CTE + """
     , tok AS (
         SELECT doc_id,
@@ -4290,6 +4327,7 @@ QUERIES = {
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,
     "bcubed_eval_docs": bcubed_eval_docs,
+    "ari_eval_docs": ari_eval_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

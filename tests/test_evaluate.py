@@ -98,3 +98,27 @@ def test_bcubed_handmade():
         "truth_id": pa.array([10, 10, 20], pa.int64()),
     }))).to_pandas().iloc[0]
     assert same.tolist() == [1.0, 1.0, 1.0]
+
+
+def test_ari_handmade():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.ops.evaluate import ari_score
+
+    def mk(ids, labels, col):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            col: pa.array(labels, pa.int64())}))
+
+    ids = list(range(6))
+    pred = mk(ids, [0, 0, 1, 1, 2, 2], "cluster_id")
+    # identical partition up to relabeling -> 1.0
+    same = mk(ids, [7, 7, 8, 8, 9, 9], "truth_id")
+    assert ari_score(pred, same).to_pandas()["ari"][0] == 1.0
+    # known value: pred {01}{23}{45} vs truth {012}{345}
+    truth = mk(ids, [0, 0, 0, 1, 1, 1], "truth_id")
+    got = ari_score(pred, truth).to_pandas()["ari"][0]
+    # cells: (0,0)=2 (1,0)=1 (1,1)=1 (2,1)=2 -> S_cells=2
+    # S_a=3, S_b=6, S_N=15; exp=1.2, max=4.5 -> ari=0.8/3.3
+    assert got == round((2 - 1.2) / (4.5 - 1.2), 6)
