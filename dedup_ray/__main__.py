@@ -160,7 +160,6 @@ def main(argv: list[str] | None = None) -> int:
             docs, id_col=args.id_col, min_len=args.min_substring_chars,
             num_partitions=cfg.num_partitions, dup_ref=dup_ref,
         )
-        import pyarrow as pa  # noqa: F401
         from ray.data.aggregate import Sum
 
         tot = cov.aggregate(Sum("nchars"), Sum("dup_chars"))

@@ -178,8 +178,6 @@ def simhash_md5_docs(ds, id_col: str = "doc_id", text_col: str = "text"):
     (compares exactly as the uint64 it encodes).  A document with no
     tokens has all-zero sums, hence all-ones fingerprint.
     """
-    import pyarrow.compute as pc
-
     from dedup_ray.stages.textstats import explode_tokens
     from dedup_ray.util.hashing import content_digest
 
