@@ -2830,6 +2830,50 @@ def stratified_sample_docs(sf_dir: str):
                              seed=STRAT_SEED)
 
 
+PRUNED_LANGS = ["en", "de"]
+
+
+def partitioned_io_docs(sf_dir: str):
+    """Partitioned-write + partition-pruned read — the IO discipline a
+    100-TB corpus lives by: write documents hive-partitioned by lang
+    (``write_parquet(partition_cols=["lang"])``), then read back ONLY
+    the ``lang=en`` / ``lang=de`` directories (directory-name pruning:
+    bytes of other languages never leave storage) and aggregate.
+    Round-trips through a fresh temp dir each call."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    out = tempfile.mkdtemp(prefix="pio_")
+    try:
+        docs = _read(sf_dir, "documents",
+                     columns=["doc_id", "lang", "n_chars"])
+        docs.write_parquet(out, partition_cols=["lang"])
+        import ray.data
+
+        per_lang = [ray.data.read_parquet(f"{out}/lang={lg}")
+                    for lg in PRUNED_LANGS]
+        pruned = per_lang[0]
+        for dsl in per_lang[1:]:
+            pruned = pruned.union(dsl)
+        agg = pruned.groupby("lang").aggregate(
+            _Count(alias_name="n_docs"),
+            _Sum("n_chars", alias_name="sum_chars"),
+        )
+        return agg.map_batches(
+            lambda t: pa.table({
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def union_evolve_docs(sf_dir: str):
     """Schema-evolution union: an old-generation slice (doc_id, text)
     unions with a new-generation slice (doc_id, text, lang) — missing
@@ -4184,6 +4228,14 @@ ORACLES["pseudonymize_events"] = f"""
 ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
 
 
+ORACLES["partitioned_io_docs"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang
+"""
+
+
 ORACLES["union_evolve_docs"] = """
     SELECT doc_id, text, NULL::VARCHAR AS lang FROM documents
     WHERE doc_id % 2 = 0
@@ -4323,6 +4375,7 @@ QUERIES = {
     "pseudonymize_events": pseudonymize_events,
     "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
     "union_evolve_docs": union_evolve_docs,
+    "partitioned_io_docs": partitioned_io_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,
