@@ -48,3 +48,23 @@ def test_read_corpus_all_formats_agree(corpus_files, name):
     )
     assert list(df.columns) == ["doc_id", "text"]
     assert df["text"].tolist() == [r["text"] for r in ROWS]
+
+
+def test_partitioned_write_pruned_read(tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({
+        "doc_id": pa.array(range(12), pa.int64()),
+        "lang": pa.array((["en", "de", "fr"] * 4)),
+        "n_chars": pa.array(range(12), pa.int64()),
+    })
+    out = str(tmp_path / "part")
+    ray.data.from_arrow(t).write_parquet(out, partition_cols=["lang"])
+    import os
+
+    assert sorted(os.listdir(out)) == ["lang=de", "lang=en", "lang=fr"]
+    # pruned read opens ONLY the en directory; fr/de bytes stay on disk
+    en = ray.data.read_parquet(f"{out}/lang=en").to_pandas()
+    assert sorted(en["doc_id"]) == [0, 3, 6, 9]
+    assert set(en["lang"]) == {"en"}  # hive key reconstructed from path
