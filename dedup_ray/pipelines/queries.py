@@ -670,6 +670,34 @@ def ari_eval_docs(sf_dir: str):
     return ari_score(pred, truth, num_partitions=4)
 
 
+def triangle_count_docs(sf_dir: str):
+    """Distributed triangle counting (wedge join, one grouped pass + one
+    packed-key semi-join) over a deterministic doc graph: edges u→u+1
+    where u %% 10 < 3 and u→u+2 where u %% 10 < 2, endpoints validated
+    against the doc table (``ops/graph.py::triangle_count``).  Oracle: a
+    three-way self-join."""
+    from dedup_ray.ops.graph import triangle_count
+    from dedup_ray.util.exchange import exchange_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False)
+        a1, b1 = u[u % 10 < 3], u[u % 10 < 3] + 1
+        a2, b2 = u[u % 10 < 2], u[u % 10 < 2] + 2
+        return pa.table({"a": pa.array(np.r_[a1, a2]),
+                         "b": pa.array(np.r_[b1, b2])})
+
+    cands = docs.map_batches(cand, batch_format="pyarrow")
+    ids = docs.map_batches(
+        lambda t: pa.table({"b": t["doc_id"]}), batch_format="pyarrow")
+    edges = exchange_join(
+        cands, ids, on="b", how="semi", num_partitions=8,
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    return triangle_count(edges, num_partitions=8)
+
+
 def cluster_rep_longest(sf_dir: str):
     """Post-dedup representative selection: keep the LONGEST member per
     cluster, ties broken by min doc_id.
@@ -3420,6 +3448,21 @@ ORACLES["bcubed_eval_docs"] = _CHAIN_COMP_CTE + """,
 """
 
 
+ORACLES["triangle_count_docs"] = """
+    WITH e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 < 3
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+        WHERE a.doc_id % 10 < 2)
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 ORACLES["ari_eval_docs"] = _CHAIN_COMP_CTE + """,
     truth AS (SELECT doc_id, doc_id // 4 AS truth_id FROM documents),
     j AS (SELECT c.doc_id, c.cluster_id, t.truth_id
@@ -4381,6 +4424,7 @@ QUERIES = {
     "split_leakage_docs": split_leakage_docs,
     "bcubed_eval_docs": bcubed_eval_docs,
     "ari_eval_docs": ari_eval_docs,
+    "triangle_count_docs": triangle_count_docs,
     "exact_substring_cut_docs": exact_substring_cut_docs,
     "redact_pii_docs": redact_pii_docs,
     "repetition_quality_docs": repetition_quality_docs,

@@ -149,3 +149,30 @@ def test_census_drops_hot_keys():
     keys = set(zip(pairs["id1"], pairs["id2"]))
     assert ("x", "y") in keys and ("p", "q") in keys
     assert not any(a.startswith("a") for a, _ in keys)
+
+
+def test_triangle_count_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    n = 40
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+             if rng.random() < 0.12]
+    adj = set(pairs)
+    want = sum(1 for a, b, c in itertools.combinations(range(n), 3)
+               if (a, b) in adj and (b, c) in adj and (a, c) in adj)
+    # feed edges in random orientation to exercise the orient pass
+    ar = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in pairs]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([x for x, _ in ar], pa.int64()),
+        "b": pa.array([y for _, y in ar], pa.int64()),
+    })).repartition(3)
+    out = triangle_count(ds, num_partitions=4)
+    assert out["n_triangles"][0].as_py() == want
+    assert want > 0  # the fixture actually contains triangles
