@@ -2858,6 +2858,20 @@ def stratified_sample_docs(sf_dir: str):
                              seed=STRAT_SEED)
 
 
+WSAMPLE_K, WSAMPLE_SEED = 50, 23
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (A-ES): top-50 docs by
+    ``u^(1/n_chars)`` with keyed-md5 uniforms — longer docs
+    proportionally likelier, reproducible from (id, seed, weight) alone
+    (``stages/mixing.py::weighted_sample``)."""
+    from dedup_ray.stages.mixing import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, WSAMPLE_K, "n_chars", seed=WSAMPLE_SEED)
+
+
 PRUNED_LANGS = ["en", "de"]
 
 
@@ -4271,6 +4285,16 @@ ORACLES["pseudonymize_events"] = f"""
 ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
 
 
+def _register_wsample_oracle() -> None:
+    from dedup_ray.stages.mixing import weighted_sample_sql
+
+    ORACLES["weighted_sample_docs"] = weighted_sample_sql(
+        WSAMPLE_K, "n_chars", seed=WSAMPLE_SEED)
+
+
+_register_wsample_oracle()
+
+
 ORACLES["partitioned_io_docs"] = """
     SELECT lang, count(*)::BIGINT AS n_docs,
            sum(n_chars)::BIGINT AS sum_chars
@@ -4419,6 +4443,7 @@ QUERIES = {
     "frequent_ngrams_cms_docs": frequent_ngrams_cms_docs,
     "union_evolve_docs": union_evolve_docs,
     "partitioned_io_docs": partitioned_io_docs,
+    "weighted_sample_docs": weighted_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,

@@ -337,3 +337,59 @@ def stratified_sample_sql(fractions: dict[str, float], group_col: str,
         WHERE substr(md5('{seed}' || ':strat:' || {id_col}), 1, 8)
               < CASE {group_col} {cases} ELSE '' END
     """
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    seed: int = 42):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic uniform ``u`` from its keyed md5 and
+    ranks by ``u^(1/w)``; the global top-``k`` is a weighted sample —
+    the "sample documents proportionally to quality" step of a recipe,
+    reproducible by any engine from (id, seed, weight) alone.
+
+    Per batch only the local top-``k`` candidates survive
+    (``np.argpartition``), so the final sort sees at most
+    ``k x n_batches`` rows.  Rows with ``w <= 0`` are excluded.  Returns
+    ``(id_col, weight_col)``; ordering ties break by id.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        live = w > 0
+        ids, w = ids[live], w[live]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             weight_col: pa.array([], pa.float64()),
+                             "skey": pa.array([], pa.float64())})
+        dg = content_digest([f"{seed}:wsample:{v}" for v in ids.tolist()],
+                            algo="md5")
+        u = (np.array([int(d[:8], 16) for d in dg], np.float64) + 0.5) \
+            / 2.0 ** 32
+        key = u ** (1.0 / w)
+        if len(ids) > k:
+            top = np.argpartition(-key, k - 1)[:k]
+            ids, w, key = ids[top], w[top], key[top]
+        return pa.table({id_col: pa.array(ids, t[id_col].type),
+                         weight_col: pa.array(w, pa.float64()),
+                         "skey": pa.array(key, pa.float64())})
+
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    return cands.sort(["skey", id_col], descending=[True, False]) \
+        .limit(k).drop_columns(["skey"])
+
+
+def weighted_sample_sql(k: int, weight_col: str, table: str = "documents",
+                        id_col: str = "doc_id", seed: int = 42) -> str:
+    """Generated oracle for :func:`weighted_sample` — same u and key
+    formulas, same tie-break."""
+    return f"""
+        SELECT {id_col}, {weight_col}::DOUBLE AS {weight_col} FROM (
+            SELECT {id_col}, {weight_col},
+                   pow((('0x' || substr(md5('{seed}:wsample:' || {id_col}),
+                                        1, 8))::BIGINT + 0.5)
+                       / 4294967296.0,
+                       1.0 / {weight_col}) AS skey
+            FROM {table} WHERE {weight_col} > 0)
+        ORDER BY skey DESC, {id_col} LIMIT {k}
+    """

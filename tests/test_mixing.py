@@ -232,3 +232,31 @@ def test_split_leakage_multibatch_dedup():
     out = split_leakage_docs("/root/testdata/sf0.001").to_pandas()
     assert (out["n_splits"] >= 2).all()
     assert (out["n_splits"] <= 3).all()  # only 3 splits exist
+
+
+def test_weighted_sample_proportionality_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.mixing import weighted_sample
+
+    n = 3000
+    # half the docs weigh 10x more; expect them heavily over-represented
+    w = np.where(np.arange(n) % 2 == 0, 10.0, 1.0)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "wt": pa.array(w, pa.float64())}))
+    out = weighted_sample(ds, 300, "wt", seed=5).to_pandas()
+    assert len(out) == 300
+    heavy = (out["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.75  # 10x weight dominates the sample
+    # deterministic + partition-invariant
+    out2 = weighted_sample(ds.repartition(7), 300, "wt", seed=5) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # zero/negative weights never sampled
+    w3 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "wt": pa.array([0.0, -1.0], pa.float64())})
+    assert weighted_sample(ray.data.from_arrow(w3), 5, "wt") \
+        .count() == 0
