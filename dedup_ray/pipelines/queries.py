@@ -2858,6 +2858,17 @@ def stratified_sample_docs(sf_dir: str):
                              seed=STRAT_SEED)
 
 
+def table_checksum_orders(sf_dir: str):
+    """Order-insensitive table checksum over (o_orderkey, o_orderstatus)
+    — the cross-engine audit primitive: per-row md5-prefix ints summed,
+    independent of row order and partitioning
+    (``util/dsutil.py::table_checksum``)."""
+    from dedup_ray.util.dsutil import table_checksum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    return table_checksum(ds, ["o_orderkey", "o_orderstatus"], seed=3)
+
+
 WSAMPLE_K, WSAMPLE_SEED = 50, 23
 
 
@@ -4285,6 +4296,15 @@ ORACLES["pseudonymize_events"] = f"""
 ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
 
 
+ORACLES["table_checksum_orders"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(('0x' || substr(md5('3|' || o_orderkey || '|'
+                               || o_orderstatus), 1, 8))::BIGINT)::BIGINT
+               AS checksum
+    FROM orders
+"""
+
+
 def _register_wsample_oracle() -> None:
     from dedup_ray.stages.mixing import weighted_sample_sql
 
@@ -4444,6 +4464,7 @@ QUERIES = {
     "union_evolve_docs": union_evolve_docs,
     "partitioned_io_docs": partitioned_io_docs,
     "weighted_sample_docs": weighted_sample_docs,
+    "table_checksum_orders": table_checksum_orders,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,

@@ -297,3 +297,34 @@ def union_evolve(datasets: list, schemas: list[dict] | None = None):
     for ds in aligned[1:]:
         out = out.union(ds)
     return out
+
+
+def table_checksum(ds, cols: list[str], seed: int = 0):
+    """Order-insensitive content checksum of selected columns: per row,
+    md5 of the ``'|'``-joined string forms (first 8 hex as int), summed
+    over the table — mergeable across partitions/batches, independent of
+    row order and partitioning, and recomputable by any engine (the audit
+    primitive for "did two runs produce the same table" without moving
+    either table).  Restricted to int/string columns by contract: float
+    formatting differs across engines, so floats must be rounded into
+    strings upstream first.  Returns a 1-row ``pa.Table``
+    ``(n_rows, checksum)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.util.hashing import content_digest
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = [[str(v) for v in t[c].to_pylist()] for c in cols]
+        joined = [f"{seed}|" + "|".join(vals) for vals in zip(*parts)]
+        h = np.array([int(d[:8], 16) for d in
+                      content_digest(joined, algo="md5")], np.int64)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([int(h.sum())], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow")
+    return pa.table({
+        "n_rows": pa.array([agg.sum("n") or 0], pa.int64()),
+        "checksum": pa.array([agg.sum("s") or 0], pa.int64()),
+    })

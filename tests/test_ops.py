@@ -303,3 +303,24 @@ def test_union_evolve():
         "id": pa.array(["x"], pa.string())}))
     with pytest.raises(ValueError):
         union_evolve([a, c])
+
+
+def test_table_checksum_order_invariant():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.util.dsutil import table_checksum
+
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "s": pa.array(["a", "b", "c"], pa.string())})
+    rev = t.take(pa.array([2, 0, 1]))
+    a = table_checksum(ray.data.from_arrow(t), ["id", "s"])
+    b = table_checksum(ray.data.from_arrow(rev).repartition(3),
+                       ["id", "s"])
+    assert a.equals(b)
+    # any value change moves the checksum
+    t2 = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                   "s": pa.array(["a", "b", "X"], pa.string())})
+    c = table_checksum(ray.data.from_arrow(t2), ["id", "s"])
+    assert c["checksum"][0] != a["checksum"][0]
+    assert c["n_rows"][0] == a["n_rows"][0]
