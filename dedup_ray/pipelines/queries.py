@@ -2869,6 +2869,34 @@ def table_checksum_orders(sf_dir: str):
     return table_checksum(ds, ["o_orderkey", "o_orderstatus"], seed=3)
 
 
+def sniff_content_docs(sf_dir: str):
+    """Magic-byte content-type sniffing over synthesized binary payloads
+    (doc_id %% 5 selects PDF / DOCTYPE / html / xml / plain prefixes,
+    same CASE in the oracle) rolled up to per-type counts — vectorized
+    prefix compares on the Arrow binary buffer
+    (``stages/multimodal.py::sniff_content_type``)."""
+    from dedup_ray.stages.multimodal import sniff_content_type
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        prefix = np.array(["%PDF-1.7 ", "<!DOCTYPE html>", "<html lang=",
+                           "<?xml version=", ""], dtype=object)[ids % 5]
+        body = t["text"].to_pylist()
+        payload = pa.array(
+            [(p + (b or "")).encode() for p, b in zip(prefix, body)],
+            pa.binary())
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    typed = sniff_content_type(ds.map_batches(mk, batch_format="pyarrow"))
+    return typed.groupby("content_type").count().map_batches(
+        lambda t: pa.table({"content_type": t["content_type"],
+                            "n": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 WSAMPLE_K, WSAMPLE_SEED = 50, 23
 
 
@@ -4296,6 +4324,24 @@ ORACLES["pseudonymize_events"] = f"""
 ORACLES["frequent_ngrams_cms_docs"] = ORACLES["frequent_ngrams_docs"]
 
 
+ORACLES["sniff_content_docs"] = """
+    WITH p AS (SELECT doc_id,
+                      CASE doc_id % 5
+                          WHEN 0 THEN '%PDF-1.7 ' WHEN 1 THEN '<!DOCTYPE html>'
+                          WHEN 2 THEN '<html lang=' WHEN 3 THEN '<?xml version='
+                          ELSE '' END || text AS payload
+               FROM documents),
+    t AS (SELECT CASE
+              WHEN substr(payload, 1, 5) = '%PDF-' THEN 'pdf'
+              WHEN substr(payload, 1, 9) = '<!DOCTYPE' THEN 'html'
+              WHEN substr(payload, 1, 5) = '<html' THEN 'html'
+              WHEN substr(payload, 1, 5) = '<?xml' THEN 'xml'
+              ELSE 'other' END AS content_type
+          FROM p)
+    SELECT content_type, count(*)::BIGINT AS n FROM t GROUP BY 1
+"""
+
+
 ORACLES["table_checksum_orders"] = """
     SELECT count(*)::BIGINT AS n_rows,
            sum(('0x' || substr(md5('3|' || o_orderkey || '|'
@@ -4465,6 +4511,7 @@ QUERIES = {
     "partitioned_io_docs": partitioned_io_docs,
     "weighted_sample_docs": weighted_sample_docs,
     "table_checksum_orders": table_checksum_orders,
+    "sniff_content_docs": sniff_content_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
     "split_leakage_docs": split_leakage_docs,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dedup_ray.util.hashing import stable64
 
@@ -278,3 +279,65 @@ def make_audio_table(n: int = 8, n_samples: int = 4096) -> pa.Table:
             "media_type": pa.array(["audio/pcm-s16le"] * n),
         }
     )
+
+
+# (name, magic-byte prefix) tested IN ORDER; first match wins.  ASCII-only
+# magics so the generated oracle can rebuild the same payloads as VARCHAR.
+CONTENT_MAGICS: list[tuple[str, bytes]] = [
+    ("pdf", b"%PDF-"),
+    ("html", b"<!DOCTYPE"),
+    ("html", b"<html"),
+    ("xml", b"<?xml"),
+]
+CONTENT_FALLBACK = "other"
+
+
+def sniff_content_type(ds, payload_col: str = "payload",
+                       id_col: str = "doc_id"):
+    """Magic-byte content-type detection over an opaque binary column —
+    the first pass a crawler runs before routing payloads to per-type
+    decoders (the actor-pool stages above).
+
+    Vectorized over the Arrow binary buffers: per magic, one prefix
+    comparison of the first ``len(magic)`` bytes of every row (gathered
+    from the flat data buffer by offsets — no per-row Python, no bytes
+    copied beyond the prefixes).  Rules apply in ``CONTENT_MAGICS``
+    order; null/short payloads fall through to ``other``.  Output:
+    ``(id_col, content_type)``.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.coalesce(col, pa.scalar(b"", col.type))
+        if isinstance(col, pa.LargeBinaryArray):
+            off = np.frombuffer(col.buffers()[1], np.int64,
+                                len(col) + 1, col.offset * 8)
+        else:
+            off = np.frombuffer(col.buffers()[1], np.int32,
+                                len(col) + 1, col.offset * 4)
+        nbytes = int(off[-1] - off[0])
+        data = (np.frombuffer(col.buffers()[2], np.uint8, nbytes,
+                              int(off[0]))
+                if nbytes else np.zeros(0, np.uint8))
+        base = (off[:-1] - off[0]).astype(np.int64)
+        lens = np.diff(off).astype(np.int64)
+        out = np.full(t.num_rows, CONTENT_FALLBACK, dtype=object)
+        undecided = np.ones(t.num_rows, bool)
+        for name, magic in CONTENT_MAGICS:
+            m = np.frombuffer(magic, np.uint8)
+            cand = undecided & (lens >= len(m))
+            if not cand.any():
+                continue
+            idx = base[cand][:, None] + np.arange(len(m))
+            hit = (data[idx] == m).all(axis=1)
+            rows = np.flatnonzero(cand)[hit]
+            out[rows] = name
+            undecided[rows] = False
+        return pa.table({
+            id_col: t[id_col],
+            "content_type": pa.array(out, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -324,3 +324,21 @@ def test_table_checksum_order_invariant():
     c = table_checksum(ray.data.from_arrow(t2), ["id", "s"])
     assert c["checksum"][0] != a["checksum"][0]
     assert c["n_rows"][0] == a["n_rows"][0]
+
+
+def test_sniff_content_type_edges():
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.stages.multimodal import sniff_content_type
+
+    payloads = [b"%PDF-1.4 binary \x00\xff rest", b"<!DOCTYPE html><p>",
+                b"<html>", b"<?xml version='1.0'?>", b"<ht",  # short
+                None, b"", b"plain words"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(payloads)), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })).repartition(2)
+    out = sniff_content_type(ds).to_pandas().sort_values("doc_id")
+    assert out["content_type"].tolist() == [
+        "pdf", "html", "html", "xml", "other", "other", "other", "other"]
