@@ -196,15 +196,22 @@ def block_graph_features(
 
 
 def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
-                   num_partitions: int = 16):
+                   num_partitions: int = 16, max_degree: int | None = None):
     """Distributed triangle counting via the wedge join (compact-forward
     shape): orient every edge low->high, emit each low-endpoint's
     neighbor pairs as wedges (one grouped pass; per-group work is
-    C(deg, 2) — the degree cap is the operator's skew bound, same policy
-    as LSH bucket caps), then close wedges against the edge set with one
+    C(deg, 2)), then close wedges against the edge set with one
     semi-join on the packed (x, y) key.  Each triangle is counted exactly
     once, at its minimum vertex.  Returns the scalar count as a 1-row
     ``pa.Table``.
+
+    By default the count is EXACT and there is no skew bound: one
+    high-degree vertex materializes all C(deg, 2) wedges in its task.
+    ``max_degree`` is the optional skew cap (same policy as the LSH
+    bucket caps): each vertex's forward-neighbor list is truncated to
+    its ``max_degree`` smallest-id neighbors (deterministic), which
+    UNDERCOUNTS triangles through hotter vertices — an explicit
+    approximation trade for bounded per-task memory on skewed graphs.
     """
     import pyarrow.compute as pc
 
@@ -232,6 +239,16 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         first = np.r_[True, a[1:] != a[:-1]]
+        if max_degree is not None:
+            # rank within each a-group (b-sorted): keep the max_degree
+            # smallest-id neighbors per vertex — the documented skew cap
+            grp = np.cumsum(first) - 1
+            starts0 = np.flatnonzero(first)
+            rank = np.arange(len(a)) - starts0[grp]
+            keep = rank < max_degree
+            a, b = a[keep], b[keep]
+            first = np.r_[True, a[1:] != a[:-1]] if len(a) else \
+                np.array([], bool)
         starts = np.flatnonzero(first)
         lens = np.diff(np.r_[starts, len(a)])
         xs, ys = [], []

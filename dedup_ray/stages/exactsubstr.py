@@ -334,6 +334,11 @@ def exact_substring_coverage_joined(
     semantics identical to the broadcast path (equality test)."""
     from dedup_ray.util.exchange import exchange_join, hash_exchange
 
+    try:  # native id dtype (string urls OR int64 doc ids) for void blocks
+        id_t = docs.schema().base_schema.field(id_col).type
+    except Exception:
+        id_t = pa.int64()
+
     dup = duplicated_grams(docs, text_col, min_len, seed, num_partitions)
 
     def windows(t: pa.Table) -> pa.Table:
@@ -358,17 +363,17 @@ def exact_substring_coverage_joined(
         win, dup, on="ghash", how="semi",
         num_partitions=num_partitions,
         empty_schema=pa.schema([("ghash", pa.int64()),
-                                (id_col, pa.int64()),
+                                (id_col, id_t),
                                 ("pos", pa.int64())]),
     )
     lens = docs.map_batches(lengths, batch_format="pyarrow")
 
     def cover_part(t_hits: pa.Table, t_lens: pa.Table) -> pa.Table:
         if t_lens.num_rows == 0:
-            id_t = t_lens[id_col].type if id_col in t_lens.column_names \
-                else pa.int64()
+            void_t = t_lens[id_col].type if id_col in t_lens.column_names \
+                else id_t
             return pa.table({
-                id_col: pa.array([], id_t),
+                id_col: pa.array([], void_t),
                 "nchars": pa.array([], pa.int64()),
                 "dup_chars": pa.array([], pa.int64()),
             })

@@ -306,7 +306,11 @@ def stratified_sample(ds, fractions: dict[str, float], group_col: str,
     Groups absent from ``fractions`` are dropped (an explicit recipe
     beats a silent keep-all default).
     """
-    thr = {g: format(min(int(f * 2**32), 2**32 - 1), "08x")
+    # f >= 1.0 means KEEP ALL: the threshold string 'g' sorts above every
+    # 8-hex-digit prefix, so no row can be dropped (a saturated 'ffffffff'
+    # bound with strict '<' would drop the ~2^-32 rows whose md5 prefix is
+    # exactly 'ffffffff' — ADVICE r2)
+    thr = {g: ("g" if f >= 1.0 else format(max(int(f * 2**32), 0), "08x"))
            for g, f in fractions.items()}
 
     def f(t: pa.Table) -> pa.Table:
@@ -329,7 +333,8 @@ def stratified_sample_sql(fractions: dict[str, float], group_col: str,
                           id_col: str = "doc_id", seed: int = 42) -> str:
     """Generated oracle for :func:`stratified_sample` (same dict/seed)."""
     cases = " ".join(
-        f"WHEN '{g}' THEN '{format(min(int(f * 2**32), 2**32 - 1), '08x')}'"
+        f"WHEN '{g}' THEN "
+        f"""'{"g" if f >= 1.0 else format(max(int(f * 2**32), 0), "08x")}'"""
         for g, f in fractions.items()
     )
     return f"""
@@ -366,7 +371,11 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
                             algo="md5")
         u = (np.array([int(d[:8], 16) for d in dg], np.float64) + 0.5) \
             / 2.0 ** 32
-        key = u ** (1.0 / w)
+        # coarsened rank key: a 1-ulp libm divergence between numpy's
+        # pow and another engine's near the top-k boundary must not flip
+        # the selection (ADVICE r2), so both kernel and oracle rank on
+        # the key rounded to 12 digits (ties then break by id)
+        key = np.round(u ** (1.0 / w), 12)
         if len(ids) > k:
             top = np.argpartition(-key, k - 1)[:k]
             ids, w, key = ids[top], w[top], key[top]
@@ -386,10 +395,10 @@ def weighted_sample_sql(k: int, weight_col: str, table: str = "documents",
     return f"""
         SELECT {id_col}, {weight_col}::DOUBLE AS {weight_col} FROM (
             SELECT {id_col}, {weight_col},
-                   pow((('0x' || substr(md5('{seed}:wsample:' || {id_col}),
-                                        1, 8))::BIGINT + 0.5)
-                       / 4294967296.0,
-                       1.0 / {weight_col}) AS skey
+                   round(pow((('0x' || substr(md5('{seed}:wsample:'
+                                                  || {id_col}), 1, 8))::BIGINT
+                              + 0.5) / 4294967296.0,
+                             1.0 / {weight_col}), 12) AS skey
             FROM {table} WHERE {weight_col} > 0)
         ORDER BY skey DESC, {id_col} LIMIT {k}
     """

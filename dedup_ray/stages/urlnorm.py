@@ -1,5 +1,5 @@
 """URL canonicalization for web-crawl dedup (the M2 normalizer analog for
-the pages domain: ``clean_dirty.R:4-29``'s normalize-before-compare step,
+the pages domain: ``venue_author_preprocess.R:17-28``'s normalize-before-compare step,
 re-targeted at the engine's native id space).
 
 Two URLs that differ only in scheme/host case, default port, tracking

@@ -5,7 +5,7 @@ These are the standard passes of a public web-text curation pipeline
 (C4-style line dedup, Gopher-style repetition rules, n-gram test-set
 decontamination) applied on top of the engine's document model — the same
 normalize-before-compare doctrine as the reference's key cleaners
-(``clean_dirty.R:4-29``, ``venue_bag.py:11-15``), lifted from record keys
+(``venue_author_preprocess.R:17-28``, ``venue_bag.py:11-15``), lifted from record keys
 to document *content*.
 
 Design notes (100-TB posture):
