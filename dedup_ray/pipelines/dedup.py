@@ -28,7 +28,7 @@ from dedup_ray.config import DedupConfig
 from dedup_ray.ops.evaluate import pairwise_prf_ds
 from dedup_ray.stages.cc import assign_clusters
 from dedup_ray.stages.extract import extract_batch
-from dedup_ray.stages.lsh import band_explode, candidate_pairs
+from dedup_ray.stages.lsh import candidate_pairs
 from dedup_ray.stages.signer import sign_docs
 from dedup_ray.stages.simhash import simhash_edges
 from dedup_ray.stages.substring import substring_edges
@@ -213,7 +213,6 @@ def dedup_pipeline(
         materialize=True,
     )
 
-    reps = split_mixed_rows(mixed, compact_cols, want_edges=False)
     exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
     edge_parts = [_pin(exact_e)]
     _TIER_NAMES = {"near_edges": "near_minhash", "simhash_edges": "near_simhash"}
@@ -225,29 +224,57 @@ def dedup_pipeline(
         if tier_edges_out is not None:
             tier_edges_out[f"extra{i}"] = pinned_xe
 
+    # One set of representative block refs shared by the similarity
+    # branches: raw-task split off the materialized mixed table, so
+    # neither branch launches a plan execution to re-derive reps (each
+    # such launch is constant-seconds of barrier latency regardless of
+    # CPU count — the 8→32-CPU scaling gap measured in BASELINE.md).
+    from dedup_ray.util.exchange import map_refs
+
+    import pyarrow.compute as pc
+
+    def _rep_split(t: pa.Table) -> pa.Table:
+        if "id1" not in t.column_names:  # void block
+            return t
+        return t.filter(pc.is_null(t["id1"])).select(compact_cols)
+
+    rep_refs = map_refs(mixed, _rep_split)
+
     branch_stages = []
 
     if use_minhash:
 
         def _near():
-            bands = band_explode(reps, cfg, id_col=id_col)
-            # No dedicated (id1,id2) dedup round: the first verify join
-            # co-partitions every (id1, *) row by hash(id1), so its
-            # partition-local drop_duplicates (hash_join left_prep) IS a
-            # global dedup — one fewer all-to-all round.  Cross-band
-            # duplicate pairs inflate only the narrow pair stream between
-            # the band shuffle and that join (~80B/row), not the wide
-            # signature joins.
+            # Whole branch is ONE chained task graph: band explode (raw
+            # task map) → band-bucket exchange → two signature joins with
+            # the est-Jaccard cut fused into the second join's reduce.
+            # No dedicated (id1,id2) dedup round either: the first verify
+            # join co-partitions every (id1, *) row by hash(id1), so its
+            # partition-local drop_duplicates IS a global dedup.
+            from dedup_ray.stages.lsh import BandExploder
+
+            bander = BandExploder(cfg, id_col=id_col)
+
+            def band_block(t: pa.Table) -> pa.Table:
+                if "sig" not in t.column_names:  # void block
+                    return t
+                return bander(t.select([id_col, "sig"]))
+
+            bands = map_refs(rep_refs, band_block)
             cands = candidate_pairs(
-                bands, cfg, id_col=id_col, global_dedup=False, id_type=id_type
+                bands, cfg, id_col=id_col, global_dedup=False,
+                id_type=id_type, return_refs=True,
             )
-            return verify_pairs(cands, reps, cfg, id_col=id_col, id_type=id_type)
+            return verify_pairs(
+                cands, rep_refs, cfg, id_col=id_col, id_type=id_type
+            )
 
         branch_stages.append(("near_edges", _near))
 
     if use_simhash:
         branch_stages.append(
-            ("simhash_edges", lambda: simhash_edges(reps, cfg, id_col, id_type))
+            ("simhash_edges",
+             lambda: simhash_edges(rep_refs, cfg, id_col, id_type))
         )
 
     # Materialize the similarity branches CONCURRENTLY: a lazy union would
@@ -345,8 +372,13 @@ def dedup_pipeline(
     def _sub_edges():
         from dedup_ray.util.exchange import exchange_join
 
+        def _chunks_only(t: pa.Table) -> pa.Table:
+            if "chunks" not in t.column_names:  # void block
+                return t
+            return t.select([id_col, "chunks"])
+
         rep_chunks = exchange_join(
-            reps.select_columns([id_col, "chunks"]),
+            map_refs(rep_refs, _chunks_only),
             _non_reps(),
             on=id_col,
             how="anti",

@@ -52,6 +52,7 @@ from dedup_ray.state.dedupindex import (
     load_manifest,
     load_merges,
     read_buckets,
+    read_buckets_refs,
 )
 from dedup_ray.state.partwrite import _bucket_of
 
@@ -72,16 +73,28 @@ def _remap_anchor_col(col: pa.ChunkedArray, merges: dict, idt) -> pa.Array:
     )
 
 
-def _bucket_ids(ds, fn) -> list:
-    """Distinct bucket ids present in ``ds`` (≤ num_buckets values reach
-    the driver — the per-batch fn collapses rows to bucket ids first)."""
+def _bucket_ids(refs_or_ds, fn) -> list:
+    """Distinct bucket ids present in the blocks (≤ num_buckets values per
+    block reach the driver — the per-block fn collapses rows to bucket ids
+    first).  Runs as a raw task wave + driver set-union rather than a
+    ``Dataset.unique`` plan: each of the 5 index tables needs its bucket
+    ids before its pruned read, and a full plan launch per table was pure
+    fixed latency on a small shard."""
+    import ray
+
+    from dedup_ray.util.exchange import map_refs
 
     def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64())})
         return pa.table(
             {"b": pa.array(np.unique(fn(t)), pa.int64())}
         )
 
-    return ds.map_batches(tag, batch_format="pyarrow").unique("b")
+    out: set = set()
+    for part in ray.get(map_refs(refs_or_ds, tag)):
+        out.update(part["b"].to_pylist())
+    return sorted(out)
 
 
 def dedup_against_index(
@@ -107,7 +120,7 @@ def dedup_against_index(
     from dedup_ray.pipelines.dedup import compact_signature_table
     from dedup_ray.stages.cc import component_labels
     from dedup_ray.stages.exact import exact_rep_partition
-    from dedup_ray.stages.lsh import band_explode, candidate_pairs
+    from dedup_ray.stages.lsh import candidate_pairs
     from dedup_ray.stages.verify import verify_pairs
     from dedup_ray.util.exchange import (
         exchange_group_apply,
@@ -136,11 +149,24 @@ def dedup_against_index(
         )
     merges_seen = load_merges(index_root)
 
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("DEDUP_STAGE_TIMING") == "1"
+    _t_last = [_time.perf_counter()]
+
+    def _tick(name: str) -> None:
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[inc-timing] {name}: {now - _t_last[0]:.2f}s", flush=True)
+            _t_last[0] = now
+
     compact = compact_signature_table(
         shard_ds, cfg, id_col, extract, with_simhash=False,
         with_chunks=use_sub,
     ).materialize()
     n_docs = compact.count()
+    _tick("sign+count")
     if n_docs == 0:  # empty crawl slice: nothing to anchor, no index change
         idt = pa.type_for_alias(man["id_type"])
         return (
@@ -175,15 +201,39 @@ def dedup_against_index(
 
     from dedup_ray.util.dsutil import (
         pin_edge_ids,
-        rename_columns,
         split_mixed_rows,
     )
+    from dedup_ray.util.exchange import map_refs
 
     rep_cols = [id_col, "digest", "n_shingles", "sig"] + (
         ["chunks"] if use_sub else []
     )
+    import pyarrow.compute as pc
+
+    def _rep_split(t: pa.Table) -> pa.Table:
+        if "id1" not in t.column_names:  # void block
+            return t
+        return t.filter(pc.is_null(t["id1"])).select(rep_cols)
+
+    # shared representative block refs: every branch projects off these
+    # with raw tasks instead of launching its own plan over `mixed`
+    _tick("exact_partition")
+    rep_refs = map_refs(mixed, _rep_split)
     reps = split_mixed_rows(mixed, rep_cols, want_edges=False)
     exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
+
+    def _sel(cols, rename: dict | None = None):
+        def f(t: pa.Table) -> pa.Table:
+            if any(c not in t.column_names for c in cols):  # void block
+                return t
+            out = t.select(cols)
+            if rename:
+                out = out.rename_columns(
+                    [rename.get(c, c) for c in out.column_names]
+                )
+            return out
+
+        return f
 
     anchor_schema = pa.schema([("id1", idt), ("id2", idt)])
 
@@ -197,43 +247,47 @@ def dedup_against_index(
             }
         )
 
-    # ---- exact vs index: rep digests ⋈ bucket-pruned index digests ------
-    rep_dig = reps.select_columns([id_col, "digest"])
-    idx_dig = read_buckets(
-        index_root,
-        "digests",
-        _bucket_ids(rep_dig, lambda t: _bucket_of(t["digest"].to_pylist(), nb)),
-    )
-    if idx_dig is None:
-        digest_hits = _empty_ds(anchor_schema)
-    else:
+    # ---- branch: exact vs index (rep digests ⋈ pruned index digests) ----
+    def to_anchor(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id1": t[id_col].combine_chunks().cast(idt),
+                "id2": _remap_anchor_col(t["cluster_id"], merges_seen, idt),
+            }
+        )
 
-        def to_anchor(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "id1": t[id_col].combine_chunks().cast(idt),
-                    "id2": _remap_anchor_col(t["cluster_id"], merges_seen, idt),
-                }
-            )
-
-        digest_hits = exchange_join(
-            rep_dig,
+    def run_digest():
+        dig_refs = map_refs(rep_refs, _sel([id_col, "digest"]))
+        idx_dig = read_buckets_refs(
+            index_root,
+            "digests",
+            _bucket_ids(
+                dig_refs, lambda t: _bucket_of(t["digest"].to_pylist(), nb)
+            ),
+        )
+        if idx_dig is None:
+            return _empty_ds(anchor_schema).materialize()
+        return exchange_join(
+            dig_refs,
             idx_dig,
             on="digest",
             how="inner",
             num_partitions=cfg.num_partitions,
             post=to_anchor,
             empty_schema=anchor_schema,
-        )
-    digest_hits = digest_hits.materialize()
+        ).materialize()
 
-    # ---- near vs index: shard bands ⋈ bucket-pruned index bands ---------
-    bands = band_explode(reps, cfg, id_col=id_col).materialize()
-    idx_bands = read_buckets(
-        index_root,
-        "bands",
-        _bucket_ids(bands, lambda t: band_bucket(t["bhash"].to_numpy(), nb)),
-    )
+    # ---- shared band refs: raw-task band explode off the rep refs ------
+    from dedup_ray.stages.lsh import BandExploder
+
+    bander = BandExploder(cfg, id_col=id_col)
+
+    def _band_block(t: pa.Table) -> pa.Table:
+        if "sig" not in t.column_names:  # void block
+            return t
+        return bander(t.select([id_col, "sig"]))
+
+    band_refs = map_refs(rep_refs, _band_block)
     pair_schema = pa.schema([("id1", idt), ("id2", idt), ("hot", pa.int64())])
 
     def cross_reduce(lf: pa.Table, rf: pa.Table) -> pa.Table:
@@ -271,68 +325,93 @@ def dedup_against_index(
             }
         )
 
-    if idx_bands is None:
-        cross_mixed = _empty_ds(pair_schema)
-    else:
-        cross_mixed = hash_exchange(
-            [
-                rename_columns(bands, {id_col: "id1"}),
-                rename_columns(idx_bands, {"id": "id2"}),
-            ],
-            [["band", "bhash"], ["band", "bhash"]],
-            cross_reduce,
-            num_partitions=cfg.num_partitions,
-        )
-    cross_mixed = cross_mixed.materialize()
-
-    import pyarrow.compute as pc
-
     def _where(ds, mask_fn, cols):
         def f(t: pa.Table) -> pa.Table:
             return t.filter(mask_fn(t)).select(cols)
 
         return ds.map_batches(f, batch_format="pyarrow")
 
-    hot_buckets = int(cross_mixed.sum("hot") or 0)
-    cross_pairs = _where(
-        cross_mixed, lambda t: pc.is_valid(t["id1"]), ["id1", "id2"]
-    ).materialize()  # read twice (bucket ids + verify) and counted once
-    n_cross = cross_pairs.count()
-
-    # ---- verify cross pairs: sigs = shard reps ∪ pruned index sigs ------
-    idx_sigs = read_buckets(
-        index_root,
-        "sigs",
-        _bucket_ids(
-            cross_pairs.select_columns(["id2"]),
-            lambda t: _bucket_of(t["id2"].to_pylist(), nb),
+    # ---- branch: near vs index (bands ⋈ pruned index bands → verify) ----
+    def run_cross():
+        """Returns (cross_edges materialized, hot_buckets, n_cross)."""
+        idx_bands = read_buckets_refs(
+            index_root,
+            "bands",
+            _bucket_ids(
+                band_refs, lambda t: band_bucket(t["bhash"].to_numpy(), nb)
+            ),
         )
-        if n_cross > 0
-        else [],
-    )
-    edge_parts = []
-    if idx_sigs is not None:
-        idx_sigs = idx_sigs.materialize()
+        if idx_bands is None:
+            return _empty_ds(anchor_schema).materialize(), 0, 0
+        cross_mixed = hash_exchange(
+            [
+                map_refs(
+                    band_refs,
+                    _sel([id_col, "band", "bhash"], {id_col: "id1"}),
+                ),
+                map_refs(idx_bands, _sel(["band", "bhash", "id"], {"id": "id2"})),
+            ],
+            [["band", "bhash"], ["band", "bhash"]],
+            cross_reduce,
+            num_partitions=cfg.num_partitions,
+        ).materialize()
+        cross_pair_refs = map_refs(
+            cross_mixed,
+            lambda t: t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"]),
+        )
+        bucket_ids = _bucket_ids(
+            cross_pair_refs, lambda t: _bucket_of(t["id2"].to_pylist(), nb)
+        )
+        import ray as _ray
 
-        def as_side(t: pa.Table) -> pa.Table:
-            return pa.table(
+        # ONE stats wave folds the hot-bucket census and the pair count —
+        # the pair blocks themselves stay remote
+        stats = _ray.get(
+            map_refs(
+                cross_mixed,
+                lambda t: pa.table({
+                    "n": pa.array(
+                        [int(pc.sum(pc.cast(pc.is_valid(t["id1"]),
+                                            pa.int64())).as_py() or 0)
+                         if t.num_rows else 0], pa.int64()),
+                    "hot": pa.array(
+                        [int(pc.sum(t["hot"]).as_py() or 0)
+                         if t.num_rows else 0], pa.int64()),
+                }),
+            )
+        )
+        n_cross = int(sum(t["n"][0].as_py() for t in stats))
+        hot_buckets = int(sum(t["hot"][0].as_py() for t in stats))
+        idx_sigs = read_buckets_refs(
+            index_root, "sigs", bucket_ids if n_cross > 0 else []
+        )
+        if idx_sigs is None:
+            return _empty_ds(anchor_schema).materialize(), hot_buckets, n_cross
+        # sigs side = shard rep sigs ∪ pruned index sigs, as ONE ref list;
+        # both projections map off the RAW index-sig blocks (id, sig,
+        # cluster_id) so the cluster side keeps its cluster_id column
+        idx_sig_raw = idx_sigs
+        side_refs = map_refs(rep_refs, _sel([id_col, "sig"])) + map_refs(
+            idx_sig_raw,
+            lambda t: pa.table(
                 {id_col: t["id"].combine_chunks().cast(idt), "sig": t["sig"]}
             )
-
-        side = reps.select_columns([id_col, "sig"]).union(
-            idx_sigs.map_batches(as_side, batch_format="pyarrow")
+            if "id" in t.column_names
+            else t,
         )
         accepted = verify_pairs(
-            cross_pairs, side, cfg, id_col=id_col, id_type=idt
+            cross_pair_refs, side_refs, cfg, id_col=id_col, id_type=idt,
+            return_refs=True,
         )
-
         cross_edges = exchange_join(
-            accepted.select_columns(["id1", "id2"]),
-            idx_sigs.map_batches(
+            accepted,
+            map_refs(
+                idx_sig_raw,
                 lambda t: pa.table(
                     {"id2": t["id"], "cluster_id": t["cluster_id"]}
-                ),
-                batch_format="pyarrow",
+                )
+                if "cluster_id" in t.column_names
+                else t,
             ),
             on="id2",
             how="inner",
@@ -342,25 +421,26 @@ def dedup_against_index(
             # void partitions)
             empty_schema=anchor_schema,
         ).materialize()
-        edge_parts.append(cross_edges)
-    else:
-        cross_edges = _empty_ds(anchor_schema)
+        return cross_edges, hot_buckets, n_cross
 
-    # ---- in-shard near edges (same plan as the batch pipeline) ----------
-    in_near = verify_pairs(
-        candidate_pairs(
-            bands, cfg, id_col=id_col, global_dedup=False, id_type=idt
-        ),
-        reps,
-        cfg,
-        id_col=id_col,
-        id_type=idt,
-    )
+    # ---- branch: in-shard near edges (same plan as the batch pipeline) --
+    def run_in_near():
+        import ray.data
 
-    # ---- substring/CDC containment path (index chunk tables) ------------
-    sub_report = {}
-    sub_edges = _empty_ds(anchor_schema)
-    if use_sub:
+        cands = candidate_pairs(
+            band_refs, cfg, id_col=id_col, global_dedup=False, id_type=idt,
+            return_refs=True,
+        )
+        return ray.data.from_arrow_refs(
+            verify_pairs(
+                cands, rep_refs, cfg, id_col=id_col, id_type=idt,
+                return_refs=True,
+            )
+        ).materialize()
+
+    # ---- branch: substring/CDC containment path (index chunk tables) ----
+    def run_sub():
+        """Returns (in_sub_edges, sub_edges, sub_report) — all materialized."""
         from dedup_ray.stages.substring import (
             explode_chunks,
             substring_edges,
@@ -369,15 +449,13 @@ def dedup_against_index(
 
         # in-shard containment: the batch plan over shard representatives
         in_sub = substring_edges(reps, cfg, id_col=id_col, id_type=idt)
-        edge_parts.append(
-            in_sub.select_columns(["id1", "id2"]).materialize()
-        )
+        in_sub_mat = in_sub.select_columns(["id1", "id2"]).materialize()
 
         # cross: shard chunk rows ⋈ bucket-pruned index chunk rows
         chunk_rows = explode_chunks(
             reps.select_columns([id_col, "chunks"]), cfg, id_col
         ).materialize()
-        idx_chunks = read_buckets(
+        idx_chunks = read_buckets_refs(
             index_root,
             "chunks",
             _bucket_ids(
@@ -431,8 +509,8 @@ def dedup_against_index(
         else:
             sub_mixed = hash_exchange(
                 [
-                    rename_columns(chunk_rows, {id_col: "id1"}),
-                    rename_columns(idx_chunks, {"id": "id2"}),
+                    map_refs(chunk_rows, _sel([id_col, "chash"], {id_col: "id1"})),
+                    map_refs(idx_chunks, _sel(["chash", "id"], {"id": "id2"})),
                 ],
                 [["chash"], ["chash"]],
                 sub_cross_reduce,
@@ -456,12 +534,13 @@ def dedup_against_index(
             index_root,
             "chunkblobs",
             _bucket_ids(
-                sub_pairs.select_columns(["id2"]),
+                sub_pairs,
                 lambda t: _bucket_of(t["id2"].to_pylist(), nb),
             )
             if n_sub > 0
             else [],
         )
+        sub_edges_local = _empty_ds(anchor_schema).materialize()
         if idx_blobs is not None:
             idx_blobs = idx_blobs.materialize()
             side = reps.select_columns([id_col, "chunks"]).union(
@@ -479,7 +558,7 @@ def dedup_against_index(
                 sub_pairs, side, cfg, id_col=id_col,
                 hot_chunks=hot_sub, id_type=idt,
             )
-            sub_edges = exchange_join(
+            sub_edges_local = exchange_join(
                 accepted_sub.select_columns(["id1", "id2"]),
                 idx_blobs.map_batches(
                     lambda t: pa.table(
@@ -493,12 +572,39 @@ def dedup_against_index(
                 post=_anchor_post,
                 empty_schema=anchor_schema,
             ).materialize()
-            edge_parts.append(sub_edges)
-        sub_report = {
+        return in_sub_mat, sub_edges_local, {
             "substring_candidates": n_sub,
-            "substring_edges": sub_edges.count(),
+            "substring_edges": sub_edges_local.count(),
             "hot_chunks_excluded": len(hot_sub),
         }
+
+    # ---- run the four branches CONCURRENTLY: each one's exchange chain
+    # carries constant barrier latency independent of CPU count, so
+    # overlapping them is a direct fixed-cost cut (same rationale as the
+    # batch pipeline's branch overlap)
+    from concurrent.futures import ThreadPoolExecutor
+
+    edge_parts = []
+    sub_report = {}
+    sub_edges = _empty_ds(anchor_schema)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_dig = pool.submit(run_digest)
+        f_cross = pool.submit(run_cross)
+        f_near = pool.submit(run_in_near)
+        f_sub = pool.submit(run_sub) if use_sub else None
+        digest_hits = f_dig.result()
+        _tick("branch:digest")
+        cross_edges, hot_buckets, n_cross = f_cross.result()
+        _tick("branch:cross")
+        in_near = f_near.result()
+        _tick("branch:in_near")
+        if cross_edges.count() > 0:
+            edge_parts.append(cross_edges)
+        if f_sub is not None:
+            in_sub_mat, sub_edges, sub_report = f_sub.result()
+            edge_parts.append(in_sub_mat)
+            if sub_edges.count() > 0:
+                edge_parts.append(sub_edges)
 
     def _pin(ds):
         return pin_edge_ids(ds, idt)
@@ -507,6 +613,7 @@ def dedup_against_index(
     for part in edge_parts:
         edges = edges.union(_pin(part))
     edges = edges.materialize()
+    _tick("edges_union")
 
     # ---- CC + stable relabel against anchors -----------------------------
     report = {
@@ -519,6 +626,7 @@ def dedup_against_index(
     }
 
     labels = component_labels(edges, cfg.cc_local_edge_limit)
+    _tick("cc")
     if labels is None:
         # no duplicate structure at all: every doc is its own cluster
         final = compact.select_columns([id_col]).map_batches(
@@ -529,26 +637,30 @@ def dedup_against_index(
         ).materialize()
         merges_new = pd.DataFrame({"retired": [], "final": []})
     else:
-        labels = labels.map_batches(
+        # entire relabel chain runs REF-CHAINED: the only barriers are the
+        # remap materialize (its merge rows must reach the driver) and the
+        # final label join
+        label_refs = map_refs(
+            labels,
             lambda t: pa.table(
                 {
                     "id": t["id"].combine_chunks().cast(idt),
                     "lab": t["cluster_id"].combine_chunks().cast(idt),
                 }
             ),
-            batch_format="pyarrow",
-        ).materialize()
+        )
+
+        def _anchor_ids(t: pa.Table) -> pa.Table:
+            if "id2" not in t.column_names:  # void block
+                return t
+            return pa.table({"id": t["id2"].combine_chunks().cast(idt)})
+
+        anchor_src: list = []
+        for part in (digest_hits, cross_edges, sub_edges):
+            anchor_src += map_refs(part, _anchor_ids)
 
         anchors = exchange_group_apply(
-            digest_hits.select_columns(["id2"]).union(
-                cross_edges.select_columns(["id2"]),
-                sub_edges.select_columns(["id2"]),
-            ).map_batches(
-                lambda t: pa.table(
-                    {"id": t["id2"].combine_chunks().cast(idt)}
-                ),
-                batch_format="pyarrow",
-            ),
+            anchor_src,
             "id",
             # Arrow-native dedup: from_pandas on an empty frame would infer
             # a null-typed id column, which acero rejects as a join key
@@ -556,15 +668,17 @@ def dedup_against_index(
             if "id" in t.column_names and t.num_rows
             else pa.schema([("id", idt)]).empty_table(),
             num_partitions=cfg.num_partitions,
+            return_refs=True,
         )
 
         anchor_lab = exchange_join(
             anchors,
-            labels,
+            label_refs,
             on="id",
             how="inner",
             num_partitions=cfg.num_partitions,
             empty_schema=pa.schema([("id", idt), ("lab", idt)]),
+            return_refs=True,
         )
 
         remap_schema = pa.schema(
@@ -597,22 +711,34 @@ def dedup_against_index(
         remap_mixed = exchange_group_apply(
             anchor_lab, "lab", remap_rows, cfg.num_partitions
         ).materialize()
-        merges_new = _where(
-            remap_mixed,
-            lambda t: pc.is_valid(t["retired"]),
-            ["retired", "final"],
+        import ray as _ray
+
+        merge_parts = _ray.get(
+            map_refs(
+                remap_mixed,
+                lambda t: t.filter(pc.is_valid(t["retired"]))
+                .select(["retired", "final"]),
+            )
+        )
+        merges_new = pa.concat_tables(
+            merge_parts, promote_options="default"
         ).to_pandas()
-        remap = _where(
+        remap_refs = map_refs(
             remap_mixed,
-            lambda t: pc.is_null(t["retired"]),
-            ["lab", "final"],
+            lambda t: t.filter(pc.is_null(t["retired"]))
+            .select(["lab", "final"]),
         )
 
         doc_lab = exchange_join(
-            compact.select_columns([id_col]),
-            labels.map_batches(
+            map_refs(
+                compact,
+                lambda t: t.select([id_col])
+                if id_col in t.column_names
+                else t,
+            ),
+            map_refs(
+                label_refs,
                 lambda t: t.rename_columns([id_col, "lab"]),
-                batch_format="pyarrow",
             ),
             on=id_col,
             how="left",
@@ -627,11 +753,12 @@ def dedup_against_index(
                 }
             ),
             empty_schema=pa.schema([(id_col, idt), ("lab", idt)]),
+            return_refs=True,
         )
 
         final = exchange_join(
             doc_lab,
-            remap,
+            remap_refs,
             on="lab",
             how="left",
             num_partitions=cfg.num_partitions,
@@ -649,11 +776,27 @@ def dedup_against_index(
             ),
         ).materialize()
 
-    report["non_singleton_docs"] = _where(
-        final,
-        lambda t: pc.not_equal(t[id_col], t["cluster_id"]),
-        [id_col],
-    ).count()
+    import ray as _ray
+
+    report["non_singleton_docs"] = int(
+        sum(
+            t["n"][0].as_py()
+            for t in _ray.get(
+                map_refs(
+                    final,
+                    lambda t: pa.table({
+                        "n": pa.array(
+                            [int(pc.sum(pc.cast(pc.not_equal(
+                                t[id_col], t["cluster_id"]), pa.int64()
+                            )).as_py() or 0) if t.num_rows else 0],
+                            pa.int64(),
+                        )
+                    }),
+                )
+            )
+        )
+    )
+    _tick("relabel+final")
     report["merges"] = len(merges_new)
 
     if update_index:

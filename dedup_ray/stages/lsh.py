@@ -210,6 +210,7 @@ def candidate_pairs(
     id_col: str = "url",
     global_dedup: bool = True,
     id_type: pa.DataType | None = None,
+    return_refs: bool = False,
 ):
     """Band buckets → candidate (id1, id2) pairs (id1 < id2).
 
@@ -258,6 +259,9 @@ def candidate_pairs(
         ["band", "bhash"],
         buckets_to_pairs_arrow,
         cfg.num_partitions,
+        # chained consumers (the verify join) take the raw refs — one
+        # fewer plan-execution barrier per hop
+        return_refs=return_refs and not global_dedup,
         empty_schema=pa.schema(
             [
                 (id_col, id_type or pa.string()),

@@ -1,10 +1,16 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-environment — they raise ``NotImplementedError`` unless the deterministic
-fake is requested), but the Ray-side plumbing is real and tested: schema
-(binary payload + typed metadata), actor-pool stage shape, small batches
-for large rows, and Arrow-native output layout.
+Backends per stage, by decreasing capability in THIS environment:
+
+- ``png`` / ``wav`` — REAL decoders from the published file formats
+  (``stages/codecs.py``: stdlib zlib/wave + numpy; no PIL/ffmpeg needed).
+  Real PNG and RIFF-PCM payloads decode end to end.
+- ``fake`` / ``raw`` — deterministic raw-RGB / raw-PCM payloads, the CI
+  path that needs no container format at all.
+- ``pil`` / ``ffmpeg`` — the full-codec seams (JPEG/WebP, video
+  containers); import-gated and raising ``NotImplementedError`` where the
+  libraries are absent.  Video remains the one stubbed decode (no
+  pure-python path to real video codecs exists).
 
 Pattern: media stages are ALWAYS actor pools (model/codec loaded once per
 actor — ST2), with ``batch_size`` sized so batch × concurrency fits worker
@@ -29,21 +35,38 @@ def fake_image(media_id: str, width: int = 8, height: int = 8) -> bytes:
 class ImageDecode:
     """Actor: (media_id, payload, width, height) → +decoded feature columns.
 
-    ``backend='fake'`` decodes the deterministic raw-RGB fake (mean/std per
-    channel); ``backend='pil'`` is the real path and raises
-    NotImplementedError here (PIL not installed) — the call signature,
-    schema and batching are the production shape either way.
+    ``backend='fake'`` decodes the deterministic raw-RGB fake;
+    ``backend='png'`` decodes REAL PNG payloads (``stages/codecs.py``, no
+    external library); ``backend='pil'`` is the full-codec seam
+    (JPEG/WebP), used when pillow is importable and raising otherwise.
+    Output: per-channel mean/std (3 entries for RGB; greyscale/alpha
+    channels as produced by the image).
     """
 
     def __init__(self, backend: str = "fake") -> None:
         self.backend = backend
+        self._pil = None
         if backend == "pil":
             try:
-                import PIL.Image  # noqa: F401
+                import PIL.Image
+
+                self._pil = PIL.Image
             except ImportError as e:  # pragma: no cover
                 raise NotImplementedError(
-                    "PIL backend requires pillow; use backend='fake' in this env"
+                    "PIL backend requires pillow; use backend='png' (real "
+                    "PNG decode, no dependency) or 'fake' in this env"
                 ) from e
+
+    def _decode(self, payload: bytes, w, h) -> np.ndarray:
+        if self.backend == "png":
+            from dedup_ray.stages.codecs import png_decode
+
+            return png_decode(payload)
+        if self.backend == "pil":  # pragma: no cover - env-dependent
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means, stds = [], []
@@ -52,7 +75,7 @@ class ImageDecode:
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+            arr = self._decode(payload, w, h)
             means.append([round(float(x), 6) for x in arr.mean(axis=(0, 1))])
             stds.append([round(float(x), 6) for x in arr.std(axis=(0, 1))])
         return pa.table(
@@ -93,10 +116,12 @@ def make_media_table(n: int = 32, width: int = 8, height: int = 8) -> pa.Table:
 
 
 class ImageResize:
-    """Actor: nearest-neighbor resize of raw-RGB payloads (REAL kernel —
-    no codec needed for raw frames; ``backend='pil'`` is the encoded-image
-    path, stubbed here).  Output keeps the binary-payload schema so resize
-    chains into decode/feature stages."""
+    """Actor: nearest-neighbor resize.  ``backend='raw'`` operates on
+    raw-RGB payloads; ``backend='png'`` decodes REAL PNG payloads and
+    re-encodes the resized image as PNG (codec round-trip, still zero
+    external dependencies); ``backend='pil'`` is the full-codec seam.
+    Output keeps the binary-payload schema so resize chains into
+    decode/feature stages."""
 
     def __init__(self, out_w: int, out_h: int, backend: str = "raw") -> None:
         self.out_w, self.out_h = out_w, out_h
@@ -105,22 +130,31 @@ class ImageResize:
                 import PIL.Image  # noqa: F401
             except ImportError as e:
                 raise NotImplementedError(
-                    "PIL backend requires pillow; use backend='raw'"
+                    "PIL backend requires pillow; use backend='png' (real "
+                    "PNG round-trip, no dependency) or 'raw'"
                 ) from e
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         ow, oh = self.out_w, self.out_h
+        png = self.backend == "png"
+        if png:
+            from dedup_ray.stages.codecs import png_decode, png_encode
         for payload, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+            if png:
+                arr = png_decode(payload)
+                h, w = arr.shape[:2]
+            else:
+                arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
             yi = (np.arange(oh) * h // oh).astype(np.int64)
             xi = (np.arange(ow) * w // ow).astype(np.int64)
-            out.append(arr[yi][:, xi].tobytes())
+            resized = arr[yi][:, xi]
+            out.append(png_encode(resized) if png else resized.tobytes())
         n = batch.num_rows
         return pa.table(
             {
@@ -134,10 +168,12 @@ class ImageResize:
 
 
 def resize_images(media_ds, out_w: int, out_h: int, concurrency: int = 2,
-                  batch_size: int = 64):
+                  batch_size: int = 64, backend: str = "raw"):
     return media_ds.map_batches(
         ImageResize,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        fn_constructor_kwargs={
+            "out_w": out_w, "out_h": out_h, "backend": backend,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -198,22 +234,35 @@ def sample_video_frames(video_ds, every: int = 2, concurrency: int = 2,
 
 
 class AudioWindow:
-    """Actor: int16-PCM audio → fixed-length windows with RMS energy
-    (real kernel over raw PCM; encoded codecs stubbed)."""
+    """Actor: PCM audio → fixed-length windows with RMS energy.
+    ``backend='raw'`` reads bare int16 samples; ``backend='wav'`` decodes
+    REAL RIFF/WAVE containers (``stages/codecs.py``, stdlib ``wave``),
+    averaging channels to mono.  Compressed codecs (mp3/ogg) remain behind
+    the ffmpeg seam."""
 
     def __init__(self, window_samples: int = 1024, backend: str = "raw") -> None:
         self.window = window_samples
-        if backend != "raw":  # pragma: no cover - env-dependent
+        if backend not in ("raw", "wav"):  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "codec backends not available; use backend='raw'"
+                "compressed-codec backends not available; use backend='wav' "
+                "(real RIFF/WAVE decode) or 'raw'"
             )
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, widx, rms = [], [], []
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            pcm = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
+            if self.backend == "wav":
+                from dedup_ray.stages.codecs import wav_decode
+
+                pcm, _rate = wav_decode(payload)
+                if pcm.ndim > 1:  # channel-mean to mono
+                    pcm = pcm.astype(np.float64).mean(axis=1)
+                pcm = np.asarray(pcm, np.float64)
+            else:
+                pcm = np.frombuffer(payload, dtype=np.int16).astype(np.float64)
             n_win = max(1, len(pcm) // self.window)
             trimmed = pcm[: n_win * self.window].reshape(n_win, -1)
             e = np.sqrt((trimmed**2).mean(axis=1))
@@ -230,13 +279,62 @@ class AudioWindow:
 
 
 def window_audio(audio_ds, window_samples: int = 1024, concurrency: int = 2,
-                 batch_size: int = 32):
+                 batch_size: int = 32, backend: str = "raw"):
     return audio_ds.map_batches(
         AudioWindow,
-        fn_constructor_kwargs={"window_samples": window_samples},
+        fn_constructor_kwargs={
+            "window_samples": window_samples, "backend": backend,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def make_png_media_table(n: int = 8, width: int = 8, height: int = 8) -> pa.Table:
+    """REAL-PNG media fixture: the SAME pixels as ``make_media_table``
+    (ids match, so the two fixtures are feature-comparable) encoded
+    through ``codecs.png_encode`` — actual PNG files, decodable by any
+    viewer."""
+    from dedup_ray.stages.codecs import png_encode
+
+    ids = [f"m{i:04d}" for i in range(n)]
+    payloads = []
+    for i in ids:
+        arr = np.frombuffer(
+            fake_image(i, width, height), np.uint8
+        ).reshape(height, width, 3)
+        payloads.append(png_encode(arr))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([width] * n, pa.int32()),
+            "height": pa.array([height] * n, pa.int32()),
+            "media_type": pa.array(["image/png"] * n),
+        }
+    )
+
+
+def make_wav_audio_table(n: int = 8, n_samples: int = 4096,
+                         rate: int = 16000) -> pa.Table:
+    """REAL-WAV audio fixture: the SAME planted PCM samples as
+    ``make_audio_table`` (ids match) wrapped in RIFF containers."""
+    from dedup_ray.stages.codecs import wav_encode
+
+    ids = [f"a{i:04d}" for i in range(n)]
+    payloads = []
+    for i in ids:
+        rng = np.random.default_rng(stable64(f"pcm:{i}"))
+        pcm = rng.integers(-32768, 32767, size=n_samples, dtype=np.int16)
+        payloads.append(wav_encode(pcm, rate))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([rate] * n, pa.int32()),
+            "media_type": pa.array(["audio/wav"] * n),
+        }
     )
 
 

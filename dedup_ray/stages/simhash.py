@@ -55,13 +55,9 @@ def hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
-    """(id, simhash) → (id, sband, sbits, fp) rows; fp = the full fingerprint.
-
-    Carrying the 8-byte fingerprint on every band row costs
-    ``simhash_bands × 8`` bytes/doc in the shuffle and buys inline hamming
-    verification — strictly cheaper than two corpus-sized joins after.
-    """
+def _band_explode_fn(config: DedupConfig, id_col: str = "url"):
+    """Per-batch Arrow fn of :func:`simhash_band_explode` (exposed so the
+    chained-ref path can run it via ``map_refs``)."""
     cfg = config
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = np.uint64((1 << width) - 1)
@@ -89,22 +85,49 @@ def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
             )
         return pa.concat_tables(parts)
 
+    return f
+
+
+def simhash_band_explode(compact_ds, config: DedupConfig, id_col: str = "url"):
+    """(id, simhash) → (id, sband, sbits, fp) rows; fp = the full fingerprint.
+
+    Carrying the 8-byte fingerprint on every band row costs
+    ``simhash_bands × 8`` bytes/doc in the shuffle and buys inline hamming
+    verification — strictly cheaper than two corpus-sized joins after.
+    """
+    cfg = config
     return compact_ds.select_columns([id_col, "simhash"]).map_batches(
-        f, batch_format="pyarrow", batch_size=cfg.batch_size
+        _band_explode_fn(cfg, id_col), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
     )
 
 
 def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url",
-                  id_type=None):
+                  id_type=None, return_refs: bool = False):
     """Full SimHash path: band explode → inline hamming-verified edges.
 
     Shuffles: (sband, sbits) bucket formation, then a narrow (id1, id2)
-    dedup over verified pairs only.  Output: Dataset(id1, id2, hamming).
+    dedup over verified pairs only — the two hops ref-chained (no plan
+    execution between them).  ``compact_ds`` may be a Dataset or a
+    block-ref list (chained from the exact partition); output is a
+    Dataset(id1, id2, hamming), or its raw refs with ``return_refs``.
     """
     from dedup_ray.stages.lsh import emit_bucket_pairs
 
     cfg = config
-    rows = simhash_band_explode(compact_ds, cfg, id_col)
+    if isinstance(compact_ds, list):
+        from dedup_ray.util.exchange import map_refs
+
+        explode = _band_explode_fn(cfg, id_col)
+
+        def explode_block(t: pa.Table) -> pa.Table:
+            if "simhash" not in t.column_names:  # void block
+                return t
+            return explode(t.select([id_col, "simhash"]))
+
+        rows = map_refs(compact_ds, explode_block)
+    else:
+        rows = simhash_band_explode(compact_ds, cfg, id_col)
 
     def buckets_to_edges(part: pd.DataFrame) -> pd.DataFrame:
         pairs, _ = emit_bucket_pairs(
@@ -144,6 +167,7 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url",
         ["sband", "sbits"],
         buckets_to_edges_arrow,
         cfg.num_partitions,
+        return_refs=True,  # chained into the pair-dedup exchange
         # entirely-empty corpus → all blocks void; caller supplies id dtype
         empty_schema=pa.schema(
             [
@@ -160,7 +184,8 @@ def simhash_edges(compact_ds, config: DedupConfig, id_col: str = "url",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return exchange_group_apply(
-        edges, ["id1", "id2"], dedup_arrow, cfg.num_partitions
+        edges, ["id1", "id2"], dedup_arrow, cfg.num_partitions,
+        return_refs=return_refs,
     )
 
 

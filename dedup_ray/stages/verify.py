@@ -23,41 +23,60 @@ from dedup_ray.stages.minhash import unpack_signatures
 from dedup_ray.util.dsutil import rename_columns as _rename
 
 
+def _dedup_pairs_prep(t: pa.Table) -> pa.Table:
+    """Partition-local (globally exact — the exchange co-locates every
+    (id1, *) row) pair dedup, plus a narrow-column projection so chained
+    ref inputs carrying extra columns (e.g. ``capped``) slim down before
+    the wide signature join."""
+    import pandas as pd
+
+    if {"id1", "id2"} <= set(t.column_names):
+        t = t.select(["id1", "id2"])
+    mask = ~pd.DataFrame(
+        {"a": t["id1"].to_pandas(), "b": t["id2"].to_pandas()}
+    ).duplicated().to_numpy()
+    if mask.all():
+        return t
+    return t.filter(pa.array(mask))
+
+
 def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
-                      id_col: str = "url", id_type=None):
+                      id_col: str = "url", id_type=None, post=None,
+                      return_refs: bool = False):
     """pairs(id1,id2) ⋈ sigs on id1 ⋈ sigs on id2 → +sig1 +sig2 columns.
 
-    Uses :func:`dedup_ray.util.dsutil.hash_join` (task-based co-partition
-    shuffle) rather than ``Dataset.join`` so several verify paths can fuse
-    into one streaming plan without aggregator-actor CPU starvation.
+    Raw-exchange joins, ref-chained end to end: ``pairs_ds`` and
+    ``sigs_ds`` may each be a Dataset OR a block-ref list (the output of
+    a chained exchange / ``map_refs``), the two side projections are raw
+    task maps off ONE set of signature refs (no per-side plan launch),
+    and the id1 exchange feeds the id2 exchange by reference.  ``post``
+    runs fused on each joined partition (the verifier's scoring),
+    ``return_refs`` hands the raw refs to the next hop.
     """
-    from dedup_ray.util.exchange import exchange_join
+    from dedup_ray.util.exchange import _block_refs, exchange_join, map_refs
 
     cfg = config or DedupConfig()
     idt = id_type if id_type is not None else pa.string()
-    side1 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id1", "sig": "sig1"})
-    side2 = _rename(sigs_ds.select_columns([id_col, "sig"]), {id_col: "id2", "sig": "sig2"})
+    sig_refs = _block_refs(sigs_ds)
 
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        # cross-band duplicate pairs dedup here for free: the exchange
-        # co-locates every (id1, *) row, so a partition-local pair dedup is
-        # globally exact — no dedicated dedup shuffle.  Narrow columns only.
-        import pandas as pd
+    def mk_side(n: int):
+        def f(t: pa.Table) -> pa.Table:
+            if id_col not in t.column_names:  # void block
+                return t
+            return pa.table({f"id{n}": t[id_col], f"sig{n}": t["sig"]})
 
-        mask = ~pd.DataFrame(
-            {"a": t["id1"].to_pandas(), "b": t["id2"].to_pandas()}
-        ).duplicated().to_numpy()
-        if mask.all():
-            return t
-        return t.filter(pa.array(mask))
+        return f
+
+    side1 = map_refs(sig_refs, mk_side(1))
+    side2 = map_refs(sig_refs, mk_side(2))
 
     sig_t = pa.binary(cfg.num_perms * 8)
     joined = exchange_join(
-        pairs_ds.select_columns(["id1", "id2"]),
+        pairs_ds,
         side1,
         on="id1",
         num_partitions=cfg.num_partitions,
-        left_prep=dedup_pairs,
+        left_prep=_dedup_pairs_prep,
         empty_schema=pa.schema(
             [("id1", idt), ("id2", idt), ("sig1", sig_t)]
         ),
@@ -68,6 +87,7 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
         side2,
         on="id2",
         num_partitions=cfg.num_partitions,
+        post=post,
         empty_schema=pa.schema(
             [
                 ("id1", idt),
@@ -75,7 +95,10 @@ def attach_signatures(pairs_ds, sigs_ds, config: DedupConfig | None = None,
                 ("sig1", sig_t),
                 ("sig2", sig_t),
             ]
+            if post is None
+            else [("id1", idt), ("id2", idt), ("est_jaccard", pa.float64())]
         ),
+        return_refs=return_refs,
     )
 
 
@@ -105,26 +128,50 @@ def empty_edges(extra: dict | None = None):
 
 
 def verify_pairs(pairs_ds, sigs_ds, config: DedupConfig | None = None,
-                 id_col: str = "url", id_type=None):
+                 id_col: str = "url", id_type=None,
+                 return_refs: bool = False):
     """Candidates → accepted edges (id1, id2, est_jaccard >= threshold).
 
-    Fully streaming: ``hash_join`` takes explicit column lists, so a
-    zero-candidate corpus needs no materialize-and-count short-circuit —
-    empty partitions merge to empty frames and the schema is pinned
-    downstream.
+    One chained hop: the estimated-Jaccard scoring and threshold filter
+    run FUSED into the second signature join's reduce (``post``), so the
+    whole candidates → accepted-edges path is two pipelined exchange
+    waves with no intermediate plan execution.  ``pairs_ds`` / ``sigs_ds``
+    may be Datasets or chained block-ref lists; a zero-candidate corpus
+    needs no materialize-and-count short-circuit — empty partitions merge
+    to empty tables with the schema pinned by ``empty_schema``.
     """
     cfg = config or DedupConfig()
     if cfg.verify == "none":
-        return pairs_ds.select_columns(["id1", "id2"])
-    scored = estimate_jaccard(
-        attach_signatures(pairs_ds, sigs_ds, cfg, id_col, id_type=id_type), cfg
-    )
-    thr = cfg.jaccard_threshold
+        import ray.data
 
-    def keep(batch: pa.Table) -> pa.Table:
+        if isinstance(pairs_ds, list):
+            pairs_ds = ray.data.from_arrow_refs(pairs_ds)
+        return pairs_ds.select_columns(["id1", "id2"])
+    thr = cfg.jaccard_threshold
+    n_perms = cfg.num_perms
+
+    def score_and_cut(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        out = batch.filter(pc.greater_equal(batch["est_jaccard"], thr))
-        return out.select(["id1", "id2", "est_jaccard"])
+        if batch.num_rows == 0:
+            return pa.table({
+                "id1": pa.array([], batch["id1"].type if "id1" in
+                                batch.column_names else pa.string()),
+                "id2": pa.array([], batch["id2"].type if "id2" in
+                                batch.column_names else pa.string()),
+                "est_jaccard": pa.array([], pa.float64()),
+            })
+        s1 = unpack_signatures(batch["sig1"], n_perms)
+        s2 = unpack_signatures(batch["sig2"], n_perms)
+        ej = (s1 == s2).mean(axis=1)
+        out = pa.table({
+            "id1": batch["id1"],
+            "id2": batch["id2"],
+            "est_jaccard": pa.array(ej),
+        })
+        return out.filter(pc.greater_equal(out["est_jaccard"], thr))
 
-    return scored.map_batches(keep, batch_format="pyarrow")
+    return attach_signatures(
+        pairs_ds, sigs_ds, cfg, id_col, id_type=id_type,
+        post=score_and_cut, return_refs=return_refs,
+    )

@@ -52,6 +52,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
+
 from dedup_ray.config import DedupConfig
 from dedup_ray.state.partwrite import _bucket_of
 
@@ -139,6 +141,35 @@ def read_buckets(root: str, table: str, bucket_ids):
     if not files:
         return None
     return ray.data.read_parquet(files)
+
+
+def read_buckets_refs(root: str, table: str, bucket_ids):
+    """Block-ref form of :func:`read_buckets`: one RAW read task per part
+    file, refs returned immediately — no Ray Data plan launch (a
+    ``read_parquet`` execution costs constant driver seconds per call,
+    and an incremental shard probes up to five index tables).  ``None``
+    when no requested bucket exists."""
+    import ray
+
+    dirs = [
+        os.path.join(root, table, f"bucket={int(b):04d}")
+        for b in sorted(set(int(b) for b in bucket_ids))
+    ]
+    files = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    return [_read_parquet_file.remote(f) for f in files]
+
+
+@ray.remote
+def _read_parquet_file(path: str):
+    return pq.read_table(path)
 
 
 def load_manifest(root: str) -> dict:

@@ -82,6 +82,11 @@ def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         or pa.types.is_large_binary(t)
     ):
         try:  # polars: vectorized xxhash over the Arrow buffers (~0.04µs/row)
+            import os
+
+            # per-block hashing must not spawn a machine-wide rayon pool in
+            # EVERY Ray worker process (read at first polars import only)
+            os.environ.setdefault("POLARS_MAX_THREADS", "2")
             import polars as pl
 
             h = pl.from_arrow(col).hash(seed=0x5EED).to_numpy().astype(np.uint64)
@@ -174,6 +179,25 @@ def _block_refs(ds) -> list:
         return [ref for b in bundles for ref in b.block_refs]
     except AttributeError:  # older API
         return mat.get_internal_block_refs()
+
+
+@ray.remote
+def _map_block(fn, block):
+    if not isinstance(block, pa.Table):  # pandas-born block
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return fn(block)
+
+
+def map_refs(ds_or_refs, fn) -> list:
+    """Apply ``fn(pa.Table) -> pa.Table`` to every block as RAW tasks and
+    return the output refs immediately — no streaming-plan launch, no
+    barrier.  This is the chaining primitive between exchanges: a
+    ``Dataset.map_batches`` hop between two exchanges costs a full plan
+    execution (drain + re-materialize ≈ constant seconds regardless of
+    CPU count — the serial-barrier latency measured in BASELINE.md),
+    where ``map_refs`` just extends the task graph.  Input may be a ref
+    list (chained) or a Dataset (materialized once if lazy)."""
+    return [_map_block.remote(fn, b) for b in _block_refs(ds_or_refs)]
 
 
 # Above this many (block × partition) ObjectRefs the flat exchange's driver

@@ -1,0 +1,165 @@
+"""Real-codec tests: PNG and WAV decode paths (stages/codecs.py) and the
+multimodal stages running on REAL encoded payloads."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.stages.codecs import (
+    _PNG_SIG,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+from dedup_ray.stages.multimodal import (
+    decode_images,
+    make_audio_table,
+    make_media_table,
+    make_png_media_table,
+    make_wav_audio_table,
+    resize_images,
+    window_audio,
+)
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (4, 4, 1), (3, 6, 4), (2, 9, 2)])
+def test_png_roundtrip(shape):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def _forward_filter(img: np.ndarray, filters: list[int]) -> bytes:
+    """Apply the spec's FORWARD filters (what an encoder writes) so the
+    decoder's reconstruction of every filter type is exercised."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y]
+        left = np.zeros(stride, np.int32)
+        left[ch:] = line[:-ch]
+        upleft = np.zeros(stride, np.int32)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+            )
+            filt = line - pred
+        out.append(f)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+    return bytes(out)
+
+
+def _assemble_png(w, h, colortype, raw_scanlines: bytes) -> bytes:
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_reconstruct():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    data = _assemble_png(6, 10, 2, _forward_filter(img, filters))
+    assert np.array_equal(png_decode(data), img)
+
+
+def test_png_rejects_unsupported():
+    img = np.zeros((2, 2, 3), np.uint8)
+    good = png_encode(img)
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JUNK" + good)
+    # 16-bit depth header
+    bad = bytearray(good)
+    ihdr_off = len(_PNG_SIG) + 8
+    bad[ihdr_off + 8] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(bytes(bad))
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+    pcm, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and np.array_equal(pcm, mono)
+    stereo = rng.integers(-32768, 32767, size=(500, 2), dtype=np.int16)
+    pcm2, rate2 = wav_decode(wav_encode(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(pcm2, stereo)
+
+
+def test_decode_images_png_matches_fake(ray_session):
+    # same pixels, one table raw-RGB + fake backend, one REAL PNG + png
+    raw = decode_images(
+        rd.from_arrow(make_media_table(n=6)), backend="fake", concurrency=1
+    ).to_pandas()
+    png = decode_images(
+        rd.from_arrow(make_png_media_table(n=6)), backend="png", concurrency=1
+    ).to_pandas()
+    assert list(raw["rgb_mean"].map(tuple)) == list(png["rgb_mean"].map(tuple))
+    assert list(raw["rgb_std"].map(tuple)) == list(png["rgb_std"].map(tuple))
+
+
+def test_resize_images_png_roundtrip(ray_session):
+    out = resize_images(
+        rd.from_arrow(make_png_media_table(n=3, width=8, height=8)),
+        out_w=4, out_h=4, backend="png", concurrency=1,
+    ).to_pandas()
+    assert set(out["width"]) == {4} and set(out["height"]) == {4}
+    for payload in out["payload"]:
+        arr = png_decode(payload)  # output is REAL PNG again
+        assert arr.shape == (4, 4, 3)
+
+
+def test_window_audio_wav_matches_raw(ray_session):
+    raw = window_audio(
+        rd.from_arrow(make_audio_table(n=4)), backend="raw", concurrency=1
+    ).to_pandas().sort_values(["media_id", "window_idx"])
+    wav = window_audio(
+        rd.from_arrow(make_wav_audio_table(n=4)), backend="wav", concurrency=1
+    ).to_pandas().sort_values(["media_id", "window_idx"])
+    # same planted samples => identical RMS windows
+    assert np.allclose(raw["rms"].to_numpy(), wav["rms"].to_numpy())
+
+
+def test_pil_backend_gated(ray_session):
+    try:
+        import PIL.Image  # noqa: F401
+
+        pytest.skip("pillow installed: the seam is live, not gated")
+    except ImportError:
+        pass
+    from dedup_ray.stages.multimodal import ImageDecode
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        ImageDecode(backend="pil")
