@@ -425,6 +425,97 @@ def run_exchange_modes(n_blocks: int = 64, rows: int = 100_000) -> dict:
     return out
 
 
+def run_forced_hierarchical(sf_dir: str) -> dict:
+    """Flagship pipeline with EVERY exchange forced through the two-level
+    hierarchical form (ref_limit 0) — times the 10^12-doc driver-metadata
+    path on the real dedup job every round, not only in the group-sum
+    micro-bench.  Correctness is held to the same bar: recall is checked
+    on the same amplified truth as the headline."""
+    from dedup_ray.util import exchange as ex
+
+    saved = ex.HIERARCHICAL_REF_LIMIT
+    ex.HIERARCHICAL_REF_LIMIT = 0
+    try:
+        r = run_headline(sf_dir, amplify=4, text_repeat=2)
+    finally:
+        ex.HIERARCHICAL_REF_LIMIT = saved
+    return {
+        "sec": r["sec"],
+        "docs": r["docs"],
+        "docs_per_sec": r["docs_per_sec"],
+        "dup_pair_recall": r["dup_pair_recall"],
+    }
+
+
+def run_local_cc(n_edges: int = 2_000_000) -> dict:
+    """Driver-side CC at exactly ``cc_local_edge_limit`` scale (the regime
+    the local path owns), vectorized path vs the legacy per-edge union
+    loop on identical string-keyed edges — evidences the measured speedup
+    and the correctness equivalence in the same run."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from dedup_ray.stages.cc import _UnionFind, connected_components_local
+
+    # dedup-shaped graph, not an adversarial random one: duplicate
+    # clusters surface as star edges (exact tier) plus short chains
+    # (near tier), converging in a few rounds — the regime the local
+    # path actually serves.  90% star edges in 6-member cliques, 10%
+    # chain edges stitching neighbors.
+    rng = np.random.default_rng(13)
+    n_star = int(n_edges * 0.9)
+    clique = 6
+    centers = (np.arange(n_star) // (clique - 1)) * clique
+    members = centers + 1 + (np.arange(n_star) % (clique - 1))
+    n_chain = n_edges - n_star
+    chain_base = centers.max() + clique + 2 * np.arange(n_chain)
+    a = np.concatenate([centers, chain_base])
+    b = np.concatenate([members, chain_base + 1])
+    perm = rng.permutation(n_edges)
+    a, b = a[perm], b[perm]
+    ids1 = [f"url://{v}" for v in a]
+    ids2 = [f"url://{v}" for v in b]
+    ds = ray.data.from_arrow(
+        pa.table({"id1": pa.array(ids1), "id2": pa.array(ids2)})
+    ).materialize()
+
+    t0 = time.perf_counter()
+    new = connected_components_local(ds)
+    new_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    uf = _UnionFind()
+    for x, y in zip(ids1, ids2):
+        uf.union(x, y)
+    nodes = list(uf.parent)
+    roots = [uf.find(n) for n in nodes]
+    min_of: dict = {}
+    for n, r in zip(nodes, roots):
+        m = min_of.get(r)
+        if m is None or n < m:
+            min_of[r] = n
+    legacy = pd.DataFrame(
+        {"id": nodes, "cluster_id": [min_of[r] for r in roots]}
+    )
+    legacy_sec = time.perf_counter() - t0
+
+    same = (
+        new.set_index("id")["cluster_id"].to_dict()
+        == legacy.set_index("id")["cluster_id"].to_dict()
+    )
+    return {
+        "edges": n_edges,
+        "sec": round(new_sec, 3),
+        "edges_per_sec": round(n_edges / new_sec, 1),
+        "legacy_loop_sec": round(legacy_sec, 3),
+        "speedup_x": round(legacy_sec / new_sec, 2),
+        "labels_match_legacy": bool(same),
+    }
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     from dedup_ray.pipelines.queries import QUERIES
 
@@ -565,6 +656,13 @@ def main() -> None:
             if args.headline_only or args.scaling_input
             else run_exchange_modes()
         )
+        if exchange_modes:
+            exchange_modes["forced_pipeline"] = run_forced_hierarchical(SF_DIR)
+        cc_local = (
+            {}
+            if args.headline_only or args.scaling_input
+            else run_local_cc()
+        )
         print(
             json.dumps(
                 {
@@ -575,6 +673,7 @@ def main() -> None:
                     "queries": queries,
                     "incremental": incremental,
                     "cc_distributed": cc_distributed,
+                    "cc_local": cc_local,
                     "exchange_modes": exchange_modes,
                     "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                     "num_cpus": NUM_CPUS,

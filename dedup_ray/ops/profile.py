@@ -77,19 +77,61 @@ def profile_table(ds, columns: list[str]) -> pa.Table:
         n=("n", "sum"), nulls=("nulls", "sum"),
         mn=("mn", "min"), mx=("mx", "max"))
 
-    distincts = {}
-    for c in columns:
-        def uniq(t: pa.Table, c=c) -> pa.Table:
+    # ALL columns' distinct counts through ONE exchange (the former
+    # one-plan-plus-shuffle PER COLUMN made this the slowest catalog
+    # query): per batch, each column's distinct values cast to their
+    # round-trip-exact string form (Arrow float64→string is shortest
+    # round-trip, so the cast is injective; −0.0 is normalized to 0.0
+    # first, matching SQL DISTINCT) and stacked into one narrow
+    # (col_name, val) stream; a single (col_name, val)-keyed exchange
+    # then counts distinct values per column.
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def uniq_all(t: pa.Table) -> pa.Table:
+        names: list = []
+        vals: list = []
+        for c in columns:
             col = t[c]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            return pa.table({c: col.drop_null().unique()})
+            if pa.types.is_floating(col.type):
+                col = pc.add(col, 0.0)  # −0.0 → 0.0
+            u = pc.cast(col.drop_null().unique(), pa.string())
+            names.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table({
+            "col_name": pa.concat_arrays(names),
+            "val": pa.concat_arrays(
+                [v.cast(pa.string()) for v in vals]
+            ) if vals else pa.array([], pa.string()),
+        })
 
-        distincts[c] = (
-            ds.select_columns([c])
-            .map_batches(uniq, batch_format="pyarrow")
-            .groupby(c).count().count()
+    def count_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "col_name" not in t.column_names:
+            return pa.table({"col_name": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        g = (
+            t.group_by(["col_name", "val"]).aggregate([])
+            .group_by("col_name").aggregate([("val", "count")])
         )
+        return pa.table({"col_name": g["col_name"],
+                         "k": g["val_count"].cast(pa.int64())})
+
+    partials = exchange_group_apply(
+        ds.map_batches(uniq_all, batch_format="pyarrow"),
+        ["col_name", "val"],
+        count_part,
+        num_partitions=8,
+        empty_schema=pa.schema(
+            [("col_name", pa.string()), ("val", pa.string())]
+        ),
+    ).to_pandas()
+    agg_d = (
+        partials.groupby("col_name")["k"].sum().to_dict()
+        if "col_name" in partials.columns and len(partials)
+        else {}
+    )
+    distincts = {c: int(agg_d.get(c, 0)) for c in columns}
 
     return pa.table({
         "col_name": pa.array(columns, pa.string()),

@@ -56,29 +56,32 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
-def connected_components_local(edges_ds) -> pd.DataFrame:
-    """Edges Dataset(id1,id2) → pandas (id, cluster_id); cluster_id = min member.
+def connected_components_local_table(edges_ds) -> pa.Table:
+    """Edges Dataset(id1,id2) → Arrow table (id, cluster_id); cluster_id =
+    min member id.
 
     Vectorized hook-and-compress over factorized node codes (VERDICT r2
     'What's wrong' #3: the former per-edge Python union loop was slowest
     exactly at the 2M-edge ``cc_local_edge_limit`` where the local path is
-    chosen): one ``pd.factorize`` maps ids → dense int codes, then each
-    round scatter-mins edge labels (``np.minimum.at``) and pointer-jumps
-    (``labels = labels[labels]``) until every edge's endpoints agree —
-    O(E log n) numpy work, no Python per edge.  Cluster id is recomputed
-    as the min ORIGINAL member id per component, so correctness never
-    depends on factorize order.
+    chosen): one Arrow ``dictionary_encode`` maps ids → dense int32 codes
+    (the cap bounds nodes ≪ 2³¹), then each round scatter-mins the LIVE
+    edges' labels (``np.minimum.at``) and pointer-jumps (``labels =
+    labels[labels]``) until every edge's endpoints agree — O(E · rounds)
+    numpy work, no Python per edge.  Cluster id is then the min ORIGINAL
+    member id per converged component (one multithreaded Arrow group-min),
+    so correctness never depends on factorize order, and the output stays
+    Arrow end to end (no pandas round-trip).
     """
     a_parts: list = []
     b_parts: list = []
     for batch in edges_ds.select_columns(["id1", "id2"]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
+        batch_size=None, batch_format="pyarrow"  # native blocks, zero-copy
     ):
         if batch.num_rows:
             a_parts.append(batch["id1"].combine_chunks())
             b_parts.append(batch["id2"].combine_chunks())
     if not a_parts:
-        return pd.DataFrame({"id": [], "cluster_id": []})
+        return pa.table({"id": pa.array([]), "cluster_id": pa.array([])})
     import pyarrow.compute as pc
 
     n_edges = sum(len(a) for a in a_parts)
@@ -92,36 +95,49 @@ def connected_components_local(edges_ds) -> pd.DataFrame:
         enc = pc.dictionary_encode(both.combine_chunks())
         enc_chunks = [enc]
     codes = np.concatenate(
-        [c.indices.to_numpy(zero_copy_only=False) for c in enc_chunks]
-    ).astype(np.int64, copy=False)
+        [
+            c.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            for c in enc_chunks
+        ]
+    )
     uniq = enc_chunks[0].dictionary
-    # Recode so code order == value order: then the min CODE a component
-    # converges to IS its min member id — no per-component string min pass.
-    sort_idx = pc.sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[sort_idx] = np.arange(len(uniq), dtype=np.int64)
-    codes = rank[codes]
-    uniq_sorted = uniq.take(pa.array(sort_idx))
     e1 = codes[:n_edges]
     e2 = codes[n_edges:]
-    labels = np.arange(len(uniq), dtype=np.int64)
+    labels = np.arange(len(uniq), dtype=np.int32)
     while True:
-        mn = np.minimum(labels[e1], labels[e2])
-        np.minimum.at(labels, e1, mn)
-        np.minimum.at(labels, e2, mn)
+        l1, l2 = labels[e1], labels[e2]
+        live = l1 != l2
+        if not live.any():  # every edge internally consistent: fixed point
+            break
+        # scatter-min only the live edges (cheap rounds once most of the
+        # graph has settled); the mask is recomputed from the FULL edge
+        # set each round — an edge whose endpoints agreed earlier goes
+        # live again when another edge lowers one endpoint's label
+        mn = np.minimum(l1[live], l2[live])
+        np.minimum.at(labels, e1[live], mn)
+        np.minimum.at(labels, e2[live], mn)
         while True:  # full path compression
             nl = labels[labels]
             if np.array_equal(nl, labels):
                 break
             labels = nl
-        if np.array_equal(labels[e1], labels[e2]):
-            break
-    return pd.DataFrame(
-        {
-            "id": uniq_sorted.to_pandas(),
-            "cluster_id": uniq_sorted.take(pa.array(labels)).to_pandas(),
-        }
+    # min ORIGINAL id per converged component (labels are min-CODE, whose
+    # order is first-appearance — not id order)
+    g = (
+        pa.table({"comp": pa.array(labels), "id": uniq})
+        .group_by("comp")
+        .aggregate([("id", "min")])
     )
+    comp = g["comp"].to_numpy(zero_copy_only=False).astype(np.int32)
+    order = np.argsort(comp)
+    pos = order[np.searchsorted(comp[order], labels)]
+    cid = g["id_min"].combine_chunks().take(pa.array(pos))
+    return pa.table({"id": uniq, "cluster_id": cid})
+
+
+def connected_components_local(edges_ds) -> pd.DataFrame:
+    """Pandas view of :func:`connected_components_local_table`."""
+    return connected_components_local_table(edges_ds).to_pandas()
 
 
 def _edges_fingerprint(edges_ds) -> tuple[int, int]:
@@ -306,7 +322,7 @@ def component_labels(edges_ds, local_edge_limit: int = 2_000_000):
     if n_edges == 0:
         return None
     if n_edges <= local_edge_limit:
-        return ray.data.from_pandas(connected_components_local(edges))
+        return ray.data.from_arrow(connected_components_local_table(edges))
     return connected_components_distributed(edges)
 
 

@@ -214,7 +214,7 @@ def hash_exchange(
     reduce_fn,
     num_partitions: int = 32,
     return_refs: bool = False,
-    ref_limit: int = HIERARCHICAL_REF_LIMIT,
+    ref_limit: int | None = None,
 ):
     """Co-partition ``datasets[i]`` on ``keys[i]``; apply ``reduce_fn`` per
     partition.
@@ -233,6 +233,9 @@ def hash_exchange(
     accounting made concrete).
     """
     import ray.data
+
+    if ref_limit is None:  # read at CALL time so benchmarks/tests can force
+        ref_limit = HIERARCHICAL_REF_LIMIT  # the hierarchical path globally
 
     ref_lists = [_block_refs(ds) for ds in datasets]
     if sum(len(r) for r in ref_lists) * num_partitions > ref_limit:
