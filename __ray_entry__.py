@@ -31,10 +31,12 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator family from SURVEY.md §2.
 
-    See ``dedup_ray/pipelines/queries.py`` for the catalog; the five keys
+    See ``dedup_ray/pipelines/queries.py`` for the catalog; the two keys
     without an ``oracle_sql`` entry are the non-SQL-expressible operators
-    (keyed-hash SimHash, weighted APSP, iterative fixed points — affinity
-    propagation and SemDeDup k-means — and the zlib compression screen)."""
+    (keyed-hash SimHash and the weighted-APSP feature).  The iterative
+    fixed points (affinity propagation, SemDeDup k-means) and the zlib
+    compression screen carry pinned measured-at-sf0.01 oracles
+    (``tools/gen_pinned_oracles.py``)."""
     from dedup_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)

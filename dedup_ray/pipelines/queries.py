@@ -1979,6 +1979,62 @@ def per_block_accuracy(sf_dir: str):
     return as_arrow(ds.groupby("source").map_groups(acc, batch_format="pandas"))
 
 
+def pscore_report_docs(sf_dir: str):
+    """``pscore.R:10-14`` score-distribution report as data: over the
+    per-block accuracy scores (A9), the 20-bin equal-width histogram plus
+    the annotations the reference's plot carries — mean ± sd in the title,
+    lowest/highest-scoring block name on the axis label (ties broken by
+    lexicographic min name).  The reference renders a PDF; the engine
+    emits the report's numbers so any plotter can reproduce it.  Scores
+    stream through Ray aggregates (min/max/mean/sd) and a bin-count
+    groupby — the per-name score table never lands on the driver, only
+    the 20 histogram rows do."""
+    from ray.data.aggregate import Max, Mean, Min, Std
+
+    scores = per_block_accuracy(sf_dir).materialize()
+    agg = scores.aggregate(
+        Min("acc"), Max("acc"), Mean("acc"), Std("acc", ddof=1)
+    )
+    mn, mx = float(agg["min(acc)"]), float(agg["max(acc)"])
+    mean_s = round(float(agg["mean(acc)"]), 6)
+    sd_s = round(float(agg["std(acc)"]), 6)
+    w = (mx - mn) / 20.0
+
+    def pick(val):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["acc"], val)).select(["source"])
+
+        return f
+
+    min_name = scores.map_batches(pick(mn), batch_format="pyarrow").min("source")
+    max_name = scores.map_batches(pick(mx), batch_format="pyarrow").min("source")
+
+    def binb(t: pa.Table) -> pa.Table:
+        a = t["acc"].to_numpy(zero_copy_only=False)
+        if w > 0:
+            b = np.minimum(np.floor((a - mn) / w), 19).astype(np.int64)
+        else:
+            b = np.zeros(len(a), np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    counts = (
+        scores.map_batches(binb, batch_format="pyarrow")
+        .groupby("bin").count().to_pandas()
+    )
+    cmap = dict(zip(counts["bin"], counts["count()"]))
+    bins = np.arange(20, dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(bins),
+        "lo": pa.array(np.round(mn + bins * w, 6)),
+        "hi": pa.array(np.round(mn + (bins + 1) * w, 6)),
+        "n": pa.array([int(cmap.get(int(b), 0)) for b in bins], pa.int64()),
+        "mean_score": pa.array([mean_s] * 20),
+        "sd_score": pa.array([sd_s] * 20),
+        "min_name": pa.array([min_name] * 20, pa.string()),
+        "max_name": pa.array([max_name] * 20, pa.string()),
+    })
+
+
 def embed_pair_features(sf_dir: str):
     """ST2: embedding pair features per label block — the reference pair
     scorer's exact formulas (``doc2vec_pair_native.py:105-110``): euclidean
@@ -2022,6 +2078,48 @@ def logistic_score_embeddings(sf_dir: str):
     path = os.path.join(tempfile.gettempdir(), "dedup_ray_logistic.npz")
     save_model(model, path, ["embedding"])
     scored = score_with_model(emb, path)
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "score": pc.round(t["score"], ndigits=6),
+                "pred": pc.cast(t["pred"], pa.int64()),
+            }
+        )
+
+    return scored.map_batches(emit, batch_format="pyarrow")
+
+
+def ensemble_score_embeddings(sf_dir: str):
+    """ST4, full reference shape: TWO fitted models — the logistic scorer
+    and a deterministic gradient-boosted-stump model (the XGB analog,
+    ``classifier.py:303-311``) — combined with the reference's only
+    ensemble strategy, ``preds.mean(axis=1) > 0.5``
+    (``classifier.py:349-357``).  Both trainers are zero-RNG, so the
+    fitted parameters are a deterministic function of the table and the
+    oracle pins them as SQL constants (folded logistic weights + one CASE
+    per stump), recomputing the probability mean per row in DuckDB."""
+    import os
+    import tempfile
+
+    from dedup_ray.stages.classifier import (
+        save_model,
+        save_stump_model,
+        score_with_ensemble,
+        train_logistic,
+        train_stumps,
+    )
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    df = emb.to_pandas()
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    y = (df["label"].to_numpy() < 5).astype(np.float64)
+    p_log = os.path.join(tempfile.gettempdir(), "dedup_ray_ens_logistic.npz")
+    p_stu = os.path.join(tempfile.gettempdir(), "dedup_ray_ens_stumps.npz")
+    save_model(train_logistic(X, y), p_log, ["embedding"])
+    save_stump_model(train_stumps(X, y), p_stu, ["embedding"])
+    scored = score_with_ensemble(emb, [p_log, p_stu])
 
     def emit(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -3775,6 +3873,46 @@ ORACLES["per_block_accuracy"] = """
     FROM documents d JOIN m USING (source) GROUP BY d.source
 """
 
+ORACLES["pscore_report_docs"] = """
+    WITH m AS (
+        SELECT source, lang AS mode FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY count(*) DESC, lang) AS rk
+            FROM documents GROUP BY source, lang)
+        WHERE rk = 1),
+    acc AS (
+        SELECT d.source,
+               round(avg(CASE WHEN d.lang = m.mode THEN 1.0 ELSE 0.0 END), 6)
+                   AS acc
+        FROM documents d JOIN m USING (source) GROUP BY d.source),
+    s AS (
+        SELECT min(acc) AS mn, max(acc) AS mx,
+               round(avg(acc), 6) AS mean_score,
+               round(stddev_samp(acc), 6) AS sd_score
+        FROM acc),
+    nm AS (
+        SELECT (SELECT min(source) FROM acc, s WHERE acc.acc = s.mn)
+                   AS min_name,
+               (SELECT min(source) FROM acc, s WHERE acc.acc = s.mx)
+                   AS max_name),
+    bins AS (SELECT unnest(generate_series(0, 19)) AS bin),
+    cnt AS (
+        SELECT CAST(least(floor((acc - mn) / ((mx - mn) / 20.0)), 19)
+                    AS BIGINT) AS bin,
+               count(*) AS k
+        FROM acc, s WHERE mx > mn GROUP BY 1
+        UNION ALL
+        SELECT 0, count(*) FROM acc, s WHERE mx = mn HAVING count(*) > 0)
+    SELECT b.bin,
+           round(s.mn + b.bin * ((s.mx - s.mn) / 20.0), 6) AS lo,
+           round(s.mn + (b.bin + 1) * ((s.mx - s.mn) / 20.0), 6) AS hi,
+           CAST(coalesce(c.k, 0) AS BIGINT) AS n,
+           s.mean_score, s.sd_score, nm.min_name, nm.max_name
+    FROM bins b CROSS JOIN s CROSS JOIN nm
+    LEFT JOIN cnt c ON c.bin = b.bin
+"""
+
 ORACLES["coau_dist_docs"] = """
     WITH RECURSIVE blocks AS (
         SELECT source FROM (
@@ -4552,6 +4690,7 @@ QUERIES = {
     "similarity_self_join_docs": similarity_self_join_docs,
     "split_seed_search": split_seed_search,
     "per_block_accuracy": per_block_accuracy,
+    "pscore_report_docs": pscore_report_docs,
     # oracle-checked via planted-truth scorecards / pinned deterministic
     # constants (the hashes themselves are not SQL-expressible; the
     # VERIFIABLE CLAIM — recall over planted pairs, recall@k vs the exact
@@ -4562,6 +4701,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "logistic_score_embeddings": logistic_score_embeddings,
+    "ensemble_score_embeddings": ensemble_score_embeddings,
     "embed_cosine_dedup_docs": embed_cosine_dedup_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "lang_id_docs": lang_id_docs,

@@ -113,8 +113,102 @@ def feature_importance(model: dict, feature_names: list[str]) -> "object":
 
 
 def predict_proba(model: dict, X: np.ndarray) -> np.ndarray:
+    if "stumps" in model:
+        return _sigmoid(_stump_margin(model, X))
     Xs = (np.asarray(X, dtype=np.float64) - model["mean"]) / model["std"]
     return _sigmoid(Xs @ model["w"] + model["b"])
+
+
+def _stump_margin(model: dict, X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float64)
+    F = np.full(len(X), float(model["base"]))
+    for j, thr, lv, rv in model["stumps"]:
+        F = F + np.where(X[:, int(j)] < thr, lv, rv)
+    return F
+
+
+def train_stumps(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_rounds: int = 24,
+    lr: float = 0.5,
+    n_thresholds: int = 8,
+) -> dict:
+    """Deterministic gradient-boosted depth-1 trees on the logistic loss —
+    the XGB-shaped second model of the reference's two-model mean ensemble
+    (``classifier.py:303-311`` fits an ``XGBClassifier`` next to the
+    RandomForest; depth-1 boosting is its honest zero-dependency,
+    zero-RNG analog).  Per round: residuals ``r = y − σ(F)``, candidate
+    splits = per-feature quantile midpoints, greedy best split by
+    variance reduction, leaf values = residual means × ``lr``.  No RNG
+    and no data-order dependence, so the fitted stumps are a
+    deterministic function of the sample — which is what lets the
+    ensemble query pin its oracle as SQL constants.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, d = X.shape
+    base = 0.0
+    F = np.full(n, base)
+    qs = np.linspace(0, 1, n_thresholds + 2)[1:-1]
+    cand = np.quantile(X, qs, axis=0)  # (n_thresholds, d)
+    stumps: list = []
+    for _ in range(n_rounds):
+        r = y - _sigmoid(F)
+        best = None  # (gain, j, thr, lv, rv)
+        for j in range(d):
+            xj = X[:, j]
+            for thr in np.unique(cand[:, j]):
+                left = xj < thr
+                nl = int(left.sum())
+                if nl == 0 or nl == n:
+                    continue
+                sl = r[left].sum()
+                sr = r.sum() - sl
+                gain = sl * sl / nl + sr * sr / (n - nl)
+                if best is None or gain > best[0]:
+                    best = (gain, j, float(thr), sl / nl, sr / (n - nl))
+        if best is None:
+            break
+        _, j, thr, ml, mr = best
+        lv, rv = lr * ml, lr * mr
+        F = F + np.where(X[:, j] < thr, lv, rv)
+        stumps.append((int(j), float(thr), float(lv), float(rv)))
+    return {"stumps": stumps, "base": np.float64(base)}
+
+
+def save_stump_model(model: dict, path: str, feature_cols: list[str]) -> None:
+    """Persist the boosted-stump scorer as an .npz artifact (S7 sink)."""
+    s = np.array(model["stumps"], dtype=np.float64).reshape(-1, 4)
+    np.savez(
+        path,
+        stumps=s,
+        base=model["base"],
+        feature_cols=np.array(feature_cols, dtype=object),
+    )
+
+
+def load_any_model(path: str) -> tuple[dict, list[str]]:
+    """Load either artifact kind (logistic .npz or stump .npz) — the
+    scorer sniffs the keys, so an ensemble config is just a path list."""
+    z = np.load(path, allow_pickle=True)
+    cols = [str(c) for c in z["feature_cols"]]
+    if "stumps" in z:
+        s = z["stumps"]
+        return (
+            {
+                "stumps": [
+                    (int(a), float(b), float(c), float(d))
+                    for a, b, c, d in s
+                ],
+                "base": float(z["base"]),
+            },
+            cols,
+        )
+    return (
+        {"w": z["w"], "b": float(z["b"]), "mean": z["mean"], "std": z["std"]},
+        cols,
+    )
 
 
 class LogisticScorer:
@@ -166,6 +260,47 @@ def score_with_model(
     return ds.map_batches(
         LogisticScorer,
         fn_constructor_kwargs={"model_path": model_path, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+class MeanEnsembleScorer(LogisticScorer):
+    """ST4, the reference's ensemble semantics verbatim: N fitted models,
+    ``preds.mean(axis=1) > 0.5`` (``classifier.py:349-357``, strategy
+    ``mean`` is the only one the reference implements).  Every artifact is
+    loaded ONCE per actor; each batch is scored by all members and the
+    probability mean is thresholded."""
+
+    def __init__(self, model_paths: list[str], threshold: float = 0.5) -> None:
+        loaded = [load_any_model(p) for p in model_paths]
+        self.models = [m for m, _ in loaded]
+        self.feature_cols = loaded[0][1]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = self._features(batch)
+        p = np.mean([predict_proba(m, X) for m in self.models], axis=0)
+        batch = batch.append_column("score", pa.array(np.round(p, 6)))
+        return batch.append_column(
+            "pred", pa.array((p > self.threshold).astype(np.int64))
+        )
+
+
+def score_with_ensemble(
+    ds,
+    model_paths: list[str],
+    threshold: float = 0.5,
+    concurrency: int = 2,
+    batch_size: int = 1024,
+):
+    """Stream a Dataset through the mean-ensemble scorer actor pool."""
+    return ds.map_batches(
+        MeanEnsembleScorer,
+        fn_constructor_kwargs={
+            "model_paths": model_paths, "threshold": threshold,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

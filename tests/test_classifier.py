@@ -118,3 +118,59 @@ def test_feature_importance_export(tmp_path):
 
     vec = feature_importance(model, ["embedding"])
     assert list(vec.index)[0].startswith("embedding[")
+
+
+def test_stump_trainer_separates_and_is_deterministic():
+    from dedup_ray.stages.classifier import predict_proba, train_stumps
+
+    X, y = _planted(n=300, d=6)
+    m1 = train_stumps(X, y)
+    m2 = train_stumps(X, y)
+    assert m1["stumps"] == m2["stumps"]  # zero-RNG: bit-identical refits
+    p = predict_proba(m1, X)
+    acc = ((p > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.9  # planted separable dimension is learnable by stumps
+
+
+def test_mean_ensemble_matches_reference_semantics(ray_session, tmp_path):
+    """classifier.py:349-357: preds.mean(axis=1) > 0.5, strategy 'mean'."""
+    import ray.data as rd
+
+    from dedup_ray.stages.classifier import (
+        load_any_model,
+        predict_proba,
+        save_model,
+        save_stump_model,
+        score_with_ensemble,
+        train_logistic,
+        train_stumps,
+    )
+
+    X, y = _planted(n=200, d=4)
+    p_log = str(tmp_path / "log.npz")
+    p_stu = str(tmp_path / "stu.npz")
+    save_model(train_logistic(X, y), p_log, ["embedding"])
+    save_stump_model(train_stumps(X, y), p_stu, ["embedding"])
+
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float64())),
+    })
+    out = (
+        score_with_ensemble(rd.from_arrow(tbl), [p_log, p_stu], concurrency=1)
+        .to_pandas().sort_values("vec_id")
+    )
+    m_log, _ = load_any_model(p_log)
+    m_stu, _ = load_any_model(p_stu)
+    mean_p = np.mean(
+        [predict_proba(m_log, X), predict_proba(m_stu, X)], axis=0
+    )
+    assert np.allclose(out["score"].to_numpy(), np.round(mean_p, 6))
+    assert np.array_equal(
+        out["pred"].to_numpy(), (mean_p > 0.5).astype(np.int64)
+    )
+    # ensemble accuracy at least matches the planted labels
+    assert ((mean_p > 0.5) == (y > 0.5)).mean() > 0.9
