@@ -353,13 +353,30 @@ def dedup_pipeline(
         "phase1_edges", lambda: _lazy_union(edge_parts), materialize=True
     )
 
+    # Phase-1 CC runs ONCE; its labels serve both the substring rep
+    # filter (below) and the final clustering, where each phase-1 cluster
+    # enters as a STAR (cluster_id → member) — exactly
+    # connectivity-preserving, and strictly no larger than the raw
+    # multigraph (exact stars + MinHash pairs + SimHash pairs with
+    # cross-tier duplicates), so the final CC's input shrinks to
+    # n_dup_nodes + n_substring_edges.
+    _labels1_cache: list = []
+
+    def _phase1_labels():
+        if not _labels1_cache:
+            from dedup_ray.stages.cc import component_labels
+
+            labels = component_labels(phase1_edges, cfg.cc_local_edge_limit)
+            _labels1_cache.append(
+                labels.materialize() if labels is not None else None
+            )
+        return _labels1_cache[0]
+
     def _non_reps():
         import pyarrow.compute as pc
         import ray.data
 
-        from dedup_ray.stages.cc import component_labels
-
-        labels = component_labels(phase1_edges, cfg.cc_local_edge_limit)
+        labels = _phase1_labels()
         if labels is None:
             return ray.data.from_arrow(pa.table({id_col: pa.array([], id_type)}))
         return labels.map_batches(
@@ -394,7 +411,23 @@ def dedup_pipeline(
         tier_edges_out["substring"] = sub
         if tier_edges_only:
             return None, ctx
-    edges = stage("edges", lambda: _lazy_union([phase1_edges, sub]))
+
+    def _final_edges():
+        labels = _phase1_labels()
+        if labels is None:
+            return sub
+        star = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "id1": t["cluster_id"].combine_chunks().cast(id_type),
+                    "id2": t["id"].combine_chunks().cast(id_type),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return _lazy_union([star, sub])
+
+    edges = stage("edges", _final_edges)
     clusters = stage("clusters", lambda: _assign(edges))
     return clusters, ctx
 
