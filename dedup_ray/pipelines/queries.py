@@ -2633,6 +2633,63 @@ def media_pipeline_docs(sf_dir: str):
     return joined.map_batches(final, batch_format="pandas")
 
 
+def avi_frames_docs(sf_dir: str):
+    """REAL video-container decode, driver-checked: per doc an actual AVI
+    file (RIFF 'AVI ', uncompressed 24-bit DIB — ``codecs.avi_encode``) is
+    synthesized with dimensions/frame counts that are pure functions of
+    doc_id, the ``backend='avi'`` actor-pool stage decodes the container
+    and samples every 2nd frame, and the oracle predicts every count and
+    byte size arithmetically — so a decode error (wrong stride handling,
+    header misparse, dropped frame) surfaces as a value mismatch."""
+    from dedup_ray.stages.codecs import avi_encode
+    from dedup_ray.stages.multimodal import sample_video_frames
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_avi(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nf = (2 + ids % 6).astype(np.int64)
+        w = (2 + ids % 3).astype(np.int64)   # odd widths hit stride padding
+        h = (2 + ids % 2).astype(np.int64)
+        payloads = [
+            avi_encode(np.zeros((int(f), int(hh), int(ww), 3), np.uint8))
+            for f, hh, ww in zip(nf, h, w)
+        ]
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "n_frames": pa.array(nf, pa.int32()),
+        })
+
+    frames = sample_video_frames(
+        docs.map_batches(mk_avi, batch_format="pyarrow"),
+        every=2, concurrency=2, batch_size=64, backend="avi",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "b": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+        })
+
+    agg = frames.map_batches(partial, batch_format="pyarrow") \
+        .groupby("media_id").sum(["n", "b"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["media_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": d,
+            "n_sampled_frames": df["sum(n)"].astype("int64"),
+            "frame_bytes": ((2 + d % 3) * (2 + d % 2) * 3).astype("int64"),
+            "sampled_bytes": df["sum(b)"].astype("int64"),
+        })
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 def top_tokens_docs(sf_dir: str):
     """Corpus heavy hitters: top-20 tokens by frequency (ties broken by
     token).  Pre-aggregated inside each batch (np.unique partials), one
@@ -4676,6 +4733,7 @@ QUERIES = {
     "compression_ratio_docs": compression_ratio_docs,
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
+    "avi_frames_docs": avi_frames_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5135,6 +5193,17 @@ ORACLES["media_pipeline_docs"] = """
            CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS n_sampled_frames,
            CAST(GREATEST(1, (700 + doc_id % 600) // 256) AS BIGINT)
                AS n_audio_windows
+    FROM documents
+"""
+
+ORACLES["avi_frames_docs"] = """
+    SELECT doc_id,
+           CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT) AS n_sampled_frames,
+           CAST((2 + doc_id % 3) * (2 + doc_id % 2) * 3 AS BIGINT)
+               AS frame_bytes,
+           CAST(((2 + doc_id % 6 + 1) // 2)
+                * (2 + doc_id % 3) * (2 + doc_id % 2) * 3 AS BIGINT)
+               AS sampled_bytes
     FROM documents
 """
 

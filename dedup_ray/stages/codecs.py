@@ -10,9 +10,13 @@ halves of that gap from the published file-format specifications alone:
   Paeth), via stdlib ``zlib`` + numpy; plus a minimal encoder (filter 0)
   used by fixtures and tests to produce REAL PNG files.
 - WAV (RIFF PCM): 16-bit PCM decode/encode via the stdlib ``wave`` module.
-
-Video containers stay behind the ffmpeg seam (no pure-python path exists
-for real codecs); raw-frame video is already handled natively.
+- AVI (RIFF 'AVI ', the Microsoft AVI 1.0 spec): decoder + encoder for
+  uncompressed 24-bit DIB video frames (fourcc ``DIB ``/BI_RGB — the
+  interchange form every player and ffmpeg accepts), via stdlib
+  ``struct`` + numpy: RIFF chunk walk, BITMAPINFOHEADER, bottom-up
+  BGR rows with 4-byte stride padding.  Compressed video codecs
+  (H.264/VP9/MJPEG) remain behind the ffmpeg seam — entropy-coded
+  bitstreams, not containers, are where pure python stops.
 
 Scope notes, stated rather than hidden: no interlacing (Adam7), no palette
 (color type 3), no 16-bit channels — the common web cases decode, the rest
@@ -167,3 +171,119 @@ def wav_encode(pcm: np.ndarray, rate: int = 16000) -> bytes:
         w.setframerate(rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk RIFF sub-chunks in data[pos:end] → (fourcc, body_start, body_len).
+
+    RIFF chunks are word-aligned: an odd-length body is followed by one
+    pad byte that belongs to neither chunk.
+    """
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield fourcc, pos + 8, length
+        pos += 8 + length + (length & 1)
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, float]:
+    """AVI bytes (uncompressed 24-bit DIB video) → (frames, fps).
+
+    ``frames`` is a ``(n, h, w, 3)`` uint8 RGB array.  Only BI_RGB
+    24-bit payloads decode (fourcc ``00db``/``00dc`` with
+    ``biCompression == 0``); compressed streams raise ``ValueError``
+    naming the compression — they belong to the ffmpeg seam.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF signature)")
+    width = height = bitcount = compression = None
+    rate = scale = None
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression, rate, scale
+        for fourcc, body, length in _riff_chunks(data, pos, end):
+            if fourcc == b"LIST":
+                walk(body + 4, body + length)  # skip the list-type fourcc
+            elif fourcc == b"strh" and data[body : body + 4] == b"vids":
+                scale, rate = struct.unpack("<II", data[body + 20 : body + 28])
+            elif fourcc == b"strf" and width is None:
+                (_sz, width, height, _planes, bitcount, compression) = (
+                    struct.unpack("<IiiHHI", data[body : body + 20])
+                )
+            elif fourcc[2:4] in (b"db", b"dc") and length:
+                frames_raw.append(data[body : body + length])
+
+    walk(12, len(data))
+    if width is None:
+        raise ValueError("AVI missing strf (BITMAPINFOHEADER)")
+    if compression != 0:
+        raise ValueError(
+            f"compressed AVI stream (biCompression={compression:#x}) not "
+            "supported without ffmpeg; only BI_RGB decodes here"
+        )
+    if bitcount != 24:
+        raise ValueError(f"only 24-bit DIB frames supported (got {bitcount})")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # DIB rows pad to 4-byte boundaries
+    out = np.zeros((len(frames_raw), h, width, 3), np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("AVI frame data size mismatch")
+        rows = np.frombuffer(raw, np.uint8, stride * h).reshape(h, stride)
+        bgr = rows[:, : width * 3].reshape(h, width, 3)
+        if bottom_up:
+            bgr = bgr[::-1]
+        out[i] = bgr[:, :, ::-1]  # BGR → RGB
+    fps = (rate / scale) if rate and scale else 0.0
+    return out, fps
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → AVI bytes (uncompressed DIB).
+
+    Produces a spec-complete single-stream file — avih + strh/strf
+    headers and an idx1 index — playable by any AVI-aware tool.
+    """
+    frames = np.asarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        int(1e6 // fps), frame_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sI2H6IiI4h",
+        b"vids", b"DIB ", 0, 0, 0,     # type, handler, flags, prio, lang
+        0, 1, fps, 0, n, frame_bytes,  # init, scale, rate, start, len, buf
+        -1, 0, 0, 0, w, h,             # quality, sampleSize, rcFrame
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    movi_body = bytearray()
+    idx = bytearray()
+    for i in range(n):
+        pad = np.zeros((h, stride), np.uint8)
+        pad[:, : w * 3] = frames[i][::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+        idx += b"00db" + struct.pack("<III", 0x10, 4 + len(movi_body),
+                                     frame_bytes)
+        movi_body += chunk(b"00db", pad.tobytes())
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", bytes(movi_body))
+        + chunk(b"idx1", bytes(idx))
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body

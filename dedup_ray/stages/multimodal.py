@@ -7,10 +7,12 @@ Backends per stage, by decreasing capability in THIS environment:
   Real PNG and RIFF-PCM payloads decode end to end.
 - ``fake`` / ``raw`` — deterministic raw-RGB / raw-PCM payloads, the CI
   path that needs no container format at all.
-- ``pil`` / ``ffmpeg`` — the full-codec seams (JPEG/WebP, video
-  containers); import-gated and raising ``NotImplementedError`` where the
-  libraries are absent.  Video remains the one stubbed decode (no
-  pure-python path to real video codecs exists).
+- ``avi`` — REAL video container decode (``stages/codecs.py``: RIFF
+  'AVI ' walk, uncompressed 24-bit DIB frames — the interchange form
+  every player accepts; stdlib ``struct`` + numpy).
+- ``pil`` / ``ffmpeg`` — the full-codec seams (JPEG/WebP, compressed
+  video bitstreams); import-gated and raising ``NotImplementedError``
+  where the libraries are absent.
 
 Pattern: media stages are ALWAYS actor pools (model/codec loaded once per
 actor — ST2), with ``batch_size`` sized so batch × concurrency fits worker
@@ -181,17 +183,21 @@ def resize_images(media_ds, out_w: int, out_h: int, concurrency: int = 2,
 
 
 class VideoFrameSample:
-    """Actor: raw-frame 'video' (concatenated RGB frames) → every Nth frame
-    as its own image row — the fan-out (flat_map) media shape.  Encoded
-    containers (``backend='ffmpeg'``) are stubbed; raw sampling is real."""
+    """Actor: video → every Nth frame as its own raw-RGB image row — the
+    fan-out (flat_map) media shape.  ``backend='raw'`` reads concatenated
+    raw RGB frames; ``backend='avi'`` decodes REAL AVI containers
+    (``stages/codecs.py``, uncompressed DIB — no external library).
+    Compressed bitstreams (H.264/VP9) remain behind the ffmpeg seam."""
 
     def __init__(self, every: int = 2, backend: str = "raw") -> None:
         self.every = every
-        if backend == "ffmpeg":  # pragma: no cover - env-dependent
+        if backend not in ("raw", "avi"):  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "ffmpeg backend not available in this environment; "
-                "use backend='raw'"
+                "compressed-video backends not available in this "
+                "environment; use backend='avi' (real AVI/DIB container "
+                "decode) or 'raw'"
             )
+        self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, fidx, frames, ws, hs = [], [], [], [], []
@@ -202,6 +208,18 @@ class VideoFrameSample:
             batch["height"].to_pylist(),
             batch["n_frames"].to_pylist(),
         ):
+            if self.backend == "avi":
+                from dedup_ray.stages.codecs import avi_decode
+
+                arr, _fps = avi_decode(payload)
+                nf, h, w = arr.shape[:3]
+                for k in range(0, nf, self.every):
+                    ids.append(mid)
+                    fidx.append(k)
+                    frames.append(arr[k].tobytes())
+                    ws.append(w)
+                    hs.append(h)
+                continue
             fsize = w * h * 3
             for k in range(0, nf, self.every):
                 ids.append(mid)
@@ -222,11 +240,11 @@ class VideoFrameSample:
 
 
 def sample_video_frames(video_ds, every: int = 2, concurrency: int = 2,
-                        batch_size: int = 8):
+                        batch_size: int = 8, backend: str = "raw"):
     """Tiny batches: video rows are the widest payloads in the engine."""
     return video_ds.map_batches(
         VideoFrameSample,
-        fn_constructor_kwargs={"every": every},
+        fn_constructor_kwargs={"every": every, "backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -356,6 +374,36 @@ def make_video_table(n: int = 4, width: int = 8, height: int = 8,
             "height": pa.array([height] * n, pa.int32()),
             "n_frames": pa.array([n_frames] * n, pa.int32()),
             "media_type": pa.array(["video/raw-rgb"] * n),
+        }
+    )
+
+
+def make_avi_video_table(n: int = 4, width: int = 8, height: int = 8,
+                         n_frames: int = 6, fps: int = 10) -> pa.Table:
+    """REAL-AVI video fixture: the SAME planted frames as
+    ``make_video_table`` (ids match, so frame samples are comparable)
+    wrapped in RIFF 'AVI ' containers via ``codecs.avi_encode`` — actual
+    AVI files, playable by any AVI-aware tool."""
+    from dedup_ray.stages.codecs import avi_encode
+
+    ids = [f"v{i:04d}" for i in range(n)]
+    payloads = []
+    for i in ids:
+        frames = np.stack([
+            np.frombuffer(
+                fake_image(f"{i}/f{k}", width, height), np.uint8
+            ).reshape(height, width, 3)
+            for k in range(n_frames)
+        ])
+        payloads.append(avi_encode(frames, fps=fps))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([width] * n, pa.int32()),
+            "height": pa.array([height] * n, pa.int32()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "media_type": pa.array(["video/x-msvideo"] * n),
         }
     )
 

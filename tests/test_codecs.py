@@ -12,6 +12,8 @@ import ray.data as rd
 
 from dedup_ray.stages.codecs import (
     _PNG_SIG,
+    avi_decode,
+    avi_encode,
     png_decode,
     png_encode,
     wav_decode,
@@ -20,10 +22,13 @@ from dedup_ray.stages.codecs import (
 from dedup_ray.stages.multimodal import (
     decode_images,
     make_audio_table,
+    make_avi_video_table,
     make_media_table,
     make_png_media_table,
+    make_video_table,
     make_wav_audio_table,
     resize_images,
+    sample_video_frames,
     window_audio,
 )
 
@@ -150,6 +155,51 @@ def test_window_audio_wav_matches_raw(ray_session):
     ).to_pandas().sort_values(["media_id", "window_idx"])
     # same planted samples => identical RMS windows
     assert np.allclose(raw["rms"].to_numpy(), wav["rms"].to_numpy())
+
+
+@pytest.mark.parametrize("shape", [(5, 9, 7, 3), (1, 4, 4, 3), (6, 8, 8, 3)])
+def test_avi_roundtrip(shape):
+    # odd widths exercise the DIB 4-byte row-stride padding
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out, fps = avi_decode(avi_encode(frames, fps=12))
+    assert out.shape == frames.shape
+    assert np.array_equal(out, frames)
+    assert fps == pytest.approx(12.0)
+
+
+def test_avi_rejects_unsupported():
+    frames = np.zeros((2, 4, 4, 3), np.uint8)
+    good = avi_encode(frames)
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_decode(b"JUNK" + good)
+    # flip biCompression in the strf BITMAPINFOHEADER to a codec fourcc
+    bad = bytearray(good)
+    strf_body = good.find(b"strf") + 8
+    struct.pack_into("<I", bad, strf_body + 16, 0x34363248)  # 'H264'
+    with pytest.raises(ValueError, match="compressed AVI"):
+        avi_decode(bytes(bad))
+
+
+def test_sample_video_frames_avi_matches_raw(ray_session):
+    # same planted frames, one table concatenated raw-RGB, one REAL AVI
+    cols = ["media_id", "frame_idx", "payload", "width", "height"]
+    raw = sample_video_frames(
+        rd.from_arrow(make_video_table(n=3)), every=2, concurrency=1
+    ).to_pandas().sort_values(["media_id", "frame_idx"])
+    avi = sample_video_frames(
+        rd.from_arrow(make_avi_video_table(n=3)), every=2, concurrency=1,
+        backend="avi",
+    ).to_pandas().sort_values(["media_id", "frame_idx"])
+    for c in cols:
+        assert list(raw[c]) == list(avi[c]), c
+
+
+def test_video_compressed_backend_gated():
+    from dedup_ray.stages.multimodal import VideoFrameSample
+
+    with pytest.raises(NotImplementedError, match="compressed-video"):
+        VideoFrameSample(backend="ffmpeg")
 
 
 def test_pil_backend_gated(ray_session):
