@@ -37,16 +37,31 @@ def _try_key_array(keys_ds, on: str, limit: int):
     """Distinct key values as one Arrow array, or None if > limit keys.
 
     Streams with an early bail-out: the driver never holds more than
-    ``limit`` distinct keys even when the key side is corpus-sized.
+    ~2×``limit`` candidate keys even when the key side is corpus-sized.
+    Accumulation stays in Arrow (``pc.unique`` per batch, periodic
+    compaction) — values are never boxed into Python objects.
     """
-    vals: set = set()
+    import pyarrow.compute as pc
+
+    parts: list[pa.Array] = []
+    n_bound = 0  # upper bound on distinct keys held (sum of part lengths)
     for b in keys_ds.select_columns([on]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        vals.update(b[on].to_pylist())
-        if len(vals) > limit:
-            return None
-    return pa.array(sorted(vals))
+        u = pc.unique(b[on].combine_chunks())
+        parts.append(u)
+        n_bound += len(u)
+        if n_bound > limit:
+            merged = pc.unique(pa.concat_arrays(
+                [p.cast(u.type) for p in parts]))
+            parts, n_bound = [merged], len(merged)
+            if n_bound > limit:
+                return None
+    if not parts:
+        return pa.array([])
+    merged = pc.unique(pa.concat_arrays(
+        [p.cast(parts[0].type) for p in parts]))
+    return merged.sort()
 
 
 def _membership_join(ds, keys_ds, on: str, keep_match: bool, cols, limit,
