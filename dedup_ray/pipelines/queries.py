@@ -2690,6 +2690,53 @@ def avi_frames_docs(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+def jpeg_roundtrip_docs(sf_dir: str):
+    """REAL baseline-JPEG codec, driver-checked as a planted-truth
+    scorecard: per doc a deterministic gradient image (dims pure
+    functions of doc_id) is encoded at quality 100 — even doc_ids 4:4:4,
+    odd ones 4:2:0 with restart markers — decoded back through
+    ``codecs.jpeg_decode`` in an actor-pool stage, and the VERIFIABLE
+    CLAIM is the reconstruction bound: max per-channel error ≤2 for
+    4:4:4 (pure DCT rounding) and ≤32 for 4:2:0 (2×2 chroma averaging
+    across a steep gradient step, amplified ≤1.772× by YCbCr→RGB;
+    measured worst case over every dim combo here is 23).
+    The oracle predicts dims arithmetically and asserts the bound holds
+    for every row, so any decode defect (Huffman desync, wrong
+    upsampling, restart mishandling) flips ``ok`` and fails the hash."""
+    from dedup_ray.stages.codecs import jpeg_decode, jpeg_encode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    class RoundTrip:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            ok = np.zeros(len(ids), bool)
+            ws = (9 + ids % 8).astype(np.int64)
+            hs = (9 + ids % 5).astype(np.int64)
+            for i, (d, w, h) in enumerate(zip(ids, ws, hs)):
+                x = np.linspace(0, 255, int(w))
+                y = np.linspace(0, 255, int(h))
+                img = np.stack([
+                    np.add.outer(y, x) / 2, np.tile(x, (int(h), 1)),
+                    np.tile(y[:, None], (1, int(w))),
+                ], -1).astype(np.uint8)
+                sub = bool(d % 2)
+                data = jpeg_encode(img, quality=100, subsample=sub,
+                                   restart_interval=2 if sub else 0)
+                out = jpeg_decode(data)
+                err = np.abs(out.astype(np.float64) - img).max()
+                ok[i] = err <= (32.0 if sub else 2.0)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "ok": pa.array(ok),
+            })
+
+    return docs.map_batches(RoundTrip, batch_format="pyarrow",
+                            batch_size=128, concurrency=4)
+
+
 def top_tokens_docs(sf_dir: str):
     """Corpus heavy hitters: top-20 tokens by frequency (ties broken by
     token).  Pre-aggregated inside each batch (np.unique partials), one
@@ -4734,6 +4781,7 @@ QUERIES = {
     "top_tokens_docs": top_tokens_docs,
     "media_pipeline_docs": media_pipeline_docs,
     "avi_frames_docs": avi_frames_docs,
+    "jpeg_roundtrip_docs": jpeg_roundtrip_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5204,6 +5252,14 @@ ORACLES["avi_frames_docs"] = """
            CAST(((2 + doc_id % 6 + 1) // 2)
                 * (2 + doc_id % 3) * (2 + doc_id % 2) * 3 AS BIGINT)
                AS sampled_bytes
+    FROM documents
+"""
+
+ORACLES["jpeg_roundtrip_docs"] = """
+    SELECT doc_id,
+           CAST(9 + doc_id % 8 AS BIGINT) AS width,
+           CAST(9 + doc_id % 5 AS BIGINT) AS height,
+           TRUE AS ok
     FROM documents
 """
 

@@ -14,9 +14,16 @@ halves of that gap from the published file-format specifications alone:
   uncompressed 24-bit DIB video frames (fourcc ``DIB ``/BI_RGB — the
   interchange form every player and ffmpeg accepts), via stdlib
   ``struct`` + numpy: RIFF chunk walk, BITMAPINFOHEADER, bottom-up
-  BGR rows with 4-byte stride padding.  Compressed video codecs
-  (H.264/VP9/MJPEG) remain behind the ffmpeg seam — entropy-coded
-  bitstreams, not containers, are where pure python stops.
+  BGR rows with 4-byte stride padding.
+- JPEG (ITU T.81 baseline sequential DCT): full decoder — marker parse,
+  DQT/DHT/SOF0/SOS/DRI, canonical Huffman decode with byte unstuffing
+  and restart-marker segments, dequantize + de-zigzag, exact matrix
+  IDCT, chroma upsampling for any integer sampling factors (4:4:4 /
+  4:2:2 / 4:2:0), JFIF YCbCr→RGB — plus a 4:4:4 encoder with the Annex
+  K example quantization/Huffman tables and libjpeg-style quality
+  scaling, used by fixtures to produce REAL JPEG files.  Progressive
+  (SOF2) and arithmetic-coded JPEG raise ``ValueError``; H.264-class
+  video bitstreams remain behind the ffmpeg seam.
 
 Scope notes, stated rather than hidden: no interlacing (Adam7), no palette
 (color type 3), no 16-bit channels — the common web cases decode, the rest
@@ -287,3 +294,495 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
         + chunk(b"idx1", bytes(idx))
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT, JFIF color space)
+# ---------------------------------------------------------------------------
+
+# Zigzag scan: position in raster order of the k-th zigzag coefficient
+# (T.81 Figure 5).
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# T.81 Annex K example quantization tables (quality 50 reference).
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64)
+
+# T.81 Annex K example Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list).
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix D: F = D f Dᵀ, f = Dᵀ F D —
+    exactly T.81's FDCT/IDCT definition (A.3.3)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    d[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_decode_table(bits, values) -> dict:
+    """Canonical Huffman assignment (T.81 C.2) → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, values) -> dict:
+    """Canonical assignment → {symbol: (length, code)}."""
+    return {sym: lc for lc, sym in _huff_decode_table(bits, values).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted mid-block")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: size-bit magnitude → signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(r: _BitReader, dc_tbl: dict, ac_tbl: dict, pred: int,
+                  qt: np.ndarray) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, np.int64)
+    size = r.read_symbol(dc_tbl)
+    diff = _extend(r.read_bits(size), size) if size else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.read_symbol(ac_tbl)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        coef[k] = _extend(r.read_bits(size), size)
+        k += 1
+    block = np.zeros(64, np.float64)
+    block[_ZIGZAG] = coef * qt
+    spatial = _DCT.T @ block.reshape(8, 8) @ _DCT
+    return spatial, pred
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (or (h, w) greyscale)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, hsamp, vsamp, qt_id), ...])
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                prec, qid = body[p] >> 4, body[p] & 0xF
+                if prec:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qts[qid] = np.frombuffer(
+                    body[p + 1 : p + 65], np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(body[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _huff_decode_table(bits, values)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline JPEG (SOF0) supported, got SOF marker "
+                f"{marker:#x} (progressive/arithmetic belong to the PIL seam)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            nscan = body[0]
+            scan_tbl = {}
+            for c in range(nscan):
+                cid, tsel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tbl[cid] = (tsel >> 4, tsel & 0xF)
+            return _decode_scan(
+                data, pos, frame, scan_tbl, qts, huff, restart_interval
+            )
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, frame, scan_tbl, qts, huff, restart_interval):
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    n_mcus = mcus_x * mcus_y
+
+    # Unstuff entropy bytes, splitting at restart markers.
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = pos
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next real marker: scan over
+            break
+    segments.append(bytes(cur))
+
+    planes = []
+    for _cid, ch, cv, _qid in comps:
+        planes.append(np.zeros((mcus_y * cv * 8, mcus_x * ch * 8),
+                               np.float64))
+    preds = [0] * len(comps)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    per_seg = restart_interval or n_mcus
+    for m in range(n_mcus):
+        if m and restart_interval and m % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch, cv, qid) in enumerate(comps):
+            dc_id, ac_id = scan_tbl[cid]
+            for v in range(cv):
+                for hh in range(ch):
+                    block, preds[ci] = _decode_block(
+                        reader, huff[(0, dc_id)], huff[(1, ac_id)],
+                        preds[ci], qts[qid][_ZIGZAG],
+                    )
+                    y0 = (my * cv + v) * 8
+                    x0 = (mx * ch + hh) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, (_cid, ch, cv, _qid) in enumerate(comps):
+        up = np.repeat(np.repeat(planes[ci], max_v // cv, axis=0),
+                       max_h // ch, axis=1)
+        out_planes.append(up[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128, out_planes[2] - 128
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:  # pad with 1-bits per spec
+            self.write_bits((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _csize(v: int) -> int:
+    """Magnitude category (number of bits) of a coefficient."""
+    return int(abs(v)).bit_length()
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K table."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _encode_block(wtr: _BitWriter, block: np.ndarray, qt_z: np.ndarray,
+                  dc_tbl: dict, ac_tbl: dict, pred: int) -> int:
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    q = np.round(coef.reshape(-1)[_ZIGZAG] / qt_z).astype(np.int64)
+    diff = int(q[0]) - pred
+    size = _csize(diff)
+    length, code = dc_tbl[size]
+    wtr.write_bits(code, length)
+    if size:
+        wtr.write_bits(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_tbl[0xF0]  # ZRL
+            wtr.write_bits(code, length)
+            run -= 16
+        size = _csize(v)
+        length, code = ac_tbl[(run << 4) | size]
+        wtr.write_bits(code, length)
+        wtr.write_bits(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        length, code = ac_tbl[0x00]  # EOB
+        wtr.write_bits(code, length)
+    return int(q[0])
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85,
+                restart_interval: int = 0, subsample: bool = False) -> bytes:
+    """(h, w, 3) RGB or (h, w) greyscale uint8 → baseline JPEG bytes
+    (Annex K example Huffman tables, JFIF APP0).  ``subsample=True``
+    encodes 4:2:0 (2×2-averaged chroma, the dominant web form);
+    default is 4:4:4.  A nonzero ``restart_interval`` emits DRI + RSTn
+    markers every that many MCUs — the resync points a parallel decoder
+    keys on."""
+    arr = np.asarray(arr, np.uint8)
+    grey = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qt_l = _scale_qt(_QT_LUMA, quality)
+    qt_c = _scale_qt(_QT_CHROMA, quality)
+    if grey:
+        planes = [arr.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qts = [qt_l, qt_c, qt_c]
+    sub = 2 if (subsample and not grey) else 1
+    mcu_px = 8 * sub  # MCU covers mcu_px × mcu_px pixels
+    mh, mw = -(-h // mcu_px), -(-w // mcu_px)
+    padded = []
+    for ci, p in enumerate(planes):
+        if ci and sub == 2:  # chroma: 2×2 mean over the padded plane
+            full = np.empty((mh * mcu_px, mw * mcu_px), np.float64)
+            full[:h, :w] = p
+            full[h:, :w] = p[h - 1 : h, :]
+            full[:, w:] = full[:, w - 1 : w]
+            p = full.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+            ph, pw = mh * 8, mw * 8
+        else:
+            ph, pw = mh * (mcu_px if sub == 2 else 8), mw * (
+                mcu_px if sub == 2 else 8)
+        pad = np.empty((ph, pw), np.float64)
+        ch_, cw_ = min(ph, p.shape[0]), min(pw, p.shape[1])
+        pad[:ch_, :cw_] = p[:ch_, :cw_]
+        if ch_ < ph:
+            pad[ch_:, :cw_] = pad[ch_ - 1 : ch_, :cw_]
+        if cw_ < pw:
+            pad[:, cw_:] = pad[:, cw_ - 1 : cw_]
+        padded.append(pad)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[_ZIGZAG].tolist()))
+    if not grey:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[_ZIGZAG].tolist()))
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        samp = (sub << 4) | sub if c == 0 else 0x11
+        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+    tables = [(_DC_LUMA, 0x00), (_AC_LUMA, 0x10)]
+    if not grey:
+        tables += [(_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)]
+    for (bits, values), tid in tables:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(values))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    enc_tbls = [
+        (_huff_encode_table(*_DC_LUMA), _huff_encode_table(*_AC_LUMA)),
+        (_huff_encode_table(*_DC_CHROMA), _huff_encode_table(*_AC_CHROMA)),
+    ]
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(mh * mw):
+        if m and restart_interval and m % restart_interval == 0:
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            wtr = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mw)
+        for ci in range(ncomp):
+            dc_tbl, ac_tbl = enc_tbls[0 if ci == 0 else 1]
+            csub = sub if ci == 0 else 1  # luma sub×sub blocks per MCU
+            for v in range(csub):
+                for hh in range(csub):
+                    by, bx = my * csub + v, mx * csub + hh
+                    preds[ci] = _encode_block(
+                        wtr,
+                        padded[ci][by * 8 : by * 8 + 8,
+                                   bx * 8 : bx * 8 + 8],
+                        qts[ci][_ZIGZAG].astype(np.float64),
+                        dc_tbl, ac_tbl, preds[ci],
+                    )
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -10,9 +10,11 @@ Backends per stage, by decreasing capability in THIS environment:
 - ``avi`` — REAL video container decode (``stages/codecs.py``: RIFF
   'AVI ' walk, uncompressed 24-bit DIB frames — the interchange form
   every player accepts; stdlib ``struct`` + numpy).
-- ``pil`` / ``ffmpeg`` — the full-codec seams (JPEG/WebP, compressed
-  video bitstreams); import-gated and raising ``NotImplementedError``
-  where the libraries are absent.
+- ``jpeg`` — REAL baseline-JPEG decode (``stages/codecs.py``: ITU T.81
+  sequential DCT — Huffman + IDCT + 4:2:0 upsampling, stdlib + numpy).
+- ``pil`` / ``ffmpeg`` — the full-codec seams (WebP/progressive JPEG,
+  compressed video bitstreams); import-gated and raising
+  ``NotImplementedError`` where the libraries are absent.
 
 Pattern: media stages are ALWAYS actor pools (model/codec loaded once per
 actor — ST2), with ``batch_size`` sized so batch × concurrency fits worker
@@ -38,9 +40,10 @@ class ImageDecode:
     """Actor: (media_id, payload, width, height) → +decoded feature columns.
 
     ``backend='fake'`` decodes the deterministic raw-RGB fake;
-    ``backend='png'`` decodes REAL PNG payloads (``stages/codecs.py``, no
-    external library); ``backend='pil'`` is the full-codec seam
-    (JPEG/WebP), used when pillow is importable and raising otherwise.
+    ``backend='png'`` / ``backend='jpeg'`` decode REAL PNG / baseline-JPEG
+    payloads (``stages/codecs.py``, no external library);
+    ``backend='pil'`` is the full-codec seam (WebP/progressive), used
+    when pillow is importable and raising otherwise.
     Output: per-channel mean/std (3 entries for RGB; greyscale/alpha
     channels as produced by the image).
     """
@@ -64,6 +67,10 @@ class ImageDecode:
             from dedup_ray.stages.codecs import png_decode
 
             return png_decode(payload)
+        if self.backend == "jpeg":
+            from dedup_ray.stages.codecs import jpeg_decode
+
+            return jpeg_decode(payload)
         if self.backend == "pil":  # pragma: no cover - env-dependent
             import io
 
@@ -378,6 +385,35 @@ def make_video_table(n: int = 4, width: int = 8, height: int = 8,
     )
 
 
+def make_jpeg_media_table(n: int = 8, width: int = 8, height: int = 8,
+                          quality: int = 100,
+                          subsample: bool = False) -> pa.Table:
+    """REAL-JPEG media fixture: the SAME pixels as ``make_media_table``
+    (ids match) encoded through ``codecs.jpeg_encode`` — actual baseline
+    JPEG files, decodable by any viewer.  At the default quality 100 the
+    decode error is ≤2/255 per channel, so features computed on this
+    table are comparable (within tolerance) to the raw fixture's."""
+    from dedup_ray.stages.codecs import jpeg_encode
+
+    ids = [f"m{i:04d}" for i in range(n)]
+    payloads = []
+    for i in ids:
+        arr = np.frombuffer(
+            fake_image(i, width, height), np.uint8
+        ).reshape(height, width, 3)
+        payloads.append(jpeg_encode(arr, quality=quality,
+                                    subsample=subsample))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([width] * n, pa.int32()),
+            "height": pa.array([height] * n, pa.int32()),
+            "media_type": pa.array(["image/jpeg"] * n),
+        }
+    )
+
+
 def make_avi_video_table(n: int = 4, width: int = 8, height: int = 8,
                          n_frames: int = 6, fps: int = 10) -> pa.Table:
     """REAL-AVI video fixture: the SAME planted frames as
@@ -427,13 +463,20 @@ def make_audio_table(n: int = 8, n_samples: int = 4096) -> pa.Table:
     )
 
 
-# (name, magic-byte prefix) tested IN ORDER; first match wins.  ASCII-only
-# magics so the generated oracle can rebuild the same payloads as VARCHAR.
+# (name, magic-byte prefix) tested IN ORDER; first match wins.  The
+# leading ASCII magics are the ones the oracle-checked query synthesizes
+# as VARCHAR; the binary magics below them route real media payloads to
+# the per-type decoder stages (codecs.py) and can never match an
+# ASCII-prefixed payload, so the oracle contract is unchanged.
 CONTENT_MAGICS: list[tuple[str, bytes]] = [
     ("pdf", b"%PDF-"),
     ("html", b"<!DOCTYPE"),
     ("html", b"<html"),
     ("xml", b"<?xml"),
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("riff", b"RIFF"),  # WAV/AVI; bytes 8-12 pick the concrete container
 ]
 CONTENT_FALLBACK = "other"
 

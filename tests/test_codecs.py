@@ -14,6 +14,8 @@ from dedup_ray.stages.codecs import (
     _PNG_SIG,
     avi_decode,
     avi_encode,
+    jpeg_decode,
+    jpeg_encode,
     png_decode,
     png_encode,
     wav_decode,
@@ -193,6 +195,98 @@ def test_sample_video_frames_avi_matches_raw(ray_session):
     ).to_pandas().sort_values(["media_id", "frame_idx"])
     for c in cols:
         assert list(raw[c]) == list(avi[c]), c
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    return np.stack([
+        np.add.outer(y, x) / 2, np.tile(x, (h, 1)),
+        np.tile(y[:, None], (1, w)),
+    ], -1).astype(np.uint8)
+
+
+def test_jpeg_q100_near_lossless():
+    # quality 100 => all-ones quantization: round trip error is pure
+    # DCT/rounding noise, even on white noise — this pins the whole
+    # Huffman/zigzag/IDCT chain, not just smooth-image behavior
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (16, 16), np.uint8)
+    out = jpeg_decode(jpeg_encode(noise, quality=100))
+    assert np.abs(out.astype(float) - noise.astype(float)).max() <= 1
+    img = _gradient(17, 13)  # non-multiple-of-8 dims hit edge padding
+    out3 = jpeg_decode(jpeg_encode(img, quality=100))
+    assert out3.shape == img.shape
+    assert np.abs(out3.astype(float) - img.astype(float)).max() <= 2
+
+
+def test_jpeg_lossy_quality_tracks():
+    img = _gradient(24, 32)
+    e95 = np.abs(jpeg_decode(jpeg_encode(img, 95)).astype(float) - img).mean()
+    e50 = np.abs(jpeg_decode(jpeg_encode(img, 50)).astype(float) - img).mean()
+    assert e95 < e50  # coarser tables, larger error
+    assert len(jpeg_encode(img, 50)) < len(jpeg_encode(img, 95))
+
+
+def test_jpeg_restart_markers_and_420():
+    img = _gradient(21, 29)
+    plain = jpeg_decode(jpeg_encode(img, quality=100))
+    rst = jpeg_decode(jpeg_encode(img, quality=100, restart_interval=2))
+    assert np.array_equal(plain, rst)  # resync changes framing, not pixels
+    sub = jpeg_decode(jpeg_encode(img, quality=100, subsample=True))
+    assert sub.shape == img.shape
+    # 4:2:0 loses only chroma detail: still close on a smooth gradient
+    assert np.abs(sub.astype(float) - img.astype(float)).mean() < 6
+    both = jpeg_decode(
+        jpeg_encode(img, quality=100, subsample=True, restart_interval=3)
+    )
+    assert np.array_equal(sub, both)
+
+
+def test_jpeg_rejects_unsupported():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"JUNK")
+    good = jpeg_encode(np.zeros((8, 8), np.uint8))
+    bad = bytearray(good)
+    sof = good.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(bad))
+
+
+def test_jpeg_spec_constants():
+    # independent pins so encoder/decoder bugs cannot cancel out:
+    from dedup_ray.stages.codecs import _DCT, _ZIGZAG, _huff_decode_table
+
+    # DCT matrix is orthonormal (D Dᵀ = I) — T.81 A.3.3
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+    # zigzag is a permutation starting 0,1,8,16,9,2 (T.81 Figure 5)
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    assert _ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    # canonical Huffman assignment: DC-luma symbol 0 is the 2-bit code 00
+    # and symbol 11 the 9-bit all-ones-but-last code (T.81 Annex K.3.1)
+    tbl = {v: lc for lc, v in _huff_decode_table(
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12))).items()}
+    assert tbl[0] == (2, 0b00)
+    assert tbl[11] == (9, 0b111111110)
+
+
+def test_decode_images_jpeg_close_to_fake(ray_session):
+    from dedup_ray.stages.multimodal import make_jpeg_media_table
+
+    raw = decode_images(
+        rd.from_arrow(make_media_table(n=6)), backend="fake", concurrency=1
+    ).to_pandas().set_index("media_id")
+    jpg = decode_images(
+        rd.from_arrow(make_jpeg_media_table(n=6)), backend="jpeg",
+        concurrency=1,
+    ).to_pandas().set_index("media_id")
+    for mid in raw.index:
+        assert np.allclose(raw.loc[mid, "rgb_mean"], jpg.loc[mid, "rgb_mean"],
+                           atol=2.0)
+        assert np.allclose(raw.loc[mid, "rgb_std"], jpg.loc[mid, "rgb_std"],
+                           atol=2.0)
 
 
 def test_video_compressed_backend_gated():
