@@ -24,6 +24,9 @@ halves of that gap from the published file-format specifications alone:
   scaling, used by fixtures to produce REAL JPEG files.  Progressive
   (SOF2) and arithmetic-coded JPEG raise ``ValueError``; H.264-class
   video bitstreams remain behind the ffmpeg seam.
+- GIF (GIF87a/89a): full LZW decoder (variable code width, clear/EOI,
+  12-bit cap, the KwKwK case), global/local palettes and interlaced row
+  order; plus a fixed-width-LZW encoder for fixtures.
 
 Scope notes, stated rather than hidden: no interlacing (Adam7), no palette
 (color type 3), no 16-bit channels — the common web cases decode, the rest
@@ -785,4 +788,168 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
                     )
     out += wtr.flush()
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, LZW-compressed indexed color)
+# ---------------------------------------------------------------------------
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF bytes → (h, w, 3) uint8 RGB of the FIRST image (animations
+    decode their first frame; the multi-frame story belongs to the video
+    stages).  Full LZW decode (variable code width, clear/EOI, 12-bit
+    cap), local/global palettes, and interlaced row order."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block {b:#x}")
+        _left, _top, w, h, ipacked = struct.unpack(
+            "<HHHHB", data[pos + 1 : pos + 10]
+        )
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), min_code, w * h)
+        grid = np.asarray(idx, np.int64).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            out = np.zeros_like(grid)
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            out[order] = grid
+            grid = out
+        return pal[np.clip(grid, 0, len(pal) - 1)]
+    raise ValueError("GIF has no image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW (LSB-first bit packing, 12-bit max code width)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(dictionary) and dictionary[code]:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) palette indices + (n, 3) palette → GIF89a bytes.
+
+    Uses the classic fixed-width LZW form: emit every pixel as a literal
+    code and a CLEAR whenever the dictionary is about to force a width
+    increase — valid LZW any decoder accepts, trading compression for a
+    dependency-free encoder (fixtures/tests only)."""
+    indices = np.asarray(indices, np.uint8)
+    palette = np.asarray(palette, np.uint8)
+    h, w = indices.shape
+    nbits = max(2, int(len(palette) - 1).bit_length())
+    npal = 1 << nbits
+    pal = np.zeros((npal, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(nbits)  # LZW minimum code size
+    clear = 1 << nbits
+    width = nbits + 1
+    acc = 0
+    accbits = 0
+    lzw = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    # after CLEAR the decoder's dictionary holds clear+2 entries and adds
+    # one per literal after the first; re-CLEAR before it reaches 2^width
+    budget = (1 << width) - (clear + 2) - 1
+    count = 0
+    for v in indices.reshape(-1).tolist():
+        if count > budget:
+            emit(clear)
+            count = 0
+        emit(v)
+        count += 1
+    emit(clear + 1)  # EOI
+    if accbits:
+        lzw.append(acc & 0xFF)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
     return bytes(out)

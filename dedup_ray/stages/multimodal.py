@@ -12,6 +12,8 @@ Backends per stage, by decreasing capability in THIS environment:
   every player accepts; stdlib ``struct`` + numpy).
 - ``jpeg`` — REAL baseline-JPEG decode (``stages/codecs.py``: ITU T.81
   sequential DCT — Huffman + IDCT + 4:2:0 upsampling, stdlib + numpy).
+- ``gif`` — REAL GIF87a/89a decode (``stages/codecs.py``: full LZW with
+  variable code width, palettes, interlacing).
 - ``pil`` / ``ffmpeg`` — the full-codec seams (WebP/progressive JPEG,
   compressed video bitstreams); import-gated and raising
   ``NotImplementedError`` where the libraries are absent.
@@ -71,6 +73,10 @@ class ImageDecode:
             from dedup_ray.stages.codecs import jpeg_decode
 
             return jpeg_decode(payload)
+        if self.backend == "gif":
+            from dedup_ray.stages.codecs import gif_decode
+
+            return gif_decode(payload)
         if self.backend == "pil":  # pragma: no cover - env-dependent
             import io
 

@@ -289,6 +289,114 @@ def test_decode_images_jpeg_close_to_fake(ray_session):
                            atol=2.0)
 
 
+def _lzw_compress(indices, nbits):
+    """Real (dictionary-growing) GIF LZW compressor — test-only, so the
+    DECODER's dictionary-growth and KwKwK paths are exercised by a
+    stream our fixed-width encoder never produces."""
+    clear, eoi = 1 << nbits, (1 << nbits) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = nbits + 1
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    seq = ()
+    for v in indices:
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        seq = (v,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_roundtrip_and_real_lzw():
+    from dedup_ray.stages.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    idx = rng.integers(0, 256, (11, 17), np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(idx, pal)), pal[idx])
+    # repetitive data through a REAL compressing LZW stream: exercises
+    # dictionary growth, width bumps and the KwKwK case in the decoder
+    rep = np.tile(np.arange(8, dtype=np.uint8), 64).reshape(16, 32)
+    data = bytearray(gif_encode(rep, pal[:8]))
+    # splice the real LZW stream over the fixed-width one
+    lzw = _lzw_compress(rep.reshape(-1).tolist(), 3)
+    head_len = 13 + 3 * 8 + 10 + 1  # header+palette+descriptor+min-code
+    spliced = bytes(data[:head_len])
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        spliced += bytes([len(blk)]) + blk
+    spliced += b"\x00\x3b"
+    assert np.array_equal(gif_decode(spliced), pal[:8][rep])
+
+
+def test_gif_interlaced():
+    from dedup_ray.stages.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    img = rng.integers(0, 256, (13, 6), np.uint8)
+    h = 13
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    data = bytearray(gif_encode(img[order], pal))  # rows in pass order
+    data[13 + 3 * 256 + 9] |= 0x40                 # set the interlace flag
+    assert np.array_equal(gif_decode(bytes(data)), pal[img])
+
+
+def test_decode_images_gif(ray_session):
+    from dedup_ray.stages.codecs import gif_encode
+    from dedup_ray.stages.multimodal import decode_images
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    rows = []
+    expected = {}
+    for i in range(4):
+        idx = rng.integers(0, 256, (8, 8), np.uint8)
+        rgb = pal[idx]
+        mid = f"g{i:04d}"
+        expected[mid] = [round(float(x), 6) for x in
+                         rgb.mean(axis=(0, 1))]
+        rows.append((mid, gif_encode(idx, pal)))
+    t = pa.table({
+        "media_id": pa.array([r[0] for r in rows]),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+        "width": pa.array([8] * 4, pa.int32()),
+        "height": pa.array([8] * 4, pa.int32()),
+        "media_type": pa.array(["image/gif"] * 4),
+    })
+    out = decode_images(rd.from_arrow(t), backend="gif",
+                        concurrency=1).to_pandas().set_index("media_id")
+    for mid, mean in expected.items():
+        assert list(out.loc[mid, "rgb_mean"]) == mean
+
+
 def test_video_compressed_backend_gated():
     from dedup_ray.stages.multimodal import VideoFrameSample
 
