@@ -2690,6 +2690,44 @@ def avi_frames_docs(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+PUSHDOWN_PRICE = 200_000.0
+
+
+def pushdown_read_orders(sf_dir: str):
+    """Predicate + projection pushdown AT THE READ: the price filter is
+    handed to the PyArrow scanner inside ``read_parquet`` (row-group
+    statistics prune storage I/O before any block reaches the object
+    store — the 100-TB discipline of never shipping bytes a WHERE clause
+    already excludes) and only three columns leave the file.  Downstream
+    is one narrow grouped aggregate."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        filter=(pc.field("o_totalprice") > PUSHDOWN_PRICE),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("o_orderkey", "count"), ("o_totalprice", "sum")]
+        )
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "n": g["o_orderkey_count"],
+            "total": g["o_totalprice_sum"],
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").sum(["n", "total"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+            "total": pc.round(t["sum(total)"], 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def jpeg_roundtrip_docs(sf_dir: str):
     """REAL baseline-JPEG codec, driver-checked as a planted-truth
     scorecard: per doc a deterministic gradient image (dims pure
@@ -4782,6 +4820,7 @@ QUERIES = {
     "media_pipeline_docs": media_pipeline_docs,
     "avi_frames_docs": avi_frames_docs,
     "jpeg_roundtrip_docs": jpeg_roundtrip_docs,
+    "pushdown_read_orders": pushdown_read_orders,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5253,6 +5292,15 @@ ORACLES["avi_frames_docs"] = """
                 * (2 + doc_id % 3) * (2 + doc_id % 2) * 3 AS BIGINT)
                AS sampled_bytes
     FROM documents
+"""
+
+ORACLES["pushdown_read_orders"] = f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > {PUSHDOWN_PRICE}
+    GROUP BY o_orderpriority
 """
 
 ORACLES["jpeg_roundtrip_docs"] = """
