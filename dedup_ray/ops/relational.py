@@ -170,6 +170,111 @@ def left_join(big_ds, small_ds, on: str, big_cols: list[str],
     )
 
 
+def skew_inner_join(left_ds, right_ds, on: str, left_cols: list[str],
+                    right_cols: list[str], hot_row_threshold: int = 100_000,
+                    salt: int = 8, num_partitions: int = 16):
+    """Inner join that survives hot keys — the skew defense a plain
+    hash-partitioned join lacks (one partition receives every row of a
+    hot key; at web scale a single viral host key can be 10% of the
+    corpus and that partition runs alone for hours).
+
+    Three phases, all distributed:
+
+    1. **Census**: per-batch key-count partials on the LEFT (big) side →
+       one small grouped sum → keys whose row count exceeds
+       ``hot_row_threshold`` come to the driver.  Driver state is
+       inherently bounded: at most ``total_rows / hot_row_threshold``
+       keys can exceed the threshold, so no cap is needed.
+    2. **Cold path**: rows of non-hot keys on both sides take the normal
+       co-partitioning ``hash_join`` — hot and cold key sets are
+       disjoint, so the split loses no join pairs.
+    3. **Hot path (salted replication)**: left hot rows get a salt in
+       ``[0, salt)`` (round-robin within each batch — load balance only,
+       never output-visible), right hot rows are replicated once per
+       salt, and the join runs on the packed ``key:salt`` composite.
+       Per-partition work for a hot key drops by ``1/salt`` at the cost
+       of replicating only the hot slice of the small side.
+
+    Output columns: ``left_cols`` + non-key ``right_cols`` (inner join
+    semantics, exactly ``hash_join``'s result set in any row order).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from dedup_ray.util.dsutil import hash_join
+
+    def census(t: pa.Table) -> pa.Table:
+        g = t.select([on]).group_by(on).aggregate([([], "count_all")])
+        return pa.table({on: g[on], "cnt": g["count_all"]})
+
+    counts = (
+        left_ds.map_batches(census, batch_format="pyarrow")
+        .groupby(on).sum("cnt")
+    )
+    hot_parts = [
+        b.select([on])
+        for b in counts.map_batches(
+            lambda t: t.filter(
+                pc.greater(t["sum(cnt)"], hot_row_threshold)
+            ).select([on]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    hot_tbl = pa.concat_tables(hot_parts) if hot_parts else None
+
+    out_cols = list(dict.fromkeys(left_cols + right_cols))
+    if hot_tbl is None or hot_tbl.num_rows == 0:
+        return hash_join(left_ds, right_ds, on, left_cols, right_cols,
+                         num_partitions=num_partitions)
+    hot_keys = hot_tbl[on].combine_chunks()
+
+    hot_ref = ray.put(hot_keys)
+
+    def split(keep_hot: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[on], value_set=ray.get(hot_ref))
+            return t.filter(mask if keep_hot else pc.invert(mask))
+        return f
+
+    cold = hash_join(
+        left_ds.map_batches(split(False), batch_format="pyarrow"),
+        right_ds.map_batches(split(False), batch_format="pyarrow"),
+        on, left_cols, right_cols, num_partitions=num_partitions,
+    )
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[on], value_set=ray.get(hot_ref)))
+        s = np.arange(t.num_rows, dtype=np.int64) % salt
+        packed = pc.binary_join_element_wise(
+            pc.cast(t[on], pa.string()),
+            pa.array(s.astype("U"), pa.string()), ":")
+        return t.append_column("__ks", packed)
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[on], value_set=ray.get(hot_ref)))
+        reps = []
+        for s in range(salt):
+            packed = pc.binary_join_element_wise(
+                pc.cast(t[on], pa.string()),
+                pa.scalar(str(s)), ":")
+            reps.append(t.append_column("__ks", packed))
+        return pa.concat_tables(reps) if reps else t
+
+    hot = hash_join(
+        left_ds.map_batches(salt_left, batch_format="pyarrow"),
+        right_ds.map_batches(replicate_right, batch_format="pyarrow"),
+        "__ks", left_cols + ["__ks"],
+        ["__ks"] + [c for c in right_cols if c != on],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow",
+    )
+    return as_arrow(cold).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow",
+    ).union(hot)
+
+
 def block_pairs(ds, block_col: str, id_col: str, value_cols: list[str] | None = None):
     """P1: all C(n,2) canonical pairs within each block, as keyed rows.
 

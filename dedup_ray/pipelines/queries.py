@@ -2690,6 +2690,75 @@ def avi_frames_docs(sf_dir: str):
     return agg.map_batches(final, batch_format="pandas")
 
 
+SKEWJOIN_HOT_ROWS = 2_000
+
+
+def skew_join_events(sf_dir: str):
+    """Hot-key-aware join (``ops/relational.py::skew_inner_join``): a
+    synthesized viral key (``user_id % 10 < 7 → hub 0``, so one key holds
+    ~70%% of events) joins a per-(hub, event_type) dimension built from
+    the same table.  The census finds hub 0 hot, routes it through the
+    salted-replication path while the cold hubs take the plain
+    co-partitioning join, and the rolled-up output must equal the plain
+    SQL join — the skew machinery is observable only as load balance,
+    never in values."""
+    from dedup_ray.ops.relational import skew_inner_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def hubify(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        m = u % 10
+        return pa.table({
+            "hub": pa.array(np.where(m < 7, 0, m), pa.int64()),
+            "event_type": t["event_type"],
+            "value": t["value"],
+        })
+
+    # materialized ONCE: the census, the hot/cold splits and the dim all
+    # re-read this table (tiny here; at scale it is the signature-table
+    # pattern — one materialize amortized over every downstream pass)
+    left = ds.map_batches(hubify, batch_format="pyarrow").materialize()
+    dim = left.map_batches(
+        lambda t: pa.table({"hub": t["hub"],
+                            "event_type": t["event_type"]}),
+        batch_format="pyarrow",
+    ).groupby(["hub", "event_type"]).count().map_batches(
+        lambda t: pa.table({
+            "hub": t["hub"],
+            "dim_type": t["event_type"],
+            "type_n": pc.cast(t["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both the cold split and the hot replicate
+    joined = skew_inner_join(
+        left, dim, "hub",
+        ["hub", "event_type", "value"], ["hub", "dim_type", "type_n"],
+        hot_row_threshold=SKEWJOIN_HOT_ROWS, salt=4, num_partitions=8,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("hub").aggregate(
+            [([], "count_all"), ("type_n", "sum"), ("value", "sum")]
+        )
+        return pa.table({
+            "hub": g["hub"], "n": g["count_all"],
+            "tn": g["type_n_sum"], "v": g["value_sum"],
+        })
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hub").sum(["n", "tn", "v"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "hub": t["hub"],
+            "joined_rows": pc.cast(t["sum(n)"], pa.int64()),
+            "type_n_total": pc.cast(t["sum(tn)"], pa.int64()),
+            "value_total": pc.round(t["sum(v)"], 3),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 PUSHDOWN_PRICE = 200_000.0
 
 
@@ -4821,6 +4890,7 @@ QUERIES = {
     "avi_frames_docs": avi_frames_docs,
     "jpeg_roundtrip_docs": jpeg_roundtrip_docs,
     "pushdown_read_orders": pushdown_read_orders,
+    "skew_join_events": skew_join_events,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5292,6 +5362,22 @@ ORACLES["avi_frames_docs"] = """
                 * (2 + doc_id % 3) * (2 + doc_id % 2) * 3 AS BIGINT)
                AS sampled_bytes
     FROM documents
+"""
+
+ORACLES["skew_join_events"] = """
+    WITH e AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 10 END
+                   AS hub,
+               event_type, value
+        FROM events),
+    dim AS (SELECT hub, event_type AS dim_type, count(*) AS type_n
+            FROM e GROUP BY hub, event_type)
+    SELECT e.hub,
+           count(*) AS joined_rows,
+           sum(type_n) AS type_n_total,
+           round(sum(value), 3) AS value_total
+    FROM e JOIN dim ON e.hub = dim.hub
+    GROUP BY e.hub
 """
 
 ORACLES["pushdown_read_orders"] = f"""

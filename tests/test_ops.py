@@ -342,3 +342,58 @@ def test_sniff_content_type_edges():
     out = sniff_content_type(ds).to_pandas().sort_values("doc_id")
     assert out["content_type"].tolist() == [
         "pdf", "html", "html", "xml", "other", "other", "other", "other"]
+
+
+def test_skew_inner_join_matches_pandas(ray_session):
+    from dedup_ray.ops.relational import skew_inner_join
+
+    rng = np.random.default_rng(17)
+    # one viral key (0) holding ~70% of rows, a few cold keys
+    keys = np.where(rng.random(3000) < 0.7, 0, rng.integers(1, 6, 3000))
+    left = pd.DataFrame({"k": keys, "x": np.arange(3000)})
+    right = pd.DataFrame({
+        "k": np.repeat(np.arange(6), 3),
+        "tag": [f"t{i}" for i in range(18)],
+    })
+    expected = left.merge(right, on="k").sort_values(
+        ["k", "x", "tag"]).reset_index(drop=True)
+
+    got = skew_inner_join(
+        rd.from_pandas(left, override_num_blocks=6),
+        rd.from_pandas(right, override_num_blocks=2),
+        "k", ["k", "x"], ["k", "tag"],
+        hot_row_threshold=500, salt=4, num_partitions=4,
+    ).to_pandas().sort_values(["k", "x", "tag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(expected.dtypes.to_dict()), expected)
+
+
+def test_skew_inner_join_no_hot_keys_path(ray_session):
+    from dedup_ray.ops.relational import skew_inner_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 3, 5], "tag": ["a", "b", "c"]})
+    got = skew_inner_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", ["k", "x"], ["k", "tag"],
+        hot_row_threshold=100, num_partitions=2,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    expected = left.merge(right, on="k").sort_values("k").reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got.astype(expected.dtypes.to_dict()),
+                                  expected)
+
+
+def test_skew_inner_join_all_hot(ray_session):
+    from dedup_ray.ops.relational import skew_inner_join
+
+    left = pd.DataFrame({"k": [7] * 50, "x": np.arange(50)})
+    right = pd.DataFrame({"k": [7, 7], "tag": ["a", "b"]})
+    got = skew_inner_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "k", ["k", "x"], ["k", "tag"],
+        hot_row_threshold=10, salt=3, num_partitions=2,
+    ).to_pandas()
+    assert len(got) == 100  # 50 rows x 2 right matches
+    assert set(got["tag"]) == {"a", "b"}
+    assert sorted(got["x"]) == sorted(list(range(50)) * 2)
