@@ -275,6 +275,64 @@ def skew_inner_join(left_ds, right_ds, on: str, left_cols: list[str],
     ).union(hot)
 
 
+def bloom_semi_join(big_ds, keys_ds, on: str, big_cols: list[str],
+                    bits_log2: int = 24, k: int = 4,
+                    num_partitions: int = 16):
+    """Semi join where the key side is too big to broadcast EXACTLY but a
+    fixed-size Bloom filter of it fits anywhere — the classic
+    exchange-shrinking join optimization.
+
+    1. The key side streams through the driver ONCE as vectorized 64-bit
+       hashes OR-ed into a ``2^bits_log2``-bit Bloom (2 MB at the default
+       regardless of key count — driver memory is the filter size, fixed,
+       unlike the exact broadcast set that grows 8 B+/key).
+    2. The Bloom broadcasts via ``ray.put``; the big side drops every row
+       whose key cannot be present (no false negatives, so no lost rows)
+       BEFORE the shuffle — the exchange then moves only plausible
+       matches instead of the whole table.
+    3. The surviving slice takes the exact partitioned semi join, which
+       removes Bloom false positives; output EQUALS the plain semi join.
+
+    Use :func:`semi_join` when the distinct key count fits the broadcast
+    limit (exact filter, no second pass); this operator is the regime
+    above it.
+    """
+    import ray
+
+    from dedup_ray.stages.sketch import bloom_build, bloom_contains
+    from dedup_ray.util.dsutil import hash_join
+    from dedup_ray.util.exchange import _key_hash
+
+    words = None
+    for b in keys_ds.select_columns([on]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        col = b[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        part = bloom_build(_key_hash(col), bits_log2=bits_log2, k=k)
+        words = part if words is None else (words | part)
+    if words is None:  # empty key side: semi join is empty
+        return big_ds.map_batches(
+            lambda t: t.select(big_cols).slice(0, 0),
+            batch_format="pyarrow",
+        )
+    ref = ray.put(words)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mask = bloom_contains(ray.get(ref), _key_hash(col), k=k)
+        return t.select(big_cols).filter(pa.array(mask))
+
+    survivors = big_ds.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(
+        survivors, keys_ds.select_columns([on]), on,
+        big_cols, [on], num_partitions=num_partitions, how="semi",
+    )
+
+
 def block_pairs(ds, block_col: str, id_col: str, value_cols: list[str] | None = None):
     """P1: all C(n,2) canonical pairs within each block, as keyed rows.
 

@@ -2762,6 +2762,50 @@ def skew_join_events(sf_dir: str):
 PUSHDOWN_PRICE = 200_000.0
 
 
+def bloom_semi_lineitem(sf_dir: str):
+    """Bloom-prefiltered semi join (``ops/relational.py::
+    bloom_semi_join``): lineitems of expensive orders, with the order-key
+    side streamed into a fixed-size Bloom (driver memory = filter size
+    regardless of key count), the big side pruned BEFORE the shuffle
+    (no false negatives → no lost rows) and an exact partitioned semi
+    join killing the false positives.  Output equals the plain semi
+    join; rolled up per return flag."""
+    from dedup_ray.ops.relational import bloom_semi_join
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > PUSHDOWN_PRICE),
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow",
+    )
+    kept = bloom_semi_join(line, keys, "l_orderkey",
+                           ["l_orderkey", "l_returnflag", "l_quantity"],
+                           bits_log2=16, num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_returnflag").aggregate(
+            [([], "count_all"), ("l_quantity", "sum")]
+        )
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "n": g["count_all"], "q": g["l_quantity_sum"],
+        })
+
+    agg = as_arrow(kept).map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag").sum(["n", "q"])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+            "sum_qty": pc.round(t["sum(q)"], 2),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def pushdown_read_orders(sf_dir: str):
     """Predicate + projection pushdown AT THE READ: the price filter is
     handed to the PyArrow scanner inside ``read_parquet`` (row-group
@@ -4891,6 +4935,7 @@ QUERIES = {
     "jpeg_roundtrip_docs": jpeg_roundtrip_docs,
     "pushdown_read_orders": pushdown_read_orders,
     "skew_join_events": skew_join_events,
+    "bloom_semi_lineitem": bloom_semi_lineitem,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5378,6 +5423,16 @@ ORACLES["skew_join_events"] = """
            round(sum(value), 3) AS value_total
     FROM e JOIN dim ON e.hub = dim.hub
     GROUP BY e.hub
+"""
+
+ORACLES["bloom_semi_lineitem"] = f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > {PUSHDOWN_PRICE})
+    GROUP BY l_returnflag
 """
 
 ORACLES["pushdown_read_orders"] = f"""

@@ -397,3 +397,42 @@ def test_skew_inner_join_all_hot(ray_session):
     assert len(got) == 100  # 50 rows x 2 right matches
     assert set(got["tag"]) == {"a", "b"}
     assert sorted(got["x"]) == sorted(list(range(50)) * 2)
+
+
+def test_bloom_semi_join_equals_exact(ray_session):
+    from dedup_ray.ops.relational import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(23)
+    big = pd.DataFrame({
+        "k": rng.integers(0, 1000, 5000),
+        "x": np.arange(5000),
+    })
+    keys = pd.DataFrame({"k": rng.choice(1000, 200, replace=False)})
+    got = bloom_semi_join(
+        rd.from_pandas(big, override_num_blocks=4),
+        rd.from_pandas(keys), "k", ["k", "x"],
+        bits_log2=12, num_partitions=4,  # small filter => real FPs to kill
+    ).to_pandas().sort_values("x").reset_index(drop=True)
+    expected = semi_join(
+        rd.from_pandas(big), rd.from_pandas(keys), "k"
+    ).to_pandas().sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(expected.dtypes.to_dict()), expected)
+
+
+def test_bloom_semi_join_string_keys_and_empty(ray_session):
+    from dedup_ray.ops.relational import bloom_semi_join
+
+    big = pd.DataFrame({"k": ["a", "b", "c", "d"], "x": [1, 2, 3, 4]})
+    keys = pd.DataFrame({"k": ["b", "d", "zzz"]})
+    got = bloom_semi_join(
+        rd.from_pandas(big), rd.from_pandas(keys), "k", ["k", "x"],
+        bits_log2=10, num_partitions=2,
+    ).to_pandas().sort_values("x")
+    assert list(got["k"]) == ["b", "d"]
+    empty = bloom_semi_join(
+        rd.from_pandas(big),
+        rd.from_pandas(keys).filter(lambda r: False),
+        "k", ["k", "x"], num_partitions=2,
+    ).to_pandas()
+    assert len(empty) == 0
