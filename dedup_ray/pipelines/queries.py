@@ -2760,6 +2760,45 @@ def skew_join_events(sf_dir: str):
 
 
 PUSHDOWN_PRICE = 200_000.0
+FULLOUTER_MIN = 9
+
+
+def full_outer_counts_events(sf_dir: str):
+    """Full outer join through the co-partitioning ``hash_join`` (the
+    ``how`` surface pandas gives every partition merge): heavy clickers
+    vs heavy purchasers per user — users appearing on either side
+    survive with typed nulls coalesced to 0 on the absent side.  One
+    shuffle; the oracle is DuckDB's native FULL OUTER JOIN."""
+    from dedup_ray.util.dsutil import hash_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(ev: str, out: str):
+        return ds.map_batches(
+            lambda t, ev=ev: t.filter(pc.equal(t["event_type"], ev)),
+            batch_format="pyarrow",
+        ).groupby("user_id").count().map_batches(
+            lambda t, out=out: pa.table({
+                "user_id": t["user_id"],
+                out: pc.cast(t["count()"], pa.int64()),
+            }).filter(pc.greater_equal(t["count()"],
+                                       pa.scalar(FULLOUTER_MIN))),
+            batch_format="pyarrow",
+        )
+
+    joined = hash_join(
+        side("click", "clicks"), side("purchase", "purchases"),
+        "user_id", ["user_id", "clicks"], ["user_id", "purchases"],
+        num_partitions=8, how="outer",
+    )
+    return joined.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "clicks": df["clicks"].fillna(0).astype("int64"),
+            "purchases": df["purchases"].fillna(0).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
 
 
 def bloom_semi_lineitem(sf_dir: str):
@@ -4936,6 +4975,7 @@ QUERIES = {
     "pushdown_read_orders": pushdown_read_orders,
     "skew_join_events": skew_join_events,
     "bloom_semi_lineitem": bloom_semi_lineitem,
+    "full_outer_counts_events": full_outer_counts_events,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5423,6 +5463,19 @@ ORACLES["skew_join_events"] = """
            round(sum(value), 3) AS value_total
     FROM e JOIN dim ON e.hub = dim.hub
     GROUP BY e.hub
+"""
+
+ORACLES["full_outer_counts_events"] = f"""
+    WITH c AS (SELECT user_id, count(*) AS clicks FROM events
+               WHERE event_type = 'click'
+               GROUP BY user_id HAVING count(*) >= {FULLOUTER_MIN}),
+    p AS (SELECT user_id, count(*) AS purchases FROM events
+          WHERE event_type = 'purchase'
+          GROUP BY user_id HAVING count(*) >= {FULLOUTER_MIN})
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(clicks, 0) AS clicks,
+           coalesce(purchases, 0) AS purchases
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
 
 ORACLES["bloom_semi_lineitem"] = f"""
