@@ -2761,6 +2761,22 @@ def skew_join_events(sf_dir: str):
 
 PUSHDOWN_PRICE = 200_000.0
 FULLOUTER_MIN = 9
+BM25_TERMS = ["shuffle", "spark", "vector"]
+BM25_K, BM25_K1, BM25_B = 25, 1.2, 0.75
+
+
+def bm25_topk_docs(sf_dir: str):
+    """Distributed BM25 retrieval (``ops/retrieval.py::bm25_topk``):
+    top-25 documents for a three-term query — stats pass (df/avgdl
+    partials, driver state = len(query)+2 scalars), broadcast idf,
+    vectorized scoring with batch-local top-k so the final sort moves at
+    most k×n_blocks rows.  The oracle unrolls the identical formula over
+    the token explode; both engines rank on the 6-decimal-rounded score
+    with doc-id tie-breaks, so the comparison is association-proof."""
+    from dedup_ray.ops.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
 
 
 def full_outer_counts_events(sf_dir: str):
@@ -4976,6 +4992,7 @@ QUERIES = {
     "skew_join_events": skew_join_events,
     "bloom_semi_lineitem": bloom_semi_lineitem,
     "full_outer_counts_events": full_outer_counts_events,
+    "bm25_topk_docs": bm25_topk_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5463,6 +5480,34 @@ ORACLES["skew_join_events"] = """
            round(sum(value), 3) AS value_total
     FROM e JOIN dim ON e.hub = dim.hub
     GROUP BY e.hub
+"""
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+ORACLES["bm25_topk_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY token),
+    idf AS (SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS w
+            FROM dfreq, stats),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(w * tf * ({BM25_K1} + 1) /
+                   (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+                                      / stats.avgdl))) AS s
+        FROM tf JOIN idf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 6) AS score FROM scored
+    WHERE s > 0
+    ORDER BY round(s, 6) DESC, doc_id
+    LIMIT {BM25_K}
 """
 
 ORACLES["full_outer_counts_events"] = f"""

@@ -436,3 +436,41 @@ def test_bloom_semi_join_string_keys_and_empty(ray_session):
         "k", ["k", "x"], num_partitions=2,
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    import math
+
+    from dedup_ray.ops.retrieval import bm25_topk
+
+    rng = np.random.default_rng(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+    terms, k1, b, k = ["alpha", "gamma"], 1.2, 0.75, 7
+
+    # independent reference implementation
+    toks = [t.split(" ") for t in texts]
+    n = len(toks)
+    avgdl = sum(len(x) for x in toks) / n
+    dfreq = {t: sum(t in x for x in toks) for t in terms}
+    idf = {t: math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+           for t in terms}
+    scores = []
+    for i, x in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = x.count(t)
+            if tf:
+                s += idf[t] * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(x) / avgdl))
+        scores.append((round(s, 6), i))
+    expected = sorted(
+        [(s, i) for s, i in scores if s > 0],
+        key=lambda p: (-p[0], p[1]))[:k]
+
+    got = bm25_topk(
+        rd.from_pandas(df, override_num_blocks=5), terms, k=k, k1=k1, b=b,
+    ).to_pandas()
+    assert [(s, i) for s, i in zip(got["score"], got["doc_id"])] == expected
