@@ -2761,6 +2761,31 @@ def skew_join_events(sf_dir: str):
 
 PUSHDOWN_PRICE = 200_000.0
 FULLOUTER_MIN = 9
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_llr_docs(sf_dir: str):
+    """DSIR importance scores (``stages/selection.py::dsir_logratio``,
+    Xie et al. 2023): every document scored by the log-likelihood ratio
+    of its md5-bucketed tokens under the English-subset target
+    distribution vs the whole corpus — two driver-bounded histogram
+    passes (4096 ints each) + one broadcast score pass, zero shuffles.
+    Oracle rebuilds the identical buckets (first 3 hex digits of
+    md5(token)) and smoothed ratios in SQL."""
+    from dedup_ray.stages.selection import dsir_logratio
+
+    corpus = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = corpus.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["lang"], DSIR_TARGET_LANG)
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    return dsir_logratio(
+        corpus.map_batches(lambda t: t.select(["doc_id", "text"]),
+                           batch_format="pyarrow"),
+        target,
+    )
 BM25_TERMS = ["shuffle", "spark", "vector"]
 BM25_K, BM25_K1, BM25_B = 25, 1.2, 0.75
 
@@ -4993,6 +5018,7 @@ QUERIES = {
     "bloom_semi_lineitem": bloom_semi_lineitem,
     "full_outer_counts_events": full_outer_counts_events,
     "bm25_topk_docs": bm25_topk_docs,
+    "dsir_llr_docs": dsir_llr_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5480,6 +5506,34 @@ ORACLES["skew_join_events"] = """
            round(sum(value), 3) AS value_total
     FROM e JOIN dim ON e.hub = dim.hub
     GROUP BY e.hub
+"""
+
+_HEX = "0123456789abcdef"
+_DSIR_BUCKET_SQL = (
+    f"(strpos('{_HEX}', substr(md5(token), 1, 1)) - 1) * 256 + "
+    f"(strpos('{_HEX}', substr(md5(token), 2, 1)) - 1) * 16 + "
+    f"(strpos('{_HEX}', substr(md5(token), 3, 1)) - 1)"
+)
+ORACLES["dsir_llr_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents),
+    tb AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM tok),
+    raw AS (SELECT bucket, count(*) AS c FROM tb GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c FROM tb
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM tb) AS rn,
+                   (SELECT count(*) FROM tb
+                    WHERE lang = '{DSIR_TARGET_LANG}') AS tn),
+    ratio AS (
+        SELECT raw.bucket,
+               ln((coalesce(tgt.c, 0) + 1.0) / (tot.tn + 4096.0))
+               - ln((raw.c + 1.0) / (tot.rn + 4096.0)) AS r
+        FROM raw LEFT JOIN tgt USING (bucket), tot)
+    SELECT tb.doc_id, round(sum(ratio.r), 6) AS llr
+    FROM tb JOIN ratio USING (bucket)
+    GROUP BY tb.doc_id
 """
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)

@@ -1,0 +1,69 @@
+"""DSIR importance-weight tests (stages/selection.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from dedup_ray.stages.selection import DSIR_BUCKETS, dsir_logratio
+
+
+def test_dsir_scores_target_like_docs_higher(ray_session):
+    rng = np.random.default_rng(41)
+    wiki_vocab = ["article", "history", "cited", "reference", "notable"]
+    spam_vocab = ["buy", "click", "free", "winner", "casino"]
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(40),
+        "text": [" ".join(rng.choice(wiki_vocab, 8)) if i % 2 == 0
+                 else " ".join(rng.choice(spam_vocab, 8))
+                 for i in range(40)],
+    })
+    target = pd.DataFrame({
+        "doc_id": np.arange(10),
+        "text": [" ".join(rng.choice(wiki_vocab, 10)) for _ in range(10)],
+    })
+    got = dsir_logratio(
+        rd.from_pandas(corpus, override_num_blocks=3),
+        rd.from_pandas(target),
+    ).to_pandas().set_index("doc_id")["llr"]
+    wiki_scores = got[[i for i in range(40) if i % 2 == 0]]
+    spam_scores = got[[i for i in range(40) if i % 2 == 1]]
+    assert wiki_scores.min() > spam_scores.max()
+
+
+def test_dsir_matches_local_reference(ray_session):
+    import hashlib
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(25),
+        "text": [" ".join(rng.choice(vocab, rng.integers(2, 9)))
+                 for _ in range(25)],
+    })
+    target = corpus.iloc[:5]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16)
+
+    def hist(df):
+        h = np.zeros(DSIR_BUCKETS, np.int64)
+        for t in df["text"]:
+            for tok in t.split(" "):
+                h[bucket(tok)] += 1
+        return h
+
+    tgt, raw = hist(target), hist(corpus)
+    ratio = (np.log((tgt + 1) / (tgt.sum() + DSIR_BUCKETS))
+             - np.log((raw + 1) / (raw.sum() + DSIR_BUCKETS)))
+    expected = {
+        row.doc_id: round(sum(ratio[bucket(tok)]
+                              for tok in row.text.split(" ")), 6)
+        for row in corpus.itertuples()
+    }
+    got = dsir_logratio(
+        rd.from_pandas(corpus, override_num_blocks=4),
+        rd.from_pandas(target),
+    ).to_pandas().set_index("doc_id")["llr"].to_dict()
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, k
