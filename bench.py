@@ -305,6 +305,29 @@ def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
     out, report = dedup_against_index(shard, root, cfg, extract=False)
     n_shard = out.count()
     shard_sec = time.perf_counter() - t0
+
+    # 4x shard, same index: if docs/sec rises ~linearly the small-shard
+    # number above is FIXED LATENCY (launch barriers), not per-doc cost —
+    # the distinction that matters for real (100k+ doc) crawl arrivals.
+    def retag(r: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.set_column(
+                t.column_names.index("url"), "url",
+                pc.binary_join_element_wise(
+                    t["url"], pa.scalar(f"r{r}"), "/"),
+            )
+        return f
+
+    shard4 = shard
+    for r in range(1, 4):
+        shard4 = shard4.union(
+            shard.map_batches(retag(r), batch_format="pyarrow"))
+    shard4 = shard4.materialize()
+    t0 = time.perf_counter()
+    out4, _rep4 = dedup_against_index(shard4, root, cfg, extract=False)
+    n4 = out4.count()
+    shard4_sec = time.perf_counter() - t0
     return {
         "index_docs": base_docs,
         "index_build_sec": round(index_sec, 3),
@@ -312,6 +335,9 @@ def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
         "shard_docs": n_shard,
         "shard_sec": round(shard_sec, 3),
         "shard_docs_per_sec": round(n_shard / shard_sec, 1),
+        "shard4_docs": n4,
+        "shard4_sec": round(shard4_sec, 3),
+        "shard4_docs_per_sec": round(n4 / shard4_sec, 1),
         "digest_hits": report["digest_hits"],
         "cross_edges": report["cross_edges"],
         "merges": report["merges"],
