@@ -2921,6 +2921,62 @@ def pushdown_read_orders(sf_dir: str):
     )
 
 
+def route_media_docs(sf_dir: str):
+    """The multimodal router end to end (``stages/multimodal.py::
+    route_media``): per doc a REAL container is synthesized — doc_id%%5
+    picks PNG / JPEG / WAV / AVI / plain bytes, with dimensions that are
+    pure functions of doc_id — and the router must sniff the magic,
+    parse the container with the matching codec, and report dimensions
+    read from INSIDE it (decoded array shapes, sample counts, frame
+    counts).  The oracle predicts every type and dimension
+    arithmetically, so a mis-route or header misparse fails values, not
+    just a label."""
+    from dedup_ray.stages.codecs import (
+        avi_encode,
+        jpeg_encode,
+        png_encode,
+        wav_encode,
+    )
+    from dedup_ray.stages.multimodal import route_media
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            m = int(d) % 5
+            w, h = 3 + int(d) % 4, 2 + int(d) % 3
+            if m == 0:
+                payloads.append(png_encode(np.zeros((h, w, 3), np.uint8)))
+            elif m == 1:
+                payloads.append(jpeg_encode(np.zeros((h, w, 3), np.uint8)))
+            elif m == 2:
+                n = 500 + int(d) % 300
+                payloads.append(wav_encode(np.zeros(n, np.int16), 8000))
+            elif m == 3:
+                nf = 2 + int(d) % 4
+                payloads.append(
+                    avi_encode(np.zeros((nf, h, w, 3), np.uint8)))
+            else:
+                payloads.append(b"plain text payload %d" % int(d))
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    routed = route_media(docs.map_batches(mk, batch_format="pyarrow"),
+                         concurrency=2, batch_size=128)
+    return routed.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "content_type": t["content_type"],
+            "dim1": t["dim1"], "dim2": t["dim2"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def jpeg_roundtrip_docs(sf_dir: str):
     """REAL baseline-JPEG codec, driver-checked as a planted-truth
     scorecard: per doc a deterministic gradient image (dims pure
@@ -5019,6 +5075,7 @@ QUERIES = {
     "full_outer_counts_events": full_outer_counts_events,
     "bm25_topk_docs": bm25_topk_docs,
     "dsir_llr_docs": dsir_llr_docs,
+    "route_media_docs": route_media_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5594,6 +5651,26 @@ ORACLES["pushdown_read_orders"] = f"""
     FROM orders
     WHERE o_totalprice > {PUSHDOWN_PRICE}
     GROUP BY o_orderpriority
+"""
+
+ORACLES["route_media_docs"] = """
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'wav' WHEN 3 THEN 'avi'
+                ELSE 'other' END AS content_type,
+           CASE doc_id % 5
+                WHEN 0 THEN 3 + doc_id % 4
+                WHEN 1 THEN 3 + doc_id % 4
+                WHEN 2 THEN 500 + doc_id % 300
+                WHEN 3 THEN 2 + doc_id % 4
+                ELSE NULL END AS dim1,
+           CASE doc_id % 5
+                WHEN 0 THEN 2 + doc_id % 3
+                WHEN 1 THEN 2 + doc_id % 3
+                WHEN 2 THEN 8000
+                WHEN 3 THEN 3 + doc_id % 4
+                ELSE NULL END AS dim2
+    FROM documents
 """
 
 ORACLES["jpeg_roundtrip_docs"] = """

@@ -487,6 +487,77 @@ CONTENT_MAGICS: list[tuple[str, bytes]] = [
 CONTENT_FALLBACK = "other"
 
 
+class MediaRouter:
+    """Actor: mixed-format binary payloads → per-type decoded dimensions.
+
+    The composite the sniffer exists for: magic-byte detection picks the
+    decoder (all REAL: png/jpeg/gif images, RIFF wav/avi containers),
+    each payload is parsed by its own codec, and the output rows carry
+    dimensions read from INSIDE the container (decoded array shapes,
+    sample counts, frame counts) — so a routing or parse defect is
+    visible as a value mismatch, not a type string.  Unknown payloads
+    pass through as ``content_type='other'`` with null dims."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dedup_ray.stages.codecs import (
+            avi_decode,
+            gif_decode,
+            jpeg_decode,
+            png_decode,
+            wav_decode,
+        )
+
+        types, d1, d2 = [], [], []
+        for payload in batch["payload"].to_pylist():
+            p = payload or b""
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                arr = png_decode(p)
+                types.append("png")
+                d1.append(arr.shape[1])   # decoded width
+                d2.append(arr.shape[0])   # decoded height
+            elif p[:3] == b"\xff\xd8\xff":
+                arr = jpeg_decode(p)
+                types.append("jpeg")
+                d1.append(arr.shape[1])
+                d2.append(arr.shape[0])
+            elif p[:4] == b"GIF8":
+                arr = gif_decode(p)
+                types.append("gif")
+                d1.append(arr.shape[1])
+                d2.append(arr.shape[0])
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                pcm, rate = wav_decode(p)
+                types.append("wav")
+                d1.append(len(pcm))       # decoded sample count
+                d2.append(rate)
+            elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                frames, _fps = avi_decode(p)
+                types.append("avi")
+                d1.append(frames.shape[0])  # decoded frame count
+                d2.append(frames.shape[2])  # decoded width
+            else:
+                types.append("other")
+                d1.append(None)
+                d2.append(None)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "content_type": pa.array(types, pa.string()),
+            "dim1": pa.array(d1, pa.int64()),
+            "dim2": pa.array(d2, pa.int64()),
+        })
+
+
+def route_media(media_ds, concurrency: int = 2, batch_size: int = 64):
+    """Mixed binary payloads → (media_id, content_type, dim1, dim2)
+    through one actor pool; codecs load once per actor."""
+    return media_ds.map_batches(
+        MediaRouter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def sniff_content_type(ds, payload_col: str = "payload",
                        id_col: str = "doc_id"):
     """Magic-byte content-type detection over an opaque binary column —

@@ -5,6 +5,7 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -415,3 +416,39 @@ def test_pil_backend_gated(ray_session):
 
     with pytest.raises(NotImplementedError, match="pillow"):
         ImageDecode(backend="pil")
+
+
+def test_route_media_mixed_payloads(ray_session):
+    from dedup_ray.stages.codecs import (
+        avi_encode,
+        gif_encode,
+        jpeg_encode,
+        png_encode,
+        wav_encode,
+    )
+    from dedup_ray.stages.multimodal import route_media
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    rows = [
+        ("png", png_encode(np.zeros((5, 7, 3), np.uint8)), 7, 5),
+        ("jpeg", jpeg_encode(np.zeros((6, 9, 3), np.uint8)), 9, 6),
+        ("gif", gif_encode(np.zeros((4, 3), np.uint8), pal), 3, 4),
+        ("wav", wav_encode(np.zeros(1234, np.int16), 16000), 1234, 16000),
+        ("avi", avi_encode(np.zeros((3, 4, 5, 3), np.uint8)), 3, 5),
+        ("other", b"not a container", None, None),
+        ("other", None, None, None),
+    ]
+    t = pa.table({
+        "media_id": pa.array([f"x{i}" for i in range(len(rows))]),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })
+    out = route_media(rd.from_arrow(t), concurrency=1).to_pandas() \
+        .set_index("media_id")
+    for i, (ct, _p, d1, d2) in enumerate(rows):
+        row = out.loc[f"x{i}"]
+        assert row["content_type"] == ct, i
+        if d1 is None:
+            assert pd.isna(row["dim1"]) and pd.isna(row["dim2"])
+        else:
+            assert (row["dim1"], row["dim2"]) == (d1, d2), i
