@@ -277,3 +277,64 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
     )
     n = closed.count()
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def k_core(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
+           max_rounds: int = 8, num_partitions: int = 16):
+    """k-core decomposition by distributed peeling (bounded rounds).
+
+    Each round: undirected degrees via one grouped count, then edges
+    touching any node of degree < k are dropped through the size-gated
+    membership join (broadcast ``pc.is_in`` while the weak set is small,
+    partitioned anti join above the limit).  Stops early when a round
+    removes nothing — at that point every node in the surviving edge set has
+    degree ≥ k, i.e. the exact k-core; ``max_rounds`` bounds wall time
+    on adversarial chains (a path graph peels one layer per round), and
+    a removal-free round makes all later rounds no-ops, so a
+    fixed-round replay (the oracle) produces the identical edge set
+    whether or not convergence happened earlier.
+
+    Returns the surviving ``(a_col, b_col)`` edge Dataset.  The web-
+    graph use: spam/link-farm cores and the dense backbone of a host
+    graph survive; tendrils and isolated chains peel away.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from dedup_ray.ops.relational import anti_join
+
+    edges = edges_ds.select_columns([a_col, b_col]).materialize()
+    for _ in range(max_rounds):
+        def deg_partial(t: pa.Table) -> pa.Table:
+            nodes = pa.concat_arrays([
+                t[a_col].combine_chunks(),
+                t[b_col].combine_chunks(),
+            ])
+            g = pa.table({"node": nodes}).group_by("node").aggregate(
+                [([], "count_all")])
+            return pa.table({"node": g["node"], "d": g["count_all"]})
+
+        weak = (
+            edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("node").sum("d")
+            .map_batches(
+                lambda t: pa.table({"node": t["node"]}).filter(
+                    pc.less(t["sum(d)"], k)),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if weak.count() == 0:
+            break
+        kept = anti_join(
+            anti_join(edges, weak.map_batches(
+                lambda t: t.rename_columns([a_col]),
+                batch_format="pyarrow"), a_col,
+                cols=[a_col, b_col], num_partitions=num_partitions),
+            weak.map_batches(
+                lambda t: t.rename_columns([b_col]),
+                batch_format="pyarrow"), b_col,
+            cols=[a_col, b_col], num_partitions=num_partitions,
+        )
+        edges = kept.materialize()
+    return edges

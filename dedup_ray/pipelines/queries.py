@@ -2762,6 +2762,50 @@ def skew_join_events(sf_dir: str):
 PUSHDOWN_PRICE = 200_000.0
 FULLOUTER_MIN = 9
 DSIR_TARGET_LANG = "en"
+KCORE_K, KCORE_ROUNDS, KCORE_CLIQUE_STEP = 3, 6, 50
+
+
+def k_core_docs(sf_dir: str):
+    """Distributed k-core peeling (``ops/graph.py::k_core``) over a
+    derived doc graph: the binary tree ``(doc_id, doc_id//2)`` (tendrils
+    that peel) plus a clique over every ``doc_id %% 50 == 0`` node (the
+    dense backbone that survives k=3).  Bounded peeling: both engines
+    run exactly ``KCORE_ROUNDS`` rounds — a removal-free round makes all
+    later rounds no-ops, so early kernel convergence and the oracle's
+    fixed unroll produce the identical edge set by construction."""
+    from dedup_ray.ops.graph import k_core
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def tree(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids >= 1]
+        return pa.table({"a": pa.array(ids, pa.int64()),
+                         "b": pa.array(ids // 2, pa.int64())})
+
+    def hub_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[ids % KCORE_CLIQUE_STEP == 0], pa.int64())
+        })
+
+    # bounded driver collect: n_docs / KCORE_CLIQUE_STEP hub ids
+    hubs = sorted(
+        r["doc_id"]
+        for r in docs.map_batches(hub_filter,
+                                  batch_format="pyarrow").take_all()
+    )
+    clique = pa.table({
+        "a": pa.array([x for i, x in enumerate(hubs)
+                       for _ in hubs[i + 1:]], pa.int64()),
+        "b": pa.array([y for i, x in enumerate(hubs)
+                       for y in hubs[i + 1:]], pa.int64()),
+    })
+    edges = docs.map_batches(tree, batch_format="pyarrow").union(
+        ray.data.from_arrow(clique))
+    core = k_core(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS,
+                  num_partitions=8)
+    return core.sort(["a", "b"])
 
 
 def dsir_llr_docs(sf_dir: str):
@@ -5076,6 +5120,7 @@ QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "dsir_llr_docs": dsir_llr_docs,
     "route_media_docs": route_media_docs,
+    "k_core_docs": k_core_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5652,6 +5697,33 @@ ORACLES["pushdown_read_orders"] = f"""
     WHERE o_totalprice > {PUSHDOWN_PRICE}
     GROUP BY o_orderpriority
 """
+
+def _k_core_oracle_sql() -> str:
+    base = f"""
+    WITH hubs AS MATERIALIZED (SELECT doc_id AS n FROM documents
+                  WHERE doc_id % {KCORE_CLIQUE_STEP} = 0),
+    e0 AS MATERIALIZED (
+        SELECT doc_id AS a, doc_id // 2 AS b FROM documents
+        WHERE doc_id >= 1
+        UNION ALL
+        SELECT h1.n AS a, h2.n AS b FROM hubs h1 JOIN hubs h2
+        ON h1.n < h2.n)"""
+    parts = [base]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p, c = i - 1, i
+        parts.append(f""",
+    d{c} AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p})
+        GROUP BY node),
+    e{c} AS MATERIALIZED (SELECT a, b FROM e{p}
+             WHERE a IN (SELECT node FROM d{c} WHERE d >= {KCORE_K})
+               AND b IN (SELECT node FROM d{c} WHERE d >= {KCORE_K}))""")
+    parts.append(f"""
+    SELECT a, b FROM e{KCORE_ROUNDS} ORDER BY a, b""")
+    return "".join(parts)
+
+
+ORACLES["k_core_docs"] = _k_core_oracle_sql()
 
 ORACLES["route_media_docs"] = """
     SELECT doc_id,

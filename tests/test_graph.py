@@ -176,3 +176,44 @@ def test_triangle_count_bruteforce():
     out = triangle_count(ds, num_partitions=4)
     assert out["n_triangles"][0].as_py() == want
     assert want > 0  # the fixture actually contains triangles
+
+
+def test_k_core_matches_reference_peeling(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import k_core
+
+    rng = np.random.default_rng(19)
+    # clique (survives 2-core) + tree tendrils (peel away) + random chaff
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    tree = [(i, i // 2) for i in range(1, 40)]
+    chaff = [(int(a), int(b)) for a, b in
+             rng.integers(200, 240, (30, 2)) if a != b]
+    edges = pd.DataFrame(clique + tree + chaff, columns=["a", "b"]) \
+        .drop_duplicates()
+
+    def ref_peel(df, k):
+        e = {tuple(r) for r in df.itertuples(index=False)}
+        while True:
+            deg = {}
+            for a, b in e:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            kept = {p for p in e if p[0] not in weak and p[1] not in weak}
+            if kept == e:
+                return e
+            e = kept
+
+    expected = sorted(ref_peel(edges, 2))
+    got = sorted(
+        tuple(r) for r in k_core(
+            rd.from_pandas(edges, override_num_blocks=3), k=2,
+            max_rounds=30, num_partitions=4,
+        ).to_pandas().itertuples(index=False)
+    )
+    assert got == expected
+    assert any(a >= 100 and a < 200 for a, _ in got)  # clique survived
+    assert not any(a < 40 and b < 40 for a, b in got)  # tree peeled
