@@ -4504,6 +4504,53 @@ def split_assign_docs(sf_dir: str):
     )
 
 
+def cluster_split_docs(sf_dir: str):
+    """Cluster-aware train/val/test split — the PREVENTION counterpart
+    to the ``split_leakage_docs`` audit: documents are assigned to
+    splits by their exact-dup CLUSTER id (min doc_id per text digest),
+    so two copies of one page can never straddle train and eval.  One
+    digest exchange (groupby min + co-partitioned join back), then the
+    same keyed-md5 threshold rule as ``split_assign`` applied to the
+    cluster id; shuffle-free past the join, append-stable."""
+    from dedup_ray.stages.mixing import split_assign
+    from dedup_ray.util.dsutil import hash_join
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dig(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "digest": pa.array(
+                content_digest(
+                    [x or "" for x in t["text"].to_pylist()], algo="md5"
+                ), pa.string()),
+        })
+
+    d = ds.map_batches(dig, batch_format="pyarrow").materialize()
+    reps = d.groupby("digest").min("doc_id").map_batches(
+        lambda t: pa.table({"digest": t["digest"],
+                            "cluster_id": pc.cast(t["min(doc_id)"],
+                                                  pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        d, reps, "digest", ["doc_id", "digest"], ["digest", "cluster_id"],
+        num_partitions=8,
+    )
+    assigned = split_assign(
+        as_arrow(joined), SPLIT_FRACTIONS, id_col="cluster_id",
+        seed=SPLIT_SEED, keep_cols=("doc_id",),
+    )
+    return assigned.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "split": t["split"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def cap_per_host_docs(sf_dir: str):
     """Per-key deterministic cap (``ops/relational.cap_per_key``): at most
     K docs per source, ranked by keyed md5 so the kept set is identical at
@@ -5121,6 +5168,7 @@ QUERIES = {
     "dsir_llr_docs": dsir_llr_docs,
     "route_media_docs": route_media_docs,
     "k_core_docs": k_core_docs,
+    "cluster_split_docs": cluster_split_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5724,6 +5772,23 @@ def _k_core_oracle_sql() -> str:
 
 
 ORACLES["k_core_docs"] = _k_core_oracle_sql()
+
+
+def _cluster_split_oracle_sql() -> str:
+    from dedup_ray.stages.mixing import split_case_expr
+
+    case = split_case_expr(SPLIT_FRACTIONS, id_col="cluster_id",
+                           seed=SPLIT_SEED)
+    return f"""
+    WITH cl AS (SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY md5(coalesce(text,
+                           ''))) AS cluster_id
+                FROM documents)
+    SELECT doc_id, {case} AS split FROM cl
+"""
+
+
+ORACLES["cluster_split_docs"] = _cluster_split_oracle_sql()
 
 ORACLES["route_media_docs"] = """
     SELECT doc_id,
