@@ -197,12 +197,21 @@ def skew_inner_join(left_ds, right_ds, on: str, left_cols: list[str],
 
     Output columns: ``left_cols`` + non-key ``right_cols`` (inner join
     semantics, exactly ``hash_join``'s result set in any row order).
+
+    Both inputs are materialized up front: the left feeds the census AND
+    both split paths (3 consumers), the right both split paths (2) — a
+    lazy upstream would re-execute once per consumer (review finding
+    r3).  The signature-table pattern: one materialize amortized over
+    every downstream pass.
     """
     import numpy as np
     import pyarrow.compute as pc
     import ray
 
     from dedup_ray.util.dsutil import hash_join
+
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
 
     def census(t: pa.Table) -> pa.Table:
         g = t.select([on]).group_by(on).aggregate([([], "count_all")])

@@ -4956,6 +4956,12 @@ ORACLES["sniff_content_docs"] = """
               WHEN substr(payload, 1, 9) = '<!DOCTYPE' THEN 'html'
               WHEN substr(payload, 1, 5) = '<html' THEN 'html'
               WHEN substr(payload, 1, 5) = '<?xml' THEN 'xml'
+              -- the binary-media magics in kernel order: png/jpeg start
+              -- with non-ASCII bytes a VARCHAR payload cannot contain,
+              -- but GIF8/RIFF are pure ASCII and CAN head a text row —
+              -- mirror them so kernel and oracle agree on such rows
+              WHEN substr(payload, 1, 4) = 'GIF8' THEN 'gif'
+              WHEN substr(payload, 1, 4) = 'RIFF' THEN 'riff'
               ELSE 'other' END AS content_type
           FROM p)
     SELECT content_type, count(*)::BIGINT AS n FROM t GROUP BY 1

@@ -208,16 +208,22 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not an AVI (bad RIFF signature)")
     width = height = bitcount = compression = None
     rate = scale = None
+    in_vids = False  # strf binds to the PRECEDING strh's stream type, so
+    # an audio-first AVI must not donate its WAVEFORMATEX as the video
+    # header (review finding: first-strf binding misparses such files)
     frames_raw: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, bitcount, compression, rate, scale
+        nonlocal width, height, bitcount, compression, rate, scale, in_vids
         for fourcc, body, length in _riff_chunks(data, pos, end):
             if fourcc == b"LIST":
                 walk(body + 4, body + length)  # skip the list-type fourcc
-            elif fourcc == b"strh" and data[body : body + 4] == b"vids":
-                scale, rate = struct.unpack("<II", data[body + 20 : body + 28])
-            elif fourcc == b"strf" and width is None:
+            elif fourcc == b"strh":
+                in_vids = data[body : body + 4] == b"vids"
+                if in_vids:
+                    scale, rate = struct.unpack(
+                        "<II", data[body + 20 : body + 28])
+            elif fourcc == b"strf" and in_vids and width is None:
                 (_sz, width, height, _planes, bitcount, compression) = (
                     struct.unpack("<IiiHHI", data[body : body + 20])
                 )
@@ -596,7 +602,9 @@ def _decode_scan(data, pos, frame, scan_tbl, qts, huff, restart_interval):
                 for hh in range(ch):
                     block, preds[ci] = _decode_block(
                         reader, huff[(0, dc_id)], huff[(1, ac_id)],
-                        preds[ci], qts[qid][_ZIGZAG],
+                        preds[ci], qts[qid],  # DQT bytes are already
+                        # zigzag-ordered (T.81 B.2.4.1) — aligned with
+                        # the zigzag-ordered coefficient vector as-is
                     )
                     y0 = (my * cv + v) * 8
                     x0 = (mx * ch + hh) * 8
@@ -843,7 +851,12 @@ def gif_decode(data: bytes) -> np.ndarray:
             pos += 1 + ln
         pos += 1
         idx = _lzw_decode(bytes(lzw), min_code, w * h)
-        grid = np.asarray(idx, np.int64).reshape(h, w)
+        if len(idx) < w * h:
+            raise ValueError(
+                f"truncated GIF pixel data ({len(idx)} of {w * h} pixels)"
+            )
+        # a legal final LZW entry may cross the pixel-count boundary
+        grid = np.asarray(idx[: w * h], np.int64).reshape(h, w)
         if ipacked & 0x40:  # interlaced: 4-pass row order
             out = np.zeros_like(grid)
             order = np.concatenate([

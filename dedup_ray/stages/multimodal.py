@@ -83,6 +83,12 @@ class ImageDecode:
             return np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
         return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
 
+    @staticmethod
+    def _as_3d(arr: np.ndarray) -> np.ndarray:
+        # greyscale decoders (jpeg/gif on 1-channel input) return 2-D;
+        # normalize so the channel-stats loop sees one channel
+        return arr[:, :, None] if arr.ndim == 2 else arr
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         means, stds = [], []
         for payload, w, h in zip(
@@ -90,7 +96,7 @@ class ImageDecode:
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            arr = self._decode(payload, w, h)
+            arr = self._as_3d(self._decode(payload, w, h))
             means.append([round(float(x), 6) for x in arr.mean(axis=(0, 1))])
             stds.append([round(float(x), 6) for x in arr.std(axis=(0, 1))])
         return pa.table(
@@ -469,20 +475,28 @@ def make_audio_table(n: int = 8, n_samples: int = 4096) -> pa.Table:
     )
 
 
+MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_JPEG = b"\xff\xd8\xff"
+MAGIC_GIF = b"GIF8"
+MAGIC_RIFF = b"RIFF"
+
+
 # (name, magic-byte prefix) tested IN ORDER; first match wins.  The
 # leading ASCII magics are the ones the oracle-checked query synthesizes
-# as VARCHAR; the binary magics below them route real media payloads to
-# the per-type decoder stages (codecs.py) and can never match an
-# ASCII-prefixed payload, so the oracle contract is unchanged.
+# as VARCHAR; the media magics below them route real payloads to the
+# per-type decoder stages (codecs.py).  PNG/JPEG magics start with
+# non-ASCII bytes a text payload cannot contain; GIF8/RIFF are pure
+# ASCII and CAN head a text row, so the sniff oracle mirrors those two
+# cases explicitly (review finding r3).
 CONTENT_MAGICS: list[tuple[str, bytes]] = [
     ("pdf", b"%PDF-"),
     ("html", b"<!DOCTYPE"),
     ("html", b"<html"),
     ("xml", b"<?xml"),
-    ("png", b"\x89PNG\r\n\x1a\n"),
-    ("jpeg", b"\xff\xd8\xff"),
-    ("gif", b"GIF8"),
-    ("riff", b"RIFF"),  # WAV/AVI; bytes 8-12 pick the concrete container
+    ("png", MAGIC_PNG),
+    ("jpeg", MAGIC_JPEG),
+    ("gif", MAGIC_GIF),
+    ("riff", MAGIC_RIFF),  # WAV/AVI; bytes 8-12 pick the container
 ]
 CONTENT_FALLBACK = "other"
 
@@ -510,27 +524,27 @@ class MediaRouter:
         types, d1, d2 = [], [], []
         for payload in batch["payload"].to_pylist():
             p = payload or b""
-            if p[:8] == b"\x89PNG\r\n\x1a\n":
+            if p[: len(MAGIC_PNG)] == MAGIC_PNG:
                 arr = png_decode(p)
                 types.append("png")
                 d1.append(arr.shape[1])   # decoded width
                 d2.append(arr.shape[0])   # decoded height
-            elif p[:3] == b"\xff\xd8\xff":
+            elif p[: len(MAGIC_JPEG)] == MAGIC_JPEG:
                 arr = jpeg_decode(p)
                 types.append("jpeg")
                 d1.append(arr.shape[1])
                 d2.append(arr.shape[0])
-            elif p[:4] == b"GIF8":
+            elif p[:4] == MAGIC_GIF:
                 arr = gif_decode(p)
                 types.append("gif")
                 d1.append(arr.shape[1])
                 d2.append(arr.shape[0])
-            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            elif p[:4] == MAGIC_RIFF and p[8:12] == b"WAVE":
                 pcm, rate = wav_decode(p)
                 types.append("wav")
                 d1.append(len(pcm))       # decoded sample count
                 d2.append(rate)
-            elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+            elif p[:4] == MAGIC_RIFF and p[8:12] == b"AVI ":
                 frames, _fps = avi_decode(p)
                 types.append("avi")
                 d1.append(frames.shape[0])  # decoded frame count

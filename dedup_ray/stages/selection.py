@@ -12,7 +12,7 @@ Shape:
 
 1. **Distribution passes** (one over the target sample, one over the
    corpus): per-batch token→bucket histograms (md5-prefix buckets so the
-   DuckDB twin can rebuild them; md5 runs over np.unique'd tokens only)
+   DuckDB twin can rebuild them; md5 runs over dictionary-encoded distinct tokens only)
    stream to the driver as nonzero ``(bucket, cnt)`` partials — driver
    state is the ``n_buckets`` histogram, fixed, never corpus-sized.
 2. **Score pass**: the smoothed log-ratio array broadcasts via
@@ -36,34 +36,40 @@ from dedup_ray.util.hashing import content_digest
 DSIR_BUCKETS = 4096  # 16^3: bucket = first 3 hex digits of md5(token)
 
 
-def _token_buckets(tokens: np.ndarray) -> np.ndarray:
-    """md5-prefix bucket per token; md5 only over the batch's DISTINCT
-    tokens (vocab-bounded), scattered back through the inverse index."""
-    uniq, inv = np.unique(tokens, return_inverse=True)
-    digs = content_digest(uniq.tolist(), algo="md5")
-    ub = np.array([int(d[:3], 16) for d in digs], np.int64)
-    return ub[inv]
+def _flat_token_buckets(t: pa.Table, text_col: str):
+    """Per-token (bucket, parent-row) arrays for one batch.
 
-
-def _flat_tokens(t: pa.Table, text_col: str):
+    Tokens stay in Arrow until ``dictionary_encode`` — only the batch's
+    DISTINCT tokens are boxed for md5 (vocab-bounded, not
+    occurrence-bounded); bucket ids scatter back through the dictionary
+    indices."""
     txt = t[text_col]
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     txt = pc.coalesce(txt, pa.scalar("", txt.type))
     toks = pc.split_pattern(txt, " ")
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    vals = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
-    return vals, parents
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.zeros(0, np.int64), parents
+    de = flat.dictionary_encode()
+    vocab = de.dictionary.to_pylist()
+    digs = content_digest(vocab, algo="md5")
+    ub = np.array([int(d[:3], 16) for d in digs], np.int64)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    return ub[idx], parents
 
 
 def _bucket_histogram(ds, text_col: str) -> np.ndarray:
     """Streamed bucket histogram: driver holds n_buckets ints, ever."""
     def partial(t: pa.Table) -> pa.Table:
-        vals, _ = _flat_tokens(t, text_col)
-        if not len(vals):
+        buckets, _ = _flat_token_buckets(t, text_col)
+        if not len(buckets):
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
-        counts = np.bincount(_token_buckets(vals), minlength=DSIR_BUCKETS)
+        counts = np.bincount(buckets, minlength=DSIR_BUCKETS)
         nz = np.flatnonzero(counts)
         return pa.table({"bucket": pa.array(nz.astype(np.int64)),
                          "cnt": pa.array(counts[nz].astype(np.int64))})
@@ -96,10 +102,10 @@ def dsir_logratio(corpus_ds, target_ds, id_col: str = "doc_id",
 
     def score(t: pa.Table) -> pa.Table:
         r = ray.get(ref)
-        vals, parents = _flat_tokens(t, text_col)
+        buckets, parents = _flat_token_buckets(t, text_col)
         s = np.zeros(t.num_rows, np.float64)
-        if len(vals):
-            np.add.at(s, parents, r[_token_buckets(vals)])
+        if len(buckets):
+            np.add.at(s, parents, r[buckets])
         return pa.table({
             id_col: t[id_col],
             "llr": pa.array(np.round(s, 6), pa.float64()),

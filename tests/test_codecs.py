@@ -227,6 +227,11 @@ def test_jpeg_lossy_quality_tracks():
     e50 = np.abs(jpeg_decode(jpeg_encode(img, 50)).astype(float) - img).mean()
     assert e95 < e50  # coarser tables, larger error
     assert len(jpeg_encode(img, 50)) < len(jpeg_encode(img, 95))
+    # ABSOLUTE bounds, not just ordering: a quant-table misalignment
+    # (e.g. double-zigzag, caught in review) passes ordering checks while
+    # multiplying the error ~8x — a correct codec sits well under these
+    assert e95 < 1.5, e95   # measured 0.52 on this gradient
+    assert e50 < 4.0, e50   # measured 2.25
 
 
 def test_jpeg_restart_markers_and_420():
@@ -452,3 +457,57 @@ def test_route_media_mixed_payloads(ray_session):
             assert pd.isna(row["dim1"]) and pd.isna(row["dim2"])
         else:
             assert (row["dim1"], row["dim2"]) == (d1, d2), i
+
+
+def test_decode_images_jpeg_greyscale(ray_session):
+    from dedup_ray.stages.codecs import jpeg_encode
+    from dedup_ray.stages.multimodal import decode_images
+
+    g = _gradient(8, 8)[:, :, 0]  # 2-D greyscale
+    t = pa.table({
+        "media_id": pa.array(["g0"]),
+        "payload": pa.array([jpeg_encode(g, quality=100)], pa.binary()),
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([8], pa.int32()),
+        "media_type": pa.array(["image/jpeg"]),
+    })
+    out = decode_images(rd.from_arrow(t), backend="jpeg",
+                        concurrency=1).to_pandas()
+    assert len(out) == 1
+    mean = out["rgb_mean"][0]
+    assert len(mean) == 1  # one channel, as produced
+    assert abs(mean[0] - g.mean()) <= 2.0
+
+
+def test_avi_audio_first_stream_order():
+    from dedup_ray.stages.codecs import avi_decode, avi_encode
+
+    frames = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    good = avi_encode(frames, fps=10)
+    # splice a fake AUDIO strl LIST (strh 'auds' + strf WAVEFORMATEX)
+    # BEFORE the video strl inside hdrl: decoder must not bind the audio
+    # strf as the video header
+    import struct as st
+
+    def chunk(fourcc, body):
+        return fourcc + st.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    auds_strh = st.pack("<4s4sI2H6IiI4h", b"auds", b"\x00\x00\x00\x00",
+                        0, 0, 0, 0, 1, 8000, 0, 100, 0, -1, 0, 0, 0, 0, 0)
+    wavefmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    auds_strl = chunk(b"LIST", b"strl" + chunk(b"strh", auds_strh)
+                      + chunk(b"strf", wavefmt))
+    hdrl_at = good.find(b"hdrl")
+    avih_end = hdrl_at + 4 + 8 + 56  # hdrl fourcc + avih chunk
+    patched = bytearray(good)
+    patched[avih_end:avih_end] = auds_strl
+    # grow the enclosing hdrl LIST and RIFF sizes
+    hdrl_size_at = hdrl_at - 4
+    (old_hdrl,) = st.unpack_from("<I", patched, hdrl_size_at)
+    st.pack_into("<I", patched, hdrl_size_at, old_hdrl + len(auds_strl))
+    (old_riff,) = st.unpack_from("<I", patched, 4)
+    st.pack_into("<I", patched, 4, old_riff + len(auds_strl))
+    out, fps = avi_decode(bytes(patched))
+    assert np.array_equal(out, frames)
+    assert fps == pytest.approx(10.0)
