@@ -91,6 +91,16 @@ BENCH_QUERIES = [
     "corpus_diff_docs",
     "profile_events",
     "debounce_events",
+    # round-3 additions (skew_join_events stays catalog-only: its hot
+    # path deliberately manufactures a 70%-skew join whose output is
+    # 10x the input — ~27 s at sf0.1 would dominate the query loop)
+    "bloom_semi_lineitem",
+    "bm25_topk_docs",
+    "dsir_llr_docs",
+    "k_core_docs",
+    "cluster_split_docs",
+    "route_media_docs",
+    "pushdown_read_orders",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
