@@ -511,3 +511,50 @@ def test_avi_audio_first_stream_order():
     out, fps = avi_decode(bytes(patched))
     assert np.array_equal(out, frames)
     assert fps == pytest.approx(10.0)
+
+
+@pytest.mark.parametrize("decoder_name", ["png", "jpeg", "gif", "avi", "wav"])
+def test_decoders_fail_cleanly_on_garbage(decoder_name):
+    """Hostile-input hardening: random bytes, truncations of valid files
+    and header-only prefixes must raise a clean exception (ValueError /
+    struct.error / EOFError / zlib.error), never hang or return junk
+    silently — the property a crawler-facing decoder pool needs."""
+    import wave
+    import zlib as _zlib
+
+    from dedup_ray.stages import codecs
+
+    decoder = {
+        "png": codecs.png_decode, "jpeg": codecs.jpeg_decode,
+        "gif": codecs.gif_decode, "avi": codecs.avi_decode,
+        "wav": codecs.wav_decode,
+    }[decoder_name]
+    valid = {
+        "png": codecs.png_encode(np.zeros((4, 4, 3), np.uint8)),
+        "jpeg": codecs.jpeg_encode(np.zeros((4, 4, 3), np.uint8)),
+        "gif": codecs.gif_encode(
+            np.zeros((4, 4), np.uint8),
+            np.zeros((4, 3), np.uint8)),
+        "avi": codecs.avi_encode(np.zeros((1, 4, 4, 3), np.uint8)),
+        "wav": codecs.wav_encode(np.zeros(64, np.int16)),
+    }[decoder_name]
+    ok_errors = (ValueError, struct.error, EOFError, IndexError,
+                 _zlib.error, wave.Error)
+    rng = np.random.default_rng(99)
+    cases = [
+        b"", b"\x00" * 64,
+        bytes(rng.integers(0, 256, 256, dtype=np.uint8)),
+        valid[: len(valid) // 3],          # truncated mid-structure
+        valid[:12],                        # header-only prefix
+        valid[:-7],                        # tail chopped
+    ]
+    for i, data in enumerate(cases):
+        try:
+            decoder(data)
+        except ok_errors:
+            continue
+        except Exception as e:  # noqa: BLE001 - classify unexpected kinds
+            raise AssertionError(
+                f"case {i}: unexpected {type(e).__name__}: {e}") from e
+        # a decode that *succeeds* on a truncation is acceptable only if
+        # the container is self-delimiting (e.g. AVI with zero frames)
