@@ -2762,6 +2762,27 @@ def skew_join_events(sf_dir: str):
 PUSHDOWN_PRICE = 200_000.0
 FULLOUTER_MIN = 9
 DSIR_TARGET_LANG = "en"
+
+
+def hll_user_registers_events(sf_dir: str):
+    """Per-GROUP HLL distinct sketch (``stages/sketch.py::
+    hll_grouped_registers``): distinct users per event type as md5
+    register rows — every group costs ≤256 register rows regardless of
+    its cardinality (the fixed-memory answer to "distinct users per
+    host" over a 100-TB crawl), merged by one grouped MAX.  The oracle
+    rebuilds every register from ``md5(user_id)`` alone."""
+    from dedup_ray.stages.sketch import hll_grouped_registers
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_grouped_registers(ds, "event_type", "user_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "idx": pc.cast(t["idx"], pa.int64()),
+            "rho": pc.cast(t["rho"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
 KCORE_K, KCORE_ROUNDS, KCORE_CLIQUE_STEP = 3, 6, 50
 
 
@@ -5175,6 +5196,7 @@ QUERIES = {
     "route_media_docs": route_media_docs,
     "k_core_docs": k_core_docs,
     "cluster_split_docs": cluster_split_docs,
+    "hll_user_registers_events": hll_user_registers_events,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5855,6 +5877,33 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["hll_user_registers_events"] = """
+    WITH h AS (SELECT event_type,
+                      md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events),
+    parts AS (SELECT event_type,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS idx,
+        length(regexp_extract(substr(hx, 3, 13), '^0*')) AS lz,
+        substr(hx,
+               3 + length(regexp_extract(substr(hx, 3, 13), '^0*')),
+               1) AS d0
+      FROM h),
+    r AS (SELECT event_type, idx,
+                 CASE WHEN lz >= 13 THEN 53
+                      ELSE 4 * lz + 1 +
+                           CASE WHEN d0 IN ('8','9','a','b','c','d','e','f')
+                                    THEN 0
+                                WHEN d0 IN ('4','5','6','7') THEN 1
+                                WHEN d0 IN ('2','3') THEN 2
+                                ELSE 3 END
+                 END AS rho
+          FROM parts)
+    SELECT event_type, CAST(idx AS BIGINT) AS idx,
+           CAST(max(rho) AS BIGINT) AS rho
+    FROM r GROUP BY event_type, idx
 """
 
 ORACLES["novelty_curve_docs"] = f"""

@@ -96,6 +96,59 @@ def hll_token_registers(ds, text_col: str = "text"):
     )
 
 
+def hll_grouped_registers(ds, group_col: str, value_col: str):
+    """Per-GROUP distinct-value HLL registers: Dataset
+    ``(group_col, idx, rho)``, one row per (group, touched register).
+
+    The grouped form of :func:`hll_token_registers` — "distinct users
+    per host / per event type" at fixed memory: every group's sketch is
+    ≤ ``HLL_M`` register rows regardless of its cardinality, partials
+    merge by MAX through one grouped aggregate, and the register layout
+    stays md5-reproducible so a SQL oracle can rebuild it
+    register-for-register.  Estimate per group via
+    :func:`hll_estimate` over one group's ``(idx, rho)`` rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
+        groups = t[group_col]
+        v_list = vals.to_pylist()
+        if not v_list:
+            return pa.table({group_col: groups.slice(0, 0),
+                             "idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        idx, rho = hll_partial([v or "" for v in v_list])
+        # per-(group, idx) max within the batch: factorize the group col
+        de = groups.combine_chunks().dictionary_encode()
+        g_idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_groups = len(de.dictionary)
+        regs = np.zeros((n_groups, HLL_M), np.int64)
+        np.maximum.at(regs, (g_idx, idx), rho)
+        gs, ix = np.nonzero(regs)
+        return pa.table({
+            group_col: de.dictionary.take(pa.array(gs, pa.int64())),
+            "idx": pa.array(ix.astype(np.int64)),
+            "rho": pa.array(regs[gs, ix]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        if "max(rho)" not in t.column_names:  # empty aggregate
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        return pa.table({group_col: t[group_col], "idx": t["idx"],
+                         "rho": pc.cast(t["max(rho)"], pa.int64())})
+
+    return partials.groupby([group_col, "idx"]).max("rho").map_batches(
+        rename, batch_format="pyarrow"
+    )
+
+
 CMS_D = 4  # Count-Min hash rows
 CMS_W = 256  # buckets per row = one md5 hex-digit pair
 

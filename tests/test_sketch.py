@@ -227,3 +227,29 @@ def test_cms_registers_merge_by_sum():
     pd.testing.assert_series_equal(
         whole.sort_index(), merged.sort_index(), check_names=False
     )
+
+
+def test_hll_grouped_registers_estimates_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.sketch import hll_estimate, hll_grouped_registers
+
+    rng = np.random.default_rng(77)
+    rows = []
+    truth = {"a": 50, "b": 400, "c": 3}
+    for g, n in truth.items():
+        ids = rng.choice(n * 10, n, replace=False)  # n distinct values
+        for v in ids:
+            for _ in range(rng.integers(1, 4)):  # repeats must not count
+                rows.append((g, int(v)))
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    regs = hll_grouped_registers(
+        rd.from_pandas(df, override_num_blocks=4), "g", "v"
+    ).to_pandas()
+    for g, n in truth.items():
+        mine = regs[regs["g"] == g][["idx", "rho"]]
+        est = hll_estimate(mine)
+        assert abs(est - n) / n < 0.25, (g, est, n)  # 256 registers ~6.5%
