@@ -2764,6 +2764,44 @@ FULLOUTER_MIN = 9
 DSIR_TARGET_LANG = "en"
 
 
+EDIT_CAP = 10
+
+
+def edit_distance_parts(sf_dir: str):
+    """Vectorized edit-distance pair feature (``stages/textstats.py::
+    levenshtein_batch``): within each brand block, the ``EDIT_CAP``
+    smallest part keys pair up (deterministic cap = the bounded-block
+    discipline every P1-family operator uses) and one batched DP scores
+    all pairs in lockstep — numpy across the pair axis, no per-pair
+    Python.  The classic record-linkage similarity for typo'd
+    venue/author/product strings; DuckDB's native ``levenshtein()`` is
+    the oracle."""
+    from dedup_ray.stages.textstats import levenshtein_batch
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("p_partkey").head(EDIT_CAP)
+        recs = list(zip(df["p_partkey"], df["p_name"]))
+        rows = [
+            (df["p_brand"].iloc[0], k1, k2, n1, n2)
+            for i, (k1, n1) in enumerate(recs)
+            for k2, n2 in recs[i + 1 :]
+        ]
+        out = pd.DataFrame(
+            rows, columns=["p_brand", "k1", "k2", "n1", "n2"])
+        if len(out):
+            out["dist"] = levenshtein_batch(
+                out["n1"].tolist(), out["n2"].tolist())
+        else:
+            out["dist"] = pd.Series([], dtype="int64")
+        return out[["p_brand", "k1", "k2", "dist"]]
+
+    return as_arrow(
+        ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+    )
+
+
 def hll_user_registers_events(sf_dir: str):
     """Per-GROUP HLL distinct sketch (``stages/sketch.py::
     hll_grouped_registers``): distinct users per event type as md5
@@ -5197,6 +5235,7 @@ QUERIES = {
     "k_core_docs": k_core_docs,
     "cluster_split_docs": cluster_split_docs,
     "hll_user_registers_events": hll_user_registers_events,
+    "edit_distance_parts": edit_distance_parts,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5877,6 +5916,20 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["edit_distance_parts"] = f"""
+    WITH capped AS (
+        SELECT p_brand, p_partkey, p_name,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_partkey) AS rn
+        FROM part)
+    SELECT a.p_brand,
+           a.p_partkey AS k1, b.p_partkey AS k2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM capped a JOIN capped b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.rn <= {EDIT_CAP} AND b.rn <= {EDIT_CAP}
 """
 
 ORACLES["hll_user_registers_events"] = """

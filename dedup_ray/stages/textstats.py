@@ -389,3 +389,50 @@ def fingerprint_docs_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def levenshtein_batch(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Exact edit distance for a batch of string pairs, vectorized ACROSS
+    pairs: one two-row dynamic program over the padded max lengths, all
+    pairs advanced in lockstep (numpy on the pair axis) — no per-pair
+    Python loop.  O(n·La·Lb) cells like the scalar DP, but each cell
+    step is one vectorized op over the whole batch.
+
+    The classic record-linkage similarity (typo'd venue/author strings,
+    near-identical product names) the token-set features miss; DuckDB's
+    native ``levenshtein()`` is the oracle."""
+    n = len(a_list)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(s) for s in a_list], np.int64)
+    lb = np.array([len(s) for s in b_list], np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    # pad with pair-distinct sentinels (negative codes can't equal text)
+    a = np.full((n, max(La, 1)), -1, np.int64)
+    b = np.full((n, max(Lb, 1)), -2, np.int64)
+    for i, s in enumerate(a_list):
+        if s:
+            a[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), np.uint32).astype(np.int64)
+    for i, s in enumerate(b_list):
+        if s:
+            b[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), np.uint32).astype(np.int64)
+    out = np.where(la == 0, lb, 0).astype(np.int64)
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64),
+                           (n, Lb + 1)).copy()
+    rows = np.arange(n)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (b != a[:, i - 1 : i]).astype(np.int64)  # (n, Lb)
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                prev[:, j - 1] + sub[:, j - 1],
+            )
+        done = la == i
+        if done.any():
+            out[done] = cur[rows[done], lb[done]]
+        prev = cur
+    return out

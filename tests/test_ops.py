@@ -474,3 +474,29 @@ def test_bm25_topk_matches_reference(ray_session):
         rd.from_pandas(df, override_num_blocks=5), terms, k=k, k1=k1, b=b,
     ).to_pandas()
     assert [(s, i) for s, i in zip(got["score"], got["doc_id"])] == expected
+
+
+def test_levenshtein_batch_matches_scalar_reference():
+    import random
+
+    from dedup_ray.stages.textstats import levenshtein_batch
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            ndp = [i]
+            for j, cb in enumerate(b, 1):
+                ndp.append(min(ndp[-1] + 1, dp[j] + 1,
+                               dp[j - 1] + (ca != cb)))
+            dp = ndp
+        return dp[-1]
+
+    random.seed(5)
+    pairs = [
+        ("".join(random.choices("abcde", k=random.randint(0, 12))),
+         "".join(random.choices("abcdef", k=random.randint(0, 10))))
+        for _ in range(200)
+    ] + [("", ""), ("", "abc"), ("xyz", ""), ("same", "same"),
+         ("héllo", "hello"), ("kitten", "sitting")]
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [lev(a, b) for a, b in pairs]
