@@ -2767,6 +2767,39 @@ DSIR_TARGET_LANG = "en"
 EDIT_CAP = 10
 
 
+def jsonl_roundtrip_docs(sf_dir: str):
+    """JSONL sink→source round trip (the interchange format web corpora
+    ship in): documents write to line-delimited JSON under /tmp and read
+    back through ``read_json``; the check is content-preserving
+    transport — per doc the round-tripped text's length and first token
+    must equal the original's (computed AFTER the round trip, so any
+    escaping/encoding defect in either direction surfaces as a value
+    mismatch against the parquet-derived oracle)."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="jsonl-", dir="/tmp")
+    try:
+        ds.write_json(root)
+        back = ray.data.read_json(root)
+
+        def verify(t: pa.Table) -> pa.Table:
+            txt = pc.coalesce(t["text"], pa.scalar("", t["text"].type))
+            first = pc.list_element(pc.split_pattern(txt, " "), 0)
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars_rt": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "first_token": first,
+            })
+
+        out = back.map_batches(verify, batch_format="pyarrow")
+        # materialize before the tempdir vanishes (lazy reads hold paths)
+        return out.materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def edit_distance_parts(sf_dir: str):
     """Vectorized edit-distance pair feature (``stages/textstats.py::
     levenshtein_batch``): within each brand block, the ``EDIT_CAP``
@@ -5236,6 +5269,7 @@ QUERIES = {
     "cluster_split_docs": cluster_split_docs,
     "hll_user_registers_events": hll_user_registers_events,
     "edit_distance_parts": edit_distance_parts,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "salted_stats_events": salted_stats_events,
     "focus_org_bag_parts": focus_org_bag_parts,
     "normalize_text_docs": normalize_text_docs,
@@ -5916,6 +5950,13 @@ ORACLES["hll_token_registers_docs"] = """
           FROM parts)
     SELECT CAST(idx AS BIGINT) AS idx, CAST(max(rho) AS BIGINT) AS rho
     FROM r GROUP BY idx
+"""
+
+ORACLES["jsonl_roundtrip_docs"] = """
+    SELECT doc_id,
+           length(coalesce(text, '')) AS n_chars_rt,
+           string_split(coalesce(text, ''), ' ')[1] AS first_token
+    FROM documents
 """
 
 ORACLES["edit_distance_parts"] = f"""
