@@ -74,6 +74,7 @@ def pagerank(
     iters: int = 8,
     num_partitions: int = 16,
     round_to: int | None = 9,
+    seed_nodes: list | None = None,
 ):
     """PageRank over ``edges_ds(src, dst)`` for every node in
     ``nodes_ds(node)``; returns a Dataset ``(node, pagerank)``.
@@ -83,6 +84,13 @@ def pagerank(
     nodes with no out-edges redistribute their mass uniformly (standard
     dangling-node treatment).  ``r0 = 1/N`` uniform;
     ``r_{k+1}(v) = (1-d)/N + d·(Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N)``.
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport distribution concentrates on the seed set
+    (``p(v) = 1/|S|`` for seeds, 0 elsewhere), ``r0 = p``, and dangling
+    mass restarts at the seeds — authority relative to a trusted set
+    (seed-biased host ranking, topic-local relevance) instead of global.
+    The seed set broadcasts once; per-node work is one vectorized isin.
     """
     nodes = nodes_ds.select_columns([node_col])
     if node_col != "node":
@@ -102,6 +110,12 @@ def pagerank(
             .empty_table()
         )
     teleport = (1.0 - damping) / n_total
+    seed_arr = None
+    if seed_nodes is not None:
+        if not seed_nodes:
+            raise ValueError("seed_nodes must be non-empty when given")
+        seed_arr = ray.put(np.asarray(sorted(set(seed_nodes))))
+        p_seed = 1.0 / len(set(seed_nodes))
 
     # Pre-partition the heavy stream once: per-iteration re-splits of these
     # partitions are identity movement (same hash, same modulus).
@@ -126,7 +140,11 @@ def pagerank(
         )
         out = nd.to_pandas().join(deg, on="node")
         out["outdeg"] = out["outdeg"].fillna(0).astype("int64")
-        out["pr"] = 1.0 / n_total
+        if seed_arr is not None:
+            out["pr"] = np.where(
+                out["node"].isin(ray.get(seed_arr)), p_seed, 0.0)
+        else:
+            out["pr"] = 1.0 / n_total
         return pa.Table.from_pandas(
             out[["node", "pr", "outdeg"]], preserve_index=False
         ).cast(_RANK_SCHEMA)
@@ -154,20 +172,29 @@ def pagerank(
 
     for _ in range(iters):
         dl = sum(ray.get([_dangling_sum.remote(ref) for ref in rank_refs]))
-        base = teleport + damping * dl / n_total
+        if seed_arr is not None:
+            # personalized: teleport AND dangling mass restart at seeds
+            base = None
+            base_seed = ((1.0 - damping) + damping * dl) * p_seed
+        else:
+            base = teleport + damping * dl / n_total
+            base_seed = None
 
         def combine(
-            r: pa.Table, c: pa.Table, _base=base
+            r: pa.Table, c: pa.Table, _base=base, _base_seed=base_seed
         ) -> pa.Table:
             r = _table_or_empty(r, _RANK_SCHEMA)
             c = _table_or_empty(c, _PARTIAL_SCHEMA)
             sums = c.to_pandas().groupby("dst")["c"].sum()
             out = r.to_pandas()
-            out["pr"] = (
-                _base
-                + damping
-                * out["node"].map(sums).fillna(0.0).to_numpy(dtype=np.float64)
-            )
+            contrib = out["node"].map(sums).fillna(0.0).to_numpy(
+                dtype=np.float64)
+            if _base is None:
+                restart = np.where(
+                    out["node"].isin(ray.get(seed_arr)), _base_seed, 0.0)
+                out["pr"] = restart + damping * contrib
+            else:
+                out["pr"] = _base + damping * contrib
             return pa.Table.from_pandas(
                 out[["node", "pr", "outdeg"]], preserve_index=False
             ).cast(_RANK_SCHEMA)
@@ -214,6 +241,29 @@ def pagerank_reference(
     for _ in range(iters):
         dl = r[outdeg == 0].sum()
         nxt = np.full(n, (1.0 - damping) / n + damping * dl / n)
+        for s, d in edges:
+            nxt[d] += damping * r[s] / outdeg[s]
+        r = nxt
+    return r
+
+
+def ppr_reference(
+    n: int,
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    damping: float = 0.85,
+    iters: int = 8,
+) -> np.ndarray:
+    """Dense NumPy oracle for personalized PageRank tests."""
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    p = np.zeros(n)
+    p[sorted(set(seeds))] = 1.0 / len(set(seeds))
+    r = p.copy()
+    for _ in range(iters):
+        dl = r[outdeg == 0].sum()
+        nxt = ((1.0 - damping) + damping * dl) * p
         for s, d in edges:
             nxt[d] += damping * r[s] / outdeg[s]
         r = nxt

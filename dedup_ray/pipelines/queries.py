@@ -4497,6 +4497,57 @@ ORACLES["coau_dist_docs"] = """
 """
 
 
+PPR_SEED_STEP = 100
+
+
+def ppr_docs(sf_dir: str):
+    """Personalized PageRank (random walk with restart at ``doc_id %%
+    100 == 0`` seeds) over the same deterministic link graph as
+    ``pagerank_docs`` — authority RELATIVE to a trusted set, the
+    seed-biased host-ranking pass of a crawl-quality pipeline.  Same
+    two-exchange iteration; the restart weight is one vectorized isin
+    against the broadcast seed set.  Integer nano-ranks as in
+    ``pagerank_docs``; oracle unrolls the seeded iteration in SQL."""
+    from dedup_ray.ops.pagerank import pagerank
+    from dedup_ray.util.dsutil import rename_columns
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u for _ in PR_EDGE_EXPRS])
+        dst = np.concatenate(
+            [eval(expr, {"u": u}) % n for expr in PR_EDGE_EXPRS]  # noqa: S307
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "dst": pa.array(dst, pa.int64())}
+        )
+
+    def hub_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[ids % PPR_SEED_STEP == 0],
+                                            pa.int64())})
+
+    seeds = [r["doc_id"] for r in
+             docs.map_batches(hub_filter, batch_format="pyarrow").take_all()]
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = rename_columns(docs, {"doc_id": "node"})
+    pr = pagerank(nodes, edges, damping=PR_DAMPING, iters=PR_ITERS,
+                  round_to=None, seed_nodes=seeds)
+
+    def to_nano(t: pa.Table) -> pa.Table:
+        e9 = np.rint(
+            t["pagerank"].to_numpy(zero_copy_only=False) * 10.0**PR_ROUND
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["node"], "ppr_e9": pa.array(e9, pa.int64())}
+        )
+
+    return pr.map_batches(to_nano, batch_format="pyarrow")
+
+
 def _pagerank_oracle() -> str:
     """Power iteration unrolled as chained CTEs, generated from the SAME
     constants the Ray query uses (edge formulas, damping, iteration count,
@@ -4540,6 +4591,54 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["pagerank_docs"] = _pagerank_oracle()
+
+
+def _ppr_oracle() -> str:
+    """The seeded power iteration unrolled: every node has out-degree
+    len(PR_EDGE_EXPRS) > 0 in this graph, so the dangling term is zero
+    and the restart weight is ``(1-d)/|S|`` on seeds, 0 elsewhere."""
+    import re
+
+    d = PR_DAMPING
+    edge_selects = " UNION ALL ".join(
+        "SELECT doc_id AS src, ("
+        + re.sub(r"\bu\b", "doc_id", expr)
+        + ") % (SELECT n FROM nn) AS dst FROM documents"
+        for expr in PR_EDGE_EXPRS
+    )
+    seed_p = (f"(SELECT 1.0 / count(*) FROM documents "
+              f"WHERE doc_id % {PPR_SEED_STEP} = 0)")
+    is_seed = f"(dcs.doc_id % {PPR_SEED_STEP} = 0)"
+    ctes = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        f"edges AS ({edge_selects})",
+        "outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg "
+        "FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id AS node, CASE WHEN doc_id % "
+        f"{PPR_SEED_STEP} = 0 THEN {seed_p} ELSE 0.0 END AS pr "
+        "FROM documents)",
+    ]
+    for k in range(PR_ITERS):
+        ctes.append(
+            f"r{k + 1} AS (SELECT dcs.doc_id AS node, "
+            f"(CASE WHEN {is_seed} THEN (1.0 - {d}) * {seed_p} "
+            f"ELSE 0.0 END) "
+            f"+ {d} * coalesce(s.c, 0.0) AS pr "
+            "FROM documents dcs LEFT JOIN ("
+            "SELECT e.dst AS node, sum(r.pr / o.outdeg) AS c "
+            f"FROM edges e JOIN r{k} r ON r.node = e.src "
+            "JOIN outd o ON o.src = e.src GROUP BY e.dst"
+            ") s ON s.node = dcs.doc_id)"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + "\n    SELECT node AS doc_id, "
+        f"CAST(round(pr * 1e{PR_ROUND}) AS BIGINT) AS ppr_e9"
+        f" FROM r{PR_ITERS}"
+    )
+
+
+ORACLES["ppr_docs"] = _ppr_oracle()
 
 
 def normalize_text_docs(sf_dir: str):
@@ -5280,6 +5379,7 @@ QUERIES = {
     "filter_below_quantile_docs": filter_below_quantile_docs,
     "coau_dist_docs": coau_dist_docs,
     "pagerank_docs": pagerank_docs,
+    "ppr_docs": ppr_docs,
     "similarity_join_docs": similarity_join_docs,
     "similarity_self_join_docs": similarity_self_join_docs,
     "split_seed_search": split_seed_search,

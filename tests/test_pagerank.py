@@ -71,3 +71,31 @@ def test_partition_count_invariance(ray_session):
     assert np.allclose(
         a["pagerank"].to_numpy(), b["pagerank"].to_numpy(), atol=1e-12
     )
+
+
+def test_personalized_pagerank_matches_dense_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.pagerank import pagerank, ppr_reference
+
+    rng = np.random.default_rng(13)
+    n = 60
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2))]
+    # a few dangling nodes (no out-edges) exercise the seed-restart of
+    # dangling mass
+    edges = [(a, b) for a, b in edges if a < 55]
+    seeds = [3, 17, 42]
+    exp = ppr_reference(n, edges, seeds, damping=0.85, iters=6)
+    got = pagerank(
+        rd.from_pandas(pd.DataFrame({"node": range(n)})),
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+        damping=0.85, iters=6, num_partitions=4, round_to=None,
+        seed_nodes=seeds,
+    ).to_pandas().set_index("node")["pagerank"]
+    for v in range(n):
+        assert abs(got[v] - exp[v]) < 1e-12, v
+    # mass concentrates near seeds: every seed outranks the global median
+    med = float(np.median(got.to_numpy()))
+    assert all(got[s] > med for s in seeds)
