@@ -512,3 +512,76 @@ def distinct_rows(ds, cols: list[str]):
         return group[cols].head(1)
 
     return as_arrow(ds.groupby(cols).map_groups(first, batch_format="pandas"))
+
+
+def cogroup(datasets, keys, fn, num_partitions: int = 16,
+            empty_schemas: list[pa.Schema] | None = None):
+    """N-ary cogroup: co-partition ``datasets[i]`` on ``keys[i]`` and call
+    ``fn(t0, ..., tn) -> pa.Table`` once per partition with every row of a
+    key from EVERY stream co-located — the general primitive under joins,
+    set ops and mixed-source per-key aggregation (Spark's ``cogroup``;
+    Ray Data has no native analog).  ONE exchange total, however many
+    streams: cheaper than joining pre-aggregated streams pairwise, and
+    ``fn`` sees each side separately so non-equi logic (outer semantics,
+    per-side aggregates, asymmetric caps) needs no join-key surrogate.
+
+    ``empty_schemas[i]`` substitutes a typed empty table when stream ``i``
+    contributes only void (schema-less zero-row) blocks to a partition,
+    so ``fn`` never special-cases column-less input.
+    """
+    from dedup_ray.util.exchange import hash_exchange
+
+    if empty_schemas is not None:
+        inner = fn
+
+        def fn(*tables, _inner=inner, _schemas=empty_schemas):
+            fixed = [
+                s.empty_table()
+                if (t.num_rows == 0 and not t.column_names) else t
+                for t, s in zip(tables, _schemas)
+            ]
+            return _inner(*fixed)
+
+    return hash_exchange(list(datasets), list(keys), fn, num_partitions)
+
+
+def upsert_latest(base_ds, updates_ds, key_col: str, version_col: str,
+                  num_partitions: int = 16):
+    """MERGE-INTO / upsert: union base and update streams, keep the single
+    highest-``version`` row per key (ties break toward the update stream,
+    which carries the higher ``__src`` tag).  The lakehouse compaction
+    primitive an incremental crawl needs: a re-fetched page replaces its
+    old row, a brand-new page inserts, untouched rows pass through.
+
+    One cogroup exchange on the key; per-partition selection is a
+    vectorized lexsort + boundary scan (no per-row Python).  Neither
+    stream is ever materialized whole — at 100 TB the base corpus streams
+    through the exchange exactly once, which is the best any engine can
+    do when the update set is not key-partitioned on the same layout.
+    Schemas must match (`union-evolve` upstream handles drift).
+    """
+
+    base_schema = base_ds.schema()
+    cols = list(base_schema.names)
+    arrow_schema = pa.schema(
+        [(n, t) for n, t in zip(base_schema.names, base_schema.types)]
+    )
+
+    def pick_latest(b: pa.Table, u: pa.Table) -> pa.Table:
+        src = np.r_[np.zeros(b.num_rows, np.int8),
+                    np.ones(u.num_rows, np.int8)]
+        t = pa.concat_tables([b.select(cols), u.select(cols)])
+        if t.num_rows == 0:
+            return t
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        v = t[version_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, v, k))  # ascending; last of each key wins
+        ks = k[order]
+        last = np.r_[ks[1:] != ks[:-1], True]
+        return t.take(pa.array(order[np.flatnonzero(last)]))
+
+    return cogroup(
+        [base_ds, updates_ds], [key_col, key_col], pick_latest,
+        num_partitions,
+        empty_schemas=[arrow_schema, arrow_schema],
+    )

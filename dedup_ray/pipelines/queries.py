@@ -5262,6 +5262,135 @@ def _register_exact_substr_oracles() -> None:
 _register_exact_substr_oracles()
 
 
+def cogroup_user_activity(sf_dir: str):
+    """General N-ary cogroup (``ops/relational.py::cogroup``): events and
+    orders co-partitioned on their own key columns in ONE exchange; each
+    partition computes per-user aggregates from both sides with full-outer
+    semantics — no join-key surrogate, no second shuffle of pre-aggregated
+    streams."""
+    from dedup_ray.ops.relational import cogroup
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def per_part(e: pa.Table, o: pa.Table) -> pa.Table:
+        eu = e["user_id"].to_numpy(zero_copy_only=False)
+        evv = e["value"].to_numpy(zero_copy_only=False)
+        ou = o["o_custkey"].to_numpy(zero_copy_only=False)
+        ov = o["o_totalprice"].to_numpy(zero_copy_only=False)
+        keys = np.union1d(eu, ou)
+        n_ev = np.zeros(len(keys), np.int64)
+        s_ev = np.zeros(len(keys), np.float64)
+        n_od = np.zeros(len(keys), np.int64)
+        s_od = np.zeros(len(keys), np.float64)
+        if len(eu):
+            idx = np.searchsorted(keys, eu)
+            np.add.at(n_ev, idx, 1)
+            np.add.at(s_ev, idx, evv)
+        if len(ou):
+            idx = np.searchsorted(keys, ou)
+            np.add.at(n_od, idx, 1)
+            np.add.at(s_od, idx, ov)
+        return pa.table({
+            "user_id": pa.array(keys, pa.int64()),
+            "n_events": pa.array(n_ev),
+            "sum_value": pc.round(pa.array(s_ev), ndigits=6),
+            "n_orders": pa.array(n_od),
+            "sum_price": pc.round(pa.array(s_od), ndigits=2),
+        })
+
+    return cogroup(
+        [ev, od], ["user_id", "o_custkey"], per_part, 16,
+        empty_schemas=[
+            pa.schema([("user_id", pa.int64()), ("value", pa.float64())]),
+            pa.schema([("o_custkey", pa.int64()),
+                       ("o_totalprice", pa.float64())]),
+        ],
+    )
+
+
+ORACLES["cogroup_user_activity"] = """
+    WITH e AS (SELECT user_id, count(*) AS n_events, sum(value) AS sv
+               FROM events GROUP BY user_id),
+         o AS (SELECT o_custkey AS user_id, count(*) AS n_orders,
+                      sum(o_totalprice) AS sp
+               FROM orders GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(n_events, 0) AS n_events,
+           round(coalesce(sv, 0), 6) AS sum_value,
+           coalesce(n_orders, 0) AS n_orders,
+           round(coalesce(sp, 0), 2) AS sum_price
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+
+# upsert shard synthesis constants — shared by kernel and oracle
+UPSERT_MOD_UPDATE = 10   # doc_id % 10 == 0 gets a re-fetched version 2
+UPSERT_MOD_NEW = 97      # doc_id % 97 == 0 spawns a brand-new page
+UPSERT_NEW_BASE = 10_000_000
+
+
+def upsert_latest_docs(sf_dir: str):
+    """MERGE-INTO upsert (``ops/relational.py::upsert_latest``): a
+    deterministic update shard (re-fetched pages for doc_id%10==0 with
+    version 2, brand-new pages for doc_id%97==0) merges into the base
+    corpus; highest version per doc_id wins in ONE cogroup exchange."""
+    from dedup_ray.ops.relational import upsert_latest
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "version": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        upd = ids[ids % UPSERT_MOD_UPDATE == 0]
+        new = ids[ids % UPSERT_MOD_NEW == 0] + UPSERT_NEW_BASE
+        # re-fetched text = old text + ' [updated]'; new page text is
+        # 'new page <id>' — only lengths survive to the output
+        old_len = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False)[ids % UPSERT_MOD_UPDATE == 0]
+        return pa.table({
+            "doc_id": pa.array(np.r_[upd, new], pa.int64()),
+            "version": pa.array(
+                np.r_[np.full(len(upd), 2, np.int64),
+                      np.ones(len(new), np.int64)]),
+            "n_chars": pa.array(
+                np.r_[old_len + len(" [updated]"),
+                      np.array([len(f"new page {i}") for i in new],
+                               np.int64)]),
+        })
+
+    tagged = base.map_batches(tag_base, batch_format="pyarrow")
+    updates = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(mk_updates, batch_format="pyarrow")
+    return upsert_latest(tagged, updates, "doc_id", "version")
+
+
+ORACLES["upsert_latest_docs"] = f"""
+    WITH base AS (SELECT doc_id, 1::BIGINT AS version,
+                         length(text)::BIGINT AS n_chars
+                  FROM documents),
+    upd AS (SELECT doc_id, 2::BIGINT AS version,
+                   (length(text) + {len(' [updated]')})::BIGINT AS n_chars
+            FROM documents WHERE doc_id % {UPSERT_MOD_UPDATE} = 0
+            UNION ALL
+            SELECT doc_id + {UPSERT_NEW_BASE}, 1::BIGINT,
+                   length('new page ' ||
+                          (doc_id + {UPSERT_NEW_BASE}))::BIGINT
+            FROM documents WHERE doc_id % {UPSERT_MOD_NEW} = 0),
+    u AS (SELECT *, 0 AS src FROM base
+          UNION ALL SELECT *, 1 AS src FROM upd)
+    SELECT doc_id, version, n_chars FROM u
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY version DESC, src DESC) = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "grouped_stats_events": grouped_stats_events,
@@ -5403,6 +5532,8 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,
     "shortpath_source_docs": shortpath_source_docs,
+    "cogroup_user_activity": cogroup_user_activity,
+    "upsert_latest_docs": upsert_latest_docs,
 }
 
 
