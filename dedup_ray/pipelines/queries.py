@@ -2379,6 +2379,35 @@ def line_dedup_docs(sf_dir: str):
     return line_dedup(explode_token_lines(ds))
 
 
+HB_HEADER = "home about contact login search news shop blog help faq nav hub"
+
+
+def host_boilerplate_docs(sf_dir: str):
+    """Per-host boilerplate line removal (RefinedWeb doctrine): a line
+    occurring in >= 3 distinct documents of one host is site furniture and
+    is scrubbed from every document of that host.  Hosts synthesized as
+    ``site<doc_id%13>.example.com``; a host-specific 12-token nav header
+    is prepended so each host shares an aligned boilerplate line 0, which
+    the operator must remove while keeping the content lines.  One line-hash
+    exchange for the per-(host, line) distinct-doc census + one id-keyed
+    exchange to rebuild text (``stages/webclean.py::host_boilerplate_removal``)."""
+    from dedup_ray.stages.webclean import host_boilerplate_removal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m13 = pa.array((ids % 13).astype(str))
+        host = pc.binary_join_element_wise("site", m13, ".example.com", "")
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        text = pc.binary_join_element_wise(HB_HEADER, m13, " ", txt, "")
+        return pa.table({"doc_id": t["doc_id"], "host": host, "text": text})
+
+    return host_boilerplate_removal(
+        ds.map_batches(mk, batch_format="pyarrow"), min_docs=3
+    )
+
+
 def redact_pii_docs(sf_dir: str):
     """PII redaction over synthesized contact-laden pages: the RE2 rule
     list (``stages/webclean.py::PII_RULES``) drives BOTH the Arrow kernel
@@ -5438,6 +5467,7 @@ QUERIES = {
     "embed_pair_features": embed_pair_features,
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
     "line_dedup_docs": line_dedup_docs,
+    "host_boilerplate_docs": host_boilerplate_docs,
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
     "bpe_train_docs": bpe_train_docs,
@@ -5794,6 +5824,26 @@ def _webclean_oracles() -> dict[str, str]:
                           ) AS rn
                    FROM lines)
         SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+    """
+    out["host_boilerplate_docs"] = f"""
+        WITH d AS (SELECT doc_id,
+                          'site' || (doc_id % 13) || '.example.com' AS host,
+                          '{HB_HEADER}' || (doc_id % 13) || ' ' ||
+                          COALESCE(text, '') AS txt
+                   FROM documents),
+        t AS (SELECT doc_id, host, string_split(txt, ' ') AS toks FROM d),
+        tok AS (SELECT doc_id, host, i, toks[i] AS token
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        lines AS (SELECT doc_id, host, (i - 1) // {LINE_WIDTH} AS line_no,
+                         string_agg(token, ' ' ORDER BY i) AS line
+                  FROM tok GROUP BY doc_id, host, (i - 1) // {LINE_WIDTH}),
+        df AS (SELECT host, line, count(DISTINCT doc_id) AS ndocs
+               FROM lines GROUP BY host, line),
+        kept AS (SELECT l.doc_id, l.line_no, l.line
+                 FROM lines l JOIN df USING (host, line)
+                 WHERE df.ndocs < 3)
+        SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+        FROM kept GROUP BY doc_id
     """
     clean_expr, count_exprs = pii_oracle_exprs("txt")
     count_cols = ",\n               ".join(

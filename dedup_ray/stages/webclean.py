@@ -55,19 +55,23 @@ def _text_col(t: pa.Table, col: str) -> pa.Array:
 
 
 def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
-                        width: int = LINE_WIDTH):
+                        width: int = LINE_WIDTH,
+                        carry_cols: list[str] | None = None):
     """Explode documents into fixed-width token lines.
 
     A "line" is ``width`` consecutive whitespace tokens joined by a single
     space (the last line of a document may be shorter).  Output columns:
     ``(id_col, line_no, line, line_h)`` where ``line_h`` is a 64-bit hash
-    of the line used as the dedup shuffle key.
+    of the line used as the dedup shuffle key.  ``carry_cols`` replicate
+    onto every line of their document (e.g. the host column for per-host
+    boilerplate removal).
 
     Vectorized: one ``split_pattern`` per batch, then one
     ``list_slice``+``binary_join`` pass per line INDEX (loop count =
     max lines in any batch document — bounded by document length, not
     batch size; every pass covers all documents at once).
     """
+    carry = carry_cols or []
 
     def f(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(_text_col(t, text_col), " ")
@@ -76,9 +80,8 @@ def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                               float(width))),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        ids_np = t[id_col].to_numpy(zero_copy_only=False)
         max_lines = int(nlines.max()) if len(nlines) else 0
-        id_parts, no_parts, line_parts = [], [], []
+        idx_parts, no_parts, line_parts = [], [], []
         for k in range(max_lines):
             live = nlines > k
             if not live.any():
@@ -86,24 +89,31 @@ def explode_token_lines(ds, text_col: str = "text", id_col: str = "doc_id",
             sub = pc.binary_join(
                 pc.list_slice(toks, k * width, (k + 1) * width), " "
             ).to_numpy(zero_copy_only=False)
-            id_parts.append(ids_np[live])
+            idx_parts.append(np.flatnonzero(live))
             no_parts.append(np.full(int(live.sum()), k, np.int64))
             line_parts.append(sub[live])
-        if not id_parts:
-            return pa.table({
+        if not idx_parts:
+            cols = {
                 id_col: pa.array([], t[id_col].type),
                 "line_no": pa.array([], pa.int64()),
                 "line": pa.array([], pa.string()),
                 "line_h": pa.array([], pa.int64()),
-            })
+            }
+            for c in carry:
+                cols[c] = pa.array([], t[c].type)
+            return pa.table(cols)
         lines = np.concatenate(line_parts)
         h = stable64_array(list(lines), seed=0x11E5).view(np.int64)
-        return pa.table({
-            id_col: pa.array(np.concatenate(id_parts), t[id_col].type),
+        sel = pa.array(np.concatenate(idx_parts))
+        cols = {
+            id_col: t[id_col].take(sel),
             "line_no": pa.array(np.concatenate(no_parts)),
             "line": pa.array(lines, pa.string()),
             "line_h": pa.array(h),
-        })
+        }
+        for c in carry:
+            cols[c] = t[c].take(sel)
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -178,6 +188,74 @@ def reassemble_docs(kept_lines, id_col: str = "doc_id",
 
     return exchange_group_apply(kept_lines, id_col, join_lines,
                                 num_partitions)
+
+
+def host_boilerplate_lines(ds_lines, min_docs: int = 3,
+                           id_col: str = "doc_id",
+                           host_col: str = "host",
+                           num_partitions: int = 16):
+    """Per-host boilerplate removal (RefinedWeb/CCNet doctrine): a line
+    whose identical text occurs in at least ``min_docs`` DISTINCT documents
+    of the same host is site furniture (nav bars, footers, cookie banners)
+    and is dropped from EVERY document of that host — unlike
+    :func:`line_dedup`, which keeps the globally-first occurrence.
+
+    One exchange keyed on the int64 ``line_h`` (all occurrences of a line
+    co-locate regardless of host); inside a partition the group key is
+    ``(host, line)`` strings, so hash collisions never merge groups.  The
+    per-group distinct-document count is a sorted boundary scan +
+    ``reduceat`` — no per-group Python.  Skew bound: the hottest group is
+    one host's hottest line, bounded by pages-per-host (see
+    ``cap_per_host_docs`` for the upstream guard).
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def drop_frequent(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            id_type = part[id_col].type if id_col in part.column_names \
+                else pa.int64()
+            return pa.table({
+                id_col: pa.array([], id_type),
+                "line_no": pa.array([], pa.int64()),
+                "line": pa.array([], pa.string()),
+            })
+        host = np.asarray(part[host_col].to_pylist(), dtype=object)
+        line = np.asarray(part["line"].to_pylist(), dtype=object)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, line, host))
+        h_s, l_s, id_s = host[order], line[order], ids[order]
+        new_grp = np.r_[True, (h_s[1:] != h_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        # distinct docs per group: rows are sorted by id within a group,
+        # so a distinct doc starts where the group starts or the id changes
+        new_doc = new_grp | np.r_[True, id_s[1:] != id_s[:-1]]
+        starts = np.flatnonzero(new_grp)
+        df = np.add.reduceat(new_doc.astype(np.int64), starts)
+        keep_grp = df < min_docs
+        grp_of_row = np.cumsum(new_grp) - 1
+        keep = np.zeros(len(order), bool)
+        keep[order] = keep_grp[grp_of_row]
+        return part.filter(pa.array(keep)).select(
+            [id_col, "line_no", "line"])
+
+    return exchange_group_apply(ds_lines, "line_h", drop_frequent,
+                                num_partitions)
+
+
+def host_boilerplate_removal(ds, min_docs: int = 3, text_col: str = "text",
+                             id_col: str = "doc_id", host_col: str = "host",
+                             num_partitions: int = 16):
+    """End-to-end per-host boilerplate scrub: explode fixed-width token
+    lines carrying the host column, drop per-host frequent lines, rebuild
+    each document's text.  Documents whose every line was boilerplate
+    vanish from the output (an all-furniture page has no content).
+    Output: ``(id_col, text)``."""
+    lines = explode_token_lines(ds, text_col=text_col, id_col=id_col,
+                                carry_cols=[host_col])
+    kept = host_boilerplate_lines(lines, min_docs=min_docs, id_col=id_col,
+                                  host_col=host_col,
+                                  num_partitions=num_partitions)
+    return reassemble_docs(kept, id_col=id_col,
+                           num_partitions=num_partitions)
 
 
 # --------------------------------------------------------------------------

@@ -319,3 +319,67 @@ def test_compression_ratio_screen():
     # short legitimate text is kept: zlib stream overhead makes the ratio
     # meaningless under min_bytes (this one measures ~0.9)
     assert out.loc[4, "keep"]
+
+
+# --------------------------------------------------------------------------
+# per-host boilerplate removal
+# --------------------------------------------------------------------------
+
+def _mkhostdocs(rows):
+    return ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+    )
+
+
+def test_host_boilerplate_removed_per_host_only():
+    from dedup_ray.stages.webclean import host_boilerplate_removal
+
+    nav = _words("nav", W)  # full aligned boilerplate line
+    rows = [
+        # host A: nav line shared by 3 docs -> boilerplate, scrubbed
+        (0, "a.com", nav + " " + _words("p", W)),
+        (1, "a.com", nav + " " + _words("q", W)),
+        (2, "a.com", nav + " " + _words("r", W)),
+        # host B: the SAME nav line in only 2 docs -> kept (per-host rule)
+        (3, "b.com", nav + " " + _words("s", W)),
+        (4, "b.com", nav + " " + _words("t", W)),
+    ]
+    out = host_boilerplate_removal(_mkhostdocs(rows), min_docs=3,
+                                   num_partitions=4).to_pandas()
+    out = out.set_index("doc_id")["text"].to_dict()
+    assert out[0] == _words("p", W)
+    assert out[1] == _words("q", W)
+    assert out[2] == _words("r", W)
+    assert out[3] == nav + " " + _words("s", W)
+    assert out[4] == nav + " " + _words("t", W)
+
+
+def test_host_boilerplate_all_furniture_doc_vanishes():
+    from dedup_ray.stages.webclean import host_boilerplate_removal
+
+    nav = _words("nav", W)
+    rows = [(i, "a.com", nav) for i in range(3)]
+    rows.append((9, "a.com", nav + " " + _words("z", 3)))
+    out = host_boilerplate_removal(_mkhostdocs(rows), min_docs=3,
+                                   num_partitions=4).to_pandas()
+    # docs 0-2 were pure furniture and vanish; doc 9 keeps its content tail
+    assert set(out.doc_id) == {9}
+    assert out.text.iloc[0] == _words("z", 3)
+
+
+def test_host_boilerplate_distinct_doc_count_not_occurrences():
+    from dedup_ray.stages.webclean import host_boilerplate_removal
+
+    nav = _words("nav", W)
+    # one doc repeating the line 3 times is ONE distinct doc -> kept
+    rows = [(0, "a.com", " ".join([nav, nav, nav])),
+            (1, "a.com", _words("y", W))]
+    out = host_boilerplate_removal(_mkhostdocs(rows), min_docs=3,
+                                   num_partitions=4).to_pandas()
+    out = out.set_index("doc_id")["text"].to_dict()
+    assert out[0] == " ".join([nav, nav, nav])
+    assert out[1] == _words("y", W)
