@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "cluster_split_docs",
     "route_media_docs",
     "pushdown_read_orders",
+    "host_boilerplate_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

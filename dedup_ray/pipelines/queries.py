@@ -2408,6 +2408,33 @@ def host_boilerplate_docs(sf_dir: str):
     )
 
 
+INTRADOC_TAIL = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda")  # 11 filler tokens; 'rep<h>' makes 12
+
+
+def intradoc_dedup_docs(sf_dir: str):
+    """Within-document repeated-line removal — the shuffle-free member of
+    the line-dedup family (global: ``line_dedup_docs``; per-host:
+    ``host_boilerplate_docs``).  A doc-dependent 12-token header is
+    prepended TWICE so line 0 == line 1 inside every document; the
+    operator must drop the repeat and keep everything else, entirely
+    inside ``map_batches`` (``stages/webclean.py::intradoc_line_dedup``)."""
+    from dedup_ray.stages.webclean import intradoc_line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m7 = pa.array((ids % 7).astype(str))
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        hdr = pc.binary_join_element_wise(
+            "rep", m7, " " + INTRADOC_TAIL + " ", "")
+        text = pc.binary_join_element_wise(hdr, hdr, txt, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    return intradoc_line_dedup(ds.map_batches(mk, batch_format="pyarrow"))
+
+
 def redact_pii_docs(sf_dir: str):
     """PII redaction over synthesized contact-laden pages: the RE2 rule
     list (``stages/webclean.py::PII_RULES``) drives BOTH the Arrow kernel
@@ -5468,6 +5495,7 @@ QUERIES = {
     "embed_cosine_dup_pairs": embed_cosine_dup_pairs,
     "line_dedup_docs": line_dedup_docs,
     "host_boilerplate_docs": host_boilerplate_docs,
+    "intradoc_dedup_docs": intradoc_dedup_docs,
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
     "bpe_train_docs": bpe_train_docs,
@@ -5842,6 +5870,23 @@ def _webclean_oracles() -> dict[str, str]:
         kept AS (SELECT l.doc_id, l.line_no, l.line
                  FROM lines l JOIN df USING (host, line)
                  WHERE df.ndocs < 3)
+        SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+        FROM kept GROUP BY doc_id
+    """
+    out["intradoc_dedup_docs"] = f"""
+        WITH d AS (SELECT doc_id,
+                          'rep' || (doc_id % 7) || ' {INTRADOC_TAIL} ' ||
+                          'rep' || (doc_id % 7) || ' {INTRADOC_TAIL} ' ||
+                          COALESCE(text, '') AS txt
+                   FROM documents),
+        t AS (SELECT doc_id, string_split(txt, ' ') AS toks FROM d),
+        tok AS (SELECT doc_id, i, toks[i] AS token
+                FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        lines AS (SELECT doc_id, (i - 1) // {LINE_WIDTH} AS line_no,
+                         string_agg(token, ' ' ORDER BY i) AS line
+                  FROM tok GROUP BY doc_id, (i - 1) // {LINE_WIDTH}),
+        kept AS (SELECT doc_id, line, min(line_no) AS line_no
+                 FROM lines GROUP BY doc_id, line)
         SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
         FROM kept GROUP BY doc_id
     """

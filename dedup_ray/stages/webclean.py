@@ -258,6 +258,75 @@ def host_boilerplate_removal(ds, min_docs: int = 3, text_col: str = "text",
                            num_partitions=num_partitions)
 
 
+def intradoc_line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                        width: int = LINE_WIDTH):
+    """Within-document repeated-line removal (the Gopher "duplicate
+    paragraph" screen at line granularity): a line occurring more than
+    once INSIDE one document keeps only its first occurrence; other
+    documents are irrelevant.  Because the unit of repetition never
+    crosses a document, this is a pure ``map_batches`` — zero shuffles,
+    the cheapest member of the line-dedup family (global:
+    :func:`line_dedup`; per-host: :func:`host_boilerplate_lines`).
+
+    Vectorized: the explode loop of :func:`explode_token_lines`, then ONE
+    lexsort + boundary scan for first-occurrence selection and ONE
+    offsets+``binary_join`` pass for reassembly — no per-document Python.
+    Output: ``(id_col, text)`` with every document present (a document
+    with no repeats round-trips unchanged).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = _text_col(t, text_col)
+        toks = pc.split_pattern(texts, " ")
+        nlines = pc.cast(
+            pc.ceil(pc.divide(pc.cast(pc.list_value_length(toks),
+                                      pa.float64()), float(width))),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        max_lines = int(nlines.max()) if len(nlines) else 0
+        idx_parts, no_parts, line_parts = [], [], []
+        for k in range(max_lines):
+            live = nlines > k
+            if not live.any():
+                break
+            sub = pc.binary_join(
+                pc.list_slice(toks, k * width, (k + 1) * width), " "
+            ).to_numpy(zero_copy_only=False)
+            idx_parts.append(np.flatnonzero(live))
+            no_parts.append(np.full(int(live.sum()), k, np.int64))
+            line_parts.append(sub[live])
+        if not idx_parts:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "text": pa.array([], pa.string()),
+            })
+        row = np.concatenate(idx_parts)
+        no = np.concatenate(no_parts)
+        lines = np.concatenate(line_parts)
+        # first occurrence per (doc, line): sort (row, line, line_no),
+        # keep group heads — heads carry the MIN line_no of their group
+        order = np.lexsort((no, lines, row))
+        r_s, l_s = row[order], lines[order]
+        first = np.r_[True, (r_s[1:] != r_s[:-1]) | (l_s[1:] != l_s[:-1])]
+        keep = order[first]
+        # reassemble kept lines in original line order per doc
+        kr, kn, kl = row[keep], no[keep], lines[keep]
+        order2 = np.lexsort((kn, kr))
+        kr, kl = kr[order2], kl[order2]
+        starts = np.flatnonzero(np.r_[True, kr[1:] != kr[:-1]])
+        offsets = pa.array(np.r_[starts, len(kr)].astype(np.int64))
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, pa.array(kl, pa.string())),
+            " ",
+        )
+        return pa.table({
+            id_col: t[id_col].take(pa.array(kr[starts])),
+            "text": joined,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # PII redaction (RE2 rule list shared verbatim with the DuckDB oracle)
 # --------------------------------------------------------------------------

@@ -383,3 +383,34 @@ def test_host_boilerplate_distinct_doc_count_not_occurrences():
     out = out.set_index("doc_id")["text"].to_dict()
     assert out[0] == " ".join([nav, nav, nav])
     assert out[1] == _words("y", W)
+
+
+# --------------------------------------------------------------------------
+# intra-document line dedup
+# --------------------------------------------------------------------------
+
+def test_intradoc_dedup_drops_repeats_within_doc_only():
+    from dedup_ray.stages.webclean import intradoc_line_dedup
+
+    nav = _words("nav", W)
+    texts = [
+        " ".join([nav, nav, _words("a", W), nav]),  # repeats collapse to 1
+        nav + " " + _words("b", W),                 # other doc unaffected
+        _words("c", 3),                             # short doc round-trips
+    ]
+    out = intradoc_line_dedup(_mkdocs(texts)).to_pandas()
+    got = out.set_index("doc_id")["text"].to_dict()
+    assert got[0] == nav + " " + _words("a", W)
+    assert got[1] == nav + " " + _words("b", W)
+    assert got[2] == _words("c", 3)
+
+
+def test_intradoc_dedup_preserves_line_order_and_empty():
+    from dedup_ray.stages.webclean import intradoc_line_dedup
+
+    a, b, c = _words("a", W), _words("b", W), _words("c", W)
+    texts = [" ".join([c, a, b, a, c]), ""]
+    out = intradoc_line_dedup(_mkdocs(texts)).to_pandas()
+    got = out.set_index("doc_id")["text"].to_dict()
+    assert got[0] == " ".join([c, a, b])  # first occurrences, original order
+    assert got[1] == ""                   # empty doc survives as one "" line
