@@ -2544,6 +2544,61 @@ def host_page_stats(sf_dir: str):
     return partitioned_group_apply(pages, ["host"], agg, num_partitions=8)
 
 
+def host_links_docs(sf_dir: str):
+    """Host-level link graph: three ``<a href>`` links synthesized into
+    every page's markup (targets ``site<(doc_id+k)%13>`` for k=1..3),
+    extracted by the vectorized split kernel
+    (``stages/urlnorm.py::extract_links``), reduced to
+    ``(src_host, dst_host, n_links)`` edge weights — per-batch partial
+    counts shrink the stream before ONE narrow (src, dst)-keyed exchange.
+    The oracle replays extraction with ``regexp_extract_all`` and host
+    parsing with the regex the engine's host kernel uses."""
+    from dedup_ray.stages.urlnorm import extract_host_array, extract_links
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["doc_id"], pa.string())
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        for k in (1, 2, 3):
+            txt = pc.binary_join_element_wise(
+                txt, ' <a href="http://site',
+                pa.array(((ids + k) % 13).astype(str)),
+                ".example.com/p", d, '">x</a>', "",
+            )
+        src = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), ".example.com", "")
+        return pa.table({"src_host": src, "text": txt})
+
+    links = extract_links(ds.map_batches(mk, batch_format="pyarrow"),
+                          carry_col="src_host")
+
+    def partial(t: pa.Table) -> pa.Table:
+        href = t["href"]
+        if isinstance(href, pa.ChunkedArray):
+            href = href.combine_chunks()
+        e = pa.table({"src_host": t["src_host"],
+                      "dst_host": extract_host_array(href)})
+        g = e.group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src_host", "dst_host", "c"])
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"src_host": pa.array([], pa.string()),
+                             "dst_host": pa.array([], pa.string()),
+                             "n_links": pa.array([], pa.int64())})
+        g = part.group_by(["src_host", "dst_host"]).aggregate([("c", "sum")])
+        return pa.table({"src_host": g["src_host"],
+                         "dst_host": g["dst_host"],
+                         "n_links": pc.cast(g["c_sum"], pa.int64())})
+
+    partials = links.map_batches(partial, batch_format="pyarrow")
+    return exchange_group_apply(partials, ["src_host", "dst_host"], finish,
+                                num_partitions=8)
+
+
 def curate_docs(sf_dir: str):
     """End-to-end corpus curation (``pipelines/curate.py``): Gopher-style
     quality screen → PII redaction → C4-style line dedup → document
@@ -5527,6 +5582,7 @@ QUERIES = {
     "repetition_quality_docs": repetition_quality_docs,
     "decontaminate_docs": decontaminate_docs,
     "host_page_stats": host_page_stats,
+    "host_links_docs": host_links_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "doc_length_quantiles": doc_length_quantiles,
     "curate_docs": curate_docs,
@@ -5974,6 +6030,30 @@ def _webclean_oracles() -> dict[str, str]:
                round(1.0 - count(DISTINCT dg) * 1.0 / count(*), 6)
                    AS dup_rate
         FROM u GROUP BY host
+    """
+    out["host_links_docs"] = r"""
+        WITH d AS (SELECT doc_id,
+                          'site' || (doc_id % 13) || '.example.com'
+                              AS src_host,
+                          COALESCE(text, '')
+                          || ' <a href="http://site' || ((doc_id + 1) % 13)
+                          || '.example.com/p' || doc_id || '">x</a>'
+                          || ' <a href="http://site' || ((doc_id + 2) % 13)
+                          || '.example.com/p' || doc_id || '">x</a>'
+                          || ' <a href="http://site' || ((doc_id + 3) % 13)
+                          || '.example.com/p' || doc_id || '">x</a>' AS txt
+                   FROM documents),
+        links AS (SELECT src_host,
+                         UNNEST(regexp_extract_all(txt, 'href="([^"]*)"', 1))
+                             AS u
+                  FROM d),
+        edges AS (SELECT src_host,
+                         lower(regexp_extract(
+                             u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                             AS dst_host
+                  FROM links)
+        SELECT src_host, dst_host, count(*) AS n_links
+        FROM edges GROUP BY src_host, dst_host
     """
     return out
 

@@ -132,3 +132,40 @@ def blocklist_filter(ds, hosts_col: str, blocked_domains: list[str]):
         return t.filter(pc.invert(pc.coalesce(mask, pa.scalar(False))))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def extract_links(ds, text_col: str = "text", carry_col: str = "doc_id",
+                  out_col: str = "href"):
+    """Outbound-link extraction: every ``href="…"`` value in a page's
+    markup becomes one output row ``(carry_col, out_col)`` — the explode
+    that feeds a host-level link graph (and from there PageRank-style
+    crawl prioritization).
+
+    Fully vectorized with no regex-all kernel needed: ONE
+    ``split_pattern`` on the literal ``href="`` (the first fragment per
+    page is pre-link text and is dropped by position), then ONE
+    ``split_pattern`` on ``"`` taking element 0.  A fragment with no
+    closing quote (truncated markup) is dropped, matching the semantics
+    of the oracle's ``href="([^"]*)"`` regex.  Pure ``map_batches`` —
+    zero shuffles; a page with no links emits no rows.
+    """
+    import numpy as np
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.coalesce(texts, pa.scalar("", texts.type))
+        parts = pc.split_pattern(texts, 'href="')
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(par)) - offs[par]
+        keep = (pos > 0) & pc.match_substring(flat, '"').to_numpy(
+            zero_copy_only=False)
+        frag = flat.filter(pa.array(keep))
+        carry = t[carry_col].take(pa.array(par[keep]))
+        url = pc.list_element(pc.split_pattern(frag, '"'), 0)
+        return pa.table({carry_col: carry, out_col: url})
+
+    return ds.map_batches(f, batch_format="pyarrow")

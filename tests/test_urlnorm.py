@@ -70,3 +70,47 @@ def test_blocklist_filter_subdomain_semantics():
     # bypass); a null host matches no domain and is kept
     assert sorted(out["host"], key=str) == [None, "notsite3.example.com",
                                             "site4.example.com"]
+
+
+def test_extract_links_positions_and_malformed():
+    import ray.data
+
+    from dedup_ray.stages.urlnorm import extract_links
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            'pre <a href="http://a.com/x">one</a> mid '
+            '<a href="https://b.com/y">two</a> post',
+            "no links here at all",
+            'truncated <a href="http://c.com/z',   # no closing quote
+            None,                                   # null page: no rows
+        ]),
+    })
+    out = extract_links(ray.data.from_arrow(t)).to_pandas()
+    got = sorted(zip(out.doc_id, out.href))
+    assert got == [(0, "http://a.com/x"), (0, "https://b.com/y")]
+
+
+def test_extract_links_matches_regex_oracle():
+    import ray.data
+
+    from dedup_ray.stages.urlnorm import extract_links
+
+    texts = [
+        'x href="u1" y href="u2" z',
+        'href="" empty value',
+        'nested quote href="a"b" tail',   # regex takes shortest: 'a'
+        "plain",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = extract_links(ray.data.from_arrow(t)).to_pandas()
+    got = sorted(zip(out.doc_id, out.href))
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = sorted(con.execute(
+        "SELECT doc_id, UNNEST(regexp_extract_all(text, 'href=\"([^\"]*)\"',"
+        " 1)) FROM t"
+    ).fetchall())
+    assert got == sql
