@@ -3880,6 +3880,65 @@ def range_rank_orders(sf_dir: str):
     return range_rank(ds, key_col="o_totalprice", id_col="o_orderkey")
 
 
+def lang_percentile_docs(sf_dir: str):
+    """Per-language ECDF rank-normalization
+    (``stages/ordering.py::group_percent_rank``): each document's
+    ``n_chars`` quantile within its language — the step that makes
+    per-language quality scores comparable before one global threshold
+    (CCNet-style per-bucket filtering).  One group-keyed exchange; ranks
+    for every language computed in one lexsort per partition."""
+    from dedup_ray.stages.ordering import group_percent_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return group_percent_rank(ds, group_col="lang", value_col="n_chars",
+                              id_col="doc_id")
+
+
+def vocab_ids_docs(sf_dir: str):
+    """Frequency-ordered vocabulary export: whitespace tokens counted
+    corpus-wide (per-batch ``np.unique`` partials → one grouped sum),
+    then assigned contiguous ids by ``ORDER BY count DESC, token`` via
+    the sample-based range-partitioned rank — no full-table sort
+    all-to-all even when the vocab is large.  The tokenizer-prep step of
+    a training run (vocab tables feed id-mapping joins downstream)."""
+    from dedup_ray.stages.ordering import range_rank
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
+        u, c = np.unique(np.asarray(toks.to_pylist(), dtype=object),
+                         return_counts=True)
+        return pa.table({"token": pa.array(u, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    def total(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64()),
+                             "negfreq": pa.array([], pa.int64())})
+        g = part.group_by("token").aggregate([("c", "sum")])
+        freq = pc.cast(g["c_sum"], pa.int64())
+        return pa.table({"token": g["token"], "freq": freq,
+                         "negfreq": pc.negate(freq)})
+
+    vocab = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "token", total, 8)
+    ranked = range_rank(vocab, key_col="negfreq", id_col="token",
+                        num_partitions=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": t["token"],
+            "freq": pc.negate(t["negfreq"]),
+            "vocab_id": t["rank"],
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 EXACT_SUBSTR_LEN = 40  # chars; shared by the kernel and the oracle
 
 
@@ -5323,6 +5382,24 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["lang_percentile_docs"] = """
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS pct_rank
+    FROM documents
+"""
+
+ORACLES["vocab_ids_docs"] = """
+    WITH t AS (SELECT string_split(COALESCE(text, ''), ' ') AS toks
+               FROM documents),
+    tok AS (SELECT toks[i] AS token
+            FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+    vc AS (SELECT token, count(*) AS freq FROM tok GROUP BY token)
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token) - 1 AS vocab_id
+    FROM vc
+"""
+
 
 def _register_exact_substr_oracles() -> None:
     L = EXACT_SUBSTR_LEN
@@ -5553,6 +5630,8 @@ QUERIES = {
     "intradoc_dedup_docs": intradoc_dedup_docs,
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
+    "lang_percentile_docs": lang_percentile_docs,
+    "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
     "frequent_ngrams_docs": frequent_ngrams_docs,

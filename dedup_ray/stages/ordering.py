@@ -359,3 +359,58 @@ def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 42,
 
     return exchange_group_apply(with_key, "bucket", rank_part,
                                 num_partitions)
+
+
+def group_percent_rank(ds, group_col: str, value_col: str, id_col: str,
+                       num_partitions: int = 16, out_col: str = "pct_rank"):
+    """Per-group ECDF / ``percent_rank()``: each row's quantile position
+    ``(rank - 1) / (n - 1)`` within its group, ordered by
+    ``(value, id)`` — the rank-normalization step that puts per-language
+    quality scores on one comparable [0, 1] scale before a global
+    threshold (CCNet-style per-bucket filtering).
+
+    ONE exchange co-partitions on the group key; inside a partition a
+    single lexsort + boundary scan ranks every group at once (no
+    per-group Python).  Ids are unique, so the (value, id) order is
+    total and rank == row_number — both engines divide the same int64
+    operands, making the float column bit-identical to the SQL window
+    function.  A singleton group gets 0.0, matching ``percent_rank``.
+    Output: ``(id_col, group_col, value_col, out_col)``.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def per_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            g_t = part[group_col].type if group_col in part.column_names \
+                else pa.string()
+            i_t = part[id_col].type if id_col in part.column_names \
+                else pa.int64()
+            v_t = part[value_col].type if value_col in part.column_names \
+                else pa.float64()
+            return pa.table({
+                id_col: pa.array([], i_t),
+                group_col: pa.array([], g_t),
+                value_col: pa.array([], v_t),
+                out_col: pa.array([], pa.float64()),
+            })
+        g = np.asarray(part[group_col].to_pylist(), dtype=object)
+        v = part[value_col].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, g))
+        g_s = g[order]
+        new = np.r_[True, g_s[1:] != g_s[:-1]]
+        grp = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(g_s)])
+        rank = np.arange(len(g_s)) - starts[grp]
+        denom = np.maximum(counts[grp] - 1, 1)
+        pct = rank / denom
+        sel = pa.array(order)
+        return pa.table({
+            id_col: part[id_col].take(sel),
+            group_col: part[group_col].take(sel),
+            value_col: part[value_col].take(sel),
+            out_col: pa.array(pct, pa.float64()),
+        })
+
+    return exchange_group_apply(ds, group_col, per_part, num_partitions)

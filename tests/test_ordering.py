@@ -204,3 +204,51 @@ def test_range_rank_empty():
     out = range_rank(ds, "k", "id")
     assert out.count() == 0
     assert out.schema().names == ["id", "k", "rank"]
+
+def test_group_percent_rank_matches_pandas():
+    from dedup_ray.stages.ordering import group_percent_rank
+
+    rng = np.random.default_rng(11)
+    n = 300
+    groups = rng.choice(["en", "de", "fr", "solo"], size=n,
+                        p=[0.5, 0.3, 0.19, 0.01]).astype(object)
+    vals = rng.integers(0, 50, size=n).astype(np.int64)  # heavy ties
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "lang": pa.array(groups, pa.string()),
+        "v": pa.array(vals),
+    })).repartition(7)
+    out = group_percent_rank(ds, group_col="lang", value_col="v",
+                             id_col="doc_id", num_partitions=4).to_pandas()
+
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": ids, "lang": groups, "v": vals})
+    # percent_rank over (v, doc_id): ids unique -> rank == row_number
+    df = df.sort_values(["lang", "v", "doc_id"]).reset_index(drop=True)
+    df["rn"] = df.groupby("lang").cumcount()
+    sizes = df.groupby("lang")["v"].transform("size")
+    want = df["rn"] / np.maximum(sizes - 1, 1)
+    expect = dict(zip(df["doc_id"], want))
+    got = dict(zip(out["doc_id"], out["pct_rank"]))
+    assert got == expect
+    assert len(out) == n
+
+
+def test_group_percent_rank_singleton_and_empty():
+    from dedup_ray.stages.ordering import group_percent_rank
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "lang": pa.array(["xx"], pa.string()),
+        "v": pa.array([9.0], pa.float64()),
+    }))
+    out = group_percent_rank(ds, "lang", "v", "doc_id").to_pandas()
+    assert out["pct_rank"].tolist() == [0.0]
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64()),
+    }))
+    out2 = group_percent_rank(empty, "lang", "v", "doc_id")
+    assert out2.count() == 0
