@@ -209,6 +209,17 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def token_entropy_docs(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution
+    (``stages/textstats.py::token_entropy``) — the repetition/diversity
+    screen; shuffle-free, one vectorized pass."""
+    from dedup_ray.stages.textstats import token_entropy
+
+    return token_entropy(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def compression_ratio_docs(sf_dir: str):
     """zlib compression-ratio gibberish/template screen
     (``stages/webclean.py::compression_ratio``).  Rows-only: the oracle
@@ -5382,6 +5393,14 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["token_entropy_docs"] = TOKENS_CTE + """
+    , c AS (SELECT doc_id, token, count(*) AS c
+            FROM toks GROUP BY doc_id, token),
+    n AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS slc
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, round(ln(n) - slc / n, 6) AS token_entropy FROM n
+"""
+
 ORACLES["lang_percentile_docs"] = """
     SELECT doc_id, lang, n_chars,
            percent_rank() OVER (PARTITION BY lang
@@ -5631,6 +5650,7 @@ QUERIES = {
     "exact_substring_docs": exact_substring_docs,
     "range_rank_orders": range_rank_orders,
     "lang_percentile_docs": lang_percentile_docs,
+    "token_entropy_docs": token_entropy_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -436,3 +436,39 @@ def levenshtein_batch(a_list: list[str], b_list: list[str]) -> np.ndarray:
             out[done] = cur[rows[done], lb[done]]
         prev = cur
     return out
+
+
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the token distribution,
+    ``H = ln(n) − (Σ_t c_t·ln c_t)/n`` over within-doc token counts — the
+    repetition/diversity screen complementing the Gopher ratios: spam and
+    template pages (few tokens repeated many times) score low, natural
+    prose scores near ln(vocab-per-doc).
+
+    Shuffle-free: a document's token histogram is batch-local, so the
+    whole operator is ONE vectorized ``map_batches`` pass (factorize
+    tokens, count (row, token) pairs via ``np.unique`` on packed codes,
+    scatter-add Σ c·ln c per row).  Empty docs carry the sentinel token
+    (``wordlist.py:24-27``) — a single-token doc has entropy exactly 0.
+    Rounded to 6 decimals at the emit point (oracle hash parity).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        flat, parents, n = explode_tokens(batch[text_col], m)
+        slc = np.zeros(m, np.float64)
+        if len(parents):
+            codes = pd.factorize(flat.to_numpy(zero_copy_only=False))[0]
+            packed = parents.astype(np.int64) * (codes.max() + 1) + codes
+            uniq, cnt = np.unique(packed, return_counts=True)
+            rows = (uniq // (codes.max() + 1)).astype(np.int64)
+            np.add.at(slc, rows, cnt * np.log(cnt))
+        nf = n.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(n > 0, np.log(np.maximum(nf, 1)) - slc / np.maximum(nf, 1), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "token_entropy": pa.array(np.round(h, 6), pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -414,3 +414,28 @@ def test_intradoc_dedup_preserves_line_order_and_empty():
     got = out.set_index("doc_id")["text"].to_dict()
     assert got[0] == " ".join([c, a, b])  # first occurrences, original order
     assert got[1] == ""                   # empty doc survives as one "" line
+
+
+def test_token_entropy_values():
+    import math
+
+    from dedup_ray.stages.textstats import token_entropy
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a a a a",          # one distinct token -> H = 0
+            "a b c d",          # uniform over 4 -> H = ln 4
+            "a a b b b c",      # mixed: ln6 - (2ln2 + 3ln3)/6
+            "",                 # empty -> sentinel singleton -> 0
+        ]),
+    })
+    out = (
+        token_entropy(ray.data.from_arrow(docs).repartition(3))
+        .to_pandas().set_index("doc_id")["token_entropy"]
+    )
+    assert out[1] == 0.0
+    assert out[2] == round(math.log(4), 6)
+    want3 = math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6
+    assert out[3] == round(want3, 6)
+    assert out[4] == 0.0
