@@ -585,3 +585,96 @@ def upsert_latest(base_ds, updates_ds, key_col: str, version_col: str,
         num_partitions,
         empty_schemas=[arrow_schema, arrow_schema],
     )
+
+
+def rollup_aggregate(ds, group_cols: list, value_col: str,
+                     num_partitions: int = 16, round_digits: int = 4):
+    """One-pass ROLLUP: sum + count for every prefix grouping set of
+    ``group_cols`` — ``(a, b)``, ``(a,)`` and the grand total for
+    ``ROLLUP(a, b)`` — in a SINGLE exchange instead of one shuffle per
+    level.  Each batch emits partial (sum, count) rows for ALL levels at
+    once (collapsed columns nulled, ``lvl`` = number of live group
+    columns), so the all-to-all moves at most ``Σ_l |distinct prefix_l|``
+    partial rows per batch and the final reduce is one grouped sum.
+
+    The ``lvl`` column disambiguates rollup nulls from data nulls
+    (``GROUPING()``'s job in SQL); group columns are assumed non-null —
+    a data null would collapse into the parent level's row.  Empty input
+    yields zero rows (SQL's ROLLUP emits one all-null grand-total row;
+    deviation documented).  Sums are rounded at the emit point.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    group_cols = list(group_cols)
+    schema = ds.schema()
+    def _as_pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        d = np.dtype(t)  # pandas-born dataset: numpy dtype (object == str)
+        return pa.string() if d == object else pa.from_numpy_dtype(d)
+
+    types = {n: _as_pa_type(t) for n, t in zip(schema.names, schema.types)}
+
+    def level_table(src: pa.Table, lvl: int, s, n) -> pa.Table:
+        rows = len(s) if hasattr(s, "__len__") else 1
+        cols, names = [], []
+        for i, c in enumerate(group_cols):
+            names.append(c)
+            if i < lvl:
+                cols.append(src[c])
+            else:
+                cols.append(pa.nulls(rows, types[c]))
+        names += ["s", "n", "lvl"]
+        cols += [pa.array(np.asarray(s, np.float64), pa.float64()),
+                 pa.array(np.asarray(n, np.int64), pa.int64()),
+                 pa.array(np.full(rows, lvl, np.int8), pa.int8())]
+        return pa.Table.from_arrays(cols, names=names)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        if batch.num_rows:
+            for lvl in range(len(group_cols), 0, -1):
+                g = batch.group_by(group_cols[:lvl]).aggregate(
+                    [(value_col, "sum"), (value_col, "count")]
+                )
+                outs.append(level_table(
+                    g, lvl,
+                    g[f"{value_col}_sum"].to_numpy(zero_copy_only=False),
+                    g[f"{value_col}_count"].to_numpy(zero_copy_only=False),
+                ))
+            tot = pc.sum(batch[value_col]).as_py() or 0.0
+            outs.append(level_table(batch, 0, [tot], [batch.num_rows]))
+        if not outs:
+            return level_table(batch, 0, [], [])
+        return pa.concat_tables(outs)
+
+    out_schema = pa.schema(
+        [(c, types[c]) for c in group_cols]
+        + [("sum_value", pa.float64()), ("n", pa.int64()),
+           ("lvl", pa.int64())]
+    )
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.group_by(["lvl"] + group_cols).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g[c] for c in group_cols]
+            + [pc.round(g["s_sum"], ndigits=round_digits),
+               pc.cast(g["n_sum"], pa.int64()),
+               pc.cast(g["lvl"], pa.int64())],
+            names=group_cols + ["sum_value", "n", "lvl"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return exchange_group_apply(
+        partials, ["lvl"] + group_cols, reduce_part, num_partitions,
+        empty_schema=pa.schema(
+            [(c, types[c]) for c in group_cols]
+            + [("s", pa.float64()), ("n", pa.int64()), ("lvl", pa.int8())]
+        ),
+    )

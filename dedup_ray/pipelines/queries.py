@@ -209,6 +209,17 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def rollup_events(sf_dir: str):
+    """Multi-level ROLLUP(event_type, user_id) totals in ONE exchange
+    (``ops/relational.py::rollup_aggregate``): every batch emits partial
+    (sum, count) rows for all grouping-set levels at once, so the
+    all-to-all is one shuffle instead of one per level."""
+    from dedup_ray.ops.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    return rollup_aggregate(ds, ["event_type", "user_id"], "value")
+
+
 def token_entropy_docs(sf_dir: str):
     """Per-doc Shannon entropy of the token distribution
     (``stages/textstats.py::token_entropy``) — the repetition/diversity
@@ -5393,6 +5404,14 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["rollup_events"] = """
+    SELECT event_type, user_id,
+           round(sum(value), 4) AS sum_value, count(*) AS n,
+           CAST(2 - GROUPING(event_type) - GROUPING(user_id) AS BIGINT)
+               AS lvl
+    FROM events GROUP BY ROLLUP(event_type, user_id)
+"""
+
 ORACLES["token_entropy_docs"] = TOKENS_CTE + """
     , c AS (SELECT doc_id, token, count(*) AS c
             FROM toks GROUP BY doc_id, token),
@@ -5651,6 +5670,7 @@ QUERIES = {
     "range_rank_orders": range_rank_orders,
     "lang_percentile_docs": lang_percentile_docs,
     "token_entropy_docs": token_entropy_docs,
+    "rollup_events": rollup_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

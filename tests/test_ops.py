@@ -500,3 +500,50 @@ def test_levenshtein_batch_matches_scalar_reference():
          ("héllo", "hello"), ("kitten", "sitting")]
     got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
     assert got.tolist() == [lev(a, b) for a, b in pairs]
+
+
+def test_rollup_aggregate_matches_pandas():
+    from dedup_ray.ops.relational import rollup_aggregate
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=n),
+        "b": rng.integers(0, 4, size=n).astype(np.int64),
+        "v": np.round(rng.normal(10, 3, size=n), 3),
+    })
+    out = rollup_aggregate(
+        rd.from_pandas(df).repartition(6), ["a", "b"], "v",
+        num_partitions=4,
+    ).to_pandas()
+
+    lvl2 = df.groupby(["a", "b"])["v"].agg(["sum", "size"]).reset_index()
+    lvl1 = df.groupby("a")["v"].agg(["sum", "size"]).reset_index()
+    want_n = len(lvl2) + len(lvl1) + 1
+    assert len(out) == want_n
+    # grand total
+    g0 = out[out.lvl == 0]
+    assert len(g0) == 1 and g0.n.iloc[0] == n
+    assert abs(g0.sum_value.iloc[0] - round(df.v.sum(), 4)) < 1e-9
+    assert g0.a.isna().all() and g0.b.isna().all()
+    # level 1 rows match per-a sums; b is null
+    g1 = out[out.lvl == 1].set_index("a")
+    assert g1.b.isna().all()
+    for _, r in lvl1.iterrows():
+        assert g1.loc[r.a, "n"] == r["size"]
+        assert abs(g1.loc[r.a, "sum_value"] - round(r["sum"], 4)) < 1e-9
+    # level 2 exact
+    g2 = out[out.lvl == 2].set_index(["a", "b"])
+    for _, r in lvl2.iterrows():
+        assert g2.loc[(r.a, r.b), "n"] == r["size"]
+
+
+def test_rollup_aggregate_empty():
+    from dedup_ray.ops.relational import rollup_aggregate
+
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64()),
+    }))
+    out = rollup_aggregate(empty, ["a", "b"], "v", num_partitions=2)
+    assert out.count() == 0
