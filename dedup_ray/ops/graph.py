@@ -338,3 +338,68 @@ def k_core(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
         )
         edges = kept.materialize()
     return edges
+
+
+def resolve_pointers(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                     rounds: int = 6, num_partitions: int = 16):
+    """Functional-graph chain resolution by pointer doubling: follow a
+    (src → dst) mapping — redirect chains, alias tables, symlink graphs —
+    to its terminal in ``rounds`` exchange-join hops, covering chains up
+    to ``2^rounds`` long (the log-rounds trick; per-hop, every pointer
+    jumps to its pointer's pointer).  Each round co-partitions the CURRENT
+    mapping with the ORIGINAL mapping (same block refs, shipped once per
+    round) and rewrites ``ptr → map[ptr]`` where an entry exists.
+
+    Input must be functional (one outgoing edge per ``src``) and acyclic
+    for "terminal" to be well defined; a cycle never resolves and keeps
+    its in-cycle pointer (no livelock — rounds are fixed).  Output:
+    ``(src_col, final)`` one row per input src.  Driver holds only block
+    refs; the mapping never materializes whole.  Rounds chain on raw refs
+    (``return_refs=True``) — no plan-execution barrier between hops.
+    """
+    from dedup_ray.util.exchange import (
+        _block_refs,
+        hash_exchange,
+    )
+
+    base = edges_ds.schema().base_schema
+    id_type = base.field(src_col).type  # not hardcoded int64 (string urls)
+
+    def jump(cur: pa.Table, mapping: pa.Table) -> pa.Table:
+        # cur: (src, ptr) keyed on ptr; mapping: the SAME relation keyed
+        # on src — so ptr jumps to ptr's pointer (2^r steps after round r)
+        if cur.num_rows == 0 or "ptr" not in cur.column_names:
+            return pa.table({src_col: pa.array([], id_type),
+                             "ptr": pa.array([], id_type)})
+        ptr = cur["ptr"].to_numpy(zero_copy_only=False)
+        if mapping.num_rows and src_col in mapping.column_names:
+            ms = mapping[src_col].to_numpy(zero_copy_only=False)
+            md = mapping["ptr"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ms, kind="stable")
+            ms_s, md_s = ms[order], md[order]
+            pos = np.searchsorted(ms_s, ptr)
+            pos_c = np.minimum(pos, len(ms_s) - 1)
+            hit = ms_s[pos_c] == ptr
+            new_ptr = np.where(hit, md_s[pos_c], ptr)
+        else:
+            new_ptr = ptr
+        return pa.table({src_col: cur[src_col],
+                         "ptr": pa.array(new_ptr, cur["ptr"].type)})
+
+    def to_cur(t: pa.Table) -> pa.Table:
+        return pa.table({src_col: t[src_col], "ptr": t[dst_col]})
+
+    import ray.data
+
+    cur = edges_ds.map_batches(to_cur, batch_format="pyarrow")
+    cur_refs = _block_refs(cur)
+    for _ in range(rounds):
+        cur_refs = hash_exchange(
+            [cur_refs, cur_refs], ["ptr", src_col], jump,
+            num_partitions, return_refs=True,
+        )
+    out = ray.data.from_arrow_refs(cur_refs)
+    return out.map_batches(
+        lambda t: t.rename_columns([src_col, "final"]),
+        batch_format="pyarrow",
+    )

@@ -209,6 +209,28 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def redirect_resolve_docs(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling
+    (``ops/graph.py::resolve_pointers``): follow a functional src→dst
+    mapping to its terminal in log-rounds exchange hops — the URL-alias
+    collapse a crawler runs before dedup.  Chains synthesized from
+    doc_id arithmetic (``id → id−1`` while ``id % 8 ≠ 0``, length ≤ 7,
+    covered by 2^4 with rounds=4); the oracle follows the same chains
+    with a recursive CTE."""
+    from dedup_ray.ops.graph import resolve_pointers
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids % 8 != 0]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(src - 1, pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return resolve_pointers(edges, rounds=4, num_partitions=8)
+
+
 def rollup_events(sf_dir: str):
     """Multi-level ROLLUP(event_type, user_id) totals in ONE exchange
     (``ops/relational.py::rollup_aggregate``): every batch emits partial
@@ -5404,6 +5426,20 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["redirect_resolve_docs"] = """
+    WITH RECURSIVE edges AS (
+        SELECT doc_id AS src, doc_id - 1 AS dst
+        FROM documents WHERE doc_id % 8 <> 0
+    ),
+    reach AS (
+        SELECT src, dst AS cur FROM edges
+        UNION ALL
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.cur = e.src
+    )
+    SELECT src, cur AS final FROM reach
+    WHERE cur NOT IN (SELECT src FROM edges)
+"""
+
 ORACLES["rollup_events"] = """
     SELECT event_type, user_id,
            round(sum(value), 4) AS sum_value, count(*) AS n,
@@ -5671,6 +5707,7 @@ QUERIES = {
     "lang_percentile_docs": lang_percentile_docs,
     "token_entropy_docs": token_entropy_docs,
     "rollup_events": rollup_events,
+    "redirect_resolve_docs": redirect_resolve_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -3,6 +3,7 @@ vectorized bucket pair emitter (hot-cap + census) vs brute force."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from dedup_ray.ops.graph import (
@@ -169,7 +170,7 @@ def test_triangle_count_bruteforce():
                if (a, b) in adj and (b, c) in adj and (a, c) in adj)
     # feed edges in random orientation to exercise the orient pass
     ar = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in pairs]
-    ds = ray.data.from_arrow(pa.table({
+    ds = rd.from_arrow(pa.table({
         "a": pa.array([x for x, _ in ar], pa.int64()),
         "b": pa.array([y for _, y in ar], pa.int64()),
     })).repartition(3)
@@ -217,3 +218,57 @@ def test_k_core_matches_reference_peeling(ray_session):
     assert got == expected
     assert any(a >= 100 and a < 200 for a, _ in got)  # clique survived
     assert not any(a < 40 and b < 40 for a, b in got)  # tree peeled
+
+
+def test_resolve_pointers_long_chain_and_branches():
+    from dedup_ray.ops.graph import resolve_pointers
+
+    # one chain 0<-1<-...<-30 (length 30 needs >=5 doublings) plus a
+    # star: 100..105 -> 0
+    src = list(range(1, 31)) + [100, 101, 102, 103, 104, 105]
+    dst = list(range(0, 30)) + [0] * 6
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+    })).repartition(4)
+    out = resolve_pointers(edges, rounds=5, num_partitions=3).to_pandas()
+    assert len(out) == len(src)
+    assert (out["final"] == 0).all()
+
+
+def test_resolve_pointers_string_ids_and_cycle():
+    from dedup_ray.ops.graph import resolve_pointers
+
+    # a -> b -> c (terminal), plus cycle x -> y -> x (never resolves,
+    # pointer stays in-cycle)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "x", "y"]),
+        "dst": pa.array(["b", "c", "y", "x"]),
+    }))
+    out = resolve_pointers(edges, rounds=4, num_partitions=2).to_pandas()
+    m = dict(zip(out["src"], out["final"]))
+    assert m["a"] == "c" and m["b"] == "c"
+    assert m["x"] in ("x", "y") and m["y"] in ("x", "y")
+
+
+def test_resolve_pointers_partition_invariance():
+    from dedup_ray.ops.graph import resolve_pointers
+
+    rng = np.random.default_rng(7)
+    # random forest of chains: each node points to a strictly smaller id
+    src = np.arange(1, 200, dtype=np.int64)
+    dst = np.array([rng.integers(0, s) for s in src], dtype=np.int64)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def brute(s):
+        nxt = dict(zip(src.tolist(), dst.tolist()))
+        while s in nxt:
+            s = nxt[s]
+        return s
+
+    for parts, nparts in [(2, 3), (8, 5)]:
+        out = resolve_pointers(
+            rd.from_arrow(tbl).repartition(parts),
+            rounds=8, num_partitions=nparts,
+        ).to_pandas()
+        got = dict(zip(out["src"], out["final"]))
+        assert got == {int(s): brute(int(s)) for s in src}
