@@ -209,6 +209,37 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def warc_roundtrip_docs(sf_dir: str):
+    """WARC container round trip (``sources/warc.py``, ISO 28500): each
+    batch of documents is framed as a record-per-gzip-member ``.warc.gz``
+    blob (the Common Crawl layout), then parsed back through the reader
+    stage — HTTP unwrap, member split and header fields all exercised.
+    The oracle reconstructs the (url, text) pairs arithmetically."""
+    from dedup_ray.sources.warc import build_warc, parse_warc_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        recs = [
+            {"type": "response", "uri": f"http://example.com/doc/{i}",
+             "payload": (s or "").encode()}
+            for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ]
+        return pa.table({"bytes": pa.array(
+            [build_warc(recs, gzip_members=True)], pa.binary())})
+
+    def parse(b: pa.Table) -> pa.Table:
+        t = parse_warc_batch(b)
+        return pa.table({
+            "url": t["url"],
+            "text": pc.cast(t["payload"], pa.string()),
+            "http_status": t["http_status"],
+        })
+
+    return ds.map_batches(to_blob, batch_format="pyarrow").map_batches(
+        parse, batch_format="pyarrow")
+
+
 def redirect_resolve_docs(sf_dir: str):
     """Redirect-chain resolution by pointer doubling
     (``ops/graph.py::resolve_pointers``): follow a functional src→dst
@@ -5426,6 +5457,13 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["warc_roundtrip_docs"] = """
+    SELECT 'http://example.com/doc/' || doc_id AS url,
+           COALESCE(text, '') AS text,
+           CAST(200 AS BIGINT) AS http_status
+    FROM documents
+"""
+
 ORACLES["redirect_resolve_docs"] = """
     WITH RECURSIVE edges AS (
         SELECT doc_id AS src, doc_id - 1 AS dst
@@ -5708,6 +5746,7 @@ QUERIES = {
     "token_entropy_docs": token_entropy_docs,
     "rollup_events": rollup_events,
     "redirect_resolve_docs": redirect_resolve_docs,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
