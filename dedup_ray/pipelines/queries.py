@@ -209,6 +209,25 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+KMEANS_K = 4
+KMEANS_ROUNDS = 2
+KMEANS_DIM = 64
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (``stages/kmeans.py``): full-corpus
+    centroid updates via per-batch partial sums (≤k rows/batch move) —
+    unlike SemDeDup/IVF's bounded-sample training, every vector
+    contributes every round; driver state is the k×d centroid matrix.
+    Deterministic smallest-id init; the oracle unrolls all rounds as
+    CTEs from the same constants."""
+    from dedup_ray.stages.kmeans import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assignments, _ = kmeans_lloyd(ds, k=KMEANS_K, rounds=KMEANS_ROUNDS)
+    return assignments
+
+
 def warc_roundtrip_docs(sf_dir: str):
     """WARC container round trip (``sources/warc.py``, ISO 28500): each
     batch of documents is framed as a record-per-gzip-member ``.warc.gz``
@@ -5457,6 +5476,42 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+def _kmeans_oracle_sql() -> str:
+    k, R, D = KMEANS_K, KMEANS_ROUNDS, KMEANS_DIM
+    assign = (
+        "SELECT vec_id, c FROM ("
+        "SELECT e.vec_id, i.c, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "list_distance(CAST(e.embedding AS DOUBLE[]), i.emb), i.c) AS rn "
+        "FROM embeddings e CROSS JOIN c{p} i) WHERE rn = 1"
+    )
+    parts = [f"""
+    WITH c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings ORDER BY vec_id LIMIT {k})"""]
+    for r in range(1, R + 1):
+        parts.append(f""",
+    a{r} AS MATERIALIZED ({assign.format(p=r - 1)}),
+    m{r} AS MATERIALIZED (
+        SELECT a.c AS c, r.i AS dim, avg(e.embedding[r.i]) AS m
+        FROM embeddings e JOIN a{r} a USING (vec_id)
+             CROSS JOIN range(1, {D + 1}) AS r(i)
+        GROUP BY a.c, r.i),
+    c{r} AS MATERIALIZED (
+        SELECT prev.c, COALESCE(nw.emb, prev.emb) AS emb
+        FROM c{r - 1} prev LEFT JOIN (
+            SELECT c, list(m ORDER BY dim) AS emb FROM m{r} GROUP BY c
+        ) nw USING (c))""")
+    parts.append(
+        "\n    SELECT vec_id, c AS cluster FROM ("
+        + assign.format(p=R).split("FROM (", 1)[1]
+    )
+    return "".join(parts)
+
+
+ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql()
+
 ORACLES["warc_roundtrip_docs"] = """
     SELECT 'http://example.com/doc/' || doc_id AS url,
            COALESCE(text, '') AS text,
@@ -5747,6 +5802,7 @@ QUERIES = {
     "rollup_events": rollup_events,
     "redirect_resolve_docs": redirect_resolve_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "kmeans_embeddings": kmeans_embeddings,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
