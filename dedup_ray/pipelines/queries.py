@@ -209,6 +209,23 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_bigrams_docs(sf_dir: str):
+    """Top-k adjacent-token collocations by PMI
+    (``stages/textstats.py::pmi_bigrams``): per-batch unigram/bigram
+    partials, one grouped-sum exchange each, min-count prune BEFORE the
+    two count joins, bounded sort/limit."""
+    from dedup_ray.stages.textstats import pmi_bigrams
+
+    return pmi_bigrams(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K,
+    )
+
+
 KMEANS_K = 4
 KMEANS_ROUNDS = 2
 KMEANS_DIM = 64
@@ -5476,6 +5493,28 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["pmi_bigrams_docs"] = f"""
+    WITH t AS (SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                                  x -> x <> '') AS l FROM documents),
+    ug AS (SELECT unnest(l) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM ug GROUP BY w),
+    bg AS (SELECT l[i] AS w1, l[i + 1] AS w2
+           FROM t, UNNEST(range(1, len(l))) AS r(i)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n1,
+                   (SELECT CAST(sum(c) AS DOUBLE) FROM bc) AS n2)
+    SELECT bc.w1, bc.w2, bc.c,
+           round(ln((CAST(bc.c AS DOUBLE) * n1 * n1)
+                    / (n2 * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+                 6) AS pmi
+    FROM bc, tot
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    WHERE bc.c >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {PMI_TOP_K}
+"""
+
+
 def _kmeans_oracle_sql() -> str:
     k, R, D = KMEANS_K, KMEANS_ROUNDS, KMEANS_DIM
     assign = (
@@ -5803,6 +5842,7 @@ QUERIES = {
     "redirect_resolve_docs": redirect_resolve_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "kmeans_embeddings": kmeans_embeddings,
+    "pmi_bigrams_docs": pmi_bigrams_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -472,3 +472,96 @@ def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pmi_bigrams(ds, id_col: str = "doc_id", text_col: str = "text",
+                min_count: int = 5, top_k: int = 50,
+                num_partitions: int = 8):
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information, ``PMI = ln(c12·N1² / (N2·c1·c2))`` over corpus
+    bigram/unigram counts (Church & Hanks 1990) — the phrase-discovery
+    pass of tokenizer/vocab prep (e.g. "new york" merges before BPE).
+
+    Distributed shape: per-batch ``np.unique`` partials for unigrams AND
+    bigrams (bounded by batch vocab, not corpus), one grouped-sum
+    exchange each, the ``min_count`` filter BEFORE the two co-partitioned
+    count joins (prune first — frequent bigrams are a vanishing fraction
+    of distinct bigrams), then a bounded sort/limit.  Corpus totals are
+    two driver scalars.  PMI is computed with one shared operand order
+    and rounded to 6 decimals so the SQL oracle hashes identically.
+    Bigrams never cross document boundaries.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _p, _n = explode_tokens(batch[text_col], batch.num_rows)
+        toks = flat.to_numpy(zero_copy_only=False)
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"w": pa.array(u, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        flat, parents, _n = explode_tokens(batch[text_col], batch.num_rows)
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        same = parents[1:] == parents[:-1]
+        df = pd.DataFrame({"w1": toks[:-1][same], "w2": toks[1:][same]})
+        g = (df.groupby(["w1", "w2"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(), pa.int64())})
+
+    def sum_counts(cols):
+        def f(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0 or cols[0] not in part.column_names:
+                return pa.table(
+                    {c: pa.array([], pa.string()) for c in cols}
+                    | {"c": pa.array([], pa.int64())})
+            g = part.group_by(cols).aggregate([("c", "sum")])
+            return g.rename_columns(cols + ["c"])
+        return f
+
+    uni = exchange_group_apply(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "w", sum_counts(["w"]), num_partitions).materialize()
+    big = exchange_group_apply(
+        ds.map_batches(big_partial, batch_format="pyarrow"),
+        ["w1", "w2"], sum_counts(["w1", "w2"]), num_partitions
+    ).materialize()
+
+    n1 = int(uni.sum("c") or 0)  # total tokens
+    n2 = int(big.sum("c") or 0)  # total bigrams
+    if n2 == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
+
+    frequent = big.filter(expr=f"c >= {min_count}")
+
+    c1 = uni.map_batches(
+        lambda t: t.rename_columns(["w1", "c1"]), batch_format="pyarrow")
+    c2 = uni.map_batches(
+        lambda t: t.rename_columns(["w2", "c2"]), batch_format="pyarrow")
+    j1 = exchange_join(frequent, c1, on="w1",
+                       num_partitions=num_partitions)
+    j2 = exchange_join(j1, c2, on="w2", num_partitions=num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        c12 = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # one shared operand order with the SQL oracle
+        pmi = np.round(np.log((c12 * n1 * n1) / (float(n2) * a * b)), 6)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "c": t["c"],
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return (j2.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+            .limit(top_k))

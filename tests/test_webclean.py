@@ -439,3 +439,41 @@ def test_token_entropy_values():
     want3 = math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6
     assert out[3] == round(want3, 6)
     assert out[4] == 0.0
+
+
+def test_pmi_bigrams_brute_force():
+    import math
+    from collections import Counter
+
+    from dedup_ray.stages.textstats import pmi_bigrams
+
+    texts = [
+        "new york is a big city",
+        "new york new york",
+        "a big apple in new york",
+        "the city is big",
+        "",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = pmi_bigrams(ray.data.from_arrow(docs).repartition(3),
+                      min_count=2, top_k=10, num_partitions=3).to_pandas()
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n1, n2 = sum(uni.values()), sum(big.values())
+    want = sorted(
+        (
+            (round(math.log((c * n1 * n1) / (float(n2) * uni[a] * uni[b])),
+                   6), a, b, c)
+            for (a, b), c in big.items() if c >= 2
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:10]
+    got = list(zip(out["pmi"], out["w1"], out["w2"], out["c"]))
+    assert [(p, a, b, c) for p, a, b, c in got] == want
