@@ -678,3 +678,91 @@ def rollup_aggregate(ds, group_cols: list, value_col: str,
             + [("s", pa.float64()), ("n", pa.int64()), ("lvl", pa.int8())]
         ),
     )
+
+
+def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
+                   num_partitions: int = 16, round_digits: int = 6):
+    """Per-group ordinary least squares from distributed sufficient
+    statistics: each batch emits one (n, Σx, Σy, Σxx, Σyy, Σxy) partial
+    row per group, one exchange sums them, and slope / intercept / R²
+    come from the closed form — the grouped trend screen (quality drift
+    per host, value-vs-time per user) with NO per-group data
+    materialization; the moving state is six floats per (group, batch).
+
+    Degenerate groups mirror SQL's ``regr_slope``: zero x-variance or
+    n < 2 → NULL slope/intercept; zero y-variance additionally NULLs R².
+    Output: ``(group_col, n, slope, intercept, r2)``, floats rounded at
+    the emit point.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], batch[group_col].type
+                                    if group_col in batch.column_names
+                                    else pa.string()),
+                "n": pa.array([], pa.int64()),
+                **{c: pa.array([], pa.float64())
+                   for c in ("sx", "sy", "sxx", "syy", "sxy")},
+            })
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({
+            group_col: batch[group_col],
+            "one": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        })
+        g = t.group_by(group_col).aggregate(
+            [("one", "sum")] + [(c, "sum")
+                                for c in ("sx", "sy", "sxx", "syy", "sxy")]
+        )
+        return g.rename_columns(
+            [group_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or group_col not in part.column_names:
+            return pa.table({
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+                "intercept": pa.array([], pa.float64()),
+                "r2": pa.array([], pa.float64()),
+            })
+        g = part.group_by(group_col).aggregate(
+            [("n", "sum")] + [(c, "sum")
+                              for c in ("sx", "sy", "sxx", "syy", "sxy")]
+        ).rename_columns([group_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = g["sx"].to_numpy(zero_copy_only=False)
+        sy = g["sy"].to_numpy(zero_copy_only=False)
+        sxx = g["sxx"].to_numpy(zero_copy_only=False)
+        syy = g["syy"].to_numpy(zero_copy_only=False)
+        sxy = g["sxy"].to_numpy(zero_copy_only=False)
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(dx > 0, cov / dx, np.nan)
+            intercept = np.where(dx > 0, (sy - slope * sx) / n, np.nan)
+            r2 = np.where((dx > 0) & (dy > 0), (cov * cov) / (dx * dy),
+                          np.nan)
+        rd = round_digits
+
+        def col(v):
+            return pa.array(np.round(v, rd), pa.float64(), from_pandas=True)
+
+        return pa.table({
+            group_col: g[group_col],
+            "n": pc.cast(g["n"], pa.int64()),
+            "slope": col(slope), "intercept": col(intercept),
+            "r2": col(r2),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_partitions)

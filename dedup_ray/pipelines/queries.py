@@ -209,6 +209,29 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def linreg_events(sf_dir: str):
+    """Grouped OLS trend screen (``ops/relational.py::grouped_linreg``):
+    value-vs-hour-of-day slope/intercept/R² per event type from
+    distributed sufficient statistics — six floats per (group, batch)
+    move, nothing per-group materializes.  Hour-of-day is the regressor
+    so the closed form stays well-conditioned (a raw epoch x would
+    cancel catastrophically in nΣxx − Σx²)."""
+    from dedup_ray.ops.relational import grouped_linreg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pc.cast(pc.hour(t["ts"]), pa.float64()),
+            "value": t["value"],
+        })
+
+    return grouped_linreg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        "event_type", "x", "value", num_partitions=4)
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 
@@ -5493,6 +5516,14 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["linreg_events"] = """
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(value, hour(ts)), 6) AS slope,
+           round(regr_intercept(value, hour(ts)), 6) AS intercept,
+           round(regr_r2(value, hour(ts)), 6) AS r2
+    FROM events GROUP BY event_type
+"""
+
 ORACLES["pmi_bigrams_docs"] = f"""
     WITH t AS (SELECT list_filter(string_split(COALESCE(text, ''), ' '),
                                   x -> x <> '') AS l FROM documents),
@@ -5843,6 +5874,7 @@ QUERIES = {
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "kmeans_embeddings": kmeans_embeddings,
     "pmi_bigrams_docs": pmi_bigrams_docs,
+    "linreg_events": linreg_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

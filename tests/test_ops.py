@@ -547,3 +547,35 @@ def test_rollup_aggregate_empty():
     }))
     out = rollup_aggregate(empty, ["a", "b"], "v", num_partitions=2)
     assert out.count() == 0
+
+
+def test_grouped_linreg_matches_numpy_and_degenerates():
+    from dedup_ray.ops.relational import grouped_linreg
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for g, slope, icpt in [("a", 2.0, 1.0), ("b", -0.5, 3.0)]:
+        x = rng.uniform(0, 20, size=120)
+        y = icpt + slope * x + rng.normal(0, 0.3, size=120)
+        rows.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    # degenerate: constant x (slope null), single point
+    rows.append(pd.DataFrame({"g": "constx", "x": 5.0,
+                              "y": rng.normal(size=10)}))
+    rows.append(pd.DataFrame({"g": "single", "x": [1.0], "y": [2.0]}))
+    df = pd.concat(rows, ignore_index=True)
+
+    out = grouped_linreg(
+        rd.from_pandas(df).repartition(5), "g", "x", "y", num_partitions=3
+    ).to_pandas().set_index("g")
+
+    for g in ("a", "b"):
+        sub = df[df.g == g]
+        want = np.polyfit(sub.x, sub.y, 1)
+        assert abs(out.loc[g, "slope"] - want[0]) < 1e-4
+        assert abs(out.loc[g, "intercept"] - want[1]) < 1e-4
+        r = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert abs(out.loc[g, "r2"] - r * r) < 1e-4
+        assert out.loc[g, "n"] == 120
+    assert np.isnan(out.loc["constx", "slope"])
+    assert np.isnan(out.loc["single", "slope"])
+    assert out.loc["single", "n"] == 1
