@@ -102,6 +102,16 @@ BENCH_QUERIES = [
     "route_media_docs",
     "pushdown_read_orders",
     "host_boilerplate_docs",
+    # round-3 third-sitting additions
+    "lang_percentile_docs",
+    "vocab_ids_docs",
+    "token_entropy_docs",
+    "rollup_events",
+    "redirect_resolve_docs",
+    "warc_roundtrip_docs",
+    "kmeans_embeddings",
+    "pmi_bigrams_docs",
+    "linreg_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

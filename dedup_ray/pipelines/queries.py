@@ -209,6 +209,34 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def bfs_dist_docs(sf_dir: str):
+    """Multi-source BFS hop distance (``ops/graph.py::multi_source_bfs``):
+    TrustRank-style link distance from a seed set — one frontier⋈edges
+    exchange per hop, every node settled at first discovery.  Link graph
+    synthesized from doc_id arithmetic (each doc links to id//2 and
+    id//3), seeds = ids divisible by 97; the oracle walks the same graph
+    with a recursive CTE and takes min(dist)."""
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids >= 1]
+        return pa.table({
+            "src": pa.array(np.r_[src, src], pa.int64()),
+            "dst": pa.array(np.r_[src // 2, src // 3], pa.int64()),
+        })
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(ids[ids % 97 == 0], pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = ds.map_batches(mk_seeds, batch_format="pyarrow")
+    return multi_source_bfs(edges, seeds, max_hops=3, num_partitions=8)
+
+
 def linreg_events(sf_dir: str):
     """Grouped OLS trend screen (``ops/relational.py::grouped_linreg``):
     value-vs-hour-of-day slope/intercept/R² per event type from
@@ -5516,6 +5544,23 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["bfs_dist_docs"] = """
+    WITH RECURSIVE edges AS (
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents WHERE doc_id >= 1
+    ),
+    seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+    walk AS (
+        SELECT node, 0 AS dist FROM seeds
+        UNION ALL
+        SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.dist < 3
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+"""
+
 ORACLES["linreg_events"] = """
     SELECT event_type, count(*) AS n,
            round(regr_slope(value, hour(ts)), 6) AS slope,
@@ -5875,6 +5920,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "pmi_bigrams_docs": pmi_bigrams_docs,
     "linreg_events": linreg_events,
+    "bfs_dist_docs": bfs_dist_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -272,3 +272,50 @@ def test_resolve_pointers_partition_invariance():
         ).to_pandas()
         got = dict(zip(out["src"], out["final"]))
         assert got == {int(s): brute(int(s)) for s in src}
+
+
+def test_multi_source_bfs_matches_brute_force():
+    from collections import deque
+
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    rng = np.random.default_rng(21)
+    n = 120
+    src = rng.integers(0, n, size=300).astype(np.int64)
+    dst = rng.integers(0, n, size=300).astype(np.int64)
+    seeds = np.array([0, 50, 99], dtype=np.int64)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst)})).repartition(4)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seeds)}))
+
+    out = multi_source_bfs(edges, seeds_ds, max_hops=3,
+                           num_partitions=3).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    want, q = {int(s): 0 for s in seeds}, deque(int(s) for s in seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= 3:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+
+
+def test_multi_source_bfs_early_stop_and_isolated_seed():
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    # chain 0->1->2 plus an isolated seed 9; max_hops far beyond diameter
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+    }))
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 9], pa.int64())}))
+    out = multi_source_bfs(edges, seeds, max_hops=8).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {0: 0, 9: 0, 1: 1, 2: 2}
