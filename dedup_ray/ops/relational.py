@@ -766,3 +766,63 @@ def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
     return exchange_group_apply(
         ds.map_batches(partial, batch_format="pyarrow"),
         group_col, final, num_partitions)
+
+
+def grouped_median(ds, group_col: str, value_col: str,
+                   num_partitions: int = 16, round_digits: int = 6):
+    """Exact per-group median without sorting the data: per-batch
+    ``(group, value, count)`` histogram partials, ONE exchange keyed on
+    the group, then each group's median read off its sorted value
+    histogram (even n averages the two middle values, SQL ``median``
+    semantics).  Moving state is bounded by DISTINCT (group, value)
+    pairs, not rows — the same histogram trick as the exact quantile
+    operator; for unbounded-cardinality value columns the DDSketch path
+    (``stages/sketch.py``) is the documented approximation.
+    Output: ``(group_col, n, median)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      "v": batch[value_col],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by([group_col, "v"]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, "v", "c"])
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or group_col not in part.column_names:
+            return pa.table({
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "median": pa.array([], pa.float64()),
+            })
+        g = part.group_by([group_col, "v"]).aggregate([("c", "sum")])
+        df = g.to_pandas().sort_values([group_col, "v"], kind="stable")
+        keys = df[group_col].to_numpy()
+        v = df["v"].to_numpy(dtype=np.float64)
+        c = df["c_sum"].to_numpy(dtype=np.int64)
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_n, out_m = [], [], []
+        for s, e in zip(starts, ends):
+            cs = np.cumsum(c[s:e])
+            n = int(cs[-1])
+            lo = int(np.searchsorted(cs, (n + 1) // 2))
+            hi = int(np.searchsorted(cs, n // 2 + 1))
+            med = v[s + lo] if n % 2 else (v[s + lo] + v[s + hi]) / 2.0
+            out_k.append(keys[s])
+            out_n.append(n)
+            out_m.append(med)
+        return pa.table({
+            group_col: pa.array(out_k, g[group_col].type),
+            "n": pa.array(out_n, pa.int64()),
+            "median": pa.array(np.round(out_m, round_digits),
+                               pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_partitions)

@@ -209,6 +209,16 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def grouped_median_events(sf_dir: str):
+    """Exact per-group median from value-count histograms
+    (``ops/relational.py::grouped_median``): one exchange, state bounded
+    by distinct (group, value) pairs — no sort of the data."""
+    from dedup_ray.ops.relational import grouped_median
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_median(ds, "event_type", "value", num_partitions=4)
+
+
 def bfs_dist_docs(sf_dir: str):
     """Multi-source BFS hop distance (``ops/graph.py::multi_source_bfs``):
     TrustRank-style link distance from a seed set — one frontier⋈edges
@@ -5544,6 +5554,12 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+ORACLES["grouped_median_events"] = """
+    SELECT event_type, count(*) AS n,
+           round(median(value), 6) AS median
+    FROM events GROUP BY event_type
+"""
+
 ORACLES["bfs_dist_docs"] = """
     WITH RECURSIVE edges AS (
         SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
@@ -5921,6 +5937,7 @@ QUERIES = {
     "pmi_bigrams_docs": pmi_bigrams_docs,
     "linreg_events": linreg_events,
     "bfs_dist_docs": bfs_dist_docs,
+    "grouped_median_events": grouped_median_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

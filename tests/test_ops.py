@@ -579,3 +579,33 @@ def test_grouped_linreg_matches_numpy_and_degenerates():
     assert np.isnan(out.loc["constx", "slope"])
     assert np.isnan(out.loc["single", "slope"])
     assert out.loc["single", "n"] == 1
+
+
+def test_grouped_median_odd_even_and_duplicates():
+    from dedup_ray.ops.relational import grouped_median
+
+    df = pd.DataFrame({
+        "g": (["odd"] * 5 + ["even"] * 6 + ["dups"] * 7 + ["one"]),
+        "v": ([5.0, 1.0, 3.0, 2.0, 4.0]          # median 3
+              + [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]   # median 3.5
+              + [2.0, 2.0, 2.0, 9.0, 9.0, 1.0, 2.0]  # median 2
+              + [7.5]),
+    })
+    out = grouped_median(
+        rd.from_pandas(df).repartition(4), "g", "v", num_partitions=3
+    ).to_pandas().set_index("g")
+    assert out.loc["odd", "median"] == 3.0 and out.loc["odd", "n"] == 5
+    assert out.loc["even", "median"] == 3.5
+    assert out.loc["dups", "median"] == 2.0
+    assert out.loc["one", "median"] == 7.5 and out.loc["one", "n"] == 1
+    # random parity vs numpy
+    rng = np.random.default_rng(2)
+    big = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=501),
+        "v": np.round(rng.normal(0, 10, size=501), 2),
+    })
+    got = grouped_median(
+        rd.from_pandas(big).repartition(6), "g", "v", num_partitions=4
+    ).to_pandas().set_index("g")
+    for g, sub in big.groupby("g"):
+        assert abs(got.loc[g, "median"] - np.median(sub.v)) < 1e-9
