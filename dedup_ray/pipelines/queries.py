@@ -209,6 +209,29 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def decode_entities_docs(sf_dir: str):
+    """HTML entity decode (``stages/normtext.py::decode_entities``):
+    kernel and oracle share the ``ENTITY_RULES`` literal list.  An
+    entity-rich prefix (including a double-encoded ``&amp;lt;``) is
+    prepended to every doc so the chain and its ordering are actually
+    exercised on corpus data."""
+    from dedup_ray.stages.normtext import decode_entities
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        pref = pa.scalar("A &amp; B &lt;tag&gt; &quot;q&quot; "
+                         "&amp;lt;once&amp;gt; &nbsp;&hellip; ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(
+                pc.cast(pref, pa.string()),
+                pc.coalesce(t["text"], pa.scalar("")), ""),
+        })
+
+    return decode_entities(ds.map_batches(synth, batch_format="pyarrow"))
+
+
 def grouped_median_events(sf_dir: str):
     """Exact per-group median from value-count histograms
     (``ops/relational.py::grouped_median``): one exchange, state bounded
@@ -5554,6 +5577,17 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+def _decode_entities_oracle_sql() -> str:
+    from dedup_ray.stages.normtext import entity_sql_expr
+
+    synth = ("'A &amp; B &lt;tag&gt; &quot;q&quot; "
+             "&amp;lt;once&amp;gt; &nbsp;&hellip; ' || coalesce(text, '')")
+    return f"SELECT doc_id, {entity_sql_expr(f'({synth})')} AS text " \
+           "FROM documents"
+
+
+ORACLES["decode_entities_docs"] = _decode_entities_oracle_sql()
+
 ORACLES["grouped_median_events"] = """
     SELECT event_type, count(*) AS n,
            round(median(value), 6) AS median
@@ -5938,6 +5972,7 @@ QUERIES = {
     "linreg_events": linreg_events,
     "bfs_dist_docs": bfs_dist_docs,
     "grouped_median_events": grouped_median_events,
+    "decode_entities_docs": decode_entities_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

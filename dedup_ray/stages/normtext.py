@@ -153,3 +153,81 @@ def fold_text(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Named HTML entities: the head of the web-text distribution, ordered so
+# specific entities decode BEFORE ``&amp;`` — a double-encoded
+# ``&amp;lt;`` must decode ONE level (to the literal ``&lt;``), which
+# falls out of running the ``&amp;`` rule last.  Literal (not regex)
+# pairs: the kernel chains ``pc.replace_substring`` and the oracle
+# chains ``replace()`` over the SAME list, so they cannot drift.
+# Numeric character references (&#NN; / &#xHH;) are out of scope here —
+# decoding them requires computed codepoints no SQL replace can express;
+# the import-gated ``html.unescape`` path below covers them when full
+# fidelity matters more than oracle checkability.
+ENTITY_RULES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&eacute;", "é"),
+    ("&amp;", "&"),  # LAST — see ordering note above
+)
+
+
+def decode_entities_column(arr) -> pa.Array:
+    """Chain the ``ENTITY_RULES`` literal replaces over one string array."""
+    out = pc.coalesce(arr, pa.scalar("", pa.string()))
+    for lit, repl in ENTITY_RULES:
+        out = pc.replace_substring(out, pattern=lit, replacement=repl)
+    return out
+
+
+def decode_entities(ds, id_col: str = "doc_id", text_col: str = "text",
+                    full: bool = False):
+    """HTML entity decoding for extracted text (C4/CCNet cleaning step —
+    extractor output routinely leaks ``&amp;``-encoded characters, which
+    then corrupt shingles and dedup keys).  ``full=True`` swaps in
+    stdlib ``html.unescape`` (all named + numeric references; per-row C
+    loop with a vectorized has-``&`` prescreen) — the production
+    fidelity path; the default rule chain is the oracle-checkable spec.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        if full:
+            import html
+
+            col = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+            has = pc.match_substring(col, "&")
+            vals = col.to_pylist()
+            dec = [
+                html.unescape(v) if m else v
+                for v, m in zip(vals, has.to_pylist())
+            ]
+            out = pa.array(dec, pa.string())
+        else:
+            out = decode_entities_column(t[text_col])
+        return pa.table({id_col: t[id_col], text_col: out})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def entity_sql_expr(col: str) -> str:
+    """DuckDB expression equivalent to :func:`decode_entities_column`,
+    generated from the SAME rule list."""
+    expr = f"coalesce({col}, '')"
+    for lit, repl in ENTITY_RULES:
+        expr = f"replace({expr}, {_sql_str(lit)}, {_sql_str(repl)})"
+    return expr

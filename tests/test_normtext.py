@@ -94,3 +94,38 @@ def test_fold_text_accents_and_case():
     out = fold_text(ds).to_pandas().sort_values("doc_id")
     assert out["folded"].tolist() == [
         "cafe naive senor", "plain ascii text", "", "ß stays æ ø"]
+
+
+def test_decode_entities_rule_chain_and_double_encoding():
+    from dedup_ray.stages.normtext import decode_entities
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a &amp; b",
+            "&lt;div&gt; &quot;x&quot; &#39;y&#39;",
+            "&amp;lt;literal&amp;gt;",   # double-encoded: ONE level only
+            None,                        # null text == empty page
+        ]),
+    })
+    out = (decode_entities(rd.from_arrow(docs))
+           .to_pandas().set_index("doc_id")["text"])
+    assert out[1] == "a & b"
+    assert out[2] == '<div> "x" \'y\''
+    assert out[3] == "&lt;literal&gt;"
+    assert out[4] == ""
+
+
+def test_decode_entities_full_matches_html_unescape():
+    import html
+
+    from dedup_ray.stages.normtext import decode_entities
+
+    texts = ["&amp;", "&#x41;&#66;", "caf&eacute; &ndash; ok", "plain", ""]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = (decode_entities(rd.from_arrow(docs), full=True)
+           .to_pandas().sort_values("doc_id")["text"].tolist())
+    assert out == [html.unescape(t) for t in texts]
