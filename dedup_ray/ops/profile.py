@@ -170,3 +170,173 @@ def profile_sql(table: str, columns: list[str],
             f"{mm.split(', ')[1]} AS max_num FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def validate_rules(ds, rules: list[dict], num_partitions: int = 8):
+    """Declarative data-quality gate (the "expectations" pass a corpus
+    run executes before training): rules are DATA, the oracle is
+    generated from the same list (:func:`validate_sql`), and the output
+    is one ``(rule, n_rows, n_violations)`` row per rule.
+
+    Rule kinds (``{"name", "kind", "column", ...}``):
+
+    - ``not_null`` — nulls violate;
+    - ``range`` (``lo``/``hi`` inclusive) — non-null values outside
+      violate (nulls are ``not_null``'s job, SQL three-valued logic);
+    - ``regex`` (RE2 ``pattern``, full match) — non-null non-matching
+      values violate;
+    - ``isin`` (``values``) — non-null values outside the set violate;
+    - ``unique`` — violations = n_rows − n_distinct − n_nulls (each
+      surplus copy counts once, SQL ``count(*) − count(DISTINCT c)``
+      − nulls... see below; nulls never violate uniqueness).
+
+    Scalar rules ride ONE vectorized pass (per-batch violation-count
+    partials, driver combine of R×B ints); each ``unique`` rule adds
+    per-batch distinct-value partials through one shared
+    (rule, value)-keyed exchange — the ``profile_table`` machinery.
+    """
+    scalar = [r for r in rules if r["kind"] != "unique"]
+    uniq = [r for r in rules if r["kind"] == "unique"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nrows, nviol = [], [], []
+        for r in scalar:
+            col = t[r["column"]]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if r["kind"] == "not_null":
+                v = col.null_count
+            elif r["kind"] == "range":
+                bad = pc.or_(pc.less(col, r["lo"]),
+                             pc.greater(col, r["hi"]))
+                v = pc.sum(bad).as_py() or 0  # nulls -> null -> not counted
+            elif r["kind"] == "regex":
+                ok = pc.match_substring_regex(
+                    col, f"^(?:{r['pattern']})$")
+                v = pc.sum(pc.invert(ok)).as_py() or 0
+            elif r["kind"] == "isin":
+                ok = pc.is_in(col, value_set=pa.array(r["values"]))
+                # is_in(null) is false, but nulls must not violate
+                v = (pc.sum(pc.invert(ok)).as_py() or 0) - col.null_count
+            else:
+                raise ValueError(f"unknown rule kind {r['kind']!r}")
+            names.append(r["name"])
+            nrows.append(t.num_rows)
+            nviol.append(int(v))
+        return pa.table({
+            "rule": pa.array(names, pa.string()),
+            "n_rows": pa.array(nrows, pa.int64()),
+            "n_violations": pa.array(nviol, pa.int64()),
+        })
+
+    import pandas as pd
+
+    frames = []
+    if scalar:
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if len(parts):
+            frames.append(parts.groupby("rule", as_index=False).sum())
+        else:
+            frames.append(pd.DataFrame({
+                "rule": [r["name"] for r in scalar],
+                "n_rows": 0, "n_violations": 0}))
+
+    if uniq:
+        from dedup_ray.util.exchange import exchange_group_apply
+
+        def uniq_partial(t: pa.Table) -> pa.Table:
+            names, vals = [], []
+            for r in uniq:
+                col = t[r["column"]]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_floating(col.type):
+                    col = pc.add(col, 0.0)
+                u = pc.cast(col.drop_null().unique(), pa.string())
+                names.append(pa.array([r["name"]] * len(u), pa.string()))
+                vals.append(u)
+            return pa.table({
+                "rule": pa.concat_arrays(names),
+                "val": pa.concat_arrays(vals) if vals
+                else pa.array([], pa.string()),
+            })
+
+        def totals_partial(t: pa.Table) -> pa.Table:
+            rows = [(r["name"], t.num_rows, t[r["column"]].null_count)
+                    for r in uniq]
+            return pa.table({
+                "rule": pa.array([x[0] for x in rows], pa.string()),
+                "n": pa.array([x[1] for x in rows], pa.int64()),
+                "nulls": pa.array([x[2] for x in rows], pa.int64()),
+            })
+
+        tot = ds.map_batches(
+            totals_partial, batch_format="pyarrow").to_pandas()
+        tot = tot.groupby("rule").sum() if len(tot) else None
+
+        def count_part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "rule" not in t.column_names:
+                return pa.table({"rule": pa.array([], pa.string()),
+                                 "k": pa.array([], pa.int64())})
+            g = (t.group_by(["rule", "val"]).aggregate([])
+                 .group_by("rule").aggregate([("val", "count")]))
+            return pa.table({"rule": g["rule"],
+                             "k": g["val_count"].cast(pa.int64())})
+
+        dist = exchange_group_apply(
+            ds.map_batches(uniq_partial, batch_format="pyarrow"),
+            ["rule", "val"], count_part, num_partitions,
+            empty_schema=pa.schema([("rule", pa.string()),
+                                    ("val", pa.string())]),
+        ).to_pandas()
+        kmap = (dist.groupby("rule")["k"].sum().to_dict()
+                if "rule" in dist.columns and len(dist) else {})
+        rows = []
+        for r in uniq:
+            n = int(tot.loc[r["name"], "n"]) if tot is not None else 0
+            nulls = int(tot.loc[r["name"], "nulls"]) if tot is not None \
+                else 0
+            k = int(kmap.get(r["name"], 0))
+            rows.append((r["name"], n, n - nulls - k))
+        frames.append(pd.DataFrame(
+            rows, columns=["rule", "n_rows", "n_violations"]))
+
+    out = pd.concat(frames, ignore_index=True)
+    order = {r["name"]: i for i, r in enumerate(rules)}
+    out = out.sort_values("rule", key=lambda s: s.map(order))
+    return pa.table({
+        "rule": pa.array(out["rule"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].to_numpy(np.int64)),
+        "n_violations": pa.array(out["n_violations"].to_numpy(np.int64)),
+    })
+
+
+def validate_sql(rules: list[dict], table: str) -> str:
+    """Generated oracle for :func:`validate_rules` — one UNION ALL branch
+    per rule from the SAME rule list."""
+    parts = []
+    for r in rules:
+        c = r["column"]
+        if r["kind"] == "not_null":
+            v = f"count(*) - count({c})"
+        elif r["kind"] == "range":
+            v = (f"coalesce(sum(CASE WHEN {c} < {r['lo']} OR "
+                 f"{c} > {r['hi']} THEN 1 ELSE 0 END), 0)")
+        elif r["kind"] == "regex":
+            v = (f"coalesce(sum(CASE WHEN {c} IS NOT NULL AND NOT "
+                 f"regexp_full_match({c}, '{r['pattern']}') "
+                 f"THEN 1 ELSE 0 END), 0)")
+        elif r["kind"] == "isin":
+            lits = ", ".join("'" + str(x).replace("'", "''") + "'"
+                             for x in r["values"])
+            v = (f"coalesce(sum(CASE WHEN {c} IS NOT NULL AND {c} NOT IN "
+                 f"({lits}) THEN 1 ELSE 0 END), 0)")
+        elif r["kind"] == "unique":
+            v = f"count({c}) - count(DISTINCT {c})"
+        else:
+            raise ValueError(f"unknown rule kind {r['kind']!r}")
+        parts.append(
+            f"SELECT '{r['name']}' AS rule, count(*)::BIGINT AS n_rows, "
+            f"({v})::BIGINT AS n_violations FROM {table}"
+        )
+    return " UNION ALL ".join(parts)

@@ -209,6 +209,30 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+VALIDATE_RULES = [
+    {"name": "doc_id_unique", "kind": "unique", "column": "doc_id"},
+    {"name": "text_not_null", "kind": "not_null", "column": "text"},
+    {"name": "nchars_range", "kind": "range", "column": "n_chars",
+     "lo": 1, "hi": 2000},
+    {"name": "lang_regex", "kind": "regex", "column": "lang",
+     "pattern": "[a-z]{2}"},
+    {"name": "source_isin", "kind": "isin", "column": "source",
+     "values": ["web", "wiki", "news", "forum"]},
+]
+
+
+def validate_docs(sf_dir: str):
+    """Declarative data-quality gate (``ops/profile.py::validate_rules``):
+    the rules are data, the oracle is generated from the same list —
+    not-null / range / regex / membership ride one vectorized pass,
+    uniqueness one shared distinct exchange."""
+    from dedup_ray.ops.profile import validate_rules
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return validate_rules(ds, VALIDATE_RULES)
+
+
 def decode_entities_docs(sf_dir: str):
     """HTML entity decode (``stages/normtext.py::decode_entities``):
     kernel and oracle share the ``ENTITY_RULES`` literal list.  An
@@ -5577,6 +5601,15 @@ ORACLES["range_rank_orders"] = """
     FROM orders
 """
 
+def _validate_oracle_sql() -> str:
+    from dedup_ray.ops.profile import validate_sql
+
+    return validate_sql(VALIDATE_RULES, "documents")
+
+
+ORACLES["validate_docs"] = _validate_oracle_sql()
+
+
 def _decode_entities_oracle_sql() -> str:
     from dedup_ray.stages.normtext import entity_sql_expr
 
@@ -5973,6 +6006,7 @@ QUERIES = {
     "bfs_dist_docs": bfs_dist_docs,
     "grouped_median_events": grouped_median_events,
     "decode_entities_docs": decode_entities_docs,
+    "validate_docs": validate_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -36,3 +36,36 @@ def test_profile_empty():
     out = profile_table(ray.data.from_arrow(t), ["a"]).to_pandas()
     assert out["n_rows"].tolist() == [0]
     assert out["n_distinct"].tolist() == [0]
+
+
+def test_validate_rules_planted_violations():
+    import pyarrow as pa
+
+    from dedup_ray.ops.profile import validate_rules
+
+    t = pa.table({
+        "id": pa.array([1, 2, 2, 3, None, 3], pa.int64()),
+        "v": pa.array([5.0, -1.0, 50.0, None, 7.0, 200.0]),
+        "lang": pa.array(["en", "de", "EN!", None, "fr", "x"]),
+        "src": pa.array(["web", "spam", "web", None, "wiki", "web"]),
+    })
+    rules = [
+        {"name": "id_unique", "kind": "unique", "column": "id"},
+        {"name": "v_nn", "kind": "not_null", "column": "v"},
+        {"name": "v_range", "kind": "range", "column": "v",
+         "lo": 0, "hi": 100},
+        {"name": "lang_re", "kind": "regex", "column": "lang",
+         "pattern": "[a-z]{2}"},
+        {"name": "src_in", "kind": "isin", "column": "src",
+         "values": ["web", "wiki"]},
+    ]
+    out = validate_rules(
+        ray.data.from_arrow(t).repartition(3), rules, num_partitions=2
+    ).to_pandas().set_index("rule")
+    # dup ids: 2 twice, 3 twice, one null -> 5 non-null, 3 distinct -> 2
+    assert out.loc["id_unique", "n_violations"] == 2
+    assert out.loc["v_nn", "n_violations"] == 1
+    assert out.loc["v_range", "n_violations"] == 2      # -1 and 200
+    assert out.loc["lang_re", "n_violations"] == 2      # 'EN!' and 'x'
+    assert out.loc["src_in", "n_violations"] == 1       # 'spam'
+    assert (out["n_rows"] == 6).all()
