@@ -209,6 +209,71 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+ROBOTS_SPECS: dict[str, list[tuple[bool, str]]] = {
+    # literal-prefix rules only: the SQL-expressible subset (wildcard/$
+    # semantics are pytest-covered against RFC 9309 examples)
+    "h0.com": [(False, "/p/1")],
+    "h1.com": [(False, "/"), (True, "/p/2")],
+    "h3.com": [(False, "/p")],
+    "h5.com": [(True, "/p/5"), (False, "/p/5")],  # tie → Allow wins
+}
+ROBOTS_NHOSTS = 7
+
+
+def robots_filter_docs(sf_dir: str):
+    """RFC 9309 robots evaluation (``stages/robots.py``): one cogroup of
+    the URL stream against per-host robots payloads, longest-match-wins
+    rules compiled once per host.  URLs + robots synthesized from shared
+    constants; the oracle replays prefix matching with a window rank."""
+    from dedup_ray.stages.robots import robots_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"url": pa.array(
+            [f"http://h{i % ROBOTS_NHOSTS}.com/p/{i}" for i in ids],
+            pa.string())})
+
+    robots_rows = {
+        h: "User-agent: *\n" + "\n".join(
+            ("Allow: " if a else "Disallow: ") + p for a, p in rules)
+        for h, rules in ROBOTS_SPECS.items()
+    }
+    robots = ray.data.from_arrow(pa.table({
+        "host": pa.array(list(robots_rows), pa.string()),
+        "robots_txt": pa.array(list(robots_rows.values()), pa.string()),
+    }))
+    urls = ds.map_batches(mk_urls, batch_format="pyarrow")
+    return robots_filter(urls, robots, num_partitions=4)
+
+
+def _robots_oracle_sql() -> str:
+    vals = ", ".join(
+        f"('{h}', {str(a).upper()}, '{p}')"
+        for h, rules in ROBOTS_SPECS.items() for a, p in rules
+    )
+    return f"""
+    WITH urls AS (
+        SELECT 'http://h' || (doc_id % {ROBOTS_NHOSTS}) || '.com/p/'
+                   || doc_id AS url,
+               'h' || (doc_id % {ROBOTS_NHOSTS}) || '.com' AS host,
+               '/p/' || doc_id AS path
+        FROM documents),
+    rules AS (SELECT * FROM (VALUES {vals}) t(host, is_allow, prefix)),
+    m AS (
+        SELECT u.url, r.is_allow,
+               row_number() OVER (
+                   PARTITION BY u.url
+                   ORDER BY length(r.prefix) DESC,
+                            CAST(r.is_allow AS INT) DESC) AS rn
+        FROM urls u JOIN rules r
+          ON u.host = r.host AND starts_with(u.path, r.prefix))
+    SELECT u.url, coalesce(m.is_allow, TRUE) AS allowed
+    FROM urls u LEFT JOIN m ON u.url = m.url AND m.rn = 1
+"""
+
+
 VALIDATE_RULES = [
     {"name": "doc_id_unique", "kind": "unique", "column": "doc_id"},
     {"name": "text_not_null", "kind": "not_null", "column": "text"},
@@ -5609,6 +5674,8 @@ def _validate_oracle_sql() -> str:
 
 ORACLES["validate_docs"] = _validate_oracle_sql()
 
+ORACLES["robots_filter_docs"] = _robots_oracle_sql()
+
 
 def _decode_entities_oracle_sql() -> str:
     from dedup_ray.stages.normtext import entity_sql_expr
@@ -6007,6 +6074,7 @@ QUERIES = {
     "grouped_median_events": grouped_median_events,
     "decode_entities_docs": decode_entities_docs,
     "validate_docs": validate_docs,
+    "robots_filter_docs": robots_filter_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
