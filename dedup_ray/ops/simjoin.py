@@ -136,7 +136,8 @@ _EXPAND = pa.schema(
 )
 
 
-def _out_schema(n1: str, n2: str, i1: str, i2: str) -> pa.Schema:
+def _out_schema(n1: str, n2: str, i1: str, i2: str,
+                score_name: str = "jaccard") -> pa.Schema:
     return pa.schema(
         [
             (i1, pa.int64()),
@@ -144,7 +145,7 @@ def _out_schema(n1: str, n2: str, i1: str, i2: str) -> pa.Schema:
             (n1, pa.int64()),
             (n2, pa.int64()),
             ("inter", pa.int64()),
-            ("jaccard", pa.float64()),
+            (score_name, pa.float64()),
         ]
     )
 
@@ -163,11 +164,13 @@ def _attach_left(c: pa.Table, lf: pa.Table) -> pa.Table:
 
 
 def _verify(
-    e: pa.Table, rf: pa.Table, tau: float, out_schema: pa.Schema
+    e: pa.Table, rf: pa.Table, tau: float, out_schema: pa.Schema,
+    score: str = "jaccard",
 ) -> pa.Table:
     """Count the shingle intersection per candidate pair (the partition
     holds each right doc's whole set, so ``n_r`` is exact) and keep pairs
-    with exact Jaccard ≥ tau."""
+    with exact score ≥ tau.  ``score``: "jaccard" = |∩|/|∪|, or
+    "containment" = |∩|/|left| (asymmetric — quote/subset detection)."""
     ed = _guard(e, _EXPAND)
     rd = _guard(rf, _flat_schema("id_r")).rename_columns(["id_r", "sh", "n_r"])
     m = ed.join(rd, keys=["id_r", "sh"], join_type="inner")
@@ -175,8 +178,11 @@ def _verify(
     inter = g["sh_count"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_l = g["n_l"].to_numpy(zero_copy_only=False)
     n_r = g["n_r"].to_numpy(zero_copy_only=False)
-    union = n_l + n_r - inter
-    jac = inter / np.maximum(union, 1)
+    if score == "containment":
+        jac = inter / np.maximum(n_l, 1)
+    else:
+        union = n_l + n_r - inter
+        jac = inter / np.maximum(union, 1)
     keep = jac >= tau
     names = out_schema.names
     return pa.table(
@@ -186,7 +192,7 @@ def _verify(
             names[2]: pa.array(n_l[keep]),
             names[3]: pa.array(n_r[keep]),
             "inter": pa.array(inter[keep]),
-            "jaccard": pa.array(jac[keep]),
+            names[5]: pa.array(jac[keep]),
         }
     ).cast(out_schema)
 
@@ -202,13 +208,18 @@ def similarity_join(
     tau: float = 0.5,
     max_df: int = 8,
     num_partitions: int = 16,
+    score: str = "jaccard",
 ):
     """Join rows of ``left_ds`` to rows of ``right_ds`` with shingle-set
-    Jaccard ≥ ``tau``; returns ``(id_l, id_r, n_l, n_r, inter, jaccard)``.
+    score ≥ ``tau``; returns ``(id_l, id_r, n_l, n_r, inter, <score>)``.
+    ``score="jaccard"`` (symmetric near-dup) or ``"containment"``
+    (|∩|/|left| — asymmetric: "is the left doc mostly contained in the
+    right", the quote/excerpt/syndication detector, Broder 1997's other
+    resemblance measure).
 
     Dataflow — three narrow exchanges, no list columns, no driver state:
     blocking on ``sh`` (df cap + cross-side pairs), pair dedup + left
-    expansion on ``id_l``, intersection count + Jaccard filter on ``id_r``.
+    expansion on ``id_l``, intersection count + score filter on ``id_r``.
     """
     left_flat = _flat_shingles(left_ds, left_id, left_text, "id_l", k)
     right_flat = _flat_shingles(right_ds, right_id, right_text, "id_r", k)
@@ -248,16 +259,32 @@ def similarity_join(
         return_refs=True,
     )
 
-    out_schema = _out_schema("n_l", "n_r", "id_l", "id_r")
+    out_schema = _out_schema("n_l", "n_r", "id_l", "id_r",
+                             score_name=score)
 
     def verify(e: pa.Table, rf: pa.Table) -> pa.Table:
-        return _verify(e, rf, tau, out_schema)
+        return _verify(e, rf, tau, out_schema, score=score)
 
     return hash_exchange(
         [expanded, right_flat],
         ["id_r", "id_r"],
         verify,
         num_partitions=num_partitions,
+    )
+
+
+def containment_join(left_ds, right_ds, left_id: str, right_id: str,
+                     left_text: str = "text", right_text: str = "text",
+                     k: int = 3, tau: float = 0.6, max_df: int = 8,
+                     num_partitions: int = 16):
+    """Asymmetric similarity join on shingle containment |L∩R|/|L| ≥ τ —
+    "left is mostly inside right": excerpt/quote detection, syndication
+    tracing, benchmark-in-training containment.  Same three-exchange
+    dataflow and df-cap blocking as :func:`similarity_join`."""
+    return similarity_join(
+        left_ds, right_ds, left_id, right_id, left_text, right_text,
+        k=k, tau=tau, max_df=max_df, num_partitions=num_partitions,
+        score="containment",
     )
 
 

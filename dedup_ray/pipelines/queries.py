@@ -209,6 +209,38 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def containment_join_docs(sf_dir: str):
+    """Asymmetric containment join (``ops/simjoin.py::containment_join``):
+    15-token excerpts of every 4th document joined against the full
+    corpus on shingle containment |L∩R|/|L| ≥ 0.8 — the quote/excerpt/
+    syndication detector Jaccard misses (a short excerpt of a long page
+    has tiny Jaccard but containment ≈ 1).  The oracle replays blocking
+    AND verification."""
+    from dedup_ray.ops.simjoin import containment_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def long_docs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " ")
+        return t.filter(pc.greater_equal(pc.list_value_length(toks), 30))
+
+    def excerpt(t: pa.Table) -> pa.Table:
+        keep, out = [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            if i % 4 == 0 and len(toks) >= 30:
+                keep.append(i)
+                out.append(" ".join(toks[:15]))
+        return pa.table({"doc_id": pa.array(keep, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    left = docs.map_batches(excerpt, batch_format="pyarrow")
+    right = docs.map_batches(long_docs, batch_format="pyarrow")
+    return containment_join(left, right, "doc_id", "doc_id",
+                            tau=0.8, num_partitions=8)
+
+
 ROBOTS_SPECS: dict[str, list[tuple[bool, str]]] = {
     # literal-prefix rules only: the SQL-expressible subset (wildcard/$
     # semantics are pytest-covered against RFC 9309 examples)
@@ -5676,6 +5708,55 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["containment_join_docs"] = """
+    WITH lt AS (
+        SELECT doc_id AS id_l,
+               (string_split(text, ' '))[1:15] AS toks
+        FROM documents
+        WHERE doc_id % 4 = 0
+          AND array_length(string_split(text, ' ')) >= 30),
+    rt AS (
+        SELECT doc_id AS id_r, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE array_length(string_split(text, ' ')) >= 30),
+    shl AS (
+        SELECT DISTINCT id_l,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM (SELECT id_l, toks,
+                     unnest(range(1, array_length(toks) - 1)) AS i
+              FROM lt)),
+    shr AS (
+        SELECT DISTINCT id_r,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM (SELECT id_r, toks,
+                     unnest(range(1, array_length(toks) - 1)) AS i
+              FROM rt)),
+    cardl AS (SELECT id_l, count(*) AS n_l FROM shl GROUP BY id_l),
+    cardr AS (SELECT id_r, count(*) AS n_r FROM shr GROUP BY id_r),
+    dfc AS (
+        SELECT s, count(*) AS df FROM (
+            SELECT s FROM shl UNION ALL SELECT s FROM shr) GROUP BY s),
+    rare AS (SELECT s FROM dfc WHERE df <= 8),
+    cand AS (
+        SELECT DISTINCT l.id_l, r.id_r
+        FROM shl l JOIN rare USING (s) JOIN shr r ON r.s = l.s),
+    ints AS (
+        SELECT c.id_l, c.id_r, count(*) AS inter
+        FROM cand c
+        JOIN shl a ON a.id_l = c.id_l
+        JOIN shr b ON b.id_r = c.id_r AND b.s = a.s
+        GROUP BY c.id_l, c.id_r)
+    SELECT i.id_l, i.id_r,
+           CAST(cl.n_l AS BIGINT) AS n_l,
+           CAST(cr.n_r AS BIGINT) AS n_r,
+           CAST(i.inter AS BIGINT) AS inter,
+           CAST(i.inter AS DOUBLE) / cl.n_l AS containment
+    FROM ints i
+    JOIN cardl cl USING (id_l)
+    JOIN cardr cr USING (id_r)
+    WHERE CAST(i.inter AS DOUBLE) / cl.n_l >= 0.8
+"""
+
 
 def _decode_entities_oracle_sql() -> str:
     from dedup_ray.stages.normtext import entity_sql_expr
@@ -6075,6 +6156,7 @@ QUERIES = {
     "decode_entities_docs": decode_entities_docs,
     "validate_docs": validate_docs,
     "robots_filter_docs": robots_filter_docs,
+    "containment_join_docs": containment_join_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -1,5 +1,6 @@
 """Similarity join semantics (ops/simjoin.py) on planted corpora."""
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -129,3 +130,36 @@ def test_short_and_empty_docs_never_join(ray_session):
     right = _mk([(1, "a b"), (4, _words(4, 40))])
     got = similarity_join(left, right, "id", "id", num_partitions=4).to_pandas()
     assert set(zip(got["id_l"], got["id_r"])) == {(4, 4)}
+
+
+def test_containment_join_excerpt_detection():
+    from dedup_ray.ops.simjoin import containment_join
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    sources = [" ".join(rng.choice(vocab, size=60)) for _ in range(10)]
+    rows_l, rows_r = [], []
+    for i, s in enumerate(sources):
+        rows_r.append((100 + i, s))
+    # excerpts: first 12 tokens of sources 0..4 (contained), plus one
+    # unrelated short doc (not contained anywhere)
+    for i in range(5):
+        rows_l.append((i, " ".join(sources[i].split(" ")[:12])))
+    rows_l.append((9, " ".join(rng.choice(vocab, size=12))))
+
+    left = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows_l], pa.int64()),
+        "text": pa.array([r[1] for r in rows_l]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows_r], pa.int64()),
+        "text": pa.array([r[1] for r in rows_r]),
+    }))
+    out = containment_join(left, right, "doc_id", "doc_id", tau=0.9,
+                           max_df=4, num_partitions=3).to_pandas()
+    got = set(zip(out["id_l"], out["id_r"]))
+    assert {(i, 100 + i) for i in range(5)} <= got
+    assert all(l != 9 for l, _ in got)
+    full = out.set_index(["id_l", "id_r"])
+    for i in range(5):
+        assert full.loc[(i, 100 + i), "containment"] == 1.0
