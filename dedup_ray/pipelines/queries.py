@@ -209,6 +209,23 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+BBIT_PERMS = 16
+BBIT_B = 2
+
+
+def bbit_minhash_docs(sf_dir: str):
+    """b-bit MinHash Jaccard estimation (Li & König 2010;
+    ``stages/minhash.py::bbit_minhash_md5``): 2-bit registers over 16
+    md5 permutations, collision-corrected estimates for adjacent-id doc
+    pairs.  The md5 spec twin makes EVERY step SQL-replayable — min-hash,
+    bit truncation and estimator are all checked, no pinned constants."""
+    from dedup_ray.stages.minhash import bbit_estimate_pairs, bbit_minhash_md5
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    regs = bbit_minhash_md5(ds, n_perms=BBIT_PERMS, b=BBIT_B)
+    return bbit_estimate_pairs(regs, b=BBIT_B, n_perms=BBIT_PERMS)
+
+
 def containment_join_docs(sf_dir: str):
     """Asymmetric containment join (``ops/simjoin.py::containment_join``):
     15-token excerpts of every 4th document joined against the full
@@ -5708,6 +5725,28 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["bbit_minhash_docs"] = f"""
+    {TOKENS_CTE},
+    dt AS (SELECT DISTINCT doc_id, token FROM toks),
+    h AS (SELECT doc_id, p.i AS perm,
+                 min(md5(p.i || ':' || token)) AS mh
+          FROM dt CROSS JOIN range(0, {BBIT_PERMS}) p(i)
+          GROUP BY doc_id, p.i),
+    r AS (SELECT doc_id, perm,
+                 ('0x' || substr(mh, 32, 1))::BIGINT % {1 << BBIT_B} AS reg
+          FROM h),
+    m AS (SELECT a.doc_id AS id1, a.doc_id + 1 AS id2,
+                 sum(CASE WHEN a.reg = b.reg THEN 1 ELSE 0 END)
+                     / CAST({BBIT_PERMS} AS DOUBLE) AS mf,
+                 count(*) AS np
+          FROM r a JOIN r b ON b.doc_id = a.doc_id + 1 AND b.perm = a.perm
+          GROUP BY a.doc_id)
+    SELECT id1, id2,
+           round((mf - {1.0 / (1 << BBIT_B)}) /
+                 (1 - {1.0 / (1 << BBIT_B)}), 6) AS est_jaccard
+    FROM m WHERE np = {BBIT_PERMS}
+"""
+
 ORACLES["containment_join_docs"] = """
     WITH lt AS (
         SELECT doc_id AS id_l,
@@ -6157,6 +6196,7 @@ QUERIES = {
     "validate_docs": validate_docs,
     "robots_filter_docs": robots_filter_docs,
     "containment_join_docs": containment_join_docs,
+    "bbit_minhash_docs": bbit_minhash_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

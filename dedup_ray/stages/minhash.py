@@ -166,3 +166,115 @@ def minhash_sign(ds, config: DedupConfig | None = None, id_col: str = "url",
         batch_size=cfg.batch_size,
         concurrency=cfg.minhash_concurrency,
     )
+
+
+def bbit_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_perms: int = 16, b: int = 2):
+    """b-bit MinHash registers (Li & König 2010): keep only the low ``b``
+    bits of each of ``n_perms`` min-hashes — signature storage shrinks
+    64/b× (b=2: a 16-perm signature is 4 bytes/doc), and the Jaccard
+    estimator corrects for the random collisions the truncation buys:
+    ``Ĵ = (m − c) / (1 − c)`` with match fraction ``m`` and collision
+    floor ``c = 2^−b`` (the r→0 regime of their Thm 1 — web-scale sets
+    are vanishingly small fractions of the hash space).
+
+    This is the md5 SPEC TWIN (same pattern as ``simhash_md5_docs``):
+    hash = md5(perm || ':' || token), min per (doc, perm) over DISTINCT
+    tokens, register = low hex digit mod 2^b — every step replayable in
+    SQL, so the catalog query checks the whole estimator, not a pinned
+    constant.  The production signer keeps its keyed BLAKE2b permutations.
+    Empty docs carry the tokenize sentinel.  Shuffle-free: registers are
+    batch-local.  Output: ``(id_col, perm, reg)``.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from dedup_ray.stages.textstats import explode_tokens
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(batch[text_col], batch.num_rows)
+        toks = flat.to_pylist()
+        par = parents.tolist()
+        for row in np.flatnonzero(n == 0):  # sentinel
+            toks.append(str(ids[int(row)].as_py()))
+            par.append(int(row))
+        # distinct (doc, token) — set semantics
+        dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
+        out_id, out_perm, out_reg = [], [], []
+        id_list = ids.to_pylist()
+        for perm in range(n_perms):
+            h = [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
+                 for t in dd["t"]]
+            mins = pd.Series(h).groupby(dd["p"].to_numpy()).min()
+            out_id.extend(id_list[int(i)] for i in mins.index)
+            out_perm.extend([perm] * len(mins))
+            out_reg.extend(int(v[-1], 16) % (1 << b) for v in mins)
+        return pa.table({
+            id_col: pa.array(out_id, ids.type),
+            "perm": pa.array(out_perm, pa.int64()),
+            "reg": pa.array(out_reg, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bbit_estimate_pairs(regs_ds, id_col: str = "doc_id", b: int = 2,
+                        n_perms: int = 16, num_partitions: int = 8):
+    """Consecutive-id pair estimates from b-bit registers: one cogroup on
+    the id co-locates doc ``i`` with doc ``i+1``'s registers (the right
+    stream arrives keyed on ``id−1``), match fractions and the collision
+    correction are vectorized per partition.  Output:
+    ``(id1, id2, est_jaccard)`` for every adjacent id pair present.
+    """
+    import pandas as pd
+
+    from dedup_ray.ops.relational import cogroup
+
+    def shift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: pc.subtract(t[id_col], pa.scalar(1)),
+            "perm": t["perm"],
+            "reg2": t["reg"],
+        })
+
+    right = regs_ds.map_batches(shift, batch_format="pyarrow")
+    c = 1.0 / (1 << b)
+
+    def per_part(a: pa.Table, bt: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "est_jaccard": pa.array([], pa.float64())})
+        if a.num_rows == 0 or bt.num_rows == 0 \
+                or id_col not in a.column_names \
+                or id_col not in bt.column_names:
+            return empty
+        m = a.select([id_col, "perm", "reg"]).join(
+            bt, keys=[id_col, "perm"], join_type="inner")
+        if m.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "id": m[id_col].to_numpy(zero_copy_only=False),
+            "eq": (m["reg"].to_numpy(zero_copy_only=False)
+                   == m["reg2"].to_numpy(zero_copy_only=False)),
+        })
+        g = df.groupby("id")["eq"].agg(["sum", "size"]).reset_index()
+        full = g[g["size"] == n_perms]  # both docs present for all perms
+        mfrac = full["sum"].to_numpy(np.float64) / n_perms
+        est = np.round((mfrac - c) / (1 - c), 6)
+        ids = full["id"].to_numpy(np.int64)
+        return pa.table({"id1": pa.array(ids),
+                         "id2": pa.array(ids + 1),
+                         "est_jaccard": pa.array(est, pa.float64())})
+
+    sch = pa.schema([(id_col, pa.int64()), ("perm", pa.int64()),
+                     ("reg", pa.int64())])
+    sch2 = pa.schema([(id_col, pa.int64()), ("perm", pa.int64()),
+                      ("reg2", pa.int64())])
+    return cogroup([regs_ds, right], [id_col, id_col], per_part,
+                   num_partitions, empty_schemas=[sch, sch2])

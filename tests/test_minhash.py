@@ -3,6 +3,8 @@
 import numpy as np
 import pyarrow as pa
 
+import ray.data
+
 from dedup_ray.config import DedupConfig
 from dedup_ray.stages.minhash import (
     MinHashSigner,
@@ -79,3 +81,56 @@ def test_pack_unpack_roundtrip():
     col = pack_signatures(sigs)
     back = unpack_signatures(col, 16)
     assert (back == sigs).all()
+
+
+def test_bbit_estimator_tracks_true_jaccard():
+    from dedup_ray.stages.minhash import bbit_estimate_pairs, bbit_minhash_md5
+
+    rng = np.random.default_rng(31)
+    vocab = [f"t{i}" for i in range(2000)]
+    # adjacent pairs with planted overlap levels
+    texts = []
+    base = list(rng.choice(vocab, size=400, replace=False))
+    for frac in [1.0, 0.8, 0.5, 0.0]:
+        texts.append(" ".join(base))
+        k = int(len(base) * frac)
+        other = [v for v in vocab if v not in base]
+        texts.append(" ".join(base[:k]
+                              + list(rng.choice(other, size=400 - k,
+                                                replace=False))))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(docs).repartition(1)
+    regs = bbit_minhash_md5(ds, n_perms=256, b=2)
+    out = bbit_estimate_pairs(regs, b=2, n_perms=256,
+                              num_partitions=2).to_pandas()
+    got = dict(zip(out["id1"], out["est_jaccard"]))
+
+    def true_j(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb)
+
+    # 256 perms, b=2: se ~ sqrt(c+(1-c)J)/... loose tolerance 0.12
+    for i in [0, 2, 4, 6]:
+        tj = true_j(texts[i], texts[i + 1])
+        assert abs(got[i] - tj) < 0.12, (i, got[i], tj)
+
+
+def test_bbit_registers_shape_and_determinism():
+    from dedup_ray.stages.minhash import bbit_minhash_md5
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", ""]),  # empty -> sentinel token
+    })
+    r1 = bbit_minhash_md5(ray.data.from_arrow(docs), n_perms=8,
+                          b=2).to_pandas()
+    r2 = bbit_minhash_md5(ray.data.from_arrow(docs).repartition(2),
+                          n_perms=8, b=2).to_pandas()
+    key = ["doc_id", "perm"]
+    assert len(r1) == 16
+    assert r1.sort_values(key).reg.tolist() == \
+        r2.sort_values(key).reg.tolist()
+    assert r1.reg.between(0, 3).all()
