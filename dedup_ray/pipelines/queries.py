@@ -209,6 +209,18 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def interleave_docs(sf_dir: str):
+    """Anti-clustering interleave (``stages/ordering.py::
+    interleave_by_key``): round-robin positions across languages so no
+    two same-language docs sit adjacent until a language exhausts — the
+    training-batch de-clumping order.  One exchange; position is a pure
+    function of (within-key rank, key index)."""
+    from dedup_ray.stages.ordering import interleave_by_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return interleave_by_key(ds, "lang", "doc_id", num_partitions=4)
+
+
 BBIT_PERMS = 16
 BBIT_B = 2
 
@@ -5725,6 +5737,18 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["interleave_docs"] = """
+    WITH k AS (SELECT count(DISTINCT lang) AS kk FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(doc_id || ':interleave'), doc_id) - 1
+                     AS rnk,
+                 dense_rank() OVER (ORDER BY lang) - 1 AS kix
+          FROM documents)
+    SELECT doc_id, lang, rnk * kk + kix AS pos FROM r, k
+"""
+
 ORACLES["bbit_minhash_docs"] = f"""
     {TOKENS_CTE},
     dt AS (SELECT DISTINCT doc_id, token FROM toks),
@@ -6197,6 +6221,7 @@ QUERIES = {
     "robots_filter_docs": robots_filter_docs,
     "containment_join_docs": containment_join_docs,
     "bbit_minhash_docs": bbit_minhash_docs,
+    "interleave_docs": interleave_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

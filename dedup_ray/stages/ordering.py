@@ -414,3 +414,61 @@ def group_percent_rank(ds, group_col: str, value_col: str, id_col: str,
         })
 
     return exchange_group_apply(ds, group_col, per_part, num_partitions)
+
+
+def interleave_by_key(ds, key_col: str, id_col: str,
+                      num_partitions: int = 16):
+    """Anti-clustering order: position rows so one key's rows are spread
+    as far apart as possible — round-robin across keys, i.e. all the
+    rank-0 rows of every key first, then every rank-1 row, and so on.
+    The training-batch de-clumping step (consecutive same-host/source
+    samples correlate gradients; crawl schedulers use the same shape for
+    per-host politeness).
+
+    Two exchange-free facts make this cheap: the within-key rank needs
+    ONE exchange on the key (deterministic (md5(id), id) order inside a
+    key, reusing the reproducible-shuffle idiom), and the final position
+    is ``rank * K + key_index`` — a pure function of (rank, key_index)
+    with K = number of distinct keys, so no global sort happens.  Key
+    index = the key's rank in the sorted distinct-key list (bounded
+    driver state: K keys).  Output: ``(id_col, key_col, pos)`` — ``pos``
+    is a strict total order; gaps appear once keys exhaust (fewer rows
+    than rank*K), which preserves spacing and is documented (a gapless
+    variant would need a second scan).
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    keys = sorted(
+        ds.select_columns([key_col]).unique(key_col)
+    )
+    key_ix = {k: i for i, k in enumerate(keys)}
+    K = max(len(keys), 1)
+
+    def per_key(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or key_col not in part.column_names:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                key_col: pa.array([], pa.string()),
+                "pos": pa.array([], pa.int64()),
+            })
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        kv = np.asarray(part[key_col].to_pylist(), dtype=object)
+        dig = np.array(content_digest(
+            [f"{v}:interleave" for v in ids.tolist()], algo="md5"))
+        order = np.lexsort((ids, dig, kv))
+        kv_s = kv[order]
+        new = np.r_[True, kv_s[1:] != kv_s[:-1]]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        rank = np.arange(len(kv_s)) - starts[grp]
+        kix = np.array([key_ix[v] for v in kv_s], np.int64)
+        pos = rank * K + kix
+        sel = pa.array(order)
+        return pa.table({
+            id_col: part[id_col].take(sel),
+            key_col: part[key_col].take(sel),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    return exchange_group_apply(ds, key_col, per_key, num_partitions)

@@ -252,3 +252,39 @@ def test_group_percent_rank_singleton_and_empty():
     }))
     out2 = group_percent_rank(empty, "lang", "v", "doc_id")
     assert out2.count() == 0
+
+
+def test_interleave_by_key_round_robin_property():
+    from dedup_ray.stages.ordering import interleave_by_key
+
+    rng = np.random.default_rng(23)
+    n = 200
+    keys = rng.choice(["a", "b", "c", "d"], size=n,
+                      p=[0.4, 0.3, 0.2, 0.1]).astype(object)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "k": pa.array(keys, pa.string()),
+    })).repartition(5)
+    out = interleave_by_key(ds, "k", "doc_id",
+                            num_partitions=3).to_pandas()
+    assert len(out) == n
+    # positions are a strict total order
+    assert out["pos"].is_unique
+    # while every key still has rows, consecutive positions never share
+    # a key: check the first 4*min_count positions are a round robin
+    counts = out.groupby("k").size()
+    full_rounds = counts.min() * 4
+    head = out[out.pos < full_rounds].sort_values("pos")
+    for i in range(0, len(head) - 1):
+        assert head.iloc[i]["k"] != head.iloc[i + 1]["k"]
+    # rank spacing: a key's successive positions differ by exactly K
+    for k, sub in out.groupby("k"):
+        p = np.sort(sub["pos"].to_numpy())
+        assert (np.diff(p) == 4).all()
+    # partition invariance
+    out2 = interleave_by_key(ds.repartition(2), "k", "doc_id",
+                             num_partitions=5).to_pandas()
+    a = out.sort_values("doc_id")["pos"].tolist()
+    b = out2.sort_values("doc_id")["pos"].tolist()
+    assert a == b
