@@ -826,3 +826,63 @@ def grouped_median(ds, group_col: str, value_col: str,
     return exchange_group_apply(
         ds.map_batches(partial, batch_format="pyarrow"),
         group_col, final, num_partitions)
+
+
+def group_zscore(ds, group_col: str, value_col: str, id_col: str,
+                 round_digits: int = 6):
+    """Per-group z-score standardization ``(v − μ_g) / σ_g`` — the other
+    per-bucket normalization next to the ECDF rank (``ordering.py::
+    group_percent_rank``): puts per-language quality scores on one scale
+    before a global threshold, preserving distance information the rank
+    discards.
+
+    Two passes, NO shuffle of the data: pass 1 reduces per-batch
+    ``(group, n, Σv, Σv²)`` partials to the driver (state = K groups);
+    pass 2 broadcasts the K means/stddevs and maps.  Zero-variance or
+    singleton groups emit null z (SQL semantics).  Population σ (matches
+    ``stddev_pop``); rounded at the emit point.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = pa.table({group_col: t[group_col],
+                      "n": pa.array(np.ones(len(v), np.int64)),
+                      "s": pa.array(v), "s2": pa.array(v * v)})
+        out = g.group_by(group_col).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")])
+        return out.rename_columns([group_col, "n", "s", "s2"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    stats = {}
+    if len(parts):
+        agg = parts.groupby(group_col).sum()
+        for k, row in agg.iterrows():
+            mu = row["s"] / row["n"]
+            var = max(row["s2"] / row["n"] - mu * mu, 0.0)
+            stats[k] = (mu, np.sqrt(var))
+    ref = ray.put(stats)
+
+    def apply(t: pa.Table) -> pa.Table:
+        st = ray.get(ref) if not isinstance(ref, dict) else ref
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = t[group_col].to_pylist()
+        mu = np.array([st.get(g, (np.nan, 0.0))[0] for g in groups])
+        sd = np.array([st.get(g, (np.nan, 0.0))[1] for g in groups])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (v - mu) / sd, np.nan)
+        return pa.table({
+            id_col: t[id_col], group_col: t[group_col],
+            value_col: t[value_col],
+            "z": pa.array(np.round(z, round_digits), pa.float64(),
+                          from_pandas=True),
+        })
+
+    return ds.map_batches(apply, batch_format="pyarrow")

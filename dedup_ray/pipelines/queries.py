@@ -209,6 +209,17 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def zscore_docs(sf_dir: str):
+    """Per-language z-score of doc length (``ops/relational.py::
+    group_zscore``): two shuffle-free passes — K-group sufficient stats
+    to the driver, broadcast back.  The distance-preserving counterpart
+    of ``lang_percentile_docs``."""
+    from dedup_ray.ops.relational import group_zscore
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return group_zscore(ds, "lang", "n_chars", "doc_id")
+
+
 def interleave_docs(sf_dir: str):
     """Anti-clustering interleave (``stages/ordering.py::
     interleave_by_key``): round-robin positions across languages so no
@@ -5737,6 +5748,14 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["zscore_docs"] = """
+    SELECT doc_id, lang, n_chars,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / nullif(stddev_pop(n_chars) OVER (PARTITION BY lang),
+                          0), 6) AS z
+    FROM documents
+"""
+
 ORACLES["interleave_docs"] = """
     WITH k AS (SELECT count(DISTINCT lang) AS kk FROM documents),
     r AS (SELECT doc_id, lang,
@@ -6222,6 +6241,7 @@ QUERIES = {
     "containment_join_docs": containment_join_docs,
     "bbit_minhash_docs": bbit_minhash_docs,
     "interleave_docs": interleave_docs,
+    "zscore_docs": zscore_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -609,3 +609,25 @@ def test_grouped_median_odd_even_and_duplicates():
     ).to_pandas().set_index("g")
     for g, sub in big.groupby("g"):
         assert abs(got.loc[g, "median"] - np.median(sub.v)) < 1e-9
+
+
+def test_group_zscore_matches_numpy_and_degenerates():
+    from dedup_ray.ops.relational import group_zscore
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "id": np.arange(150, dtype=np.int64),
+        "g": list(rng.choice(["a", "b"], size=148)) + ["const", "const"],
+        "v": np.r_[rng.normal(5, 2, 148), [7.0, 7.0]],
+    })
+    out = group_zscore(
+        rd.from_pandas(df).repartition(4), "g", "v", "id"
+    ).to_pandas().set_index("id")
+    for g in ("a", "b"):
+        sub = df[df.g == g]
+        mu, sd = sub.v.mean(), sub.v.std(ddof=0)
+        want = np.round((sub.v - mu) / sd, 6)
+        got = out.loc[sub.id, "z"].to_numpy()
+        assert np.allclose(got, want.to_numpy(), atol=1e-9)
+    # zero-variance group -> null z
+    assert out.loc[df[df.g == "const"].id, "z"].isna().all()
