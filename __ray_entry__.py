@@ -31,12 +31,11 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator family from SURVEY.md §2.
 
-    See ``dedup_ray/pipelines/queries.py`` for the catalog; the two keys
-    without an ``oracle_sql`` entry are the non-SQL-expressible operators
-    (keyed-hash SimHash and the weighted-APSP feature).  The iterative
-    fixed points (affinity propagation, SemDeDup k-means) and the zlib
-    compression screen carry pinned measured-at-sf0.01 oracles
-    (``tools/gen_pinned_oracles.py``)."""
+    See ``dedup_ray/pipelines/queries.py`` for the catalog.  EVERY key
+    has an ``oracle_sql`` entry: the non-SQL-expressible operators
+    (keyed-hash SimHash/fingerprints, weighted APSP, the iterative
+    fixed points and the zlib screen) carry pinned measured-at-sf0.01
+    oracles (``tools/gen_pinned_oracles.py``), valid at sf0.01 only."""
     from dedup_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
