@@ -251,3 +251,107 @@ class CheckpointContext:
         os.replace(mpath + ".tmp", mpath)
         with _PLAN_LOCK:
             return ray.data.read_parquet(data_dir)
+
+
+def gc_checkpoints(root: str, keep_config_hashes: set[str] | None = None,
+                   max_age_sec: float | None = None,
+                   dry_run: bool = False) -> dict:
+    """Checkpoint garbage collection — the operational complement of the
+    resume story (make's analog: nothing; stale targets accumulate until
+    a human deletes them).  A long-lived checkpoint root collects stage
+    dirs from superseded configs (every config change writes a fresh
+    ``config_hash``, the old tree stays) plus ``*.tmp`` debris from
+    killed runs; at 100 TB those are corpus-sized orphans.
+
+    Policy (conservative — never touches data a resume could still use):
+
+    - a stage dir is REMOVABLE when its ``manifest.json``/``stage.json``
+      carries a ``config_hash`` outside ``keep_config_hashes`` (when
+      given), or its newest manifest timestamp is older than
+      ``max_age_sec`` (when given); both conditions when both given;
+    - a dir with NO readable metadata at all is debris ONLY if it holds
+      no committed parquet (an in-flight ``data.tmp`` / ``_tmp.part-*``
+      is always debris);
+    - ``dry_run`` reports without deleting.
+
+    Returns ``{"removed": [...], "kept": [...], "bytes_freed": int}`` —
+    driver-side filesystem walk, no Ray involvement.
+    """
+    import shutil
+
+    removed, kept, freed = [], [], 0
+
+    def tree_bytes(p: str) -> int:
+        total = 0
+        for dirpath, _d, fnames in os.walk(p):
+            for f in fnames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
+    def rm(path: str) -> None:
+        nonlocal freed
+        freed += tree_bytes(path)
+        removed.append(path)
+        if not dry_run:
+            shutil.rmtree(path, ignore_errors=True)
+
+    if not os.path.isdir(root):
+        return {"removed": [], "kept": [], "bytes_freed": 0}
+    now = time.time()
+    for entry in sorted(os.listdir(root)):
+        sdir = os.path.join(root, entry)
+        if not os.path.isdir(sdir):
+            continue
+        if entry.endswith(".tmp"):
+            rm(sdir)
+            continue
+        # in-flight debris inside a live stage dir
+        data_dir = os.path.join(sdir, "data")
+        for sub in ("data.tmp",):
+            p = os.path.join(sdir, sub)
+            if os.path.isdir(p):
+                rm(p)
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if d.startswith("_tmp."):
+                    rm(os.path.join(data_dir, d))
+        meta = None
+        for mname in ("manifest.json", "stage.json"):
+            mp = os.path.join(sdir, mname)
+            if os.path.exists(mp):
+                try:
+                    with open(mp) as f:
+                        meta = json.load(f)
+                    break
+                except (OSError, json.JSONDecodeError):
+                    continue
+        if meta is None:
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _dp, _dn, fn in os.walk(sdir) for f in fn
+            )
+            if has_parquet:
+                kept.append(sdir)  # committed data, unknown origin: keep
+            else:
+                rm(sdir)
+            continue
+        stale_hash = (
+            keep_config_hashes is not None
+            and meta.get("config_hash") not in keep_config_hashes
+        )
+        too_old = (
+            max_age_sec is not None
+            and now - float(meta.get("written_at", now)) > max_age_sec
+        )
+        conditions = [c for c, on in (
+            (stale_hash, keep_config_hashes is not None),
+            (too_old, max_age_sec is not None),
+        ) if on]
+        if conditions and all(conditions):
+            rm(sdir)
+        else:
+            kept.append(sdir)
+    return {"removed": removed, "kept": kept, "bytes_freed": freed}

@@ -68,3 +68,61 @@ def test_deterministic_bucketing(tmp_path):
             a.sort_values("url").reset_index(drop=True),
             c.sort_values("url").reset_index(drop=True),
         )
+
+
+def test_gc_checkpoints_policy(tmp_path):
+    import json
+    import os
+    import time
+
+    from dedup_ray.state.manifest import gc_checkpoints
+
+    root = tmp_path / "ckpt"
+
+    def mk_stage(name, cfg_hash, written_at=None, with_tmp=False,
+                 meta=True, parquet=True):
+        d = root / name / "data"
+        d.mkdir(parents=True)
+        if parquet:
+            (d / "part-0.parquet").write_bytes(b"x" * 100)
+        if with_tmp:
+            (root / name / "data.tmp").mkdir()
+            (root / name / "data.tmp" / "p.parquet").write_bytes(b"y" * 50)
+            (d / "_tmp.part-3").mkdir()
+        if meta:
+            (root / name / "manifest.json").write_text(json.dumps({
+                "stage": name, "config_hash": cfg_hash,
+                "written_at": written_at or time.time(),
+            }))
+
+    mk_stage("live", "CUR", with_tmp=True)
+    mk_stage("stale", "OLD")
+    mk_stage("ancient", "CUR", written_at=time.time() - 10_000)
+    mk_stage("orphan_empty", "X", meta=False, parquet=False)
+    mk_stage("orphan_data", "X", meta=False, parquet=True)
+
+    # dry run deletes nothing
+    rep = gc_checkpoints(str(root), keep_config_hashes={"CUR"},
+                         dry_run=True)
+    assert (root / "stale").exists()
+    assert any("stale" in p for p in rep["removed"])
+    assert rep["bytes_freed"] > 0
+
+    rep = gc_checkpoints(str(root), keep_config_hashes={"CUR"})
+    names = {os.path.basename(p) for p in rep["removed"]}
+    assert "stale" in names and "orphan_empty" in names
+    assert not (root / "stale").exists()
+    # live stage kept, but its in-flight debris is gone
+    assert (root / "live" / "data" / "part-0.parquet").exists()
+    assert not (root / "live" / "data.tmp").exists()
+    assert not (root / "live" / "data" / "_tmp.part-3").exists()
+    # committed data without metadata is conservatively kept
+    assert (root / "orphan_data").exists()
+    # age-only policy
+    rep2 = gc_checkpoints(str(root), max_age_sec=5_000)
+    assert any("ancient" in p for p in rep2["removed"])
+    assert (root / "live").exists()
+    # hash+age must BOTH hold when both given: live is CUR and fresh
+    rep3 = gc_checkpoints(str(root), keep_config_hashes={"CUR"},
+                          max_age_sec=5_000)
+    assert (root / "live").exists()
