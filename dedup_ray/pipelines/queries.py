@@ -209,6 +209,22 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+SNM_WINDOW = 4
+
+
+def snm_pairs_orders(sf_dir: str):
+    """Sorted-neighborhood blocking (``stages/ordering.py::snm_pairs``):
+    candidate pairs within a 4-position window of the global
+    (o_totalprice, o_orderkey) order — the classic record-linkage
+    blocker, distributed via range-rank + overlapping rank buckets so
+    each pair materializes exactly once."""
+    from dedup_ray.stages.ordering import snm_pairs
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return snm_pairs(ds, key_col="o_totalprice", id_col="o_orderkey",
+                     window=SNM_WINDOW, num_partitions=8)
+
+
 def zscore_docs(sf_dir: str):
     """Per-language z-score of doc length (``ops/relational.py::
     group_zscore``): two shuffle-free passes — K-group sufficient stats
@@ -5748,6 +5764,16 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["snm_pairs_orders"] = f"""
+    WITH r AS (SELECT o_orderkey AS id,
+                      row_number() OVER (
+                          ORDER BY o_totalprice, o_orderkey) - 1 AS rnk
+               FROM orders)
+    SELECT a.id AS id1, b.id AS id2
+    FROM r a JOIN r b
+      ON b.rnk > a.rnk AND b.rnk - a.rnk < {SNM_WINDOW}
+"""
+
 ORACLES["zscore_docs"] = """
     SELECT doc_id, lang, n_chars,
            round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
@@ -6242,6 +6268,7 @@ QUERIES = {
     "bbit_minhash_docs": bbit_minhash_docs,
     "interleave_docs": interleave_docs,
     "zscore_docs": zscore_docs,
+    "snm_pairs_orders": snm_pairs_orders,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -472,3 +472,73 @@ def interleave_by_key(ds, key_col: str, id_col: str,
         })
 
     return exchange_group_apply(ds, key_col, per_key, num_partitions)
+
+
+def snm_pairs(ds, key_col: str, id_col: str, window: int = 4,
+              num_partitions: int = 16):
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): candidate
+    pairs are the rows within ``window`` positions of each other in the
+    global ``(key, id)`` sort order — the classic record-linkage blocker
+    next to LSH (sort key = a normalized name/date/price; near records
+    sort near).  At 10^12 rows a sliding window over a global sort is
+    the textbook sequential operator; here it distributes exactly:
+
+    - global positions from :func:`range_rank` (sample-partitioned, no
+      full sort all-to-all);
+    - every row ships to bucket ``rank // window`` AND the next bucket
+      (2× the narrow (rank, id) stream — ids only, never payloads);
+    - one exchange on the bucket key; inside a bucket every pair
+      ``(r1 < r2, r2 − r1 < window)`` is emitted iff ``r2``'s home
+      bucket is this one — each pair materializes exactly once, with
+      both members guaranteed co-located (``r1 ≥ r2 − window + 1`` ⇒
+      ``r1``'s home is this bucket or the previous, and previous-bucket
+      rows are present via their +1 copy).
+
+    Output: ``(id1, id2)`` with ``id1`` the lower-ranked member.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ranked = range_rank(ds, key_col=key_col, id_col=id_col,
+                        num_partitions=num_partitions)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        home = r // window
+        ids = t[id_col]
+        idx = pa.array(np.r_[np.arange(len(r)), np.arange(len(r))])
+        return pa.table({
+            "bucket": pa.array(np.r_[home, home + 1], pa.int64()),
+            "home": pa.array(np.r_[home, home], pa.int64()),
+            "rank": pa.array(np.r_[r, r], pa.int64()),
+            id_col: ids.combine_chunks().take(idx)
+            if isinstance(ids, pa.ChunkedArray) else ids.take(idx),
+        })
+
+    id_t = ds.schema().base_schema.field(id_col).type
+
+    def per_part(part: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], id_t),
+                          "id2": pa.array([], id_t)})
+        if part.num_rows == 0 or "bucket" not in part.column_names:
+            return empty
+        df = part.to_pandas().sort_values(["bucket", "rank"],
+                                          kind="stable")
+        out1, out2 = [], []
+        for b, sub in df.groupby("bucket", sort=False):
+            r = sub["rank"].to_numpy()
+            ids = sub[id_col].to_numpy()
+            home = sub["home"].to_numpy()
+            # small dense bucket (≤ 2·window rows): pairwise compare
+            gap = r[None, :] - r[:, None]          # r2 − r1
+            ok = (gap > 0) & (gap < window) & (home[None, :] == b)
+            i1, i2 = np.nonzero(ok)
+            out1.extend(ids[i1])
+            out2.extend(ids[i2])
+        if not out1:
+            return empty
+        return pa.table({"id1": pa.array(out1, id_t),
+                         "id2": pa.array(out2, id_t)})
+
+    fanned = ranked.map_batches(fan_out, batch_format="pyarrow")
+    return exchange_group_apply(fanned, "bucket", per_part,
+                                num_partitions)

@@ -288,3 +288,32 @@ def test_interleave_by_key_round_robin_property():
     a = out.sort_values("doc_id")["pos"].tolist()
     b = out2.sort_values("doc_id")["pos"].tolist()
     assert a == b
+
+
+def test_snm_pairs_matches_brute_force():
+    from dedup_ray.stages.ordering import snm_pairs
+
+    rng = np.random.default_rng(41)
+    n, w = 120, 5
+    keys = rng.choice([1.0, 2.0, 3.0, 7.5], size=n)  # heavy ties
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "k": pa.array(keys),
+    })).repartition(6)
+    out = snm_pairs(ds, key_col="k", id_col="id", window=w,
+                    num_partitions=4).to_pandas()
+    got = set(zip(out["id1"], out["id2"]))
+
+    order = np.lexsort((ids, keys))
+    sorted_ids = ids[order]
+    want = {
+        (int(sorted_ids[i]), int(sorted_ids[j]))
+        for i in range(n) for j in range(i + 1, min(i + w, n))
+    }
+    assert got == want
+    assert len(out) == len(want)  # no duplicate pair emission
+
+    # partition invariance
+    out2 = snm_pairs(ds.repartition(2), key_col="k", id_col="id",
+                     window=w, num_partitions=7).to_pandas()
+    assert set(zip(out2["id1"], out2["id2"])) == want
