@@ -484,3 +484,77 @@ def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def bipartite_project(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                      max_degree: int | None = 64,
+                      num_partitions: int = 16):
+    """Bipartite projection: (src → dst) edges become a weighted
+    dst–dst co-occurrence graph — hosts co-linked by the same documents
+    (co-citation), tokens co-occurring in the same docs, products in the
+    same baskets.  The host-similarity pass downstream of the outbound
+    link extractor.
+
+    One exchange on ``src`` co-locates each source's neighbor set; its
+    sorted-unique pairs (``dst1 < dst2``) are emitted vectorized per
+    partition (per-src work is C(deg, 2) — ``max_degree`` is the same
+    skew cap as ``triangle_count``: a source's neighbor list truncates
+    to its smallest ``max_degree`` dsts, an explicit undercount trade
+    for bounded tasks on hub sources); a second grouped-sum exchange
+    counts each pair's common sources.  Output:
+    ``(dst1, dst2, n_common)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    dst_t = edges_ds.schema().base_schema.field(dst_col).type
+
+    def per_src(part: pa.Table) -> pa.Table:
+        empty = pa.table({"dst1": pa.array([], dst_t),
+                          "dst2": pa.array([], dst_t),
+                          "c": pa.array([], pa.int64())})
+        if part.num_rows == 0 or src_col not in part.column_names:
+            return empty
+        df = part.select([src_col, dst_col]).to_pandas() \
+            .drop_duplicates().sort_values([src_col, dst_col],
+                                           kind="stable")
+        s = df[src_col].to_numpy()
+        d = df[dst_col].to_numpy()
+        new = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(s)]
+        o1, o2 = [], []
+        for a, b in zip(starts, ends):
+            nb = d[a:b]
+            if max_degree is not None and len(nb) > max_degree:
+                nb = nb[:max_degree]  # sorted: smallest dsts kept
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            o1.append(nb[i])
+            o2.append(nb[j])
+        if not o1:
+            return empty
+        d1 = np.concatenate(o1)
+        d2 = np.concatenate(o2)
+        t = pa.table({"dst1": pa.array(d1, dst_t),
+                      "dst2": pa.array(d2, dst_t),
+                      "one": pa.array(np.ones(len(d1), np.int64))})
+        g = t.group_by(["dst1", "dst2"]).aggregate([("one", "sum")])
+        return g.rename_columns(["dst1", "dst2", "c"])
+
+    pairs = exchange_group_apply(edges_ds, src_col, per_src,
+                                 num_partitions)
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "dst1" not in part.column_names:
+            return pa.table({"dst1": pa.array([], dst_t),
+                             "dst2": pa.array([], dst_t),
+                             "n_common": pa.array([], pa.int64())})
+        g = part.group_by(["dst1", "dst2"]).aggregate([("c", "sum")])
+        return pa.table({"dst1": g["dst1"], "dst2": g["dst2"],
+                         "n_common": pc.cast(g["c_sum"], pa.int64())})
+
+    return exchange_group_apply(pairs, ["dst1", "dst2"], final,
+                                num_partitions)

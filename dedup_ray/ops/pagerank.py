@@ -268,3 +268,176 @@ def ppr_reference(
             nxt[d] += damping * r[s] / outdeg[s]
         r = nxt
     return r
+
+
+def hits(edges_ds, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 4, num_partitions: int = 16,
+         round_to: int = 9):
+    """HITS hubs & authorities (Kleinberg 1999) — the mutual-
+    reinforcement ranking next to PageRank: a good hub links to good
+    authorities, a good authority is linked by good hubs.  Directory/
+    index pages (hubs) and canonical content pages (authorities)
+    separate where PageRank conflates them.
+
+    ``a_{k+1}(v) = Σ_{u→v} h_k(u)``, ``h_{k+1}(u) = Σ_{u→v} a_{k+1}(v)``,
+    each L2-normalized.  Per iteration two co-partitioned exchange joins
+    of the score stream against the SAME pre-split edge refs (keyed on
+    src for the authority push, on dst for the hub pull) and two
+    tree-reduced scalars (the norms); the score vector never touches
+    the driver.  Scores start at 1.0 for every node appearing in any
+    edge.  Deterministic; results rounded to ``round_to`` so the
+    unrolled-CTE oracle hashes identically.  Output:
+    ``(node, hub, authority)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import (
+        exchange_group_apply,
+        exchange_join,
+    )
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t[src_col].combine_chunks().cast(pa.int64()),
+            t[dst_col].combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"node": pc.unique(both)})
+
+    def dedup_nodes(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "node" not in part.column_names:
+            return pa.table({"node": pa.array([], pa.int64())})
+        return pa.table({"node": pc.unique(part["node"].combine_chunks())})
+
+    nodes = exchange_group_apply(
+        edges.map_batches(nodes_partial, batch_format="pyarrow"),
+        "node", dedup_nodes, num_partitions).materialize()
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        ones = np.ones(t.num_rows, np.float64)
+        return pa.table({"node": t["node"],
+                         "hub": pa.array(ones),
+                         "auth": pa.array(ones)})
+
+    scores = nodes.map_batches(init_scores,
+                               batch_format="pyarrow").materialize()
+
+    def sq_sum(ds_, col):
+        part = ds_.map_batches(
+            lambda t, c=col: pa.table({
+                "s": pa.array([
+                    float(np.square(
+                        t[c].to_numpy(zero_copy_only=False)).sum())
+                    if t.num_rows and c in t.column_names else 0.0])}),
+            batch_format="pyarrow")
+        return float(part.sum("s") or 0.0)
+
+    sch = pa.schema([("node", pa.int64()), ("hub", pa.float64()),
+                     ("auth", pa.float64())])
+
+    for _ in range(iters):
+        # authority push: h(src) flows along each edge to dst
+        def push(s: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": s[dst_col] if dst_col in s.column_names
+                else pa.array([], pa.int64()),
+                "contrib": s["hub"] if "hub" in s.column_names
+                else pa.array([], pa.float64()),
+            })
+
+        flowed = exchange_join(
+            edges.map_batches(
+                lambda t: t.rename_columns(["node", dst_col]),
+                batch_format="pyarrow"),
+            scores, on="node", num_partitions=num_partitions,
+            post=push,
+            empty_schema=pa.schema([("node", pa.int64()),
+                                    ("contrib", pa.float64())]),
+        )
+
+        def sum_contrib(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0 or "node" not in part.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "auth_new": pa.array([], pa.float64())})
+            g = part.group_by("node").aggregate([("contrib", "sum")])
+            return g.rename_columns(["node", "auth_new"])
+
+        auth_new = exchange_group_apply(
+            flowed, "node", sum_contrib, num_partitions)
+        nrm = np.sqrt(sq_sum(auth_new, "auth_new")) or 1.0
+
+        def merge_auth(s: pa.Table, a: pa.Table, _n=nrm) -> pa.Table:
+            if s.num_rows == 0 or "node" not in s.column_names:
+                return sch.empty_table()
+            st = s.join(a, keys="node", join_type="left outer")
+            av = st["auth_new"].to_numpy(zero_copy_only=False)
+            av = np.nan_to_num(av, nan=0.0) / _n
+            return pa.table({"node": st["node"], "hub": st["hub"],
+                             "auth": pa.array(av)}).cast(sch)
+
+        from dedup_ray.ops.relational import cogroup
+
+        scores = cogroup(
+            [scores, auth_new], ["node", "node"], merge_auth,
+            num_partitions,
+            empty_schemas=[sch, pa.schema([("node", pa.int64()),
+                                           ("auth_new", pa.float64())])],
+        ).materialize()
+
+        # hub pull: a(dst) flows back along each edge to src
+        def pull(s: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": s[src_col] if src_col in s.column_names
+                else pa.array([], pa.int64()),
+                "contrib": s["auth"] if "auth" in s.column_names
+                else pa.array([], pa.float64()),
+            })
+
+        flowed_h = exchange_join(
+            edges.map_batches(
+                lambda t: pa.table({src_col: t[src_col],
+                                    "node": t[dst_col]}),
+                batch_format="pyarrow"),
+            scores, on="node", num_partitions=num_partitions,
+            post=pull,
+            empty_schema=pa.schema([("node", pa.int64()),
+                                    ("contrib", pa.float64())]),
+        )
+
+        def sum_hub(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0 or "node" not in part.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "hub_new": pa.array([], pa.float64())})
+            g = part.group_by("node").aggregate([("contrib", "sum")])
+            return g.rename_columns(["node", "hub_new"])
+
+        hub_new = exchange_group_apply(
+            flowed_h, "node", sum_hub, num_partitions)
+        nrm_h = np.sqrt(sq_sum(hub_new, "hub_new")) or 1.0
+
+        def merge_hub(s: pa.Table, h: pa.Table, _n=nrm_h) -> pa.Table:
+            if s.num_rows == 0 or "node" not in s.column_names:
+                return sch.empty_table()
+            st = s.join(h, keys="node", join_type="left outer")
+            hv = st["hub_new"].to_numpy(zero_copy_only=False)
+            hv = np.nan_to_num(hv, nan=0.0) / _n
+            return pa.table({"node": st["node"],
+                             "hub": pa.array(hv),
+                             "auth": st["auth"]}).cast(sch)
+
+        scores = cogroup(
+            [scores, hub_new], ["node", "node"], merge_hub,
+            num_partitions,
+            empty_schemas=[sch, pa.schema([("node", pa.int64()),
+                                           ("hub_new", pa.float64())])],
+        ).materialize()
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "hub": pc.round(t["hub"], ndigits=round_to),
+            "authority": pc.round(t["auth"], ndigits=round_to),
+        })
+
+    return scores.map_batches(final, batch_format="pyarrow")

@@ -209,6 +209,28 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def cocitation_docs(sf_dir: str):
+    """Bipartite projection (``ops/graph.py::bipartite_project``): doc→host
+    links become a weighted host–host co-citation graph — two exchanges
+    (neighbor sets on src, pair counts on (dst1, dst2)), C(deg,2)
+    bounded by the max_degree skew cap.  Links synthesized from doc_id
+    arithmetic; self-join oracle."""
+    from dedup_ray.ops.graph import bipartite_project
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.r_[ids, ids, ids], pa.int64()),
+            "dst": pa.array(np.r_[ids % 11, ids % 7 + 20, ids % 5 + 40],
+                            pa.int64()),
+        })
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return bipartite_project(edges, num_partitions=8)
+
+
 SNM_WINDOW = 4
 
 
@@ -5764,6 +5786,19 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["cocitation_docs"] = """
+    WITH e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, doc_id % 11 AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id % 7 + 20 FROM documents
+            UNION ALL
+            SELECT doc_id, doc_id % 5 + 40 FROM documents))
+    SELECT a.dst AS dst1, b.dst AS dst2, count(*) AS n_common
+    FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY a.dst, b.dst
+"""
+
 ORACLES["snm_pairs_orders"] = f"""
     WITH r AS (SELECT o_orderkey AS id,
                       row_number() OVER (
@@ -6269,6 +6304,7 @@ QUERIES = {
     "interleave_docs": interleave_docs,
     "zscore_docs": zscore_docs,
     "snm_pairs_orders": snm_pairs_orders,
+    "cocitation_docs": cocitation_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

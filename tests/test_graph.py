@@ -319,3 +319,26 @@ def test_multi_source_bfs_early_stop_and_isolated_seed():
     out = multi_source_bfs(edges, seeds, max_hops=8).to_pandas()
     got = dict(zip(out["node"], out["dist"]))
     assert got == {0: 0, 9: 0, 1: 1, 2: 2}
+
+
+def test_bipartite_project_counts_and_cap():
+    from dedup_ray.ops.graph import bipartite_project
+
+    # docs 0,1 both link hosts {10, 11}; doc 2 links {10, 11, 12};
+    # duplicate edge rows must not inflate counts
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([0, 0, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "dst": pa.array([10, 11, 10, 11, 10, 11, 12, 12], pa.int64()),
+    })).repartition(3)
+    out = bipartite_project(edges, num_partitions=2).to_pandas()
+    got = {(r.dst1, r.dst2): r.n_common for r in out.itertuples()}
+    assert got == {(10, 11): 3, (10, 12): 1, (11, 12): 1}
+
+    # degree cap: a hub src with 5 dsts capped to its 2 smallest
+    hub = rd.from_arrow(pa.table({
+        "src": pa.array([7] * 5, pa.int64()),
+        "dst": pa.array([50, 30, 40, 10, 20], pa.int64()),
+    }))
+    capped = bipartite_project(hub, max_degree=2,
+                               num_partitions=2).to_pandas()
+    assert {(r.dst1, r.dst2) for r in capped.itertuples()} == {(10, 20)}
