@@ -209,6 +209,68 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+HITS_ITERS = 2
+
+
+def hits_docs(sf_dir: str):
+    """HITS hubs & authorities (``ops/pagerank.py::hits``, Kleinberg
+    1999): two exchange joins + two tree-reduced norms per iteration,
+    score vector never on the driver.  Link graph synthesized from
+    doc_id arithmetic (multi-edges count per occurrence, matching the
+    SQL's UNION ALL); the oracle unrolls both iterations as CTEs."""
+    from dedup_ray.ops.pagerank import hits
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids >= 1]
+        return pa.table({
+            "src": pa.array(np.r_[src, src], pa.int64()),
+            "dst": pa.array(np.r_[src // 2, src // 3], pa.int64()),
+        })
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return hits(edges, iters=HITS_ITERS, num_partitions=8)
+
+
+def _hits_oracle_sql() -> str:
+    base = """
+    WITH e AS (
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id, doc_id // 3 FROM documents WHERE doc_id >= 1),
+    nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    s0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)"""
+    parts = [base]
+    for k in range(1, HITS_ITERS + 1):
+        p = k - 1
+        parts.append(f""",
+    a{k}raw AS MATERIALIZED (
+        SELECT e.dst AS node, sum(s.hub) AS v
+        FROM e JOIN s{p} s ON e.src = s.node GROUP BY e.dst),
+    a{k}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM a{k}raw),
+    sa{k} AS MATERIALIZED (
+        SELECT n.node, n.hub,
+               coalesce(r.v / (SELECT nrm FROM a{k}n), 0) AS auth
+        FROM s{p} n LEFT JOIN a{k}raw r USING (node)),
+    h{k}raw AS MATERIALIZED (
+        SELECT e.src AS node, sum(s.auth) AS v
+        FROM e JOIN sa{k} s ON e.dst = s.node GROUP BY e.src),
+    h{k}n AS (SELECT sqrt(sum(v * v)) AS nrm FROM h{k}raw),
+    s{k} AS MATERIALIZED (
+        SELECT n.node,
+               coalesce(r.v / (SELECT nrm FROM h{k}n), 0) AS hub,
+               n.auth
+        FROM sa{k} n LEFT JOIN h{k}raw r USING (node))""")
+    parts.append(f"""
+    SELECT node, round(hub, 9) AS hub, round(auth, 9) AS authority
+    FROM s{HITS_ITERS}""")
+    return "".join(parts)
+
+
 def cocitation_docs(sf_dir: str):
     """Bipartite projection (``ops/graph.py::bipartite_project``): doc→host
     links become a weighted host–host co-citation graph — two exchanges
@@ -5786,6 +5848,8 @@ ORACLES["validate_docs"] = _validate_oracle_sql()
 
 ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
+ORACLES["hits_docs"] = _hits_oracle_sql()
+
 ORACLES["cocitation_docs"] = """
     WITH e AS (
         SELECT DISTINCT src, dst FROM (
@@ -6305,6 +6369,7 @@ QUERIES = {
     "zscore_docs": zscore_docs,
     "snm_pairs_orders": snm_pairs_orders,
     "cocitation_docs": cocitation_docs,
+    "hits_docs": hits_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -99,3 +99,62 @@ def test_personalized_pagerank_matches_dense_reference(ray_session):
     # mass concentrates near seeds: every seed outranks the global median
     med = float(np.median(got.to_numpy()))
     assert all(got[s] > med for s in seeds)
+
+
+def _hits_reference(edges, iters):
+    import numpy as np
+
+    nodes = sorted({n for e in edges for n in e})
+    ix = {n: i for i, n in enumerate(nodes)}
+    h = np.ones(len(nodes))
+    a = np.ones(len(nodes))
+    for _ in range(iters):
+        a_new = np.zeros(len(nodes))
+        for s, d in edges:
+            a_new[ix[d]] += h[ix[s]]
+        a = a_new / (np.linalg.norm(a_new) or 1.0)
+        h_new = np.zeros(len(nodes))
+        for s, d in edges:
+            h_new[ix[s]] += a[ix[d]]
+        h = h_new / (np.linalg.norm(h_new) or 1.0)
+    return nodes, h, a
+
+
+def test_hits_matches_dense_reference():
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.ops.pagerank import hits
+
+    rng = np.random.default_rng(37)
+    edges = [(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+             for _ in range(80)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    })).repartition(4)
+    out = hits(ds, iters=3, num_partitions=3).to_pandas()
+    nodes, h, a = _hits_reference(edges, 3)
+    got_h = dict(zip(out["node"], out["hub"]))
+    got_a = dict(zip(out["node"], out["authority"]))
+    assert set(out["node"]) == set(nodes)
+    for n, hv, av in zip(nodes, h, a):
+        assert abs(got_h[n] - hv) < 1e-8, (n, got_h[n], hv)
+        assert abs(got_a[n] - av) < 1e-8
+
+
+def test_hits_hub_authority_separation():
+    import pyarrow as pa
+
+    from dedup_ray.ops.pagerank import hits
+
+    # star: node 0 links to 1..5 (pure hub); 1..5 have no out-links
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0] * 5, pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    out = hits(ds, iters=2).to_pandas().set_index("node")
+    assert out.loc[0, "hub"] > 0.99 and out.loc[0, "authority"] == 0
+    for n in range(1, 6):
+        assert out.loc[n, "hub"] == 0
+        assert abs(out.loc[n, "authority"] - 1 / np.sqrt(5)) < 1e-9
