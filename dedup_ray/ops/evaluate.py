@@ -261,3 +261,71 @@ def ari_score(pred, truth, id_col: str = "doc_id",
         mx = (s_a + s_b) / 2
         ari = 1.0 if mx == exp else (s_cells - exp) / (mx - exp)
     return pa.table({"ari": pa.array([round(ari, 6)], pa.float64())})
+
+
+def auc_score(ds, score_col: str, label_col: str,
+              num_partitions: int = 8, round_digits: int = 6):
+    """Exact ROC AUC via the Mann–Whitney rank statistic — the
+    classifier-eval metric beside pairwise F1 / B³ / ARI, computed
+    WITHOUT a global sort: per-batch (score, n_pos, n_neg) histogram
+    partials → one exchange keyed on the score → a driver combine over
+    DISTINCT scores only (the same histogram-bounded-state trade as the
+    exact quantile and grouped-median operators).
+
+    ``AUC = (Σ_{positives} midrank − P(P+1)/2) / (P·N)`` with midranks
+    (average rank within a tie group) — ties between a positive and a
+    negative contribute ½, the standard convention, so the result equals
+    SQL's window-function replay digit for digit.  Returns a 1-row table
+    ``(auc, n_pos, n_neg)``; degenerate inputs (single class) yield a
+    null auc.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"score": pa.array([], pa.float64()),
+                             "p": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = s + 0.0  # −0.0 → 0.0: hash group_by must not split the tie
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(bool)
+        g = pa.table({"score": pa.array(s),
+                      "p": pa.array(lab.astype(np.int64)),
+                      "n": pa.array((~lab).astype(np.int64))})
+        out = g.group_by("score").aggregate([("p", "sum"), ("n", "sum")])
+        return out.rename_columns(["score", "p", "n"])
+
+    def combine(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "score" not in part.column_names:
+            return pa.table({"score": pa.array([], pa.float64()),
+                             "p": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = part.group_by("score").aggregate([("p", "sum"), ("n", "sum")])
+        return g.rename_columns(["score", "p", "n"])
+
+    hist = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "score", combine, num_partitions,
+    ).to_pandas()  # bounded by DISTINCT scores
+
+    if not len(hist):
+        return pa.table({"auc": pa.array([None], pa.float64()),
+                         "n_pos": pa.array([0], pa.int64()),
+                         "n_neg": pa.array([0], pa.int64())})
+    hist = hist.sort_values("score", kind="stable")
+    cnt = (hist["p"] + hist["n"]).to_numpy(np.float64)
+    cum_before = np.r_[0.0, np.cumsum(cnt)[:-1]]
+    midrank = cum_before + (cnt + 1) / 2.0
+    P = float(hist["p"].sum())
+    N = float(hist["n"].sum())
+    if P == 0 or N == 0:
+        auc = None
+    else:
+        rank_sum = float((hist["p"].to_numpy(np.float64) * midrank).sum())
+        auc = round((rank_sum - P * (P + 1) / 2.0) / (P * N),
+                    round_digits)
+    return pa.table({"auc": pa.array([auc], pa.float64()),
+                     "n_pos": pa.array([int(P)], pa.int64()),
+                     "n_neg": pa.array([int(N)], pa.int64())})

@@ -209,6 +209,29 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def auc_embeddings(sf_dir: str):
+    """Exact ROC AUC (``ops/evaluate.py::auc_score``, Mann–Whitney with
+    midranks): score = first embedding coordinate, label = even class id
+    — no global sort; one histogram exchange, driver state bounded by
+    distinct scores.  The window-rank SQL replay is digit-identical."""
+    from dedup_ray.ops.evaluate import auc_score
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        first = pc.list_element(emb, 0)
+        lab = pc.equal(pc.bit_wise_and(pc.cast(t["label"], pa.int64()),
+                                       pa.scalar(1)), pa.scalar(0))
+        return pa.table({"score": pc.cast(first, pa.float64()),
+                         "lab": pc.cast(lab, pa.int64())})
+
+    return auc_score(ds.map_batches(prep, batch_format="pyarrow"),
+                     "score", "lab", num_partitions=4)
+
+
 HITS_ITERS = 2
 
 
@@ -5850,6 +5873,21 @@ ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
 ORACLES["hits_docs"] = _hits_oracle_sql()
 
+ORACLES["auc_embeddings"] = """
+    WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                      CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS lab
+               FROM embeddings),
+    r AS (SELECT lab, avg(rn) OVER (PARTITION BY score) AS midrank
+          FROM (SELECT score, lab,
+                       row_number() OVER (ORDER BY score) AS rn
+                FROM d)),
+    agg AS (SELECT sum(CASE WHEN lab = 1 THEN midrank END) AS rs,
+                   sum(lab) AS p, sum(1 - lab) AS n FROM r)
+    SELECT round((rs - p * (p + 1) / 2.0) / (p * n), 6) AS auc,
+           CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+    FROM agg
+"""
+
 ORACLES["cocitation_docs"] = """
     WITH e AS (
         SELECT DISTINCT src, dst FROM (
@@ -6370,6 +6408,7 @@ QUERIES = {
     "snm_pairs_orders": snm_pairs_orders,
     "cocitation_docs": cocitation_docs,
     "hits_docs": hits_docs,
+    "auc_embeddings": auc_embeddings,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -6,7 +6,9 @@ clusterings to intra-cluster pair sets and compare.
 
 import itertools as it
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from dedup_ray.ops.evaluate import pairwise_prf, pairwise_prf_ds
@@ -80,10 +82,10 @@ def test_bcubed_handmade():
     from dedup_ray.ops.evaluate import bcubed_scores
 
     # pred: {1,2},{3}; truth: {1},{2,3}
-    pred = ray.data.from_arrow(pa.table({
+    pred = rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "cluster_id": pa.array([10, 10, 20], pa.int64())}))
-    truth = ray.data.from_arrow(pa.table({
+    truth = rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "truth_id": pa.array([100, 200, 200], pa.int64())}))
     out = bcubed_scores(pred, truth).to_pandas().iloc[0]
@@ -93,7 +95,7 @@ def test_bcubed_handmade():
     assert out["bcubed_f1"] == round(2 / 3, 6)
 
     # perfect clustering scores 1.0 everywhere
-    same = bcubed_scores(pred, ray.data.from_arrow(pa.table({
+    same = bcubed_scores(pred, rd.from_arrow(pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
         "truth_id": pa.array([10, 10, 20], pa.int64()),
     }))).to_pandas().iloc[0]
@@ -107,7 +109,7 @@ def test_ari_handmade():
     from dedup_ray.ops.evaluate import ari_score
 
     def mk(ids, labels, col):
-        return ray.data.from_arrow(pa.table({
+        return rd.from_arrow(pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             col: pa.array(labels, pa.int64())}))
 
@@ -122,3 +124,37 @@ def test_ari_handmade():
     # cells: (0,0)=2 (1,0)=1 (1,1)=1 (2,1)=2 -> S_cells=2
     # S_a=3, S_b=6, S_N=15; exp=1.2, max=4.5 -> ari=0.8/3.3
     assert got == round((2 - 1.2) / (4.5 - 1.2), 6)
+
+
+def test_auc_matches_sklearn_style_reference_and_ties():
+    from dedup_ray.ops.evaluate import auc_score
+
+    rng = np.random.default_rng(43)
+    n = 400
+    label = rng.integers(0, 2, size=n)
+    # scores correlated with label, quantized to force ties
+    score = np.round(label * 1.0 + rng.normal(0, 1.2, size=n), 1)
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array(score), "l": pa.array(label, pa.int64()),
+    })).repartition(5)
+    out = auc_score(ds, "s", "l", num_partitions=3).to_pandas()
+
+    # independent midrank reference
+    import pandas as pd
+    df = pd.DataFrame({"s": score, "l": label})
+    df["rank"] = df["s"].rank(method="average")
+    P, N = int(label.sum()), int((1 - label).sum())
+    want = (df.loc[df.l == 1, "rank"].sum() - P * (P + 1) / 2) / (P * N)
+    assert abs(out["auc"].iloc[0] - round(want, 6)) < 1e-12
+    assert out["n_pos"].iloc[0] == P and out["n_neg"].iloc[0] == N
+
+    # perfect separation -> 1.0; single class -> null
+    perfect = rd.from_arrow(pa.table({
+        "s": pa.array([0.1, 0.2, 0.8, 0.9]),
+        "l": pa.array([0, 0, 1, 1], pa.int64()),
+    }))
+    assert auc_score(perfect, "s", "l").to_pandas()["auc"].iloc[0] == 1.0
+    mono = rd.from_arrow(pa.table({
+        "s": pa.array([0.1, 0.2]), "l": pa.array([1, 1], pa.int64()),
+    }))
+    assert auc_score(mono, "s", "l").to_pandas()["auc"].isna().all()
