@@ -209,6 +209,29 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+ZORDER_BITS = 8
+
+
+def zorder_events(sf_dir: str):
+    """Z-order clustering keys (``stages/ordering.py::zorder_key``):
+    interleave (user_id, hour-of-day) bits so both dimensions prune at
+    read time when output files sort by the key; shuffle-free, unrolled
+    SQL bit-expression oracle generated from the same constants."""
+    from dedup_ray.stages.ordering import zorder_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "h": pc.cast(pc.hour(t["ts"]), pa.int64()),
+        })
+
+    return zorder_key(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["u", "h"], bits=ZORDER_BITS)
+
+
 def auc_embeddings(sf_dir: str):
     """Exact ROC AUC (``ops/evaluate.py::auc_score``, Mann–Whitney with
     midranks): score = first embedding coordinate, label = even class id
@@ -5873,6 +5896,19 @@ ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
 ORACLES["hits_docs"] = _hits_oracle_sql()
 
+def _zorder_oracle_sql() -> str:
+    from dedup_ray.stages.ordering import zorder_sql_expr
+
+    expr = zorder_sql_expr(["u", "h"], bits=ZORDER_BITS)
+    return f"""
+    WITH p AS (SELECT event_id, CAST(user_id AS BIGINT) AS u,
+                      CAST(hour(ts) AS BIGINT) AS h FROM events)
+    SELECT event_id, u, h, ({expr}) AS zkey FROM p
+"""
+
+
+ORACLES["zorder_events"] = _zorder_oracle_sql()
+
 ORACLES["auc_embeddings"] = """
     WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
                       CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS lab
@@ -6409,6 +6445,7 @@ QUERIES = {
     "cocitation_docs": cocitation_docs,
     "hits_docs": hits_docs,
     "auc_embeddings": auc_embeddings,
+    "zorder_events": zorder_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -542,3 +542,42 @@ def snm_pairs(ds, key_col: str, id_col: str, window: int = 4,
     fanned = ranked.map_batches(fan_out, batch_format="pyarrow")
     return exchange_group_apply(fanned, "bucket", per_part,
                                 num_partitions)
+
+
+def zorder_key(ds, cols: list, bits: int = 8, out_col: str = "zkey"):
+    """Z-order (Morton) clustering key: interleave the low ``bits`` bits
+    of each column so rows close in EVERY dimension get close keys —
+    sort/partition output files by ``zkey`` and a range or point filter
+    on ANY of the columns prunes most files (the Delta/Iceberg Z-ORDER
+    layout primitive; min/max footer stats do the pruning at read time,
+    ``pushdown_read_orders`` shows that half).
+
+    Inputs must be non-negative ints below ``2^bits`` — quantize
+    upstream (the caller knows the domain; silent rescaling here would
+    hide a lossy step).  Values out of range raise.  Pure per-batch
+    bit arithmetic: shuffle-free, vectorized, and exactly replayable as
+    an unrolled SQL bit expression.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        for ci, c in enumerate(cols):
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if t.num_rows and (v.min() < 0 or v.max() >= (1 << bits)):
+                raise ValueError(
+                    f"zorder_key: {c} outside [0, 2^{bits})")
+            for b in range(bits):
+                z |= ((v >> b) & 1) << (b * len(cols) + ci)
+        return t.append_column(out_col, pa.array(z, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def zorder_sql_expr(cols: list, bits: int = 8) -> str:
+    """DuckDB expression equal to :func:`zorder_key` — the same bit
+    interleave unrolled (generated from the same constants)."""
+    terms = []
+    for ci, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * len(cols) + ci})")
+    return " | ".join(terms)

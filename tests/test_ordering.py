@@ -317,3 +317,28 @@ def test_snm_pairs_matches_brute_force():
     out2 = snm_pairs(ds.repartition(2), key_col="k", id_col="id",
                      window=w, num_partitions=7).to_pandas()
     assert set(zip(out2["id1"], out2["id2"])) == want
+
+
+def test_zorder_key_locality_and_bounds():
+    from dedup_ray.stages.ordering import zorder_key
+
+    # exhaustive 16x16 grid: morton curve properties
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    t = pa.table({"x": pa.array(xs.ravel().astype(np.int64)),
+                  "y": pa.array(ys.ravel().astype(np.int64))})
+    out = zorder_key(ray.data.from_arrow(t), ["x", "y"],
+                     bits=4).to_pandas()
+    # bijective over the grid
+    assert sorted(out["zkey"]) == list(range(256))
+    # classic morton spot checks: z(1,0)=1 (x is bit 0), z(0,1)=2,
+    # z(3,3)=15, z(15,15)=255
+    m = {(r.x, r.y): r.zkey for r in out.itertuples()}
+    assert m[(1, 0)] == 1 and m[(0, 1)] == 2
+    assert m[(3, 3)] == 15 and m[(15, 15)] == 255
+    # out-of-range raises
+    bad = ray.data.from_arrow(pa.table({
+        "x": pa.array([16], pa.int64()), "y": pa.array([0], pa.int64()),
+    }))
+    import pytest
+    with pytest.raises(Exception):
+        zorder_key(bad, ["x", "y"], bits=4).materialize()
