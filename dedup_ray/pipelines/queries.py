@@ -209,6 +209,41 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def json_extract_events(sf_dir: str):
+    """Schema-on-read JSON extraction (``stages/textstats.py::
+    json_extract_cols``): typed ``k`` pulled from the ``props`` JSON
+    column, then summed per user — the ingest-normalization hop between
+    raw logs and relational operators."""
+    from dedup_ray.stages.textstats import json_extract_cols
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+    flat = json_extract_cols(ds, "props", {"k": ("k", pa.int64())},
+                             keep_cols=["user_id"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("k", "sum"),
+                                             ("k", "count")])
+        return g.rename_columns(["user_id", "k_sum", "n"])
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "user_id" not in part.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "k_sum": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = part.group_by("user_id").aggregate([("k_sum", "sum"),
+                                                ("n", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "k_sum": pc.cast(g["k_sum_sum"], pa.int64()),
+            "n": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    partials = flat.map_batches(agg, batch_format="pyarrow")
+    return exchange_group_apply(partials, "user_id", final, 4)
+
+
 ZORDER_BITS = 8
 
 
@@ -5896,6 +5931,14 @@ ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
 ORACLES["hits_docs"] = _hits_oracle_sql()
 
+ORACLES["json_extract_events"] = """
+    SELECT user_id,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           count(json_extract(props, '$.k')) AS n
+    FROM events GROUP BY user_id
+"""
+
+
 def _zorder_oracle_sql() -> str:
     from dedup_ray.stages.ordering import zorder_sql_expr
 
@@ -6446,6 +6489,7 @@ QUERIES = {
     "hits_docs": hits_docs,
     "auc_embeddings": auc_embeddings,
     "zorder_events": zorder_events,
+    "json_extract_events": json_extract_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -565,3 +565,39 @@ def pmi_bigrams(ds, id_col: str = "doc_id", text_col: str = "text",
     return (j2.map_batches(score, batch_format="pyarrow")
             .sort(["pmi", "w1", "w2"], descending=[True, False, False])
             .limit(top_k))
+
+
+def json_extract_cols(ds, json_col: str, fields: dict,
+                      keep_cols: list | None = None):
+    """Schema-on-read JSON field extraction: pull typed columns out of a
+    JSON string column (event ``props``, API payloads, WAT metadata) —
+    the ingest-normalization step between raw logs and relational
+    operators.  ``fields``: ``{out_name: (json_key, pa.DataType)}``;
+    missing keys and nulls become typed nulls.
+
+    Per-record ``json.loads`` (a C parser — the same bounded-per-record
+    budget as the WARC/codec parsers; a malformed record becomes nulls,
+    not a task failure).  Top-level keys only: nested paths belong to a
+    real JSON engine, and a pipeline that needs them should flatten at
+    ingest.
+    """
+    import json
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = t[json_col].to_pylist()
+        parsed = []
+        for v in vals:
+            try:
+                p = json.loads(v) if v else {}
+                parsed.append(p if isinstance(p, dict) else {})
+            except (ValueError, TypeError):
+                parsed.append({})
+        cols = {}
+        for c in (keep_cols or []):
+            cols[c] = t[c]
+        for out, (key, typ) in fields.items():
+            cols[out] = pa.array([p.get(key) for p in parsed], typ,
+                                 from_pandas=True)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

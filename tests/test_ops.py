@@ -631,3 +631,29 @@ def test_group_zscore_matches_numpy_and_degenerates():
         assert np.allclose(got, want.to_numpy(), atol=1e-9)
     # zero-variance group -> null z
     assert out.loc[df[df.g == "const"].id, "z"].isna().all()
+
+
+def test_json_extract_cols_types_and_malformed():
+    from dedup_ray.stages.textstats import json_extract_cols
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "j": pa.array([
+            '{"a": 7, "b": "x", "c": 1.5}',
+            '{"a": null, "b": "y"}',
+            'not json at all',
+            None,
+            '[1, 2]',                      # non-dict top level -> nulls
+        ]),
+    })
+    out = json_extract_cols(
+        rd.from_arrow(t).repartition(2), "j",
+        {"a": ("a", pa.int64()), "b": ("b", pa.string()),
+         "c": ("c", pa.float64())},
+        keep_cols=["id"],
+    ).to_pandas().set_index("id").sort_index()
+    assert out.loc[1, "a"] == 7 and out.loc[1, "b"] == "x"
+    assert out.loc[1, "c"] == 1.5
+    assert pd.isna(out.loc[2, "a"]) and out.loc[2, "b"] == "y"
+    for i in (3, 4, 5):
+        assert pd.isna(out.loc[i, "a"]) and pd.isna(out.loc[i, "b"])
