@@ -61,3 +61,60 @@ def corpus_diff(old_ds, new_ds, id_col: str = "doc_id",
 
     return hash_exchange([old_ds, new_ds], [id_col, id_col], reduce_fn,
                          num_partitions)
+
+
+def psi_drift(ds_a, ds_b, value_col: str, lo: float, hi: float,
+              n_buckets: int = 10, eps: float = 1e-6,
+              round_digits: int = 6):
+    """Population Stability Index between two snapshots of a value
+    distribution — the drift monitor a recurring-crawl pipeline runs
+    before trusting this month's quality thresholds on last month's
+    calibration (PSI < 0.1 stable, > 0.25 shifted, by the usual
+    credit-scoring convention).
+
+    Fixed-width buckets over ``[lo, hi)`` (out-of-range values clamp to
+    the edge buckets; nulls drop) — fixed edges rather than quantile
+    edges so the operator is deterministic and the oracle replays it
+    from the same constants.  One vectorized histogram pass per
+    snapshot; driver state = 2×``n_buckets`` ints.  Per-bucket
+    ``contrib = (p_a − p_b)·ln(p_a / p_b)`` with proportions floored at
+    ``eps`` (the standard empty-bucket smoothing); PSI = Σ contrib.
+    Output: one row per bucket ``(bucket, n_a, n_b, contrib)`` plus the
+    replayable total in every row (``psi``).
+    """
+    import pyarrow.compute as pc  # noqa: F401  (signature parity)
+
+    w = (hi - lo) / n_buckets
+
+    def hist(ds):
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v.astype(np.float64))]
+            b = np.clip(np.floor((v - lo) / w), 0,
+                        n_buckets - 1).astype(np.int64)
+            u, c = np.unique(b, return_counts=True)
+            return pa.table({"bucket": pa.array(u, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = np.zeros(n_buckets, np.int64)
+        if len(parts):
+            g = parts.groupby("bucket")["c"].sum()
+            out[g.index.to_numpy()] = g.to_numpy()
+        return out
+
+    na, nb = hist(ds_a), hist(ds_b)
+    ta, tb = max(na.sum(), 1), max(nb.sum(), 1)
+    p_a = np.maximum(na / ta, eps)
+    p_b = np.maximum(nb / tb, eps)
+    contrib = np.round((p_a - p_b) * np.log(p_a / p_b), round_digits)
+    psi = round(float(contrib.sum()), round_digits)
+    return pa.table({
+        "bucket": pa.array(np.arange(n_buckets), pa.int64()),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "contrib": pa.array(contrib, pa.float64()),
+        "psi": pa.array(np.full(n_buckets, psi), pa.float64()),
+    })

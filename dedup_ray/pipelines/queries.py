@@ -209,6 +209,31 @@ def text_quality(sf_dir: str):
     return quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+PSI_LO, PSI_HI, PSI_BUCKETS = 0.0, 25.0, 10
+
+
+def psi_drift_events(sf_dir: str):
+    """PSI drift monitor (``ops/diff.py::psi_drift``): value
+    distributions of the even- vs odd-id event snapshots compared over
+    fixed buckets — one histogram pass per side, driver state
+    2×n_buckets ints; smoothing, contribution and total replayed from
+    the same constants in SQL."""
+    from dedup_ray.ops.diff import psi_drift
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return f
+
+    a = ds.map_batches(half(0), batch_format="pyarrow")
+    b = ds.map_batches(half(1), batch_format="pyarrow")
+    return psi_drift(a, b, "value", lo=PSI_LO, hi=PSI_HI,
+                     n_buckets=PSI_BUCKETS)
+
+
 def json_extract_events(sf_dir: str):
     """Schema-on-read JSON extraction (``stages/textstats.py::
     json_extract_cols``): typed ``k`` pulled from the ``props`` JSON
@@ -5931,6 +5956,37 @@ ORACLES["robots_filter_docs"] = _robots_oracle_sql()
 
 ORACLES["hits_docs"] = _hits_oracle_sql()
 
+ORACLES["psi_drift_events"] = f"""
+    WITH w AS (SELECT {(PSI_HI - PSI_LO) / PSI_BUCKETS} AS w),
+    av AS (SELECT least(greatest(CAST(floor((value - {PSI_LO})
+               / (SELECT w FROM w)) AS BIGINT), 0),
+               {PSI_BUCKETS - 1}) AS bucket
+           FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    bv AS (SELECT least(greatest(CAST(floor((value - {PSI_LO})
+               / (SELECT w FROM w)) AS BIGINT), 0),
+               {PSI_BUCKETS - 1}) AS bucket
+           FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    bk AS (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket),
+    ca AS (SELECT bucket, count(*) AS c FROM av GROUP BY bucket),
+    cb AS (SELECT bucket, count(*) AS c FROM bv GROUP BY bucket),
+    j AS (SELECT bk.bucket, coalesce(ca.c, 0) AS n_a,
+                 coalesce(cb.c, 0) AS n_b
+          FROM bk LEFT JOIN ca USING (bucket)
+                  LEFT JOIN cb USING (bucket)),
+    tot AS (SELECT greatest(sum(n_a), 1) AS ta,
+                   greatest(sum(n_b), 1) AS tb FROM j),
+    p AS (SELECT bucket, n_a, n_b,
+                 greatest(n_a / ta, 1e-6) AS pa_,
+                 greatest(n_b / tb, 1e-6) AS pb_
+          FROM j, tot),
+    c AS (SELECT bucket, n_a, n_b,
+                 round((pa_ - pb_) * ln(pa_ / pb_), 6) AS contrib
+          FROM p)
+    SELECT bucket, n_a, n_b, contrib,
+           (SELECT round(sum(contrib), 6) FROM c) AS psi
+    FROM c
+"""
+
 ORACLES["json_extract_events"] = """
     SELECT user_id,
            sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
@@ -6490,6 +6546,7 @@ QUERIES = {
     "auc_embeddings": auc_embeddings,
     "zorder_events": zorder_events,
     "json_extract_events": json_extract_events,
+    "psi_drift_events": psi_drift_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
