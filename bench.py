@@ -112,6 +112,22 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "pmi_bigrams_docs",
     "linreg_events",
+    "bfs_dist_docs",
+    "grouped_median_events",
+    "decode_entities_docs",
+    "validate_docs",
+    "robots_filter_docs",
+    "containment_join_docs",
+    "bbit_minhash_docs",
+    "interleave_docs",
+    "zscore_docs",
+    "snm_pairs_orders",
+    "cocitation_docs",
+    "hits_docs",
+    "auc_embeddings",
+    "zorder_events",
+    "json_extract_events",
+    "psi_drift_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -269,7 +269,7 @@ def json_extract_events(sf_dir: str):
     return exchange_group_apply(partials, "user_id", final, 4)
 
 
-ZORDER_BITS = 8
+ZORDER_BITS = 12  # user_id reaches 1,500 at sf0.1; 4,096 headroom
 
 
 def zorder_events(sf_dir: str):
