@@ -108,3 +108,47 @@ def test_map_batches_survives_worker_crash(tmp_path):
     import os
 
     assert os.path.exists(flag)
+
+
+def test_multi_source_bfs_survives_worker_crash(tmp_path):
+    """An iterative exchange operator (frontier ⋈ edges per hop) must
+    produce the identical distance table when one task attempt dies:
+    the hop chain re-derives from immutable upstream objects."""
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 80, size=200).astype(np.int64)
+    dst = rng.integers(0, 80, size=200).astype(np.int64)
+    flag = str(tmp_path / "crashed-bfs")
+
+    def mk_edges(crash: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import os
+
+            if crash:
+                try:
+                    os.close(os.open(flag,
+                                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                    os._exit(1)
+                except FileExistsError:
+                    pass
+            return t
+        return f
+
+    edges_tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    seeds = rd.from_arrow(pa.table({"node": pa.array([0, 40],
+                                                     pa.int64())}))
+
+    clean = multi_source_bfs(
+        rd.from_arrow(edges_tbl).repartition(4), seeds, max_hops=3,
+        num_partitions=3).to_pandas()
+    injected = multi_source_bfs(
+        rd.from_arrow(edges_tbl).repartition(4)
+        .map_batches(mk_edges(True), batch_format="pyarrow"),
+        seeds, max_hops=3, num_partitions=3).to_pandas()
+
+    a = dict(zip(clean["node"], clean["dist"]))
+    b = dict(zip(injected["node"], injected["dist"]))
+    assert a == b
