@@ -269,6 +269,22 @@ def json_extract_events(sf_dir: str):
     return exchange_group_apply(partials, "user_id", final, 4)
 
 
+BADWORDS = ("slow", "merge", "spark", "batch")
+BADWORD_THRESHOLD = 0.05
+
+
+def badword_docs(sf_dir: str):
+    """C4-style blocklist screen (``stages/webclean.py::
+    badword_fraction``): fraction of lowercased whitespace tokens on a
+    broadcast word list, ``blocked`` above the threshold.  Shuffle-free
+    vectorized map; the list and threshold are shared constants with
+    the oracle."""
+    from dedup_ray.stages.webclean import badword_fraction
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return badword_fraction(ds, BADWORDS, threshold=BADWORD_THRESHOLD)
+
+
 ZORDER_BITS = 12  # user_id reaches 1,500 at sf0.1; 4,096 headroom
 
 
@@ -5994,6 +6010,28 @@ ORACLES["json_extract_events"] = """
     FROM events GROUP BY user_id
 """
 
+ORACLES["badword_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    f AS (SELECT doc_id, count(*) AS nt,
+                 sum(CASE WHEN lower(token) IN
+                     {tuple(sorted(set(BADWORDS)))}
+                     THEN 1 ELSE 0 END) AS nf
+          FROM toks GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(f.nt, 0) AS n_tokens,
+           coalesce(f.nf, 0) AS n_flagged,
+           round(coalesce(f.nf, 0) * 1.0
+                 / greatest(coalesce(f.nt, 0), 1), 6) AS bad_frac,
+           (coalesce(f.nf, 0) * 1.0
+            / greatest(coalesce(f.nt, 0), 1)) > {BADWORD_THRESHOLD}
+               AS blocked
+    FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
 
 def _zorder_oracle_sql() -> str:
     from dedup_ray.stages.ordering import zorder_sql_expr
@@ -6547,6 +6585,7 @@ QUERIES = {
     "zorder_events": zorder_events,
     "json_extract_events": json_extract_events,
     "psi_drift_events": psi_drift_events,
+    "badword_docs": badword_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

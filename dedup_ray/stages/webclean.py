@@ -939,3 +939,46 @@ def frequent_ngrams_cms(ds, n: int = 3, min_count: int = 5, top_k: int = 50,
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort(["n", "gram"], descending=[True, False]).limit(top_k)
+
+
+# --------------------------------------------------------------------------
+# Word-blocklist screen (C4 §2.2 / UT1-list shape: flag documents whose
+# blocklisted-token fraction exceeds a threshold)
+# --------------------------------------------------------------------------
+
+def badword_fraction(ds, words, text_col: str = "text",
+                     id_col: str = "doc_id", threshold: float = 0.05):
+    """Blocklist token-fraction screen: per document, the fraction of
+    whitespace tokens (lowercased) that appear in ``words``, plus a
+    ``blocked`` flag at ``frac > threshold``.
+
+    The C4 cleaning recipe drops any page containing a word from a
+    blocklist; the fraction form generalizes it (threshold 0 reproduces
+    the drop-on-any-hit rule).  Shuffle-free: the list broadcasts in the
+    task closure (word lists are KBs), membership is one vectorized
+    ``pc.is_in`` over the flattened token array per batch, and the
+    per-doc counts come from ``np.bincount`` over the token parent
+    index — no Python row loop, no exchange.  At 100 TB this is a pure
+    map stage that pipelines with the quality screens.
+    """
+    value_set = pa.array(sorted({w.lower() for w in words}), pa.string())
+
+    def f(t: pa.Table) -> pa.Table:
+        from dedup_ray.stages.textstats import explode_tokens
+
+        flat, parents, n_tok = explode_tokens(_text_col(t, text_col),
+                                              t.num_rows)
+        hit = pc.is_in(pc.utf8_lower(flat), value_set=value_set)
+        hits = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_flag = np.bincount(parents, weights=hits,
+                             minlength=t.num_rows).astype(np.int64)
+        frac = n_flag / np.maximum(n_tok, 1)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok),
+            "n_flagged": pa.array(n_flag),
+            "bad_frac": pa.array(np.round(frac, 6)),
+            "blocked": pa.array(frac > threshold),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

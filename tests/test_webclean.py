@@ -477,3 +477,34 @@ def test_pmi_bigrams_brute_force():
     )[:10]
     got = list(zip(out["pmi"], out["w1"], out["w2"], out["c"]))
     assert [(p, a, b, c) for p, a, b, c in got] == want
+
+
+# --------------------------------------------------------------------------
+# badword blocklist screen
+# --------------------------------------------------------------------------
+
+def test_badword_fraction_semantics():
+    from dedup_ray.stages.webclean import badword_fraction
+
+    ds = _mkdocs([
+        "good clean text here",          # 0 hits / 4
+        "BAD bad ok ok",                 # 2 hits / 4 (case-folded)
+        "",                              # empty: 0 tokens, not blocked
+        None,                            # null text == empty page
+        "bad",                           # 1/1 -> blocked
+    ])
+    out = (badword_fraction(ds, ["bad", "evil"], threshold=0.25)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [4, 4, 0, 0, 1]
+    assert out["n_flagged"].tolist() == [0, 2, 0, 0, 1]
+    assert out["blocked"].tolist() == [False, True, False, False, True]
+    assert out.loc[1, "bad_frac"] == 0.5
+
+
+def test_badword_threshold_zero_is_drop_on_any_hit():
+    from dedup_ray.stages.webclean import badword_fraction
+
+    ds = _mkdocs(["one bad word among many many many tokens", "all fine"])
+    out = (badword_fraction(ds, ["bad"], threshold=0.0)
+           .to_pandas().sort_values("doc_id"))
+    assert out["blocked"].tolist() == [True, False]
