@@ -886,3 +886,41 @@ def group_zscore(ds, group_col: str, value_col: str, id_col: str,
         })
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def grouped_rolling(ds, key_col: str, order_cols: list[str],
+                    value_col: str, window: int = 4,
+                    num_partitions: int = 16, round_digits: int = 6):
+    """Per-key ROWS-frame sliding aggregates: for every row, the mean /
+    sum of ``value_col`` over the last ``window`` rows of its key's
+    stream (frame ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``),
+    plus ``delta`` vs the previous row (lag diff; null at each key's
+    first row).
+
+    The moving-statistics primitive of monitoring / feature pipelines
+    (rate smoothing, burst detection, per-user trend features).  ONE
+    hash exchange on the key — each key's history lands whole in one
+    partition — then a single vectorized pandas pass over ALL keys in
+    the partition (sort + cython ``groupby.rolling``): per-key dispatch
+    would be ruinous at web user cardinality.  Window state is O(window)
+    per key and never crosses partitions, so the operator streams at any
+    corpus size.  Ordering stated: ``order_cols`` must end in a tiebreak
+    unique within key for deterministic output.
+    """
+    import pandas as pd
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols])
+        g = df.groupby(key_col, sort=False)[value_col]
+        roll = g.rolling(window=window, min_periods=1)
+        df = df.assign(
+            roll_avg=np.round(roll.mean().to_numpy(), round_digits),
+            roll_sum=np.round(roll.sum().to_numpy(), round_digits),
+            delta=np.round(df[value_col] - g.shift(1), round_digits),
+        )
+        return df.drop(columns=[value_col])
+
+    return partitioned_group_apply(ds, [key_col], per_part,
+                                   num_partitions=num_partitions)

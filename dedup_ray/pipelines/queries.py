@@ -269,6 +269,27 @@ def json_extract_events(sf_dir: str):
     return exchange_group_apply(partials, "user_id", final, 4)
 
 
+ROLL_WINDOW = 4
+
+
+def rolling_events(sf_dir: str):
+    """Per-user sliding-window aggregates (``ops/relational.py::
+    grouped_rolling``): ROWS-frame moving mean/sum over the last 4
+    events plus the lag delta — one hash exchange, vectorized
+    pandas rolling over all users per partition."""
+    from dedup_ray.ops.relational import grouped_rolling
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_rolling(ds, "user_id", ["ts", "event_id"], "value",
+                          window=ROLL_WINDOW)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["ts"])
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 BADWORDS = ("slow", "merge", "spark", "batch")
 BADWORD_THRESHOLD = 0.05
 
@@ -6010,6 +6031,17 @@ ORACLES["json_extract_events"] = """
     FROM events GROUP BY user_id
 """
 
+ORACLES["rolling_events"] = f"""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 6) AS roll_avg,
+           round(sum(value) OVER w, 6) AS roll_sum,
+           round(value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["badword_docs"] = f"""
     WITH toks AS (
         SELECT doc_id,
@@ -6586,6 +6618,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "psi_drift_events": psi_drift_events,
     "badword_docs": badword_docs,
+    "rolling_events": rolling_events,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

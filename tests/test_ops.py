@@ -657,3 +657,51 @@ def test_json_extract_cols_types_and_malformed():
     assert pd.isna(out.loc[2, "a"]) and out.loc[2, "b"] == "y"
     for i in (3, 4, 5):
         assert pd.isna(out.loc[i, "a"]) and pd.isna(out.loc[i, "b"])
+
+
+def test_grouped_rolling_matches_brute_force():
+    from dedup_ray.ops.relational import grouped_rolling
+
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "ts": rng.permutation(n),
+        "id": np.arange(n),
+        "v": np.round(rng.normal(10, 3, n), 3),
+    })
+    out = (grouped_rolling(rd.from_pandas(df), "k", ["ts", "id"], "v",
+                           window=3, num_partitions=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    # brute force: per key, sorted by (ts, id), window of 3 rows
+    exp_avg, exp_delta = {}, {}
+    for k, g in df.sort_values(["ts", "id"]).groupby("k"):
+        vals = g["v"].to_numpy()
+        ids = g["id"].to_numpy()
+        for i, rid in enumerate(ids):
+            w = vals[max(0, i - 2):i + 1]
+            exp_avg[rid] = round(float(w.mean()), 6)
+            exp_delta[rid] = (round(float(vals[i] - vals[i - 1]), 6)
+                              if i > 0 else None)
+    got_avg = dict(zip(out["id"], out["roll_avg"]))
+    got_delta = dict(zip(out["id"], out["delta"]))
+    assert got_avg == exp_avg
+    for rid, d in exp_delta.items():
+        if d is None:
+            assert pd.isna(got_delta[rid])
+        else:
+            assert got_delta[rid] == d
+
+
+def test_grouped_rolling_window_one_and_singletons():
+    from dedup_ray.ops.relational import grouped_rolling
+
+    df = pd.DataFrame({"k": [1, 2], "ts": [0, 0], "id": [0, 1],
+                       "v": [5.0, 7.0]})
+    out = (grouped_rolling(rd.from_pandas(df), "k", ["ts", "id"], "v",
+                           window=1, num_partitions=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["roll_avg"].tolist() == [5.0, 7.0]
+    assert out["roll_sum"].tolist() == [5.0, 7.0]
+    assert out["delta"].isna().all()
