@@ -558,3 +558,88 @@ def bipartite_project(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
     return exchange_group_apply(pairs, ["dst1", "dst2"], final,
                                 num_partitions)
+
+
+def label_propagation(edges_ds, rounds: int = 4, a_col: str = "a",
+                      b_col: str = "b", num_partitions: int = 16):
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, deterministic variant): community detection one step softer
+    than connected components — dense groups converge to one label while
+    weak bridges between them do not force a merge the way CC does.
+
+    Semantics (stated exactly so a fixed-round SQL unroll is the oracle):
+    edges are undirected (symmetrized internally, multiplicity kept);
+    every node starts with its own id as label; each synchronous round a
+    node adopts the most frequent label among its neighbors' CURRENT
+    labels plus ONE self-vote for its own current label, ties broken by
+    the smallest label.  A converged round is a fixed point, so replaying
+    exactly ``rounds`` rounds is deterministic whether or not convergence
+    came earlier.
+
+    Per round: ONE co-partitioned join of the label table against the
+    static symmetrized edge stream (keyed on the source endpoint) and one
+    grouped vote — counts are vectorized per partition over ALL nodes
+    (pandas groupby, no per-node dispatch).  Label state is one row per
+    node, never on the driver.  Output: ``(node, label)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    node_t = edges_ds.schema().base_schema.field(a_col).type
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                t[a_col].combine_chunks().cast(node_t),
+                t[b_col].combine_chunks().cast(node_t)]),
+            "dst": pa.concat_arrays([
+                t[b_col].combine_chunks().cast(node_t),
+                t[a_col].combine_chunks().cast(node_t)]),
+        })
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "src" not in part.column_names:
+            return pa.table({"node": pa.array([], node_t),
+                             "label": pa.array([], node_t)})
+        u = pc.unique(part["src"].combine_chunks())
+        return pa.table({"node": u, "label": u})
+
+    labels = exchange_group_apply(edges, "src", init_labels,
+                                  num_partitions).materialize()
+
+    def vote(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "node" not in part.column_names:
+            return pa.table({"node": pa.array([], node_t),
+                             "label": pa.array([], node_t)})
+        df = part.select(["node", "label"]).to_pandas()
+        c = df.groupby(["node", "label"], sort=False).size() \
+              .reset_index(name="c")
+        c = c.sort_values(["node", "c", "label"],
+                          ascending=[True, False, True], kind="stable")
+        first = c.drop_duplicates("node")
+        return pa.table({
+            "node": pa.array(first["node"].to_numpy(), node_t),
+            "label": pa.array(first["label"].to_numpy(), node_t),
+        })
+
+    msg_schema = pa.schema([("node", node_t), ("label", node_t)])
+    for _ in range(rounds):
+        as_src = labels.map_batches(
+            lambda t: t.rename_columns(["src", "label"]),
+            batch_format="pyarrow")
+        msgs = exchange_join(
+            as_src, edges, on="src", num_partitions=num_partitions,
+            post=lambda t: pa.table(
+                {"node": t["dst"], "label": t["label"]}
+                if "dst" in t.column_names
+                else {"node": pa.array([], node_t),
+                      "label": pa.array([], node_t)}),
+            empty_schema=msg_schema,
+        )
+        labels = exchange_group_apply(
+            msgs.union(labels), "node", vote, num_partitions,
+        ).materialize()
+    return labels

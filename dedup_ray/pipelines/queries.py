@@ -436,6 +436,33 @@ def cocitation_docs(sf_dir: str):
     return bipartite_project(edges, num_partitions=8)
 
 
+LPA_ROUNDS = 4
+
+
+def lpa_communities_docs(sf_dir: str):
+    """Deterministic label propagation (``ops/graph.py::
+    label_propagation``): communities over a synthesized block-star
+    graph with sparse bridges — dense blocks converge to one label
+    while single bridge edges do NOT force a merge (the behavior CC
+    cannot express).  Fixed synchronous rounds, min-label tie-break;
+    the oracle unrolls every round as a CTE."""
+    from dedup_ray.ops.graph import label_propagation
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ctr = (ids // 10) * 10
+        bridge = ids[(ids % 10 == 0) & ((ids // 10) % 2 == 0)]
+        return pa.table({
+            "a": pa.array(np.r_[ids, bridge], pa.int64()),
+            "b": pa.array(np.r_[ctr, bridge + 10], pa.int64()),
+        })
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return label_propagation(edges, rounds=LPA_ROUNDS, num_partitions=8)
+
+
 SNM_WINDOW = 4
 
 
@@ -6031,6 +6058,34 @@ ORACLES["json_extract_events"] = """
     FROM events GROUP BY user_id
 """
 
+def _lpa_oracle_sql(rounds: int) -> str:
+    parts = ["""
+    WITH e0 AS (
+        SELECT doc_id AS a, (doc_id // 10) * 10 AS b FROM documents
+        UNION ALL
+        SELECT doc_id AS a, doc_id + 10 AS b FROM documents
+        WHERE doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0),
+    es AS (SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b AS src, a AS dst FROM e0),
+    l0 AS (SELECT node, node AS label
+           FROM (SELECT DISTINCT src AS node FROM es))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    m{r} AS (SELECT e.dst AS node, l.label FROM es e
+             JOIN l{r - 1} l ON e.src = l.node
+             UNION ALL SELECT node, label FROM l{r - 1}),
+    c{r} AS (SELECT node, label, count(*) AS c FROM m{r}
+             GROUP BY node, label),
+    l{r} AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER
+                 (PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c{r}) WHERE rn = 1)""")
+    parts.append(f"\n    SELECT node, label FROM l{rounds}")
+    return "".join(parts)
+
+
+ORACLES["lpa_communities_docs"] = _lpa_oracle_sql(LPA_ROUNDS)
+
 ORACLES["rolling_events"] = f"""
     SELECT event_id, user_id,
            round(avg(value) OVER w, 6) AS roll_avg,
@@ -6619,6 +6674,7 @@ QUERIES = {
     "psi_drift_events": psi_drift_events,
     "badword_docs": badword_docs,
     "rolling_events": rolling_events,
+    "lpa_communities_docs": lpa_communities_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,

@@ -143,6 +143,11 @@ def _concat_live(chunks) -> pa.Table:
     """Concat a partition's sub-tables, guarding zero-row void-schema
     blocks: prefer a schema-ful empty over a void ([]-schema) one.  The
     single copy of this policy — both exchange waves must agree on it."""
+    chunks = [
+        t if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in chunks
+    ]  # pandas-born blocks reach here unconverted on the P==1 fast path
     live = [t for t in chunks if t.num_rows]
     if not live:
         with_schema = [t for t in chunks if t.column_names]
@@ -243,6 +248,17 @@ def hash_exchange(
             ref_lists, keys, reduce_fn, num_partitions,
             return_refs=return_refs,
         )
+
+    if num_partitions == 1:
+        # no split needed — every block lands whole in the one partition
+        # (ray's num_returns=1 would hand back a bare ref, not a 1-tuple,
+        # so the generic path below cannot express this case anyway)
+        counts = tuple(len(refs) for refs in ref_lists)
+        flat = [b for refs in ref_lists for b in refs]
+        out_refs = [_reduce.remote(reduce_fn, counts, *flat)]
+        if return_refs:
+            return out_refs
+        return ray.data.from_arrow_refs(out_refs)
 
     split_matrix = []  # per stream: list over blocks of per-part ref tuples
     for refs, key in zip(ref_lists, keys):

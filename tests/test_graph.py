@@ -342,3 +342,51 @@ def test_bipartite_project_counts_and_cap():
     capped = bipartite_project(hub, max_degree=2,
                                num_partitions=2).to_pandas()
     assert {(r.dst1, r.dst2) for r in capped.itertuples()} == {(10, 20)}
+
+
+def test_label_propagation_bridge_and_determinism():
+    from dedup_ray.ops.graph import label_propagation
+
+    # two triangles joined by ONE bridge edge: LPA keeps two
+    # communities (labeled by each triangle's min id); CC would merge.
+    e = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    t = pa.table({"a": pa.array([x for x, _ in e], pa.int64()),
+                  "b": pa.array([y for _, y in e], pa.int64())})
+    out = (label_propagation(rd.from_arrow(t), rounds=4, num_partitions=3)
+           .to_pandas().sort_values("node"))
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+    # partition-count invariance (determinism does not depend on layout)
+    out2 = (label_propagation(rd.from_arrow(t), rounds=4, num_partitions=1)
+            .to_pandas().sort_values("node"))
+    assert dict(zip(out2["node"], out2["label"])) == lab
+
+
+def test_label_propagation_brute_force_replay():
+    from dedup_ray.ops.graph import label_propagation
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 30, 60).astype(np.int64)
+    b = rng.integers(0, 30, 60).astype(np.int64)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out = (label_propagation(rd.from_arrow(t), rounds=3, num_partitions=4)
+           .to_pandas())
+    got = dict(zip(out["node"], out["label"]))
+
+    # reference replay: symmetrized multiset, self-vote, min-label ties
+    from collections import Counter, defaultdict
+    nbrs = defaultdict(list)
+    for x, y in zip(a, b):
+        nbrs[x].append(y)
+        nbrs[y].append(x)
+    lab = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            c[lab[n]] += 1
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    assert got == lab
