@@ -3659,6 +3659,18 @@ def dsir_llr_docs(sf_dir: str):
                            batch_format="pyarrow"),
         target,
     )
+def perplexity_docs(sf_dir: str):
+    """Hashed-unigram LM perplexity (``stages/selection.py::
+    unigram_perplexity``, CCNet quality-signal shape): one
+    driver-bounded histogram pass fits the smoothed bucket LM, one
+    broadcast pass scores every doc's mean negative log prob and
+    perplexity.  Zero shuffles; oracle replays buckets and formula."""
+    from dedup_ray.stages.selection import unigram_perplexity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_perplexity(ds)
+
+
 BM25_TERMS = ["shuffle", "spark", "vector"]
 BM25_K, BM25_K1, BM25_B = 25, 1.2, 0.75
 
@@ -6675,6 +6687,7 @@ QUERIES = {
     "badword_docs": badword_docs,
     "rolling_events": rolling_events,
     "lpa_communities_docs": lpa_communities_docs,
+    "perplexity_docs": perplexity_docs,
     "vocab_ids_docs": vocab_ids_docs,
     "bpe_train_docs": bpe_train_docs,
     "bpe_encode_docs": bpe_encode_docs,
@@ -7314,6 +7327,22 @@ ORACLES["dsir_llr_docs"] = f"""
     SELECT tb.doc_id, round(sum(ratio.r), 6) AS llr
     FROM tb JOIN ratio USING (bucket)
     GROUP BY tb.doc_id
+"""
+
+ORACLES["perplexity_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    tb AS (SELECT doc_id, {_DSIR_BUCKET_SQL} AS bucket FROM tok),
+    cnt AS (SELECT bucket, count(*) AS c FROM tb GROUP BY bucket),
+    tot AS (SELECT count(*) AS n FROM tb),
+    lp AS (SELECT bucket, -ln((c + 1.0) / (n + 4096.0)) AS nl
+           FROM cnt, tot),
+    d AS (SELECT tb.doc_id, count(*) AS n_tokens,
+                 round(sum(lp.nl) / count(*), 6) AS nll
+          FROM tb JOIN lp USING (bucket) GROUP BY tb.doc_id)
+    SELECT doc_id, n_tokens, nll, round(exp(nll), 3) AS ppl FROM d
 """
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)

@@ -112,3 +112,47 @@ def dsir_logratio(corpus_ds, target_ds, id_col: str = "doc_id",
         })
 
     return corpus_ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
+                       smoothing: float = 1.0):
+    """Hashed-unigram LM perplexity — the CCNet quality signal (Wenzek
+    et al. 2020 score docs with a wiki-trained KenLM; this is the
+    training-free self-scored analog over the md5 bucket space DSIR
+    already uses): fit add-``smoothing`` bucket probabilities in ONE
+    driver-bounded histogram pass (4096 ints), then one broadcast pass
+    emits each document's mean negative log probability and
+    ``ppl = exp(nll)``.  Low-perplexity docs look like the corpus' bulk;
+    high-perplexity docs are gibberish/outliers — both tails are the
+    standard filter targets.  Zero shuffles at any corpus size.
+
+    Tokenization follows the DSIR convention (split on single space, no
+    empty-token filter — an empty page scores as one OOV-ish token), so
+    the SQL twin replays buckets and formula exactly.  ``nll`` rounds at
+    6dp and ``ppl`` is ``exp`` of the ROUNDED nll (rounded 3dp): the
+    exp amplifies sum-association noise, so both engines exponentiate
+    the identical 6dp value.
+    """
+    import ray
+
+    hist = _bucket_histogram(ds, text_col)
+    b = DSIR_BUCKETS
+    neg_logp = -np.log((hist + smoothing) / (hist.sum() + smoothing * b))
+    ref = ray.put(neg_logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        nl = ray.get(ref)
+        buckets, parents = _flat_token_buckets(t, text_col)
+        s = np.zeros(t.num_rows, np.float64)
+        if len(buckets):
+            np.add.at(s, parents, nl[buckets])
+        n = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        nll = np.round(s / np.maximum(n, 1), 6)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n),
+            "nll": pa.array(nll, pa.float64()),
+            "ppl": pa.array(np.round(np.exp(nll), 3), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

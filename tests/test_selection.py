@@ -67,3 +67,41 @@ def test_dsir_matches_local_reference(ray_session):
     assert got.keys() == expected.keys()
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9, k
+
+
+def test_unigram_perplexity_separates_bulk_from_gibberish():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.selection import unigram_perplexity
+
+    bulk = ["the quick brown fox jumps"] * 20
+    odd = ["zzqx9 vbnmp0 qqqw7 xxkj2 lmzr4"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(21), pa.int64()),
+        "text": pa.array(bulk + odd, pa.string()),
+    }))
+    out = unigram_perplexity(ds).to_pandas().sort_values("doc_id")
+    # rare-token doc must score strictly higher perplexity than bulk
+    assert out["ppl"].iloc[-1] > out["ppl"].iloc[0]
+    assert (out["n_tokens"] == 5).all()
+    # nll is the mean: ppl == exp(nll) (3dp)
+    import numpy as np
+
+    assert np.allclose(out["ppl"], np.round(np.exp(out["nll"]), 3))
+
+
+def test_unigram_perplexity_empty_and_null_text():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.selection import unigram_perplexity
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b", "", None], pa.string()),
+    }))
+    out = unigram_perplexity(ds).to_pandas().sort_values("doc_id")
+    # DSIR convention: empty/null text = one empty-string token
+    assert out["n_tokens"].tolist() == [2, 1, 1]
+    assert out["ppl"].notna().all()
