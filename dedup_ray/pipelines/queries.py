@@ -4606,6 +4606,33 @@ def exact_substring_cut_docs(sf_dir: str):
     return exact_substring_cut(ds, min_len=EXACT_SUBSTR_LEN)
 
 
+SA_DEPTH = 16
+
+
+def suffix_array_docs(sf_dir: str):
+    """Truncated suffix array (``stages/suffix.py``): global rank of every
+    suffix position by its first 16 bytes, ties by (doc_id, pos) — the
+    suffix-ARRAY form of exact-substring dedup the north star names
+    (Lee et al. 2022's published structure; ``exactsubstr.py`` is the
+    hash-window form).  One range exchange, rank-exact for any sampled
+    boundary set."""
+    from dedup_ray.stages.suffix import suffix_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return suffix_array(ds, depth=SA_DEPTH)
+
+
+def sa_coverage_docs(sf_dir: str):
+    """Per-doc duplicated-position census via the suffix array: a position
+    is duplicated when its 16-byte prefix has an earlier occurrence in
+    (prefix, doc, pos) order — keep-first/cut-rest, hash-free.  Partial
+    per-doc counts per range bucket fold through one small groupby."""
+    from dedup_ray.stages.suffix import sa_repeat_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return sa_repeat_coverage(ds, depth=SA_DEPTH)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB, over the pre-registered views)
 # --------------------------------------------------------------------------
@@ -6659,6 +6686,8 @@ QUERIES = {
     "host_boilerplate_docs": host_boilerplate_docs,
     "intradoc_dedup_docs": intradoc_dedup_docs,
     "exact_substring_docs": exact_substring_docs,
+    "suffix_array_docs": suffix_array_docs,
+    "sa_coverage_docs": sa_coverage_docs,
     "range_rank_orders": range_rank_orders,
     "lang_percentile_docs": lang_percentile_docs,
     "token_entropy_docs": token_entropy_docs,
@@ -7327,6 +7356,34 @@ ORACLES["dsir_llr_docs"] = f"""
     SELECT tb.doc_id, round(sum(ratio.r), 6) AS llr
     FROM tb JOIN ratio USING (bucket)
     GROUP BY tb.doc_id
+"""
+
+_SA_SUF_CTE = f"""
+    WITH sufpos AS (
+        SELECT doc_id,
+               unnest(range(0, length(coalesce(text, '')))) AS upos,
+               text
+        FROM documents),
+    suf AS (SELECT doc_id, CAST(upos AS BIGINT) AS pos,
+                   substr(text, CAST(upos AS INT) + 1, {SA_DEPTH}) AS pref
+            FROM sufpos)
+"""
+
+ORACLES["suffix_array_docs"] = _SA_SUF_CTE + """
+    SELECT doc_id, pos,
+           row_number() OVER (ORDER BY pref, doc_id, pos) - 1 AS srank
+    FROM suf
+"""
+
+ORACLES["sa_coverage_docs"] = _SA_SUF_CTE + """
+    , flagged AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY pref
+                                  ORDER BY doc_id, pos) > 1 AS is_dup
+        FROM suf)
+    SELECT doc_id, count(*) AS n_pos,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_pos
+    FROM flagged GROUP BY doc_id
 """
 
 ORACLES["perplexity_docs"] = f"""
