@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "validate_docs",
     "robots_filter_docs",
     "containment_join_docs",
+    # round-3 fourth-sitting additions
+    "perplexity_docs",
+    "suffix_array_docs",
+    "sa_coverage_docs",
     "bbit_minhash_docs",
     "interleave_docs",
     "zscore_docs",

@@ -4216,6 +4216,60 @@ def debounce_events(sf_dir: str):
     return exchange_group_apply(ds, "user_id", keep, 16)
 
 
+def scd2_intervals_events(sf_dir: str):
+    """SCD2 dimension build (gaps-and-islands): per user, collapse
+    consecutive runs of equal ``event_type`` — ordered by (ts, event_id)
+    — into validity intervals ``[valid_from, valid_to)`` with
+    ``valid_to`` = next island's start (epoch micros; NULL while
+    current) and the run's event count.  The change-log → type-2
+    dimension op of a lakehouse pipeline: one co-partitioning exchange
+    on user_id, then a vectorized run-length pass per partition (no
+    per-user dispatch)."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def islands(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.int64()),
+                "valid_to": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "is_current": pa.array([], pa.bool_()),
+            })
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(part["event_type"].to_pylist(), object)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u, e, t = uid[order], et[order], ts[order]
+        new_island = np.r_[True, (u[1:] != u[:-1]) | (e[1:] != e[:-1])]
+        starts = np.flatnonzero(new_island)
+        ends = np.r_[starts[1:], len(u)]
+        iu, ie = u[starts], e[starts]
+        valid_from = t[starts]
+        # next island of the SAME user starts this one's valid_to
+        same_user_next = np.r_[iu[1:] == iu[:-1], False]
+        valid_to = np.where(
+            same_user_next, np.r_[valid_from[1:], np.int64(0)], np.int64(-1)
+        )
+        return pa.table({
+            "user_id": pa.array(iu),
+            "event_type": pa.array(ie, pa.string()),
+            "valid_from": pa.array(valid_from),
+            "valid_to": pa.array(
+                np.where(valid_to < 0, 0, valid_to), pa.int64(),
+                mask=valid_to < 0),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "is_current": pa.array(~same_user_next),
+        })
+
+    return exchange_group_apply(ds, "user_id", islands, 16)
+
+
 STRAT_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 0.5, "es": 0.0}
 STRAT_SEED = 77
 
@@ -6738,6 +6792,7 @@ QUERIES = {
     "sniff_content_docs": sniff_content_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "debounce_events": debounce_events,
+    "scd2_intervals_events": scd2_intervals_events,
     "split_leakage_docs": split_leakage_docs,
     "bcubed_eval_docs": bcubed_eval_docs,
     "ari_eval_docs": ari_eval_docs,
@@ -7356,6 +7411,28 @@ ORACLES["dsir_llr_docs"] = f"""
     SELECT tb.doc_id, round(sum(ratio.r), 6) AS llr
     FROM tb JOIN ratio USING (bucket)
     GROUP BY tb.doc_id
+"""
+
+ORACLES["scd2_intervals_events"] = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS tsu, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn2
+        FROM events),
+    isl AS (
+        SELECT user_id, event_type, min(tsu) AS valid_from,
+               count(*) AS n_events, min(rn) AS first_rn
+        FROM e GROUP BY user_id, event_type, rn - rn2)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY first_rn) AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY first_rn) IS NULL AS is_current
+    FROM isl
 """
 
 _SA_SUF_CTE = f"""
