@@ -573,6 +573,27 @@ def run_local_cc(n_edges: int = 2_000_000) -> dict:
         new.set_index("id")["cluster_id"].to_dict()
         == legacy.set_index("id")["cluster_id"].to_dict()
     )
+    # Adversarial shape: long chains stitched by random edges, where label
+    # values don't align with graph structure.  Plain neighbor-min label
+    # propagation (the pre-r3 vectorized path) needed O(diameter) rounds
+    # here — 200+ rounds / ~19 s pure-numpy at this size — which is why
+    # the local path now runs hook-compress-CONTRACT rounds (~O(log n)
+    # on every shape).  Timed on dense int codes to isolate the round
+    # structure from string-decode cost.
+    from dedup_ray.stages.cc import _cc_labels_contract
+
+    n_nodes = n_edges
+    c1 = np.arange(n_nodes - 1, dtype=np.int64)
+    keep = (c1 + 1) % 500 != 0
+    c1k, c2k = c1[keep], c1[keep] + 1
+    stitch = rng.integers(0, n_nodes, size=(n_edges - len(c1k), 2))
+    m1 = np.concatenate([c1k, stitch[:, 0]])
+    m2 = np.concatenate([c2k, stitch[:, 1]])
+    t0 = time.perf_counter()
+    lab = _cc_labels_contract(m1, m2, n_nodes)
+    mixed_sec = time.perf_counter() - t0
+    ok = bool((lab[m1] == lab[m2]).all())
+
     return {
         "edges": n_edges,
         "sec": round(new_sec, 3),
@@ -580,6 +601,8 @@ def run_local_cc(n_edges: int = 2_000_000) -> dict:
         "legacy_loop_sec": round(legacy_sec, 3),
         "speedup_x": round(legacy_sec / new_sec, 2),
         "labels_match_legacy": bool(same),
+        "adversarial_chain_mix_sec": round(mixed_sec, 3),
+        "adversarial_consistent": ok,
     }
 
 
