@@ -924,3 +924,51 @@ def grouped_rolling(ds, key_col: str, order_cols: list[str],
 
     return partitioned_group_apply(ds, [key_col], per_part,
                                    num_partitions=num_partitions)
+
+
+def cohort_retention(ds, user_col: str, ts_col: str,
+                     num_partitions: int = 16):
+    """Weekly cohort-retention matrix: (cohort_week, age_weeks, n_users).
+
+    Each user joins the cohort of their first active ISO week; the
+    matrix counts, per cohort and week-offset, how many of its users
+    were active that week — the standard engagement/retention rollup
+    over an event log (here: crawl/user activity).
+
+    Weeks are integer indexes (weeks since Monday 1970-01-05) so the
+    Arrow kernel and the SQL oracle compare on exact int64 arithmetic —
+    no date-truncation or timezone semantics in the equality test.
+
+    ONE user-keyed hash exchange: every user's history lands whole in
+    one partition, where a vectorized pandas pass computes first-week
+    cohorts and distinct active weeks for ALL users at once and emits
+    per-partition partial counts; a second single-partition exchange
+    sums the partials — its input is bounded by partitions × cohorts ×
+    ages, never by users or events.
+    """
+    import pandas as pd
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        days = df[ts_col].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = df.assign(week=(days - 4) // 7)  # 1970-01-05 was a Monday
+        uw = df[[user_col, "week"]].drop_duplicates()
+        cohort = uw.groupby(user_col, sort=False)["week"].transform("min")
+        uw = uw.assign(cohort_week=cohort,
+                       age_weeks=uw["week"] - cohort)
+        out = (uw.groupby(["cohort_week", "age_weeks"], sort=False)
+               .size().rename("n_users").reset_index())
+        return out
+
+    partial = partitioned_group_apply(
+        ds, [user_col], per_part, num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["cohort_week", "age_weeks"], sort=False)
+               ["n_users"].sum().reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return partitioned_group_apply(partial, ["cohort_week"], combine,
+                                   num_partitions=1)

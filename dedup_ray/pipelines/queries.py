@@ -6690,6 +6690,150 @@ ORACLES["upsert_latest_docs"] = f"""
 """
 
 
+def pareto_front_docs(sf_dir: str):
+    """Pareto-front (skyline) selection (``ops/skyline.py``): documents
+    no other document beats on BOTH axes — more distinct vocabulary
+    (maximize) at fewer total tokens (minimize).  The per-batch prune
+    is a true combiner (``front(union) == front(union of fronts)``),
+    so only O(front) rows reach the single gather partition; axes are
+    int64 so kernel and oracle compare exactly."""
+    from dedup_ray.ops.skyline import pareto_front
+    from dedup_ray.stages.textstats import explode_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, parents, n = explode_tokens(t["text"], t.num_rows)
+        dfu = pd.DataFrame(
+            {"p": parents, "t": flat.to_pandas()}).drop_duplicates()
+        nd = np.bincount(dfu["p"], minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_distinct": pa.array(nd),
+            "n_tokens": pa.array(n),
+        })
+
+    metrics = ds.map_batches(stats, batch_format="pyarrow")
+    return pareto_front(metrics, "n_distinct", "n_tokens",
+                        maximize=(True, False))
+
+
+ORACLES["pareto_front_docs"] = """
+    WITH tok0 AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    tok AS (SELECT * FROM tok0 WHERE token <> ''),
+    d AS (SELECT doc_id, count(DISTINCT token) AS n_distinct,
+                 count(*) AS n_tokens
+          FROM tok GROUP BY doc_id),
+    allc AS (SELECT documents.doc_id,
+                    coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
+                    coalesce(d.n_tokens, 0)::BIGINT AS n_tokens
+             FROM documents LEFT JOIN d USING (doc_id))
+    SELECT a.doc_id, a.n_distinct, a.n_tokens FROM allc a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM allc b
+        WHERE b.n_distinct >= a.n_distinct AND b.n_tokens <= a.n_tokens
+          AND (b.n_distinct > a.n_distinct OR b.n_tokens < a.n_tokens))
+"""
+
+
+def cohort_retention_events(sf_dir: str):
+    """Weekly cohort retention (``ops/relational.py::cohort_retention``):
+    users join the cohort of their first active ISO week; the matrix
+    counts distinct users active per (cohort, week-offset).  One
+    user-keyed exchange + one bounded partial-sum pass; weeks are int64
+    indexes (since Monday 1970-01-05) so both engines compare on exact
+    integer arithmetic."""
+    from dedup_ray.ops.relational import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+ORACLES["cohort_retention_events"] = """
+    WITH w AS (SELECT user_id,
+                      (datediff('day', DATE '1970-01-05', ts::DATE)
+                       // 7)::BIGINT AS week
+               FROM events),
+    uw AS (SELECT DISTINCT user_id, week FROM w),
+    c AS (SELECT user_id, min(week) AS cohort_week FROM uw
+          GROUP BY user_id)
+    SELECT c.cohort_week, uw.week - c.cohort_week AS age_weeks,
+           count(*)::BIGINT AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+CANON_COPIES = 3
+CANON_MIRROR_BASE = 1_000_000
+
+
+def canonical_url_docs(sf_dir: str):
+    """Canonical-URL election within exact-dup clusters
+    (``stages/urlnorm.py::canonical_url_per_group``): every document is
+    amplified into 3 mirror pages with deterministically varied URLs
+    (scheme/host/path-depth pure functions of doc_id and copy index,
+    identical text), grouped by content digest, and each cluster elects
+    ONE keeper URL by crawl policy — https over http, then shortest,
+    then lexicographic, then smallest page id.  One digest-keyed
+    exchange; the election is a single vectorized sort+head pass per
+    partition."""
+    from dedup_ray.stages.urlnorm import canonical_url_per_group
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dig = content_digest(t["text"].to_pylist())
+        digs, urls, pids = [], [], []
+        for k in range(CANON_COPIES):
+            scheme = np.where((ids + k) % 3 == 0, "https", "http")
+            url = (pd.Series(scheme, dtype="string")
+                   + "://site" + pd.Series((ids + 7 * k) % 13).astype(str)
+                   + ".example/" + "p/" * (k + 1)
+                   + pd.Series(ids).astype(str))
+            digs.append(pa.array(dig, pa.string()))
+            urls.append(pa.array(url, pa.string()))
+            pids.append(pa.array(ids + k * CANON_MIRROR_BASE, pa.int64()))
+        return pa.table({
+            "digest": pa.concat_arrays(digs),
+            "url": pa.concat_arrays(urls),
+            "page_id": pa.concat_arrays(pids),
+        })
+
+    pages = ds.map_batches(mk_pages, batch_format="pyarrow")
+    return canonical_url_per_group(pages, "digest", "url",
+                                   id_col="page_id")
+
+
+ORACLES["canonical_url_docs"] = f"""
+    WITH pages AS (
+        SELECT md5(coalesce(text, '')) AS digest,
+               (CASE WHEN (doc_id + k) % 3 = 0
+                     THEN 'https' ELSE 'http' END)
+                 || '://site' || ((doc_id + 7 * k) % 13)::VARCHAR
+                 || '.example/' || repeat('p/', k + 1)
+                 || doc_id::VARCHAR AS url,
+               doc_id + k * {CANON_MIRROR_BASE} AS page_id
+        FROM documents,
+             (SELECT unnest(range({CANON_COPIES})) AS k)),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY digest ORDER BY
+                   (CASE WHEN url LIKE 'https://%' THEN 0 ELSE 1 END),
+                   length(url), url, page_id) AS rn,
+               count(*) OVER (PARTITION BY digest) AS n_pages
+        FROM pages)
+    SELECT digest, url AS canonical_url, page_id AS canonical_id,
+           n_pages::BIGINT AS n_pages
+    FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "grouped_stats_events": grouped_stats_events,
@@ -6862,6 +7006,9 @@ QUERIES = {
     "embed_cosine_dedup_docs": embed_cosine_dedup_docs,
     "semdedup_embeddings": semdedup_embeddings,
     "lang_id_docs": lang_id_docs,
+    "pareto_front_docs": pareto_front_docs,
+    "cohort_retention_events": cohort_retention_events,
+    "canonical_url_docs": canonical_url_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,

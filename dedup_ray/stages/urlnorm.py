@@ -169,3 +169,42 @@ def extract_links(ds, text_col: str = "text", carry_col: str = "doc_id",
         return pa.table({carry_col: carry, out_col: url})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def canonical_url_per_group(ds, group_col: str, url_col: str,
+                            id_col: str = "doc_id",
+                            num_partitions: int = 16):
+    """Canonical-URL election inside duplicate groups.
+
+    After exact/near dedup, every cluster of identical pages still needs
+    ONE representative URL to keep — crawlers elect it by URL quality,
+    not arbitrarily: prefer https over http, then the shortest URL, then
+    lexicographic, then smallest id (each later rule only breaks ties in
+    the earlier ones, so the winner is total-order deterministic).
+
+    One ``group_col``-keyed exchange — each group lands whole in one
+    partition — then a single vectorized pandas pass elects every
+    group's winner at once (sort by the rule tuple + head(1) per group;
+    per-group dispatch would not scale to web cluster counts).  Output:
+    one row per group with the winning URL/id and the group size.
+    """
+    import pandas as pd
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            _https=(~df[url_col].str.startswith("https://")).astype("int64"),
+            _len=df[url_col].str.len().astype("int64"),
+        )
+        df = df.sort_values([group_col, "_https", "_len", url_col, id_col])
+        g = df.groupby(group_col, sort=False)
+        win = g.head(1)[[group_col, url_col, id_col]].rename(
+            columns={url_col: "canonical_url", id_col: "canonical_id"})
+        sizes = g.size().rename("n_pages").reset_index()
+        out = win.merge(sizes, on=group_col)
+        out["n_pages"] = out["n_pages"].astype("int64")
+        return out
+
+    return partitioned_group_apply(ds, [group_col], elect,
+                                   num_partitions=num_partitions)
