@@ -6690,6 +6690,119 @@ ORACLES["upsert_latest_docs"] = f"""
 """
 
 
+MOJIBAKE_PLANT_MOD = 7
+
+
+def mojibake_docs(sf_dir: str):
+    """ftfy-style encoding-repair screen (``stages/webclean.py::
+    mojibake_screen``): every ``doc_id %% 7 == 0`` document gets a
+    deterministic cp1252-mojibake suffix planted; the stage counts
+    marker sequences across the ordered ``MOJIBAKE_PAIRS`` list,
+    repairs them with global replaces, and reports (n_mojibake,
+    flagged, repaired length).  Batch-local vectorized Arrow — no
+    shuffle; the oracle replays the same plant and pair list via
+    nested replace()."""
+    from dedup_ray.stages.webclean import MOJIBAKE_PAIRS, mojibake_screen
+
+    suffix = " caf" + MOJIBAKE_PAIRS[0][0] + " x" + MOJIBAKE_PAIRS[2][0]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tail = pa.array(np.where(ids % MOJIBAKE_PLANT_MOD == 0,
+                                 suffix, ""))
+        txt = pc.binary_join_element_wise(
+            pc.coalesce(t["text"], ""), tail, "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return mojibake_screen(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def _mojibake_oracle() -> str:
+    from dedup_ray.stages.webclean import (MOJIBAKE_PAIRS,
+                                           mojibake_oracle_exprs)
+
+    suffix = " caf" + MOJIBAKE_PAIRS[0][0] + " x" + MOJIBAKE_PAIRS[2][0]
+    n_expr, rep_expr = mojibake_oracle_exprs("t")
+    return f"""
+    WITH planted AS (
+        SELECT doc_id,
+               coalesce(text, '') ||
+               (CASE WHEN doc_id % {MOJIBAKE_PLANT_MOD} = 0
+                     THEN '{suffix}' ELSE '' END) AS t
+        FROM documents)
+    SELECT doc_id, ({n_expr})::BIGINT AS n_mojibake,
+           ({n_expr}) > 0 AS flagged,
+           length({rep_expr})::BIGINT AS n_chars_repaired
+    FROM planted
+"""
+
+
+ORACLES["mojibake_docs"] = _mojibake_oracle()
+
+
+DOMAIN_SUFFIX_SYNTH = ["com", "co.uk", "org", "com.au", "io", "net",
+                       "ac.uk"]
+DOMAIN_SUB_SYNTH = ["www.", "blog.", ""]
+
+
+def domain_count_docs(sf_dir: str):
+    """Registrable-domain rollup (``stages/urlnorm.py::
+    registrable_domain``): per doc a host is synthesized (subdomain /
+    site / TLD all pure functions of doc_id, TLDs spanning two-level
+    public suffixes like co.uk), mapped to its registrable domain by
+    PSL longest-match, and counted per domain — the ownership-boundary
+    aggregation real crawl caps group on (per-HOST caps undercount
+    sites spanning subdomains).  Batch-local suffix match + one
+    domain-keyed count exchange."""
+    from dedup_ray.stages.urlnorm import registrable_domain
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_host(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = np.array(DOMAIN_SUB_SYNTH, dtype=object)[ids % 3]
+        suf = np.array(DOMAIN_SUFFIX_SYNTH,
+                       dtype=object)[ids % len(DOMAIN_SUFFIX_SYNTH)]
+        host = (pd.Series(sub) + "site" + pd.Series(ids % 11).astype(str)
+                + "." + pd.Series(suf))
+        return pa.table({"doc_id": t["doc_id"],
+                         "host": pa.array(host, pa.string())})
+
+    hosts = registrable_domain(
+        ds.map_batches(mk_host, batch_format="pyarrow"), "host")
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("domain").size().rename("n_docs").reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    return partitioned_group_apply(hosts.map_batches(
+        lambda t: t.select(["domain"]), batch_format="pyarrow"),
+        ["domain"], count_part)
+
+
+def _domain_oracle() -> str:
+    from dedup_ray.stages.urlnorm import registrable_domain_sql
+
+    subs = ", ".join(f"'{s}'" for s in DOMAIN_SUB_SYNTH)
+    sufs = ", ".join(f"'{s}'" for s in DOMAIN_SUFFIX_SYNTH)
+    return f"""
+    WITH h AS (
+        SELECT ([{subs}][(doc_id % 3) + 1])
+               || 'site' || (doc_id % 11)::VARCHAR || '.'
+               || ([{sufs}][(doc_id % {len(DOMAIN_SUFFIX_SYNTH)}) + 1])
+                   AS host
+        FROM documents),
+    d AS (SELECT {registrable_domain_sql('host')} AS domain FROM h)
+    SELECT domain, count(*)::BIGINT AS n_docs FROM d GROUP BY domain
+"""
+
+
+ORACLES["domain_count_docs"] = _domain_oracle()
+
+
 def pareto_front_docs(sf_dir: str):
     """Pareto-front (skyline) selection (``ops/skyline.py``): documents
     no other document beats on BOTH axes — more distinct vocabulary
@@ -7009,6 +7122,8 @@ QUERIES = {
     "pareto_front_docs": pareto_front_docs,
     "cohort_retention_events": cohort_retention_events,
     "canonical_url_docs": canonical_url_docs,
+    "mojibake_docs": mojibake_docs,
+    "domain_count_docs": domain_count_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,

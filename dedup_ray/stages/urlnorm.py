@@ -208,3 +208,65 @@ def canonical_url_per_group(ds, group_col: str, url_col: str,
 
     return partitioned_group_apply(ds, [group_col], elect,
                                    num_partitions=num_partitions)
+
+
+# Embedded mini public-suffix list (the PSL pattern at spec scale: rules
+# ordered longest-first, matched against the host tail).  The SAME list
+# drives the vectorized kernel and the generated SQL oracle, so adding a
+# rule updates both engines at once.
+PUBLIC_SUFFIXES = sorted(
+    ["co.uk", "ac.uk", "com.au", "co.jp", "com", "org", "net",
+     "io", "uk", "au", "jp"],
+    key=len, reverse=True,
+)
+
+
+def registrable_domain_array(hosts) -> "pa.Array":
+    """Vectorized host → registrable domain (label + matched suffix).
+
+    Longest matching public suffix wins; a host with no matching rule
+    (or equal to a bare suffix) maps to itself.  One pandas str pass
+    per rule over the whole column — no Python per-row loop.
+    """
+    import pandas as pd
+
+    h = pd.Series(hosts.to_pandas() if hasattr(hosts, "to_pandas")
+                  else hosts, dtype="object").fillna("")
+    out = h.copy()
+    done = pd.Series(False, index=h.index)
+    for suf in PUBLIC_SUFFIXES:
+        hit = ~done & h.str.endswith("." + suf)
+        if hit.any():
+            prefix = h[hit].str.slice(0, -(len(suf) + 1))
+            label = prefix.str.rpartition(".")[2]
+            out[hit] = label + "." + suf
+            done |= hit
+        done |= ~done & (h == suf)  # bare suffix: maps to itself
+    return pa.array(out.astype(str), pa.string())
+
+
+def registrable_domain(ds, host_col: str = "host", out_col: str = "domain"):
+    """Append the registrable domain of ``host_col`` (PSL longest-match).
+
+    The grouping key real crawl policies cap/aggregate on — per-HOST
+    caps undercount sites spanning subdomains; the registrable domain
+    is the ownership boundary.  Batch-local, no shuffle.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col,
+                               registrable_domain_array(t[host_col]))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def registrable_domain_sql(col: str) -> str:
+    """Nested-CASE SQL replaying PUBLIC_SUFFIXES longest-first: the
+    label before the matched suffix via an RE2-safe regexp_extract."""
+    expr = col  # fallback: no rule matches -> host itself
+    for suf in reversed(PUBLIC_SUFFIXES):  # build innermost = longest last
+        suf_re = suf.replace(".", "\\.")
+        expr = (f"CASE WHEN {col} LIKE '%.{suf}' THEN "
+                f"regexp_extract({col}, '([^.]+\\.{suf_re})$', 1) "
+                f"ELSE {expr} END")
+    # reversed() above nests so the LONGEST suffix is the outermost test
+    return expr

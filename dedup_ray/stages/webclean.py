@@ -982,3 +982,60 @@ def badword_fraction(ds, words, text_col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ftfy-style encoding-repair screen: the classic UTF-8-read-as-cp1252
+# mojibake sequences (each damaged code point becomes a fixed marker
+# string).  The SAME ordered pair list drives the Arrow kernel and the
+# DuckDB oracle (count/replace parity), so the list IS the spec.  Built
+# from escapes to keep the source file ASCII-safe.
+MOJIBAKE_PAIRS = [
+    ("Ã©", "é"),            # 'Ã©'   -> é
+    ("Ã¼", "ü"),            # 'Ã¼'   -> ü
+    ("â€™", "’"),      # 'â€™'  -> right single quote
+    ("â€œ", "“"),      # 'â€œ'  -> left double quote
+]
+
+
+def mojibake_screen(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Encoding-damage screen + repair (the ftfy pass of CC pipelines).
+
+    Double-decoded UTF-8 ('café' stored as 'cafÃ©')
+    survives crawling in a mechanical, recognizable form.  Per document
+    this stage counts marker hits across ``MOJIBAKE_PAIRS``, repairs
+    them with global replaces (applied in list order), and emits
+    (id, n_mojibake, flagged, n_chars_repaired).  Pure batch-local
+    vectorized Arrow (count_substring + replace_substring) — no
+    shuffle, no state; at 100 TB this rides any existing map wave.
+    """
+    def screen(t: pa.Table) -> pa.Table:
+        txt = _text_col(t, text_col)
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        repaired = txt
+        for bad, good in MOJIBAKE_PAIRS:
+            total += pc.count_substring(repaired, bad).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            repaired = pc.replace_substring(repaired, bad, good)
+        return pa.table({
+            id_col: t[id_col],
+            "n_mojibake": pa.array(total),
+            "flagged": pa.array(total > 0),
+            "n_chars_repaired": pc.cast(
+                pc.utf8_length(repaired), pa.int64()),
+        })
+
+    return ds.map_batches(screen, batch_format="pyarrow")
+
+
+def mojibake_oracle_exprs(col: str) -> tuple[str, str]:
+    """(n_mojibake, repaired-text) SQL expressions replaying the pair
+    list — counts via length deltas over successive repairs, repair via
+    nested replace() in the same order as the kernel."""
+    count_terms, repaired = [], col
+    for bad, good in MOJIBAKE_PAIRS:
+        count_terms.append(
+            f"(length({repaired}) - length(replace({repaired}, '{bad}', '')))"
+            f" // {len(bad)}"
+        )
+        repaired = f"replace({repaired}, '{bad}', '{good}')"
+    return " + ".join(count_terms), repaired

@@ -115,3 +115,57 @@ def test_canonical_url_rule_order(ray_session):
     assert got.loc["g3", "canonical_url"] == "http://d.example/a"
     assert got.loc["g4", "canonical_url"] == "http://e.example/only"
     assert got["n_pages"].to_dict() == {"g1": 3, "g2": 2, "g3": 2, "g4": 1}
+
+
+def test_mojibake_screen_repairs_roundtrip(ray_session):
+    from dedup_ray.stages.webclean import MOJIBAKE_PAIRS, mojibake_screen
+
+    clean = ["café normal", "a ’quoted’ “word",
+             "plain ascii", None, "über"]
+    # damage: encode utf-8, misread as cp1252 (exactly the pair model)
+    damaged = [c.encode("utf-8").decode("cp1252") if c else c
+               for c in clean]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": damaged})
+    got = mojibake_screen(rd.from_pandas(df)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # repaired length == original clean length (null -> empty)
+    want_len = [len(c) if c else 0 for c in clean]
+    assert got["n_chars_repaired"].tolist() == want_len
+    assert got["flagged"].tolist() == [True, True, False, False, True]
+    n_markers = [sum(d.count(bad) for bad, _ in MOJIBAKE_PAIRS)
+                 if d else 0 for d in damaged]
+    assert got["n_mojibake"].tolist() == n_markers
+
+
+def test_registrable_domain_rules():
+    from dedup_ray.stages.urlnorm import registrable_domain_array
+
+    hosts = pa.array([
+        "www.site1.co.uk",   # 2-level suffix beats .uk
+        "a.b.site2.com",     # deep subdomain collapses
+        "site3.io",
+        "co.uk",             # bare suffix maps to itself
+        "weird.internal",    # no rule: unchanged
+        "blog.site4.com.au",
+    ])
+    got = registrable_domain_array(hosts).to_pylist()
+    assert got == ["site1.co.uk", "site2.com", "site3.io",
+                   "co.uk", "weird.internal", "site4.com.au"]
+
+
+def test_registrable_domain_sql_matches_kernel():
+    import duckdb
+
+    from dedup_ray.stages.urlnorm import (registrable_domain_array,
+                                          registrable_domain_sql)
+
+    hosts = ["www.site1.co.uk", "a.b.site2.com", "site3.io", "co.uk",
+             "weird.internal", "blog.site4.com.au", "x.ac.uk",
+             "deep.y.net", "p.q.r.co.jp", "solo.uk"]
+    want = registrable_domain_array(pa.array(hosts)).to_pylist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h AS SELECT unnest(?) AS host", [hosts])
+    got = [r[0] for r in con.execute(
+        f"SELECT {registrable_domain_sql('host')} FROM h").fetchall()]
+    assert got == want
