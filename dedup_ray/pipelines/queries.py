@@ -6690,6 +6690,184 @@ ORACLES["upsert_latest_docs"] = f"""
 """
 
 
+def mixed_lang_clusters_docs(sf_dir: str):
+    """Cluster-hygiene audit: per CC cluster (the deterministic
+    ``cc_chain_docs`` graph), member count, distinct languages and a
+    mixed-language flag — near-dup clusters spanning languages signal
+    boilerplate-driven false merges (the RefinedWeb failure mode).
+    One co-partitioning join + one cluster-keyed exchange with a
+    vectorized nunique pass."""
+    from dedup_ray.util.dsutil import hash_join, partitioned_group_apply
+
+    clusters = cc_chain_docs(sf_dir)
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = hash_join(clusters, langs, on="doc_id",
+                       left_cols=["doc_id", "cluster_id"],
+                       right_cols=["doc_id", "lang"], how="inner")
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id")["lang"]
+        out = pd.DataFrame({
+            "n_docs": g.size().astype("int64"),
+            "n_langs": g.nunique().astype("int64"),
+        }).reset_index()
+        out["mixed"] = out["n_langs"] > 1
+        return out
+
+    return partitioned_group_apply(joined, ["cluster_id"], audit)
+
+
+ORACLES["mixed_lang_clusters_docs"] = _CHAIN_COMP_CTE + """
+    SELECT c.cluster_id, count(*)::BIGINT AS n_docs,
+           count(DISTINCT d.lang)::BIGINT AS n_langs,
+           count(DISTINCT d.lang) > 1 AS mixed
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.cluster_id
+"""
+
+
+DUP_SAMPLE_BUCKETS = 64  # of 256 two-hex-digit digest buckets (25%)
+
+
+def dup_rate_estimate_docs(sf_dir: str):
+    """Sampled dup-rate estimator — the cheap pre-flight a 100-TB dedup
+    run starts with: documents whose content-digest falls in the first
+    64 of 256 md5 buckets (a deterministic, hash-uniform 25% sample —
+    sampling by DIGEST keeps every copy of a sampled text together, so
+    within-sample dup structure is unbiased) are counted exactly:
+    sampled docs, distinct texts, duplicate docs, dup rate.  Digest
+    partials + one bucket-pruned digest exchange; the full corpus is
+    never shuffled."""
+    from dedup_ray.util.dsutil import partitioned_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        dig = content_digest(t["text"].to_pylist())
+        keep = np.array([int(d[:2], 16) for d in dig]) \
+            < DUP_SAMPLE_BUCKETS
+        return pa.table({"digest": pa.array(
+            np.array(dig, dtype=object)[keep], pa.string())})
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": np.array([len(df)], np.int64),
+            "n_distinct": np.array([df["digest"].nunique()], np.int64),
+        })
+
+    partial = partitioned_group_apply(sampled, ["digest"], part)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n_rows"].sum())
+        d = int(df["n_distinct"].sum())
+        return pd.DataFrame({
+            "sampled_docs": np.array([n], np.int64),
+            "distinct_texts": np.array([d], np.int64),
+            "dup_docs": np.array([n - d], np.int64),
+            "dup_rate": np.array([np.round((n - d) / max(n, 1), 6)]),
+        })
+
+    return partitioned_group_apply(partial, ["n_rows"], combine,
+                                   num_partitions=1)
+
+
+ORACLES["dup_rate_estimate_docs"] = f"""
+    WITH s AS (SELECT md5(coalesce(text, '')) AS dg FROM documents
+               WHERE ('0x' || substr(md5(coalesce(text, '')), 1, 2))::INT
+                     < {DUP_SAMPLE_BUCKETS})
+    SELECT count(*)::BIGINT AS sampled_docs,
+           count(DISTINCT dg)::BIGINT AS distinct_texts,
+           (count(*) - count(DISTINCT dg))::BIGINT AS dup_docs,
+           round((count(*) - count(DISTINCT dg))::DOUBLE
+                 / greatest(count(*), 1), 6) AS dup_rate
+    FROM s
+"""
+
+
+ZIPF_TOP = 100
+
+
+def zipf_fit_docs(sf_dir: str):
+    """Vocabulary power-law health check: OLS fit of ln(freq) on
+    ln(rank) over the top-100 tokens (rank ties broken by token asc) —
+    natural corpora sit near slope -1; template/spam floods bend the
+    curve.  Per-batch np.unique count partials, ONE small grouped sum,
+    bounded sort+limit, then the regression runs over 100 rows inside
+    a single final task (never the raw token stream)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            pc.coalesce(t["text"], ""), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        v, c = np.unique(
+            np.asarray(toks.to_pylist(), dtype=object), return_counts=True)
+        return pa.table({"token": pa.array(v, pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum("cnt")
+    top = agg.map_batches(
+        lambda t: pa.table({"token": t["token"],
+                            "n": pc.cast(t["sum(cnt)"], pa.int64())}),
+        batch_format="pyarrow",
+    ).sort(["n", "token"], descending=[True, False]).limit(ZIPF_TOP)
+
+    def fit(t: pa.Table) -> pa.Table:
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        order = np.lexsort((tok, -c))  # rank order, immune to block order
+        y = np.log(c[order])
+        x = np.log(np.arange(1, len(y) + 1, dtype=np.float64))
+        n = float(len(y))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = (n * sxy - sx * sy) / dx
+        intercept = (sy - slope * sx) / n
+        r2 = 0.0 if dy == 0 else (n * sxy - sx * sy) ** 2 / (dx * dy)
+        return pa.table({
+            "n_points": pa.array([int(n)], pa.int64()),
+            "slope": pa.array([np.round(slope, 6)]),
+            "intercept": pa.array([np.round(intercept, 6)]),
+            "r2": pa.array([np.round(r2, 6)]),
+        })
+
+    return top.repartition(1).map_batches(fit, batch_format="pyarrow")
+
+
+ORACLES["zipf_fit_docs"] = f"""
+    WITH tok0 AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents),
+    tok AS (SELECT * FROM tok0 WHERE token <> ''),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    top AS (SELECT token, c FROM cnt
+            ORDER BY c DESC, token LIMIT {ZIPF_TOP}),
+    pts AS (SELECT ln((row_number() OVER (ORDER BY c DESC, token))
+                      ::DOUBLE) AS x,
+                   ln(c::DOUBLE) AS y
+            FROM top),
+    s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM pts)
+    SELECT n::BIGINT AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round(CASE WHEN (n * syy - sy * sy) = 0 THEN 0
+                      ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM s
+"""
+
+
 MOJIBAKE_PLANT_MOD = 7
 
 
@@ -7124,6 +7302,9 @@ QUERIES = {
     "canonical_url_docs": canonical_url_docs,
     "mojibake_docs": mojibake_docs,
     "domain_count_docs": domain_count_docs,
+    "mixed_lang_clusters_docs": mixed_lang_clusters_docs,
+    "dup_rate_estimate_docs": dup_rate_estimate_docs,
+    "zipf_fit_docs": zipf_fit_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,
