@@ -369,6 +369,16 @@ def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
     out4, _rep4 = dedup_against_index(shard4, root, cfg, extract=False)
     n4 = out4.count()
     shard4_sec = time.perf_counter() - t0
+
+    # maintenance cost: append the shard (fragments every touched bucket,
+    # possibly journals merges), then time the journal-fold + defrag wave
+    from dedup_ray.state.dedupindex import compact_index
+
+    dedup_against_index(shard, root, cfg, extract=False, update_index=True)
+    t0 = time.perf_counter()
+    creport = compact_index(root)
+    compact_sec = time.perf_counter() - t0
+    parts_folded = sum(s["parts"] for s in creport["tables"].values())
     return {
         "index_docs": base_docs,
         "index_build_sec": round(index_sec, 3),
@@ -382,6 +392,9 @@ def _run_incremental_shard(sf_dir, root, cfg, text_repeat, base_docs,
         "digest_hits": report["digest_hits"],
         "cross_edges": report["cross_edges"],
         "merges": report["merges"],
+        "compact_sec": round(compact_sec, 3),
+        "compact_parts_folded": parts_folded,
+        "compact_merges_applied": creport["merges_applied"],
     }
 
 

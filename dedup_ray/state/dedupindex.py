@@ -498,3 +498,127 @@ def load_merges(root: str) -> dict:
             v = m[v]
         resolved[k] = v
     return resolved
+
+
+# (table, exact-duplicate drop keys, anchor column to remap) — the keys
+# mirror what readers treat as identity, so compaction never changes a
+# lookup's result, only the bytes it costs.
+_COMPACT_SPEC = (
+    ("digests", ("digest", "cluster_id"), "cluster_id"),
+    ("bands", ("band", "bhash", "id"), None),
+    ("sigs", ("id",), "cluster_id"),
+    ("chunks", ("chash", "id"), None),
+    ("chunkblobs", ("id",), "cluster_id"),
+)
+
+
+def _compact_bucket_dir(d: str, dedup_keys, anchor_col,
+                        merges: dict) -> tuple[int, int, int]:
+    """Rewrite one bucket directory: apply the merge renames to its
+    anchor column, drop exact-duplicate keyed rows, and coalesce every
+    append fragment into ONE part file.  Write-then-rename-then-unlink:
+    a crash can only leave EXTRA rows (old parts beside the merged
+    one), which the key-dedup of the next compaction run removes — the
+    operation is idempotent and per-bucket resumable."""
+    from dedup_ray.pipelines.incremental import _remap_anchor_col
+
+    parts = sorted(
+        f for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith("_tmp")
+    )
+    if not parts or (len(parts) == 1 and not merges):
+        n = pq.read_metadata(os.path.join(d, parts[0])).num_rows \
+            if parts else 0
+        return (len(parts), n, n)
+    t = pa.concat_tables(
+        [pq.read_table(os.path.join(d, p)) for p in parts],
+        promote_options="default",
+    )
+    before = t.num_rows
+    if anchor_col is not None and merges and anchor_col in t.column_names:
+        idx = t.schema.get_field_index(anchor_col)
+        idt = t.schema.field(anchor_col).type
+        t = t.set_column(
+            idx, anchor_col, _remap_anchor_col(t[anchor_col], merges, idt)
+        )
+    keys = [k for k in dedup_keys if k in t.column_names]
+    if keys:
+        dup = t.select(keys).to_pandas().duplicated().to_numpy()
+        if dup.any():
+            t = t.filter(pa.array(~dup))
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(d, f"_tmp.{name}")
+    pq.write_table(t, tmp)
+    os.rename(tmp, os.path.join(d, name))
+    for p in parts:
+        os.unlink(os.path.join(d, p))
+    return (len(parts), before, t.num_rows)
+
+
+def compact_index(root: str) -> dict:
+    """Fold the merge journal into the bucket files and defragment.
+
+    Appends leave two growing costs: every shard adds a part FILE per
+    touched bucket (read amplification), and every cluster bridge adds
+    a journal row that every future read resolves through
+    (``load_merges`` + per-row remap).  Compaction pays both down:
+    each bucket directory is rewritten — renames applied, duplicate
+    keyed rows dropped, fragments coalesced to one file — and the
+    journal is truncated only after every bucket succeeded.
+
+    One Ray task per bucket directory (the journal dict is broadcast
+    via ``ray.put`` once); buckets are independent, so the wave scales
+    with the cluster and a failed run is simply re-run (idempotent —
+    see ``_compact_bucket_dir``).  Readers stay correct mid-compaction:
+    bucket rewrites are atomic per file, and resolving an
+    already-final anchor through the journal is a no-op.  Single
+    writer assumed (same as append), so journal files recorded before
+    the wave are exactly the renames the wave applied.
+    """
+    import ray
+
+    m = load_manifest(root)
+    merges = load_merges(root)
+    journal_dir = os.path.join(root, "merges")
+    journal_parts = (
+        sorted(f for f in os.listdir(journal_dir) if f.endswith(".parquet"))
+        if os.path.isdir(journal_dir) else []
+    )
+
+    merges_ref = ray.put(merges)
+    task = ray.remote(
+        lambda d, keys, anchor, mg: _compact_bucket_dir(d, keys, anchor, mg)
+    )
+    futures, stats = [], {}
+    for table, keys, anchor in _COMPACT_SPEC:
+        tdir = os.path.join(root, table)
+        if not os.path.isdir(tdir):
+            continue
+        for b in sorted(os.listdir(tdir)):
+            bd = os.path.join(tdir, b)
+            if os.path.isdir(bd):
+                futures.append(
+                    (table, task.remote(bd, keys, anchor, merges_ref))
+                )
+    for table, f in futures:
+        parts, before, after = ray.get(f)
+        s = stats.setdefault(
+            table, {"parts": 0, "rows_before": 0, "rows": 0}
+        )
+        s["parts"] += parts
+        s["rows_before"] += before
+        s["rows"] += after
+    # every bucket rewritten -> the loaded journal rows are applied
+    for p in journal_parts:
+        os.unlink(os.path.join(journal_dir, p))
+    m["rows"] = {
+        t: stats.get(t, {}).get("rows", m["rows"].get(t, 0))
+        for t in m["rows"]
+    }
+    m["compactions"] = int(m.get("compactions", 0)) + 1
+    _write_manifest(root, m)
+    return {
+        "merges_applied": len(merges),
+        "journal_parts_cleared": len(journal_parts),
+        "tables": stats,
+    }

@@ -493,3 +493,76 @@ def test_execution_knobs_do_not_invalidate_index(base_index):
     assert got["cluster_id"].iloc[0] == dict(
         zip(clusters["url"], clusters["cluster_id"])
     )[pages["url"][0].as_py()]
+
+
+def test_compact_index_folds_journal_and_defragments(tmp_path):
+    """After a bridge merge: compaction empties the journal, rewrites the
+    retired anchor into the bucket files (a later exact-dup shard still
+    anchors to the surviving cluster), coalesces every bucket to one
+    part file, and a second run (simulating crash-repair) is a no-op."""
+    from dedup_ray.state.dedupindex import compact_index
+
+    root = str(tmp_path / "idx")
+    shared = [f"common{j}w{j % 13}" for j in range(40)]
+    only_a = [f"alpha{j}u{j % 11}" for j in range(60)]
+    only_b = [f"beta{j}v{j % 11}" for j in range(60)]
+    text_a = " ".join(shared + only_a)
+    text_b = " ".join(shared + only_b)
+    text_c = " ".join(shared + only_a + only_b)
+
+    base = pa.table({
+        "url": ["b://a", "b://b"],
+        "text": [text_a, text_b],
+        "lang": ["en", "en"],
+    })
+    clusters, _ = dedup_pipeline(
+        rd.from_arrow(base), CFG, extract=False,
+        use_simhash=False, use_substring=False,
+    )
+    compact = compact_signature_table(
+        rd.from_arrow(base), CFG, "url", extract=False,
+        with_simhash=False, with_chunks=False,
+    )
+    build_index(compact, clusters, root, CFG, id_col="url", num_buckets=8)
+
+    shard1 = pa.table(
+        {"url": ["s://bridge"], "text": [text_c], "lang": ["en"]})
+    _, rep1 = dedup_against_index(
+        rd.from_arrow(shard1), root, CFG, extract=False, update_index=True)
+    assert rep1["merges"] == 1
+    assert load_merges(root) == {"b://b": "b://a"}
+
+    report = compact_index(root)
+    assert report["merges_applied"] == 1
+    assert report["journal_parts_cleared"] >= 1
+    assert load_merges(root) == {}
+
+    # retired id is gone from the persisted anchor columns
+    import os
+
+    import pyarrow.parquet as pq
+
+    for table in ("digests", "sigs"):
+        tdir = os.path.join(root, table)
+        for b in sorted(os.listdir(tdir)):
+            bd = os.path.join(tdir, b)
+            parts = [f for f in os.listdir(bd) if f.endswith(".parquet")]
+            assert len(parts) <= 1, f"{bd} not defragmented"
+            for p in parts:
+                t = pq.read_table(os.path.join(bd, p))
+                assert "b://b" not in set(t["cluster_id"].to_pylist())
+
+    # reader behavior unchanged: an exact dup of text_b (whose digest row
+    # was written BEFORE the merge) still anchors to the survivor
+    shard2 = pa.table(
+        {"url": ["s://late"], "text": [text_b], "lang": ["en"]})
+    out2, rep2 = dedup_against_index(
+        rd.from_arrow(shard2), root, CFG, extract=False)
+    assert out2.to_pandas()["cluster_id"].iloc[0] == "b://a"
+    assert rep2["digest_hits"] >= 1
+
+    # idempotent: a re-run applies zero merges and drops zero rows
+    report2 = compact_index(root)
+    assert report2["merges_applied"] == 0
+    for table, s in report2["tables"].items():
+        assert s["rows"] == s["rows_before"], (table, s)
