@@ -6868,6 +6868,44 @@ ORACLES["zipf_fit_docs"] = f"""
 """
 
 
+WATERMARK_DELAY_US = 300_000_000  # 5-minute allowed lateness
+
+
+def late_events(sf_dir: str):
+    """Watermark / late-arrival accounting (``stages/ordering.py::
+    watermark_late``, the Dataflow-model bookkeeping): replaying the
+    event log in event_id arrival order, a record is late when its
+    event time trails the running max event time of all earlier
+    arrivals by more than 5 minutes.  Two-level prefix MAX — ordered
+    range buckets, per-bucket running max, B driver-side bucket maxima
+    folded into exclusive offsets; all math in int64 microseconds so
+    the SQL window oracle matches exactly."""
+    from dedup_ray.stages.ordering import watermark_late
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return watermark_late(ds, "event_id", "ts", WATERMARK_DELAY_US)
+
+
+ORACLES["late_events"] = f"""
+    WITH w AS (SELECT event_id, ts,
+                      max(ts) OVER (ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+               FROM events)
+    SELECT event_id,
+           (wm IS NOT NULL AND
+            date_diff('microsecond', ts, wm) > {WATERMARK_DELAY_US})
+               AS late,
+           (CASE WHEN wm IS NOT NULL AND
+                      date_diff('microsecond', ts, wm)
+                          > {WATERMARK_DELAY_US}
+                 THEN date_diff('microsecond', ts, wm)
+                      - {WATERMARK_DELAY_US}
+                 ELSE 0 END)::BIGINT AS late_by_us
+    FROM w
+"""
+
+
 MOJIBAKE_PLANT_MOD = 7
 
 
@@ -7305,6 +7343,7 @@ QUERIES = {
     "mixed_lang_clusters_docs": mixed_lang_clusters_docs,
     "dup_rate_estimate_docs": dup_rate_estimate_docs,
     "zipf_fit_docs": zipf_fit_docs,
+    "late_events": late_events,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,

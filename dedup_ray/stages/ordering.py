@@ -581,3 +581,118 @@ def zorder_sql_expr(cols: list, bits: int = 8) -> str:
         for b in range(bits):
             terms.append(f"((({c} >> {b}) & 1) << {b * len(cols) + ci})")
     return " | ".join(terms)
+
+
+def watermark_late(ds, order_col: str, ts_col: str, delay_us: int,
+                   num_partitions: int = 16, sample_rate: float = 0.05,
+                   seed: int = 11):
+    """Watermark / late-arrival accounting (the Dataflow-model bookkeeping
+    of a streaming ingest): replaying the log in ``order_col`` arrival
+    order, the watermark before each record is the running max event time
+    over all STRICTLY earlier arrivals; a record is late when its event
+    time trails the watermark by more than ``delay_us``.
+
+    Distributed as a two-level prefix MAX (the ``range_rank`` plan):
+    arrival order is range-partitioned into ordered buckets (sample-based
+    boundaries steer only load balance — prefix maxima are exact for ANY
+    split), each bucket computes its local running max, the driver folds
+    B bucket maxima into exclusive offsets, and a second pass combines
+    local prefix with bucket offset.  All comparisons are int64
+    microseconds, so the SQL window-function oracle matches exactly.
+
+    Output: (order_col, late BOOL, late_by_us INT64 — 0 when on time).
+    """
+    import ray
+
+    from dedup_ray.util.exchange import _key_hash, exchange_group_apply
+    from dedup_ray.util.hashing import mix64
+
+    slim = ds.select_columns([order_col, ts_col])
+    thresh = np.uint64(max(int(sample_rate * 2**64), 1))
+
+    def sampled(t: pa.Table) -> pa.Table:
+        h = mix64(_key_hash(t[order_col]).view(np.uint64)
+                  ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64))
+        return pa.table({order_col: t[order_col].filter(pa.array(h < thresh))})
+
+    sample_keys = np.sort(np.concatenate(
+        [b[order_col].to_numpy(zero_copy_only=False)
+         for b in slim.map_batches(sampled, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([])]
+    ))
+    if len(sample_keys):
+        picks = np.unique(sample_keys[
+            (np.linspace(0, 1, num_partitions + 1)[1:-1]
+             * (len(sample_keys) - 1)).astype(np.int64)
+        ])
+    else:
+        picks = np.array([])
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[order_col].to_numpy(zero_copy_only=False)
+        bkt = np.searchsorted(picks, keys, side="right").astype(np.int64)
+        return pa.table({
+            order_col: t[order_col],
+            "__ts": pa.array(
+                t[ts_col].cast(pa.timestamp("us")).to_numpy(
+                    zero_copy_only=False).view(np.int64)),
+            "bucket": pa.array(bkt),
+        })
+
+    with_bkt = slim.map_batches(assign, batch_format="pyarrow").materialize()
+    bmax = with_bkt.groupby("bucket").max("__ts").to_pandas()
+    if bmax.empty:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            order_col: pa.array([], pa.int64()),
+            "late": pa.array([], pa.bool_()),
+            "late_by_us": pa.array([], pa.int64()),
+        }))
+    bmax = bmax.sort_values("bucket")
+    buckets = bmax["bucket"].to_numpy()
+    maxes = bmax["max(__ts)"].to_numpy()
+    # exclusive cummax: watermark entering each bucket from earlier buckets
+    offsets = np.r_[np.iinfo(np.int64).min,
+                    np.maximum.accumulate(maxes)[:-1]]
+    offset_ref = ray.put((buckets, offsets))
+
+    def late_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            o_t = part[order_col].type if order_col in part.column_names \
+                else pa.int64()
+            return pa.table({
+                order_col: pa.array([], o_t),
+                "late": pa.array([], pa.bool_()),
+                "late_by_us": pa.array([], pa.int64()),
+            })
+        bks, offs = ray.get(offset_ref)
+        order_v = part[order_col].to_numpy(zero_copy_only=False)
+        ts = part["__ts"].to_numpy(zero_copy_only=False)
+        bkt = part["bucket"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((order_v, bkt))
+        ts_s, bkt_s = ts[o], bkt[o]
+        # local EXCLUSIVE prefix max, restarting at each bucket boundary
+        # (segments per partition = buckets per partition, a handful —
+        # the loop is over segments, never rows)
+        first = np.r_[True, bkt_s[1:] != bkt_s[:-1]]
+        seg_start = np.flatnonzero(first)
+        prev_in_seg = np.empty(len(ts_s), np.int64)
+        lo = np.iinfo(np.int64).min
+        for s, e in zip(seg_start, np.r_[seg_start[1:], len(ts_s)]):
+            prev_in_seg[s:e] = np.r_[lo, np.maximum.accumulate(ts_s[s:e-1])] \
+                if e > s + 1 else lo
+        wm = np.maximum(prev_in_seg, offs[np.searchsorted(bks, bkt_s)])
+        valid = wm > lo // 2  # a real watermark exists (some earlier row)
+        wm_eff = np.where(valid, wm, ts_s)  # no watermark -> never late
+        gap = wm_eff - np.int64(delay_us) - ts_s
+        late = valid & (gap > 0)
+        return pa.table({
+            order_col: pa.array(order_v[o], part[order_col].type),
+            "late": pa.array(late),
+            "late_by_us": pa.array(np.where(late, gap, 0).astype(np.int64)),
+        })
+
+    return exchange_group_apply(with_bkt, "bucket", late_part,
+                                num_partitions)

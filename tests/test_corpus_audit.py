@@ -84,3 +84,33 @@ def test_mixed_lang_cluster_audit(ray_session):
     assert got.loc[0, "n_docs"] == 3 and got.loc[0, "n_langs"] == 2
     assert bool(got.loc[0, "mixed"]) and not bool(got.loc[3, "mixed"])
     assert got.loc[5, "n_docs"] == 1 and not bool(got.loc[5, "mixed"])
+
+
+def test_watermark_late_matches_pandas_expanding_max(ray_session):
+    from dedup_ray.stages.ordering import watermark_late
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    # arrival order 0..n-1; event times wander with occasional big jumps
+    # back (the late arrivals)
+    base = 1_700_000_000_000_000  # us epoch
+    steps = rng.integers(-400_000_000, 500_000_000, n)
+    ts_us = base + np.cumsum(steps)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts_us.astype("datetime64[us]"),
+    })
+    delay = 250_000_000
+    wm = pd.Series(ts_us).expanding().max().shift(1)
+    gap = wm - delay - ts_us
+    want_late = (gap > 0).fillna(False).to_numpy()
+    want_by = np.where(want_late, gap.fillna(0).to_numpy(), 0).astype(
+        np.int64)
+
+    got = watermark_late(
+        rd.from_pandas(df), "event_id", "ts", delay, num_partitions=7
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got["late"].to_numpy().tolist() == want_late.tolist()
+    assert got["late_by_us"].to_numpy().tolist() == want_by.tolist()
+    # sanity: the plant actually produced late rows
+    assert want_late.sum() > 50
