@@ -6868,6 +6868,90 @@ ORACLES["zipf_fit_docs"] = f"""
 """
 
 
+SWEEP_CUTS = [25, 50, 75]  # integer percent cuts (binary-exact /100)
+
+
+def threshold_sweep_docs(sf_dir: str):
+    """Dedup-threshold sensitivity report — the tuning pass run before
+    committing a verify threshold at corpus scale: the SAME candidate
+    edge set (adjacent-doc edges with a deterministic integer percent
+    similarity ``(u*37) %% 100``) is cut at three thresholds, each cut's
+    connected components are computed, and one row per threshold
+    reports edges kept, cluster count, docs clustered and the largest
+    cluster.  Edges materialize ONCE; each cut is a filter + CC + two
+    tiny aggregates, so the sweep costs T× the CC, never T× the
+    candidate generation.  Integer percent comparisons keep kernel and
+    oracle exact."""
+    from dedup_ray.stages.cc import component_labels
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand_edges(t: pa.Table) -> pa.Table:
+        u = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id1": pa.array(u, pa.int64()),
+            "id2": pa.array(u + 1, pa.int64()),
+            "pct": pa.array((u * 37) % 100, pa.int64()),
+        })
+
+    cand = docs.map_batches(cand_edges, batch_format="pyarrow")
+    id2_side = docs.map_batches(
+        lambda t: t.rename_columns(["id2"]), batch_format="pyarrow")
+    edges = semi_join(cand, id2_side, "id2",
+                      cols=["id1", "id2", "pct"]).materialize()
+
+    rows = []
+    for cut in SWEEP_CUTS:
+        kept = edges.map_batches(
+            lambda t, c=cut: t.filter(pc.greater_equal(t["pct"], c)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_edges = kept.count()
+        labels = component_labels(kept) if n_edges else None
+        if labels is None:
+            rows.append((cut / 100.0, 0, 0, 0, 0))
+            continue
+        sizes = labels.groupby("cluster_id").count().to_pandas()
+        n = sizes["count()"].to_numpy()
+        rows.append((cut / 100.0, n_edges, len(n), int(n.sum()),
+                     int(n.max())))
+    return pd.DataFrame(rows, columns=[
+        "threshold", "n_edges", "n_clusters", "n_docs", "max_cluster"
+    ]).astype({"threshold": "float64", "n_edges": "int64",
+               "n_clusters": "int64", "n_docs": "int64",
+               "max_cluster": "int64"})
+
+
+def _threshold_sweep_oracle() -> str:
+    parts = []
+    for i, cut in enumerate(SWEEP_CUTS):
+        parts.append(f"""
+    k{i} AS (SELECT u, v FROM e WHERE pct >= {cut}),
+    ek{i} AS (SELECT u, v FROM k{i} UNION ALL SELECT v, u FROM k{i}),
+    r{i}(node, lbl) AS (
+        SELECT u, u FROM ek{i}
+        UNION
+        SELECT e2.v, r.lbl FROM r{i} r JOIN ek{i} e2 ON e2.u = r.node),
+    c{i} AS (SELECT node, min(lbl) AS lbl FROM r{i} GROUP BY node),
+    s{i} AS (SELECT lbl, count(*) AS n FROM c{i} GROUP BY lbl),
+    rep{i} AS (SELECT {cut} / 100.0 AS threshold,
+                      (SELECT count(*) FROM k{i})::BIGINT AS n_edges,
+                      count(*)::BIGINT AS n_clusters,
+                      coalesce(sum(n), 0)::BIGINT AS n_docs,
+                      coalesce(max(n), 0)::BIGINT AS max_cluster
+               FROM s{i})""")
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM rep{i}" for i in range(len(SWEEP_CUTS)))
+    return ("WITH RECURSIVE e AS (SELECT a.doc_id AS u, "
+            "a.doc_id + 1 AS v, (a.doc_id * 37) % 100 AS pct "
+            "FROM documents a JOIN documents b "
+            "ON b.doc_id = a.doc_id + 1),"
+            + ",".join(parts) + " " + selects)
+
+
+ORACLES["threshold_sweep_docs"] = _threshold_sweep_oracle()
+
+
 WATERMARK_DELAY_US = 300_000_000  # 5-minute allowed lateness
 
 
@@ -7344,6 +7428,7 @@ QUERIES = {
     "dup_rate_estimate_docs": dup_rate_estimate_docs,
     "zipf_fit_docs": zipf_fit_docs,
     "late_events": late_events,
+    "threshold_sweep_docs": threshold_sweep_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,
