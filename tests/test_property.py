@@ -59,19 +59,35 @@ def test_cdc_chunks_partition_the_document(data):
 @settings(max_examples=30, deadline=None)
 @given(data=st.binary(min_size=24, max_size=600), cut=st.integers(1, 20))
 def test_cdc_content_locality(data, cut):
-    """Chunk boundaries depend only on local content: chunk sequences of a
-    document and the same document with a changed prefix agree after the
-    first few chunks (the suffix-array-equivalence property)."""
+    """Chunk boundaries are content-local in the resynchronization sense:
+    once the full document and its suffix slice share a boundary at the
+    same CONTENT position (past the rolling-window warm-up), every later
+    boundary and chunk hash is identical — the boundary automaton's
+    state is exactly (position of last boundary, content ahead).
+
+    Unconditional tail alignment is NOT a CDC invariant and is not
+    asserted: content with no natural anchors (e.g. zero runs) is cut
+    at max_chunk intervals measured from the stream START, which a
+    prefix cut shifts forever (hypothesis found exactly that)."""
+    from dedup_ray.stages.substring import _WINDOW
+
     cdc = _CDC(DedupConfig())
-    h1, _ = cdc.chunks(data, "a")
-    # a pure suffix slice shares its tail chunks exactly
+    h1, l1 = cdc.chunks(data, "a")
     suffix = data[cut:]
-    h3, _ = cdc.chunks(suffix, "c")
-    if len(h1) > 3 and len(h3) > 2:
-        # ignoring the first boundary-affected chunks, tails align
-        tail = min(len(h1), len(h3)) - 2
-        if tail > 0:
-            assert h1[-tail:] == h3[-tail:]
+    h3, l3 = cdc.chunks(suffix, "c")
+    b1 = np.cumsum(l1)        # boundary end-positions, full doc
+    b3 = np.cumsum(l3) + cut  # suffix boundaries in full-doc coordinates
+    # interior boundaries only (the final end-of-data bound is appended
+    # unconditionally); warm-up region excluded: an anchor at p needs the
+    # window ending at p to be inside the shared suffix
+    common = sorted(set(b1[:-1].tolist()) & set(b3[:-1].tolist()))
+    common = [p for p in common if p >= cut + _WINDOW]
+    if common:
+        p = common[0]
+        i1 = b1.tolist().index(p)
+        i3 = b3.tolist().index(p)
+        assert b1[i1 + 1:].tolist() == b3[i3 + 1:].tolist()
+        assert h1[i1 + 1:] == h3[i3 + 1:]
 
 
 @settings(max_examples=25, deadline=None)
