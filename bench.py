@@ -132,6 +132,17 @@ BENCH_QUERIES = [
     "zorder_events",
     "json_extract_events",
     "psi_drift_events",
+    # round-3 fifth-sitting additions
+    "pareto_front_docs",
+    "cohort_retention_events",
+    "canonical_url_docs",
+    "mojibake_docs",
+    "domain_count_docs",
+    "dup_rate_estimate_docs",
+    "zipf_fit_docs",
+    "mixed_lang_clusters_docs",
+    "late_events",
+    "threshold_sweep_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
