@@ -972,3 +972,50 @@ def cohort_retention(ds, user_col: str, ts_col: str,
 
     return partitioned_group_apply(partial, ["cohort_week"], combine,
                                    num_partitions=1)
+
+
+def cooccurrence(ds, key_col: str, value_col: str,
+                 num_partitions: int = 16, max_values: int | None = None):
+    """Unordered co-occurrence counts: for every pair of ``value_col``
+    values that share at least one ``key_col`` key, the number of
+    distinct keys where both occur.
+
+    The curation cross-tab behind "which sources syndicate the same
+    pages" (key=digest, value=source) or "which tokens co-occur in
+    documents" (key=doc, value=token).  One key-keyed exchange — all
+    rows of a key land whole in one partition, where a vectorized
+    self-merge emits each key's C(k, 2) pairs — then a bounded
+    partial-sum combine (output rows ≤ distinct-value pairs, never
+    keys).  A key shared by k values costs C(k, 2) pair rows: that is
+    the operator's skew bound; ``max_values`` (optional, documented
+    approximation) keeps only each key's smallest values, the same
+    policy as the LSH hot-bucket and triangle degree caps.
+    """
+    import pandas as pd
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    v1, v2 = value_col + "_1", value_col + "_2"
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, value_col]].drop_duplicates()
+        if max_values is not None:
+            df = df.sort_values([key_col, value_col]) \
+                .groupby(key_col, sort=False).head(max_values)
+        m = df.merge(df, on=key_col)
+        xa, xb = value_col + "_x", value_col + "_y"
+        m = m[m[xa] < m[xb]]
+        return (m.groupby([xa, xb]).size().rename("n_keys").reset_index()
+                .rename(columns={xa: v1, xb: v2}))
+
+    partial = partitioned_group_apply(ds, [key_col], per_part,
+                                      num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([v1, v2])["n_keys"].sum().reset_index()
+        out["n_keys"] = out["n_keys"].astype("int64")
+        return out
+
+    return partitioned_group_apply(partial, [v1, v2], combine,
+                                   num_partitions=max(1,
+                                                      num_partitions // 4))

@@ -6868,6 +6868,56 @@ ORACLES["zipf_fit_docs"] = f"""
 """
 
 
+def source_overlap_docs(sf_dir: str):
+    """Cross-source duplication matrix (``ops/relational.py::
+    cooccurrence``): every document is re-hosted once under the next
+    source ring-wise (``'src' || ((doc_id+1) %% 20)`` — the planted
+    syndication), pages reduce to distinct (digest, source), and the
+    matrix counts, per unordered source pair, how many distinct texts
+    both host — the report that tells a curation run which sources are
+    mirrors of each other before it weights them independently.  One
+    digest-keyed exchange (each digest's C(k,2) pairs emitted where it
+    lives) + a bounded pair-sum combine."""
+    from dedup_ray.ops.relational import cooccurrence
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dig = pa.array(content_digest(t["text"].to_pylist()), pa.string())
+        mirror = pa.array(
+            ("src" + pd.Series((ids + 1) % 20).astype(str)), pa.string())
+        return pa.table({
+            "digest": pa.concat_arrays([dig, dig]),
+            "source": pa.concat_arrays(
+                [pc.cast(t["source"].combine_chunks(), pa.string()),
+                 mirror]),
+        })
+
+    pg = ds.map_batches(pages, batch_format="pyarrow")
+    out = cooccurrence(pg, "digest", "source")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["source1", "source2", "n_shared"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+ORACLES["source_overlap_docs"] = """
+    WITH pages AS (
+        SELECT md5(coalesce(text, '')) AS dg, source AS s FROM documents
+        UNION ALL
+        SELECT md5(coalesce(text, '')),
+               'src' || ((doc_id + 1) % 20)::VARCHAR
+        FROM documents),
+    d AS (SELECT DISTINCT dg, s FROM pages)
+    SELECT a.s AS source1, b.s AS source2, count(*)::BIGINT AS n_shared
+    FROM d a JOIN d b ON a.dg = b.dg AND a.s < b.s
+    GROUP BY 1, 2
+"""
+
+
 SWEEP_CUTS = [25, 50, 75]  # integer percent cuts (binary-exact /100)
 
 
@@ -7429,6 +7479,7 @@ QUERIES = {
     "zipf_fit_docs": zipf_fit_docs,
     "late_events": late_events,
     "threshold_sweep_docs": threshold_sweep_docs,
+    "source_overlap_docs": source_overlap_docs,
     # rows-only (non-SQL-expressible: own-hash fingerprints, weighted APSP)
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,

@@ -114,3 +114,35 @@ def test_watermark_late_matches_pandas_expanding_max(ray_session):
     assert got["late_by_us"].to_numpy().tolist() == want_by.tolist()
     # sanity: the plant actually produced late rows
     assert want_late.sum() > 50
+
+
+def test_cooccurrence_matches_brute_force(ray_session):
+    from dedup_ray.ops.relational import cooccurrence
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 150, n),
+        "v": [f"v{int(x)}" for x in rng.integers(0, 12, n)],
+    })
+    dd = df.drop_duplicates()
+    expect = {}
+    for _, sub in dd.groupby("k"):
+        vs = sorted(sub["v"])
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                expect[(vs[i], vs[j])] = expect.get((vs[i], vs[j]), 0) + 1
+    got = cooccurrence(rd.from_pandas(df), "k", "v").to_pandas()
+    got_map = {(r.v_1, r.v_2): int(r.n_keys) for r in got.itertuples()}
+    assert got_map == expect
+
+
+def test_cooccurrence_max_values_cap(ray_session):
+    from dedup_ray.ops.relational import cooccurrence
+
+    # one hot key with 6 values: cap=3 keeps the 3 smallest -> C(3,2)=3
+    df = pd.DataFrame({"k": [1] * 6, "v": [f"v{i}" for i in range(6)]})
+    got = cooccurrence(rd.from_pandas(df), "k", "v",
+                       max_values=3).to_pandas()
+    pairs = set(zip(got["v_1"], got["v_2"]))
+    assert pairs == {("v0", "v1"), ("v0", "v2"), ("v1", "v2")}
