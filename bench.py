@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "mixed_lang_clusters_docs",
     "late_events",
     "threshold_sweep_docs",
+    # round-3 sixth-sitting additions
+    "anchor_text_docs",
+    "template_fingerprint_docs",
+    "reciprocal_links_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

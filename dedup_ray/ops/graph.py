@@ -21,6 +21,7 @@ from collections import defaultdict
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dedup_ray.util.dsutil import as_arrow
 
@@ -643,3 +644,51 @@ def label_propagation(edges_ds, rounds: int = 4, a_col: str = "a",
             msgs.union(labels), "node", vote, num_partitions,
         ).materialize()
     return labels
+
+
+def reciprocal_edges(edges_ds, src_col: str = "src", dst_col: str = "dst",
+                     weight_col: str | None = None,
+                     num_partitions: int = 16):
+    """Mutual-edge detection: pairs linked in BOTH directions.
+
+    Reciprocal host links are a classic link-farm / mirror-ring signal
+    (organic web links are overwhelmingly one-way; a dense mutual core is
+    machine-made), and the mutual subgraph is the usual input to
+    mirror-site collapse.  Orientation trick: key every edge by its
+    UNORDERED pair (``least, greatest``) with a direction bit, so one
+    hash exchange co-locates both directions; a vectorized per-partition
+    groupby keeps pairs whose two direction-sums are both positive.
+    Self-loops are excluded (no direction to reciprocate).  Output:
+    ``(a, b, w_ab, w_ba)`` with ``a < b``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def orient(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        lo, hi = pc.min_element_wise(s, d), pc.max_element_wise(s, d)
+        fwd = pc.cast(pc.equal(s, lo), pa.int64())  # 1 = low->high
+        w = (pc.cast(t[weight_col], pa.float64()) if weight_col
+             else pa.array(np.ones(t.num_rows)))
+        keep = pc.not_equal(s, d)
+        return pa.table({"a": lo, "b": hi, "fwd": fwd, "w": w}).filter(keep)
+
+    def reduce(part: pa.Table) -> pa.Table:
+        key_t = (part.schema.field("a").type if "a" in part.column_names
+                 else pa.string())
+        schema = pa.schema([("a", key_t), ("b", key_t),
+                            ("w_ab", pa.float64()), ("w_ba", pa.float64())])
+        if part.num_rows == 0:
+            return schema.empty_table()
+        df = part.to_pandas()
+        df["w_ab"] = df["w"] * df["fwd"]
+        df["w_ba"] = df["w"] * (1 - df["fwd"])
+        g = df.groupby(["a", "b"], sort=False)[["w_ab", "w_ba"]].sum()
+        g = g[(g["w_ab"] > 0) & (g["w_ba"] > 0)].reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow")
+    return exchange_group_apply(oriented, ["a", "b"], reduce,
+                                num_partitions=num_partitions)

@@ -7297,8 +7297,172 @@ ORACLES["canonical_url_docs"] = f"""
 """
 
 
+def anchor_text_docs(sf_dir: str):
+    """Inbound anchor-text aggregation per TARGET host — the classic web-IR
+    side channel (inbound anchors describe the target page better than its
+    own words; no reference analog — web-native extension per the brief).
+    Three ``<a href>`` links with rotating anchor texts are synthesized
+    into every page's markup (targets ``site<(doc_id+k)%13>``, k=1..3);
+    (href, anchor) pairs come out of the vectorized two-split kernel
+    (``stages/urlnorm.py::extract_anchors``); per-batch (host, anchor)
+    partial counts shrink the stream before ONE host-keyed exchange.  The
+    oracle replays the exact regex ``href="([^"]*)">([^<]*)</a>`` with a
+    positionally-zipped double ``unnest``."""
+    from dedup_ray.stages.urlnorm import extract_anchors, extract_host_array
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    labels = np.asarray(ANCHOR_LABELS, dtype=object)
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["doc_id"], pa.string())
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        for k in (1, 2, 3):
+            txt = pc.binary_join_element_wise(
+                txt, ' <a href="http://site',
+                pa.array(((ids + k) % 13).astype(str)),
+                ".example.com/p/", d, '">',
+                pa.array(labels[(ids + k) % 3]), "</a>", "",
+            )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    pairs = extract_anchors(ds.map_batches(mk, batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        href = t["href"]
+        if isinstance(href, pa.ChunkedArray):
+            href = href.combine_chunks()
+        e = pa.table({"dst_host": extract_host_array(href),
+                      "anchor": t["anchor"]})
+        g = e.group_by(["dst_host", "anchor"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dst_host", "anchor", "c"])
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "dst_host": pa.array([], pa.string()),
+                "n_refs": pa.array([], pa.int64()),
+                "n_anchor_texts": pa.array([], pa.int64()),
+                "anchors_csv": pa.array([], pa.string()),
+            })
+        df = part.to_pandas()
+        g = df.groupby("dst_host", sort=False).agg(
+            n_refs=("c", "sum"),
+            n_anchor_texts=("anchor", "nunique"),
+            anchors_csv=("anchor", lambda s: ",".join(sorted(set(s)))),
+        ).reset_index()
+        g["n_refs"] = g["n_refs"].astype("int64")
+        g["n_anchor_texts"] = g["n_anchor_texts"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = pairs.map_batches(partial, batch_format="pyarrow")
+    return exchange_group_apply(agg, "dst_host", finish, num_partitions=8)
+
+
+ANCHOR_LABELS = ("click here", "read more", "home page")
+
+
+def template_fingerprint_docs(sf_dir: str):
+    """Structural template census: pages grouped by the md5 of their
+    OPENING-tag sequence — the markup-skeleton analog of exact text dedup
+    (pages rendered by one CMS template share a fingerprint even when
+    every word differs).  Deterministic layout variants (nav when id%3==0,
+    1+id%4 paragraphs, footer when id%2==0) are rendered per doc; the tag
+    stream comes from the vectorized split+RE2 kernel
+    (``stages/extract.py::tag_sequence``); per-batch fingerprint partials
+    shrink the stream before ONE fingerprint-keyed exchange."""
+    from dedup_ray.stages.extract import tag_sequence
+    from dedup_ray.util.exchange import exchange_group_apply
+    from dedup_ray.util.hashing import content_digest
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    NAV = "<nav><ul><li>x</li><li>y</li></ul></nav>"
+    paras = np.asarray(["<p>t</p>" * (1 + i) for i in range(4)],
+                       dtype=object)
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        html = (
+            "<html><head><title>s</title></head><body>"
+            + np.where(ids % 3 == 0, NAV, "").astype(object)
+            + paras[ids % 4]
+            + np.where(ids % 2 == 0, "<footer>f</footer>", "").astype(object)
+            + "</body></html>"
+        )
+        return pa.table({"doc_id": t["doc_id"],
+                         "html_str": pa.array(html, pa.string())})
+
+    seqs = tag_sequence(ds.map_batches(mk, batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        seq = t["tagseq"]
+        if isinstance(seq, pa.ChunkedArray):
+            seq = seq.combine_chunks()
+        fp = pa.array(content_digest(seq.to_pylist(), algo="md5"))
+        n_tags = pc.add(pc.count_substring(seq, ">"), 1)
+        g = pa.table({
+            "fingerprint": fp,
+            "n_tags": pc.cast(n_tags, pa.int64()),
+            "doc_id": t["doc_id"],
+        }).group_by("fingerprint").aggregate(
+            [([], "count_all"), ("n_tags", "min"), ("doc_id", "min")])
+        return g.rename_columns(
+            ["fingerprint", "n_pages", "n_tags", "min_doc_id"])
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                "fingerprint": pa.array([], pa.string()),
+                "n_pages": pa.array([], pa.int64()),
+                "n_tags": pa.array([], pa.int64()),
+                "min_doc_id": pa.array([], pa.int64()),
+            })
+        g = part.group_by("fingerprint").aggregate(
+            [("n_pages", "sum"), ("n_tags", "min"), ("min_doc_id", "min")])
+        return g.rename_columns(
+            ["fingerprint", "n_pages", "n_tags", "min_doc_id"])
+
+    agg = seqs.map_batches(partial, batch_format="pyarrow")
+    return exchange_group_apply(agg, "fingerprint", finish, num_partitions=8)
+
+
+def reciprocal_links_docs(sf_dir: str):
+    """Mutual-link detection over the host graph — reciprocal links are a
+    link-farm / mirror-ring signal (organic web links are overwhelmingly
+    one-way), and the mutual subgraph feeds mirror-site collapse.  Edge
+    synthesis: k=1..3 forward links per page plus a back-link to
+    ``site((id+12)%13)`` from every id%4==0 page, so genuine reciprocal
+    pairs exist; ``ops/graph.py::reciprocal_edges`` co-locates both
+    directions of a pair with ONE unordered-pair-keyed exchange."""
+    from dedup_ray.ops.graph import reciprocal_edges
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def host(arr):
+            return pc.binary_join_element_wise(
+                "site", pa.array(arr.astype(str)), "")
+
+        src = host(ids % 13)
+        parts = [pa.table({"src": src, "dst": host((ids + k) % 13)})
+                 for k in (1, 2, 3)]
+        m = ids % 4 == 0
+        parts.append(pa.table({"src": host(ids[m] % 13),
+                               "dst": host((ids[m] + 12) % 13)}))
+        return pa.concat_tables(parts)
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return reciprocal_edges(edges, num_partitions=8)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "anchor_text_docs": anchor_text_docs,
+    "template_fingerprint_docs": template_fingerprint_docs,
+    "reciprocal_links_docs": reciprocal_links_docs,
     "grouped_stats_events": grouped_stats_events,
     "pearson_qty_price": pearson_qty_price,
     "dup_user_events": dup_user_events,
@@ -7897,6 +8061,72 @@ def _webclean_oracles() -> dict[str, str]:
 
 
 ORACLES.update(_webclean_oracles())
+
+ORACLES["anchor_text_docs"] = r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '')
+        || ' <a href="http://site' || ((doc_id + 1) % 13)
+        || '.example.com/p/' || doc_id || '">'
+        || CASE ((doc_id + 1) % 3) WHEN 0 THEN 'click here'
+               WHEN 1 THEN 'read more' ELSE 'home page' END || '</a>'
+        || ' <a href="http://site' || ((doc_id + 2) % 13)
+        || '.example.com/p/' || doc_id || '">'
+        || CASE ((doc_id + 2) % 3) WHEN 0 THEN 'click here'
+               WHEN 1 THEN 'read more' ELSE 'home page' END || '</a>'
+        || ' <a href="http://site' || ((doc_id + 3) % 13)
+        || '.example.com/p/' || doc_id || '">'
+        || CASE ((doc_id + 3) % 3) WHEN 0 THEN 'click here'
+               WHEN 1 THEN 'read more' ELSE 'home page' END || '</a>'
+        AS txt FROM documents),
+    m AS (SELECT
+            UNNEST(regexp_extract_all(txt,
+                'href="([^"]*)">([^<]*)</a>', 1)) AS href,
+            UNNEST(regexp_extract_all(txt,
+                'href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+          FROM d),
+    h AS (SELECT lower(regexp_extract(href,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS dst_host,
+              anchor
+          FROM m)
+    SELECT dst_host, count(*) AS n_refs,
+           count(DISTINCT anchor) AS n_anchor_texts,
+           string_agg(DISTINCT anchor, ',' ORDER BY anchor) AS anchors_csv
+    FROM h GROUP BY dst_host
+"""
+
+ORACLES["template_fingerprint_docs"] = r"""
+    WITH d AS (SELECT doc_id,
+        '<html><head><title>s</title></head><body>'
+        || CASE WHEN doc_id % 3 = 0
+               THEN '<nav><ul><li>x</li><li>y</li></ul></nav>' ELSE '' END
+        || repeat('<p>t</p>', CAST(1 + doc_id % 4 AS INTEGER))
+        || CASE WHEN doc_id % 2 = 0 THEN '<footer>f</footer>' ELSE '' END
+        || '</body></html>' AS html FROM documents),
+    s AS (SELECT doc_id,
+                 regexp_extract_all(html, '<([a-z0-9]+)', 1) AS tags
+          FROM d)
+    SELECT md5(COALESCE(array_to_string(tags, '>'), '')) AS fingerprint,
+           count(*) AS n_pages,
+           CAST(min(len(tags)) AS BIGINT) AS n_tags,
+           min(doc_id) AS min_doc_id
+    FROM s GROUP BY 1
+"""
+
+ORACLES["reciprocal_links_docs"] = r"""
+    WITH e AS (
+        SELECT 'site' || (doc_id % 13) AS src,
+               'site' || ((doc_id + k) % 13) AS dst
+        FROM documents CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) ks
+        UNION ALL
+        SELECT 'site' || (doc_id % 13), 'site' || ((doc_id + 12) % 13)
+        FROM documents WHERE doc_id % 4 = 0),
+    o AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                 CASE WHEN src < dst THEN 1 ELSE 0 END AS fwd
+          FROM e WHERE src <> dst)
+    SELECT a, b, CAST(sum(fwd) AS DOUBLE) AS w_ab,
+           CAST(sum(1 - fwd) AS DOUBLE) AS w_ba
+    FROM o GROUP BY a, b
+    HAVING sum(fwd) > 0 AND sum(1 - fwd) > 0
+"""
 
 def _curate_oracle() -> str:
     from dedup_ray.stages.webclean import (

@@ -109,3 +109,47 @@ def extract_pages(ds, concurrency: int | None = None, batch_size: int = 512):
     return ds.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def tag_sequence(ds, html_col: str = "html_str", out_col: str = "tagseq"):
+    """Template fingerprint input: the page's OPENING-tag sequence.
+
+    Boilerplate/template detection clusters pages by markup STRUCTURE, not
+    content (pages rendered by one CMS template share a tag skeleton even
+    when every word differs) — the structural analog of the text-side
+    near-dup tiers.  Matches the oracle's
+    ``regexp_extract_all(html, '<([a-z0-9]+)', 1)`` exactly: each ``<``
+    followed by a lowercase-alnum run emits that run; closing tags,
+    comments and doctypes emit nothing.  Vectorized: ONE split on ``<``,
+    one RE2 ``extract_regex`` over the flat fragments, then a per-batch
+    pandas groupby-join to reassemble each page's ``>``-separated
+    sequence.  Zero shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        htmls = t[html_col]
+        if isinstance(htmls, pa.ChunkedArray):
+            htmls = htmls.combine_chunks()
+        htmls = pc.coalesce(htmls, pa.scalar("", htmls.type))
+        parts = pc.split_pattern(htmls, "<")
+        flat = pc.list_flatten(parts)
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(par)) - offs[par]
+        tag = pc.struct_field(
+            pc.extract_regex(flat, r"^(?P<t>[a-z0-9]+)"), "t")
+        ok = (pos > 0) & pc.is_valid(tag).to_numpy(zero_copy_only=False)
+        joined = (
+            pd.Series(tag.filter(pa.array(ok)).to_numpy(
+                zero_copy_only=False), index=par[ok], dtype=object)
+            .groupby(level=0).agg(">".join)
+        )
+        out = np.full(t.num_rows, "", dtype=object)
+        out[joined.index.to_numpy()] = joined.to_numpy()
+        res = t.drop_columns([c for c in (out_col,) if c in t.column_names])
+        return res.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

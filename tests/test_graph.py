@@ -390,3 +390,37 @@ def test_label_propagation_brute_force_replay():
             new[n] = best[0]
         lab = new
     assert got == lab
+
+
+def test_reciprocal_edges_small_graph():
+    import ray.data
+
+    from dedup_ray.ops.graph import reciprocal_edges
+
+    e = pa.table({
+        "src": ["h1", "h2", "h1", "h3", "h2", "h4", "h4", "h2"],
+        "dst": ["h2", "h1", "h3", "h1", "h3", "h4", "h5", "h1"],
+    })
+    r = (reciprocal_edges(ray.data.from_arrow(e), num_partitions=4)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # h1<->h2 mutual (1 fwd, 2 back); h1<->h3 mutual; h2->h3 one-way out;
+    # self loop h4->h4 and dangling h4->h5 excluded.
+    assert list(zip(r.a, r.b, r.w_ab, r.w_ba)) == [
+        ("h1", "h2", 1.0, 2.0), ("h1", "h3", 1.0, 1.0)]
+
+
+def test_reciprocal_edges_weighted_and_int_keys():
+    import ray.data
+
+    from dedup_ray.ops.graph import reciprocal_edges
+
+    e = pa.table({
+        "src": pa.array([1, 2, 1, 3], pa.int64()),
+        "dst": pa.array([2, 1, 3, 1], pa.int64()),
+        "n": pa.array([5, 7, 1, 2], pa.int64()),
+    })
+    r = (reciprocal_edges(ray.data.from_arrow(e), weight_col="n",
+                          num_partitions=2)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert list(zip(r.a, r.b, r.w_ab, r.w_ba)) == [
+        (1, 2, 5.0, 7.0), (1, 3, 1.0, 2.0)]

@@ -114,3 +114,68 @@ def test_extract_links_matches_regex_oracle():
         " 1)) FROM t"
     ).fetchall())
     assert got == sql
+
+
+def test_extract_anchors_matches_regex_oracle():
+    import ray.data
+
+    from dedup_ray.stages.urlnorm import extract_anchors
+
+    texts = [
+        'pre <a href="http://a.com/x">one</a> mid '
+        '<a href="https://b.com/y">two words</a> post',
+        'attr between <a href="http://c.com" class="z">skipped</a>',
+        'markup inside <a href="http://d.com">bad <b>x</b></a>',
+        'truncated href="http://e.com',
+        'empty anchor href="http://f.com"></a> tail',
+        'quote in url href="a"b">t</a>',
+        'decoy href="abchref="u">t</a>',
+        'unclosed anchor href="http://g.com">never ends',
+        None,
+        "plain",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = extract_anchors(ray.data.from_arrow(t)).to_pandas()
+    got = sorted(zip(out.doc_id, out.href, out.anchor))
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = sorted(con.execute(
+        "SELECT doc_id,"
+        " UNNEST(regexp_extract_all(text,"
+        "   'href=\"([^\"]*)\">([^<]*)</a>', 1)),"
+        " UNNEST(regexp_extract_all(text,"
+        "   'href=\"([^\"]*)\">([^<]*)</a>', 2)) FROM t"
+    ).fetchall())
+    assert got == sql
+    assert (0, "http://a.com/x", "one") in got
+    assert not any(h == "http://d.com" for _, h, _a in got)
+
+
+def test_tag_sequence_matches_regex_oracle():
+    import ray.data
+
+    from dedup_ray.stages.extract import tag_sequence
+
+    htmls = [
+        "<html><head><title>t</title></head><body><p>a</p><p>b</p>"
+        "</body></html>",
+        '<!DOCTYPE html><div class="x"><br/><img src="y"></div>',
+        "no tags at all",
+        None,
+        '<A HREF="up">upper skipped</A><em>e</em>',
+        "<h1>x</h1><!-- comment --><h2>y</h2>",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(htmls)), pa.int64()),
+                  "html_str": pa.array(htmls)})
+    out = tag_sequence(ray.data.from_arrow(t)).to_pandas().sort_values(
+        "doc_id")
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = con.execute(
+        "SELECT doc_id, COALESCE(array_to_string(regexp_extract_all("
+        "COALESCE(html_str, ''), '<([a-z0-9]+)', 1), '>'), '') AS tagseq"
+        " FROM t ORDER BY doc_id"
+    ).df()
+    assert list(out.tagseq) == list(sql.tagseq)
+    assert list(out.tagseq)[0] == "html>head>title>body>p>p"
