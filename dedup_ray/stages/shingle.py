@@ -79,3 +79,72 @@ def shingle_hash_batch(
         np.concatenate(values_parts) if values_parts else np.empty(0, dtype=np.uint64)
     )
     return values, offsets
+
+
+# ---------------------------------------------------------------------------
+# (w, k)-minimizer sketch — the genomics fingerprint, applied to text
+# ---------------------------------------------------------------------------
+
+def minimizer_rows(texts: list[str | None], k: int, w: int):
+    """Per-text sorted distinct (w, k)-minimizers as hex16 md5 strings.
+
+    The minimizer scheme (Roberts et al. 2004, the k-mer sketch behind
+    minimap2): hash every k-character gram; in every window of ``w``
+    consecutive gram positions keep the minimum hash.  Adjacent windows
+    share their minimum ~(w-1)/(w+1) of the time, so the distinct-set
+    output is ~2/(w+1) of the gram stream — a positionally-stable
+    fingerprint set (unlike MinHash, a shared minimizer pins an ALIGNED
+    shared substring, so matches localize).  Texts shorter than ``k``
+    contribute nothing; texts with fewer than ``w`` grams contribute the
+    single min over all their grams.
+
+    Hash = first 16 hex chars of md5 of the raw k-gram — public-spec,
+    so the whole sketch replays in SQL as ``min(substr(md5(substr(text,
+    i, k)), 1, 16)) OVER (... ROWS BETWEEN CURRENT ROW AND w-1
+    FOLLOWING)`` (lexicographic hex16 == numeric uint64 order).
+    Returns ``(list_of_minimizer_lists)`` aligned with ``texts``.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from dedup_ray.util.hashing import content_digest
+
+    out: list[list[str]] = []
+    for txt in texts:
+        txt = txt or ""
+        n_pos = len(txt) - k + 1
+        if n_pos < 1:
+            out.append([])
+            continue
+        dg = content_digest([txt[j:j + k] for j in range(n_pos)],
+                            algo="md5")
+        hv = np.array([int(d[:16], 16) for d in dg], dtype=np.uint64)
+        if n_pos <= w:
+            mins = hv.min(keepdims=True)
+        else:
+            mins = sliding_window_view(hv, w).min(axis=1)
+        out.append([format(v, "016x") for v in np.unique(mins)])
+    return out
+
+
+def minimizer_sketch(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8, w: int = 16):
+    """Explode each document into its distinct (w, k)-minimizer rows
+    ``(id, minimizer)`` — candidate generation for aligned-substring
+    dedup: two docs sharing a minimizer share (w.h.p.) the underlying
+    k-gram at an aligned position, so a groupby on ``minimizer`` is the
+    blocking key for substring-level near-dup candidates at ~2/(w+1)
+    of the gram-stream volume.  Shuffle-free; one vectorized pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(t):
+        texts = pc.cast(t[text_col], pa.large_string()).to_pylist()
+        per_doc = minimizer_rows(texts, k, w)
+        counts = [len(m) for m in per_doc]
+        ids = t[id_col].take(
+            pa.array(np.repeat(np.arange(len(counts)), counts)))
+        flat = [m for doc in per_doc for m in doc]
+        return pa.table({id_col: ids,
+                         "minimizer": pa.array(flat, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

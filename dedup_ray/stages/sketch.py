@@ -444,3 +444,134 @@ def dd_quantiles_grouped(sketch, group_cols: list[str], qs: list[float],
             g[["bin", "n"]], qs, rel_err
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct counts WITH set operations
+# ---------------------------------------------------------------------------
+#
+# HLL above answers "how many distinct"; it cannot answer "how many
+# distinct in BOTH sources" (HLL intersection via inclusion-exclusion
+# collapses for small overlaps).  The k-minimum-values sketch (Bar-Yossef
+# et al. 2002; Beyer et al. 2007 for the unbiased estimator; the theta
+# sketch of Dasu et al. / DataSketches generalizes it) keeps the k
+# smallest hash values of the distinct-value stream.  It is mergeable
+# (k smallest of a union = k smallest of the concatenated sketches) and
+# supports union / intersection / Jaccard estimates across groups:
+#
+#     theta     = k-th smallest hash of the union, as a fraction of 2^64
+#     union     ≈ (k-1) / theta
+#     intersect ≈ |{v in S1 ∩ S2 : v < theta}| / theta
+#
+# The hash is md5 (hex16 prefix), same public-spec policy as HLL above:
+# the sketch CONTENT and every estimate are exactly reproducible in SQL
+# (lexicographic order on fixed-width hex = numeric order), so the whole
+# operator — not a tolerance band — is oracle-checkable.
+#
+# Scale story: one vectorized pass emits ≤ k rows per (batch, group);
+# ONE exchange on the group key reduces to the final ≤ k rows per group;
+# the pairwise set-op table is computed over G × k rows (driver-bounded
+# — sketches, not data).
+
+KMV_K = 128
+_TWO64 = float(2 ** 64)
+
+
+def _kmv_partial_rows(groups: list, values: list[str], k: int):
+    """Per-(group) k smallest distinct hex16 md5 values of ``values``."""
+    import pandas as pd
+
+    from dedup_ray.util.hashing import content_digest
+
+    df = pd.DataFrame({"g": groups, "v": values}).drop_duplicates()
+    out_g: list = []
+    out_h: list[str] = []
+    for g, sub in df.groupby("g", sort=False):
+        dg = content_digest(sub["v"].tolist(), algo="md5")
+        hv = np.unique(np.array([d[:16] for d in dg], dtype="U16"))[:k]
+        out_h.extend(hv.tolist())
+        out_g.extend([g] * len(hv))
+    return out_g, out_h
+
+
+def kmv_grouped_sketch(ds, group_col: str, token_col: str,
+                       k: int = KMV_K, num_partitions: int = 8):
+    """Per-group KMV sketch rows ``(group, hv)`` — the ≤ k smallest
+    distinct ``substr(md5(token), 1, 16)`` values of the group."""
+    from dedup_ray.util.exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, h = _kmv_partial_rows(
+            pc.cast(t[group_col], pa.string()).to_pylist(),
+            pc.cast(t[token_col], pa.string()).to_pylist(), k)
+        return pa.table({group_col: pa.array(g, pa.string()),
+                         "hv": pa.array(h, pa.string())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "hv": pa.array([], pa.string())})
+        import pandas as pd
+
+        df = t.select([group_col, "hv"]).to_pandas().drop_duplicates()
+        df = df.sort_values([group_col, "hv"], kind="mergesort")
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.table({group_col: pa.array(df[group_col], pa.string()),
+                         "hv": pa.array(df["hv"], pa.string())})
+
+    return hash_exchange([part], [group_col], combine,
+                         num_partitions=num_partitions)
+
+
+def _hex_frac(h: str) -> float:
+    return int(h, 16) / _TWO64
+
+
+def kmv_set_ops(sketch_ds, group_col: str, k: int = KMV_K) -> "pa.Table":
+    """Pairwise union / intersection / Jaccard estimates from per-group
+    KMV sketches (``kmv_grouped_sketch`` output).  Driver-side over
+    G × k sketch rows — bounded by construction, never by corpus size.
+
+    When the merged pair has fewer than k distinct hash values, both
+    sketches are COMPLETE distinct sets and the counts are exact
+    (theta = 1); otherwise the standard theta-sketch estimators apply.
+    Estimates are rounded to 4 decimals; the arithmetic is
+    (k-1)/theta-style double division, bit-reproducible in SQL.
+    """
+    t = (sketch_ds if isinstance(sketch_ds, pa.Table)
+         else pa.concat_tables(
+             list(sketch_ds.iter_batches(batch_format="pyarrow"))
+             or [pa.schema([(group_col, pa.string()),
+                            ("hv", pa.string())]).empty_table()]))
+    import pandas as pd
+
+    df = t.select([group_col, "hv"]).to_pandas()
+    sets = {g: set(sub["hv"]) for g, sub in df.groupby(group_col)}
+    names = sorted(sets)
+    rows = []
+    for i, g1 in enumerate(names):
+        for g2 in names[i + 1:]:
+            s1, s2 = sets[g1], sets[g2]
+            union_vals = np.sort(np.array(sorted(s1 | s2), dtype="U16"))
+            if len(union_vals) < k:
+                union_est = float(len(union_vals))
+                inter_est = float(len(s1 & s2))
+                jacc = inter_est / union_est if len(union_vals) else 0.0
+            else:
+                theta = _hex_frac(str(union_vals[k - 1]))
+                below = set(union_vals[:k - 1].tolist())
+                inter_n = len((s1 & s2) & below)
+                union_est = (k - 1) / theta
+                inter_est = inter_n / theta
+                jacc = inter_n / (k - 1)
+            rows.append((g1, g2, round(union_est, 4),
+                         round(inter_est, 4), round(jacc, 4)))
+    return pa.table({
+        "g1": pa.array([r[0] for r in rows], pa.string()),
+        "g2": pa.array([r[1] for r in rows], pa.string()),
+        "union_est": pa.array([r[2] for r in rows], pa.float64()),
+        "intersect_est": pa.array([r[3] for r in rows], pa.float64()),
+        "jaccard_est": pa.array([r[4] for r in rows], pa.float64()),
+    })
