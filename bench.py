@@ -147,6 +147,18 @@ BENCH_QUERIES = [
     "anchor_text_docs",
     "template_fingerprint_docs",
     "reciprocal_links_docs",
+    "edit1_token_join_docs",
+    "kmv_set_ops_docs",
+    "exact_quantiles_events",
+    "minimizer_sketch_docs",
+    "hilbert_key_events",
+    "heavy_hitters_docs",
+    "rendezvous_shard_docs",
+    "minimizer_pairs_docs",
+    "random_walks_docs",
+    "mis_docs",
+    "weighted_minhash_docs",
+    "char_entropy_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

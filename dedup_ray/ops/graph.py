@@ -692,3 +692,250 @@ def reciprocal_edges(edges_ds, src_col: str = "src", dst_col: str = "dst",
     oriented = edges_ds.map_batches(orient, batch_format="pyarrow")
     return exchange_group_apply(oriented, ["a", "b"], reduce,
                                 num_partitions=num_partitions)
+
+
+def random_walks(edges_ds, n_steps: int = 4, seed: str = "walk",
+                 num_partitions: int = 8):
+    """Deterministic random walks over an edge stream — the corpus
+    generator for DeepWalk/node2vec-style graph embeddings, replayable
+    bit-for-bit: at step ``t`` a walk at node ``u`` moves to the
+    neighbor whose dst-sorted rank is ``md5(f"{seed}:{u}:{t}")[:8] %
+    deg(u)``.  Same-node-same-step walks move together; a dead-end node
+    ends the walk (inner join drops it).
+
+    One exchange per step: the walk frontier (one row per live walk)
+    co-partitions with the edge table on the current node, the reduce
+    picks each walk's ranked neighbor vectorized (rank via grouped
+    cumcount, pick via merge).  Frontier volume = #walks, never edges;
+    the edge table is re-split per step (at scale, pre-partition the
+    edges once with ``return_refs=True`` and reuse).  Starts = every
+    distinct src.  Returns ``(walk_id, step, node)`` for steps 1..n.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import hash_exchange
+    from dedup_ray.util.hashing import content_digest
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.table({"src": pa.array(df["src"], pa.string()),
+                         "dst": pa.array(df["dst"], pa.string())})
+
+    edges = hash_exchange([edges_ds], ["src"], dedupe,
+                          num_partitions=num_partitions)
+
+    def starts(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"walk_id": u, "node": u})
+
+    frontier = edges.map_batches(starts, batch_format="pyarrow")
+    out_steps = []
+    for t_step in range(1, n_steps + 1):
+        def step(fr: pa.Table, ed: pa.Table, t_step=t_step) -> pa.Table:
+            empty = pa.table({"walk_id": pa.array([], pa.string()),
+                              "node": pa.array([], pa.string())})
+            if fr.num_rows == 0 or ed.num_rows == 0:
+                return empty
+            edf = ed.select(["src", "dst"]).to_pandas().drop_duplicates()
+            edf = edf.sort_values(["src", "dst"], kind="mergesort")
+            edf["rk"] = edf.groupby("src", sort=False).cumcount()
+            deg = edf.groupby("src", sort=False)["dst"].size()
+            fdf = fr.select(["walk_id", "node"]).to_pandas()
+            fdf = fdf[fdf["node"].isin(deg.index)]
+            if len(fdf) == 0:
+                return empty
+            d = deg.loc[fdf["node"]].to_numpy()
+            dg = content_digest(
+                [f"{seed}:{n}:{t_step}" for n in fdf["node"]], algo="md5")
+            fdf = fdf.assign(
+                rk=np.array([int(h[:8], 16) for h in dg], np.int64) % d)
+            got = fdf.merge(edf, left_on=["node", "rk"],
+                            right_on=["src", "rk"])
+            return pa.table({
+                "walk_id": pa.array(got["walk_id"], pa.string()),
+                "node": pa.array(got["dst"], pa.string())})
+
+        frontier = hash_exchange([frontier, edges], ["node", "src"], step,
+                                 num_partitions=num_partitions)
+        out_steps.append(frontier.map_batches(
+            lambda t, s=t_step: t.append_column(
+                "step", pa.array([s] * t.num_rows, pa.int64())),
+            batch_format="pyarrow"))
+
+    out = out_steps[0]
+    for nxt in out_steps[1:]:
+        out = out.union(nxt)
+    return out.select_columns(["walk_id", "step", "node"])
+
+
+def maximal_independent_set(edges_ds, seed: str = "mis",
+                            num_partitions: int = 8,
+                            max_rounds: int = 64):
+    """Deterministic Luby MIS: a maximal independent vertex set — no two
+    selected vertices adjacent, every unselected vertex adjacent to a
+    selected one.  The distributed primitive for "pick non-conflicting
+    representatives" (one keeper per overlapping near-dup neighborhood,
+    non-adjacent seeds for clustering, conflict-free schedules).
+
+    Luby's algorithm (1986) with md5 priorities instead of per-round
+    RNG, so the output is a pure function of the graph: each round every
+    live vertex whose priority ``md5(f"{seed}:{v}")`` (hex16; node id
+    breaks the measure-zero tie) beats all live neighbors joins the MIS
+    and its closed neighborhood dies.  O(log n) rounds w.h.p.; each
+    round is a constant number of exchanges (attach neighbor
+    priorities → per-vertex min → winner filter → neighborhood
+    removal), frontier-sized, never corpus-sized.  Edges are treated
+    as undirected.  Returns ``(node, mis_round)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_join, hash_exchange
+    from dedup_ray.util.hashing import content_digest
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["src"], pa.string())
+        b = pc.cast(t["dst"], pa.string())
+        tt = pa.table({"u": pa.concat_arrays([a.combine_chunks()
+                                              if isinstance(a, pa.ChunkedArray)
+                                              else a,
+                                              b.combine_chunks()
+                                              if isinstance(b, pa.ChunkedArray)
+                                              else b]),
+                       "v": pa.concat_arrays([b.combine_chunks()
+                                              if isinstance(b, pa.ChunkedArray)
+                                              else b,
+                                              a.combine_chunks()
+                                              if isinstance(a, pa.ChunkedArray)
+                                              else a])})
+        return tt.filter(pc.not_equal(tt["u"], tt["v"]))
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        df = t.select(["u", "v"]).to_pandas().drop_duplicates()
+        return pa.table({"u": pa.array(df["u"], pa.string()),
+                         "v": pa.array(df["v"], pa.string())})
+
+    edges = hash_exchange([edges_ds.map_batches(undirect,
+                                                batch_format="pyarrow")],
+                          ["u"], dedupe, num_partitions=num_partitions)
+
+    def vertices(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "pri": pa.array([], pa.string())})
+        u = pc.unique(t["u"]).to_pylist()
+        pri = [d[:16] for d in content_digest(
+            [f"{seed}:{n}" for n in u], algo="md5")]
+        return pa.table({"node": pa.array(u, pa.string()),
+                         "pri": pa.array(pri, pa.string())})
+
+    alive = hash_exchange([edges], ["u"], lambda t: vertices(t),
+                          num_partitions=num_partitions)
+
+    _ALIVE = pa.schema([("node", pa.string()), ("pri", pa.string())])
+    _EDGE = pa.schema([("u", pa.string()), ("v", pa.string())])
+    _WIN = pa.schema([("node", pa.string()), ("mis_round", pa.int64())])
+
+    mis_parts: list = []
+    for rnd in range(1, max_rounds + 1):
+        if alive.count() == 0:
+            break
+        # neighbor priorities: edges (u, v) ⋈ alive(v) → per-u min pri
+        ev = edges.map_batches(
+            lambda t: t.rename_columns(["u", "node"]),
+            batch_format="pyarrow")
+        withpri = exchange_join(ev, alive, on="node",
+                                num_partitions=num_partitions,
+                                empty_schema=pa.schema(
+                                    [("u", pa.string()),
+                                     ("node", pa.string()),
+                                     ("pri", pa.string())]))
+
+        def minpri(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "nbr_min": pa.array([], pa.string())})
+            g = t.select(["u", "pri"]).group_by("u").aggregate(
+                [("pri", "min")])
+            return g.rename_columns(["node", "nbr_min"])
+
+        nbrmin = hash_exchange([withpri], ["u"], minpri,
+                               num_partitions=num_partitions)
+
+        def winners_fn(av: pa.Table, nm: pa.Table) -> pa.Table:
+            if av.num_rows == 0 or "node" not in av.column_names:
+                return _WIN.empty_table()
+            import pandas as pd
+
+            adf = av.select(["node", "pri"]).to_pandas()
+            if nm.num_rows and "node" in nm.column_names:
+                ndf = nm.select(["node", "nbr_min"]).to_pandas()
+                adf = adf.merge(ndf, on="node", how="left")
+            else:
+                adf["nbr_min"] = None
+            # win on (pri, node) < (nbr_min, ·): hex16 strings compare
+            # numerically; a vertex with NO live neighbor wins outright
+            win = adf["nbr_min"].isna() | (adf["pri"] < adf["nbr_min"])
+            w = adf.loc[win, ["node"]]
+            return pa.table({"node": pa.array(w["node"], pa.string()),
+                             "mis_round": pa.array(
+                                 np.full(len(w), rnd, np.int64))})
+
+        winners = hash_exchange([alive, nbrmin], ["node", "node"],
+                                winners_fn, num_partitions=num_partitions)
+        mis_parts.append(winners)
+
+        # closed neighborhood of winners dies: neighbors...
+        wn = winners.map_batches(
+            lambda t: t.select(["node"]) if "node" in t.column_names
+            else pa.table({"node": pa.array([], pa.string())}),
+            batch_format="pyarrow")
+        ew = edges.map_batches(
+            lambda t: t.rename_columns(["node", "v"]),
+            batch_format="pyarrow")
+        dead_nbrs = exchange_join(
+            ew, wn, on="node", how="semi",
+            num_partitions=num_partitions,
+            empty_schema=pa.schema([("node", pa.string()),
+                                    ("v", pa.string())])
+        ).map_batches(
+            lambda t: pa.table({"node": (t["v"] if "v" in t.column_names
+                                         else pa.array([], pa.string()))}),
+            batch_format="pyarrow")
+        dead = wn.union(dead_nbrs)
+        alive = exchange_join(alive, dead, on="node", how="anti",
+                              num_partitions=num_partitions,
+                              empty_schema=_ALIVE)
+        # keep only edges with both ends alive (neighbor mins must see
+        # live vertices only)
+        e1 = exchange_join(
+            edges.map_batches(lambda t: t.rename_columns(["node", "v"]),
+                              batch_format="pyarrow"),
+            alive, on="node", how="semi", num_partitions=num_partitions,
+            empty_schema=pa.schema([("node", pa.string()),
+                                    ("v", pa.string())]))
+        e2 = exchange_join(
+            e1.map_batches(lambda t: t.rename_columns(["u", "node"]),
+                           batch_format="pyarrow"),
+            alive, on="node", how="semi", num_partitions=num_partitions,
+            empty_schema=pa.schema([("u", pa.string()),
+                                    ("node", pa.string())]))
+        edges = e2.map_batches(lambda t: t.rename_columns(["u", "v"]),
+                               batch_format="pyarrow")
+
+    out = mis_parts[0]
+    for nxt in mis_parts[1:]:
+        out = out.union(nxt)
+
+    def clean(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return _WIN.empty_table()
+        return t.select(["node", "mis_round"])
+
+    return out.map_batches(clean, batch_format="pyarrow")

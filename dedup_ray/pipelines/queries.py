@@ -7577,6 +7577,150 @@ def hilbert_key_events(sf_dir: str):
     return keyed.select_columns(["event_id", "hkey"])
 
 
+
+HH_PHI = 50
+
+
+def heavy_hitters_docs(sf_dir: str):
+    """Exact heavy hitters via Misra-Gries + rescan (``stages/sketch.py::
+    heavy_hitters_exact``): tokens with count > n/phi, EXACTLY — MG
+    summaries (a true combiner, O(phi) state) give a guaranteed
+    candidate superset, one broadcast rescan makes the counts exact.
+    The deterministic-exact counterpart of the CMS frequency queries."""
+    from dedup_ray.stages.sketch import heavy_hitters_exact
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters_exact(ds, "text", phi=HH_PHI, num_partitions=4)
+
+
+def rendezvous_shard_docs(sf_dir: str):
+    """Rendezvous (highest-random-weight) sharding (``stages/mixing.py::
+    rendezvous_shard``): consistent placement — per doc the argmax-md5
+    shard at n=8 AND n=9, with the moved flag.  Growing the shard map
+    by one moves ~1/9 of rows (vs 8/9 for hash%n); the movement is
+    directly visible in the output and the whole argmax replays in
+    SQL."""
+    from dedup_ray.stages.mixing import rendezvous_shard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    s8 = rendezvous_shard(ds, "doc_id", 8, out_col="shard8")
+    s89 = rendezvous_shard(s8, "doc_id", 9, out_col="shard9")
+
+    def flag(t: pa.Table) -> pa.Table:
+        moved = pc.cast(pc.not_equal(t["shard8"], t["shard9"]), pa.int64())
+        return t.append_column("moved", moved)
+
+    return s89.map_batches(flag, batch_format="pyarrow")
+
+
+MINPAIR_SHARED = 2
+
+
+def minimizer_pairs_docs(sf_dir: str):
+    """Minimizer-blocked near-dup candidates (``stages/shingle.py::
+    minimizer_pairs``): doc pairs sharing >= 2 (w=16, k=8) minimizers
+    with the shared count — the aligned-substring blocking tier next
+    to LSH banding.  Bucket exchange + pair-key exchange, both replayed
+    by the oracle's self-join."""
+    from dedup_ray.stages.shingle import minimizer_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minimizer_pairs(ds, "doc_id", "text", k=MINIMIZER_K,
+                           w=MINIMIZER_W, min_shared=MINPAIR_SHARED,
+                           num_partitions=8, max_bucket=None)
+
+
+WALK_STEPS = 4
+
+
+def random_walks_docs(sf_dir: str):
+    """Deterministic random walks (``ops/graph.py::random_walks``) over
+    the synthetic host graph (same edge rule as ``reciprocal_links_docs``
+    minus the back-links): md5-seeded neighbor choice, one frontier
+    exchange per step — the DeepWalk corpus generator, bit-replayable
+    in SQL as chained rank joins."""
+    from dedup_ray.ops.graph import random_walks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def host(arr):
+            return pc.binary_join_element_wise(
+                "site", pa.array(arr.astype(str)), "")
+
+        parts = [pa.table({"src": host(ids % 13),
+                           "dst": host((ids + k) % 13)})
+                 for k in (1, 2, 3)]
+        return pa.concat_tables(parts)
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return random_walks(edges, n_steps=WALK_STEPS, num_partitions=4)
+
+
+
+def mis_docs(sf_dir: str):
+    """Deterministic Luby MIS (``ops/graph.py::maximal_independent_set``)
+    over the synthetic host graph: non-adjacent representative hosts —
+    the conflict-free-keeper primitive.  md5 vertex priorities make the
+    fixed point a pure function of the graph (pinned oracle: the host
+    graph is corpus-independent, sf-stable)."""
+    from dedup_ray.ops.graph import maximal_independent_set
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def host(arr):
+            return pc.binary_join_element_wise(
+                "site", pa.array(arr.astype(str)), "")
+
+        parts = [pa.table({"src": host(ids % 13),
+                           "dst": host((ids + k) % 13)})
+                 for k in (1, 2, 3)]
+        return pa.concat_tables(parts)
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return maximal_independent_set(edges, num_partitions=4)
+
+
+WMH_PERMS = 16
+
+
+def weighted_minhash_docs(sf_dir: str):
+    """Integer-weighted MinHash (``stages/minhash.py::
+    weighted_minhash_md5``): weighted-Jaccard estimates over term
+    frequencies for adjacent-id doc pairs via the multiset-expansion
+    reduction — tf-aware near-dup similarity where set Jaccard saturates
+    on repeated boilerplate.  The md5 spec twin replays token expansion,
+    register minima AND the match-fraction estimator in SQL."""
+    from dedup_ray.stages.minhash import (weighted_jaccard_pairs,
+                                          weighted_minhash_md5)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    regs = weighted_minhash_md5(ds, n_perms=WMH_PERMS)
+    return weighted_jaccard_pairs(regs, n_perms=WMH_PERMS,
+                                  num_partitions=8)
+
+
+ENTROPY_FLAG_BITS = 2.0
+
+
+def char_entropy_docs(sf_dir: str):
+    """Character-entropy gibberish screen (``stages/textstats.py::
+    char_entropy``): bits/char per doc with a low-entropy flag — the
+    repetition/template detector orthogonal to token quality stats.
+    Shuffle-free; kernel and oracle share the ``log2(n) − Σc·log2(c)/n``
+    form so only summation order differs (absorbed by round(4))."""
+    from dedup_ray.stages.textstats import char_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return char_entropy(ds, "doc_id", "text",
+                        low_threshold=ENTROPY_FLAG_BITS)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "anchor_text_docs": anchor_text_docs,
@@ -8947,6 +9091,114 @@ ORACLES["minimizer_sketch_docs"] = f"""
     SELECT DISTINCT doc_id, m AS minimizer
     FROM wm WHERE i <= greatest(1, p - {MINIMIZER_W} + 1)
 """
+
+
+QUERIES["heavy_hitters_docs"] = heavy_hitters_docs
+QUERIES["rendezvous_shard_docs"] = rendezvous_shard_docs
+QUERIES["minimizer_pairs_docs"] = minimizer_pairs_docs
+QUERIES["random_walks_docs"] = random_walks_docs
+
+ORACLES["heavy_hitters_docs"] = f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, count(*) AS cnt FROM toks, tot
+    GROUP BY token, tot.n HAVING count(*) * {HH_PHI} > tot.n
+"""
+
+
+QUERIES["mis_docs"] = mis_docs
+QUERIES["weighted_minhash_docs"] = weighted_minhash_docs
+QUERIES["char_entropy_docs"] = char_entropy_docs
+
+ORACLES["weighted_minhash_docs"] = f"""
+    {TOKENS_CTE},
+    tf AS (SELECT doc_id, token, count(*) AS w
+           FROM toks GROUP BY doc_id, token),
+    inst AS (SELECT doc_id, token || '#' || j AS it
+             FROM tf, unnest(range(w)) AS u(j)),
+    perms AS (SELECT unnest(range({WMH_PERMS})) AS p),
+    regs AS (SELECT doc_id, p,
+                    min(substr(md5(p || ':' || it), 1, 16)) AS reg
+             FROM inst, perms GROUP BY doc_id, p),
+    a AS (SELECT doc_id, p, reg FROM regs WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, p, reg FROM regs WHERE doc_id % 2 = 1)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(avg(CASE WHEN a.reg = b.reg THEN 1.0 ELSE 0.0 END), 6)
+               AS wjacc_est
+    FROM a JOIN b ON b.doc_id = a.doc_id + 1 AND b.p = a.p
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+ORACLES["char_entropy_docs"] = f"""
+    WITH ch AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+              FROM documents WHERE length(coalesce(text, '')) > 0)),
+    f AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id, c),
+    h AS (SELECT doc_id,
+                 log2(sum(n)) - sum(n * log2(n)) / sum(n) AS ent
+          FROM f GROUP BY doc_id)
+    SELECT doc_id, round(ent, 4) AS char_entropy,
+           CAST(round(ent, 4) < {ENTROPY_FLAG_BITS} AS BIGINT) AS low_flag
+    FROM h
+"""
+
+
+from dedup_ray.stages.mixing import rendezvous_shard_sql as _rdz_sql
+
+ORACLES["rendezvous_shard_docs"] = f"""
+    SELECT doc_id, shard8, shard9,
+           CASE WHEN shard8 = shard9 THEN 0 ELSE 1 END AS moved
+    FROM (SELECT doc_id,
+                 {_rdz_sql('doc_id', 8, out_col='shard8')},
+                 {_rdz_sql('doc_id', 9, out_col='shard9')}
+          FROM documents)
+"""
+
+ORACLES["minimizer_pairs_docs"] = f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {MINIMIZER_K} + 2)) AS i
+        FROM documents WHERE length(text) >= {MINIMIZER_K}),
+    ph AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, CAST(i AS INT), {MINIMIZER_K})),
+                      1, 16) AS h,
+               count(*) OVER (PARTITION BY doc_id) AS p
+        FROM pos),
+    wm AS (
+        SELECT doc_id, i, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {MINIMIZER_W - 1} FOLLOWING) AS m
+        FROM ph),
+    mins AS (SELECT DISTINCT doc_id, m
+             FROM wm WHERE i <= greatest(1, p - {MINIMIZER_W} + 1))
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+    FROM mins a JOIN mins b ON a.m = b.m AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {MINPAIR_SHARED}
+"""
+
+ORACLES["random_walks_docs"] = '''WITH ids AS (SELECT doc_id FROM documents),
+    e0 AS (SELECT 'site' || (doc_id % 13) AS src,
+                  'site' || ((doc_id + k) % 13) AS dst
+           FROM ids, unnest([1, 2, 3]) AS t(k)),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    r AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                     AS rk,
+                 count(*) OVER (PARTITION BY src) AS deg FROM e),
+    w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
+    w1 AS (SELECT w.walk_id, r.dst AS node FROM w0 w JOIN r ON r.src = w.node AND r.rk = CAST(('0x' || substr(md5('walk:' || w.node || ':1'), 1, 8))::UBIGINT::BIGINT % r.deg AS BIGINT)),
+    w2 AS (SELECT w.walk_id, r.dst AS node FROM w1 w JOIN r ON r.src = w.node AND r.rk = CAST(('0x' || substr(md5('walk:' || w.node || ':2'), 1, 8))::UBIGINT::BIGINT % r.deg AS BIGINT)),
+    w3 AS (SELECT w.walk_id, r.dst AS node FROM w2 w JOIN r ON r.src = w.node AND r.rk = CAST(('0x' || substr(md5('walk:' || w.node || ':3'), 1, 8))::UBIGINT::BIGINT % r.deg AS BIGINT)),
+    w4 AS (SELECT w.walk_id, r.dst AS node FROM w3 w JOIN r ON r.src = w.node AND r.rk = CAST(('0x' || substr(md5('walk:' || w.node || ':4'), 1, 8))::UBIGINT::BIGINT % r.deg AS BIGINT))
+SELECT walk_id, 1 AS step, node FROM w1 UNION ALL SELECT walk_id, 2 AS step, node FROM w2 UNION ALL SELECT walk_id, 3 AS step, node FROM w3 UNION ALL SELECT walk_id, 4 AS step, node FROM w4'''
+
 
 from dedup_ray.stages.ordering import hilbert_sql as _hilbert_sql
 

@@ -278,3 +278,104 @@ def bbit_estimate_pairs(regs_ds, id_col: str = "doc_id", b: int = 2,
                       ("reg2", pa.int64())])
     return cogroup([regs_ds, right], [id_col, id_col], per_part,
                    num_partitions, empty_schemas=[sch, sch2])
+
+
+def weighted_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
+                         n_perms: int = 16):
+    """Integer-weighted MinHash registers: WEIGHTED Jaccard
+    ``J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b)`` over term
+    frequencies, via the multiset-expansion reduction — token ``t`` with
+    count ``w`` contributes instances ``t#0 .. t#w-1`` to an ordinary
+    set, whose plain Jaccard EQUALS the weighted Jaccard of the tf
+    vectors (Haveliwala et al. 2000's bag trick; ICWS hashes avoid the
+    expansion at float weights but need log/exp draws — the integer
+    path keeps the md5 spec twin exactly SQL-replayable via
+    ``unnest(range(tf))``).
+
+    Register per (doc, perm) = min over instances of
+    ``md5(f"{perm}:{token}#{j}")`` (hex16).  Output ``(id_col, perm,
+    reg)``; estimate Ĵ_w = matching-register fraction.  Shuffle-free,
+    batch-local.  Cost is O(total tokens × n_perms) digests — the
+    documented trade of the expansion (bounded by doc length, not
+    vocabulary); cap pathological tf upstream if needed.
+    """
+    import pandas as pd
+
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.hashing import content_digest
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(batch[text_col], batch.num_rows)
+        toks = flat.to_pylist()
+        par = parents.tolist()
+        for row in np.flatnonzero(n == 0):  # tokenize sentinel
+            toks.append(str(ids[int(row)].as_py()))
+            par.append(int(row))
+        tf = pd.DataFrame({"p": par, "t": toks}) \
+            .groupby(["p", "t"], sort=False).size().reset_index(name="w")
+        inst_p = np.repeat(tf["p"].to_numpy(), tf["w"].to_numpy())
+        inst_t = [f"{t}#{j}" for t, w in zip(tf["t"], tf["w"])
+                  for j in range(w)]
+        out_id, out_perm, out_reg = [], [], []
+        id_list = ids.to_pylist()
+        for perm in range(n_perms):
+            h = [d[:16] for d in content_digest(
+                [f"{perm}:{t}" for t in inst_t], algo="md5")]
+            mins = pd.Series(h).groupby(inst_p).min()
+            out_id.extend(id_list[int(i)] for i in mins.index)
+            out_perm.extend([perm] * len(mins))
+            out_reg.extend(mins.tolist())
+        return pa.table({
+            id_col: pa.array(out_id),
+            "perm": pa.array(out_perm, pa.int64()),
+            "reg": pa.array(out_reg, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_jaccard_pairs(reg_ds, id_col: str = "doc_id",
+                           n_perms: int = 16, num_partitions: int = 8):
+    """Adjacent-id pair estimates from :func:`weighted_minhash_md5`
+    registers: pair ``(2i, 2i+1)``, Ĵ_w = fraction of matching
+    registers.  One pair-keyed exchange."""
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column("pair", pa.array(ids // 2, pa.int64()))
+
+    pairs = reg_ds.map_batches(keyed, batch_format="pyarrow")
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "wjacc_est": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        df = t.select(["pair", id_col, "perm", "reg"]).to_pandas()
+        piv = df.pivot_table(index=["pair", "perm"], columns=df[id_col] % 2,
+                             values="reg", aggfunc="first")
+        if piv.shape[1] < 2:
+            return empty
+        piv = piv.dropna()
+        match = (piv[0] == piv[1]).groupby(level="pair").mean()
+        n_regs = piv.groupby(level="pair").size()
+        full = n_regs[n_regs == n_perms].index
+        match = match.loc[full]
+        return pa.table({
+            "id1": pa.array((match.index * 2).astype(np.int64)),
+            "id2": pa.array((match.index * 2 + 1).astype(np.int64)),
+            "wjacc_est": pa.array(np.round(match.to_numpy(), 6),
+                                  pa.float64()),
+        })
+
+    return hash_exchange([pairs], ["pair"], reduce_fn,
+                         num_partitions=num_partitions)

@@ -402,3 +402,53 @@ def weighted_sample_sql(k: int, weight_col: str, table: str = "documents",
             FROM {table} WHERE {weight_col} > 0)
         ORDER BY skey DESC, {id_col} LIMIT {k}
     """
+
+
+def rendezvous_shard(ds, id_col: str, n_shards: int,
+                     out_col: str = "shard", seed: str = "rdz"):
+    """Rendezvous (highest-random-weight) shard assignment: each row goes
+    to ``argmax over s in [0, n_shards) of md5(f"{seed}:{id}:{s}")``
+    (Thaler & Ravishankar 1996 — the consistent-placement primitive
+    behind cache rings and shard maps).  The property that matters at
+    scale: growing ``n_shards`` by one moves EXACTLY the rows whose new
+    shard wins the argmax — an expected 1/(n+1) of the corpus — whereas
+    ``hash % n`` moves (n-1)/n of it.  Use it to keep dedup-index
+    shards, output partitions and actor ownership stable across
+    resizes.
+
+    Per-batch vectorized over the id column (one digest pass per
+    shard); shuffle-free.  md5 keeps the assignment SQL-replayable
+    (ties, measure-zero at 2^-64, break toward the smaller shard id via
+    strict '>').
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.hashing import content_digest
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        best = np.zeros(len(ids), np.uint64)
+        shard = np.zeros(len(ids), np.int64)
+        for s in range(n_shards):
+            dg = content_digest([f"{seed}:{i}:{s}" for i in ids],
+                                algo="md5")
+            w = np.array([int(d[:16], 16) for d in dg], dtype=np.uint64)
+            better = w > best
+            best[better] = w[better]
+            shard[better] = s
+        return t.append_column(out_col, pa.array(shard, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rendezvous_shard_sql(id_expr: str, n_shards: int, seed: str = "rdz",
+                         out_col: str = "shard") -> str:
+    """DuckDB expression replaying :func:`rendezvous_shard`'s argmax —
+    one scalar subquery over ``range(n_shards)`` ordered by the same
+    hex16 weight (string order == uint64 order), smaller shard id wins
+    ties."""
+    return (
+        f"(SELECT s FROM (SELECT unnest(range({n_shards})) AS s) "
+        f"ORDER BY substr(md5('{seed}:' || {id_expr} || ':' || s), 1, 16) "
+        f"DESC, s ASC LIMIT 1) AS {out_col}"
+    )

@@ -148,3 +148,71 @@ def minimizer_sketch(ds, id_col: str = "doc_id", text_col: str = "text",
                          "minimizer": pa.array(flat, pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 8, w: int = 16, min_shared: int = 2,
+                    num_partitions: int = 8,
+                    max_bucket: int | None = 256):
+    """Near-dup candidate pairs from shared (w, k)-minimizers: docs
+    sharing ``min_shared``+ minimizers, with the shared count — the
+    aligned-substring blocking tier (a shared minimizer certifies a
+    shared k-gram at a window-stable position, so candidates localize
+    to truly overlapping content; MinHash/LSH candidates certify only
+    set-level similarity).
+
+    One exchange on the minimizer buckets docs (same shape as the LSH
+    band shuffle); per-bucket pair emission is capped at ``max_bucket``
+    docs (boilerplate minimizers — the df-cap policy of
+    ``stages/lsh.py``, an observable undercount); a second exchange on
+    the pair key sums shared counts and applies ``min_shared``.
+    Returns ``(id1, id2, n_shared)`` with id1 < id2.
+    """
+    import pyarrow as pa
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    sk = minimizer_sketch(ds, id_col=id_col, text_col=text_col, k=k, w=w)
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        df = t.select(["minimizer", id_col]).to_pandas().drop_duplicates()
+        out1, out2 = [], []
+        for _, grp in df.groupby("minimizer", sort=False)[id_col]:
+            ids = np.sort(grp.to_numpy())
+            if len(ids) < 2 or (max_bucket is not None
+                                and len(ids) > max_bucket):
+                continue
+            i, j = np.triu_indices(len(ids), 1)
+            out1.append(ids[i])
+            out2.append(ids[j])
+        if not out1:
+            return empty
+        a = np.concatenate(out1)
+        b = np.concatenate(out2)
+        return pa.table({"id1": pa.array(a, pa.int64()),
+                         "id2": pa.array(b, pa.int64()),
+                         "n": pa.array(np.ones(len(a), np.int64))})
+
+    cand = hash_exchange([sk], ["minimizer"], bucket_pairs,
+                         num_partitions=num_partitions)
+
+    def reduce_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        g = t.group_by(["id1", "id2"]).aggregate([("n", "sum")])
+        import pyarrow.compute as pc
+
+        g = g.filter(pc.greater_equal(g["n_sum"], min_shared))
+        return g.rename_columns(["id1", "id2", "n_shared"])
+
+    return hash_exchange([cand], [["id1", "id2"]], reduce_pairs,
+                         num_partitions=num_partitions)

@@ -575,3 +575,140 @@ def kmv_set_ops(sketch_ds, group_col: str, k: int = KMV_K) -> "pa.Table":
         "intersect_est": pa.array([r[3] for r in rows], pa.float64()),
         "jaccard_est": pa.array([r[4] for r in rows], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters + exact rescan: EXACT frequent items at scale
+# ---------------------------------------------------------------------------
+
+def _mg_summary(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra–Gries compression of a (token, count) multiset to ≤ k
+    counters.  Classic guarantee: every item with true count > n/(k+1)
+    survives with counter ≥ true − n/(k+1); merging two summaries and
+    re-compressing preserves the bound (Agarwal et al. 2013), so the
+    summary is a true combiner.  Vectorized: sort by count desc, keep
+    the top k, subtract the (k+1)-th count from the survivors (the
+    batched equivalent of the decrement-all step)."""
+    if len(tokens) <= k:
+        return tokens, counts
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep = order[:k]
+    kept = counts[keep] - thresh
+    live = kept > 0
+    return tokens[keep][live], kept[live]
+
+
+def heavy_hitters_exact(ds, text_col: str = "text", phi: int = 1000,
+                        k: int | None = None, num_partitions: int = 4):
+    """EXACT tokens occurring more than n/phi times, via Misra–Gries +
+    one rescan — the scalable exact-heavy-hitters recipe (CMS above
+    gives ε-approximate counts; this returns the exact answer with two
+    streaming passes and sketch-sized state):
+
+    1. per-batch MG summary with k = 2·phi counters (≤ k rows emitted
+       per batch regardless of batch size);
+    2. one single-partition combine (sum counters, re-compress) plus a
+       global token count — the candidate set is a SUPERSET of the true
+       heavy hitters by the MG guarantee (k ≥ phi suffices; 2·phi gives
+       slack for the merge bound);
+    3. broadcast the candidate set, rescan the corpus counting ONLY
+       candidates exactly, keep count > n/phi.
+
+    Returns ``(token, cnt)`` rows, exact.  Nothing corpus-sized ever
+    sits on the driver: state is O(phi) counters end to end.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    if k is None:
+        k = 2 * phi
+
+    def split_tokens(t: pa.Table):
+        txt = pc.coalesce(pc.cast(t[text_col], pa.string()), "")
+        lists = pc.split_pattern(txt, " ")
+        toks = pc.list_flatten(lists)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return toks
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = split_tokens(t)
+        n_all = len(toks)
+        vc = toks.value_counts()
+        vals = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        mg_t, mg_c = _mg_summary(vals, cnts.astype(np.int64), k)
+        return pa.table({
+            "token": pa.array(list(mg_t) + ["\x00total"], pa.string()),
+            "cnt": pa.array(list(mg_c) + [n_all], pa.int64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = t.group_by("token").aggregate([("cnt", "sum")])
+        toks = np.asarray(g["token"].to_pylist(), dtype=object)
+        cnts = g["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_total = toks == "\x00total"
+        mg_t, mg_c = _mg_summary(toks[~is_total], cnts[~is_total], k)
+        return pa.table({
+            "token": pa.array(list(mg_t) + ["\x00total"], pa.string()),
+            "cnt": pa.array(list(mg_c) + [int(cnts[is_total].sum())],
+                            pa.int64()),
+        })
+
+    # single gather: MG summaries are ≤ k+1 rows per batch — route them
+    # all to one partition keyed on a constant
+    with_key = part.map_batches(
+        lambda t: t.append_column("_k", pa.array([0] * t.num_rows,
+                                                 pa.int64())),
+        batch_format="pyarrow")
+    summary = hash_exchange([with_key], ["_k"],
+                            lambda t: combine(t.drop_columns(["_k"])),
+                            num_partitions=1)
+    rows = summary.take_all()
+    n_total = sum(r["cnt"] for r in rows if r["token"] == "\x00total")
+    cand = sorted(r["token"] for r in rows if r["token"] != "\x00total")
+    if not cand or n_total == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+
+    import ray
+
+    cand_ref = ray.put(set(cand))
+
+    class Rescan:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = split_tokens(t)
+            vc = toks.value_counts()
+            vals = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+            m = np.array([v in self.cand for v in vals], dtype=bool)
+            return pa.table({
+                "token": pa.array(
+                    [v for v, keep in zip(vals, m) if keep], pa.string()),
+                "cnt": pa.array(cnts[m].astype(np.int64), pa.int64()),
+            })
+
+    exact = ds.map_batches(Rescan, batch_format="pyarrow",
+                           concurrency=num_partitions)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = t.group_by("token").aggregate([("cnt", "sum")])
+        cnts = g["cnt_sum"].to_numpy(zero_copy_only=False)
+        keep = cnts * phi > n_total
+        return pa.table({"token": g["token"].filter(pa.array(keep)),
+                         "cnt": pa.array(cnts[keep], pa.int64())})
+
+    return hash_exchange([exact], ["token"], final,
+                         num_partitions=num_partitions)

@@ -601,3 +601,45 @@ def json_extract_cols(ds, json_col: str, fields: dict,
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
+                 low_threshold: float = 2.0):
+    """Character-level Shannon entropy per document — the
+    gibberish/repetition screen orthogonal to the token-level quality
+    stats: natural prose sits ~4-4.5 bits/char, base64/hex blobs higher,
+    repeated-template junk far lower.  ``low_flag`` marks docs under
+    ``low_threshold`` bits.
+
+    Computed as ``H = log2(n) - (Σ c·log2(c)) / n`` over per-character
+    counts ``c`` — the same algebraic form the SQL oracle uses, so the
+    only engine divergence is float summation order (absorbed by the
+    4-decimal round).  Vectorized per batch: one codepoint histogram
+    per doc via np.unique.  Shuffle-free.  Empty/null docs are skipped
+    (no characters, no entropy).
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = pc.cast(t[text_col], pa.large_string()).to_pylist()
+        out_id, out_h = [], []
+        for i, txt in zip(ids, texts):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"), np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            n = float(len(cp))
+            h = np.log2(n) - float(
+                (counts * np.log2(counts)).sum()) / n
+            out_id.append(i)
+            out_h.append(round(h, 4))
+        flags = (np.array(out_h) < low_threshold).astype(np.int64) \
+            if out_h else np.array([], np.int64)
+        return pa.table({
+            id_col: pa.array(out_id, t[id_col].type),
+            "char_entropy": pa.array(out_h, pa.float64()),
+            "low_flag": pa.array(flags, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

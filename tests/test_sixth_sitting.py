@@ -249,3 +249,262 @@ class TestHilbert:
                                            "y": pa.array([0])}))
         with pytest.raises(Exception):
             hilbert_key(ds, "x", "y", bits=2).take_all()
+
+
+class TestHeavyHitters:
+    def test_exact_counts(self):
+        from dedup_ray.stages.sketch import heavy_hitters_exact
+
+        # skewed stream: token ti appears ~ 1000/i times (zipf-ish)
+        texts, truth = [], {}
+        for i in range(1, 60):
+            n = 1000 // i
+            truth[f"t{i}"] = n
+            texts.extend([f"t{i}"] * n)
+        rng = np.random.default_rng(5)
+        rng.shuffle(texts)
+        docs = [" ".join(texts[j:j + 50]) for j in range(0, len(texts), 50)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+        n_total = sum(truth.values())
+        for phi in (10, 50):
+            got = {r["token"]: r["cnt"]
+                   for r in heavy_hitters_exact(
+                       ds, "text", phi=phi, num_partitions=2).take_all()}
+            want = {t: c for t, c in truth.items() if c * phi > n_total}
+            assert got == want, phi
+
+    def test_mg_summary_guarantee(self):
+        from dedup_ray.stages.sketch import _mg_summary
+
+        rng = np.random.default_rng(2)
+        counts = rng.integers(1, 500, size=300).astype(np.int64)
+        tokens = np.array([f"x{i}" for i in range(300)], dtype=object)
+        k = 40
+        mg_t, mg_c = _mg_summary(tokens, counts, k)
+        n = counts.sum()
+        kept = dict(zip(mg_t, mg_c))
+        for t, c in zip(tokens, counts):
+            if c > n / (k + 1):  # every true heavy item must survive
+                assert t in kept
+                assert kept[t] <= c  # counters never overestimate
+
+
+class TestRendezvous:
+    def test_movement_fraction(self):
+        from dedup_ray.stages.mixing import rendezvous_shard
+
+        n = 4000
+        ds = ray.data.from_arrow(pa.table({"id": pa.array(range(n))}))
+        s8 = rendezvous_shard(ds, "id", 8, out_col="a")
+        rows = rendezvous_shard(s8, "id", 9, out_col="b").take_all()
+        moved = sum(r["a"] != r["b"] for r in rows)
+        # expected 1/9 ≈ 11.1%; binomial 5-sigma band
+        assert abs(moved / n - 1 / 9) < 5 * np.sqrt((1 / 9) * (8 / 9) / n)
+        # monotone consistency: every moved row moved TO the new shard 8
+        for r in rows:
+            if r["a"] != r["b"]:
+                assert r["b"] == 8
+
+    def test_balance(self):
+        from dedup_ray.stages.mixing import rendezvous_shard
+
+        n, s = 8000, 8
+        rows = rendezvous_shard(
+            ray.data.from_arrow(pa.table({"id": pa.array(range(n))})),
+            "id", s).take_all()
+        counts = np.bincount([r["shard"] for r in rows], minlength=s)
+        assert counts.min() > 0.8 * n / s and counts.max() < 1.2 * n / s
+
+
+class TestMinimizerPairs:
+    def test_planted_duplicates_pair_up(self):
+        from dedup_ray.stages.shingle import minimizer_pairs
+
+        rng = np.random.default_rng(11)
+
+        def rand(n):
+            return "".join(rng.choice(list("abcdefgh "), size=n))
+
+        base = [rand(200) for _ in range(10)]
+        texts = base + [b[:150] + rand(50) for b in base]  # near-dups
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}))
+        got = minimizer_pairs(ds, min_shared=2, num_partitions=4).take_all()
+        pairs = {(r["id1"], r["id2"]): r["n_shared"] for r in got}
+        for i in range(10):  # every planted near-dup pair found
+            assert (i, i + 10) in pairs
+
+    def test_bucket_cap_undercounts(self):
+        from dedup_ray.stages.shingle import minimizer_pairs
+
+        texts = ["shared boilerplate line here okay"] * 12
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(texts)}))
+        full = minimizer_pairs(ds, min_shared=1, max_bucket=None,
+                               num_partitions=2).count()
+        capped = minimizer_pairs(ds, min_shared=1, max_bucket=4,
+                                 num_partitions=2).count()
+        assert full == 12 * 11 // 2
+        assert capped == 0
+
+
+class TestRandomWalks:
+    @staticmethod
+    def _naive(edges, n_steps, seed="walk"):
+        import hashlib
+        from collections import defaultdict
+
+        adj = defaultdict(list)
+        for s, d in sorted(set(edges)):
+            adj[s].append(d)
+        out = set()
+        for start in sorted({s for s, _ in edges}):
+            cur = start
+            for t in range(1, n_steps + 1):
+                if cur not in adj:
+                    break
+                h = hashlib.md5(f"{seed}:{cur}:{t}".encode()).hexdigest()
+                cur = adj[cur][int(h[:8], 16) % len(adj[cur])]
+                out.add((start, t, cur))
+        return out
+
+    def test_matches_naive(self):
+        from dedup_ray.ops.graph import random_walks
+
+        rng = np.random.default_rng(4)
+        edges = [(f"n{rng.integers(20)}", f"n{rng.integers(20)}")
+                 for _ in range(80)]
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges])}))
+        got = {(r["walk_id"], r["step"], r["node"])
+               for r in random_walks(ds, n_steps=4,
+                                     num_partitions=3).take_all()}
+        assert got == self._naive(edges, 4)
+
+    def test_dead_end_stops_walk(self):
+        from dedup_ray.ops.graph import random_walks
+
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array(["a", "b"]), "dst": pa.array(["b", "c"])}))
+        got = sorted((r["walk_id"], r["step"], r["node"])
+                     for r in random_walks(ds, n_steps=3,
+                                           num_partitions=2).take_all())
+        # c has no out-edges: walk from b is (b->c) then stops
+        assert got == [("a", 1, "b"), ("a", 2, "c"), ("b", 1, "c")]
+
+
+class TestMIS:
+    @staticmethod
+    def _check_mis(edges, mis):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        for a, b in edges:
+            assert not (a in mis and b in mis and a != b)
+        for v in set(adj) - mis:
+            assert adj[v] & mis, f"{v} has no MIS neighbor"
+
+    def test_random_graph_invariants(self):
+        from dedup_ray.ops.graph import maximal_independent_set
+
+        rng = np.random.default_rng(6)
+        edges = sorted({(f"n{rng.integers(40)}", f"n{rng.integers(40)}")
+                        for _ in range(120)})
+        edges = [(a, b) for a, b in edges if a != b]
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges])}))
+        rows = maximal_independent_set(ds, num_partitions=4).take_all()
+        self._check_mis(edges, {r["node"] for r in rows})
+
+    def test_deterministic_across_partitioning(self):
+        from dedup_ray.ops.graph import maximal_independent_set
+
+        edges = [(f"v{i}", f"v{(i + 1) % 9}") for i in range(9)] + \
+                [("v0", "v4"), ("v2", "v7")]
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges])}))
+        a = sorted((r["node"], r["mis_round"]) for r in
+                   maximal_independent_set(ds, num_partitions=1).take_all())
+        b = sorted((r["node"], r["mis_round"]) for r in
+                   maximal_independent_set(ds, num_partitions=5).take_all())
+        assert a == b and a
+
+    def test_edgeless_pairs(self):
+        from dedup_ray.ops.graph import maximal_independent_set
+
+        # two disjoint edges: exactly one endpoint of each in the MIS
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array(["a", "c"]), "dst": pa.array(["b", "d"])}))
+        mis = {r["node"] for r in
+               maximal_independent_set(ds, num_partitions=2).take_all()}
+        assert len(mis & {"a", "b"}) == 1 and len(mis & {"c", "d"}) == 1
+
+
+class TestWeightedMinHash:
+    def test_estimates_weighted_jaccard(self):
+        from dedup_ray.stages.minhash import (weighted_jaccard_pairs,
+                                              weighted_minhash_md5)
+
+        # pair (0,1): identical tf vectors -> J_w = 1 -> est 1.0 exactly
+        # pair (2,3): disjoint vocab -> J_w = 0 -> est 0.0 exactly
+        # pair (4,5): same set, tf 3:1 -> set Jaccard 1, weighted 1/3
+        texts = ["x x y", "x x y",
+                 "aaa bbb", "ccc ddd",
+                 "w w w", "w"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts)}))
+        n_perms = 64
+        regs = weighted_minhash_md5(ds, n_perms=n_perms)
+        got = {(r["id1"], r["id2"]): r["wjacc_est"]
+               for r in weighted_jaccard_pairs(
+                   regs, n_perms=n_perms, num_partitions=2).take_all()}
+        assert got[(0, 1)] == 1.0
+        assert got[(2, 3)] == 0.0
+        # binomial(64, 1/3): 5 sigma ≈ 0.29
+        assert abs(got[(4, 5)] - 1 / 3) < 0.3
+
+    def test_expansion_reduces_to_plain_minhash_on_sets(self):
+        """tf == 1 everywhere: weighted == set Jaccard; registers then
+        depend only on the token#0 instances."""
+        from dedup_ray.stages.minhash import weighted_minhash_md5
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d", "a b c d"])}))
+        rows = weighted_minhash_md5(ds, n_perms=8).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["reg"]
+        assert by_doc[0] == by_doc[1]
+
+
+class TestCharEntropy:
+    def test_values(self):
+        import math
+
+        from dedup_ray.stages.textstats import char_entropy
+
+        texts = ["aaaa",            # H = 0
+                 "abab",            # H = 1
+                 "abcdabcd",        # H = 2
+                 "", None]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts)}))
+        got = {r["doc_id"]: (r["char_entropy"], r["low_flag"])
+               for r in char_entropy(ds, low_threshold=2.0).take_all()}
+        assert got[0] == (0.0, 1)
+        assert got[1] == (1.0, 1)
+        assert got[2] == (2.0, 0)
+        assert 3 not in got and 4 not in got  # empty/null skipped
+        assert math.isclose(got[2][0], 2.0)
