@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "mis_docs",
     "weighted_minhash_docs",
     "char_entropy_docs",
+    "f2_selfjoin_docs",
+    "rrf_fusion_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

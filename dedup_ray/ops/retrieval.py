@@ -105,3 +105,65 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 20,
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def term_count_topk(docs_ds, query_terms: list[str], k: int = 20,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Top-``k`` docs by RAW query-term count — the trivial second
+    retriever for fusion experiments (same batch-local top-k + bounded
+    final sort shape as :func:`bm25_topk`).  Returns ``(id_col, cnt)``
+    sorted by (cnt desc, id)."""
+    terms = sorted(set(query_terms))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(t[text_col], pa.scalar("", t[text_col].type)), " "
+        ).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        vals = pc.list_flatten(toks)
+        s = np.zeros(t.num_rows, np.int64)
+        for term in terms:
+            mask = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            s += np.bincount(parents[mask], minlength=t.num_rows)
+        keep = np.flatnonzero(s > 0)
+        s = s[keep]
+        if len(keep) > k:
+            order = np.lexsort(
+                (t[id_col].take(pa.array(keep)).to_numpy(
+                    zero_copy_only=False), -s))
+            keep, s = keep[order[:k]], s[order[:k]]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(keep)),
+            "cnt": pa.array(s, pa.int64()),
+        })
+
+    return (
+        docs_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cnt", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def rrf_fuse(rankings: list, k: int = 20, c: int = 60,
+             id_col: str = "doc_id") -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine retriever
+    result lists by ``rrf(d) = Σ_lists 1/(c + rank_d)`` — the
+    training-free ensemble that beats either list alone because rank
+    positions, unlike scores, are comparable across scoring scales.
+
+    Each input is a retriever OUTPUT (a Dataset or Table already sorted
+    by its own score) — k-bounded by construction, so fusing on the
+    driver is O(Σk) and never corpus-sized.  Rank is 1-based list
+    position.  Returns the top-``k`` ``(id_col, rrf)`` rows by
+    (rrf desc, id)."""
+    agg: dict = {}
+    for rk in rankings:
+        rows = rk.to_pylist() if isinstance(rk, pa.Table) else rk.take_all()
+        for r, row in enumerate(rows, 1):
+            agg[row[id_col]] = agg.get(row[id_col], 0.0) + 1.0 / (c + r)
+    top = sorted(agg.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    return pa.table({
+        id_col: pa.array([t[0] for t in top], pa.int64()),
+        "rrf": pa.array([round(t[1], 6) for t in top], pa.float64()),
+    })

@@ -7721,6 +7721,37 @@ def char_entropy_docs(sf_dir: str):
                         low_threshold=ENTROPY_FLAG_BITS)
 
 
+
+def f2_selfjoin_docs(sf_dir: str):
+    """AMS/Count-Sketch F2 (``stages/sketch.py::ams_f2``): the token
+    stream's self-join size Σf², estimated in d×w integer registers and
+    reproduced BIT-FOR-BIT by the oracle (md5 buckets + signs, integer
+    register sums, median of 5 row estimates) — the join-planner /
+    skew-early-warning statistic."""
+    from dedup_ray.stages.sketch import ams_f2
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ams_f2(ds, "text", num_partitions=4)
+
+
+
+RRF_POOL, RRF_K, RRF_C = 50, 20, 60
+
+
+def rrf_fusion_docs(sf_dir: str):
+    """Reciprocal-rank fusion (``ops/retrieval.py::rrf_fuse``): BM25
+    top-50 fused with a raw term-count top-50 for the same query —
+    rank-space ensembling of incomparable scorers.  Fusion runs on the
+    retriever OUTPUTS (k-bounded), never the corpus; the oracle replays
+    both rankings (QUALIFY row_number) and the 1/(c+r) sum."""
+    from dedup_ray.ops.retrieval import bm25_topk, rrf_fuse, term_count_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    a = bm25_topk(ds, BM25_TERMS, k=RRF_POOL, k1=BM25_K1, b=BM25_B)
+    b = term_count_topk(ds, BM25_TERMS, k=RRF_POOL)
+    return rrf_fuse([a, b], k=RRF_K, c=RRF_C)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "anchor_text_docs": anchor_text_docs,
@@ -9106,6 +9137,75 @@ ORACLES["heavy_hitters_docs"] = f"""
     tot AS (SELECT count(*) AS n FROM toks)
     SELECT token, count(*) AS cnt FROM toks, tot
     GROUP BY token, tot.n HAVING count(*) * {HH_PHI} > tot.n
+"""
+
+
+
+
+QUERIES["rrf_fusion_docs"] = rrf_fusion_docs
+
+ORACLES["rrf_fusion_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY token),
+    idf AS (SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS w
+            FROM dfreq, stats),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(w * tf * ({BM25_K1} + 1) /
+                   (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+                                      / stats.avgdl))) AS s
+        FROM tf JOIN idf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id),
+    ra AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)
+                      AS r
+           FROM scored WHERE s > 0
+           QUALIFY r <= {RRF_POOL}),
+    tc AS (SELECT doc_id, sum(tf) AS cnt FROM tf GROUP BY doc_id),
+    rb AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cnt DESC, doc_id) AS r
+           FROM tc WHERE cnt > 0
+           QUALIFY r <= {RRF_POOL}),
+    fused AS (SELECT doc_id, sum(1.0 / ({RRF_C} + r)) AS rrf
+              FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+              GROUP BY doc_id)
+    SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id LIMIT {RRF_K}
+"""
+
+
+QUERIES["f2_selfjoin_docs"] = f2_selfjoin_docs
+
+ORACLES["f2_selfjoin_docs"] = """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    tf AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    pj AS (SELECT token, n, unnest(range(5)) AS j FROM tf),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5(token), CAST(2 * j + 1 AS INT), 2))
+                   ::UBIGINT::BIGINT AS bucket,
+               n * (CASE WHEN ('0x' || substr(md5(token),
+                                              CAST(11 + j AS INT), 1))
+                              ::UBIGINT % 2 = 0
+                         THEN 1 ELSE -1 END) AS sv
+        FROM pj),
+    reg AS (SELECT j, bucket, sum(sv) AS v FROM cells GROUP BY j, bucket),
+    est AS (SELECT j, sum(v * v) AS e FROM reg GROUP BY j)
+    SELECT CAST(e AS BIGINT) AS f2_est
+    FROM (SELECT e, row_number() OVER (ORDER BY e) AS rn FROM est)
+    WHERE rn = 3
 """
 
 

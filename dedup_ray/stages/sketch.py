@@ -712,3 +712,84 @@ def heavy_hitters_exact(ds, text_col: str = "text", phi: int = 1000,
 
     return hash_exchange([exact], ["token"], final,
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# AMS / Count-Sketch F2: self-join size estimation in sketch space
+# ---------------------------------------------------------------------------
+
+AMS_D = 5    # estimator rows (median over these)
+AMS_W = 256  # buckets per row = one md5 hex-digit pair
+
+
+def ams_f2(ds, text_col: str = "text", num_partitions: int = 4):
+    """Second frequency moment F2 = Σ_t f_t² of the token stream — the
+    SELF-JOIN SIZE, the quantity a join planner needs before deciding
+    broadcast vs shuffle and the skew early-warning (F2 >> n means a
+    handful of hot keys dominate any key-partitioned stage).
+
+    AMS (Alon–Matias–Szegedy 1996) in the Count-Sketch form (Charikar
+    et al. 2002): row ``j`` of a d×w register matrix adds ``±f_t`` to
+    bucket ``b_j(t)``; ``Σ_b reg²`` is an unbiased F2 estimate per row
+    and the median over d rows concentrates.  Signs and buckets come
+    from disjoint md5 slices (bucket: hex ``[2j, 2j+1]``, sign: parity
+    of hex ``10+j``) — the Kirsch–Mitzenmacher device again, so every
+    register AND the final median are integer-exact in SQL: this is a
+    sketch whose ESTIMATE the oracle reproduces bit-for-bit.
+
+    Registers merge by SUM: one vectorized pass emits ≤ d·w partial
+    rows per batch, one exchange sums them, the estimate folds on ≤
+    d·w rows.  Returns a 1-row table ``(f2_est)``.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import hash_exchange
+    from dedup_ray.util.hashing import content_digest
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(pc.cast(t[text_col], pa.string()), "")
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hx = _hex_vals(content_digest(vals), 2 * AMS_D + AMS_D + 10)
+        out_j, out_b, out_v = [], [], []
+        for j in range(AMS_D):
+            b = hx[:, 2 * j] * 16 + hx[:, 2 * j + 1]
+            sign = 1 - 2 * (hx[:, 10 + j] % 2)
+            regs = np.zeros(AMS_W, np.int64)
+            np.add.at(regs, b, sign * cnts)
+            hit = np.flatnonzero(regs)
+            out_j.extend([j] * len(hit))
+            out_b.extend(hit.tolist())
+            out_v.extend(regs[hit].tolist())
+        return pa.table({"j": pa.array(out_j, pa.int64()),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "v": pa.array(out_v, pa.int64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"f2_est": pa.array([], pa.int64())})
+        g = t.group_by(["j", "bucket"]).aggregate([("v", "sum")])
+        v = g["v_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = g["j"].to_numpy(zero_copy_only=False)
+        ests = np.zeros(AMS_D, np.int64)
+        np.add.at(ests, j, v * v)
+        med = int(np.sort(ests)[AMS_D // 2])
+        return pa.table({"f2_est": pa.array([med], pa.int64())})
+
+    keyed = part.map_batches(
+        lambda t: t.append_column("_k", pa.array([0] * t.num_rows,
+                                                 pa.int64())),
+        batch_format="pyarrow")
+    return hash_exchange([keyed], ["_k"],
+                         lambda t: fold(t.drop_columns(["_k"])),
+                         num_partitions=1)

@@ -508,3 +508,63 @@ class TestCharEntropy:
         assert got[2] == (2.0, 0)
         assert 3 not in got and 4 not in got  # empty/null skipped
         assert math.isclose(got[2][0], 2.0)
+
+
+class TestAMSF2:
+    def test_estimate_accuracy(self):
+        from dedup_ray.stages.sketch import ams_f2
+
+        rng = np.random.default_rng(8)
+        # zipf-ish frequencies over 200 tokens
+        toks = []
+        for i in range(1, 200):
+            toks.extend([f"w{i}"] * max(1, 2000 // i))
+        rng.shuffle(toks)
+        docs = [" ".join(toks[i:i + 40]) for i in range(0, len(toks), 40)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+        got = ams_f2(ds, num_partitions=2).take_all()[0]["f2_est"]
+        from collections import Counter
+
+        true_f2 = sum(c * c for c in Counter(toks).values())
+        # Count-Sketch F2 relative error ~ sqrt(2/w) ≈ 8.8%; median of 5
+        assert abs(got - true_f2) / true_f2 < 0.35
+
+    def test_partition_invariance(self):
+        """Registers merge by sum: the estimate is independent of batch
+        layout."""
+        from dedup_ray.stages.sketch import ams_f2
+
+        docs = [f"a b c w{i} w{i}" for i in range(100)]
+        one = ray.data.from_arrow(pa.table({"text": pa.array(docs)}))
+        many = ray.data.from_arrow_refs([
+            ray.put(pa.table({"text": pa.array(docs[i:i + 10])}))
+            for i in range(0, 100, 10)])
+        a = ams_f2(one, num_partitions=1).take_all()[0]["f2_est"]
+        b = ams_f2(many, num_partitions=3).take_all()[0]["f2_est"]
+        assert a == b
+
+
+class TestRRF:
+    def test_fusion_math(self):
+        from dedup_ray.ops.retrieval import rrf_fuse
+
+        a = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "score": pa.array([9.0, 8.0, 7.0])})
+        b = pa.table({"doc_id": pa.array([3, 1, 4], pa.int64()),
+                      "cnt": pa.array([5, 4, 3], pa.int64())})
+        got = {r["doc_id"]: r["rrf"]
+               for r in rrf_fuse([a, b], k=10, c=60).to_pylist()}
+        assert got[1] == round(1 / 61 + 1 / 62, 6)
+        assert got[3] == round(1 / 63 + 1 / 61, 6)
+        assert got[2] == round(1 / 62, 6)
+        assert got[4] == round(1 / 63, 6)
+
+    def test_term_count_topk(self):
+        from dedup_ray.ops.retrieval import term_count_topk
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x x x y", "x y", "z", "y y y y"])}))
+        rows = term_count_topk(ds, ["x", "y"], k=3).take_all()
+        assert [(r["doc_id"], r["cnt"]) for r in rows] == \
+            [(0, 4), (3, 4), (1, 2)]
