@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "char_entropy_docs",
     "f2_selfjoin_docs",
     "rrf_fusion_docs",
+    "bootstrap_mean_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -7752,6 +7752,22 @@ def rrf_fusion_docs(sf_dir: str):
     return rrf_fuse([a, b], k=RRF_K, c=RRF_C)
 
 
+
+BOOT_REPS = 20
+
+
+def bootstrap_mean_docs(sf_dir: str):
+    """Poisson-bootstrap sampling distribution of mean doc length
+    (``stages/mixing.py::poisson_bootstrap_mean``): 20 replicate means
+    from ONE streaming pass — md5-deterministic Poisson(1) weights
+    through the shared CDF ladder, so every replicate replays in SQL.
+    The corpus-scale answer to "what is the CI on this statistic"."""
+    from dedup_ray.stages.mixing import poisson_bootstrap_mean
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return poisson_bootstrap_mean(ds, "n_chars", n_reps=BOOT_REPS)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "anchor_text_docs": anchor_text_docs,
@@ -9140,6 +9156,27 @@ ORACLES["heavy_hitters_docs"] = f"""
 """
 
 
+
+
+
+QUERIES["bootstrap_mean_docs"] = bootstrap_mean_docs
+
+from dedup_ray.stages.mixing import POISSON1_CDF as _P1
+
+_BOOT_W = ("CASE " + " ".join(
+    f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_P1)) + " ELSE 6 END")
+
+ORACLES["bootstrap_mean_docs"] = f"""
+    WITH reps AS (SELECT unnest(range({BOOT_REPS})) AS rep),
+    draws AS (
+        SELECT rep, n_chars,
+               ('0x' || substr(md5('boot:' || doc_id || ':' || rep), 1, 16))
+                   ::UBIGINT::DOUBLE / 18446744073709551616.0 AS u
+        FROM documents, reps),
+    w AS (SELECT rep, n_chars, {{_BOOT_W}} AS wt FROM draws)
+    SELECT rep, round(sum(wt * n_chars) / sum(wt), 6) AS boot_mean
+    FROM w GROUP BY rep
+""".replace("{_BOOT_W}", _BOOT_W)
 
 
 QUERIES["rrf_fusion_docs"] = rrf_fusion_docs

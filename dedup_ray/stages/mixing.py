@@ -452,3 +452,69 @@ def rendezvous_shard_sql(id_expr: str, n_shards: int, seed: str = "rdz",
         f"ORDER BY substr(md5('{seed}:' || {id_expr} || ':' || s), 1, 16) "
         f"DESC, s ASC LIMIT 1) AS {out_col}"
     )
+
+
+# Poisson(1) CDF thresholds, shared verbatim with the SQL oracle so both
+# engines make identical branch decisions on identical u doubles.
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238463,
+                0.9963401531726563, 0.9994058151824183)
+
+
+def poisson_bootstrap_mean(ds, value_col: str, id_col: str = "doc_id",
+                           n_reps: int = 20, seed: str = "boot"):
+    """Poisson-bootstrap replicate means — confidence intervals for a
+    corpus statistic WITHOUT resampling the corpus: replicate ``r``
+    weights every row by an independent Poisson(1) draw (Chamandy et
+    al. 2012, the streaming/sharded bootstrap — at corpus scale true
+    resampling is impossible, but Poisson weights are row-local), so
+    all ``n_reps`` replicates accumulate in ONE streaming pass of
+    per-batch partial (Σw, Σw·x) sums.
+
+    The draw is md5-deterministic: ``u = md5(f"{seed}:{id}:{r}")``
+    (hex16 fraction), inverse-CDF'd through the shared
+    ``POISSON1_CDF`` thresholds (capped at 6) — every weight, and
+    therefore every replicate mean, replays exactly in SQL.  Returns
+    ``(rep, boot_mean)``, one row per replicate; the spread of
+    ``boot_mean`` IS the sampling distribution of the mean.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.hashing import content_digest
+
+    thr = np.array(POISSON1_CDF)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string()).to_pylist()
+        x = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        reps, sw, swx = [], [], []
+        for r in range(n_reps):
+            dg = content_digest([f"{seed}:{i}:{r}" for i in ids],
+                                algo="md5")
+            u = np.array([int(d[:16], 16) for d in dg],
+                         dtype=np.float64) / 2.0 ** 64
+            w = np.searchsorted(thr, u, side="right").astype(np.float64)
+            reps.append(r)
+            sw.append(float(w.sum()))
+            swx.append(float((w * x).sum()))
+        return pa.table({"rep": pa.array(reps, pa.int64()),
+                         "sw": pa.array(sw, pa.float64()),
+                         "swx": pa.array(swx, pa.float64())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rep": pa.array([], pa.int64()),
+                             "boot_mean": pa.array([], pa.float64())})
+        g = t.group_by("rep").aggregate([("sw", "sum"), ("swx", "sum")])
+        sw = g["sw_sum"].to_numpy(zero_copy_only=False)
+        swx = g["swx_sum"].to_numpy(zero_copy_only=False)
+        mean = np.where(sw > 0, swx / np.where(sw > 0, sw, 1.0), 0.0)
+        return pa.table({"rep": g["rep"],
+                         "boot_mean": pa.array(np.round(mean, 6),
+                                               pa.float64())})
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    return hash_exchange([part], ["rep"], fold, num_partitions=2)

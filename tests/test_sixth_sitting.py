@@ -568,3 +568,40 @@ class TestRRF:
         rows = term_count_topk(ds, ["x", "y"], k=3).take_all()
         assert [(r["doc_id"], r["cnt"]) for r in rows] == \
             [(0, 4), (3, 4), (1, 2)]
+
+
+class TestBootstrap:
+    def test_replicate_means_concentrate(self):
+        from dedup_ray.stages.mixing import poisson_bootstrap_mean
+
+        rng = np.random.default_rng(12)
+        x = rng.normal(100, 15, 3000)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(3000), pa.int64()),
+            "v": pa.array(x, pa.float64())}))
+        rows = poisson_bootstrap_mean(ds, "v", n_reps=30,
+                                      seed="t").take_all()
+        means = np.array([r["boot_mean"] for r in rows])
+        assert len(means) == 30
+        # replicate means center on the sample mean with sd ≈ s/sqrt(n)
+        se = x.std() / np.sqrt(len(x))
+        assert abs(means.mean() - x.mean()) < 5 * se
+        assert 0.3 * se < means.std() < 3 * se
+
+    def test_partition_invariance(self):
+        from dedup_ray.stages.mixing import poisson_bootstrap_mean
+
+        x = np.arange(400, dtype=np.float64)
+        one = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(400), pa.int64()),
+            "v": pa.array(x)}))
+        many = ray.data.from_arrow_refs([
+            ray.put(pa.table({"doc_id": pa.array(range(i, i + 50),
+                                                 pa.int64()),
+                              "v": pa.array(x[i:i + 50])}))
+            for i in range(0, 400, 50)])
+        a = sorted((r["rep"], r["boot_mean"]) for r in
+                   poisson_bootstrap_mean(one, "v", n_reps=5).take_all())
+        b = sorted((r["rep"], r["boot_mean"]) for r in
+                   poisson_bootstrap_mean(many, "v", n_reps=5).take_all())
+        assert a == b
