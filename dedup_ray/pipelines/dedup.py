@@ -433,10 +433,12 @@ def dedup_pipeline(
 
 
 def dedup_and_score(pages_ds, truth_ds, config: DedupConfig | None = None,
-                    id_col: str = "url"):
-    """Run the pipeline and score against a truth clustering (F1/recall)."""
+                    id_col: str = "url", extra_edges: list | None = None):
+    """Run the pipeline and score against a truth clustering (F1/recall).
+    ``extra_edges`` forwards to :func:`dedup_pipeline` (the §2.12 hook)."""
     cfg = config or DedupConfig()
-    clusters, _ = dedup_pipeline(pages_ds, cfg, id_col=id_col)
+    clusters, _ = dedup_pipeline(pages_ds, cfg, id_col=id_col,
+                                 extra_edges=extra_edges)
     clusters = clusters.materialize()
     metrics = pairwise_prf_ds(
         clusters, truth_ds, id_col=id_col, num_partitions=cfg.num_partitions

@@ -172,11 +172,16 @@ def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     from dedup_ray.util.exchange import hash_exchange
 
+    try:  # native id dtype (string urls OR int64 doc ids) for void blocks
+        id_t = ds.schema().base_schema.field(id_col).type
+    except Exception:
+        id_t = pa.int64()
+
     sk = minimizer_sketch(ds, id_col=id_col, text_col=text_col, k=k, w=w)
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        empty = pa.table({"id1": pa.array([], pa.int64()),
-                          "id2": pa.array([], pa.int64()),
+        empty = pa.table({"id1": pa.array([], id_t),
+                          "id2": pa.array([], id_t),
                           "n": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
@@ -196,8 +201,8 @@ def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             return empty
         a = np.concatenate(out1)
         b = np.concatenate(out2)
-        return pa.table({"id1": pa.array(a, pa.int64()),
-                         "id2": pa.array(b, pa.int64()),
+        return pa.table({"id1": pa.array(a, id_t),
+                         "id2": pa.array(b, id_t),
                          "n": pa.array(np.ones(len(a), np.int64))})
 
     cand = hash_exchange([sk], ["minimizer"], bucket_pairs,
@@ -205,8 +210,8 @@ def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def reduce_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"id1": pa.array([], pa.int64()),
-                             "id2": pa.array([], pa.int64()),
+            return pa.table({"id1": pa.array([], id_t),
+                             "id2": pa.array([], id_t),
                              "n_shared": pa.array([], pa.int64())})
         g = t.group_by(["id1", "id2"]).aggregate([("n", "sum")])
         import pyarrow.compute as pc

@@ -605,3 +605,41 @@ class TestBootstrap:
         b = sorted((r["rep"], r["boot_mean"]) for r in
                    poisson_bootstrap_mean(many, "v", n_reps=5).take_all())
         assert a == b
+
+
+class TestMinimizerTierIntegration:
+    def test_extra_edges_minimizer_tier_keeps_recall(self):
+        """The flagship's §2.12 extension hook accepts the minimizer tier:
+        recall stays 1.0 on the planted corpus and precision does not
+        collapse (minimizer candidates certify aligned overlap, so no
+        mass false merges on the boilerplate-pressure pages)."""
+        import ray.data as rd
+
+        from dedup_ray.config import DedupConfig
+        from dedup_ray.pipelines.dedup import dedup_and_score
+        from dedup_ray.sources.pages import planted_pages
+        from dedup_ray.stages.extract import extract_pages
+        from dedup_ray.stages.shingle import minimizer_pairs
+
+        from dedup_ray.stages.signer import sign_docs
+        from dedup_ray.stages.verify import verify_pairs
+
+        pages, truth = planted_pages(n_base=60, seed=123)
+        cfg = DedupConfig(minhash_concurrency=2, num_partitions=4)
+        extracted = extract_pages(rd.from_arrow(pages), concurrency=2)
+        # minimizer candidates are a BLOCKING tier: verify through the
+        # flagship's own signature-Jaccard stage before they become edges
+        cand = minimizer_pairs(
+            extracted.select_columns(["url", "text"]),
+            id_col="url", text_col="text",
+            k=8, w=16, min_shared=4, num_partitions=4)
+        sigs = sign_docs(extracted, cfg, id_col="url")
+        extra = verify_pairs(cand, sigs, cfg, id_col="url")
+        _, metrics = dedup_and_score(
+            rd.from_arrow(pages), rd.from_arrow(truth), cfg,
+            extra_edges=[extra])
+        # baseline on this corpus is recall 1.0 / precision 1.0 (the
+        # verify-skill drive); the verified minimizer tier must not
+        # degrade either beyond verify-threshold noise
+        assert metrics["recall"] == 1.0
+        assert metrics["precision"] >= 0.95
