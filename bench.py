@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "f2_selfjoin_docs",
     "rrf_fusion_docs",
     "bootstrap_mean_docs",
+    "scc_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -939,3 +939,265 @@ def maximal_independent_set(edges_ds, seed: str = "mis",
         return t.select(["node", "mis_round"])
 
     return out.map_batches(clean, batch_format="pyarrow")
+
+
+def strongly_connected_components(edges_ds, num_partitions: int = 8,
+                                  seed: str = "scc", max_outer: int = 64,
+                                  max_inner: int = 256):
+    """Distributed SCC via the coloring algorithm (Orzan 2004 / the
+    FW-BW family): the DIRECTED counterpart of the flagship's CC —
+    mutual-reachability clusters for redirect rings, mirror loops and
+    link farms, where weak connectivity over-merges.
+
+    Outer round (each removes ≥ 1 whole SCC):
+      1. FORWARD fixpoint: every live vertex carries a color =
+         the max md5-priority vertex that reaches it (color(v) =
+         max(own, colors of in-neighbors)); propagate until no vertex
+         changes — each step is one frontier exchange.
+      2. Each color class's ROOT (the vertex whose priority IS the
+         color) can reach the whole class; the SCC of the root is the
+         subset that reaches BACK to it inside its color class:
+         BACKWARD BFS from roots along same-color edges.
+      3. Emit (node, scc_root) for reached vertices, remove them,
+         filter edges, repeat.
+
+    Deterministic (md5 priorities), vertex-state exchanges only (no
+    corpus-sized driver state); worst case (a path graph) degenerates
+    to O(n) rounds like every label-propagation SCC — the documented
+    trade vs. Tarjan, which cannot be distributed.  Returns
+    ``(node, scc_id)`` with ``scc_id`` = the root vertex's id.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_join, hash_exchange
+    from dedup_ray.util.hashing import content_digest
+
+    _E = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    _C = pa.schema([("node", pa.string()), ("cpri", pa.string()),
+                    ("croot", pa.string())])
+    _OUT = pa.schema([("node", pa.string()), ("scc_id", pa.string())])
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _E.empty_table()
+        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
+        df = df[df["src"] != df["dst"]]
+        return pa.table({"src": pa.array(df["src"], pa.string()),
+                         "dst": pa.array(df["dst"], pa.string())})
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t["src"], pa.string()),
+                         "dst": pc.cast(t["dst"], pa.string())})
+
+    edges = hash_exchange(
+        [edges_ds.map_batches(to_str, batch_format="pyarrow")],
+        ["src"], dedupe, num_partitions=num_partitions)
+
+    def init_color(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _C.empty_table()
+        u = sorted(set(t["src"].to_pylist()) | set(t["dst"].to_pylist()))
+        pri = [d[:16] for d in content_digest(
+            [f"{seed}:{n}" for n in u], algo="md5")]
+        return pa.table({"node": pa.array(u, pa.string()),
+                         "cpri": pa.array(pri, pa.string()),
+                         "croot": pa.array(u, pa.string())})
+
+    # vertices must dedupe GLOBALLY (a node may appear in many blocks)
+    both = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow")
+
+    def uniq_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _C.empty_table()
+        u = sorted(set(t["node"].to_pylist()))
+        pri = [d[:16] for d in content_digest(
+            [f"{seed}:{n}" for n in u], algo="md5")]
+        return pa.table({"node": pa.array(u, pa.string()),
+                         "cpri": pa.array(pri, pa.string()),
+                         "croot": pa.array(u, pa.string())})
+
+    alive = hash_exchange([both], ["node"], uniq_nodes,
+                          num_partitions=num_partitions)
+    out_parts: list = []
+
+    for _outer in range(max_outer):
+        if alive.count() == 0:
+            break
+        color = alive
+
+        # --- 1. forward color fixpoint -------------------------------
+        for _inner in range(max_inner):
+            # messages: color(src) flows along src -> dst
+            ev = edges.map_batches(
+                lambda t: t.rename_columns(["node", "dst"]),
+                batch_format="pyarrow")
+            msgs = exchange_join(
+                ev, color, on="node", num_partitions=num_partitions,
+                empty_schema=pa.schema([("node", pa.string()),
+                                        ("dst", pa.string()),
+                                        ("cpri", pa.string()),
+                                        ("croot", pa.string())])
+            ).map_batches(
+                lambda t: pa.table({
+                    "node": t["dst"] if "dst" in t.column_names
+                    else pa.array([], pa.string()),
+                    "mpri": t["cpri"] if "cpri" in t.column_names
+                    else pa.array([], pa.string()),
+                    "mroot": t["croot"] if "croot" in t.column_names
+                    else pa.array([], pa.string())}),
+                batch_format="pyarrow")
+
+            def merge_color(cv: pa.Table, mv: pa.Table) -> pa.Table:
+                if cv.num_rows == 0 or "node" not in cv.column_names:
+                    return pa.schema([("node", pa.string()),
+                                      ("cpri", pa.string()),
+                                      ("croot", pa.string()),
+                                      ("changed", pa.int64())]).empty_table()
+                cdf = cv.select(["node", "cpri", "croot"]).to_pandas()
+                if mv.num_rows and "node" in mv.column_names:
+                    mdf = mv.to_pandas()
+                    best = mdf.sort_values(["node", "mpri"]) \
+                        .groupby("node", sort=False).tail(1)
+                    cdf = cdf.merge(best, on="node", how="left")
+                else:
+                    cdf["mpri"] = None
+                    cdf["mroot"] = None
+                take = cdf["mpri"].notna() & (cdf["mpri"] > cdf["cpri"])
+                cdf.loc[take, "cpri"] = cdf.loc[take, "mpri"]
+                cdf.loc[take, "croot"] = cdf.loc[take, "mroot"]
+                return pa.table({
+                    "node": pa.array(cdf["node"], pa.string()),
+                    "cpri": pa.array(cdf["cpri"], pa.string()),
+                    "croot": pa.array(cdf["croot"], pa.string()),
+                    "changed": pa.array(take.to_numpy().astype(np.int64)),
+                })
+
+            merged = hash_exchange([color, msgs], ["node", "node"],
+                                   merge_color,
+                                   num_partitions=num_partitions)
+            merged = merged.materialize()
+            n_changed = merged.sum("changed") or 0
+            color = merged.drop_columns(["changed"])
+            if n_changed == 0:
+                break
+
+        # --- 2. backward reach from roots inside color classes -------
+        def roots(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.schema([("node", pa.string()),
+                                  ("croot", pa.string())]).empty_table()
+            m = pc.equal(t["node"], t["croot"])
+            return t.filter(m).select(["node", "croot"])
+
+        visited = color.map_batches(roots, batch_format="pyarrow")
+        # backward frontier loop: u joins the visited set when some edge
+        # u -> v has v visited AND color(u) == color(v); the target's
+        # root rides the frontier join so the check stays co-partitioned
+        for _inner in range(max_inner):
+            ev = edges.map_batches(
+                lambda t: t.rename_columns(["src", "node"]),
+                batch_format="pyarrow")
+            into_visited = exchange_join(
+                ev, visited, on="node", num_partitions=num_partitions,
+                empty_schema=pa.schema([("src", pa.string()),
+                                        ("node", pa.string()),
+                                        ("croot", pa.string())]))
+            cand = into_visited.map_batches(
+                lambda t: pa.table({
+                    "node": t["src"] if "src" in t.column_names
+                    else pa.array([], pa.string()),
+                    "vroot": t["croot"] if "croot" in t.column_names
+                    else pa.array([], pa.string())}),
+                batch_format="pyarrow")
+
+            def grow(cd: pa.Table, cl: pa.Table, vis: pa.Table) -> pa.Table:
+                empty = pa.schema([("node", pa.string()),
+                                   ("croot", pa.string())]).empty_table()
+                if cd.num_rows == 0 or "node" not in cd.column_names:
+                    return empty
+                cdf = cd.to_pandas().drop_duplicates()
+                cldf = cl.select(["node", "croot"]).to_pandas() \
+                    if cl.num_rows and "node" in cl.column_names \
+                    else pd.DataFrame(columns=["node", "croot"])
+                seen = set(vis["node"].to_pylist()) \
+                    if vis.num_rows and "node" in vis.column_names else set()
+                cdf = cdf.merge(cldf, on="node", how="inner")
+                cdf = cdf[cdf["croot"] == cdf["vroot"]]
+                cdf = cdf[~cdf["node"].isin(seen)]
+                cdf = cdf.drop_duplicates(subset=["node"])
+                return pa.table({
+                    "node": pa.array(cdf["node"], pa.string()),
+                    "croot": pa.array(cdf["croot"], pa.string())})
+
+            new = hash_exchange([cand, color, visited],
+                                ["node", "node", "node"], grow,
+                                num_partitions=num_partitions)
+            new = new.materialize()
+            if new.count() == 0:
+                break
+            visited = visited.union(new).materialize()
+
+        out_parts.append(visited.map_batches(
+            lambda t: pa.table({
+                "node": t["node"] if "node" in t.column_names
+                else pa.array([], pa.string()),
+                "scc_id": t["croot"] if "croot" in t.column_names
+                else pa.array([], pa.string())}),
+            batch_format="pyarrow").materialize())
+
+        # remove the finished SCCs; filter edges to survivors.  Colors
+        # RESET for the next round: cpri must be the vertex's OWN md5
+        # priority again, not the propagated max (keeping the propagated
+        # value would make every survivor its own root next round and
+        # shatter the remaining SCCs into singletons).
+        def reset_color(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return _C.empty_table()
+            nodes_ = t["node"].to_pylist()
+            pri = [d[:16] for d in content_digest(
+                [f"{seed}:{n}" for n in nodes_], algo="md5")]
+            return pa.table({"node": pa.array(nodes_, pa.string()),
+                             "cpri": pa.array(pri, pa.string()),
+                             "croot": pa.array(nodes_, pa.string())})
+
+        alive = exchange_join(
+            color.map_batches(reset_color, batch_format="pyarrow"),
+            visited, on="node", how="anti",
+            num_partitions=num_partitions, empty_schema=_C).materialize()
+        e1 = exchange_join(
+            edges.map_batches(lambda t: t.rename_columns(["node", "dst"]),
+                              batch_format="pyarrow"),
+            alive, on="node", how="semi", num_partitions=num_partitions,
+            empty_schema=pa.schema([("node", pa.string()),
+                                    ("dst", pa.string())]))
+        e2 = exchange_join(
+            e1.map_batches(lambda t: t.rename_columns(["src", "node"]),
+                           batch_format="pyarrow"),
+            alive, on="node", how="semi", num_partitions=num_partitions,
+            empty_schema=pa.schema([("src", pa.string()),
+                                    ("node", pa.string())]))
+        edges = e2.map_batches(lambda t: t.rename_columns(["src", "dst"]),
+                               batch_format="pyarrow").materialize()
+
+    if not out_parts:
+        return ray_empty(_OUT)
+    out = out_parts[0]
+    for nxt in out_parts[1:]:
+        out = out.union(nxt)
+
+    def clean(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return _OUT.empty_table()
+        return t.select(["node", "scc_id"])
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def ray_empty(schema: pa.Schema):
+    import ray.data
+
+    return ray.data.from_arrow(schema.empty_table())

@@ -7768,6 +7768,41 @@ def bootstrap_mean_docs(sf_dir: str):
     return poisson_bootstrap_mean(ds, "n_chars", n_reps=BOOT_REPS)
 
 
+
+def scc_docs(sf_dir: str):
+    """Distributed strongly-connected components (``ops/graph.py::
+    strongly_connected_components``, coloring/FW-BW): mutual-reachability
+    clusters on a DIRECTED host graph — redirect rings and mirror loops,
+    where the flagship's weak CC over-merges.  Synthetic graph: a 4-site
+    ring feeding an 8-site chain (ring = one SCC, chain = singletons);
+    corpus-independent, so the pinned oracle is sf-stable."""
+    from dedup_ray.ops.graph import strongly_connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ids % 13
+
+        def host(arr):
+            return pc.binary_join_element_wise(
+                "site", pa.array(arr.astype(str)), "")
+
+        ring = h < 4
+        chain = (h >= 4) & (h < 12)
+        bridge = h == 3
+        return pa.concat_tables([
+            pa.table({"src": host(h[ring]),
+                      "dst": host((h[ring] + 1) % 4)}),
+            pa.table({"src": host(h[chain]), "dst": host(h[chain] + 1)}),
+            pa.table({"src": host(np.full(bridge.sum(), 3)),
+                      "dst": host(np.full(bridge.sum(), 4))}),
+        ])
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return strongly_connected_components(edges, num_partitions=4)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "anchor_text_docs": anchor_text_docs,
@@ -9157,6 +9192,10 @@ ORACLES["heavy_hitters_docs"] = f"""
 
 
 
+
+
+
+QUERIES["scc_docs"] = scc_docs
 
 
 QUERIES["bootstrap_mean_docs"] = bootstrap_mean_docs

@@ -643,3 +643,85 @@ class TestMinimizerTierIntegration:
         # degrade either beyond verify-threshold noise
         assert metrics["recall"] == 1.0
         assert metrics["precision"] >= 0.95
+
+
+class TestSCC:
+    @staticmethod
+    def _tarjan(edges):
+        import sys
+        from collections import defaultdict
+
+        sys.setrecursionlimit(100000)
+        adj = defaultdict(list)
+        nodes = set()
+        for a, b in edges:
+            adj[a].append(b)
+            nodes.update((a, b))
+        index, low, on, st, out, c = {}, {}, set(), [], [], [0]
+
+        def strong(v):
+            index[v] = low[v] = c[0]
+            c[0] += 1
+            st.append(v)
+            on.add(v)
+            for w in adj[v]:
+                if w not in index:
+                    strong(w)
+                    low[v] = min(low[v], low[w])
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.append(frozenset(comp))
+
+        for v in sorted(nodes):
+            if v not in index:
+                strong(v)
+        return set(out)
+
+    def _run(self, edges, parts=4):
+        from dedup_ray.ops.graph import strongly_connected_components
+
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges]),
+            "dst": pa.array([e[1] for e in edges])}))
+        rows = strongly_connected_components(
+            ds, num_partitions=parts).take_all()
+        got = {}
+        for r in rows:
+            got.setdefault(r["scc_id"], set()).add(r["node"])
+        return {frozenset(v) for v in got.values()}
+
+    def test_random_digraph_matches_tarjan(self):
+        rng = np.random.default_rng(13)
+        edges = set()
+        for _ in range(5):  # planted rings
+            ring = [f"r{rng.integers(1000)}_{i}"
+                    for i in range(rng.integers(2, 6))]
+            for i in range(len(ring)):
+                edges.add((ring[i], ring[(i + 1) % len(ring)]))
+        for _ in range(120):
+            edges.add((f"n{rng.integers(30)}", f"n{rng.integers(30)}"))
+        edges = sorted((a, b) for a, b in edges if a != b)
+        assert self._run(edges) == self._tarjan(edges)
+
+    def test_dag_is_all_singletons(self):
+        edges = [(f"v{i}", f"v{j}") for i in range(8)
+                 for j in range(i + 1, 8)]
+        got = self._run(edges, parts=2)
+        assert got == {frozenset({f"v{i}"}) for i in range(8)}
+
+    def test_two_rings_bridged_one_way(self):
+        # ring A -> ring B via one directed bridge: two separate SCCs
+        edges = [("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+                 ("b0", "b1"), ("b1", "b2"), ("b2", "b0"),
+                 ("a0", "b0")]
+        got = self._run(edges, parts=3)
+        assert got == {frozenset({"a0", "a1", "a2"}),
+                       frozenset({"b0", "b1", "b2"})}
