@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "rrf_fusion_docs",
     "bootstrap_mean_docs",
     "scc_docs",
+    "funnel_events",
+    "event_transitions_events",
+    "ntile_orders",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -1019,3 +1019,95 @@ def cooccurrence(ds, key_col: str, value_col: str,
     return partitioned_group_apply(partial, [v1, v2], combine,
                                    num_partitions=max(1,
                                                       num_partitions // 4))
+
+
+def funnel_steps(ds, user_col: str, ts_col: str, type_col: str,
+                 steps: list[str], window_us: int | None = None,
+                 num_partitions: int = 16):
+    """Windowed funnel progression: how far each user advances through
+    ``steps`` — the first step takes the user's earliest such event;
+    every later step needs an event of its type STRICTLY LATER than the
+    previous step's completion and (if ``window_us`` is set) within
+    ``window_us`` microseconds of it.  Output: ``(steps_completed,
+    n_users)`` — the conversion rollup every event pipeline reports.
+
+    ONE user-keyed hash exchange lands each user's history whole in one
+    partition; inside, the chain is vectorized ACROSS users — per step a
+    masked grouped min over int64 microseconds, ``len(steps)`` bounded
+    passes, never a per-user Python loop.  The combine input is bounded
+    by partitions × (len(steps)+1) rows.  Strict ``>`` / ``<=`` on
+    integer microseconds keeps tie semantics engine-independent (the
+    float sentinel math stays exact: epoch-micros < 2⁵³).
+    """
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    win = np.float64(window_us) if window_us is not None else np.inf
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"u": df[user_col].to_numpy(),
+                           "t": ts, "k": df[type_col].to_numpy()})
+        users = df["u"].drop_duplicates()
+        # prev[u] = completion time of the previous step; +inf = blocked
+        prev = pd.Series(np.nan, index=users)
+        done = pd.Series(0, index=users, dtype="int64")
+        for i, step in enumerate(steps):
+            ev = df[df["k"] == step]
+            if i > 0:
+                p = prev.reindex(ev["u"]).to_numpy()
+                ev = ev[(ev["t"].to_numpy() > p)
+                        & (ev["t"].to_numpy() <= p + win)]
+            t_step = ev.groupby("u")["t"].min()
+            done.loc[t_step.index] += 1
+            prev = t_step.reindex(users.to_numpy()).fillna(np.inf)
+        vc = done.value_counts()
+        return pd.DataFrame({
+            "steps_completed": vc.index.to_numpy().astype("int64"),
+            "n_users": vc.to_numpy().astype("int64"),
+        })
+
+    partial = partitioned_group_apply(
+        ds, [user_col], per_part, num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("steps_completed")["n_users"].sum().reset_index()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return partitioned_group_apply(partial, ["steps_completed"], combine,
+                                   num_partitions=1)
+
+
+def event_transitions(ds, user_col: str, ts_col: str, type_col: str,
+                      id_col: str, num_partitions: int = 16):
+    """First-order Markov transition counts over each user's event
+    sequence: ``(prev_type, next_type, n)`` summed across users — the
+    session-flow / navigation matrix.
+
+    ONE user-keyed exchange; per partition, a vectorized sort by
+    ``(user, ts, id)`` + a shifted-column compare produces every
+    consecutive pair for ALL users at once (the id column breaks
+    timestamp ties deterministically, so both engines see the same
+    sequence).  The combine input is bounded by partitions × types².
+    """
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        same = df[user_col].to_numpy()[1:] == df[user_col].to_numpy()[:-1]
+        k = df[type_col].to_numpy()
+        pairs = pd.DataFrame({"prev_type": k[:-1][same],
+                              "next_type": k[1:][same]})
+        return (pairs.groupby(["prev_type", "next_type"]).size()
+                .rename("n").reset_index())
+
+    partial = partitioned_group_apply(
+        ds, [user_col], per_part, num_partitions=num_partitions)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["prev_type", "next_type"])["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return partitioned_group_apply(partial, ["prev_type"], combine,
+                                   num_partitions=1)

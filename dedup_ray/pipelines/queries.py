@@ -9383,6 +9383,117 @@ ORACLES["hilbert_key_events"] = _hilbert_sql(
     bits=HILBERT_BITS)
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW_US = 3 * 86_400 * 1_000_000  # each step within 3 days
+
+
+def funnel_events(sf_dir: str):
+    """Windowed funnel progression (``ops/relational.py::
+    funnel_steps``): per user, the longest prefix of signup → view →
+    click → purchase where each later step is STRICTLY later than the
+    previous step's completion and within 3 days of it; rolled up to
+    (steps_completed, n_users).  One user-keyed exchange, chain
+    vectorized across users (len(steps) masked grouped-min passes);
+    strict ``>`` / ``<=`` on integer microseconds keeps tie semantics
+    engine-independent."""
+    from dedup_ray.ops.relational import funnel_steps
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, "user_id", "ts", "event_type",
+                        list(FUNNEL_STEPS), window_us=FUNNEL_WINDOW_US)
+
+
+def _funnel_oracle() -> str:
+    w = FUNNEL_WINDOW_US
+    s1, s2, s3, s4 = FUNNEL_STEPS
+    return f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s1 AS (SELECT user_id AS u, min(t) AS t FROM ev
+           WHERE event_type = '{s1}' GROUP BY 1),
+    s2 AS (SELECT e.user_id AS u, min(e.t) AS t FROM ev e
+           JOIN s1 ON e.user_id = s1.u
+           WHERE e.event_type = '{s2}' AND e.t > s1.t
+             AND e.t <= s1.t + {w} GROUP BY 1),
+    s3 AS (SELECT e.user_id AS u, min(e.t) AS t FROM ev e
+           JOIN s2 ON e.user_id = s2.u
+           WHERE e.event_type = '{s3}' AND e.t > s2.t
+             AND e.t <= s2.t + {w} GROUP BY 1),
+    s4 AS (SELECT e.user_id AS u, min(e.t) AS t FROM ev e
+           JOIN s3 ON e.user_id = s3.u
+           WHERE e.event_type = '{s4}' AND e.t > s3.t
+             AND e.t <= s3.t + {w} GROUP BY 1),
+    au AS (SELECT DISTINCT user_id AS u FROM events),
+    d AS (SELECT au.u,
+                 CASE WHEN s4.u IS NOT NULL THEN 4
+                      WHEN s3.u IS NOT NULL THEN 3
+                      WHEN s2.u IS NOT NULL THEN 2
+                      WHEN s1.u IS NOT NULL THEN 1
+                      ELSE 0 END AS steps_completed
+          FROM au LEFT JOIN s1 ON au.u = s1.u
+                  LEFT JOIN s2 ON au.u = s2.u
+                  LEFT JOIN s3 ON au.u = s3.u
+                  LEFT JOIN s4 ON au.u = s4.u)
+    SELECT steps_completed::BIGINT AS steps_completed,
+           count(*)::BIGINT AS n_users
+    FROM d GROUP BY 1
+"""
+
+
+ORACLES["funnel_events"] = _funnel_oracle()
+
+
+def event_transitions_events(sf_dir: str):
+    """First-order Markov transition counts
+    (``ops/relational.py::event_transitions``): consecutive event-type
+    pairs per user summed into the (prev_type, next_type, n) navigation
+    matrix.  One user-keyed exchange + a shifted-column compare per
+    partition; event_id breaks timestamp ties so both engines see the
+    same sequence."""
+    from dedup_ray.ops.relational import event_transitions
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return event_transitions(ds, "user_id", "ts", "event_type", "event_id")
+
+
+ORACLES["event_transitions_events"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+NTILE_BUCKETS = 10
+
+
+def ntile_orders(sf_dir: str):
+    """Equi-depth decile binning (``stages/ordering.py::ntile_bucket``):
+    orders ranked by (o_totalprice, o_orderkey) and cut into 10
+    equal-depth buckets with the SQL NTILE remainder rule — built on
+    the sample-based range rank, so no full-table sort: one boundary
+    sample pass + one bucket exchange, bucket = pure function of
+    (rank, total)."""
+    from dedup_ray.stages.ordering import ntile_bucket
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ntile_bucket(ds, "o_totalprice", "o_orderkey", NTILE_BUCKETS)
+
+
+ORACLES["ntile_orders"] = f"""
+    SELECT o_orderkey, o_totalprice,
+           (row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+            - 1)::BIGINT AS rank,
+           ntile({NTILE_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               ::BIGINT AS bucket
+    FROM orders
+"""
+
+
 # the 50 already-green entries.  Pure reordering — keys and callables are
 # untouched, and tools/check_oracles.py sees the identical catalog.
 _R02_DRIVER_CHECKED = frozenset((
@@ -9424,6 +9535,10 @@ def _catalog_order(keys):
             head.append(k)
     return head + slow + tail
 
+
+QUERIES["funnel_events"] = funnel_events
+QUERIES["event_transitions_events"] = event_transitions_events
+QUERIES["ntile_orders"] = ntile_orders
 
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

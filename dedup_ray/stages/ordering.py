@@ -929,3 +929,35 @@ def hilbert_sql(select_cols: str, x_expr: str, y_expr: str, table: str,
         s >>= 1
     return (f"WITH {', '.join(ctes)} "
             f"SELECT {select_cols}, d AS {out_col} FROM r{lvl}")
+
+
+def ntile_bucket(ds, key_col: str, id_col: str, n_buckets: int,
+                 num_partitions: int = 16):
+    """Equi-depth (ntile) binning over the global ``ORDER BY (key, id)``
+    order — the discretization step ahead of stratified policies
+    (per-quality-decile sampling rates, histogram equalization).
+
+    Built on :func:`range_rank`, so there is NO full-table sort: one
+    sample pass for range boundaries + one bucket exchange.  The bucket
+    is then a pure function of (rank, total count) using the standard
+    SQL ``NTILE`` remainder rule — the first ``count % n`` buckets get
+    one extra row — so the output equals the window function exactly,
+    at any partitioning.
+
+    Output: ``(id_col, key_col, rank, bucket)`` with 1-based buckets.
+    """
+    ranked = range_rank(ds, key_col, id_col,
+                        num_partitions=num_partitions).materialize()
+    total = ranked.count()
+    q, rem = divmod(total, n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        if q == 0:
+            b = r + 1
+        else:
+            cut = rem * (q + 1)
+            b = np.where(r < cut, r // (q + 1), rem + (r - cut) // q) + 1
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    return ranked.map_batches(add_bucket, batch_format="pyarrow")

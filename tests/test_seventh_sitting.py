@@ -1,0 +1,151 @@
+"""Seventh-sitting operators: windowed funnel, event transitions,
+equi-depth ntile binning."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dedup_ray.ops.relational import event_transitions, funnel_steps
+from dedup_ray.stages.ordering import ntile_bucket
+
+US = 1_000_000
+
+
+def _events(rows):
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1] * US, "us") for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }))
+
+
+def test_funnel_basic_progression():
+    ds = _events([
+        # user 1 completes all three steps in order
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # user 2 has b before a: only step a counts
+        (2, 10, "b"), (2, 20, "a"),
+        # user 3 never signs up
+        (3, 5, "b"), (3, 6, "c"),
+        # user 4: a then c (skips b) -> 1 step
+        (4, 1, "a"), (4, 2, "c"),
+    ])
+    out = funnel_steps(ds, "user_id", "ts", "event_type",
+                       ["a", "b", "c"]).to_pandas()
+    got = dict(zip(out["steps_completed"], out["n_users"]))
+    assert got == {3: 1, 1: 2, 0: 1}
+
+
+def test_funnel_strictly_later_ties_do_not_count():
+    # b at the SAME timestamp as a must not complete step 2
+    ds = _events([(1, 10, "a"), (1, 10, "b"), (2, 10, "a"), (2, 11, "b")])
+    out = funnel_steps(ds, "user_id", "ts", "event_type",
+                       ["a", "b"]).to_pandas()
+    got = dict(zip(out["steps_completed"], out["n_users"]))
+    assert got == {1: 1, 2: 1}
+
+
+def test_funnel_window_blocks_late_steps():
+    ds = _events([
+        (1, 0, "a"), (1, 50, "b"),     # within window
+        (2, 0, "a"), (2, 200, "b"),    # outside window
+        # user 3: an early out-of-window b, then an in-window one later?
+        # window counts from the PREVIOUS step completion (t=0) so only
+        # events in (0, 100] qualify
+        (3, 0, "a"), (3, 150, "b"), (3, 90, "b"),
+    ])
+    out = funnel_steps(ds, "user_id", "ts", "event_type", ["a", "b"],
+                       window_us=100 * US).to_pandas()
+    got = dict(zip(out["steps_completed"], out["n_users"]))
+    assert got == {2: 2, 1: 1}
+
+
+def test_funnel_first_step_takes_earliest_event():
+    # earliest a at t=100; the b at t=50 is before it -> 1 step only
+    ds = _events([(1, 100, "a"), (1, 50, "b"), (1, 300, "a")])
+    out = funnel_steps(ds, "user_id", "ts", "event_type", ["a", "b"],
+                       window_us=500 * US).to_pandas()
+    assert dict(zip(out["steps_completed"], out["n_users"])) == {1: 1}
+
+
+def test_funnel_partition_invariance():
+    rng = np.random.default_rng(7)
+    rows = [(int(rng.integers(0, 40)), int(rng.integers(0, 1000)),
+             str(rng.choice(["a", "b", "c", "x"]))) for _ in range(600)]
+    ds = _events(rows)
+    a = funnel_steps(ds, "user_id", "ts", "event_type", ["a", "b", "c"],
+                     window_us=300 * US, num_partitions=1).to_pandas()
+    b = funnel_steps(ds.repartition(7), "user_id", "ts", "event_type",
+                     ["a", "b", "c"], window_us=300 * US,
+                     num_partitions=5).to_pandas()
+    key = "steps_completed"
+    assert (a.sort_values(key).reset_index(drop=True)
+            .equals(b.sort_values(key).reset_index(drop=True)))
+
+
+def test_event_transitions_counts_and_tiebreak():
+    ds = _events([
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "a"),
+        # user 2: tie at t=5 broken by event_id order (rows 3 then 4)
+        (2, 5, "x"), (2, 5, "y"),
+        (3, 1, "z"),  # single event -> no transition
+    ])
+    out = event_transitions(ds, "user_id", "ts", "event_type",
+                            "event_id").to_pandas()
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("x", "y"): 1}
+
+
+def test_event_transitions_reference_parity():
+    rng = np.random.default_rng(3)
+    rows = [(int(rng.integers(0, 25)), int(rng.integers(0, 50)),
+             str(rng.choice(list("pqr")))) for _ in range(400)]
+    ds = _events(rows)
+    out = event_transitions(ds, "user_id", "ts", "event_type",
+                            "event_id").to_pandas()
+    # independent pandas reference
+    df = pd.DataFrame(rows, columns=["user_id", "t", "k"])
+    df["event_id"] = range(len(df))
+    df = df.sort_values(["user_id", "t", "event_id"])
+    same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+    ref = pd.DataFrame({
+        "prev_type": df["k"].to_numpy()[:-1][same],
+        "next_type": df["k"].to_numpy()[1:][same],
+    }).value_counts().to_dict()
+    got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+    assert got == ref
+
+
+def _ntile_reference(n_rows: int, n_buckets: int) -> list[int]:
+    q, rem = divmod(n_rows, n_buckets)
+    out = []
+    for b in range(1, n_buckets + 1):
+        out.extend([b] * (q + (1 if b <= rem else 0)))
+    return out
+
+
+def test_ntile_remainder_rule_matches_sql():
+    vals = np.random.default_rng(11).permutation(103).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(103), pa.int64()),
+        "v": pa.array(vals),
+    }))
+    out = ntile_bucket(ds, "v", "id", 10).to_pandas()
+    out = out.sort_values("rank")
+    # first 103 % 10 = 3 buckets get 11 rows, the rest 10
+    assert out["bucket"].tolist() == _ntile_reference(103, 10)
+    # rank order equals value order
+    assert (np.diff(out["v"].to_numpy()) > 0).all()
+
+
+def test_ntile_fewer_rows_than_buckets():
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([3, 1, 2], pa.int64()),
+        "v": pa.array([30.0, 10.0, 20.0]),
+    }))
+    out = ntile_bucket(ds, "v", "id", 8).to_pandas().sort_values("rank")
+    assert out["bucket"].tolist() == [1, 2, 3]
+    assert out["id"].tolist() == [1, 2, 3]
