@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "funnel_events",
     "event_transitions_events",
     "ntile_orders",
+    "fs_linkage_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

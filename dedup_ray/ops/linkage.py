@@ -1,0 +1,119 @@
+"""Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter 1969,
+"A Theory for Record Linkage", JASA 64).
+
+The classical decision-theoretic form of the reference's pair-scoring
+stage (``classifier.py:287-357`` learns the same decision from features;
+here the weights are the closed-form likelihood ratios): for each
+comparison field ``f`` estimate
+
+- ``m_f`` = P(field agrees | pair is a match)
+- ``u_f`` = P(field agrees | pair is a non-match)
+
+from a labeled pair sample, then score every candidate pair with the
+log-likelihood ratio ``llr = Σ_f ln(m_f/u_f)`` over agreeing fields plus
+``ln((1-m_f)/(1-u_f))`` over disagreeing ones; ``llr > 0`` means the
+match hypothesis is more likely.
+
+Distributed shape:
+
+- m/u estimation is a per-batch partial-count pass (4 integers per
+  field) summed on the driver — driver state is O(fields), never pairs.
+- weights collapse to a ``2^F``-entry pattern table (a pair's score
+  depends only on its agreement PATTERN), broadcast to the scoring
+  pass, which is one vectorized gather — no per-row Python.
+
+Exactness: probabilities are kept as INTEGER rationals (Laplace
+smoothing: ``m = (agree+1)/(n+2)``), so a pattern's likelihood ratio is
+one exact fraction ``num/den`` (Python ints — no overflow); the score
+is ``floor(ln(num/den)·1e6 + 0.5)/1e6``, reproducible bit-for-bit by a
+SQL engine computing the same fraction (HUGEINT) and the same floor
+rounding.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _partial_counts(field_cols: list[str], label_col: str,
+                    train_col: str):
+    def partial(t: pa.Table) -> pa.Table:
+        train = t[train_col].to_numpy(zero_copy_only=False).astype(bool)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(bool)
+        m_mask, u_mask = train & lab, train & ~lab
+        row = {"n_match": [int(m_mask.sum())],
+               "n_unmatch": [int(u_mask.sum())]}
+        for f in field_cols:
+            a = t[f].to_numpy(zero_copy_only=False).astype(bool)
+            row[f"am_{f}"] = [int((a & m_mask).sum())]
+            row[f"au_{f}"] = [int((a & u_mask).sum())]
+        return pa.table(row)
+
+    return partial
+
+
+def estimate_mu_weights(pairs, field_cols: list[str],
+                        label_col: str = "label",
+                        train_col: str = "is_train") -> dict:
+    """Estimate per-field (m, u) rationals from the labeled training
+    pairs and derive the ``2^F`` pattern score table.
+
+    Returns ``{"n_match", "n_unmatch", "fields": {f: (m_num, au_num)},
+    "pattern_scores": np.ndarray[2^F]}`` — pattern index bit ``i`` set
+    means field ``field_cols[i]`` agrees.
+    """
+    parts = pairs.map_batches(
+        _partial_counts(field_cols, label_col, train_col),
+        batch_format="pyarrow").to_pandas()
+    nm = int(parts["n_match"].sum())
+    nu = int(parts["n_unmatch"].sum())
+    md, ud = nm + 2, nu + 2  # Laplace denominators
+    mn = {f: int(parts[f"am_{f}"].sum()) + 1 for f in field_cols}
+    un = {f: int(parts[f"au_{f}"].sum()) + 1 for f in field_cols}
+
+    n_fields = len(field_cols)
+    scores = np.empty(1 << n_fields, dtype=np.float64)
+    for pat in range(1 << n_fields):
+        num, den = 1, 1
+        for i, f in enumerate(field_cols):
+            if pat >> i & 1:
+                num *= mn[f] * ud
+                den *= md * un[f]
+            else:
+                num *= (md - mn[f]) * ud
+                den *= md * (ud - un[f])
+        llr = math.log(float(num) / float(den))
+        scores[pat] = math.floor(llr * 1e6 + 0.5) / 1e6
+    return {"n_match": nm, "n_unmatch": nu,
+            "m_num": mn, "u_num": un, "m_den": md, "u_den": ud,
+            "pattern_scores": scores}
+
+
+def fellegi_sunter_score(pairs, field_cols: list[str],
+                         label_col: str = "label",
+                         train_col: str = "is_train"):
+    """Score every pair with the Fellegi–Sunter log-likelihood ratio
+    learned from the training subset; ``is_match = llr > 0``.
+
+    Two passes over the pair stream, zero shuffles: a bounded partial
+    count pass (driver state = 4·F ints), then a vectorized broadcast
+    scoring pass (pattern gather over the 2^F table).
+    """
+    w = estimate_mu_weights(pairs, field_cols, label_col, train_col)
+    scores = w["pattern_scores"]
+
+    def score(t: pa.Table) -> pa.Table:
+        pat = np.zeros(t.num_rows, dtype=np.int64)
+        for i, f in enumerate(field_cols):
+            pat |= (t[f].to_numpy(zero_copy_only=False)
+                    .astype(bool).astype(np.int64) << i)
+        llr = scores[pat]
+        t = t.append_column("llr", pa.array(llr))
+        return t.append_column(
+            "is_match", pa.array((llr > 0).astype(np.int64)))
+
+    return pairs.map_batches(score, batch_format="pyarrow"), w

@@ -9536,7 +9536,105 @@ def _catalog_order(keys):
     return head + slow + tail
 
 
+FS_BLOCKS = 50  # linkage blocking: doc_id % FS_BLOCKS
+FS_LEN_BUCKET = 200  # n_chars // bucket equality as a comparison field
+
+
+def fs_linkage_docs(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage
+    (``ops/linkage.py``): within doc_id-modulo blocks, every canonical
+    pair is compared on three fields (lang equality, n_chars length
+    bucket, first text character); m/u agreement probabilities are
+    estimated as Laplace-smoothed INTEGER rationals from the labeled
+    training half (even blocks; label = same source), and every pair is
+    scored with the log-likelihood ratio — one bounded count pass
+    (driver state = 4·F ints) + one broadcast 2^F-pattern gather, zero
+    extra shuffles.  Scores are floor(ln(num/den)·1e6+0.5)/1e6 so the
+    SQL oracle reproduces them from the same exact fractions."""
+    from dedup_ray.ops.linkage import fellegi_sunter_score
+    from dedup_ray.ops.relational import block_pairs
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"], pa.scalar(""))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "blk": pa.array((ids % FS_BLOCKS).astype(np.int64)),
+            "lang": t["lang"],
+            "source": t["source"],
+            "lb": pa.array(np.floor(nch / FS_LEN_BUCKET).astype(np.int64)),
+            "c1": pc.utf8_slice_codeunits(txt, 0, 1),
+        })
+
+    docs = ds.map_batches(prep, batch_format="pyarrow")
+    pairs = block_pairs(docs, "blk", "doc_id",
+                        value_cols=["lang", "source", "lb", "c1"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        eq = lambda c: pc.cast(  # noqa: E731
+            pc.equal(t[f"{c}_1"], t[f"{c}_2"]), pa.int64())
+        return pa.table({
+            "blk": t["blk"], "id1": t["id1"], "id2": t["id2"],
+            "a_lang": eq("lang"), "a_len": eq("lb"), "a_chr": eq("c1"),
+            "label": eq("source"),
+            "is_train": pa.array(
+                (t["blk"].to_numpy(zero_copy_only=False) % 2 == 0)
+                .astype(np.int64)),
+        })
+
+    pair_flags = pairs.map_batches(flags, batch_format="pyarrow")
+    scored, _w = fellegi_sunter_score(
+        pair_flags, ["a_lang", "a_len", "a_chr"])
+    return scored
+
+
+ORACLES["fs_linkage_docs"] = f"""
+    WITH d AS (SELECT doc_id, lang, source,
+                      doc_id % {FS_BLOCKS} AS blk,
+                      floor(n_chars::DOUBLE / {FS_LEN_BUCKET})::BIGINT
+                          AS lb,
+                      substr(coalesce(text, ''), 1, 1) AS c1
+               FROM documents),
+    p AS (SELECT a.blk, a.doc_id AS id1, b.doc_id AS id2,
+                 (a.lang = b.lang)::BIGINT AS a_lang,
+                 (a.lb = b.lb)::BIGINT AS a_len,
+                 (a.c1 = b.c1)::BIGINT AS a_chr,
+                 (a.source = b.source)::BIGINT AS label,
+                 (a.blk % 2 = 0)::BIGINT AS is_train
+          FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+    s AS (SELECT sum(label)::HUGEINT + 2 AS md,
+                 sum(1 - label)::HUGEINT + 2 AS ud,
+                 sum(label * a_lang)::HUGEINT + 1 AS mn1,
+                 sum((1 - label) * a_lang)::HUGEINT + 1 AS un1,
+                 sum(label * a_len)::HUGEINT + 1 AS mn2,
+                 sum((1 - label) * a_len)::HUGEINT + 1 AS un2,
+                 sum(label * a_chr)::HUGEINT + 1 AS mn3,
+                 sum((1 - label) * a_chr)::HUGEINT + 1 AS un3
+          FROM p WHERE is_train = 1),
+    sc AS (SELECT p.*,
+                  (CASE WHEN a_lang = 1 THEN mn1 ELSE md - mn1 END) * ud
+                * (CASE WHEN a_len  = 1 THEN mn2 ELSE md - mn2 END) * ud
+                * (CASE WHEN a_chr  = 1 THEN mn3 ELSE md - mn3 END) * ud
+                      AS num,
+                  (CASE WHEN a_lang = 1 THEN un1 ELSE ud - un1 END) * md
+                * (CASE WHEN a_len  = 1 THEN un2 ELSE ud - un2 END) * md
+                * (CASE WHEN a_chr  = 1 THEN un3 ELSE ud - un3 END) * md
+                      AS den
+           FROM p CROSS JOIN s)
+    SELECT blk, id1, id2, a_lang, a_len, a_chr, label, is_train,
+           floor(ln(num::DOUBLE / den::DOUBLE) * 1e6 + 0.5) / 1e6 AS llr,
+           (floor(ln(num::DOUBLE / den::DOUBLE) * 1e6 + 0.5) / 1e6 > 0)
+               ::BIGINT AS is_match
+    FROM sc
+"""
+
+
 QUERIES["funnel_events"] = funnel_events
+QUERIES["fs_linkage_docs"] = fs_linkage_docs
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 

@@ -149,3 +149,81 @@ def test_ntile_fewer_rows_than_buckets():
     out = ntile_bucket(ds, "v", "id", 8).to_pandas().sort_values("rank")
     assert out["bucket"].tolist() == [1, 2, 3]
     assert out["id"].tolist() == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter linkage
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+import ray.data as _rd
+
+from dedup_ray.ops.linkage import estimate_mu_weights, fellegi_sunter_score
+
+
+def _pairs_table(rows):
+    return _rd.from_arrow(pa.table({
+        "id1": pa.array([r[0] for r in rows], pa.int64()),
+        "id2": pa.array([r[1] for r in rows], pa.int64()),
+        "a_x": pa.array([r[2] for r in rows], pa.int64()),
+        "a_y": pa.array([r[3] for r in rows], pa.int64()),
+        "label": pa.array([r[4] for r in rows], pa.int64()),
+        "is_train": pa.array([r[5] for r in rows], pa.int64()),
+    }))
+
+
+def test_fs_weights_match_hand_computation():
+    # 3 training matches (a_x agrees 2/3, a_y 3/3),
+    # 2 training non-matches (a_x agrees 0/2, a_y 1/2)
+    rows = [
+        (0, 1, 1, 1, 1, 1), (0, 2, 1, 1, 1, 1), (1, 2, 0, 1, 1, 1),
+        (3, 4, 0, 0, 0, 1), (3, 5, 0, 1, 0, 1),
+        (9, 10, 1, 0, 1, 0),  # held-out pair: must not affect weights
+    ]
+    w = estimate_mu_weights(_pairs_table(rows), ["a_x", "a_y"])
+    assert (w["n_match"], w["n_unmatch"]) == (3, 2)
+    # Laplace rationals
+    m_x, u_x = Fraction(3, 5), Fraction(1, 4)
+    m_y, u_y = Fraction(4, 5), Fraction(2, 4)
+    import math
+    for pat in range(4):
+        r = Fraction(1)
+        r *= m_x / u_x if pat & 1 else (1 - m_x) / (1 - u_x)
+        r *= m_y / u_y if pat & 2 else (1 - m_y) / (1 - u_y)
+        expect = math.floor(
+            math.log(r.numerator / r.denominator) * 1e6 + 0.5) / 1e6
+        assert w["pattern_scores"][pat] == expect
+
+
+def test_fs_scoring_separates_planted_matches():
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):
+        is_match = i % 2 == 0
+        # matches agree on both fields with p=0.9; non-matches p=0.1
+        p = 0.9 if is_match else 0.1
+        rows.append((i, i + 1000,
+                     int(rng.random() < p), int(rng.random() < p),
+                     int(is_match), int(i < 200)))
+    scored, w = fellegi_sunter_score(_pairs_table(rows), ["a_x", "a_y"])
+    df = scored.to_pandas()
+    held = df[df["id1"] >= 200]  # the untrained half
+    # decision accuracy on the held-out half should be far above chance
+    acc = (held["is_match"] == held["label"]).mean()
+    assert acc > 0.75
+    # llr of the all-agree pattern is positive, all-disagree negative
+    assert w["pattern_scores"][3] > 0 > w["pattern_scores"][0]
+
+
+def test_fs_partition_invariance():
+    rng = np.random.default_rng(6)
+    rows = [(i, i + 500, int(rng.random() < 0.5), int(rng.random() < 0.5),
+             int(rng.random() < 0.4), int(rng.random() < 0.7))
+            for i in range(300)]
+    a = fellegi_sunter_score(_pairs_table(rows), ["a_x", "a_y"])[0] \
+        .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    b = fellegi_sunter_score(
+        _pairs_table(rows).repartition(9), ["a_x", "a_y"])[0] \
+        .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
