@@ -9633,8 +9633,44 @@ ORACLES["fs_linkage_docs"] = f"""
 """
 
 
+GRAM_SCALE = 1_000_000
+
+
+def embedding_gram_docs(sf_dir: str):
+    """Exact distributed Gram matrix over the embedding column
+    (``ops/matrix.py::gram_matrix``): embeddings are int64-scaled
+    (floor(x·1e6 + 0.5), identical in numpy and SQL) so every upper-
+    triangle entry and column sum is an exact integer — per-batch
+    XᵀX partials are d×d regardless of batch size (a true combiner),
+    one bounded single-partition combine, driver state O(d²).  The
+    reduction behind corpus-scale PCA/whitening; the spectral step
+    (power iteration) runs on the d×d result on the driver."""
+    from dedup_ray.ops.matrix import gram_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return gram_matrix(ds, "embedding", scale=GRAM_SCALE)
+
+
+ORACLES["embedding_gram_docs"] = f"""
+    WITH v AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               floor(unnest(embedding)::DOUBLE * {GRAM_SCALE} + 0.5)
+                   ::BIGINT AS x
+        FROM embeddings),
+    tri AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x)::BIGINT AS g
+            FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2),
+    sums AS (SELECT i, 0::BIGINT AS j, sum(x)::BIGINT AS g
+             FROM v GROUP BY 1)
+    SELECT i::BIGINT AS i, j, g FROM tri
+    UNION ALL
+    SELECT i::BIGINT AS i, j, g FROM sums
+"""
+
+
 QUERIES["funnel_events"] = funnel_events
 QUERIES["fs_linkage_docs"] = fs_linkage_docs
+QUERIES["embedding_gram_docs"] = embedding_gram_docs
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 

@@ -227,3 +227,57 @@ def test_fs_partition_invariance():
         _pairs_table(rows).repartition(9), ["a_x", "a_y"])[0] \
         .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix / covariance / PCA
+# ---------------------------------------------------------------------------
+
+from dedup_ray.ops.matrix import (
+    covariance_from_gram,
+    gram_matrix,
+    power_iteration,
+)
+
+
+def _vec_ds(x: np.ndarray):
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(x)), pa.int64()),
+        "embedding": pa.array(list(x.astype(np.float32))),
+    }))
+
+
+def test_gram_matches_numpy_and_is_partition_invariant():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(120, 8))
+    xs = np.floor(x.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    # float32 storage round-trip: scale what was actually stored
+    xs = np.floor(x.astype(np.float32).astype(np.float64) * 1e6 + 0.5) \
+        .astype(np.int64)
+    expect = xs.T @ xs
+    out = gram_matrix(_vec_ds(x), "embedding").to_pandas()
+    tri = out[out["j"] > 0]
+    for r in tri.itertuples():
+        assert r.g == expect[r.i - 1, r.j - 1]
+    sums = out[out["j"] == 0].sort_values("i")["g"].to_numpy()
+    assert (sums == xs.sum(axis=0)).all()
+    out2 = gram_matrix(_vec_ds(x).repartition(7), "embedding").to_pandas()
+    a = out.sort_values(["i", "j"]).reset_index(drop=True)
+    b = out2.sort_values(["i", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_covariance_and_pca_match_numpy():
+    rng = np.random.default_rng(4)
+    # anisotropic cloud: dominant direction along (1, 1, 0)/sqrt(2)
+    base = rng.normal(size=(500, 3)) * np.array([3.0, 0.5, 0.1])
+    rot = np.array([[1, 1, 0], [1, -1, 0], [0, 0, np.sqrt(2)]]) / np.sqrt(2)
+    x = base @ rot
+    gram = gram_matrix(_vec_ds(x), "embedding").to_pandas()
+    cov = covariance_from_gram(gram, n_rows=len(x))
+    ref = np.cov(x.astype(np.float32).astype(np.float64), rowvar=False)
+    assert np.allclose(cov, ref, atol=1e-5)
+    lam, v = power_iteration(cov)
+    w, u = np.linalg.eigh(ref)
+    assert abs(lam - w[-1]) < 1e-6 * max(1.0, abs(w[-1]))
+    assert abs(abs(v @ u[:, -1]) - 1.0) < 1e-6
