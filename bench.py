@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "event_transitions_events",
     "ntile_orders",
     "fs_linkage_docs",
+    "embedding_gram_docs",
+    "soundex_parts",
+    "bool_retrieval_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -9668,9 +9668,102 @@ ORACLES["embedding_gram_docs"] = f"""
 """
 
 
+def soundex_parts(sf_dir: str):
+    """Soundex phonetic blocking keys (``stages/phonetic.py``): the
+    classic record-linkage blocking function — names that sound alike
+    share a 4-char key, so candidate pairs generate within key groups
+    instead of all-pairs (the fuzzier variant of the reference's
+    author-name blocking, ``Makefile:6-25``).  The kernel automaton is
+    vectorized across rows (numpy state arrays loop over the bounded
+    character positions); the oracle is the SAME automaton unrolled
+    position-by-position in SQL, generated from the same code table."""
+    from dedup_ray.stages.phonetic import soundex_array
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = batch["p_name"].str.split(" ").str[-1]
+        return pd.DataFrame({
+            "p_partkey": batch["p_partkey"],
+            "token": tok,
+            "soundex": soundex_array(tok),
+        })
+
+    return as_arrow(ds.map_batches(f, batch_format="pandas"))
+
+
+def _soundex_oracle() -> str:
+    from dedup_ray.stages.phonetic import soundex_sql
+
+    return f"""
+    WITH names AS (SELECT p_partkey,
+                          string_split(p_name, ' ')[-1] AS nm FROM part),
+    __soundex_src AS (SELECT DISTINCT nm FROM names),
+    sx AS ({soundex_sql('nm')})
+    SELECT n.p_partkey, n.nm AS token, sx.soundex
+    FROM names n JOIN sx ON n.nm = sx.nm
+"""
+
+
+ORACLES["soundex_parts"] = _soundex_oracle()
+
+
+BOOL_QUERY_TERMS = ("query", "window", "merge")
+
+
+def bool_retrieval_docs(sf_dir: str):
+    """Boolean AND retrieval (inverted-index intersection): documents
+    containing ALL query terms.  Tokens are filtered to the (broadcast)
+    term set BEFORE any movement, deduped per (doc, term), and a doc
+    qualifies when its distinct-term count equals len(terms) — one
+    narrow grouped count over at most n_docs × n_terms rows, the
+    conjunctive companion to BM25's ranked retrieval."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = set(BOOL_QUERY_TERMS)
+    k = len(terms)
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.split(" ")
+        ex = batch[["doc_id"]].join(toks.rename("token")).explode("token")
+        ex = ex[ex["token"].isin(terms)].drop_duplicates()
+        return ex
+
+    hit_rows = ds.map_batches(hits, batch_format="pandas")
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch dedup above is per batch; re-dedup whole partition
+        df = df.drop_duplicates()
+        c = df.groupby("doc_id").size()
+        out = c[c == k].index.to_numpy()
+        return pd.DataFrame({"doc_id": np.sort(out).astype("int64")})
+
+    from dedup_ray.util.dsutil import partitioned_group_apply
+
+    return partitioned_group_apply(hit_rows, ["doc_id"], count,
+                                   num_partitions=8)
+
+
+def _bool_retrieval_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BOOL_QUERY_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents),
+    hit AS (SELECT doc_id, count(*) AS c FROM toks
+            WHERE token IN ({terms}) GROUP BY doc_id)
+    SELECT doc_id FROM hit WHERE c = {len(BOOL_QUERY_TERMS)}
+"""
+
+
+ORACLES["bool_retrieval_docs"] = _bool_retrieval_oracle()
+
+
 QUERIES["funnel_events"] = funnel_events
 QUERIES["fs_linkage_docs"] = fs_linkage_docs
 QUERIES["embedding_gram_docs"] = embedding_gram_docs
+QUERIES["soundex_parts"] = soundex_parts
+QUERIES["bool_retrieval_docs"] = bool_retrieval_docs
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 

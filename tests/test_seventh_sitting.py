@@ -281,3 +281,45 @@ def test_covariance_and_pca_match_numpy():
     w, u = np.linalg.eigh(ref)
     assert abs(lam - w[-1]) < 1e-6 * max(1.0, abs(w[-1]))
     assert abs(abs(v @ u[:, -1]) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic keys
+# ---------------------------------------------------------------------------
+
+from dedup_ray.stages.phonetic import soundex_array, soundex_sql
+
+
+def test_soundex_canonical_examples():
+    cases = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Tymczak": "T522", "Pfister": "P236", "Honeyman": "H555",
+             "Washington": "W252", "Lee": "L000", "Gutierrez": "G362",
+             "Jackson": "J250", "": "", "42nd": ""}
+    got = soundex_array(list(cases))
+    assert dict(zip(cases, got)) == cases
+
+
+def test_soundex_hw_transparent_vowel_separates():
+    # same code across h/w collapses; across a vowel it repeats
+    assert soundex_array(["schmit"])[0] == "S530"   # s-c adjacent 2,2
+    assert soundex_array(["sekic"])[0] == "S220"    # s.e.k -> 2, 2 repeat
+    # the first letter's code seeds suppression (the Pfister rule):
+    # b h b collapses entirely; b a b re-emits after the vowel reset
+    assert soundex_array(["bhb"])[0] == "B000"
+    assert soundex_array(["bab"])[0] == "B100"
+    assert soundex_array(["babab"])[0] == "B110"
+
+
+def test_soundex_sql_twin_matches_kernel():
+    import duckdb
+
+    names = ["Robert", "rupert", "Ashcraft", "Tymczak", "pfister",
+             "honeyman", "lee", "washington", "aeiou", "hhhh", "bcdl",
+             "x", "zz", "supercalifragilistic"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __soundex_src AS SELECT unnest(?) AS nm",
+                [names])
+    sql = soundex_sql("nm")
+    got = dict(con.execute(sql).fetchall())
+    expect = dict(zip(names, soundex_array(names)))
+    assert got == expect
