@@ -1201,3 +1201,83 @@ def ray_empty(schema: pa.Schema):
     import ray.data
 
     return ray.data.from_arrow(schema.empty_table())
+
+
+def _argmax_dist(bfs_ds, node_col: str = "node", dist_col: str = "dist"):
+    """(max dist, node achieving it with smallest id) via per-batch
+    partial maxima + a driver combine over ≤ n_batches rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({node_col: pa.array([], pa.int64()),
+                             dist_col: pa.array([], pa.int64())})
+        d = t[dist_col].to_numpy(zero_copy_only=False)
+        n = t[node_col].to_numpy(zero_copy_only=False)
+        best = d.max()
+        cand = n[d == best]
+        return pa.table({node_col: pa.array([int(cand.min())], pa.int64()),
+                         dist_col: pa.array([int(best)], pa.int64())})
+
+    parts = bfs_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return None, None
+    best = parts[dist_col].max()
+    node = parts[parts[dist_col] == best][node_col].min()
+    return int(best), int(node)
+
+
+def diameter_double_sweep(edges_ds, src_col: str = "src",
+                          dst_col: str = "dst", max_hops: int = 24,
+                          num_partitions: int = 16):
+    """Diameter lower bound by the classic double-sweep BFS (Magnien,
+    Latapy & Habib 2009): BFS from the minimum node id, then BFS from
+    the farthest node found — that second eccentricity is a tight
+    diameter lower bound on most real graphs at the cost of two BFS
+    passes instead of all-pairs.
+
+    Edges are taken as given (symmetrize upstream for undirected
+    semantics).  Both sweeps are :func:`multi_source_bfs` frontier
+    expansions (each node crosses the exchanges once per sweep); the
+    start node, the peak pick (max dist, tie → min node) and the hop
+    cap are all deterministic, so a fixed-hop SQL replay reproduces the
+    result exactly.  Driver state: per-batch partial maxima, never the
+    distance table.  Output: one row ``(start_node, peak_node,
+    diameter_lb)``.
+    """
+    import ray.data
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        s = t[src_col].to_numpy(zero_copy_only=False)
+        d = t[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(
+            [int(min(s.min(), d.min()))], pa.int64())})
+
+    mins = edges.map_batches(min_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if mins.empty:
+        return ray.data.from_arrow(pa.table({
+            "start_node": pa.array([], pa.int64()),
+            "peak_node": pa.array([], pa.int64()),
+            "diameter_lb": pa.array([], pa.int64())}))
+    start = int(mins["m"].min())
+
+    def seed_ds(node: int):
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([node], pa.int64())}))
+
+    bfs1 = multi_source_bfs(edges, seed_ds(start), src_col=src_col,
+                            dst_col=dst_col, max_hops=max_hops,
+                            num_partitions=num_partitions)
+    _, peak = _argmax_dist(bfs1)
+    bfs2 = multi_source_bfs(edges, seed_ds(peak), src_col=src_col,
+                            dst_col=dst_col, max_hops=max_hops,
+                            num_partitions=num_partitions)
+    ecc, _ = _argmax_dist(bfs2)
+    return ray.data.from_arrow(pa.table({
+        "start_node": pa.array([start], pa.int64()),
+        "peak_node": pa.array([peak], pa.int64()),
+        "diameter_lb": pa.array([ecc], pa.int64())}))

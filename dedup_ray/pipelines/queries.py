@@ -9759,11 +9759,127 @@ def _bool_retrieval_oracle() -> str:
 ORACLES["bool_retrieval_docs"] = _bool_retrieval_oracle()
 
 
+JW_BLOCKS = 100
+JW_SIM_CUTOFF = 0.85
+
+
+def jaro_winkler_parts(sf_dir: str):
+    """Jaro–Winkler name-field comparator (``ops/strsim.py``): graded
+    string similarity over canonical within-block pairs of part-name
+    last tokens — the standard record-linkage comparator, pinned
+    value-for-value to DuckDB's ``jaro_winkler_similarity`` (floored
+    transpositions, both-empty = 0, 0.7 boost threshold; a 13k-pair
+    fuzz test holds exact equality).  Each batch scores every DISTINCT
+    token pair once (vocabulary-bounded, not corpus-bounded) and
+    scatters back; scores are floor(x·1e6+0.5)/1e6 in both engines."""
+    from dedup_ray.ops.relational import block_pairs
+    from dedup_ray.ops.strsim import jaro_winkler_column
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pk": batch["p_partkey"],
+            "blk": (batch["p_partkey"] % JW_BLOCKS).astype("int64"),
+            "tok": batch["p_name"].str.split(" ").str[-1],
+        })
+
+    toks = ds.map_batches(prep, batch_format="pandas")
+    pairs = block_pairs(toks, "blk", "pk", value_cols=["tok"])
+    scored = jaro_winkler_column(pairs, "tok_1", "tok_2")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_sim"] = (df["jw"] >= JW_SIM_CUTOFF).astype("int64")
+        return df
+
+    return scored.map_batches(flag, batch_format="pandas")
+
+
+ORACLES["jaro_winkler_parts"] = f"""
+    WITH t AS (SELECT p_partkey AS pk,
+                      p_partkey % {JW_BLOCKS} AS blk,
+                      string_split(p_name, ' ')[-1] AS tok FROM part),
+    p AS (SELECT a.blk, a.pk AS id1, b.pk AS id2,
+                 a.tok AS tok_1, b.tok AS tok_2
+          FROM t a JOIN t b ON a.blk = b.blk AND a.pk < b.pk),
+    s AS (SELECT *, floor(jaro_winkler_similarity(tok_1, tok_2) * 1e6
+                          + 0.5) / 1e6 AS jw FROM p)
+    SELECT blk, id1, id2, tok_1, tok_2, jw,
+           (jw >= {JW_SIM_CUTOFF})::BIGINT AS is_sim
+    FROM s
+"""
+
+
+DIAMETER_MAX_HOPS = 40
+
+
+def diameter_docs(sf_dir: str):
+    """Diameter lower bound by double-sweep BFS
+    (``ops/graph.py::diameter_double_sweep``, Magnien–Latapy–Habib
+    2009): two :func:`multi_source_bfs` frontier expansions instead of
+    all-pairs — the standard cheap eccentricity probe for web-graph
+    audits.  Link graph = the symmetrized ``doc_id ↔ doc_id // 2``
+    binary tree (double-sweep is EXACT on trees, so the lower bound
+    equals the true diameter here); start node, peak tie-break
+    (max dist → min node) and hop cap are deterministic, and the oracle
+    replays both sweeps as recursive CTEs with UNION-dedup on
+    ``(node, dist)`` so cyclic back-and-forth walks stay bounded."""
+    from dedup_ray.ops.graph import diameter_double_sweep
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids >= 1]
+        return pa.table({
+            "src": pa.array(np.r_[src, src // 2], pa.int64()),
+            "dst": pa.array(np.r_[src // 2, src], pa.int64()),
+        })
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return diameter_double_sweep(edges, max_hops=DIAMETER_MAX_HOPS,
+                                 num_partitions=8)
+
+
+ORACLES["diameter_docs"] = f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id // 2, doc_id FROM documents WHERE doc_id >= 1
+    ),
+    start AS (SELECT min(v) AS s FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+    b1 AS (
+        SELECT s AS node, 0 AS dist FROM start
+        UNION
+        SELECT e.dst, b1.dist + 1 FROM b1 JOIN edges e ON b1.node = e.src
+        WHERE b1.dist < {DIAMETER_MAX_HOPS}
+    ),
+    d1 AS (SELECT node, min(dist) AS dist FROM b1 GROUP BY node),
+    peak AS (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1),
+    b2 AS (
+        SELECT node, 0 AS dist FROM peak
+        UNION
+        SELECT e.dst, b2.dist + 1 FROM b2 JOIN edges e ON b2.node = e.src
+        WHERE b2.dist < {DIAMETER_MAX_HOPS}
+    ),
+    d2 AS (SELECT node, min(dist) AS dist FROM b2 GROUP BY node)
+    SELECT (SELECT s FROM start) AS start_node,
+           (SELECT node FROM peak) AS peak_node,
+           (SELECT max(dist) FROM d2) AS diameter_lb
+"""
+
+
 QUERIES["funnel_events"] = funnel_events
 QUERIES["fs_linkage_docs"] = fs_linkage_docs
 QUERIES["embedding_gram_docs"] = embedding_gram_docs
 QUERIES["soundex_parts"] = soundex_parts
 QUERIES["bool_retrieval_docs"] = bool_retrieval_docs
+QUERIES["jaro_winkler_parts"] = jaro_winkler_parts
+QUERIES["diameter_docs"] = diameter_docs
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 

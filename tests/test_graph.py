@@ -424,3 +424,45 @@ def test_reciprocal_edges_weighted_and_int_keys():
          .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert list(zip(r.a, r.b, r.w_ab, r.w_ba)) == [
         (1, 2, 5.0, 7.0), (1, 3, 1.0, 2.0)]
+
+
+def test_diameter_double_sweep_path_graph():
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import diameter_double_sweep
+
+    # path 3-0-1-2-5-4: symmetrized edges; true diameter = 5.
+    # Start = min node (0); sweep 1 peaks at an endpoint; sweep 2 from
+    # the endpoint measures the full path length.
+    src = [3, 0, 1, 2, 5]
+    dst = [0, 1, 2, 5, 4]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src + dst, pa.int64()),
+        "dst": pa.array(dst + src, pa.int64()),
+    })).repartition(3)
+    out = diameter_double_sweep(edges, num_partitions=3).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["start_node"] == 0
+    # from 0: dist(3)=1, dist(4)=3 -> peak = 4; ecc(4) = 5 (to 3)
+    assert r["peak_node"] == 4
+    assert r["diameter_lb"] == 5
+
+
+def test_diameter_double_sweep_tie_and_star():
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import diameter_double_sweep
+
+    # star centered at 10 with leaves 1,2,3: all leaves at dist 1 from
+    # each sweep start; peak tie broken to the smallest node id.
+    leaves = [1, 2, 3]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([10] * 3 + leaves, pa.int64()),
+        "dst": pa.array(leaves + [10] * 3, pa.int64()),
+    }))
+    out = diameter_double_sweep(edges, num_partitions=2).to_pandas()
+    r = out.iloc[0]
+    assert r["start_node"] == 1      # min node id
+    assert r["peak_node"] == 2       # dist 2 via center; min of {2, 3}
+    assert r["diameter_lb"] == 2
