@@ -9811,6 +9811,114 @@ ORACLES["jaro_winkler_parts"] = f"""
 """
 
 
+ER_JW_TAU = 0.88
+
+
+def er_name_variants_parts(sf_dir: str):
+    """Entity resolution composed WHOLE — the reference's full
+    record-linkage skeleton (block → candidate pairs → graded
+    similarity → threshold → graph clustering, SURVEY §0) as ONE Ray
+    pipeline over part-name last tokens: Soundex phonetic blocking
+    (``stages/phonetic.py``), canonical within-block pairs on the
+    DISTINCT token vocabulary (vocabulary-bounded — pair space never
+    scales with corpus rows, the same argument as BPE encode), graded
+    Jaro–Winkler comparison (``ops/strsim.py``), τ-threshold edges, CC
+    entities (``stages/cc.py::assign_clusters``, singletons = own
+    token; entity = lexicographic-min variant), and the per-variant
+    part-count rollup joined back.  The oracle replays every stage:
+    the soundex automaton CTE, DuckDB ``jaro_winkler_similarity`` with
+    the shared rounding, and a recursive-CTE transitive closure over
+    the bounded variant graph."""
+    from ray.data.aggregate import Count
+
+    from dedup_ray.ops.relational import block_pairs
+    from dedup_ray.ops.strsim import jaro_winkler_column
+    from dedup_ray.stages.cc import assign_clusters
+    from dedup_ray.stages.phonetic import soundex_array
+    from dedup_ray.util.dsutil import hash_join
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic typo channel: every 7th part drops the token's
+        # 2nd character ("gear"→"gar") so the corpus actually contains
+        # name VARIANTS to resolve (the clean corpus has none); the
+        # oracle applies the same substr surgery
+        tok = batch["p_name"].str.split(" ").str[-1]
+        typo = tok.str[:1] + tok.str[2:]
+        sel = (batch["p_partkey"] % 7 == 0).to_numpy()
+        return pd.DataFrame({"tok": np.where(sel, typo, tok)})
+
+    vocab = (ds.map_batches(toks, batch_format="pandas")
+             .groupby("tok").aggregate(Count(alias_name="n_parts")))
+
+    def add_sdx(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tok": batch["tok"],
+            "soundex": soundex_array(batch["tok"]),
+            "n_parts": batch["n_parts"].astype("int64"),
+        })
+
+    vocab = vocab.map_batches(add_sdx, batch_format="pandas").materialize()
+    pairs = block_pairs(vocab, "soundex", "tok")
+    scored = jaro_winkler_column(pairs, "id1", "id2")
+
+    def accept(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["jw"], pa.scalar(ER_JW_TAU))
+        return t.filter(keep).select(["id1", "id2"])
+
+    edges = scored.map_batches(accept, batch_format="pyarrow")
+    clusters = assign_clusters(vocab, edges, id_col="tok")
+    out = hash_join(clusters, vocab, on="tok",
+                    left_cols=["tok", "cluster_id"],
+                    right_cols=["tok", "soundex", "n_parts"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tok": t["tok"],
+            "soundex": t["soundex"],
+            "entity": t["cluster_id"],
+            "n_parts": pc.cast(t["n_parts"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _er_name_variants_oracle() -> str:
+    from dedup_ray.stages.phonetic import soundex_sql
+
+    return f"""
+    WITH RECURSIVE
+    base AS (SELECT p_partkey, string_split(p_name, ' ')[-1] AS t
+             FROM part),
+    names AS (SELECT CASE WHEN p_partkey % 7 = 0
+                          THEN substr(t, 1, 1) || substr(t, 3)
+                          ELSE t END AS nm
+              FROM base),
+    cnt AS (SELECT nm, count(*) AS n_parts FROM names GROUP BY nm),
+    __soundex_src AS (SELECT nm FROM cnt),
+    sx AS ({soundex_sql('nm')}),
+    p AS (SELECT a.nm AS id1, b.nm AS id2
+          FROM sx a JOIN sx b ON a.soundex = b.soundex AND a.nm < b.nm
+          WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5)
+                / 1e6 >= {ER_JW_TAU}),
+    e AS (SELECT id1 AS a, id2 AS b FROM p
+          UNION SELECT id2, id1 FROM p
+          UNION SELECT nm, nm FROM cnt),
+    walk AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT w.a, e.b FROM walk w JOIN e ON w.b = e.a
+    ),
+    comp AS (SELECT a AS nm, min(b) AS entity FROM walk GROUP BY a)
+    SELECT c.nm AS tok, sx.soundex, comp.entity, c.n_parts
+    FROM cnt c JOIN sx ON c.nm = sx.nm JOIN comp ON c.nm = comp.nm
+"""
+
+
+ORACLES["er_name_variants_parts"] = _er_name_variants_oracle()
+
+
 DIAMETER_MAX_HOPS = 40
 
 
@@ -9880,6 +9988,7 @@ QUERIES["soundex_parts"] = soundex_parts
 QUERIES["bool_retrieval_docs"] = bool_retrieval_docs
 QUERIES["jaro_winkler_parts"] = jaro_winkler_parts
 QUERIES["diameter_docs"] = diameter_docs
+QUERIES["er_name_variants_parts"] = er_name_variants_parts
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 
