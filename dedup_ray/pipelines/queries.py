@@ -9992,5 +9992,52 @@ QUERIES["er_name_variants_parts"] = er_name_variants_parts
 QUERIES["event_transitions_events"] = event_transitions_events
 QUERIES["ntile_orders"] = ntile_orders
 
+def link_predict_docs(sf_dir: str):
+    """Link prediction (``ops/graph.py::link_predict``): common-neighbor
+    count + Adamic–Adar score for every ABSENT host pair with a shared
+    neighbor — the "which hosts will interlink next" ranker (Liben-Nowell
+    & Kleinberg 2003) downstream of the co-citation projection.  Host
+    graph synthesized from doc_id arithmetic (undirected edges
+    ``doc_id % 50 — (doc_id % 50 + doc_id % 7 + 1) % 50``); the oracle
+    rebuilds neighbor sets, joins wedges, sums ``1/ln(deg)`` and strikes
+    existing edges with NOT EXISTS."""
+    from dedup_ray.ops.graph import link_predict
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        x = ids % 50
+        y = (ids % 50 + ids % 7 + 1) % 50
+        return pa.table({"a": pa.array(x, pa.int64()),
+                         "b": pa.array(y, pa.int64())})
+
+    return link_predict(ds.map_batches(mk_edges, batch_format="pyarrow"),
+                        num_partitions=8)
+
+
+ORACLES["link_predict_docs"] = """
+    WITH raw AS (SELECT doc_id % 50 AS x,
+                        (doc_id % 50 + doc_id % 7 + 1) % 50 AS y
+                 FROM documents),
+    e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM raw),
+    nb AS (SELECT u AS node, v AS nb FROM e
+           UNION SELECT v, u FROM e),
+    deg AS (SELECT node, count(*) AS d FROM nb GROUP BY node),
+    wedge AS (SELECT n1.nb AS u, n2.nb AS v, n1.node AS z
+              FROM nb n1 JOIN nb n2
+              ON n1.node = n2.node AND n1.nb < n2.nb),
+    sc AS (SELECT u, v, count(*) AS cn,
+                  round(sum(1.0 / ln(d)), 6) AS aa
+           FROM wedge JOIN deg ON wedge.z = deg.node
+           GROUP BY u, v)
+    SELECT u, v, CAST(cn AS BIGINT) AS cn, aa
+    FROM sc
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+"""
+
+
+QUERIES["link_predict_docs"] = link_predict_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -466,3 +466,49 @@ def test_diameter_double_sweep_tie_and_star():
     assert r["start_node"] == 1      # min node id
     assert r["peak_node"] == 2       # dist 2 via center; min of {2, 3}
     assert r["diameter_lb"] == 2
+
+
+def test_link_predict_triangle_plus_tail():
+    import math
+
+    from dedup_ray.ops.graph import link_predict
+
+    # triangle 1-2-3 plus tail 3-4 (duplicate + reversed rows must not
+    # inflate counts): only (1,4) and (2,4) are absent pairs with a
+    # common neighbor (3, degree 3)
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 1, 3, 3, 4], pa.int64()),
+        "b": pa.array([2, 3, 3, 1, 4, 3], pa.int64()),
+    })).repartition(3)
+    out = link_predict(edges, num_partitions=2).to_pandas()
+    got = {(r.u, r.v): (r.cn, r.aa) for r in out.itertuples()}
+    w3 = round(1.0 / math.log(3.0), 6)
+    assert got == {(1, 4): (1, w3), (2, 4): (1, w3)}
+
+
+def test_link_predict_degree_cap_and_partition_invariance():
+    from dedup_ray.ops.graph import link_predict
+
+    # star center 0 with leaves 1..6: every leaf pair scores cn=1,
+    # aa=1/ln(6); capping the hub to 3 neighbors keeps only the pairs
+    # among its 3 smallest leaves, with the TRUE degree in the weight
+    import math
+
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([0] * 6, pa.int64()),
+        "b": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    }))
+    full = link_predict(edges, num_partitions=3).to_pandas()
+    assert len(full) == 15
+    assert set(full["cn"]) == {1}
+    assert set(full["aa"]) == {round(1.0 / math.log(6.0), 6)}
+
+    capped = link_predict(edges, max_degree=3,
+                          num_partitions=2).to_pandas()
+    assert {(r.u, r.v) for r in capped.itertuples()} == \
+        {(1, 2), (1, 3), (2, 3)}
+    assert set(capped["aa"]) == {round(1.0 / math.log(6.0), 6)}
+
+    # partitioning must not change results
+    p1 = link_predict(edges.repartition(4), num_partitions=1).to_pandas()
+    assert len(p1) == 15
