@@ -263,6 +263,77 @@ def ari_score(pred, truth, id_col: str = "doc_id",
     return pa.table({"ari": pa.array([round(ari, 6)], pa.float64())})
 
 
+def nmi_score(pred, truth, id_col: str = "doc_id",
+              pred_col: str = "cluster_id", truth_col: str = "truth_id",
+              num_partitions: int = 16):
+    """Normalized mutual information + V-measure (Rosenberg & Hirschberg
+    2007) — the information-theoretic clustering agreement family next to
+    pairwise F1 / B³ / ARI (all over the SAME contingency the reference's
+    ``evaluate.py:125-128`` pair counts marginalize).
+
+    With cells n(c,t), pred sums a_c, truth sums b_t, N items and natural
+    logs:
+
+        I    = Σ_cells (n/N) · ln(N·n / (a_c·b_t))
+        H_u  = −Σ_c (a_c/N) ln(a_c/N)        (pred entropy)
+        H_v  = −Σ_t (b_t/N) ln(b_t/N)        (truth entropy)
+
+        homogeneity  = I / H_v      (each cluster holds one truth class)
+        completeness = I / H_u      (each truth class stays in one cluster)
+        v_measure    = 2I / (H_u + H_v)
+        nmi          = I / sqrt(H_u · H_v)   (sqrt normalization)
+
+    Everything is grouped counts (the ARI machinery) — cells and marginals
+    stay distributed, only three float sums and N reach the driver.
+    Degenerate partitions (H = 0, a single cluster) return the sklearn
+    convention: 1.0 when both sides are single-cluster, else 0.0.  Returns
+    a 1-row table rounded to 6dp.
+    """
+    import math
+
+    from dedup_ray.util.dsutil import hash_join
+
+    joined = hash_join(
+        pred, truth, on=id_col,
+        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
+        num_partitions=num_partitions, how="inner",
+    )
+    n = joined.count()
+
+    def plogp_sum(ds, col):
+        """Σ (cnt/N)·ln(cnt/N) over grouped counts, computed distributed."""
+        def f(t: pa.Table) -> pa.Table:
+            c = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            p = c / n
+            return pa.table({"s": pa.array(p * np.log(p), pa.float64())})
+
+        return ds.map_batches(f, batch_format="pyarrow").sum("s")
+
+    cells = joined.groupby([pred_col, truth_col]).count()
+    h_u = -plogp_sum(joined.groupby(pred_col).count(), "count()")
+    h_v = -plogp_sum(joined.groupby(truth_col).count(), "count()")
+
+    # I = Σ (n/N) ln(n/N) − Σ (a/N) ln(a/N) − Σ (b/N) ln(b/N) applied
+    # cell-wise needs the marginals per cell; cheaper identity:
+    # I = H_u + H_v + Σ_cells (n/N) ln(n/N)
+    i = h_u + h_v + plogp_sum(cells, "count()")
+    if h_u <= 0.0 and h_v <= 0.0:
+        homog = compl = v = nmi = 1.0
+    elif h_u <= 0.0 or h_v <= 0.0:
+        homog = compl = v = nmi = 0.0
+    else:
+        homog = i / h_v
+        compl = i / h_u
+        v = 2 * i / (h_u + h_v)
+        nmi = i / math.sqrt(h_u * h_v)
+    return pa.table({
+        "nmi": pa.array([round(nmi, 6)], pa.float64()),
+        "v_measure": pa.array([round(v, 6)], pa.float64()),
+        "homogeneity": pa.array([round(homog, 6)], pa.float64()),
+        "completeness": pa.array([round(compl, 6)], pa.float64()),
+    })
+
+
 def auc_score(ds, score_col: str, label_col: str,
               num_partitions: int = 8, round_digits: int = 6):
     """Exact ROC AUC via the Mann–Whitney rank statistic — the

@@ -10039,5 +10039,51 @@ ORACLES["link_predict_docs"] = """
 
 QUERIES["link_predict_docs"] = link_predict_docs
 
+
+def nmi_eval_docs(sf_dir: str):
+    """NMI + V-measure of the chain-CC clustering vs the block-of-4 truth
+    (``ops/evaluate.py::nmi_score``, Rosenberg & Hirschberg 2007) — the
+    information-theoretic agreement next to ``ari_eval_docs`` /
+    ``bcubed_eval_docs``, over the SAME distributed contingency counts;
+    only three entropy sums and N reach the driver."""
+    from dedup_ray.ops.evaluate import nmi_score
+
+    pred = cc_chain_docs(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def truth_of(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "truth_id": pa.array(ids // 4)})
+
+    truth = docs.map_batches(truth_of, batch_format="pyarrow")
+    return nmi_score(pred, truth, num_partitions=4)
+
+
+ORACLES["nmi_eval_docs"] = _CHAIN_COMP_CTE + """,
+    truth AS (SELECT doc_id, doc_id // 4 AS truth_id FROM documents),
+    j AS (SELECT c.doc_id, c.cluster_id, t.truth_id
+          FROM comp c JOIN truth t USING (doc_id)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM j),
+    hu AS (SELECT -sum((cnt / nn.n) * ln(cnt / nn.n)) AS v FROM (
+               SELECT count(*)::DOUBLE AS cnt FROM j GROUP BY cluster_id),
+           nn),
+    hv AS (SELECT -sum((cnt / nn.n) * ln(cnt / nn.n)) AS v FROM (
+               SELECT count(*)::DOUBLE AS cnt FROM j GROUP BY truth_id),
+           nn),
+    sc AS (SELECT sum((cnt / nn.n) * ln(cnt / nn.n)) AS v FROM (
+               SELECT count(*)::DOUBLE AS cnt FROM j
+               GROUP BY cluster_id, truth_id),
+           nn)
+    SELECT round((hu.v + hv.v + sc.v) / sqrt(hu.v * hv.v), 6) AS nmi,
+           round(2 * (hu.v + hv.v + sc.v) / (hu.v + hv.v), 6) AS v_measure,
+           round((hu.v + hv.v + sc.v) / hv.v, 6) AS homogeneity,
+           round((hu.v + hv.v + sc.v) / hu.v, 6) AS completeness
+    FROM hu, hv, sc
+"""
+
+
+QUERIES["nmi_eval_docs"] = nmi_eval_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -158,3 +158,44 @@ def test_auc_matches_sklearn_style_reference_and_ties():
         "s": pa.array([0.1, 0.2]), "l": pa.array([1, 1], pa.int64()),
     }))
     assert auc_score(mono, "s", "l").to_pandas()["auc"].isna().all()
+
+
+def test_nmi_handmade_and_degenerate():
+    import math
+
+    import pyarrow as pa
+
+    from dedup_ray.ops.evaluate import nmi_score
+
+    def mk(ids, labels, col):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            col: pa.array(labels, pa.int64())}))
+
+    ids = list(range(6))
+    pred = mk(ids, [0, 0, 1, 1, 2, 2], "cluster_id")
+
+    # identical up to relabeling -> all four metrics 1.0
+    same = mk(ids, [7, 7, 8, 8, 9, 9], "truth_id")
+    row = nmi_score(pred, same).to_pandas().iloc[0]
+    assert row.tolist() == [1.0, 1.0, 1.0, 1.0]
+
+    # hand-computed: pred {01}{23}{45} vs truth {012}{345}
+    truth = mk(ids, [0, 0, 0, 1, 1, 1], "truth_id")
+    row = nmi_score(pred, truth).to_pandas().iloc[0]
+    # cells n = [2,1,1,2]; a = [2,2,2]; b = [3,3]; N = 6
+    n = 6.0
+    h_u = -sum(p * math.log(p) for p in (2 / n, 2 / n, 2 / n))
+    h_v = -sum(p * math.log(p) for p in (3 / n, 3 / n))
+    i = h_u + h_v + sum(
+        (c / n) * math.log(c / n) for c in (2.0, 1.0, 1.0, 2.0))
+    assert row["nmi"] == round(i / math.sqrt(h_u * h_v), 6)
+    assert row["v_measure"] == round(2 * i / (h_u + h_v), 6)
+    assert row["homogeneity"] == round(i / h_v, 6)
+    assert row["completeness"] == round(i / h_u, 6)
+
+    # degenerate: one side single-cluster -> 0.0; both single -> 1.0
+    mono = mk(ids, [5] * 6, "truth_id")
+    assert nmi_score(pred, mono).to_pandas().iloc[0].tolist() == [0.0] * 4
+    mono_pred = mk(ids, [5] * 6, "cluster_id")
+    assert nmi_score(mono_pred, mono).to_pandas().iloc[0].tolist() == [1.0] * 4
