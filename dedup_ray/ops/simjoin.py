@@ -424,3 +424,233 @@ def similarity_self_join(
         verify,
         num_partitions=num_partitions,
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted (tf) cosine self-join — the sparse-vector counterpart of the
+# shingle-set prefix-filter join above.
+# --------------------------------------------------------------------------
+
+_TF_SEED = 0x7C05
+
+
+def _flat_tf(ds, id_col: str, text_col: str):
+    """Flat ``(id, tok, tf, n2)`` term-frequency rows per document under
+    the oracle token law (`string_split(text, ' ')`, empties kept, NULL
+    text == empty text); ``n2`` = the doc's squared L2 norm Σ tf²."""
+
+    def flat(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        uniq: dict[str, int] = {}
+        per_doc: list[tuple[np.ndarray, np.ndarray]] = []
+        for txt in texts:
+            vals, cnts = np.unique(
+                np.array(_split_sql(txt), dtype=object), return_counts=True
+            )
+            per_doc.append((vals, cnts))
+            for s in vals:
+                uniq.setdefault(s, len(uniq))
+        hashes = (
+            stable64_array(list(uniq.keys()), seed=_TF_SEED).view(np.int64)
+            if uniq
+            else np.empty(0, np.int64)
+        )
+        lens = np.array([len(v) for v, _ in per_doc], dtype=np.int64)
+        tok = (
+            np.concatenate(
+                [
+                    hashes[np.fromiter((uniq[s] for s in v), dtype=np.int64,
+                                       count=len(v))]
+                    for v, _ in per_doc
+                ]
+            )
+            if per_doc
+            else np.empty(0, np.int64)
+        )
+        tf = (
+            np.concatenate([c for _, c in per_doc]).astype(np.int64)
+            if per_doc
+            else np.empty(0, np.int64)
+        )
+        n2_doc = np.array(
+            [int((c.astype(np.int64) ** 2).sum()) for _, c in per_doc],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "tok": pa.array(tok, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "n2": pa.array(np.repeat(n2_doc, lens), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+_TF_SCHEMA = pa.schema(
+    [("id", pa.int64()), ("tok", pa.int64()), ("tf", pa.int64()),
+     ("n2", pa.int64())]
+)
+_TF_ANN = pa.schema(
+    [("id", pa.int64()), ("tok", pa.int64()), ("tf", pa.int64()),
+     ("n2", pa.int64()), ("df", pa.int64())]
+)
+_COS_EXPAND = pa.schema(
+    [("id_l", pa.int64()), ("id_r", pa.int64()), ("tok", pa.int64()),
+     ("tf_l", pa.int64()), ("n2_l", pa.int64())]
+)
+_COS_OUT = pa.schema(
+    [("id1", pa.int64()), ("id2", pa.int64()), ("n2_1", pa.int64()),
+     ("n2_2", pa.int64()), ("dot", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+def cosine_self_join(
+    ds,
+    id_col: str,
+    text_col: str = "text",
+    tau: float = 0.9,
+    num_partitions: int = 16,
+):
+    """All pairs (id1 < id2) with term-frequency cosine ≥ ``tau`` — the
+    WEIGHTED-vector sibling of :func:`similarity_self_join` (AllPairs
+    family, Bayardo, Ma & Srikant, WWW 2007): same prefix-filter recall-1
+    contract, but the bound is the suffix L2 norm instead of set overlap.
+
+    Prefix principle for unit vectors under one global feature order: if
+    two docs share NO feature among x's first p features then
+    ``cos(x,y) ≤ ‖x[p:]‖₂`` (Cauchy–Schwarz with ‖y‖=1), so features are
+    kept in the prefix while the inclusive suffix norm ≥ τ — and the
+    earliest-ranked SHARED feature of any qualifying pair must lie in
+    BOTH prefixes (if it misses either prefix, that side's suffix bound
+    already caps the pair below τ), so prefix×prefix blocking has recall
+    exactly 1 and the verified output EQUALS brute force (the oracle).
+
+    The global order is (df ascending, token hash): prefixes fill with a
+    doc's RAREST terms, so on a heavy-tailed vocabulary stopwords never
+    block pairs; on an adversarially flat vocabulary the suffix bound
+    degenerates toward full vectors (documented trade, same worst case as
+    ppjoin's hot rare shingle).
+
+    The τ decision is engine-exact: ``dot`` and the squared norms are
+    integers, and the keep rule ``dot² ≥ τ²·n2₁·n2₂`` plus the emitted
+    ``cosine = dot / sqrt(n2₁·n2₂)`` are the same correctly-rounded IEEE
+    expressions on both engines (products stay far below 2⁵³), so the
+    column hash-compares with no rounding convention.
+
+    Dataflow — five narrow exchanges, no broadcast, no driver state:
+    df-annotate on ``tok``; prefix cut on ``id``; prefix×prefix block on
+    ``tok``; left expansion on ``id_l``; dot + threshold on ``id_r``.
+    """
+    tau2 = tau * tau
+    full = _flat_tf(ds, id_col, text_col).materialize()
+
+    def annotate_df(f: pa.Table) -> pa.Table:
+        fd = _guard(f, _TF_SCHEMA)
+        counts = fd.group_by(["tok"]).aggregate([("id", "count")])
+        j = fd.join(counts, keys="tok", join_type="inner").select(
+            ["id", "tok", "tf", "n2", "id_count"]
+        )
+        return j.rename_columns(
+            ["id", "tok", "tf", "n2", "df"]
+        ).cast(_TF_ANN).combine_chunks()
+
+    annotated = hash_exchange(
+        [full], ["tok"], annotate_df,
+        num_partitions=num_partitions, return_refs=True,
+    )
+
+    def take_prefix(a: pa.Table) -> pa.Table:
+        ad = _guard(a, _TF_ANN)
+        order = pc.sort_indices(
+            ad,
+            sort_keys=[("id", "ascending"), ("df", "ascending"),
+                       ("tok", "ascending")],
+        )
+        ad = ad.take(order)
+        ids = ad["id"].to_numpy(zero_copy_only=False)
+        tf2 = ad["tf"].to_numpy(zero_copy_only=False).astype(np.float64) ** 2
+        n2 = ad["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.cumsum(tf2)
+        starts = np.searchsorted(ids, ids, side="left")
+        # doc-local exclusive prefix sum of tf² → inclusive suffix norm²
+        before = (cs - tf2) - (cs[starts] - tf2[starts])
+        suffix = n2 - before
+        keep = suffix >= tau2 * n2
+        return ad.filter(pa.array(keep)).select(
+            ["id", "tok", "tf", "n2"]
+        ).combine_chunks()
+
+    prefix = hash_exchange(
+        [annotated], ["id"], take_prefix,
+        num_partitions=num_partitions, return_refs=True,
+    )
+
+    def block(pf: pa.Table) -> pa.Table:
+        t = _guard(pf, _TF_SCHEMA)
+        lf = t.select(["id", "tok"]).rename_columns(["id_l", "tok"])
+        rf = t.select(["id", "tok"]).rename_columns(["id_r", "tok"])
+        j = lf.join(rf, keys="tok", join_type="inner")
+        keep = pc.less(j["id_l"], j["id_r"])
+        return _distinct(
+            j.filter(keep), ["id_l", "id_r"]
+        ).cast(_CAND).combine_chunks()
+
+    cand = hash_exchange(
+        [prefix], ["tok"], block,
+        num_partitions=num_partitions, return_refs=True,
+    )
+
+    def attach_left(c: pa.Table, lf: pa.Table) -> pa.Table:
+        cd = _distinct(_guard(c, _CAND), ["id_l", "id_r"])
+        fd = _guard(lf, _TF_SCHEMA).rename_columns(
+            ["id_l", "tok", "tf_l", "n2_l"]
+        )
+        return cd.join(fd, keys="id_l", join_type="inner").select(
+            ["id_l", "id_r", "tok", "tf_l", "n2_l"]
+        ).cast(_COS_EXPAND).combine_chunks()
+
+    full_l = full
+    expanded = hash_exchange(
+        [cand, full_l], ["id_l", "id"], attach_left,
+        num_partitions=num_partitions, return_refs=True,
+    )
+
+    def verify(e: pa.Table, rf: pa.Table) -> pa.Table:
+        ed = _guard(e, _COS_EXPAND)
+        rd = _guard(rf, _TF_SCHEMA).rename_columns(
+            ["id_r", "tok", "tf_r", "n2_r"]
+        )
+        m = ed.join(rd, keys=["id_r", "tok"], join_type="inner")
+        prod = pc.multiply(m["tf_l"], m["tf_r"])
+        m = m.append_column("prod", prod)
+        g = m.group_by(["id_l", "id_r", "n2_l", "n2_r"]).aggregate(
+            [("prod", "sum")]
+        )
+        dot = g["prod_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl2 = g["n2_l"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr2 = g["n2_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = dot.astype(np.float64)
+        keep = d * d >= tau2 * nl2 * nr2
+        cos = d / np.sqrt(nl2 * nr2)
+        return pa.table(
+            {
+                "id1": pa.array(
+                    g["id_l"].to_numpy(zero_copy_only=False)[keep]),
+                "id2": pa.array(
+                    g["id_r"].to_numpy(zero_copy_only=False)[keep]),
+                "n2_1": pa.array(
+                    g["n2_l"].to_numpy(zero_copy_only=False)[keep]),
+                "n2_2": pa.array(
+                    g["n2_r"].to_numpy(zero_copy_only=False)[keep]),
+                "dot": pa.array(dot[keep]),
+                "cosine": pa.array(cos[keep]),
+            }
+        ).cast(_COS_OUT)
+
+    return hash_exchange(
+        [expanded, full], ["id_r", "id"], verify,
+        num_partitions=num_partitions,
+    )

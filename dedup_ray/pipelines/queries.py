@@ -10085,5 +10085,42 @@ ORACLES["nmi_eval_docs"] = _CHAIN_COMP_CTE + """,
 
 QUERIES["nmi_eval_docs"] = nmi_eval_docs
 
+
+def cosine_self_join_docs(sf_dir: str):
+    """Exact tf-cosine all-pairs self-join at τ=0.9 over the documents
+    table (``ops/simjoin.py::cosine_self_join``, AllPairs prefix filter —
+    Bayardo et al. 2007).  Recall is exactly 1, so the oracle is BRUTE
+    FORCE: SQL replays tf vectors and every pairwise dot product, and the
+    engine's prefix-filtered output must equal it row for row — the
+    guarantee itself is what's checked, as with the ppjoin-family query."""
+    from dedup_ray.ops.simjoin import cosine_self_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cosine_self_join(ds, "doc_id", "text", tau=0.9,
+                            num_partitions=8)
+
+
+_COS_TAU2 = repr(0.9 * 0.9)
+
+ORACLES["cosine_self_join_docs"] = f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, tok),
+    n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2
+           FROM tf GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                    sum(a.tf * b.tf)::BIGINT AS dot
+             FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT id1, id2, x.n2 AS n2_1, y.n2 AS n2_2, dot,
+           dot / sqrt(x.n2 * y.n2) AS cosine
+    FROM dots JOIN n2 x ON x.doc_id = id1 JOIN n2 y ON y.doc_id = id2
+    WHERE CAST(dot AS DOUBLE) * dot >= {_COS_TAU2} * x.n2 * y.n2
+"""
+
+
+QUERIES["cosine_self_join_docs"] = cosine_self_join_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -163,3 +163,59 @@ def test_containment_join_excerpt_detection():
     full = out.set_index(["id_l", "id_r"])
     for i in range(5):
         assert full.loc[(i, 100 + i), "containment"] == 1.0
+
+
+def _brute_force_cosine(rows, tau):
+    """Reference tf-cosine pairs (id1 < id2, cos >= tau) via numpy."""
+    from collections import Counter
+
+    tfs = {i: Counter((t or "").split(" ")) for i, t in rows}
+    out = {}
+    ids = sorted(tfs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = tfs[ids[ai]], tfs[ids[bi]]
+            dot = sum(a[t] * b[t] for t in a.keys() & b.keys())
+            n2a = sum(v * v for v in a.values())
+            n2b = sum(v * v for v in b.values())
+            if float(dot) * dot >= (tau * tau) * float(n2a) * n2b:
+                out[(ids[ai], ids[bi])] = (n2a, n2b, dot)
+    return out
+
+
+def test_cosine_self_join_equals_brute_force(ray_session):
+    import random
+
+    from dedup_ray.ops.simjoin import cosine_self_join
+
+    rng = random.Random(13)
+    vocab = [f"c{i}" for i in range(20)]
+    rows = [(i, " ".join(rng.choices(vocab, k=30))) for i in range(35)]
+    # planted near-dup pair: one substitution
+    toks = rows[7][1].split(" ")
+    toks[0] = "EDITED"
+    rows.append((200, " ".join(toks)))
+    rows.append((201, ""))      # empty text: single '' token, joins nothing
+    for tau in (0.5, 0.8, 0.95):
+        got = cosine_self_join(
+            _mk(rows), "id", tau=tau, num_partitions=4
+        ).to_pandas()
+        want = _brute_force_cosine(rows, tau)
+        pairs = set() if got.empty else set(zip(got["id1"], got["id2"]))
+        assert pairs == set(want), f"tau={tau}"
+        if not got.empty:
+            for r in got.itertuples():
+                n2a, n2b, dot = want[(r.id1, r.id2)]
+                assert (r.n2_1, r.n2_2, r.dot) == (n2a, n2b, dot)
+                assert abs(r.cosine - dot / np.sqrt(n2a * n2b)) < 1e-12
+    assert (7, 200) in _brute_force_cosine(rows, 0.8)
+
+
+def test_cosine_self_join_identical_docs_score_one(ray_session):
+    from dedup_ray.ops.simjoin import cosine_self_join
+
+    rows = [(1, "a b c a"), (2, "a b c a"), (3, "x y z w")]
+    got = cosine_self_join(_mk(rows), "id", tau=0.99,
+                           num_partitions=2).to_pandas()
+    assert set(zip(got["id1"], got["id2"])) == {(1, 2)}
+    assert got["cosine"].iloc[0] == 1.0
