@@ -10122,5 +10122,53 @@ ORACLES["cosine_self_join_docs"] = f"""
 
 QUERIES["cosine_self_join_docs"] = cosine_self_join_docs
 
+
+def bigram_backoff_docs(sf_dir: str):
+    """Stupid-backoff bigram LM score per doc (``stages/selection.py::
+    bigram_backoff_score``, Brants et al. 2007): count-pruned bigram
+    table (min_count=2), backoff ``0.4·c(w2)/total`` for pruned/unseen
+    bigrams, mean ln score per doc — counts attached by three
+    co-partitioned joins, no broadcast vocabulary.  The oracle replays
+    tokenization, pruning, the backoff CASE and the join-key law
+    (``w1||chr(31)||w2``) verbatim."""
+    from dedup_ray.stages.selection import bigram_backoff_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_backoff_score(ds, "doc_id", "text", alpha=0.4,
+                                min_count=2, num_partitions=8)
+
+
+ORACLES["bigram_backoff_docs"] = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM d),
+    tot AS (SELECT count(*)::DOUBLE AS n FROM t),
+    uni AS (SELECT w, count(*)::BIGINT AS c1 FROM t GROUP BY w),
+    big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c2 AS (SELECT w1 || chr(31) || w2 AS k12, count(*)::BIGINT AS c
+           FROM big GROUP BY w1 || chr(31) || w2
+           HAVING count(*) >= 2),
+    sc AS (SELECT big.doc_id,
+                  CASE WHEN c2.c IS NOT NULL
+                       THEN ln(c2.c / CAST(u1.c1 AS DOUBLE))
+                       ELSE ln(0.4 * u2.c1 / tot.n) END AS s
+           FROM big
+           LEFT JOIN c2 ON c2.k12 = big.w1 || chr(31) || big.w2
+           JOIN uni u1 ON u1.w = big.w1
+           JOIN uni u2 ON u2.w = big.w2, tot),
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(sum(s) / count(*), 6) AS bigram_lp
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+           per.bigram_lp
+    FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["bigram_backoff_docs"] = bigram_backoff_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

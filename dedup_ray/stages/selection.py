@@ -156,3 +156,155 @@ def unigram_perplexity(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_backoff_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                         alpha: float = 0.4, min_count: int = 2,
+                         num_partitions: int = 16):
+    """Stupid-backoff bigram LM score per document (Brants et al., EMNLP
+    2007 — the web-scale LM smoothing that made KenLM-style corpus
+    scoring tractable): for each in-doc bigram (w1, w2),
+
+        s = count(w1 w2) / count(w1)          if count(w1 w2) ≥ min_count
+        s = alpha · count(w2) / total_tokens  otherwise (backoff)
+
+    and the doc score is the mean ln s over its bigrams — the bigram
+    upgrade of :func:`unigram_perplexity` / ``token_logfreq_score``.
+    ``min_count`` prunes the bigram table exactly as a production LM
+    does (a web-scale bigram table is only vocab²-bounded AFTER count
+    pruning); the pruned mass is what exercises the backoff path when
+    the corpus scores itself.
+
+    Distributed shape — counts are co-partitioned joins, never broadcast
+    (web-scale vocab is unbounded): one text pass builds bigram rows
+    keyed ``w1 || chr(31) || w2`` (the join-key law shared verbatim with
+    the SQL twin, so tokens containing the separator alias identically
+    in both engines); bigram counts and unigram counts are narrow
+    grouped tables; three ``exchange_join`` hops attach c2 / c1(w1) /
+    c1(w2); the per-doc Σ ln s partial is grouped once.  Docs with < 2
+    tokens emit ``n_bigrams = 0`` and a null score.  Only
+    ``total_tokens`` (one integer) reaches the driver.
+
+    Output: ``(id_col, n_bigrams, bigram_lp)`` with ``bigram_lp``
+    rounded to 6dp.
+    """
+    from dedup_ray.util.exchange import exchange_join
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id, w1s, w2s = [], [], []
+        for i, txt in enumerate(texts):
+            ws = (txt or "").split(" ")
+            if len(ws) < 2:
+                continue
+            out_id.extend([ids[i]] * (len(ws) - 1))
+            w1s.extend(ws[:-1])
+            w2s.extend(ws[1:])
+        w1a = pa.array(w1s, pa.string())
+        w2a = pa.array(w2s, pa.string())
+        k12 = pc.binary_join_element_wise(w1a, w2a, "\x1f")
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "w1": w1a, "w2": w2a, "k12": k12,
+        })
+
+    big = ds.map_batches(bigrams, batch_format="pyarrow").materialize()
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", pa.string()))
+        flat = pc.list_flatten(pc.split_pattern(txt, " "))
+        return pa.table({"w": flat})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow").materialize()
+    total = tok_ds.count()
+
+    def rn(cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return f
+
+    uni = tok_ds.groupby("w").count().map_batches(
+        rn(["w", "c1"]), batch_format="pyarrow")
+    c2 = big.groupby("k12").count().map_batches(
+        rn(["k12", "c2"]), batch_format="pyarrow").filter(
+        lambda r: r["c2"] >= min_count)
+
+    j1 = exchange_join(
+        big, c2, on="k12", how="left", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+            ("k12", pa.string()), ("c2", pa.int64()),
+        ]),
+        return_refs=True,
+    )
+    uni1 = uni.map_batches(rn(["w1", "c1w1"]), batch_format="pyarrow")
+    j2 = exchange_join(
+        j1, uni1, on="w1", how="inner", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("w2", pa.string()), ("k12", pa.string()),
+            ("c2", pa.int64()), ("c1w1", pa.int64()),
+        ]),
+        return_refs=True,
+    )
+    uni2 = uni.map_batches(rn(["w2", "c1w2"]), batch_format="pyarrow")
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        c2v = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1w1 = t["c1w1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1w2 = t["c1w2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        seen = ~np.isnan(c2v)
+        s = np.where(seen,
+                     np.log(np.where(seen, c2v, 1.0) / c1w1),
+                     np.log(alpha * c1w2 / total))
+        g = pa.table({id_col: t[id_col], "s": pa.array(s, pa.float64())})
+        agg = g.group_by(id_col).aggregate([("s", "sum"), ("s", "count")])
+        return agg.rename_columns([id_col, "s", "n"])
+
+    j3 = exchange_join(
+        j2, uni2, on="w2", how="inner", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("s", pa.float64()), ("n", pa.int64()),
+        ]),
+        post=score_partial,
+        return_refs=True,
+    )
+
+    def finish(lf: pa.Table, rf: pa.Table) -> pa.Table:
+        ids = lf[id_col] if id_col in lf.column_names \
+            else pa.array([], pa.int64())
+        left = pa.table({id_col: ids})
+        if "s" not in rf.column_names:
+            rf = pa.table({id_col: pa.array([], pa.int64()),
+                           "s": pa.array([], pa.float64()),
+                           "n": pa.array([], pa.int64())})
+        part = rf.group_by(id_col).aggregate([("s", "sum"), ("n", "sum")])
+        part = part.rename_columns([id_col, "s", "n"])
+        j = left.join(part, keys=id_col, join_type="left outer")
+        n = j["n"].to_numpy(zero_copy_only=False)
+        s = j["s"].to_numpy(zero_copy_only=False)
+        nn = np.nan_to_num(n.astype(np.float64), nan=0.0)
+        lp = np.where(nn > 0, np.round(s / np.maximum(nn, 1.0), 6), np.nan)
+        return pa.table({
+            id_col: j[id_col],
+            "n_bigrams": pa.array(nn.astype(np.int64)),
+            "bigram_lp": pa.array(
+                [None if not (x == x) else float(x) for x in lp],
+                pa.float64()),
+        })
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    doc_ids = ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    return hash_exchange(
+        [doc_ids, j3], [id_col, id_col], finish,
+        num_partitions=num_partitions,
+    )

@@ -105,3 +105,56 @@ def test_unigram_perplexity_empty_and_null_text():
     # DSIR convention: empty/null text = one empty-string token
     assert out["n_tokens"].tolist() == [2, 1, 1]
     assert out["ppl"].notna().all()
+
+
+def test_bigram_backoff_matches_reference(ray_session):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.selection import bigram_backoff_score
+
+    texts = [
+        "a b a b c",        # bigrams a-b (x2), b-a, b-c
+        "a b x y",          # x-y and b-x are singletons -> backoff
+        "a",                # single token: no bigrams
+        None,               # null text == empty: no bigrams
+        "c a b a b",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = bigram_backoff_score(
+        ds, min_count=2, alpha=0.4, num_partitions=3
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    # independent reference
+    toks = [(t or "").split(" ") for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    total = sum(uni.values())
+    big = Counter(
+        (ws[i], ws[i + 1]) for ws in toks for i in range(len(ws) - 1))
+
+    def score(ws):
+        ss = []
+        for i in range(len(ws) - 1):
+            c2 = big[(ws[i], ws[i + 1])]
+            if c2 >= 2:
+                ss.append(math.log(c2 / uni[ws[i]]))
+            else:
+                ss.append(math.log(0.4 * uni[ws[i + 1]] / total))
+        return ss
+
+    for i, ws in enumerate(toks):
+        ss = score(ws)
+        assert got.loc[i, "n_bigrams"] == len(ss)
+        if ss:
+            assert abs(got.loc[i, "bigram_lp"] - round(sum(ss) / len(ss), 6)) < 1e-9
+        else:
+            assert np.isnan(got.loc[i, "bigram_lp"])
+
+    # backoff fired for doc 1 (its singleton bigrams score via unigrams)
+    assert got.loc[1, "bigram_lp"] != got.loc[0, "bigram_lp"]
