@@ -10170,5 +10170,52 @@ ORACLES["bigram_backoff_docs"] = """
 
 QUERIES["bigram_backoff_docs"] = bigram_backoff_docs
 
+
+KCENTER_K = 8
+
+
+def kcenter_select_embeddings(sf_dir: str):
+    """Greedy k-center coreset over the embeddings table
+    (``stages/selection.py::kcenter_select``, Gonzalez 1985): seed = min
+    vec_id, then 7 farthest-point rounds — one map_batches champion pass
+    per round, driver state = the ≤k selected vectors.  The oracle
+    UNROLLS all rounds as CTEs (the k-means oracle technique): each
+    round's argmax replayed with ``list_distance`` over the same
+    DOUBLE-cast vectors, ties to the smallest id."""
+    from dedup_ray.stages.selection import kcenter_select
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=KCENTER_K)
+
+
+def _kcenter_oracle_sql() -> str:
+    parts = ["""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sel0 AS MATERIALIZED (
+        SELECT 0 AS rank, vec_id, v, 0.0 AS dist
+        FROM e ORDER BY vec_id LIMIT 1)"""]
+    for r in range(1, KCENTER_K):
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+        SELECT e.vec_id, e.v,
+               (SELECT min(list_distance(e.v, c.v)) FROM sel{r - 1} c)
+                   AS dist
+        FROM e
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})),
+    s{r} AS MATERIALIZED (
+        SELECT {r} AS rank, vec_id, v, dist FROM d{r}
+        ORDER BY dist DESC, vec_id LIMIT 1),
+    sel{r} AS MATERIALIZED (
+        SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})""")
+    parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 6) AS dist
+    FROM sel{KCENTER_K - 1}""")
+    return "".join(parts)
+
+
+ORACLES["kcenter_select_embeddings"] = _kcenter_oracle_sql()
+QUERIES["kcenter_select_embeddings"] = kcenter_select_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

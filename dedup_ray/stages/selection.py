@@ -308,3 +308,84 @@ def bigram_backoff_score(ds, id_col: str = "doc_id", text_col: str = "text",
         [doc_ids, j3], [id_col, id_col], finish,
         num_partitions=num_partitions,
     )
+
+
+def kcenter_select(ds, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
+    the coreset recipe behind active-learning and data-pruning selection,
+    e.g. Sener & Savarese 2018): seed with the smallest id, then ``k−1``
+    rounds of "add the point farthest from the selected set".
+
+    Distributed shape: centers live on the driver (≤ k×d floats — the
+    ONLY driver state); each round broadcasts them via ``ray.put`` and
+    one ``map_batches`` pass emits a single per-batch champion
+    ``(id, dist)`` row; the driver reduces ≤ n_blocks rows to the global
+    argmax (ties → smallest id).  As written each round recomputes
+    min-distance against all current centers (O(n·k·d) total, matching
+    the SQL twin term for term); the production path carries a running
+    min-dist column between rounds instead (O(n·d) per round) —
+    same selections, one materialized column of extra state.
+
+    Distances are Euclidean over the float32 vectors cast to float64
+    (the oracle's ``list_distance(CAST(v AS DOUBLE[]))`` law).  Output:
+    ``(rank, vec_id, dist)`` — dist = distance to the prior selected set
+    at selection time (seed row: 0.0), rounded to 6dp.
+    """
+    import ray
+
+    # seed: smallest id (tiny driver fetch of one row)
+    seed_id = ds.min(id_col)
+    seed_row = ds.filter(lambda r: r[id_col] == seed_id).take(1)[0]
+    centers = [np.asarray(seed_row[vec_col], dtype=np.float64)]
+    sel_ids = [int(seed_id)]
+    out_rank, out_id, out_dist = [0], [int(seed_id)], [0.0]
+
+    for _ in range(1, k):
+        cref = ray.put(np.stack(centers))
+        sref = ray.put(np.array(sel_ids, dtype=np.int64))
+
+        def champion(t: pa.Table, _c=cref, _s=sref) -> pa.Table:
+            c = ray.get(_c)
+            taken = ray.get(_s)
+            empty = pa.table({
+                "cid": pa.array([], pa.int64()),
+                "cdist": pa.array([], pa.float64()),
+                "cvec": pa.array([], pa.list_(pa.float64())),
+            })
+            if t.num_rows == 0:
+                return empty
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in t[vec_col].to_pylist()]
+            )
+            keep = ~np.isin(ids, taken)
+            if not keep.any():
+                return empty
+            ids, x = ids[keep], x[keep]
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            dist = np.sqrt(d2.min(axis=1))
+            # per-batch champion: max dist, tie -> smallest id
+            best = np.lexsort((ids, -dist))[0]
+            return pa.table({
+                "cid": pa.array([ids[best]], pa.int64()),
+                "cdist": pa.array([dist[best]], pa.float64()),
+                "cvec": pa.array([x[best].tolist()],
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(champion, batch_format="pyarrow").take_all()
+        best = max(parts, key=lambda r: (r["cdist"], -r["cid"]))
+        bid = int(best["cid"])
+        centers.append(np.asarray(best["cvec"], dtype=np.float64))
+        sel_ids.append(bid)
+        out_rank.append(len(sel_ids) - 1)
+        out_id.append(bid)
+        out_dist.append(round(float(best["cdist"]), 6))
+
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        "vec_id": pa.array(out_id, pa.int64()),
+        "dist": pa.array(out_dist, pa.float64()),
+    })

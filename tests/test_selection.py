@@ -158,3 +158,46 @@ def test_bigram_backoff_matches_reference(ray_session):
 
     # backoff fired for doc 1 (its singleton bigrams score via unigrams)
     assert got.loc[1, "bigram_lp"] != got.loc[0, "bigram_lp"]
+
+
+def test_kcenter_select_reference_and_properties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.selection import kcenter_select
+
+    rng = np.random.default_rng(17)
+    # three well-separated blobs + noise: the first 3 non-seed picks must
+    # come from distinct blobs (farthest-point property)
+    blobs = [np.array([0.0, 0.0]), np.array([10.0, 0.0]),
+             np.array([0.0, 10.0])]
+    pts, blob_of = [], []
+    for i in range(30):
+        b = i % 3
+        pts.append(blobs[b] + rng.normal(0, 0.1, 2))
+        blob_of.append(b)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([p.tolist() for p in pts],
+                              pa.list_(pa.float64())),
+    }))
+    got = kcenter_select(ds, k=5).to_pandas()
+    assert got["rank"].tolist() == list(range(5))
+    assert got["vec_id"].iloc[0] == 0 and got["dist"].iloc[0] == 0.0
+    first3 = {blob_of[v] for v in got["vec_id"].iloc[:3]}
+    assert first3 == {0, 1, 2}
+
+    # exact greedy reference
+    X = np.stack(pts)
+    sel = [0]
+    dists = [0.0]
+    for _ in range(4):
+        d = np.sqrt(
+            ((X[:, None, :] - X[sel][None, :, :]) ** 2).sum(2)).min(1)
+        d[sel] = -1.0
+        # max dist, tie smallest id
+        best = np.lexsort((np.arange(len(X)), -d))[0]
+        sel.append(int(best))
+        dists.append(round(float(d[best]), 6))
+    assert got["vec_id"].tolist() == sel
+    assert got["dist"].tolist() == dists
