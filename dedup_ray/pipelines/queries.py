@@ -10217,5 +10217,32 @@ def _kcenter_oracle_sql() -> str:
 ORACLES["kcenter_select_embeddings"] = _kcenter_oracle_sql()
 QUERIES["kcenter_select_embeddings"] = kcenter_select_embeddings
 
+
+def scalar_quantize_embeddings(sf_dir: str):
+    """SQ8 scalar quantization codes over the embeddings table
+    (``stages/ann.py::scalar_quantize_codes``): per-dim min/max in one
+    d-bounded partial pass, affine 0..255 codes in one broadcast pass —
+    zero shuffles.  ``floor(z+0.5)`` rounding so the oracle replays the
+    arithmetic bit for bit over the same DOUBLE-cast vectors."""
+    from dedup_ray.stages.ann import scalar_quantize_codes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return scalar_quantize_codes(ds)
+
+
+ORACLES["scalar_quantize_embeddings"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    x AS (SELECT vec_id, r.i AS dim, v[r.i] AS val
+          FROM e CROSS JOIN range(1, 65) AS r(i)),
+    mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim)
+    SELECT vec_id, CAST(x.dim AS BIGINT) AS dim,
+           CAST(CASE WHEN mx = mn THEN 0
+                ELSE floor((val - mn) * 255.0 / (mx - mn) + 0.5)
+                END AS BIGINT) AS code
+    FROM x JOIN mm USING (dim)
+"""
+QUERIES["scalar_quantize_embeddings"] = scalar_quantize_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

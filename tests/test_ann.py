@@ -83,3 +83,37 @@ def test_pq_recall_and_compression():
     # emitted scores are true cosines (re-ranked), matching exact's values
     m = exact.merge(approx, on=["query_id", "neighbor_id"])
     assert (m.cos_sim_x == m.cos_sim_y).all()
+
+
+def test_scalar_quantize_codes_roundtrip_error_bound(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.ann import scalar_quantize_codes
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(0, 1, (40, 6))
+    X[:, 5] = 7.25  # constant dim -> code 0 everywhere
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64())),
+    }))
+    got = scalar_quantize_codes(ds).to_pandas()
+    assert len(got) == 40 * 6
+    assert got["code"].between(0, 255).all()
+    assert (got.loc[got["dim"] == 6, "code"] == 0).all()
+
+    # dequantize: reconstruction error <= half a step per dim
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    piv = got.pivot(index="vec_id", columns="dim", values="code").to_numpy()
+    span = np.where(hi - lo == 0, 1.0, hi - lo)
+    recon = lo + piv * span / 255.0
+    err = np.abs(recon - X)[:, :5]
+    assert (err <= (span[:5] / 255.0) / 2 + 1e-12).all()
+
+    # extremes map to the end codes
+    for j in range(5):
+        col = got[got["dim"] == j + 1].set_index("vec_id")["code"]
+        assert col[int(np.argmin(X[:, j]))] == 0
+        assert col[int(np.argmax(X[:, j]))] == 255
