@@ -167,3 +167,92 @@ def rrf_fuse(rankings: list, k: int = 20, c: int = 60,
         id_col: pa.array([t[0] for t in top], pa.int64()),
         "rrf": pa.array([round(t[1], 6) for t in top], pa.float64()),
     })
+
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 8):
+    """Exact consecutive-token phrase retrieval over positional postings —
+    the "exact phrase" query class boolean AND retrieval cannot express
+    (AND finds co-occurrence anywhere; this requires adjacency).
+
+    Postings are pruned to the phrase's own terms BEFORE any shuffle (the
+    phrase is a query-time constant, so the prune is k vectorized
+    equality scans per batch, one per phrase slot — rows for all other
+    tokens never leave the map task), then ONE exchange on the doc id
+    co-locates each candidate
+    document's surviving positions.  The in-partition adjacency check is
+    pure integer set logic: occurrence keys ``doc·2³² + pos`` per phrase
+    slot, ``np.isin(candidates + k, slot_k)`` chains — no per-doc Python,
+    and repeated words in the phrase are handled by emitting one posting
+    row per matching slot.
+
+    Token law: ``string_split(text, ' ')`` with empties kept, 1-based
+    positions (the bigram-LM law, replayed verbatim by the SQL twin).
+    Output: ``(id_col, n_matches, first_pos)`` for documents with ≥ 1
+    match.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    terms = list(phrase)
+    k = len(terms)
+
+    def postings(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", pa.string()))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.cumsum(lens)[:-1]].astype(np.int64)
+        pos_all = (np.arange(len(parents), dtype=np.int64)
+                   - starts[parents] + 1)
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)[parents]
+        id_parts, pos_parts, slot_parts = [], [], []
+        for s, term in enumerate(terms):
+            m = pc.equal(flat, pa.scalar(term)).to_numpy(
+                zero_copy_only=False)
+            sel = np.flatnonzero(m)
+            id_parts.append(ids_all[sel])
+            pos_parts.append(pos_all[sel])
+            slot_parts.append(np.full(len(sel), s, np.int64))
+        return pa.table({
+            id_col: pa.array(
+                np.concatenate(id_parts) if id_parts
+                else np.empty(0, np.int64), pa.int64()),
+            "pos": pa.array(
+                np.concatenate(pos_parts) if pos_parts
+                else np.empty(0, np.int64), pa.int64()),
+            "slot": pa.array(
+                np.concatenate(slot_parts) if slot_parts
+                else np.empty(0, np.int64), pa.int64()),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def match(part: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64()),
+                          "first_pos": pa.array([], pa.int64())})
+        if part.num_rows == 0 or id_col not in part.column_names:
+            return empty
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        pos = part["pos"].to_numpy(zero_copy_only=False)
+        slot = part["slot"].to_numpy(zero_copy_only=False)
+        key = ids * (1 << 32) + pos
+        cand = key[slot == 0]
+        for s in range(1, k):
+            cand = cand[np.isin(cand + s, key[slot == s])]
+        if not len(cand):
+            return empty
+        doc = (cand >> 32).astype(np.int64)
+        p = (cand & 0xFFFFFFFF).astype(np.int64)
+        g = pa.table({id_col: pa.array(doc), "p": pa.array(p)})
+        agg = g.group_by(id_col).aggregate([("p", "count"), ("p", "min")])
+        return agg.rename_columns([id_col, "n_matches", "first_pos"])
+
+    return exchange_group_apply(posts, id_col, match, num_partitions)

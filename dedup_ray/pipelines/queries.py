@@ -10244,5 +10244,75 @@ ORACLES["scalar_quantize_embeddings"] = """
 """
 QUERIES["scalar_quantize_embeddings"] = scalar_quantize_embeddings
 
+
+PHRASE_TERMS = ("slow", "hash", "batch")
+
+
+def phrase_search_docs(sf_dir: str):
+    """Exact consecutive-token phrase retrieval (``ops/retrieval.py::
+    phrase_search``): postings pruned to the phrase's terms before the
+    single doc-keyed exchange, adjacency checked with integer key-set
+    chains.  Oracle replays the position law and the adjacency self-joins
+    from the same phrase constant."""
+    from dedup_ray.ops.retrieval import phrase_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_search(ds, list(PHRASE_TERMS), num_partitions=8)
+
+
+def _phrase_oracle_sql() -> str:
+    w1, w2, w3 = PHRASE_TERMS
+    return f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM d),
+    m AS (SELECT a.doc_id, a.pos FROM t a
+          JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                      AND b.w = '{w2}'
+          JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                      AND c.w = '{w3}'
+          WHERE a.w = '{w1}')
+    SELECT doc_id, count(*)::BIGINT AS n_matches,
+           min(pos)::BIGINT AS first_pos
+    FROM m GROUP BY doc_id
+"""
+
+
+ORACLES["phrase_search_docs"] = _phrase_oracle_sql()
+QUERIES["phrase_search_docs"] = phrase_search_docs
+
+
+def vocab_growth_docs(sf_dir: str):
+    """Heaps-law vocabulary growth per 50-doc arrival bucket
+    (``stages/textstats.py::vocab_growth``): first-occurrence bucket per
+    token type via one grouped min, bucket token totals via one grouped
+    count, cumulative sums over ≤ n_docs/50 driver rows.  Integer-only —
+    the oracle replays the M4 token law and window cumsums."""
+    from dedup_ray.stages.textstats import vocab_growth
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_growth(ds, bucket_docs=50)
+
+
+ORACLES["vocab_growth_docs"] = TOKENS_CTE + """,
+    first AS (SELECT token, min(doc_id) // 50 AS bucket
+              FROM toks GROUP BY token),
+    nt AS (SELECT bucket, count(*)::BIGINT AS new_types
+           FROM first GROUP BY bucket),
+    bt AS (SELECT doc_id // 50 AS bucket, count(*)::BIGINT AS bucket_tokens
+           FROM toks GROUP BY doc_id // 50)
+    SELECT bt.bucket,
+           coalesce(nt.new_types, 0) AS new_types,
+           sum(coalesce(nt.new_types, 0))
+               OVER (ORDER BY bt.bucket)::BIGINT AS cum_types,
+           bt.bucket_tokens,
+           sum(bt.bucket_tokens)
+               OVER (ORDER BY bt.bucket)::BIGINT AS cum_tokens
+    FROM bt LEFT JOIN nt USING (bucket)
+"""
+QUERIES["vocab_growth_docs"] = vocab_growth_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

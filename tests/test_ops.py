@@ -705,3 +705,51 @@ def test_grouped_rolling_window_one_and_singletons():
     assert out["roll_avg"].tolist() == [5.0, 7.0]
     assert out["roll_sum"].tolist() == [5.0, 7.0]
     assert out["delta"].isna().all()
+
+
+def test_phrase_search_adjacency_and_repeats(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.ops.retrieval import phrase_search
+
+    texts = [
+        "x a b c y a b c",    # two matches of "a b c" at pos 2 and 6
+        "a b x c",            # terms present but NOT adjacent -> no match
+        "c b a",              # wrong order -> no match
+        "a a a a",            # repeated-word phrase probe target
+        None,                 # null text
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = phrase_search(ds, ["a", "b", "c"], num_partitions=3).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+    assert got.index.tolist() == [0]
+    assert got.loc[0, "n_matches"] == 2 and got.loc[0, "first_pos"] == 2
+
+    # repeated word in the phrase: "a a" matches overlapping occurrences
+    got2 = phrase_search(ds, ["a", "a"], num_partitions=3).to_pandas()
+    got2 = got2.set_index("doc_id").sort_index()
+    assert got2.loc[3, "n_matches"] == 3  # positions 1,2,3
+    assert got2.loc[3, "first_pos"] == 1
+
+
+def test_vocab_growth_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.textstats import vocab_growth
+
+    # bucket_docs=2 -> buckets {0,1}: docs 0-1, docs 2-3
+    texts = ["a b", "b c", "c d a", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = vocab_growth(ds, bucket_docs=2).to_pandas().set_index("bucket")
+    # bucket 0: tokens a,b,b,c -> new types {a,b,c}=3, 4 tokens
+    # bucket 1: tokens c,d,a + sentinel '3' -> new {d,'3'}=2, 4 tokens
+    assert got.loc[0].tolist() == [3, 3, 4, 4]
+    assert got.loc[1].tolist() == [2, 5, 4, 8]
