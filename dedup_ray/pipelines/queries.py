@@ -10314,5 +10314,112 @@ ORACLES["vocab_growth_docs"] = TOKENS_CTE + """,
 """
 QUERIES["vocab_growth_docs"] = vocab_growth_docs
 
+
+def path_template_docs(sf_dir: str):
+    """Crawl-trap path-template census (``stages/urlnorm.py::
+    path_template_census``): URLs synthesized from doc_id (three site
+    structures across 7 hosts — numeric item pages with hex session ids,
+    category lists, a static page), templated by the shared RE2 rewrite
+    chain, counted per (host, template).  Oracle rebuilds the same URLs
+    in SQL and applies the GENERATED template expression."""
+    from dedup_ray.stages.urlnorm import path_template_census
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = ids.astype(str)
+        host = np.char.add(np.char.add("http://site", (ids % 7).astype(str)),
+                           ".example.com")
+        path = np.where(
+            ids % 3 == 0,
+            np.char.add(np.char.add("/item/", s),
+                        np.char.add("/view?sid=deadbeef", s)),
+            np.where(
+                ids % 3 == 1,
+                np.char.add(np.char.add("/cat/", (ids % 5).astype(str)),
+                            "/list"),
+                "/about"),
+        )
+        return pa.table({
+            "url": pa.array(np.char.add(host, path), pa.string()),
+        })
+
+    return path_template_census(ds.map_batches(mk, batch_format="pyarrow"),
+                                min_pages=2)
+
+
+def _path_template_oracle_sql() -> str:
+    from dedup_ray.stages.urlnorm import path_template_sql
+
+    url = ("'http://site' || (doc_id % 7) || '.example.com' || "
+           "CASE WHEN doc_id % 3 = 0 THEN "
+           "'/item/' || doc_id || '/view?sid=deadbeef' || doc_id "
+           "WHEN doc_id % 3 = 1 THEN '/cat/' || (doc_id % 5) || '/list' "
+           "ELSE '/about' END")
+    return f"""
+    WITH u AS (SELECT {url} AS url FROM documents),
+    t AS (SELECT lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                 {path_template_sql('url')} AS template
+          FROM u)
+    SELECT host, template, count(*)::BIGINT AS n_pages
+    FROM t GROUP BY host, template HAVING count(*) >= 2
+"""
+
+
+ORACLES["path_template_docs"] = _path_template_oracle_sql()
+QUERIES["path_template_docs"] = path_template_docs
+
+
+def script_profile_docs(sf_dir: str):
+    """Unicode script profile (``stages/textstats.py::script_profile``)
+    over mixed-script pages synthesized from doc_id (Latin base plus
+    Cyrillic / Greek / CJK+Arabic admixtures by ``doc_id % 4``): per-doc
+    char counts per script class and the dominant script — shuffle-free,
+    one UTF-32 decode per batch.  Oracle rebuilds the same strings in
+    SQL and counts with the GENERATED RE2 class expressions."""
+    from dedup_ray.stages.textstats import script_profile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            s = "abc " * (int(i) % 3 + 1)
+            m = int(i) % 4
+            if m == 1:
+                s += "при" * (int(i) % 2 + 1)
+            elif m == 2:
+                s += "γεια"
+            elif m == 3:
+                s += "漢字مرحبا"
+            texts.append(s)
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(texts, pa.string())})
+
+    return script_profile(ds.map_batches(mk, batch_format="pyarrow"))
+
+
+def _script_profile_oracle_sql() -> str:
+    from dedup_ray.stages.textstats import script_profile_sql
+
+    return f"""
+    WITH d AS (SELECT doc_id,
+        repeat('abc ', (doc_id % 3)::INT + 1) ||
+        CASE doc_id % 4
+             WHEN 1 THEN repeat('при', (doc_id % 2)::INT + 1)
+             WHEN 2 THEN 'γεια'
+             WHEN 3 THEN '漢字مرحبا'
+             ELSE '' END AS text
+        FROM documents)
+    SELECT doc_id, {script_profile_sql('text')} FROM d
+"""
+
+
+ORACLES["script_profile_docs"] = _script_profile_oracle_sql()
+QUERIES["script_profile_docs"] = script_profile_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

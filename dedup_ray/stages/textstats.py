@@ -698,3 +698,97 @@ def vocab_growth(ds, bucket_docs: int = 50, id_col: str = "doc_id",
             m["bucket_tokens"].to_numpy(), pa.int64()),
         "cum_tokens": pa.array(m["cum_tokens"].to_numpy(), pa.int64()),
     })
+
+
+# Unicode script ranges (BMP), shared verbatim with the generated SQL twin.
+# Order matters twice: dominant-script ties resolve to the EARLIER entry,
+# and the oracle's CASE chain is generated in the same order.
+SCRIPT_RANGES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("latin", [(0x41, 0x5A), (0x61, 0x7A)]),
+    ("cyrillic", [(0x400, 0x4FF)]),
+    ("greek", [(0x370, 0x3FF)]),
+    ("arabic", [(0x600, 0x6FF)]),
+    ("cjk", [(0x4E00, 0x9FFF)]),
+]
+
+
+def script_profile(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Unicode script profile — char counts per script class
+    plus the dominant script: the writing-system router ahead of
+    language-ID (langid's n-gram tables assume an alphabet; CJK / Arabic
+    pages need different tokenizers entirely) and the standard
+    mixed-script spam signal (Cyrillic lookalikes inside Latin text).
+
+    Shuffle-free and vectorized: each batch decodes its text column ONCE
+    to a flat UTF-32 codepoint array (one ``str.encode`` on the joined
+    batch text, no per-char Python), counts range members per document
+    with ``np.bincount`` scatters, and takes the dominant script by
+    first-listed argmax; all-zero rows emit ``'none'``.  Integer counts
+    only — nothing float-sensitive crosses engines.
+
+    Output: ``(id_col, n_chars, <one count column per script>,
+    dominant)``.
+    """
+
+    names = [n for n, _ in SCRIPT_RANGES]
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        n = len(texts)
+        lens = np.array([len(x) for x in texts], dtype=np.int64)
+        joined = "".join(texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.zeros((n, len(SCRIPT_RANGES)), dtype=np.int64)
+        for k, (_, ranges) in enumerate(SCRIPT_RANGES):
+            mask = np.zeros(len(cp), dtype=bool)
+            for lo, hi in ranges:
+                mask |= (cp >= lo) & (cp <= hi)
+            if mask.any():
+                counts[:, k] = np.bincount(doc_idx[mask], minlength=n)
+        any_hit = counts.sum(axis=1) > 0
+        dom_idx = counts.argmax(axis=1)  # ties -> first-listed script
+        dom = np.where(any_hit, np.array(names, dtype=object)[dom_idx],
+                       "none")
+        cols = {id_col: t[id_col], "n_chars": pa.array(lens)}
+        for k, name in enumerate(names):
+            cols[name] = pa.array(counts[:, k])
+        cols["dominant"] = pa.array(dom.tolist(), pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def script_profile_sql(text_expr: str) -> str:
+    """Generated column expressions twin of :func:`script_profile` —
+    returns the SELECT fragment ``n_chars, <counts>, dominant`` over
+    ``text_expr`` (caller supplies FROM/id)."""
+    def cls(ranges):
+        body = "".join(
+            rf"\x{{{lo:04X}}}-\x{{{hi:04X}}}" for lo, hi in ranges
+        )
+        return f"[{body}]"
+
+    cnt_exprs = []
+    for name, ranges in SCRIPT_RANGES:
+        cnt_exprs.append(
+            f"length({text_expr}) - length(regexp_replace({text_expr}, "
+            f"'{cls(ranges)}', '', 'g')) AS {name}"
+        )
+    names = [n for n, _ in SCRIPT_RANGES]
+    # CASE chain: first-listed script wins ties (>= against later entries,
+    # > against earlier ones)
+    chain = []
+    for i, name in enumerate(names):
+        conds = []
+        for j, other in enumerate(names):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{name} {op} {other}")
+        chain.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    zero = " AND ".join(f"{n} = 0" for n in names)
+    dominant = (f"CASE WHEN {zero} THEN 'none' "
+                + " ".join(chain) + " END AS dominant")
+    return (f"length({text_expr})::BIGINT AS n_chars, "
+            + ", ".join(cnt_exprs) + ", " + dominant)

@@ -322,3 +322,79 @@ def registrable_domain_sql(col: str) -> str:
                 f"ELSE {expr} END")
     # reversed() above nests so the LONGEST suffix is the outermost test
     return expr
+
+
+# --------------------------------------------------------------------------
+# URL path templating — the crawl-trap / infinite-space detector
+# --------------------------------------------------------------------------
+
+# Ordered rewrite chain (RE2, applied 'g', hex before digits so id hashes
+# don't degrade into digit-runs); shared VERBATIM with the generated SQL
+# twin, so kernel and oracle cannot drift.
+PATH_TEMPLATE_RULES: list[tuple[str, str]] = [
+    (r"[0-9a-f]{8,}", "(hex)"),   # long hex ids: session keys, uuids, hashes
+    (r"[0-9]+", "(n)"),           # numeric ids, page numbers, dates
+]
+
+
+def path_template_array(urls: pa.Array) -> pa.Array:
+    """URL → templated path: strip scheme://authority, then apply the
+    rewrite chain.  ``/item/8283/v?sid=deadbeef01`` → ``/item/(n)/v?sid=(hex)``."""
+    path = pc.replace_substring_regex(
+        urls, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "", max_replacements=1
+    )
+    for pat, repl in PATH_TEMPLATE_RULES:
+        path = pc.replace_substring_regex(path, pat, repl)
+    return path
+
+
+def path_template_sql(col: str) -> str:
+    """DuckDB expression twin of :func:`path_template_array`."""
+    expr = f"regexp_replace({col}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    for pat, repl in PATH_TEMPLATE_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def path_template_census(ds, url_col: str = "url", min_pages: int = 2,
+                         num_partitions: int = 8):
+    """Crawl-trap census: count pages per ``(host, path template)`` and
+    keep templates serving ≥ ``min_pages`` pages — the standard detector
+    for infinite URL spaces (calendars, session ids, faceted search,
+    ?page=N chains) that a frontier must cap.  A healthy host has many
+    templates with small counts; a trap is one template with a huge
+    count (pair this with ``cap_per_host_docs`` as the enforcement).
+
+    One vectorized rewrite pass (host extraction + the template chain
+    are RE2 kernels over the Arrow string column) and per-batch partial
+    counts, then ONE narrow grouped sum over ``(host, template)`` rows —
+    group cardinality is bounded by the site-structure count, not the
+    page count, so the shuffle is tiny at any corpus size.
+
+    Output: ``(host, template, n_pages)`` with ``n_pages ≥ min_pages``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t[url_col]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        host = extract_host_array(urls)
+        tpl = path_template_array(urls)
+        g = pa.table({"host": host, "template": tpl}).group_by(
+            ["host", "template"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "template", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    summed = parts.groupby(["host", "template"]).sum("n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"] if "sum(n)" in t.column_names else t["n"]
+        out = pa.table({
+            "host": t["host"],
+            "template": t["template"],
+            "n_pages": pc.cast(n, pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out["n_pages"],
+                                           pa.scalar(min_pages)))
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -508,3 +508,61 @@ def test_badword_threshold_zero_is_drop_on_any_hit():
     out = (badword_fraction(ds, ["bad"], threshold=0.0)
            .to_pandas().sort_values("doc_id"))
     assert out["blocked"].tolist() == [True, False]
+
+
+def test_path_template_census_trap_detection(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.urlnorm import (path_template_array,
+                                          path_template_census)
+
+    # template law probes
+    tpl = path_template_array(pa.array([
+        "http://a.com/item/8283/view?sid=deadbeef01",
+        "https://b.com:8080/cal/2024/05/12",
+        "http://c.com/about",
+    ])).to_pylist()
+    assert tpl == ["/item/(n)/view?sid=(hex)", "/cal/(n)/(n)/(n)", "/about"]
+
+    urls = (
+        [f"http://trap.example/cal/{y}/{m}" for y in range(3)
+         for m in range(4)]            # 12 pages, ONE template
+        + ["http://ok.example/about", "http://ok.example/contact"]
+    )
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    got = path_template_census(ds, min_pages=2).to_pandas()
+    assert len(got) == 1  # the singletons on ok.example fall under min_pages
+    r = got.iloc[0]
+    assert (r["host"], r["template"], r["n_pages"]) == (
+        "trap.example", "/cal/(n)/(n)", 12)
+
+
+def test_script_profile_hand_cases(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.textstats import script_profile
+
+    texts = ["hello", "привет", "hi при", "漢字", "", None, "γεια σας",
+             "مرحبا"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = script_profile(ds).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "dominant"] == "latin" and got.loc[0, "latin"] == 5
+    assert got.loc[1, "dominant"] == "cyrillic"
+    # tie 2 latin vs 3 cyrillic chars -> cyrillic wins on count
+    assert got.loc[2, "cyrillic"] == 3 and got.loc[2, "dominant"] == "cyrillic"
+    assert got.loc[3, "dominant"] == "cjk" and got.loc[3, "n_chars"] == 2
+    assert got.loc[4, "dominant"] == "none"
+    assert got.loc[5, "dominant"] == "none" and got.loc[5, "n_chars"] == 0
+    assert got.loc[6, "dominant"] == "greek"
+    assert got.loc[7, "dominant"] == "arabic"
+    # equal counts tie -> first-listed script wins
+    tie = script_profile(rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["abпр"], pa.string()),
+    }))).to_pandas()
+    assert tie["dominant"].iloc[0] == "latin"
