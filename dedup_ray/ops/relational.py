@@ -1111,3 +1111,75 @@ def event_transitions(ds, user_col: str, ts_col: str, type_col: str,
 
     return partitioned_group_apply(partial, ["prev_type"], combine,
                                    num_partitions=1)
+
+
+def interval_overlap_join(ds, id_col: str, start_col: str, end_col: str,
+                          tile_us: int, num_partitions: int = 16):
+    """Self-join of half-open intervals ``[s, e)`` on OVERLAP — the
+    interval analog of the as-of/range joins (which look up points in
+    windows; this pairs windows with windows: concurrent sessions,
+    overlapping crawls, clashing locks).
+
+    Ray Data has no interval join; equality machinery can't express
+    ``s1 < e2 AND s2 < e1``.  The distributed shape is TILING: time is
+    cut into fixed ``tile_us`` tiles, each interval is replicated to
+    every tile it touches (replication factor = interval length /
+    tile_us + 1 — pick the tile about as long as a typical interval),
+    one exchange co-locates tiles, and an in-tile Acero self-join finds
+    pairs.  A pair overlapping several tiles would duplicate, so each
+    pair is claimed EXACTLY ONCE, by the tile containing the LATER start
+    (that tile always witnesses the overlap: ``max(s1,s2) <
+    min(e1,e2)`` lies in it).  No global dedup pass needed.
+
+    Output: ``(id1, id2, overlap_us)`` with ``id1 < id2`` and the exact
+    integer overlap length — nothing float crosses engines.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def tiles(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t0 = s // tile_us
+        t1 = (e - 1) // tile_us  # half-open: e is exclusive
+        cnt = (t1 - t0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids)), cnt)
+        # per-interval running tile index
+        firsts = np.r_[0, np.cumsum(cnt)[:-1]]
+        off = np.arange(cnt.sum()) - firsts[rep]
+        return pa.table({
+            "tile": pa.array(t0[rep] + off, pa.int64()),
+            id_col: pa.array(ids[rep], pa.int64()),
+            "s": pa.array(s[rep], pa.int64()),
+            "e": pa.array(e[rep], pa.int64()),
+        })
+
+    rows = ds.map_batches(tiles, batch_format="pyarrow")
+
+    def join_tile(part: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "overlap_us": pa.array([], pa.int64())})
+        if part.num_rows == 0 or "tile" not in part.column_names:
+            return empty
+        lf = part.rename_columns(["tile", "id1", "s1", "e1"])
+        rf = part.rename_columns(["tile", "id2", "s2", "e2"])
+        j = lf.join(rf, keys="tile", join_type="inner")
+        id1 = j["id1"].to_numpy(zero_copy_only=False)
+        id2 = j["id2"].to_numpy(zero_copy_only=False)
+        s1 = j["s1"].to_numpy(zero_copy_only=False)
+        s2 = j["s2"].to_numpy(zero_copy_only=False)
+        e1 = j["e1"].to_numpy(zero_copy_only=False)
+        e2 = j["e2"].to_numpy(zero_copy_only=False)
+        tile = j["tile"].to_numpy(zero_copy_only=False)
+        smax = np.maximum(s1, s2)
+        keep = ((id1 < id2) & (s1 < e2) & (s2 < e1)
+                & (smax // tile_us == tile))   # claimed once
+        return pa.table({
+            "id1": pa.array(id1[keep]),
+            "id2": pa.array(id2[keep]),
+            "overlap_us": pa.array(
+                np.minimum(e1, e2)[keep] - smax[keep]),
+        })
+
+    return exchange_group_apply(rows, "tile", join_tile, num_partitions)

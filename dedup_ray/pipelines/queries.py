@@ -10421,5 +10421,105 @@ def _script_profile_oracle_sql() -> str:
 ORACLES["script_profile_docs"] = _script_profile_oracle_sql()
 QUERIES["script_profile_docs"] = script_profile_docs
 
+
+def stitch_candidates_docs(sf_dir: str):
+    """Pagination-stitch detection (``stages/webclean.py::
+    stitch_candidates``): every 7th document is split into a page-1
+    (full text) and a page-2 (its last 8 tokens + a fixed continuation),
+    and the operator must pair them by tail-gram == head-gram over one
+    gram-keyed exchange.  Oracle replays the page synthesis and the
+    8-token boundary-gram law with list slicing."""
+    from dedup_ray.stages.webclean import stitch_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 == 3
+        ids = ids[keep]
+        texts = [x or "" for x in pa.Table.from_arrays(
+            [t["text"]], names=["text"]).filter(
+            pa.array(keep))["text"].to_pylist()]
+        out_ids, out_txt = [], []
+        for i, txt in zip(ids, texts):
+            toks = txt.split(" ")
+            out_ids.append(int(i) * 2)
+            out_txt.append(txt)
+            out_ids.append(int(i) * 2 + 1)
+            out_txt.append(" ".join(toks[-8:]) +
+                           " continuation of page two")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    return stitch_candidates(ds.map_batches(mk, batch_format="pyarrow"),
+                             k=8, num_partitions=8)
+
+
+ORACLES["stitch_candidates_docs"] = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+               WHERE doc_id % 7 = 3),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+    pages AS (
+        SELECT doc_id * 2 AS id, toks FROM t
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+               string_split(
+                   array_to_string(
+                       toks[greatest(len(toks) - 7, 1):len(toks)], ' ')
+                   || ' continuation of page two', ' ')
+        FROM t),
+    g AS (SELECT id, toks, len(toks) AS n FROM pages),
+    tails AS (SELECT id AS id_a,
+                     array_to_string(toks[n - 7:n], ' ') AS gram
+              FROM g WHERE n >= 8),
+    heads AS (SELECT id AS id_b,
+                     array_to_string(toks[1:8], ' ') AS gram
+              FROM g WHERE n >= 8)
+    SELECT id_a, id_b, gram
+    FROM tails JOIN heads USING (gram)
+    WHERE id_a <> id_b
+"""
+QUERIES["stitch_candidates_docs"] = stitch_candidates_docs
+
+
+def interval_overlap_events(sf_dir: str):
+    """Tiled interval-overlap self-join (``ops/relational.py::
+    interval_overlap_join``): events of every 5th user become half-open
+    intervals ``[ts, ts + floor(value·10⁶) µs)``; overlapping pairs are
+    found by hour-tile replication with each pair claimed exactly once
+    by the tile of the later start.  Oracle: the plain inequality
+    self-join."""
+    from dedup_ray.ops.relational import interval_overlap_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    ds = ds.filter(lambda r: r["user_id"] % 5 == 0)
+
+    def mk(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + dur, pa.int64())})
+
+    return interval_overlap_join(
+        ds.map_batches(mk, batch_format="pyarrow"),
+        "event_id", "s", "e", tile_us=3_600_000_000, num_partitions=8)
+
+
+ORACLES["interval_overlap_events"] = """
+    WITH iv AS (SELECT event_id AS id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(floor(value * 1000000.0) AS BIGINT) AS e
+                FROM events WHERE user_id % 5 = 0)
+    SELECT a.id AS id1, b.id AS id2,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+    ON a.id < b.id AND a.s < b.e AND b.s < a.e
+"""
+QUERIES["interval_overlap_events"] = interval_overlap_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -1039,3 +1039,82 @@ def mojibake_oracle_exprs(col: str) -> tuple[str, str]:
         )
         repaired = f"replace({repaired}, '{bad}', '{good}')"
     return " + ".join(count_terms), repaired
+
+
+def stitch_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 8, num_partitions: int = 16):
+    """Pagination-stitch candidates: ordered pairs (a, b) where document
+    a's LAST ``k`` tokens equal document b's FIRST ``k`` tokens — the
+    page-2-continues-page-1 signal used to reassemble articles split
+    across crawl URLs (and to catch scraped continuations the symmetric
+    near-dup tiers miss, since two halves of one article share little
+    global content).
+
+    One narrow exchange keyed on the boundary gram STRING (the vectorized
+    string-key hash routes it; in-partition the join key is the gram text
+    itself, so 64-bit collisions cannot fabricate pairs).  Docs with
+    < ``k`` tokens emit no grams — a shorter boundary match is ambiguous
+    boilerplate, not pagination.  Output: ``(id_a, id_b, gram)``,
+    ``id_a ≠ id_b``.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def grams(t: pa.Table) -> pa.Table:
+        txt = _text_col(t, text_col)
+        toks = pc.split_pattern(txt, " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ok = np.flatnonzero(n >= k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[ok]
+        sel = pa.array(ok)
+        head = pc.binary_join(
+            pc.list_slice(toks.take(sel), 0, k), " "
+        )
+        # tail grams: list_slice has no negative start — gather the last
+        # k tokens of each kept doc from the flat token array instead
+        if len(ok):
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            ends = np.cumsum(n)[ok]
+            idx = (ends[:, None] - k + np.arange(k)[None, :]).ravel()
+            tail_toks = flat.take(pa.array(idx))
+            offs = pa.array(
+                np.arange(0, k * (len(ok) + 1), k, dtype=np.int32))
+            tail = pc.binary_join(
+                pa.ListArray.from_arrays(offs, tail_toks), " ")
+        else:
+            tail = head
+        out_ids = np.concatenate([ids, ids]) if len(ok) else ids
+        kinds = np.r_[np.zeros(len(ok), np.int8),
+                      np.ones(len(ok), np.int8)]  # 0 = head, 1 = tail
+        gram = pa.concat_arrays([
+            head.combine_chunks() if isinstance(head, pa.ChunkedArray)
+            else head,
+            tail.combine_chunks() if isinstance(tail, pa.ChunkedArray)
+            else tail,
+        ]) if len(ok) else pa.array([], pa.string())
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "gram": gram,
+            "kind": pa.array(kinds, pa.int8()),
+        })
+
+    rows = ds.map_batches(grams, batch_format="pyarrow")
+
+    def pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string())})
+        if part.num_rows == 0 or "gram" not in part.column_names:
+            return empty
+        tails = part.filter(pc.equal(part["kind"], pa.scalar(1, pa.int8())))
+        heads = part.filter(pc.equal(part["kind"], pa.scalar(0, pa.int8())))
+        if not tails.num_rows or not heads.num_rows:
+            return empty
+        lt = pa.table({"id_a": tails[id_col], "gram": tails["gram"]})
+        rh = pa.table({"id_b": heads[id_col], "gram": heads["gram"]})
+        j = lt.join(rh, keys="gram", join_type="inner")
+        j = j.filter(pc.not_equal(j["id_a"], j["id_b"]))
+        return j.select(["id_a", "id_b", "gram"]).combine_chunks()
+
+    return exchange_group_apply(rows, "gram", pairs, num_partitions)

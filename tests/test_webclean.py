@@ -566,3 +566,54 @@ def test_script_profile_hand_cases(ray_session):
         "text": pa.array(["abпр"], pa.string()),
     }))).to_pandas()
     assert tie["dominant"].iloc[0] == "latin"
+
+
+def test_stitch_candidates_planted_pagination(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.webclean import stitch_candidates
+
+    base = " ".join(f"w{i}" for i in range(20))
+    tail8 = " ".join(f"w{i}" for i in range(12, 20))
+    texts = {
+        1: base,                                  # page 1
+        2: tail8 + " and the story continues here",   # page 2: stitches 1->2
+        3: "completely different tokens " * 3,
+        4: "short doc",                           # < 8 tokens: no grams
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }))
+    got = stitch_candidates(ds, k=8, num_partitions=3).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+    assert got["gram"].iloc[0] == tail8
+
+
+def test_interval_overlap_join_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.ops.relational import interval_overlap_join
+
+    rng = np.random.default_rng(31)
+    n = 60
+    s = rng.integers(0, 10_000, n)
+    e = s + rng.integers(1, 4_000, n)   # intervals often span tiles
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "s": pa.array(s, pa.int64()),
+        "e": pa.array(e, pa.int64()),
+    }))
+    got = interval_overlap_join(ds, "id", "s", "e", tile_us=1000,
+                                num_partitions=4).to_pandas()
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if s[i] < e[j] and s[j] < e[i]:
+                want[(i, j)] = min(e[i], e[j]) - max(s[i], s[j])
+    assert dict(zip(zip(got["id1"], got["id2"]),
+                    got["overlap_us"])) == want
+    # no pair duplicated across tiles
+    assert not got.duplicated(subset=["id1", "id2"]).any()
