@@ -768,6 +768,141 @@ def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
         group_col, final, num_partitions)
 
 
+def grouped_mad(ds, group_col: str, value_col: str, k: float = 3.0,
+                num_partitions: int = 16, round_digits: int = 6):
+    """Robust per-group outlier census via the median absolute deviation:
+    median, MAD = median(|v − median|), and the count of rows whose
+    deviation exceeds ``k·MAD`` — the classic distribution-free outlier
+    screen (e.g. flagging pathological document-length or fetch-latency
+    groups where a mean/σ z-score is itself dragged by the outliers).
+
+    Same single-exchange histogram machinery as :func:`grouped_median`:
+    per-batch ``(group, value, count)`` partials, ONE exchange keyed on
+    the group, then each group's median, deviation histogram, MAD and
+    outlier count are all read off the bounded histogram — moving state
+    scales with DISTINCT (group, value) pairs, never rows, and the raw
+    column crosses the wire once.  Output:
+    ``(group_col, n, median, mad, n_outliers)``.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      "v": batch[value_col],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by([group_col, "v"]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, "v", "c"])
+
+    def _wmedian(vals: np.ndarray, cnt: np.ndarray) -> float:
+        """Weighted median of a SORTED value histogram (SQL semantics:
+        even n averages the two middle order statistics)."""
+        cs = np.cumsum(cnt)
+        n = int(cs[-1])
+        lo = int(np.searchsorted(cs, (n + 1) // 2))
+        hi = int(np.searchsorted(cs, n // 2 + 1))
+        return float(vals[lo]) if n % 2 else (vals[lo] + vals[hi]) / 2.0
+
+    def final(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "median": pa.array([], pa.float64()),
+            "mad": pa.array([], pa.float64()),
+            "n_outliers": pa.array([], pa.int64()),
+        })
+        if part.num_rows == 0 or group_col not in part.column_names:
+            return empty
+        g = part.group_by([group_col, "v"]).aggregate([("c", "sum")])
+        df = g.to_pandas().sort_values([group_col, "v"], kind="stable")
+        keys = df[group_col].to_numpy()
+        v = df["v"].to_numpy(dtype=np.float64)
+        c = df["c_sum"].to_numpy(dtype=np.int64)
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_n, out_m, out_d, out_o = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            med = _wmedian(v[s:e], c[s:e])
+            dev = np.abs(v[s:e] - med)
+            order = np.argsort(dev, kind="stable")
+            mad = _wmedian(dev[order], c[s:e][order])
+            out_k.append(keys[s])
+            out_n.append(int(c[s:e].sum()))
+            out_m.append(med)
+            out_d.append(mad)
+            out_o.append(int(c[s:e][dev > k * mad].sum()))
+        return pa.table({
+            group_col: pa.array(out_k, g[group_col].type),
+            "n": pa.array(out_n, pa.int64()),
+            "median": pa.array(np.round(out_m, round_digits), pa.float64()),
+            "mad": pa.array(np.round(out_d, round_digits), pa.float64()),
+            "n_outliers": pa.array(out_o, pa.int64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_partitions)
+
+
+def recency_decay_scores(ds, group_col: str, ts_col: str,
+                         tau_days: float = 7.0,
+                         num_partitions: int = 16,
+                         round_digits: int = 6):
+    """Exponential time-decay activity score per group: each row
+    contributes ``exp(−Δdays/τ)`` where Δ is its age relative to the
+    corpus-wide newest timestamp, so a group's score is a recency-
+    weighted event count (the standard decayed-counter freshness
+    feature for crawl scheduling / user-activity ranking).
+
+    Two passes, zero wide shuffles on raw rows: pass 1 is Ray Data's
+    streaming global ``max`` over the timestamp column (one scalar on
+    the driver); pass 2 maps each batch to its per-group
+    ``(n, Σw)`` partial BEFORE the single group-keyed exchange, so the
+    all-to-all moves one row per (block, group), never per event.
+    Output: ``(group_col, n, recency)``.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ref = ds.max(ts_col)
+    ref_us = int(np.datetime64(ref, "us").astype(np.int64))
+    tau = float(tau_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        days = (ref_us - ts_us) / 86400e6
+        w = np.exp(-(days / tau))
+        t = pa.table({group_col: batch[group_col],
+                      "w": pa.array(w, pa.float64()),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by([group_col]).aggregate([("one", "sum"), ("w", "sum")])
+        return g.rename_columns([group_col, "n", "w"])
+
+    def final(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if part.num_rows == 0 or group_col not in part.column_names:
+            return pa.table({
+                group_col: pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "recency": pa.array([], pa.float64()),
+            })
+        g = part.group_by([group_col]).aggregate([("n", "sum"), ("w", "sum")])
+        return pa.table({
+            group_col: g[group_col],
+            "n": pc.cast(g["n_sum"], pa.int64()),
+            "recency": pa.array(
+                np.round(g["w_sum"].to_numpy(zero_copy_only=False),
+                         round_digits), pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, final, num_partitions)
+
+
 def grouped_median(ds, group_col: str, value_col: str,
                    num_partitions: int = 16, round_digits: int = 6):
     """Exact per-group median without sorting the data: per-batch

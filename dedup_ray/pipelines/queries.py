@@ -10521,5 +10521,59 @@ ORACLES["interval_overlap_events"] = """
 """
 QUERIES["interval_overlap_events"] = interval_overlap_events
 
+
+def grouped_mad_events(sf_dir: str):
+    """Robust outlier census per event type (``ops/relational.py::
+    grouped_mad``): median, MAD = median(|v − median|), and the count of
+    values beyond 3·MAD — one group-keyed histogram exchange, moving
+    state bounded by distinct (group, value) pairs.  Oracle recomputes
+    median/MAD/outlier bands with DuckDB's own ``median`` over the
+    deviation join."""
+    from dedup_ray.ops.relational import grouped_mad
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_mad(ds, "event_type", "value", k=3.0, num_partitions=4)
+
+
+ORACLES["grouped_mad_events"] = """
+    WITH med AS (SELECT event_type, median(value) AS med, count(*) AS n
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, abs(e.value - m.med) AS d
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type)
+    SELECT m.event_type, m.n, round(m.med, 6) AS median,
+           round(a.mad, 6) AS mad,
+           (SELECT count(*) FROM dev d
+            WHERE d.event_type = m.event_type
+              AND d.d > 3.0 * a.mad) AS n_outliers
+    FROM med m JOIN mad a USING (event_type)
+"""
+QUERIES["grouped_mad_events"] = grouped_mad_events
+
+
+def recency_scores_events(sf_dir: str):
+    """Exponential time-decay activity score per user (``ops/
+    relational.py::recency_decay_scores``): each event contributes
+    ``exp(−Δdays/7)`` against the corpus-max timestamp — streaming
+    global max, then per-batch partial sums before ONE user-keyed
+    exchange.  Oracle replays the decay sum with identical
+    parenthesization over integer-µs age."""
+    from dedup_ray.ops.relational import recency_decay_scores
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return recency_decay_scores(ds, "user_id", "ts", tau_days=7.0,
+                                num_partitions=4)
+
+
+ORACLES["recency_scores_events"] = """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, count(*) AS n,
+           round(sum(exp(-((date_diff('microsecond', ts,
+                                      (SELECT m FROM mx))
+                            / 86400000000.0) / 7.0))), 6) AS recency
+    FROM events GROUP BY user_id
+"""
+QUERIES["recency_scores_events"] = recency_scores_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -753,3 +753,70 @@ def test_vocab_growth_hand_case(ray_session):
     # bucket 1: tokens c,d,a + sentinel '3' -> new {d,'3'}=2, 4 tokens
     assert got.loc[0].tolist() == [3, 3, 4, 4]
     assert got.loc[1].tolist() == [2, 5, 4, 8]
+
+
+def test_grouped_mad_hand_case_and_numpy_parity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.ops.relational import grouped_mad
+
+    # hand case: g=a values 1..7 plus outlier 100 -> median 4.5,
+    # dev = [3.5,2.5,1.5,.5,.5,1.5,2.5,95.5], MAD = 2.0, 100 is > 3*MAD
+    df = pd.DataFrame({
+        "g": ["a"] * 8 + ["b"] * 3,
+        "v": [1.0, 2, 3, 4, 5, 6, 7, 100.0] + [5.0, 5.0, 5.0],
+    })
+    out = grouped_mad(
+        rd.from_pandas(df).repartition(3), "g", "v", k=3.0,
+        num_partitions=3).to_pandas().set_index("g")
+    assert out.loc["a", "median"] == 4.5
+    assert out.loc["a", "mad"] == 2.0
+    assert out.loc["a", "n_outliers"] == 1 and out.loc["a", "n"] == 8
+    # constant group: MAD 0, nothing strictly exceeds 3*0... except
+    # nothing deviates at all
+    assert out.loc["b", "mad"] == 0.0 and out.loc["b", "n_outliers"] == 0
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=400),
+        "v": np.round(rng.normal(0, 5, size=400), 2),
+    })
+    got = grouped_mad(
+        rd.from_pandas(big).repartition(5), "g", "v", k=3.0,
+        num_partitions=4).to_pandas().set_index("g")
+    for g, sub in big.groupby("g"):
+        med = np.median(sub.v)
+        mad = np.median(np.abs(sub.v - med))
+        assert abs(got.loc[g, "median"] - med) < 1e-9
+        assert abs(got.loc[g, "mad"] - mad) < 1e-9
+        assert got.loc[g, "n_outliers"] == int(
+            (np.abs(sub.v - med) > 3.0 * mad).sum())
+
+
+def test_recency_decay_scores_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.ops.relational import recency_decay_scores
+
+    rng = np.random.default_rng(11)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 30 * 86400_000_000, size=300).astype(
+        "timedelta64[us]")
+    df = pd.DataFrame({
+        "u": rng.integers(0, 9, size=300).astype(np.int64),
+        "ts": pd.Series(ts),
+    })
+    out = recency_decay_scores(
+        rd.from_pandas(df).repartition(4), "u", "ts", tau_days=7.0,
+        num_partitions=3).to_pandas().set_index("u")
+    ref = ts.max().astype("datetime64[us]").astype(np.int64)
+    days = (ref - ts.astype("datetime64[us]").astype(np.int64)) / 86400e6
+    w = np.exp(-(days / 7.0))
+    for u, sub in df.groupby("u"):
+        assert out.loc[u, "n"] == len(sub)
+        assert abs(out.loc[u, "recency"] - w[sub.index].sum()) < 1e-5
+    # the newest event weighs exactly 1.0: a user holding it scores >= 1
+    newest_u = df.loc[days.argmin(), "u"]
+    assert out.loc[newest_u, "recency"] >= 1.0
