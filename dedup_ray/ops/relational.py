@@ -903,6 +903,67 @@ def recency_decay_scores(ds, group_col: str, ts_col: str,
         group_col, final, num_partitions)
 
 
+def interarrival_stats(ds, group_col: str, ts_col: str,
+                       num_partitions: int = 16, round_digits: int = 6):
+    """Per-group inter-arrival-time profile: gap count, mean gap,
+    coefficient of variation, and the Goh–Barabási burstiness index
+    ``B = (σ−μ)/(σ+μ)`` (−1 = periodic, 0 = Poisson, →1 = bursty) —
+    the standard screen for bot traffic / crawl-trap request patterns
+    vs organic user activity.
+
+    ONE exchange keyed on the group; each partition sorts only its own
+    groups' timestamps (a group never spans partitions), diffs, and
+    reduces to four scalars per group — so the all-to-all moves the
+    two input columns once and nothing is ever collected on the
+    driver.  Groups with fewer than two events carry no gap and are
+    dropped.  Output: ``(group_col, n_gaps, mean_gap_s, cv,
+    burstiness)``.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def profile(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            group_col: pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "mean_gap_s": pa.array([], pa.float64()),
+            "cv": pa.array([], pa.float64()),
+            "burstiness": pa.array([], pa.float64()),
+        })
+        if part.num_rows == 0 or group_col not in part.column_names:
+            return empty
+        df = part.select([group_col, ts_col]).to_pandas()
+        df = df.sort_values([group_col, ts_col], kind="stable")
+        keys = df[group_col].to_numpy()
+        ts_us = df[ts_col].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        out_k, out_n, out_m, out_c, out_b = [], [], [], [], []
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gaps = np.diff(ts_us[s:e]) / 1e6
+            mu = float(gaps.mean())
+            sd = float(gaps.std())  # population σ, stddev_pop semantics
+            out_k.append(keys[s])
+            out_n.append(len(gaps))
+            out_m.append(mu)
+            out_c.append(sd / mu if mu else np.nan)
+            out_b.append((sd - mu) / (sd + mu) if sd + mu else np.nan)
+        return pa.table({
+            group_col: pa.array(out_k, part[group_col].type),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "mean_gap_s": pa.array(np.round(out_m, round_digits),
+                                   pa.float64()),
+            "cv": pa.array(np.round(out_c, round_digits), pa.float64()),
+            "burstiness": pa.array(np.round(out_b, round_digits),
+                                   pa.float64()),
+        })
+
+    return exchange_group_apply(ds, group_col, profile, num_partitions)
+
+
 def grouped_median(ds, group_col: str, value_col: str,
                    num_partitions: int = 16, round_digits: int = 6):
     """Exact per-group median without sorting the data: per-batch

@@ -10575,5 +10575,76 @@ ORACLES["recency_scores_events"] = """
 """
 QUERIES["recency_scores_events"] = recency_scores_events
 
+
+def frontier_schedule_docs(sf_dir: str):
+    """Politeness-aware crawl-frontier scheduling (``stages/urlnorm.py::
+    frontier_schedule``): hosts synthesized as ``doc_id % 13`` with a
+    host-determined crawl delay, each host's queue slotted one fetch per
+    delay in deterministic id order — one host-keyed exchange.  Oracle:
+    ``row_number() − 1`` per host times the same delay."""
+    from dedup_ray.stages.urlnorm import frontier_schedule
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), ".example.com", "")
+        return pa.table({
+            "url_id": t["doc_id"],
+            "host": host,
+            "delay_ms": pa.array(200 + (ids % 13) * 100, pa.int64()),
+        })
+
+    return frontier_schedule(ds.map_batches(mk, batch_format="pyarrow"),
+                             "host", "url_id", "delay_ms",
+                             num_partitions=8)
+
+
+ORACLES["frontier_schedule_docs"] = """
+    WITH u AS (SELECT doc_id AS url_id,
+                      'site' || (doc_id % 13)::VARCHAR || '.example.com'
+                          AS host,
+                      200 + (doc_id % 13) * 100 AS delay_ms
+               FROM documents)
+    SELECT url_id, host,
+           row_number() OVER (PARTITION BY host ORDER BY url_id) - 1
+               AS seq,
+           (row_number() OVER (PARTITION BY host ORDER BY url_id) - 1)
+               * delay_ms AS fetch_at_ms
+    FROM u
+"""
+QUERIES["frontier_schedule_docs"] = frontier_schedule_docs
+
+
+def burstiness_events(sf_dir: str):
+    """Inter-arrival burstiness per user (``ops/relational.py::
+    interarrival_stats``): gap count, mean gap, CV and the Goh–Barabási
+    index over each user's sorted event times — the bot-vs-organic
+    traffic screen, one user-keyed exchange.  Oracle replays the gaps
+    with a lag window and ``stddev_pop``."""
+    from dedup_ray.ops.relational import interarrival_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return interarrival_stats(ds, "user_id", "ts", num_partitions=4)
+
+
+ORACLES["burstiness_events"] = """
+    WITH g AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          AS pts
+               FROM events),
+    d AS (SELECT user_id,
+                 date_diff('microsecond', pts, ts) / 1000000.0 AS gap
+          FROM g WHERE pts IS NOT NULL)
+    SELECT user_id, count(*) AS n_gaps,
+           round(avg(gap), 6) AS mean_gap_s,
+           round(stddev_pop(gap) / avg(gap), 6) AS cv,
+           round((stddev_pop(gap) - avg(gap))
+                 / (stddev_pop(gap) + avg(gap)), 6) AS burstiness
+    FROM d GROUP BY user_id HAVING count(*) >= 1
+"""
+QUERIES["burstiness_events"] = burstiness_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

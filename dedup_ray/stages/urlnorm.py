@@ -398,3 +398,46 @@ def path_template_census(ds, url_col: str = "url", min_pages: int = 2,
                                            pa.scalar(min_pages)))
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def frontier_schedule(ds, host_col: str = "host", id_col: str = "url_id",
+                      delay_col: str = "delay_ms",
+                      num_partitions: int = 8):
+    """Politeness-aware crawl-frontier scheduling: within each host the
+    pages are fetched one per ``delay_ms`` (the robots.txt crawl-delay
+    contract), so page ``i`` of a host in deterministic ``id_col`` order
+    gets ``seq = i`` and ``fetch_at_ms = i · delay_ms``.  Hosts schedule
+    independently — the frontier interleaves across hosts for free — so
+    ONE host-keyed exchange settles every slot with no global state;
+    at 10^12 URLs the per-partition work is a sort of that partition's
+    rows, and no host's queue ever leaves its partition (skew bound =
+    largest single host, the same bound the fetch itself has).
+
+    Output: ``(id_col, host_col, seq, fetch_at_ms)``.
+    """
+    import numpy as np
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def schedule(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            host_col: pa.array([], pa.string()),
+            "seq": pa.array([], pa.int64()),
+            "fetch_at_ms": pa.array([], pa.int64()),
+        })
+        if part.num_rows == 0 or host_col not in part.column_names:
+            return empty
+        df = part.select([id_col, host_col, delay_col]).to_pandas()
+        df = df.sort_values([host_col, id_col], kind="stable")
+        seq = df.groupby(host_col, sort=False).cumcount().to_numpy()
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(), part[id_col].type),
+            host_col: pa.array(df[host_col].to_numpy(),
+                               part[host_col].type),
+            "seq": pa.array(seq, pa.int64()),
+            "fetch_at_ms": pa.array(
+                seq * df[delay_col].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    return exchange_group_apply(ds, host_col, schedule, num_partitions)

@@ -820,3 +820,54 @@ def test_recency_decay_scores_matches_numpy(ray_session):
     # the newest event weighs exactly 1.0: a user holding it scores >= 1
     newest_u = df.loc[days.argmin(), "u"]
     assert out.loc[newest_u, "recency"] >= 1.0
+
+
+def test_frontier_schedule_slots_per_host(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.stages.urlnorm import frontier_schedule
+
+    t = pa.table({
+        "url_id": pa.array([5, 1, 3, 2, 4, 6], pa.int64()),
+        "host": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "delay_ms": pa.array([100, 100, 100, 250, 250, 50], pa.int64()),
+    })
+    out = frontier_schedule(rd.from_arrow(t).repartition(3),
+                            num_partitions=3).to_pandas()
+    out = out.set_index("url_id").sort_index()
+    # host a in id order 1,3,5 -> seq 0,1,2
+    assert out.loc[1, "seq"] == 0 and out.loc[3, "seq"] == 1
+    assert out.loc[5, "seq"] == 2 and out.loc[5, "fetch_at_ms"] == 200
+    assert out.loc[4, "seq"] == 1 and out.loc[4, "fetch_at_ms"] == 250
+    assert out.loc[6, "fetch_at_ms"] == 0
+    assert len(out) == 6
+
+
+def test_interarrival_stats_burstiness(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.ops.relational import interarrival_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # user 1: perfectly periodic (gap 10s) -> sd 0, B = -1, cv 0
+    per = base + (np.arange(5) * 10_000_000).astype("timedelta64[us]")
+    # user 2: gaps 1s and 9s -> mu 5, sd 4, B = -1/9
+    burst = base + np.array([0, 1_000_000, 10_000_000]).astype(
+        "timedelta64[us]")
+    # user 3: single event -> dropped
+    df = pd.DataFrame({
+        "u": [1] * 5 + [2] * 3 + [3],
+        "ts": pd.Series(np.r_[per, burst, [base]]),
+    })
+    out = interarrival_stats(
+        rd.from_pandas(df).repartition(3), "u", "ts",
+        num_partitions=3).to_pandas().set_index("u")
+    assert 3 not in out.index
+    assert out.loc[1, "n_gaps"] == 4
+    assert out.loc[1, "mean_gap_s"] == 10.0
+    assert out.loc[1, "cv"] == 0.0 and out.loc[1, "burstiness"] == -1.0
+    assert out.loc[2, "mean_gap_s"] == 5.0
+    assert abs(out.loc[2, "cv"] - 0.8) < 1e-9
+    assert abs(out.loc[2, "burstiness"] - (-1.0 / 9.0)) < 1e-6
