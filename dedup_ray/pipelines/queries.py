@@ -10646,5 +10646,44 @@ ORACLES["burstiness_events"] = """
 """
 QUERIES["burstiness_events"] = burstiness_events
 
+
+def host_top_terms_docs(sf_dir: str):
+    """Distinctive-term profile per host (``stages/textstats.py::
+    group_top_terms``): top-3 tokens by ``tf·ln(G/df)`` with hosts
+    synthesized as ``doc_id % 13`` — two narrow exchanges (token-keyed
+    df attach, host-keyed top-k), raw text never shuffled.  Oracle:
+    the same tf/df arithmetic with a ``row_number`` QUALIFY."""
+    from dedup_ray.stages.textstats import group_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        host = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), "", "")
+        return pa.table({"host": host, "text": t["text"]})
+
+    return group_top_terms(ds.map_batches(mk, batch_format="pyarrow"),
+                           "host", "text", k=3, n_groups=13,
+                           num_partitions=8)
+
+
+ORACLES["host_top_terms_docs"] = """
+    WITH toks AS (
+        SELECT 'site' || (doc_id % 13)::VARCHAR AS host,
+               unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents),
+    tf AS (SELECT host, token, count(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY host, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT host, token, tf,
+           round(tf * ln(13.0 / df), 6) AS score
+    FROM tf JOIN df USING (token)
+    QUALIFY row_number() OVER (
+        PARTITION BY host
+        ORDER BY tf * ln(13.0 / df) DESC, token) <= 3
+"""
+QUERIES["host_top_terms_docs"] = host_top_terms_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -792,3 +792,81 @@ def script_profile_sql(text_expr: str) -> str:
                 + " ".join(chain) + " END AS dominant")
     return (f"length({text_expr})::BIGINT AS n_chars, "
             + ", ".join(cnt_exprs) + ", " + dominant)
+
+
+def group_top_terms(ds, group_col: str, text_col: str = "text",
+                    k: int = 3, n_groups: int | None = None,
+                    num_partitions: int = 8, round_digits: int = 6):
+    """Distinctive-term profile per group: the top-``k`` tokens of each
+    group by ``tf_g(t) · ln(G / df(t))`` where ``df`` counts the groups
+    containing the token and ``G`` is the group census — the classic
+    host/site keyword profile (what distinguishes this host's vocabulary
+    from the rest of the crawl).
+
+    Two NARROW exchanges, both over pre-aggregated rows: per-batch
+    ``(group, token, count)`` partials → token-keyed exchange (each
+    token's group-df is complete inside its partition, so the idf
+    attaches locally) → group-keyed exchange for the per-group top-k.
+    Raw text never crosses a shuffle; moving volume is distinct
+    (group, token) pairs.  Ties break by token asc, as the oracle's
+    ``row_number`` does.  Output: ``(group_col, token, tf, score)``.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    if n_groups is None:
+        n_groups = len(ds.unique(group_col))
+    g_f = float(n_groups)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        flat, parents, _ = explode_tokens(batch[text_col], batch.num_rows)
+        t = pa.table({group_col: grp.take(pa.array(parents)),
+                      "token": flat,
+                      "one": pa.array(np.ones(len(flat), np.int64))})
+        g = t.group_by([group_col, "token"]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, "token", "tf"])
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "token" not in part.column_names:
+            return pa.table({
+                group_col: pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        g = part.group_by([group_col, "token"]).aggregate([("tf", "sum")])
+        g = g.rename_columns([group_col, "token", "tf"])
+        df_tbl = g.group_by("token").aggregate([([], "count_all")])
+        df_tbl = df_tbl.rename_columns(["token", "df"])
+        return g.join(df_tbl, keys="token", join_type="inner")
+
+    def topk(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            group_col: pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        if part.num_rows == 0 or "token" not in part.column_names:
+            return empty
+        df = part.to_pandas()
+        df["score"] = df["tf"].to_numpy(dtype=np.float64) * np.log(
+            g_f / df["df"].to_numpy(dtype=np.float64))
+        df = df.sort_values([group_col, "score", "token"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.table({
+            group_col: pa.array(df[group_col].to_numpy(),
+                                part[group_col].type),
+            "token": pa.array(df["token"].to_numpy(), pa.string()),
+            "tf": pa.array(df["tf"].to_numpy(dtype=np.int64), pa.int64()),
+            "score": pa.array(np.round(df["score"].to_numpy(),
+                                       round_digits), pa.float64()),
+        })
+
+    tf = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "token", attach_df, num_partitions)
+    return exchange_group_apply(tf, group_col, topk, num_partitions)
