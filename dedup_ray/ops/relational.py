@@ -680,6 +680,146 @@ def rollup_aggregate(ds, group_cols: list, value_col: str,
     )
 
 
+def cube_aggregate(ds, group_cols: list, value_col: str,
+                   num_partitions: int = 16, round_digits: int = 4):
+    """One-pass CUBE: sum + count for ALL ``2^k`` grouping sets of
+    ``group_cols`` in a SINGLE exchange — the full-lattice counterpart
+    of :func:`rollup_aggregate` (which only emits prefix sets).  Each
+    batch emits partial (sum, count) rows for every subset at once;
+    the all-to-all moves ``Σ_S |distinct proj_S|`` partial rows per
+    batch and the final reduce is one grouped sum per partition.
+
+    ``gset`` is the SQL ``GROUPING()`` bitmask (bit ``k-1-i`` set ⇔
+    column ``i`` is collapsed/aggregated), so
+    ``grouping(a)*2 + grouping(b)`` in the oracle reproduces it for
+    ``CUBE(a, b)``.  Group columns are assumed non-null (a data null
+    would collapse into an aggregated cell); ``k`` is capped at 4 —
+    beyond that the lattice (16 sets) stops being a sane single pass.
+    Empty input yields zero rows (SQL emits one all-null grand-total
+    row; deviation shared with ``rollup_aggregate`` and documented).
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    group_cols = list(group_cols)
+    k = len(group_cols)
+    if k > 4:
+        raise ValueError(f"cube over {k} columns = {2**k} grouping sets; "
+                         "cap is 4 (16 sets)")
+    schema = ds.schema()
+
+    def _as_pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        d = np.dtype(t)
+        return pa.string() if d == object else pa.from_numpy_dtype(d)
+
+    types = {n: _as_pa_type(t) for n, t in zip(schema.names, schema.types)}
+
+    def mask_table(src: pa.Table, mask: int, live: list, s, n) -> pa.Table:
+        rows = len(s) if hasattr(s, "__len__") else 1
+        cols, names = [], []
+        for i, c in enumerate(group_cols):
+            names.append(c)
+            if c in live:
+                cols.append(src[c])
+            else:
+                cols.append(pa.nulls(rows, types[c]))
+        names += ["s", "n", "gset"]
+        cols += [pa.array(np.asarray(s, np.float64), pa.float64()),
+                 pa.array(np.asarray(n, np.int64), pa.int64()),
+                 pa.array(np.full(rows, mask, np.int8), pa.int8())]
+        return pa.Table.from_arrays(cols, names=names)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        if batch.num_rows:
+            for mask in range(2 ** k):
+                live = [c for i, c in enumerate(group_cols)
+                        if not (mask >> (k - 1 - i)) & 1]
+                if live:
+                    g = batch.group_by(live).aggregate(
+                        [(value_col, "sum"), (value_col, "count")]
+                    )
+                    outs.append(mask_table(
+                        g, mask, live,
+                        g[f"{value_col}_sum"].to_numpy(zero_copy_only=False),
+                        g[f"{value_col}_count"].to_numpy(
+                            zero_copy_only=False),
+                    ))
+                else:
+                    tot = pc.sum(batch[value_col]).as_py() or 0.0
+                    outs.append(mask_table(batch, mask, [], [tot],
+                                           [batch.num_rows]))
+        if not outs:
+            return mask_table(batch, 0, group_cols, [], [])
+        return pa.concat_tables(outs)
+
+    out_schema = pa.schema(
+        [(c, types[c]) for c in group_cols]
+        + [("sum_value", pa.float64()), ("n", pa.int64()),
+           ("gset", pa.int64())]
+    )
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.group_by(["gset"] + group_cols).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g[c] for c in group_cols]
+            + [pc.round(g["s_sum"], ndigits=round_digits),
+               pc.cast(g["n_sum"], pa.int64()),
+               pc.cast(g["gset"], pa.int64())],
+            names=group_cols + ["sum_value", "n", "gset"],
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return exchange_group_apply(
+        partials, ["gset"] + group_cols, reduce_part, num_partitions,
+        empty_schema=pa.schema(
+            [(c, types[c]) for c in group_cols]
+            + [("s", pa.float64()), ("n", pa.int64()),
+               ("gset", pa.int8())]
+        ),
+    )
+
+
+def melt_columns(ds, id_cols: list, value_cols: list,
+                 var_name: str = "metric", value_name: str = "val",
+                 round_digits: int = 6):
+    """Unpivot / melt: widen-to-long reshape turning ``k`` value columns
+    into ``k`` rows of ``(id_cols…, metric, val)`` — SQL's ``UNPIVOT``.
+    Pure per-batch restructuring: ZERO exchanges, output rows =
+    ``k × input rows``, values cast to float64 (the common type SQL's
+    UNPIVOT also requires) and rounded at the emit point so both
+    engines compare exactly.  Nulls in a value column are kept as null
+    ``val`` rows (DuckDB's ``INCLUDE NULLS``-free UNPIVOT drops them;
+    the catalog oracle casts before unpivoting so both sides agree on
+    the kept set — callers matching plain SQL UNPIVOT should
+    ``filter`` nulls downstream)."""
+    import pyarrow.compute as pc
+
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def reshape(batch: pa.Table) -> pa.Table:
+        outs = []
+        for vc in value_cols:
+            vals = pc.round(pc.cast(batch[vc], pa.float64()),
+                            ndigits=round_digits)
+            outs.append(pa.Table.from_arrays(
+                [batch[c] for c in id_cols]
+                + [pa.array(np.full(batch.num_rows, vc, object),
+                            pa.string()), vals],
+                names=id_cols + [var_name, value_name],
+            ))
+        return pa.concat_tables(outs) if outs else pa.table({})
+
+    return ds.map_batches(reshape, batch_format="pyarrow")
+
+
 def grouped_linreg(ds, group_col: str, x_col: str, y_col: str,
                    num_partitions: int = 16, round_digits: int = 6):
     """Per-group ordinary least squares from distributed sufficient

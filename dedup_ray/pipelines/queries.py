@@ -10685,5 +10685,61 @@ ORACLES["host_top_terms_docs"] = """
 """
 QUERIES["host_top_terms_docs"] = host_top_terms_docs
 
+def cube_events(sf_dir: str):
+    """Full-lattice CUBE over (event_type, user bucket)
+    (``ops/relational.py::cube_aggregate``): all four grouping sets'
+    sums and counts in ONE exchange — each batch emits partials for
+    every subset, the reduce is one grouped sum.  ``gset`` carries the
+    SQL ``GROUPING()`` bitmask; oracle is a literal ``GROUP BY CUBE``."""
+    from dedup_ray.ops.relational import cube_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ub = pc.binary_join_element_wise(
+            "u", pa.array((uid % 3).astype(str)), "")
+        return pa.table({"event_type": t["event_type"], "ubucket": ub,
+                         "value": t["value"]})
+
+    return cube_aggregate(ds.map_batches(mk, batch_format="pyarrow"),
+                          ["event_type", "ubucket"], "value",
+                          num_partitions=4)
+
+
+ORACLES["cube_events"] = """
+    WITH e AS (SELECT event_type,
+                      'u' || (user_id % 3)::VARCHAR AS ubucket, value
+               FROM events)
+    SELECT event_type, ubucket,
+           round(sum(value), 4) AS sum_value,
+           count(value) AS n,
+           grouping(event_type) * 2 + grouping(ubucket) AS gset
+    FROM e GROUP BY CUBE(event_type, ubucket)
+"""
+QUERIES["cube_events"] = cube_events
+
+
+def unpivot_events(sf_dir: str):
+    """Wide-to-long unpivot (``ops/relational.py::melt_columns``):
+    ``value`` and ``user_id`` melted to ``(event_id, metric, val)``
+    rows — zero exchanges, pure per-batch reshape with a float64 cast
+    + round shared with the SQL ``UNPIVOT`` twin."""
+    from dedup_ray.ops.relational import melt_columns
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return melt_columns(ds, ["event_id"], ["value", "user_id"])
+
+
+ORACLES["unpivot_events"] = """
+    WITH t AS (SELECT event_id,
+                      round(CAST(value AS DOUBLE), 6) AS value,
+                      round(CAST(user_id AS DOUBLE), 6) AS user_id
+               FROM events)
+    SELECT event_id, metric, val
+    FROM (UNPIVOT t ON value, user_id INTO NAME metric VALUE val)
+"""
+QUERIES["unpivot_events"] = unpivot_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -549,6 +549,75 @@ def test_rollup_aggregate_empty():
     assert out.count() == 0
 
 
+def test_cube_aggregate_matches_pandas():
+    from dedup_ray.ops.relational import cube_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=n),
+        "b": rng.choice(["p", "q"], size=n),
+        "v": np.round(rng.normal(5, 2, size=n), 3),
+    })
+    out = cube_aggregate(
+        rd.from_pandas(df).repartition(5), ["a", "b"], "v",
+        num_partitions=4,
+    ).to_pandas()
+
+    both = df.groupby(["a", "b"])["v"].agg(["sum", "size"]).reset_index()
+    only_a = df.groupby("a")["v"].agg(["sum", "size"]).reset_index()
+    only_b = df.groupby("b")["v"].agg(["sum", "size"]).reset_index()
+    assert len(out) == len(both) + len(only_a) + len(only_b) + 1
+
+    g0 = out[out.gset == 0].set_index(["a", "b"])     # both live
+    for _, r in both.iterrows():
+        assert g0.loc[(r.a, r.b), "n"] == r["size"]
+        assert abs(g0.loc[(r.a, r.b), "sum_value"] - round(r["sum"], 4)) < 1e-9
+    g1 = out[out.gset == 1].set_index("a")            # b collapsed
+    assert g1.b.isna().all()
+    for _, r in only_a.iterrows():
+        assert g1.loc[r.a, "n"] == r["size"]
+    g2 = out[out.gset == 2].set_index("b")            # a collapsed
+    assert g2.a.isna().all()
+    for _, r in only_b.iterrows():
+        assert g2.loc[r.b, "n"] == r["size"]
+    g3 = out[out.gset == 3]                           # grand total
+    assert len(g3) == 1 and g3.n.iloc[0] == n
+    assert abs(g3.sum_value.iloc[0] - round(df.v.sum(), 4)) < 1e-9
+
+
+def test_cube_aggregate_empty_and_cap():
+    import pytest as _pytest
+
+    from dedup_ray.ops.relational import cube_aggregate
+
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.string()), "b": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64()),
+    }))
+    assert cube_aggregate(empty, ["a", "b"], "v", num_partitions=2).count() == 0
+    five = rd.from_arrow(pa.table({c: pa.array(["x"]) for c in "abcde"}
+                                  | {"v": pa.array([1.0])}))
+    with _pytest.raises(ValueError):
+        cube_aggregate(five, list("abcde"), "v")
+
+
+def test_melt_columns_round_trips_pandas_melt():
+    from dedup_ray.ops.relational import melt_columns
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3], "x": [1.25, None, 3.5], "y": [10, 20, 30],
+    })
+    out = melt_columns(
+        rd.from_pandas(df), ["id"], ["x", "y"],
+    ).to_pandas().sort_values(["metric", "id"]).reset_index(drop=True)
+    want = df.melt(id_vars=["id"], value_vars=["x", "y"],
+                   var_name="metric", value_name="val")
+    want["val"] = want["val"].astype(float).round(6)
+    want = want.sort_values(["metric", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["id", "metric", "val"]], want)
+
+
 def test_grouped_linreg_matches_numpy_and_degenerates():
     from dedup_ray.ops.relational import grouped_linreg
 
