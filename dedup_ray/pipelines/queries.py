@@ -10741,5 +10741,47 @@ ORACLES["unpivot_events"] = """
 """
 QUERIES["unpivot_events"] = unpivot_events
 
+def supershingle_pairs_docs(sf_dir: str):
+    """Broder super-shingles (``stages/minhash.py::supershingle_md5`` /
+    ``supershingle_pairs``): 12 md5 min-hashes per doc grouped into 6
+    bands of 2, each band's concatenation hashed once more; docs
+    sharing a super-shingle pair up and a second narrow exchange counts
+    agreeing bands — the AltaVista-era "sketch of sketches" candidate
+    tier.  md5 spec twin: the oracle replays min-hash, band concat,
+    outer md5, the self-join AND the shared-band count."""
+    from dedup_ray.stages.minhash import supershingle_md5, supershingle_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ss = supershingle_md5(ds, n_perms=12, group=2)
+    return supershingle_pairs(ss, num_partitions=8)
+
+
+ORACLES["supershingle_pairs_docs"] = """
+    WITH tl AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS t
+                FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3 THEN list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+             ELSE [CAST(doc_id AS VARCHAR)] END) AS shingle
+      FROM tl
+    ),
+    dt AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    h AS (SELECT doc_id, p.i AS perm,
+                 min(md5(p.i || ':' || shingle)) AS mh
+          FROM dt CROSS JOIN range(0, 12) p(i)
+          GROUP BY doc_id, p.i),
+    ss AS (SELECT doc_id, perm // 2 AS band,
+                  md5(string_agg(mh, '|' ORDER BY perm)) AS ss
+           FROM h GROUP BY doc_id, perm // 2)
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+    FROM ss a JOIN ss b
+      ON a.band = b.band AND a.ss = b.ss AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+QUERIES["supershingle_pairs_docs"] = supershingle_pairs_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -280,6 +280,149 @@ def bbit_estimate_pairs(regs_ds, id_col: str = "doc_id", b: int = 2,
                    num_partitions, empty_schemas=[sch, sch2])
 
 
+def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_perms: int = 12, group: int = 2):
+    """Broder super-shingles (Broder et al. 1997, "Syntactic clustering
+    of the Web"; the AltaVista dedup design): hash the sketch itself —
+    the ``n_perms`` min-hashes are grouped into ``n_perms/group``
+    consecutive bands and each band's concatenation is hashed once more.
+    Two docs share a super-shingle iff ALL ``group`` min-hashes in that
+    band agree, so a super-shingle match is a high-precision candidate
+    signal and the candidate join degrades from sketch-row joins to
+    tiny equality buckets (this predates, and is the special case of,
+    LSH banding — kept as the historically-exact operator; the
+    production signer's banded LSH is the tunable general form).
+
+    The shingle unit is the 3-word gram (Broder's w-shingling — a
+    UNIGRAM unit would make band agreement common across merely
+    similar-vocabulary docs and blow the buckets up to corpus scale;
+    word shingles keep super-shingle buckets dup-cluster-sized).  Docs
+    with fewer than 3 tokens carry the ``str(id)`` sentinel shingle.
+
+    md5 SPEC TWIN (same pattern as ``bbit_minhash_md5``): min-hash =
+    min over DISTINCT shingles of ``md5(perm ':' shingle)``,
+    super-shingle = ``md5(mh[j*g] '|' … '|' mh[j*g+g-1])`` — every step
+    replayable in SQL, nothing pinned.  Shuffle-free; output
+    ``(id_col, band, ss)``.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from dedup_ray.stages.textstats import explode_tokens
+
+    if n_perms % group:
+        raise ValueError("n_perms must be a multiple of group")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(batch[text_col], batch.num_rows)
+        flat = flat.to_pylist()
+        starts = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=starts[1:])
+        toks, par = [], []
+        for row in range(batch.num_rows):
+            t = flat[starts[row]:starts[row + 1]]
+            if len(t) >= 3:
+                toks.extend(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+                par.extend([row] * (len(t) - 2))
+            else:  # sentinel
+                toks.append(str(ids[int(row)].as_py()))
+                par.append(row)
+        dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
+        id_list = ids.to_pylist()
+        # (row -> perm -> minhash hex); rows with no tokens never occur
+        mins_by_perm = []
+        for perm in range(n_perms):
+            h = [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
+                 for t in dd["t"]]
+            mins_by_perm.append(
+                pd.Series(h).groupby(dd["p"].to_numpy()).min())
+        out_id, out_band, out_ss = [], [], []
+        rows = mins_by_perm[0].index if n_perms else []
+        for r in rows:
+            for j in range(n_perms // group):
+                cat = "|".join(mins_by_perm[j * group + i][r]
+                               for i in range(group))
+                out_id.append(id_list[int(r)])
+                out_band.append(j)
+                out_ss.append(hashlib.md5(cat.encode()).hexdigest())
+        return pa.table({
+            id_col: pa.array(out_id, ids.type),
+            "band": pa.array(out_band, pa.int64()),
+            "ss": pa.array(out_ss, pa.string()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def supershingle_pairs(ss_ds, id_col: str = "doc_id",
+                       num_partitions: int = 8, bucket_cap: int = 256):
+    """Candidate pairs from super-shingle agreement: one exchange on
+    ``(band, ss)`` enumerates within-bucket pairs (id1 < id2), a second
+    narrow exchange on the pair counts how many bands agree — Broder's
+    "cluster when ≥ 2 super-shingles match" precision knob is then a
+    plain filter on ``shared``.  Buckets are equality groups of FULL
+    band agreement, so they are dup-cluster-sized, not corpus-sized;
+    ``bucket_cap`` is the skew bound for adversarial corpora (a capped
+    bucket emits only the ``cap`` smallest ids' pairs — approximate,
+    observable via the dropped-pair delta, and never hit on organic
+    duplicate clusters at default settings).  Output:
+    ``(id1, id2, shared)``."""
+    import pandas as pd
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    sch = ss_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    if not isinstance(id_type, pa.DataType):  # pandas-born dataset
+        d = np.dtype(id_type)
+        id_type = pa.string() if d == object else pa.from_numpy_dtype(d)
+
+    pair_schema = pa.schema([("id1", id_type), ("id2", id_type),
+                             ("band", pa.int64())])
+
+    def emit_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        df = pd.DataFrame({
+            "band": part["band"].to_numpy(zero_copy_only=False),
+            "ss": part["ss"].to_pylist(),
+            "id": part[id_col].to_pylist(),
+        })
+        i1, i2, bb = [], [], []
+        for (band, _ss), g in df.groupby(["band", "ss"], sort=False):
+            ids = sorted(g["id"].tolist())[:bucket_cap]
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    i1.append(ids[a]); i2.append(ids[b]); bb.append(band)
+        return pa.table({"id1": pa.array(i1, id_type),
+                         "id2": pa.array(i2, id_type),
+                         "band": pa.array(bb, pa.int64())})
+
+    pairs = exchange_group_apply(
+        ss_ds, ["band", "ss"], emit_pairs, num_partitions,
+        empty_schema=pa.schema([(id_col, id_type), ("band", pa.int64()),
+                                ("ss", pa.string())]),
+    )
+
+    out_schema = pa.schema([("id1", id_type), ("id2", id_type),
+                            ("shared", pa.int64())])
+
+    def count_shared(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        g = part.group_by(["id1", "id2"]).aggregate([("band", "count")])
+        return g.rename_columns(["id1", "id2", "shared"])
+
+    return exchange_group_apply(
+        pairs, ["id1", "id2"], count_shared, num_partitions,
+        empty_schema=pair_schema,
+    )
+
+
 def weighted_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
                          n_perms: int = 16):
     """Integer-weighted MinHash registers: WEIGHTED Jaccard
