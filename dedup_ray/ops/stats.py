@@ -1,0 +1,266 @@
+"""Distributed classical statistics: independence tests, autocorrelation,
+two-sample distribution comparison, concentration indices.
+
+The corpus-audit counterpart of `ops/evaluate.py` (which scores CLUSTERINGS):
+these score the DATA — is language independent of crawl source (chi-squared /
+Cramér's V), is the event stream autocorrelated (ACF), did two segments draw
+from the same distribution (Kolmogorov–Smirnov), how concentrated is the
+token mass (Gini / Shannon).  The reference's evaluation habit
+(`pscore.R:10-14` per-block score reporting, `eval.py`-style accuracy sweeps)
+extended with the standard audit statistics a crawl-curation run reports.
+
+Scale shapes: every operator reduces the corpus to bounded state before
+anything central happens — contingency cells (|A|×|B|), per-group moment
+partials, per-bucket ECDF offsets, a vocab-bounded count table.  No global
+sort anywhere; the KS pass is two narrow exchanges with driver state bounded
+by the bucket grid, the same histogram-offset trick as
+`stages/ordering.py::exact_quantiles`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def chi2_independence(ds, col_a: str, col_b: str):
+    """Pearson chi-squared test of independence between two categorical
+    columns, plus Cramér's V — one row ``(chi2, dof, cramers_v, n)``.
+
+    Per-batch partial cell counts (|A|×|B|-bounded) reach ONE reduce task
+    which rebuilds the FULL grid from the row/column marginals — zero-
+    observed cells contribute their full expectation (chi2 += E), which a
+    cells-only sum would silently drop.  Driver never sees row data.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return g.rename_columns([col_a, col_b, "c"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+
+    out_schema = pa.schema([
+        ("chi2", pa.float64()), ("dof", pa.int64()),
+        ("cramers_v", pa.float64()), ("n", pa.int64()),
+    ])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby([col_a, col_b], sort=True)["c"].sum()
+        grid = df.unstack(fill_value=0).to_numpy(dtype=np.float64)
+        n = grid.sum()
+        exp = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / n
+        chi2 = float(((grid - exp) ** 2 / exp).sum())
+        r, c = grid.shape
+        dof = (r - 1) * (c - 1)
+        v = float(np.sqrt(chi2 / (n * (min(r, c) - 1)))) if min(r, c) > 1 else 0.0
+        return pa.table({
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+            "cramers_v": pa.array([round(v, 6)], pa.float64()),
+            "n": pa.array([int(n)], pa.int64()),
+        })
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    # single partition: input is |A|×|B| partial cells per block, tiny
+    return exchange_group_apply(
+        cells, [col_a], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([(col_a, pa.string()), (col_b, pa.string()),
+                                ("c", pa.int64())]),
+    )
+
+
+def acf(ds, group_col: str, ts_col: str, value_col: str,
+        order_tiebreak: str, max_lag: int = 3, num_partitions: int = 8):
+    """Per-group autocorrelation function at lags 1..``max_lag`` over the
+    series ordered by ``(ts_col, order_tiebreak)``: one exchange keyed on
+    the group, a vectorized numpy lag pass per partition.  acf_k =
+    Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² — the standard biased estimator
+    (shared denominator, so acf_0 == 1 and |acf_k| ≤ 1).
+
+    Output ``(group, lag, acf)``; groups shorter than ``lag+1`` rows emit
+    no row for that lag.  Partitioning assumption: one group wholly in one
+    partition (exchange invariant).
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    out_schema = pa.schema([
+        (group_col, pa.string()), ("lag", pa.int64()), ("acf", pa.float64()),
+    ])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select([group_col, ts_col, order_tiebreak, value_col]) \
+              .to_pandas().sort_values([ts_col, order_tiebreak], kind="mergesort")
+        gs, lags, vals = [], [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            x = sub[value_col].to_numpy(dtype=np.float64)
+            d = x - x.mean()
+            den = float(d @ d)
+            if den == 0.0:
+                continue
+            for k in range(1, max_lag + 1):
+                if len(x) <= k:
+                    break
+                gs.append(g)
+                lags.append(k)
+                vals.append(round(float(d[:-k] @ d[k:]) / den, 6))
+        return pa.table({group_col: pa.array(gs, pa.string()),
+                         "lag": pa.array(lags, pa.int64()),
+                         "acf": pa.array(vals, pa.float64())})
+
+    sch = pa.schema([(group_col, pa.string()), (ts_col, pa.timestamp("us")),
+                     (order_tiebreak, pa.int64()), (value_col, pa.float64())])
+    return exchange_group_apply(
+        ds.select_columns([group_col, ts_col, order_tiebreak, value_col]),
+        [group_col], per_part, num_partitions, empty_schema=sch,
+    )
+
+
+def ks_two_sample(ds, label_col: str, value_col: str, label_a: str,
+                  label_b: str, bucket_width: float = 0.25,
+                  num_partitions: int = 8):
+    """Exact two-sample Kolmogorov–Smirnov D statistic between the
+    ``value_col`` distributions of two labels — WITHOUT a global sort.
+
+    Pass 1 counts per-(range-bucket, sample) rows; the driver holds only
+    the bucket grid (range/width-bounded — the documented assumption: the
+    value range is bounded, as every quality-score / rate column here is)
+    and prefix-sums it into per-bucket BELOW-offsets.  Pass 2 exchanges on
+    the bucket: each partition sorts only its buckets' values, adds the
+    broadcast offsets, and reports its local max |F1−F2| evaluated at
+    distinct values (ECDF right-continuity: counts ≤ v).  The global D is
+    the max of the per-partition maxima — exact, because every distinct
+    value is scored in exactly one partition with globally correct
+    cumulative counts.  Output: one row ``(ks_d, n1, n2)``.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    def bucket_of(vals: np.ndarray) -> np.ndarray:
+        return np.floor(vals / bucket_width).astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m1 = pc.equal(t[label_col], label_a)
+        m2 = pc.equal(t[label_col], label_b)
+        keep = pc.or_(m1, m2)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "c1": pa.array([], pa.int64()),
+                             "c2": pa.array([], pa.int64())})
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        is1 = pc.equal(t[label_col], label_a).to_numpy(zero_copy_only=False)
+        b = bucket_of(vals)
+        df = pd.DataFrame({"bucket": b, "c1": is1.astype(np.int64),
+                           "c2": (~is1).astype(np.int64)})
+        g = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = (
+        ds.select_columns([label_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", sort=True)
+        .sum()
+    )
+    n1, n2 = int(grid["c1"].sum()), int(grid["c2"].sum())
+    out_schema = pa.schema([("ks_d", pa.float64()), ("n1", pa.int64()),
+                            ("n2", pa.int64())])
+    if n1 == 0 or n2 == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    below1 = grid["c1"].cumsum() - grid["c1"]  # strictly-below offsets
+    below2 = grid["c2"].cumsum() - grid["c2"]
+    offsets = {int(b): (int(below1.loc[b]), int(below2.loc[b]))
+               for b in grid.index}
+    offsets_ref = ray.put(offsets)
+
+    def rows(t: pa.Table) -> pa.Table:
+        m1 = pc.equal(t[label_col], label_a)
+        t2 = t.filter(pc.or_(m1, pc.equal(t[label_col], label_b)))
+        vals = t2[value_col].to_numpy(zero_copy_only=False)
+        is1 = pc.equal(t2[label_col], label_a).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(bucket_of(vals), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "s1": pa.array(is1.astype(np.int64), pa.int64()),
+        })
+
+    def local_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.float64())})
+        off = ray.get(offsets_ref)
+        df = t.to_pandas()
+        best = 0.0
+        for b, sub in df.groupby("bucket", sort=False):
+            o1, o2 = off[int(b)]
+            g = (sub.groupby("value", sort=True)["s1"]
+                 .agg(["sum", "count"]))
+            ca = o1 + g["sum"].cumsum().to_numpy(dtype=np.float64)
+            cb = o2 + (g["count"] - g["sum"]).cumsum().to_numpy(np.float64)
+            d = np.abs(ca / n1 - cb / n2).max()
+            best = max(best, float(d))
+        return pa.table({"d": pa.array([best], pa.float64())})
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    parts = exchange_group_apply(
+        ds.select_columns([label_col, value_col])
+        .map_batches(rows, batch_format="pyarrow"),
+        ["bucket"], local_max, num_partitions,
+        empty_schema=pa.schema([("bucket", pa.int64()),
+                                ("value", pa.float64()),
+                                ("s1", pa.int64())]),
+    )
+    d = float(max(r["d"] for r in parts.take_all()))  # ≤ num_partitions rows
+    return ray.data.from_arrow(pa.table({
+        "ks_d": pa.array([round(d, 6)], pa.float64()),
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+    }))
+
+
+def gini_entropy(counts_ds, count_col: str = "c"):
+    """Concentration indices over a COUNT TABLE (vocab-bounded input, e.g.
+    token→frequency): Gini coefficient, Shannon entropy (nats) and
+    normalized entropy — one row ``(gini, entropy, norm_entropy, k,
+    total)``.  Gini uses the sorted-rank closed form
+    ``2·Σ i·c_(i) / (k·Σc) − (k+1)/k`` (ascending; tie order is
+    irrelevant — equal values permute without changing the sum).  The
+    single gather is bounded by the DISTINCT-KEY cardinality, never the
+    corpus — same license as the Zipf fit."""
+    out_schema = pa.schema([
+        ("gini", pa.float64()), ("entropy", pa.float64()),
+        ("norm_entropy", pa.float64()), ("k", pa.int64()),
+        ("total", pa.int64()),
+    ])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        c = np.sort(t[count_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        k, tot = len(c), c.sum()
+        i = np.arange(1, k + 1, dtype=np.float64)
+        gini = 2.0 * float(i @ c) / (k * tot) - (k + 1) / k
+        p = c / tot
+        ent = float(-(p * np.log(p)).sum())
+        norm = ent / np.log(k) if k > 1 else 0.0
+        return pa.table({
+            "gini": pa.array([round(gini, 6)], pa.float64()),
+            "entropy": pa.array([round(ent, 6)], pa.float64()),
+            "norm_entropy": pa.array([round(norm, 6)], pa.float64()),
+            "k": pa.array([k], pa.int64()),
+            "total": pa.array([int(tot)], pa.int64()),
+        })
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    return exchange_group_apply(
+        counts_ds, [count_col], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([(count_col, pa.int64())]),
+    )

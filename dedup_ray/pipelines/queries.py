@@ -10783,5 +10783,159 @@ ORACLES["supershingle_pairs_docs"] = """
 """
 QUERIES["supershingle_pairs_docs"] = supershingle_pairs_docs
 
+
+def chi2_source_lang_docs(sf_dir: str):
+    """Chi-squared independence test + Cramér's V between crawl source
+    and language (``ops/stats.py::chi2_independence``): per-batch partial
+    contingency cells, one single-partition reduce that rebuilds the FULL
+    source×lang grid from the marginals (zero-observed cells contribute
+    their expectation — a cells-only sum silently understates chi2).
+    The corpus-audit question 'are my sources language-balanced'."""
+    from dedup_ray.ops.stats import chi2_independence
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    return chi2_independence(ds, "source", "lang")
+
+
+ORACLES["chi2_source_lang_docs"] = """
+    WITH cells AS (SELECT source, lang, count(*) AS c
+                   FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, sum(c) AS rc FROM cells GROUP BY source),
+    ct AS (SELECT lang, sum(c) AS cc FROM cells GROUP BY lang),
+    n AS (SELECT sum(c) AS n FROM cells),
+    grid AS (SELECT rt.source, ct.lang,
+                    coalesce(cells.c, 0) AS o,
+                    rt.rc * ct.cc / n.n AS e
+             FROM rt CROSS JOIN ct CROSS JOIN n
+             LEFT JOIN cells ON cells.source = rt.source
+                            AND cells.lang = ct.lang),
+    s AS (SELECT sum((o - e) * (o - e) / e) AS chi2,
+                 count(DISTINCT source) AS r, count(DISTINCT lang) AS c
+          FROM grid)
+    SELECT round(chi2, 6) AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           round(sqrt(chi2 / (n.n * (least(r, c) - 1))), 6) AS cramers_v,
+           CAST(n.n AS BIGINT) AS n
+    FROM s, n
+"""
+QUERIES["chi2_source_lang_docs"] = chi2_source_lang_docs
+
+
+def acf_events(sf_dir: str):
+    """Per-event-type autocorrelation at lags 1..3 over the value series
+    in timestamp order (``ops/stats.py::acf``): one exchange keyed on the
+    type, a vectorized lag pass per partition — the burstiness/seasonality
+    probe on a metric stream.  Biased estimator with shared denominator
+    (|acf| ≤ 1); oracle replays the row_number ordering and both sums."""
+    from dedup_ray.ops.stats import acf
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id", "value"])
+    return acf(ds, "event_type", "ts", "value", "event_id", max_lag=3)
+
+
+ORACLES["acf_events"] = """
+    WITH s AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    m AS (SELECT event_type, avg(value) AS mu FROM events
+          GROUP BY event_type),
+    d AS (SELECT s.event_type,
+                 sum((value - mu) * (value - mu)) AS den
+          FROM s JOIN m USING (event_type) GROUP BY s.event_type),
+    l AS (SELECT a.event_type, k.k AS lag,
+                 sum((a.value - m.mu) * (b.value - m.mu)) AS num
+          FROM s a
+          CROSS JOIN range(1, 4) k(k)
+          JOIN s b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+          JOIN m ON m.event_type = a.event_type
+          GROUP BY a.event_type, k.k)
+    SELECT l.event_type, l.lag, round(l.num / d.den, 6) AS acf
+    FROM l JOIN d ON d.event_type = l.event_type
+    WHERE d.den <> 0
+"""
+QUERIES["acf_events"] = acf_events
+
+
+def ks_events(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov D between the 'click' and
+    'view' value distributions (``ops/stats.py::ks_two_sample``) WITHOUT
+    a global sort: a bucket-count pass pins per-bucket cumulative
+    offsets (driver state = the bucket grid), then one bucket-keyed
+    exchange scores every distinct value with globally correct ECDF
+    counts and reports per-partition maxima.  The drift gate between two
+    segments of a stream."""
+    from dedup_ray.ops.stats import ks_two_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return ks_two_sample(ds, "event_type", "value", "click", "view")
+
+
+ORACLES["ks_events"] = """
+    WITH x AS (SELECT value,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS w1,
+                      CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS w2
+               FROM events WHERE event_type IN ('click', 'view')),
+    t AS (SELECT sum(w1) AS n1, sum(w2) AS n2 FROM x),
+    c AS (SELECT value, sum(w1) AS a, sum(w2) AS b FROM x GROUP BY value),
+    cum AS (SELECT value,
+                   sum(a) OVER (ORDER BY value) AS ca,
+                   sum(b) OVER (ORDER BY value) AS cb
+            FROM c)
+    SELECT round(max(abs(ca / CAST(n1 AS DOUBLE)
+                        - cb / CAST(n2 AS DOUBLE))), 6) AS ks_d,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM cum, t GROUP BY n1, n2
+"""
+QUERIES["ks_events"] = ks_events
+
+
+def token_gini_docs(sf_dir: str):
+    """Token-mass concentration audit (``ops/stats.py::gini_entropy``):
+    Gini coefficient + Shannon entropy over the token frequency table —
+    the 'how Zipfian is this corpus' scalar a curation report carries
+    beside the Zipf OLS fit.  Corpus reduces to the vocab-bounded count
+    table before the single gather; sorted-rank Gini closed form is
+    tie-order-invariant."""
+    from dedup_ray.ops.stats import gini_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = tokenize_explode(ds)
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "c"])
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("c", "sum")])
+        return g.rename_columns(["token", "c"])
+
+    counts = exchange_group_apply(
+        toks.map_batches(cnt, batch_format="pyarrow"), ["token"], fold,
+        num_partitions=8,
+        empty_schema=pa.schema([("token", pa.string()), ("c", pa.int64())]),
+    )
+    return gini_entropy(counts.select_columns(["c"]), "c")
+
+
+ORACLES["token_gini_docs"] = f"""
+    {TOKENS_CTE},
+    cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM cnt),
+    s AS (SELECT sum(i * c) AS ic, sum(c) AS tot, count(*) AS k FROM r),
+    e AS (SELECT sum(p * ln(p)) * -1 AS ent
+          FROM (SELECT c / (SELECT sum(c) FROM cnt) AS p FROM cnt))
+    SELECT round(2.0 * ic / (k * tot) - (k + 1.0) / k, 6) AS gini,
+           round(ent, 6) AS entropy,
+           round(CASE WHEN k > 1 THEN ent / ln(k) ELSE 0 END, 6)
+               AS norm_entropy,
+           CAST(k AS BIGINT) AS k, CAST(tot AS BIGINT) AS total
+    FROM s, e
+"""
+QUERIES["token_gini_docs"] = token_gini_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -1,0 +1,129 @@
+"""ops/stats.py: chi-squared, ACF, KS two-sample, Gini/entropy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.ops.stats import acf, chi2_independence, gini_entropy, ks_two_sample
+
+
+def test_chi2_matches_brute_force():
+    rng = np.random.default_rng(7)
+    a = rng.choice(["x", "y", "z"], 400)
+    b = rng.choice(["p", "q"], 400)
+    out = chi2_independence(
+        rd.from_pandas(pd.DataFrame({"a": a, "b": b})), "a", "b"
+    ).to_pandas()
+    # brute force incl. zero cells
+    grid = pd.crosstab(pd.Series(a), pd.Series(b)).to_numpy(dtype=float)
+    n = grid.sum()
+    exp = np.outer(grid.sum(1), grid.sum(0)) / n
+    chi2 = ((grid - exp) ** 2 / exp).sum()
+    v = np.sqrt(chi2 / (n * (min(grid.shape) - 1)))
+    assert out["chi2"].iloc[0] == pytest.approx(round(chi2, 6))
+    assert out["dof"].iloc[0] == (grid.shape[0] - 1) * (grid.shape[1] - 1)
+    assert out["cramers_v"].iloc[0] == pytest.approx(round(v, 6))
+    assert out["n"].iloc[0] == 400
+
+
+def test_chi2_counts_zero_observed_cells():
+    # (a1,b2) never occurs: the full-grid expectation must still be paid
+    df = pd.DataFrame({"a": ["a1"] * 10 + ["a2"] * 10,
+                       "b": ["b1"] * 10 + ["b1"] * 5 + ["b2"] * 5})
+    out = chi2_independence(rd.from_pandas(df), "a", "b").to_pandas()
+    grid = np.array([[10.0, 0.0], [5.0, 5.0]])
+    exp = np.outer(grid.sum(1), grid.sum(0)) / 20
+    assert out["chi2"].iloc[0] == pytest.approx(
+        round(((grid - exp) ** 2 / exp).sum(), 6))
+
+
+def test_acf_matches_pandas_autocorr():
+    rng = np.random.default_rng(3)
+    n = 200
+    x = np.cumsum(rng.normal(size=n))  # random walk: strong lag-1 ACF
+    df = pd.DataFrame({
+        "g": ["s"] * n,
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "eid": np.arange(n, dtype=np.int64),
+        "v": x,
+    })
+    out = acf(rd.from_pandas(df), "g", "ts", "v", "eid",
+              max_lag=2, num_partitions=2).to_pandas()
+    d = x - x.mean()
+    den = d @ d
+    for k in (1, 2):
+        want = round(float(d[:-k] @ d[k:] / den), 6)
+        got = out[(out["g"] == "s") & (out["lag"] == k)]["acf"].iloc[0]
+        assert got == pytest.approx(want)
+    assert out[out["lag"] == 1]["acf"].iloc[0] > 0.8  # random walk
+
+
+def test_acf_constant_series_emits_nothing():
+    df = pd.DataFrame({
+        "g": ["c"] * 5,
+        "ts": pd.date_range("2024-01-01", periods=5, freq="1h"),
+        "eid": np.arange(5, dtype=np.int64),
+        "v": np.ones(5),
+    })
+    out = acf(rd.from_pandas(df), "g", "ts", "v", "eid").to_pandas()
+    assert len(out) == 0  # zero denominator: no rows, not NaN
+
+
+def test_ks_matches_brute_force():
+    rng = np.random.default_rng(11)
+    v1 = rng.normal(0, 1, 300)
+    v2 = rng.normal(0.5, 1.2, 250)
+    df = pd.DataFrame({
+        "lbl": ["a"] * 300 + ["b"] * 250,
+        "v": np.concatenate([v1, v2]),
+    })
+    out = ks_two_sample(rd.from_pandas(df), "lbl", "v", "a", "b",
+                        num_partitions=4).to_pandas()
+    # brute force over all distinct values
+    allv = np.unique(df["v"].to_numpy())
+    d = max(abs((v1 <= x).mean() - (v2 <= x).mean()) for x in allv)
+    assert out["ks_d"].iloc[0] == pytest.approx(round(d, 6))
+    assert out["n1"].iloc[0] == 300 and out["n2"].iloc[0] == 250
+
+
+def test_ks_identical_samples_zero():
+    v = np.arange(50, dtype=float)
+    df = pd.DataFrame({"lbl": ["a"] * 50 + ["b"] * 50,
+                       "v": np.concatenate([v, v])})
+    out = ks_two_sample(rd.from_pandas(df), "lbl", "v", "a", "b").to_pandas()
+    assert out["ks_d"].iloc[0] == 0.0
+
+
+def test_ks_missing_label_empty():
+    df = pd.DataFrame({"lbl": ["a"] * 10, "v": np.arange(10.0)})
+    out = ks_two_sample(rd.from_pandas(df), "lbl", "v", "a", "b").to_pandas()
+    assert len(out) == 0
+
+
+def test_gini_entropy_brute_force():
+    c = np.array([1, 1, 2, 5, 100], dtype=np.int64)
+    out = gini_entropy(
+        rd.from_arrow(pa.table({"c": pa.array(c, pa.int64())})), "c"
+    ).to_pandas()
+    cs = np.sort(c).astype(float)
+    k, tot = len(cs), cs.sum()
+    gini = 2 * (np.arange(1, k + 1) @ cs) / (k * tot) - (k + 1) / k
+    p = cs / tot
+    ent = -(p * np.log(p)).sum()
+    assert out["gini"].iloc[0] == pytest.approx(round(gini, 6))
+    assert out["entropy"].iloc[0] == pytest.approx(round(ent, 6))
+    assert out["norm_entropy"].iloc[0] == pytest.approx(
+        round(ent / np.log(k), 6))
+    assert out["k"].iloc[0] == 5 and out["total"].iloc[0] == 109
+
+
+def test_gini_uniform_is_zero_entropy_max():
+    c = np.full(8, 3, dtype=np.int64)
+    out = gini_entropy(
+        rd.from_arrow(pa.table({"c": pa.array(c, pa.int64())})), "c"
+    ).to_pandas()
+    assert out["gini"].iloc[0] == pytest.approx(0.0, abs=1e-9)
+    assert out["norm_entropy"].iloc[0] == pytest.approx(1.0)
