@@ -10937,5 +10937,57 @@ ORACLES["token_gini_docs"] = f"""
 """
 QUERIES["token_gini_docs"] = token_gini_docs
 
+
+def nb_lang_docs(sf_dir: str):
+    """Multinomial Naive Bayes lang classifier, trained AND scored
+    in-engine (``stages/nbayes.py``): one token-keyed exchange folds the
+    (label, token) counts, the V×C Laplace-smoothed log-prob matrix is
+    broadcast once, one stateless pass scores every doc — the trainable
+    counterpart of the artifact scorers (ST4), fully SQL-replayable.
+    Argmax at 6-dp rounding with lexicographic tie-break written into
+    both engines."""
+    from dedup_ray.stages.nbayes import nb_score, nb_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = nb_train(ds, label_col="lang")
+    return nb_score(ds, model, out_col="nb_lang")
+
+
+ORACLES["nb_lang_docs"] = f"""
+    {TOKENS_CTE},
+    tc AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           GROUP BY doc_id, token),
+    lab AS (SELECT doc_id, lang FROM documents),
+    cls AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+    nt AS (SELECT lab.lang, toks.token, count(*) AS n
+           FROM toks JOIN lab USING (doc_id) GROUP BY lab.lang, toks.token),
+    vt AS (SELECT DISTINCT token FROM toks),
+    v AS (SELECT count(*) AS v FROM vt),
+    ctot AS (SELECT lang, sum(n) AS ntot FROM nt GROUP BY lang),
+    prior AS (SELECT lang,
+                     ln(nd / (SELECT CAST(sum(nd) AS DOUBLE) FROM cls))
+                         AS lp
+              FROM cls),
+    logp AS (SELECT ctot.lang, vt.token,
+                    ln((coalesce(nt.n, 0) + 1.0) / (ctot.ntot + v.v))
+                        AS logp
+             FROM vt CROSS JOIN ctot CROSS JOIN v
+             LEFT JOIN nt ON nt.lang = ctot.lang AND nt.token = vt.token),
+    sc AS (SELECT tc.doc_id, logp.lang,
+                  round(any_value(prior.lp) + sum(tc.tf * logp.logp), 6)
+                      AS score
+           FROM tc
+           JOIN logp ON logp.token = tc.token
+           JOIN prior ON prior.lang = logp.lang
+           GROUP BY tc.doc_id, logp.lang),
+    best AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) AS rk
+             FROM sc)
+    SELECT doc_id, lang AS nb_lang, score AS nb_score
+    FROM best WHERE rk = 1
+"""
+QUERIES["nb_lang_docs"] = nb_lang_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -1,0 +1,152 @@
+"""Multinomial Naive Bayes text classifier, trained and scored in-engine.
+
+The trainable counterpart of the broadcast scorers in
+`stages/classifier.py` (which load a PRE-FITTED artifact — ST4): NB fits
+from nothing but token counts, so the whole train step is aggregation the
+engine already does well — one token-keyed exchange folds (label, token)
+counts, the driver holds only the (V × C)-bounded count table (the same
+broadcast license as the IDF table, ST3 / `conformance/features.py`), and
+scoring is one stateless broadcast pass.  The classic label-audit /
+lang-id-v2 / quality-routing model for a crawl pipeline: deterministic,
+no gradient, exactly SQL-replayable (Laplace-smoothed log probabilities,
+argmax with a 6-dp round and lexicographic tie-break written into BOTH
+engines).
+
+Scale shape: corpus → (label, token, n) partials per batch (vocab-bounded
+per block), one narrow exchange, V×C floats broadcast via ``ray.put``.
+Nothing corpus-sized ever reaches the driver; the model matrix is the
+only central state (100 TB corpus, 10^6 vocab × 10 classes = 80 MB —
+object-store broadcast, read zero-copy in every score task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from dedup_ray.stages.textstats import explode_tokens
+
+
+def _label_token_counts(ds, label_col: str, text_col: str, id_col: str,
+                        num_partitions: int):
+    """(label, token, n) fold: per-batch partials, one token-keyed
+    exchange.  Empty docs carry the ``str(id)`` sentinel token (the M4
+    tokenizer convention), so every doc contributes to its class mass."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(t[text_col], t.num_rows)
+        labels = t[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        out_lab = labels.take(pa.array(parents))
+        out_tok = flat
+        empty_rows = np.flatnonzero(n == 0)
+        if len(empty_rows):
+            sent_lab = labels.take(pa.array(empty_rows))
+            sent_tok = pa.array(
+                [str(v) for v in ids.take(pa.array(empty_rows)).to_pylist()],
+                pa.string(),
+            )
+            out_lab = pa.concat_arrays([out_lab, sent_lab])
+            out_tok = pa.concat_arrays([out_tok, sent_tok])
+        g = pa.table({"label": out_lab, "token": out_tok}) \
+            .group_by(["label", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["label", "token", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["label", "token"]).aggregate([("n", "sum")])
+        return g.rename_columns(["label", "token", "n"])
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], fold,
+        num_partitions,
+        empty_schema=pa.schema([("label", pa.string()),
+                                ("token", pa.string()),
+                                ("n", pa.int64())]),
+    )
+
+
+def nb_train(ds, label_col: str = "lang", text_col: str = "text",
+             id_col: str = "doc_id", num_partitions: int = 8) -> dict:
+    """Fit the smoothed model.  Returns ``{classes, vocab, logp, logprior}``
+    — ``logp[v, c] = ln((n_vc + 1) / (n_c + V))`` (Laplace α=1 over the
+    training vocabulary), ``logprior[c] = ln(docs_c / docs)``.  Driver
+    state: the V×C count table and the C-row prior table, both bounded.
+    """
+    from ray.data.aggregate import Count
+
+    counts = _label_token_counts(
+        ds, label_col, text_col, id_col, num_partitions
+    ).to_pandas()  # V×C-bounded by construction
+    prior = (
+        ds.groupby(label_col).aggregate(Count(alias_name="nd")).to_pandas()
+    )
+
+    classes = sorted(prior[label_col].tolist())
+    vocab = sorted(counts["token"].unique().tolist())
+    cidx = {c: i for i, c in enumerate(classes)}
+    vidx = {t: i for i, t in enumerate(vocab)}
+    mat = np.zeros((len(vocab), len(classes)), dtype=np.float64)
+    mat[[vidx[t] for t in counts["token"]],
+        [cidx[c] for c in counts["label"]]] = counts["n"].to_numpy()
+    n_c = mat.sum(axis=0)
+    logp = np.log((mat + 1.0) / (n_c + len(vocab)))
+    nd = prior.set_index(label_col)["nd"]
+    logprior = np.log(
+        np.array([nd.loc[c] for c in classes], dtype=np.float64) / nd.sum()
+    )
+    return {"classes": classes, "vocab": vidx, "logp": logp,
+            "logprior": logprior}
+
+
+def nb_score(ds, model: dict, text_col: str = "text",
+             id_col: str = "doc_id", out_col: str = "nb_label"):
+    """Broadcast scoring pass: per doc, ``score_c = logprior_c +
+    Σ_t tf_t · logp[t, c]``; emit ``(id, out_col, nb_score)`` with the
+    argmax at 6-dp rounding, ties to the lexicographically smallest class
+    (classes are stored sorted, so ``argmax``'s first-max rule IS the
+    tie-break).  Tokens outside the training vocabulary are dropped (the
+    standard multinomial-NB convention).  O(tokens × C) per batch —
+    vectorized gather + segment add, no per-row Python."""
+    model_ref = ray.put(model)
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), (out_col, pa.string()),
+                            ("nb_score", pa.float64())])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        vidx, logp, logprior = m["vocab"], m["logp"], m["logprior"]
+        classes = np.array(m["classes"])
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(t[text_col], t.num_rows)
+        toks = flat.to_pylist()
+        par = np.asarray(parents, dtype=np.int64)
+        empty_rows = np.flatnonzero(n == 0)
+        if len(empty_rows):  # sentinel token, as at train time
+            sent = [str(v) for v in
+                    ids.take(pa.array(empty_rows)).to_pylist()]
+            toks.extend(sent)
+            par = np.concatenate([par, empty_rows.astype(np.int64)])
+        known = np.array([vidx.get(tk, -1) for tk in toks], dtype=np.int64)
+        keep = known >= 0
+        scores = np.tile(logprior, (t.num_rows, 1))
+        np.add.at(scores, par[keep], logp[known[keep], :])
+        scores = np.round(scores, 6)
+        best = scores.argmax(axis=1)
+        return pa.table({
+            id_col: ids,
+            out_col: pa.array(classes[best].tolist(), pa.string()),
+            "nb_score": pa.array(scores[np.arange(t.num_rows), best],
+                                 pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""stages/nbayes.py: multinomial NB train + broadcast score."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dedup_ray.stages.nbayes import nb_score, nb_train
+
+
+def _corpus():
+    rows = []
+    for i in range(30):
+        rows.append((i, "apfel brot haus " + ("der " * (i % 3)), "de"))
+    for i in range(30, 60):
+        rows.append((i, "apple bread house " + ("the " * (i % 3)), "en"))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+
+def test_nb_separable_corpus_perfect_train_accuracy():
+    df = _corpus()
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, label_col="lang")
+    out = nb_score(ds, model, out_col="pred").to_pandas()
+    merged = out.merge(df[["doc_id", "lang"]], on="doc_id")
+    assert (merged["pred"] == merged["lang"]).all()
+
+
+def test_nb_model_matches_closed_form():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "a b b", "c"],
+        "lang": ["x", "x", "y"],
+    })
+    model = nb_train(rd.from_pandas(df), label_col="lang")
+    assert model["classes"] == ["x", "y"]
+    assert sorted(model["vocab"]) == ["a", "b", "c"]
+    # class x: tokens a=3, b=3, total 6; V=3 -> p(a|x) = 4/9
+    va = model["vocab"]["a"]
+    assert model["logp"][va, 0] == pytest.approx(np.log(4 / 9))
+    # class y: only c, total 1 -> p(a|y) = 1/4
+    assert model["logp"][va, 1] == pytest.approx(np.log(1 / 4))
+    assert model["logprior"][0] == pytest.approx(np.log(2 / 3))
+
+
+def test_nb_empty_doc_sentinel_round_trips():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["hello world", "", "hello hello"],
+        "lang": ["en", "de", "en"],
+    })
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, label_col="lang")
+    # the sentinel token "2" is in the vocabulary and owned by class de
+    assert "2" in model["vocab"]
+    out = nb_score(ds, model, out_col="pred").to_pandas()
+    assert out[out["doc_id"] == 2]["pred"].iloc[0] == "de"
+
+
+def test_nb_tie_breaks_to_lexicographically_smallest():
+    # perfectly symmetric classes: every doc scores identically under both
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["t t", "t t"],
+        "lang": ["b", "a"],
+    })
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, label_col="lang")
+    out = nb_score(ds, model, out_col="pred").to_pandas()
+    assert (out["pred"] == "a").all()
