@@ -10989,5 +10989,36 @@ ORACLES["nb_lang_docs"] = f"""
 """
 QUERIES["nb_lang_docs"] = nb_lang_docs
 
+
+def jl_project_embeddings(sf_dir: str):
+    """Johnson–Lindenstrauss Rademacher projection of the 64-dim
+    embeddings to 8 dims (``stages/embed.py::jl_project``): deterministic
+    ±1 signs from md5(i ':' j) parity, the matrix built once per actor,
+    one float64 matmul per batch, zero shuffles.  The dimensionality-
+    reduction front end for the ANN / SemDeDup tiers; oracle rebuilds
+    every sign and cell."""
+    from dedup_ray.stages.embed import jl_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return jl_project(ds, out_dim=8)
+
+
+ORACLES["jl_project_embeddings"] = """
+    WITH x AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT i.i, j.j,
+                 CASE WHEN strpos('02468ace',
+                                  substr(md5(i.i || ':' || j.j), 1, 1)) > 0
+                      THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT DISTINCT i FROM x) i CROSS JOIN range(1, 9) j(j))
+    SELECT x.vec_id, s.j,
+           round(sum(x.v * s.sgn) / sqrt(8.0), 6) AS y
+    FROM x JOIN s ON s.i = x.i
+    GROUP BY x.vec_id, s.j
+"""
+QUERIES["jl_project_embeddings"] = jl_project_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

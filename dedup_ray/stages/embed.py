@@ -290,3 +290,53 @@ def _batch_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def jl_project(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+               out_dim: int = 8):
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims via a
+    deterministic Rademacher sign matrix (Achlioptas 2003: ±1 entries
+    preserve pairwise distances with the same JL guarantee as Gaussian
+    draws, database-friendly because the matrix is {−1,+1}):
+    ``y_j = Σ_i x_i · s_ij / √out_dim`` with
+    ``s_ij = +1 iff the first hex digit of md5(i ':' j) is even``
+    (1-based i, j) — no RNG state, every sign replayable in SQL, the
+    same keyed-md5 determinism the samplers use.
+
+    Shuffle-free: the sign matrix is built ONCE PER ACTOR from (d ×
+    out_dim) md5 calls — never per batch, never per row — and each batch
+    is one float64 matmul.  Long output ``(id, j, y)`` (j 1-based) so the
+    oracle compares cell-for-cell via unnest.  float32 inputs are
+    promoted to float64 before the matmul on both engines (exact), so
+    the 6-dp round is the only comparison tolerance."""
+    import hashlib
+
+    class Project:
+        def __init__(self):
+            self.signs: np.ndarray | None = None  # built on first batch
+
+        def _matrix(self, d: int) -> np.ndarray:
+            if self.signs is None or self.signs.shape[0] != d:
+                s = np.empty((d, out_dim), dtype=np.float64)
+                for i in range(d):
+                    for j in range(out_dim):
+                        h = hashlib.md5(f"{i + 1}:{j + 1}".encode()).hexdigest()
+                        s[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+                self.signs = s
+            return self.signs
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            x = _batch_matrix(t[vec_col])
+            y = (x @ self._matrix(x.shape[1])) / np.sqrt(float(out_dim))
+            n = len(ids)
+            return pa.table({
+                id_col: ids.take(pa.array(np.repeat(np.arange(n), out_dim))),
+                "j": pa.array(np.tile(np.arange(1, out_dim + 1), n),
+                              pa.int64()),
+                "y": pa.array(np.round(y, 6).ravel(), pa.float64()),
+            })
+
+    return ds.map_batches(Project, concurrency=4, batch_format="pyarrow")

@@ -115,3 +115,33 @@ def test_cosine_dup_edges_lsh_matches_blocked():
     # cos values agree with the blocked kernel
     merged = blocked.merge(lsh, on=["id1", "id2"], suffixes=("_b", "_l"))
     assert np.allclose(merged["cos_sim_b"], merged["cos_sim_l"])
+
+
+def test_jl_project_preserves_distance_structure():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.embed import jl_project
+
+    rng = np.random.default_rng(5)
+    # two well-separated blobs: the structure JL must keep at k=8
+    c = np.zeros(64)
+    c[:8] = 12.0
+    X = np.vstack([rng.normal(size=(20, 64)),
+                   rng.normal(size=(20, 64)) + c])
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(40), "embedding": list(X),
+    }))
+    out = jl_project(ds, out_dim=8).to_pandas()
+    Y = (out.pivot(index="vec_id", columns="j", values="y")
+         .sort_index().to_numpy())
+    assert Y.shape == (40, 8)
+    within = np.linalg.norm(Y[:20, None] - Y[None, :20], axis=2)[
+        np.triu_indices(20, 1)]
+    between = np.linalg.norm(Y[:20, None] - Y[None, 20:], axis=2).ravel()
+    assert within.mean() < between.mean()
+    # determinism: a second run produces identical cells
+    out2 = jl_project(ds, out_dim=8).to_pandas()
+    m = out.merge(out2, on=["vec_id", "j"])
+    assert (m["y_x"] == m["y_y"]).all()
