@@ -1398,3 +1398,135 @@ def link_predict(edges_ds, a_col: str = "a", b_col: str = "b",
                                 ("aa", pa.float64())]),
     )
     return non_edges
+
+
+def k_truss(edges_ds, k: int = 4, a_col: str = "a", b_col: str = "b",
+            max_rounds: int = 5, num_partitions: int = 16):
+    """k-truss decomposition by distributed support peeling (bounded
+    rounds): each round computes per-edge SUPPORT (triangles containing
+    the edge) with the same wedge-join shape as :func:`triangle_count`
+    — wedges carry all THREE edge keys, close against the edge set with
+    one semi join, and one count exchange folds supports — then drops
+    every edge with support < k−2.  A removal-free round is a no-op, so
+    a fixed-round replay (the oracle) produces the identical edge set
+    whether or not the fixpoint arrived earlier; ``max_rounds`` bounds
+    adversarial cascades (a triangle strip peels one layer per round).
+
+    The truss is the community-robust core: unlike k-core (degree),
+    membership requires TRIANGLES, so link farms of stars peel away
+    while genuinely clustered hosts survive.  Node ids must fit int32
+    (packed (lo,hi) int64 wedge keys — same convention as
+    ``triangle_count``); returns the surviving ``(a_col, b_col)`` edges.
+    """
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    def pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return (x.astype(np.int64) << np.int64(32)) | y.astype(np.int64)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table({"a": pa.array(lo, pa.int64()),
+                         "b": pa.array(hi, pa.int64()),
+                         "ab": pa.array(pack(lo, hi))})
+
+    def dedup(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["ab"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("ab", pa.int64())])
+    edges = exchange_group_apply(
+        edges_ds.select_columns([a_col, b_col])
+        .map_batches(orient, batch_format="pyarrow"),
+        ["ab"], dedup, num_partitions, empty_schema=edge_schema,
+    ).materialize()
+
+    wedge_schema = pa.schema([("ab", pa.int64()), ("e1", pa.int64()),
+                              ("e2", pa.int64())])
+
+    def wedges(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return wedge_schema.empty_table()
+        a = part["a"].to_numpy(zero_copy_only=False)
+        b = part["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.r_[True, a[1:] != a[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, len(a)])
+        roots, xs, ys = [], [], []
+        for d in np.unique(lens):
+            if d < 2:
+                continue
+            rows = starts[lens == d]
+            iu, ju = np.triu_indices(d, k=1)
+            roots.append(a[np.repeat(rows, len(iu))])
+            xs.append(b[(rows[:, None] + iu[None, :]).reshape(-1)])
+            ys.append(b[(rows[:, None] + ju[None, :]).reshape(-1)])
+        if not xs:
+            return wedge_schema.empty_table()
+        u = np.concatenate(roots)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        return pa.table({"ab": pa.array(pack(x, y)),
+                         "e1": pa.array(pack(u, x)),
+                         "e2": pa.array(pack(u, y))})
+
+    thresh = k - 2
+    for _ in range(max_rounds):
+        n_before = edges.count()
+        if n_before == 0:
+            break
+        wedge_ds = exchange_group_apply(
+            edges, "a", wedges, num_partitions, empty_schema=edge_schema)
+        closed = exchange_join(
+            wedge_ds,
+            edges.map_batches(lambda t: t.select(["ab"]),
+                              batch_format="pyarrow"),
+            on="ab", how="semi", num_partitions=num_partitions,
+            empty_schema=wedge_schema,
+        )
+
+        def sup_emit(t: pa.Table) -> pa.Table:
+            keys = pa.concat_arrays([
+                t["ab"].combine_chunks(), t["e1"].combine_chunks(),
+                t["e2"].combine_chunks(),
+            ])
+            g = pa.table({"ab": keys}).group_by("ab").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["ab", "s"])
+
+        def sup_fold(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({"ab": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())})
+            g = part.group_by("ab").aggregate([("s", "sum")])
+            g = g.rename_columns(["ab", "s"])
+            return g.filter(pc.greater_equal(g["s"], thresh))
+
+        strong = exchange_group_apply(
+            closed.map_batches(sup_emit, batch_format="pyarrow"),
+            ["ab"], sup_fold, num_partitions,
+            empty_schema=pa.schema([("ab", pa.int64()),
+                                    ("s", pa.int64())]),
+        )
+        kept = exchange_join(
+            edges, strong.map_batches(
+                lambda t: t.select(["ab"]), batch_format="pyarrow"),
+            on="ab", how="semi", num_partitions=num_partitions,
+            empty_schema=edge_schema,
+        ).materialize()
+        if kept.count() == n_before:
+            edges = kept
+            break
+        edges = kept
+
+    return edges.map_batches(
+        lambda t: t.select(["a", "b"]).rename_columns([a_col, b_col]),
+        batch_format="pyarrow")

@@ -11020,5 +11020,85 @@ ORACLES["jl_project_embeddings"] = """
 """
 QUERIES["jl_project_embeddings"] = jl_project_embeddings
 
+KTRUSS_K, KTRUSS_ROUNDS, KTRUSS_CLIQUE_STEP = 4, 4, 50
+
+
+def k_truss_docs(sf_dir: str):
+    """Distributed k-truss peeling (``ops/graph.py::k_truss``) over a
+    derived doc graph: a triangle STRIP ``(i,i+1),(i,i+2)`` — whose
+    chord edges sit in one triangle (support 1, peel round 1) and whose
+    spine edges then cascade (support 2 → 0, peel round 2) — plus a
+    clique over every ``doc_id %% 50 == 0`` node whose edges carry
+    support 8 and survive k=4.  Unlike k-core, membership needs
+    TRIANGLES, so the whole strip dies while the clique stands.  Both
+    engines run exactly ``KTRUSS_ROUNDS`` rounds (removal-free rounds
+    are no-ops — the k-core bounded-replay convention)."""
+    from dedup_ray.ops.graph import k_truss
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    mx = int(docs.max("doc_id"))
+
+    def strip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        a1, b1 = ids[ids + 1 <= mx], ids[ids + 1 <= mx] + 1
+        a2, b2 = ids[ids + 2 <= mx], ids[ids + 2 <= mx] + 2
+        return pa.table({
+            "a": pa.array(np.concatenate([a1, a2]), pa.int64()),
+            "b": pa.array(np.concatenate([b1, b2]), pa.int64()),
+        })
+
+    def hub_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(
+            ids[ids % KTRUSS_CLIQUE_STEP == 0], pa.int64())})
+
+    hubs = sorted(
+        r["doc_id"] for r in
+        docs.map_batches(hub_filter, batch_format="pyarrow").take_all()
+    )  # bounded: n_docs / 50 ids
+    clique = pa.table({
+        "a": pa.array([x for i, x in enumerate(hubs)
+                       for _ in hubs[i + 1:]], pa.int64()),
+        "b": pa.array([y for i, x in enumerate(hubs)
+                       for y in hubs[i + 1:]], pa.int64()),
+    })
+    edges = docs.map_batches(strip, batch_format="pyarrow").union(
+        ray.data.from_arrow(clique))
+    truss = k_truss(edges, k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS,
+                    num_partitions=8)
+    return truss.sort(["a", "b"])
+
+
+def _k_truss_oracle_sql(k: int = KTRUSS_K,
+                        rounds: int = KTRUSS_ROUNDS) -> str:
+    sql = f"""
+    WITH ids AS (SELECT doc_id AS i FROM documents),
+    mx AS (SELECT max(i) AS m FROM ids),
+    raw AS (
+      SELECT i AS a, i + 1 AS b FROM ids, mx WHERE i + 1 <= m
+      UNION ALL SELECT i, i + 2 FROM ids, mx WHERE i + 2 <= m
+      UNION ALL
+      SELECT h1.i, h2.i
+      FROM (SELECT i FROM ids WHERE i % {KTRUSS_CLIQUE_STEP} = 0) h1
+      JOIN (SELECT i FROM ids WHERE i % {KTRUSS_CLIQUE_STEP} = 0) h2
+        ON h1.i < h2.i),
+    e0 AS (SELECT DISTINCT a, b FROM raw)"""
+    for r in range(rounds):
+        sql += f""",
+    nb{r} AS (SELECT a AS u, b AS v FROM e{r}
+              UNION ALL SELECT b, a FROM e{r}),
+    sup{r} AS (SELECT e.a, e.b, count(*) AS s
+               FROM e{r} e
+               JOIN nb{r} n1 ON n1.u = e.a
+               JOIN nb{r} n2 ON n2.u = e.b AND n2.v = n1.v
+               GROUP BY e.a, e.b),
+    e{r + 1} AS (SELECT e.a, e.b FROM e{r} e
+                 JOIN sup{r} s USING (a, b) WHERE s.s >= {k - 2})"""
+    return sql + f" SELECT a, b FROM e{rounds} ORDER BY a, b"
+
+
+ORACLES["k_truss_docs"] = _k_truss_oracle_sql()
+QUERIES["k_truss_docs"] = k_truss_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

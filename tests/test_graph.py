@@ -512,3 +512,48 @@ def test_link_predict_degree_cap_and_partition_invariance():
     # partitioning must not change results
     p1 = link_predict(edges.repartition(4), num_partitions=1).to_pandas()
     assert len(p1) == 15
+
+
+def test_k_truss_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import k_truss
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 30, 150)
+    b = rng.integers(0, 30, 150)
+    df = pd.DataFrame({"a": a, "b": b})
+    out = k_truss(rd.from_pandas(df), k=4, max_rounds=30,
+                  num_partitions=4).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+
+    # brute force: peel support < k-2 until fixpoint
+    E = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    while True:
+        nbrs = {}
+        for x, y in E:
+            nbrs.setdefault(x, set()).add(y)
+            nbrs.setdefault(y, set()).add(x)
+        weak = {e for e in E
+                if len(nbrs[e[0]] & nbrs[e[1]]) < 2}
+        if not weak:
+            break
+        E -= weak
+    assert got == E
+
+
+def test_k_truss_strip_peels_clique_survives():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import k_truss
+
+    strip = [(i, i + 1) for i in range(20)] + [(i, i + 2) for i in range(19)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    df = pd.DataFrame(strip + clique, columns=["a", "b"])
+    out = k_truss(rd.from_pandas(df), k=4, max_rounds=4,
+                  num_partitions=2).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == set(clique)
