@@ -11100,5 +11100,59 @@ def _k_truss_oracle_sql(k: int = KTRUSS_K,
 ORACLES["k_truss_docs"] = _k_truss_oracle_sql()
 QUERIES["k_truss_docs"] = k_truss_docs
 
+TEXTRANK_K, TEXTRANK_ITERS = 15, 8
+
+
+def textrank_docs(sf_dir: str):
+    """TextRank keyword extraction (``stages/textstats.py::
+    textrank_keywords``): weighted PageRank over the adjacent-token
+    co-occurrence graph, 8 fixed iterations from WS=1 — one vectorized
+    pair pass + one count exchange does the corpus work; the graph at
+    the reduce is vocab²-bounded.  Oracle rebuilds the window-2 edges
+    with the list_transform trick and unrolls all 8 rounds."""
+    from dedup_ray.stages.textstats import textrank_keywords
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textrank_keywords(ds, top_k=TEXTRANK_K,
+                             iterations=TEXTRANK_ITERS)
+
+
+def _textrank_oracle_sql(top_k: int = TEXTRANK_K,
+                         iters: int = TEXTRANK_ITERS) -> str:
+    sql = """
+    WITH tl AS (SELECT list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+    pk AS (SELECT unnest(list_transform(
+                    range(1, len(t)),
+                    i -> CASE WHEN t[i] < t[i + 1]
+                              THEN t[i] || '|' || t[i + 1]
+                              ELSE t[i + 1] || '|' || t[i] END)) AS p
+           FROM tl WHERE len(t) >= 2),
+    e AS (SELECT string_split(p, '|')[1] AS w1,
+                 string_split(p, '|')[2] AS w2, count(*) AS n
+          FROM pk
+          WHERE string_split(p, '|')[1] <> string_split(p, '|')[2]
+          GROUP BY 1, 2),
+    und AS (SELECT w1 AS u, w2 AS v, n FROM e
+            UNION ALL SELECT w2, w1, n FROM e),
+    wout AS (SELECT u, sum(n) AS wu FROM und GROUP BY u),
+    r0 AS (SELECT u AS v, 1.0 AS r FROM wout)"""
+    for i in range(iters):
+        sql += f""",
+    r{i + 1} AS (SELECT und.v,
+                        0.15 + 0.85 * sum(und.n / wout.wu * r{i}.r) AS r
+                 FROM und
+                 JOIN wout ON wout.u = und.u
+                 JOIN r{i} ON r{i}.v = und.u
+                 GROUP BY und.v)"""
+    return sql + f"""
+    SELECT v AS token, round(r, 6) AS rank FROM r{iters}
+    ORDER BY round(r, 6) DESC, v LIMIT {top_k}"""
+
+
+ORACLES["textrank_docs"] = _textrank_oracle_sql()
+QUERIES["textrank_docs"] = textrank_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

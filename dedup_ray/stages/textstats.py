@@ -870,3 +870,84 @@ def group_top_terms(ds, group_col: str, text_col: str = "text",
         ds.map_batches(partial, batch_format="pyarrow"),
         "token", attach_df, num_partitions)
     return exchange_group_apply(tf, group_col, topk, num_partitions)
+
+
+def textrank_keywords(ds, id_col: str = "doc_id", text_col: str = "text",
+                      top_k: int = 15, damping: float = 0.85,
+                      iterations: int = 8, num_partitions: int = 8):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token CO-OCCURRENCE graph (adjacent-token pairs,
+    window 2, undirected, weight = corpus pair count), ``WS(v) = (1−d) +
+    d·Σ_u w_uv/W_u·WS(u)`` run a FIXED ``iterations`` rounds from
+    WS=1 — both the kernel and the SQL twin unroll the same count, so
+    convergence is never assumed.
+
+    Scale shape: the corpus pass is one vectorized pair-extraction
+    ``map_batches`` + one (w1,w2)-keyed count exchange; the graph that
+    reaches the single reduce task is VOCAB²-bounded (never corpus-
+    sized) — the same central-state license as the Zipf fit and the
+    IDF broadcast.  Output: ``(token, rank)`` top-``top_k`` by
+    (rank@6dp DESC, token ASC) — the tie rule is part of the contract.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parents, n = explode_tokens(t[text_col], t.num_rows)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        par = np.asarray(parents, dtype=np.int64)
+        if len(toks) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = par[1:] == par[:-1]
+        x, y = toks[:-1][adj], toks[1:][adj]
+        keep = x != y
+        x, y = x[keep], y[keep]
+        lo = np.where(x < y, x, y)  # object dtype: elementwise str compare
+        hi = np.where(x < y, y, x)
+        df = pd.DataFrame({"w1": lo, "w2": hi})
+        g = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    edges = exchange_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["w1", "w2"], fold,
+        num_partitions,
+        empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("n", pa.int64())]),
+    )
+
+    out_schema = pa.schema([("token", pa.string()), ("rank", pa.float64())])
+
+    def pagerank_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        und = pd.concat([
+            df.rename(columns={"w1": "u", "w2": "v"}),
+            df.rename(columns={"w2": "u", "w1": "v"}),
+        ], ignore_index=True)
+        vocab, u_idx = np.unique(und["u"].to_numpy(), return_inverse=True)
+        v_idx = np.searchsorted(vocab, und["v"].to_numpy())
+        w = und["n"].to_numpy(dtype=np.float64)
+        wu = np.zeros(len(vocab))
+        np.add.at(wu, u_idx, w)
+        frac = w / wu[u_idx]
+        r = np.ones(len(vocab))
+        for _ in range(iterations):
+            nxt = np.zeros(len(vocab))
+            np.add.at(nxt, v_idx, frac * r[u_idx])
+            r = (1.0 - damping) + damping * nxt
+        r = np.round(r, 6)
+        order = np.lexsort((vocab, -r))[:top_k]
+        return pa.table({"token": pa.array(vocab[order], pa.string()),
+                         "rank": pa.array(r[order], pa.float64())})
+
+    return exchange_group_apply(
+        edges, ["w1"], pagerank_reduce, num_partitions=1,
+        empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("n", pa.int64())]),
+    )

@@ -127,3 +127,53 @@ def test_gini_uniform_is_zero_entropy_max():
     ).to_pandas()
     assert out["gini"].iloc[0] == pytest.approx(0.0, abs=1e-9)
     assert out["norm_entropy"].iloc[0] == pytest.approx(1.0)
+
+
+def test_textrank_hub_token_ranks_first():
+    import ray.data as rd
+
+    from dedup_ray.stages.textstats import textrank_keywords
+
+    # "hub" co-occurs with every other token; satellites only with hub
+    docs = [f"hub sat{i}" for i in range(10)] * 3
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = textrank_keywords(rd.from_pandas(df), top_k=5,
+                            num_partitions=2).to_pandas()
+    assert out.iloc[0]["token"] == "hub"
+    assert out.iloc[0]["rank"] > out.iloc[1]["rank"]
+
+
+def test_textrank_matches_brute_force():
+    import ray.data as rd
+
+    from dedup_ray.stages.textstats import textrank_keywords
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, 20)) for _ in range(15)]
+    df = pd.DataFrame({"doc_id": range(15), "text": docs})
+    out = textrank_keywords(rd.from_pandas(df), top_k=12, iterations=8,
+                            num_partitions=3).to_pandas()
+
+    # brute force: same edges, same fixed-iteration weighted PR
+    from collections import Counter
+    edges = Counter()
+    for d in docs:
+        t = d.split()
+        for a, b in zip(t[:-1], t[1:]):
+            if a != b:
+                edges[(min(a, b), max(a, b))] += 1
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((len(nodes), len(nodes)))
+    for (a, b), n in edges.items():
+        W[idx[a], idx[b]] += n
+        W[idx[b], idx[a]] += n
+    wu = W.sum(axis=1)
+    r = np.ones(len(nodes))
+    for _ in range(8):
+        r = 0.15 + 0.85 * (W / wu[:, None]).T @ r
+    want = {v: round(r[idx[v]], 6) for v in nodes}
+    got = dict(zip(out["token"], out["rank"]))
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
