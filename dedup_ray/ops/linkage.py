@@ -117,3 +117,100 @@ def fellegi_sunter_score(pairs, field_cols: list[str],
             "is_match", pa.array((llr > 0).astype(np.int64)))
 
     return pairs.map_batches(score, batch_format="pyarrow"), w
+
+
+def meta_block_pairs(blocks_ds, entity_col: str = "ent",
+                     type_col: str = "btype", key_col: str = "bkey",
+                     max_block_size: int = 64, num_partitions: int = 16):
+    """Meta-blocking with CBS weights and weighted-edge pruning
+    (Papadakis et al. 2014, "Meta-Blocking: Taking Entity Resolution to
+    the Next Level", TKDE): the blocking graph's edges are candidate
+    pairs weighted by HOW MANY blocks they co-occur in; pruning the
+    weak half of the graph removes most of the superfluous comparisons
+    that redundant blocking schemes create while keeping the
+    strongly-corroborated pairs.
+
+    Stages: (1) one (type, key)-keyed exchange PURGES oversized blocks
+    (> ``max_block_size`` entities — comparison-count purging, the
+    standard skew bound; a purged block's evidence is redundant by
+    construction) and emits within-block pairs; (2) one pair-keyed
+    exchange folds the CBS weight (# common blocks); (3) WEP keeps
+    edges strictly above the mean weight — evaluated as the EXACT
+    integer predicate ``w · n_pairs > Σw`` (no float mean, so engine
+    and SQL can never disagree at the boundary).  Output:
+    ``(id1, id2, w)``.
+    """
+    import pandas as pd
+
+    import ray
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    sch = dict(zip(blocks_ds.schema().names, blocks_ds.schema().types))
+    id_type = sch[entity_col]
+    if not isinstance(id_type, pa.DataType):
+        d = np.dtype(id_type)
+        id_type = pa.string() if d == object else pa.from_numpy_dtype(d)
+
+    pair_schema = pa.schema([("id1", id_type), ("id2", id_type),
+                             ("w", pa.int64())])
+
+    def emit_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        df = pd.DataFrame({
+            "t": part[type_col].to_pylist(),
+            "k": part[key_col].to_pylist(),
+            "e": part[entity_col].to_pylist(),
+        })
+        i1, i2 = [], []
+        for _, g in df.groupby(["t", "k"], sort=False):
+            ents = sorted(set(g["e"].tolist()))
+            if len(ents) < 2 or len(ents) > max_block_size:
+                continue  # singleton or purged block
+            for a in range(len(ents)):
+                for b in range(a + 1, len(ents)):
+                    i1.append(ents[a])
+                    i2.append(ents[b])
+        return pa.table({"id1": pa.array(i1, id_type),
+                         "id2": pa.array(i2, id_type),
+                         "w": pa.array([1] * len(i1), pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        g = part.group_by(["id1", "id2"]).aggregate([("w", "sum")])
+        return g.rename_columns(["id1", "id2", "w"])
+
+    pairs = exchange_group_apply(
+        blocks_ds, [type_col, key_col], emit_pairs, num_partitions,
+        empty_schema=pa.schema([(entity_col, id_type),
+                                (type_col, pa.string()),
+                                (key_col, pa.string())]),
+    )
+    weighted = exchange_group_apply(
+        pairs, ["id1", "id2"], fold, num_partitions,
+        empty_schema=pair_schema,
+    ).materialize()
+
+    # two int64 scalars to the driver: Σw and pair count
+    def tot_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "sw": pa.array([pc.sum(t["w"]).as_py() or 0], pa.int64()),
+            "np_": pa.array([t.num_rows], pa.int64()),
+        })
+
+    tots = weighted.map_batches(tot_partial, batch_format="pyarrow") \
+                   .to_pandas()
+    total_w, n_pairs = int(tots["sw"].sum()), int(tots["np_"].sum())
+
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or n_pairs == 0:
+            return t
+        keep = pc.greater(pc.multiply(t["w"], pa.scalar(n_pairs)),
+                          pa.scalar(total_w))
+        return t.filter(keep)
+
+    return weighted.map_batches(prune, batch_format="pyarrow")

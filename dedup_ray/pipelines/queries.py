@@ -11154,5 +11154,171 @@ def _textrank_oracle_sql(top_k: int = TEXTRANK_K,
 ORACLES["textrank_docs"] = _textrank_oracle_sql()
 QUERIES["textrank_docs"] = textrank_docs
 
+METABLOCK_CAP = 64
+
+
+def metablocking_parts(sf_dir: str):
+    """Meta-blocking over two redundant blocking schemes
+    (``ops/linkage.py::meta_block_pairs``, Papadakis et al. 2014):
+    parts block by BOTH the soundex of their last name token AND their
+    exact first token; pair weight = # common blocks (CBS), oversized
+    blocks purged, and weighted-edge pruning keeps pairs STRICTLY above
+    the mean weight via the exact integer predicate ``w·n > Σw`` — the
+    candidate-pair thinning pass between blocking and pair scoring in
+    the ER tier."""
+    from dedup_ray.ops.linkage import meta_block_pairs
+    from dedup_ray.stages.phonetic import soundex_array
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def blocks(batch: pd.DataFrame) -> pd.DataFrame:
+        last = batch["p_name"].str.split(" ").str[-1]
+        first = batch["p_name"].str.split(" ").str[0]
+        ent = pd.concat([batch["p_partkey"], batch["p_partkey"]],
+                        ignore_index=True)
+        btype = pd.Series(["sx"] * len(batch) + ["ft"] * len(batch))
+        bkey = pd.concat([pd.Series(soundex_array(last)), first],
+                         ignore_index=True)
+        return pd.DataFrame({"ent": ent, "btype": btype, "bkey": bkey})
+
+    blk = as_arrow(ds.map_batches(blocks, batch_format="pandas"))
+    return meta_block_pairs(blk, max_block_size=METABLOCK_CAP,
+                            num_partitions=8)
+
+
+def _metablocking_oracle() -> str:
+    from dedup_ray.stages.phonetic import soundex_sql
+
+    return f"""
+    WITH names AS (SELECT p_partkey,
+                          string_split(p_name, ' ')[-1] AS nm,
+                          string_split(p_name, ' ')[1] AS ft
+                   FROM part),
+    __soundex_src AS (SELECT DISTINCT nm FROM names),
+    sx AS ({soundex_sql('nm')}),
+    blocks AS (
+      SELECT n.p_partkey AS ent, 'sx' AS btype, sx.soundex AS bkey
+      FROM names n JOIN sx ON sx.nm = n.nm
+      UNION ALL
+      SELECT p_partkey, 'ft', ft FROM names),
+    db AS (SELECT DISTINCT ent, btype, bkey FROM blocks),
+    sized AS (SELECT btype, bkey FROM db GROUP BY btype, bkey
+              HAVING count(*) BETWEEN 2 AND {METABLOCK_CAP}),
+    pb AS (SELECT db.* FROM db JOIN sized USING (btype, bkey)),
+    pairs AS (SELECT a.ent AS id1, b.ent AS id2, count(*) AS w
+              FROM pb a JOIN pb b
+                ON a.btype = b.btype AND a.bkey = b.bkey
+               AND a.ent < b.ent
+              GROUP BY a.ent, b.ent),
+    tot AS (SELECT sum(w) AS tw, count(*) AS np FROM pairs)
+    SELECT id1, id2, w FROM pairs, tot WHERE w * np > tw
+"""
+
+
+ORACLES["metablocking_parts"] = _metablocking_oracle()
+QUERIES["metablocking_parts"] = metablocking_parts
+
+
+def _host_token_counts(sf_dir: str):
+    """(host, t) token census, host = 'site' || doc_id % 13 (the shared
+    URL synthesis); one partial pass + one narrow host-keyed fold."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from dedup_ray.stages.textstats import explode_tokens
+
+        _, _, n = explode_tokens(t["text"], t.num_rows)
+        n = np.maximum(n, 1)  # empty docs carry their sentinel token
+        host = pc.binary_join_element_wise(
+            "site",
+            pa.array((t["doc_id"].to_numpy(zero_copy_only=False) % 13)
+                     .astype(str)), "")
+        g = pa.table({"host": host, "t": pa.array(n, pa.int64())}) \
+            .group_by("host").aggregate([("t", "sum")])
+        return g.rename_columns(["host", "t"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by("host").aggregate([("t", "sum")])
+        return g.rename_columns(["host", "t"])
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["host"], fold,
+        num_partitions=4,
+        empty_schema=pa.schema([("host", pa.string()), ("t", pa.int64())]),
+    )
+
+
+_HOST_TOKENS_SQL = """
+    ht AS (SELECT 'site' || (doc_id % 13)::VARCHAR AS host,
+                  greatest(len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')), 1) AS nt
+           FROM documents),
+    cnt AS (SELECT host, sum(nt) AS t FROM ht GROUP BY host)
+"""
+
+
+def waterfill_budget_docs(sf_dir: str):
+    """Water-filling per-host token budget (``stages/mixing.py::
+    waterfill_allocation``): cap the head hosts so that total allocated
+    tokens hit EXACTLY 60%% of the corpus — the anti-head-domain step
+    of a training-data recipe, solved in closed form on the
+    host-bounded census (cap ``c`` with ``Σ min(t_h, c) = B``; the
+    segment test runs on the identical double division in both
+    engines)."""
+    from dedup_ray.stages.mixing import waterfill_allocation
+
+    counts = _host_token_counts(sf_dir).materialize()
+    tot = int(counts.sum("t"))
+    return waterfill_allocation(counts, "host", "t", (3 * tot) // 5)
+
+
+ORACLES["waterfill_budget_docs"] = f"""
+    WITH {_HOST_TOKENS_SQL},
+    tot AS (SELECT sum(t) AS tot, count(*) AS n FROM cnt),
+    b AS (SELECT (3 * tot) // 5 AS bud FROM tot),
+    s AS (SELECT host, t,
+                 row_number() OVER (ORDER BY t, host) AS rn,
+                 coalesce(sum(t) OVER (ORDER BY t, host
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS pre,
+                 lag(t) OVER (ORDER BY t, host) AS lo
+          FROM cnt),
+    cand AS (SELECT s.*, (b.bud - s.pre)
+                         / CAST(tot.n - s.rn + 1 AS DOUBLE) AS c
+             FROM s, b, tot),
+    pick AS (SELECT c FROM cand
+             WHERE (lo IS NULL OR c >= lo) AND c < t
+             ORDER BY rn LIMIT 1)
+    SELECT cnt.host, CAST(cnt.t AS BIGINT) AS t,
+           round(CASE WHEN b.bud >= tot.tot THEN CAST(cnt.t AS DOUBLE)
+                      ELSE least(CAST(cnt.t AS DOUBLE),
+                                 (SELECT c FROM pick)) END, 6) AS alloc
+    FROM cnt, b, tot
+"""
+QUERIES["waterfill_budget_docs"] = waterfill_budget_docs
+
+
+def temperature_mix_docs(sf_dir: str):
+    """Temperature-scaled sampling weights over the host census
+    (``stages/mixing.py::temperature_weights``, the CC-100 / mT5
+    multilingual recipe: ``p_h ∝ t_h^0.3`` upweights tail hosts); one
+    narrow fold exchange + a host-bounded reduce."""
+    from dedup_ray.stages.mixing import temperature_weights
+
+    return temperature_weights(_host_token_counts(sf_dir), "host", "t",
+                               alpha=0.3)
+
+
+ORACLES["temperature_mix_docs"] = f"""
+    WITH {_HOST_TOKENS_SQL}
+    SELECT host, CAST(t AS BIGINT) AS t,
+           round(pow(t, 0.3) / (SELECT sum(pow(t, 0.3)) FROM cnt), 6)
+               AS weight
+    FROM cnt
+"""
+QUERIES["temperature_mix_docs"] = temperature_mix_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

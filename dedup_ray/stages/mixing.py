@@ -518,3 +518,95 @@ def poisson_bootstrap_mean(ds, value_col: str, id_col: str = "doc_id",
     from dedup_ray.util.exchange import hash_exchange
 
     return hash_exchange([part], ["rep"], fold, num_partitions=2)
+
+
+def waterfill_allocation(counts_ds, key_col: str, count_col: str,
+                         budget: int):
+    """Water-filling per-domain token budget: find the single cap ``c``
+    with ``Σ_d min(t_d, c) = budget`` and allocate ``min(t_d, c)`` to
+    each domain — the standard anti-head-domain recipe step (cap the
+    biggest crawl hosts, keep the tail whole) expressed in closed form.
+
+    Input is an ALREADY-AGGREGATED (domain, count) table (domain-
+    bounded, the usual census license); one single-partition reduce
+    sorts it ascending and solves the piecewise-linear equation: with
+    prefix sums ``P_k`` over ``t_(1..k)``, the cap in segment ``k`` is
+    ``c = (budget − P_k) / (n − k)``, valid iff ``t_k ≤ c < t_(k+1)``
+    — both engines derive ``c`` as ONE double division of exact
+    integers, so the segment test can never disagree.  ``budget ≥ Σt``
+    means no cap (every domain keeps its mass).  Output:
+    ``(key_col, count_col, alloc)``, alloc at 6 dp.
+    """
+    out_fields = None  # resolved in the reduce from the input schema
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        key_type = t.schema.field(key_col).type
+        out_schema = pa.schema([(key_col, key_type),
+                                (count_col, pa.int64()),
+                                ("alloc", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values([count_col, key_col],
+                                       kind="mergesort")
+        tv = df[count_col].to_numpy(dtype=np.int64)
+        n, tot = len(tv), int(tv.sum())
+        if budget >= tot:
+            alloc = tv.astype(np.float64)
+        else:
+            pre = np.concatenate([[0], np.cumsum(tv)[:-1]])  # P_{k-1}
+            # candidate cap if the cap lands at segment starting at k
+            with np.errstate(divide="ignore"):
+                cand = (budget - pre) / (n - np.arange(n))
+            lo = np.concatenate([[-np.inf], tv[:-1].astype(np.float64)])
+            valid = (cand >= lo) & (cand < tv)
+            k = int(np.flatnonzero(valid)[0])
+            c = float(cand[k])
+            alloc = np.minimum(tv.astype(np.float64), c)
+        return pa.table({
+            key_col: pa.array(df[key_col].tolist(), key_type),
+            count_col: pa.array(tv, pa.int64()),
+            "alloc": pa.array(np.round(alloc, 6), pa.float64()),
+        })
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    return exchange_group_apply(
+        counts_ds, [key_col], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([(key_col, pa.string()),
+                                (count_col, pa.int64())]),
+    )
+
+
+def temperature_weights(counts_ds, key_col: str, count_col: str,
+                        alpha: float = 0.3):
+    """Temperature-scaled sampling weights (the multilingual-corpus
+    recipe, e.g. CC-100 / mT5: ``p_d ∝ t_d^α`` with α < 1 upweighting
+    tail domains): one single-partition reduce over the domain-bounded
+    count table emits ``(key, count, weight)`` with
+    ``weight = t^α / Σ t^α`` at 6 dp — ``pow`` on exact integer inputs,
+    same double on both engines."""
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        key_type = t.schema.field(key_col).type
+        out_schema = pa.schema([(key_col, key_type),
+                                (count_col, pa.int64()),
+                                ("weight", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        tv = df[count_col].to_numpy(dtype=np.float64)
+        w = tv ** alpha
+        w = w / w.sum()
+        return pa.table({
+            key_col: pa.array(df[key_col].tolist(), key_type),
+            count_col: pa.array(df[count_col].to_numpy(np.int64),
+                                pa.int64()),
+            "weight": pa.array(np.round(w, 6), pa.float64()),
+        })
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    return exchange_group_apply(
+        counts_ds, [key_col], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([(key_col, pa.string()),
+                                (count_col, pa.int64())]),
+    )

@@ -260,3 +260,49 @@ def test_weighted_sample_proportionality_and_determinism():
                    "wt": pa.array([0.0, -1.0], pa.float64())})
     assert weighted_sample(ray.data.from_arrow(w3), 5, "wt") \
         .count() == 0
+
+
+def test_waterfill_hits_budget_exactly():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import waterfill_allocation
+
+    counts = pd.DataFrame({"d": [f"h{i}" for i in range(6)],
+                           "t": [5, 10, 20, 40, 100, 1000]})
+    budget = 200
+    out = waterfill_allocation(rd.from_pandas(counts), "d", "t",
+                               budget).to_pandas()
+    assert out["alloc"].sum() == pytest.approx(budget)
+    # tail kept whole, head capped at a single waterline
+    m = out.set_index("d")
+    assert m.loc["h0", "alloc"] == 5 and m.loc["h1", "alloc"] == 10
+    assert m.loc["h4", "alloc"] == m.loc["h5", "alloc"]  # both capped
+    assert (out["alloc"] <= out["t"]).all()
+
+
+def test_waterfill_budget_above_total_is_identity():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import waterfill_allocation
+
+    counts = pd.DataFrame({"d": ["a", "b"], "t": [3, 7]})
+    out = waterfill_allocation(rd.from_pandas(counts), "d", "t",
+                               100).to_pandas()
+    assert (out["alloc"] == out["t"]).all()
+
+
+def test_temperature_weights_flatten_distribution():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import temperature_weights
+
+    counts = pd.DataFrame({"d": ["tail", "head"], "t": [1, 1000]})
+    out = temperature_weights(rd.from_pandas(counts), "d", "t",
+                              alpha=0.3).to_pandas().set_index("d")
+    raw_share = 1 / 1001
+    assert out.loc["tail", "weight"] > raw_share * 10  # tail upweighted
+    assert abs(out["weight"].sum() - 1.0) < 1e-5
