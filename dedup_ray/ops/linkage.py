@@ -134,10 +134,11 @@ def meta_block_pairs(blocks_ds, entity_col: str = "ent",
     (> ``max_block_size`` entities — comparison-count purging, the
     standard skew bound; a purged block's evidence is redundant by
     construction) and emits within-block pairs; (2) one pair-keyed
-    exchange folds the CBS weight (# common blocks); (3) WEP keeps
-    edges strictly above the mean weight — evaluated as the EXACT
-    integer predicate ``w · n_pairs > Σw`` (no float mean, so engine
-    and SQL can never disagree at the boundary).  Output:
+    exchange folds the CBS weight (# common blocks); (3) WEP discards
+    edges STRICTLY BELOW the mean weight (the Papadakis rule — ties
+    survive, so a uniform-weight graph passes whole), evaluated as the
+    EXACT integer predicate ``w · n_pairs ≥ Σw`` (no float mean, so
+    engine and SQL can never disagree at the boundary).  Output:
     ``(id1, id2, w)``.
     """
     import pandas as pd
@@ -194,23 +195,15 @@ def meta_block_pairs(blocks_ds, entity_col: str = "ent",
     ).materialize()
 
     # two int64 scalars to the driver: Σw and pair count
-    def tot_partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "sw": pa.array([pc.sum(t["w"]).as_py() or 0], pa.int64()),
-            "np_": pa.array([t.num_rows], pa.int64()),
-        })
-
-    tots = weighted.map_batches(tot_partial, batch_format="pyarrow") \
-                   .to_pandas()
-    total_w, n_pairs = int(tots["sw"].sum()), int(tots["np_"].sum())
+    n_pairs = weighted.count()
+    total_w = int(weighted.sum("w") or 0) if n_pairs else 0
 
     def prune(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         if t.num_rows == 0 or n_pairs == 0:
             return t
-        keep = pc.greater(pc.multiply(t["w"], pa.scalar(n_pairs)),
-                          pa.scalar(total_w))
+        keep = pc.greater_equal(pc.multiply(t["w"], pa.scalar(n_pairs)),
+                                pa.scalar(total_w))
         return t.filter(keep)
 
     return weighted.map_batches(prune, batch_format="pyarrow")

@@ -11160,12 +11160,13 @@ METABLOCK_CAP = 64
 def metablocking_parts(sf_dir: str):
     """Meta-blocking over two redundant blocking schemes
     (``ops/linkage.py::meta_block_pairs``, Papadakis et al. 2014):
-    parts block by BOTH the soundex of their last name token AND their
-    exact first token; pair weight = # common blocks (CBS), oversized
-    blocks purged, and weighted-edge pruning keeps pairs STRICTLY above
-    the mean weight via the exact integer predicate ``w·n > Σw`` — the
-    candidate-pair thinning pass between blocking and pair scoring in
-    the ER tier."""
+    parts block by BOTH the exact (first, last) name-token pair AND the
+    coarser soundex-of-last-token key; pair weight = # common blocks
+    (CBS), oversized blocks purged (the soundex tier purges at corpus
+    scale — that observable degradation is the point of purging),
+    weighted-edge pruning keeps pairs STRICTLY above the mean weight
+    via the exact integer predicate ``w·n > Σw`` — the candidate-pair
+    thinning pass between blocking and pair scoring in the ER tier."""
     from dedup_ray.ops.linkage import meta_block_pairs
     from dedup_ray.stages.phonetic import soundex_array
 
@@ -11176,8 +11177,9 @@ def metablocking_parts(sf_dir: str):
         first = batch["p_name"].str.split(" ").str[0]
         ent = pd.concat([batch["p_partkey"], batch["p_partkey"]],
                         ignore_index=True)
-        btype = pd.Series(["sx"] * len(batch) + ["ft"] * len(batch))
-        bkey = pd.concat([pd.Series(soundex_array(last)), first],
+        btype = pd.Series(["fl"] * len(batch) + ["sx"] * len(batch))
+        bkey = pd.concat([first + "|" + last,
+                          pd.Series(soundex_array(last))],
                          ignore_index=True)
         return pd.DataFrame({"ent": ent, "btype": btype, "bkey": bkey})
 
@@ -11200,7 +11202,7 @@ def _metablocking_oracle() -> str:
       SELECT n.p_partkey AS ent, 'sx' AS btype, sx.soundex AS bkey
       FROM names n JOIN sx ON sx.nm = n.nm
       UNION ALL
-      SELECT p_partkey, 'ft', ft FROM names),
+      SELECT p_partkey, 'fl', ft || '|' || nm FROM names),
     db AS (SELECT DISTINCT ent, btype, bkey FROM blocks),
     sized AS (SELECT btype, bkey FROM db GROUP BY btype, bkey
               HAVING count(*) BETWEEN 2 AND {METABLOCK_CAP}),
@@ -11211,7 +11213,7 @@ def _metablocking_oracle() -> str:
                AND a.ent < b.ent
               GROUP BY a.ent, b.ent),
     tot AS (SELECT sum(w) AS tw, count(*) AS np FROM pairs)
-    SELECT id1, id2, w FROM pairs, tot WHERE w * np > tw
+    SELECT id1, id2, w FROM pairs, tot WHERE w * np >= tw
 """
 
 

@@ -940,3 +940,40 @@ def test_interarrival_stats_burstiness(ray_session):
     assert out.loc[2, "mean_gap_s"] == 5.0
     assert abs(out.loc[2, "cv"] - 0.8) < 1e-9
     assert abs(out.loc[2, "burstiness"] - (-1.0 / 9.0)) < 1e-6
+
+
+def test_meta_block_pairs_cbs_and_wep():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.linkage import meta_block_pairs
+
+    # entities 1,2 share two blocks (w=2); 1-3 and 2-3 share one (w=1)
+    blocks = pd.DataFrame({
+        "ent": [1, 2, 1, 2, 3, 3],
+        "btype": ["a", "a", "b", "b", "a", "c"],
+        "bkey": ["k", "k", "k", "k", "k", "k"],
+    })
+    out = meta_block_pairs(rd.from_pandas(blocks),
+                           num_partitions=2).to_pandas()
+    got = {(r.id1, r.id2): r.w for r in out.itertuples()}
+    # weights: (1,2)=2, (1,3)=1, (2,3)=1 -> mean 4/3 -> only (1,2) kept
+    assert got == {(1, 2): 2}
+
+
+def test_meta_block_pairs_purges_oversized_blocks():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.linkage import meta_block_pairs
+
+    big = pd.DataFrame({"ent": range(100), "btype": ["a"] * 100,
+                        "bkey": ["k"] * 100})
+    small = pd.DataFrame({"ent": [200, 201], "btype": ["b", "b"],
+                          "bkey": ["k", "k"]})
+    out = meta_block_pairs(
+        rd.from_pandas(pd.concat([big, small], ignore_index=True)),
+        max_block_size=64, num_partitions=2).to_pandas()
+    # the 100-entity block is purged; only the small block's pair remains
+    assert len(out) == 1
+    assert (out.iloc[0]["id1"], out.iloc[0]["id2"]) == (200, 201)
