@@ -1530,3 +1530,168 @@ def k_truss(edges_ds, k: int = 4, a_col: str = "a", b_col: str = "b",
     return edges.map_batches(
         lambda t: t.select(["a", "b"]).rename_columns([a_col, b_col]),
         batch_format="pyarrow")
+
+
+def modularity(edges_ds, labels_ds, a_col: str = "a", b_col: str = "b",
+               node_col: str = "node", label_col: str = "label",
+               num_partitions: int = 16):
+    """Newman modularity ``Q = Σ_c (e_c/m − (d_c/2m)²)`` of a node
+    partition over an undirected edge list (self-loops dropped; each
+    row one edge): the standard community-quality score for an LPA /
+    Louvain-style labeling.  Two label joins tag each edge's endpoints
+    (exchange co-partitioning), a narrow per-community fold collects
+    intra-edge counts and degree masses, and only the community-bounded
+    table reaches the final one-row reduce.  Output:
+    ``(q, m, n_communities)`` at 6 dp."""
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_join, exchange_group_apply
+
+    edges = edges_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t[a_col], t[b_col]))
+                   .select([a_col, b_col]),
+        batch_format="pyarrow",
+    ).materialize()
+    m = edges.count()
+
+    lab = labels_ds.select_columns([node_col, label_col])
+    ea = exchange_join(
+        edges, lab.map_batches(
+            lambda t: t.rename_columns([a_col, "la"]),
+            batch_format="pyarrow"),
+        on=a_col, num_partitions=num_partitions,
+        empty_schema=pa.schema([(a_col, pa.int64()), (b_col, pa.int64()),
+                                ("la", pa.int64())]),
+    )
+    eab = exchange_join(
+        ea, lab.map_batches(
+            lambda t: t.rename_columns([b_col, "lb"]),
+            batch_format="pyarrow"),
+        on=b_col, num_partitions=num_partitions,
+        empty_schema=pa.schema([(a_col, pa.int64()), (b_col, pa.int64()),
+                                ("la", pa.int64()), ("lb", pa.int64())]),
+    )
+
+    # per-community partials: intra-edge count from tagged edges; degree
+    # mass from BOTH endpoints' labels (every edge contributes 1 to each
+    # endpoint's community degree sum)
+    def partial(t: pa.Table) -> pa.Table:
+        intra = t.filter(pc.equal(t["la"], t["lb"]))
+        gi = pa.table({"label": intra["la"]}).group_by("label") \
+            .aggregate([([], "count_all")]).rename_columns(["label", "ec"])
+        both = pa.concat_arrays([t["la"].combine_chunks(),
+                                 t["lb"].combine_chunks()])
+        gd = pa.table({"label": both}).group_by("label") \
+            .aggregate([([], "count_all")]).rename_columns(["label", "dc"])
+        gi = gi.append_column("dc", pa.array([0] * gi.num_rows, pa.int64()))
+        gd = gd.append_column("ec", pa.array([0] * gd.num_rows, pa.int64()))
+        return pa.concat_tables([gi.select(["label", "ec", "dc"]),
+                                 gd.select(["label", "ec", "dc"])])
+
+    comm_schema = pa.schema([("label", pa.int64()), ("ec", pa.int64()),
+                             ("dc", pa.int64())])
+    out_schema = pa.schema([("q", pa.float64()), ("m", pa.int64()),
+                            ("n_communities", pa.int64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or m == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("label", sort=True).sum()
+        q = float((df["ec"] / m - (df["dc"] / (2.0 * m)) ** 2).sum())
+        return pa.table({
+            "q": pa.array([round(q, 6)], pa.float64()),
+            "m": pa.array([m], pa.int64()),
+            "n_communities": pa.array([len(df)], pa.int64()),
+        })
+
+    # partials are community-bounded per block — one gather suffices
+    return exchange_group_apply(
+        eab.map_batches(partial, batch_format="pyarrow"), ["label"],
+        reduce_fn, num_partitions=1, empty_schema=comm_schema,
+    )
+
+
+def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
+                         num_partitions: int = 16):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the DIRECTED doubling of the
+    undirected edge list (each edge contributes (k_a,k_b) and
+    (k_b,k_a)) — positive on social-style graphs, negative on hub-and-
+    spoke webs.  One grouped degree count, two co-partitioning joins to
+    tag endpoints, then the five Pearson partial sums reach the driver
+    (scale shape identical to the A8 Pearson screen).  Output one row
+    ``(assortativity, m)`` at 6 dp; degenerate (zero-variance) degree
+    distributions emit no row."""
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_join
+
+    edges = edges_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t[a_col], t[b_col]))
+                   .select([a_col, b_col]),
+        batch_format="pyarrow",
+    ).materialize()
+    m = edges.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t[a_col].combine_chunks(),
+                                  t[b_col].combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["node", "k"])
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").sum("k")
+           .map_batches(lambda t: t.rename_columns(["node", "k"]),
+                        batch_format="pyarrow"))
+
+    ea = exchange_join(
+        edges, deg.map_batches(
+            lambda t: t.rename_columns([a_col, "ka"]),
+            batch_format="pyarrow"),
+        on=a_col, num_partitions=num_partitions,
+        empty_schema=pa.schema([(a_col, pa.int64()), (b_col, pa.int64()),
+                                ("ka", pa.int64())]),
+    )
+    eab = exchange_join(
+        ea, deg.map_batches(
+            lambda t: t.rename_columns([b_col, "kb"]),
+            batch_format="pyarrow"),
+        on=b_col, num_partitions=num_partitions,
+        empty_schema=pa.schema([(a_col, pa.int64()), (b_col, pa.int64()),
+                                ("ka", pa.int64()), ("kb", pa.int64())]),
+    )
+
+    def sums(t: pa.Table) -> pa.Table:
+        ka = t["ka"].to_numpy(zero_copy_only=False).astype(np.float64)
+        kb = t["kb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.concatenate([ka, kb])  # directed doubling
+        y = np.concatenate([kb, ka])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "syy": pa.array([float((y * y).sum())], pa.float64()),
+        })
+
+    import ray.data
+
+    p = eab.map_batches(sums, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema([("assortativity", pa.float64()),
+                            ("m", pa.int64())])
+    if not len(p) or p["n"].sum() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    n = float(p["n"].sum())
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxy, sxx, syy = p["sxy"].sum(), p["sxx"].sum(), p["syy"].sum()
+    num = sxy - sx * sy / n
+    den = np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    if den == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow(pa.table({
+        "assortativity": pa.array([round(float(num / den), 6)],
+                                  pa.float64()),
+        "m": pa.array([m], pa.int64()),
+    }))

@@ -11322,5 +11322,205 @@ ORACLES["temperature_mix_docs"] = f"""
 """
 QUERIES["temperature_mix_docs"] = temperature_mix_docs
 
+
+def calibration_nb_docs(sf_dir: str):
+    """Reliability diagram of the NB classifier (``stages/nbayes.py``,
+    ``with_prob``): the softmax posterior of each prediction binned into
+    ten confidence buckets, per-bin count / mean confidence / empirical
+    accuracy — the ECE inputs a model-quality audit reports.  True
+    labels ride the scoring batch (``keep_cols``), so calibration costs
+    ZERO joins: one partial pass + one 10-row fold."""
+    from dedup_ray.stages.nbayes import nb_score, nb_train
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = nb_train(ds, label_col="lang")
+    scored = nb_score(ds, model, out_col="nb_lang", with_prob=True,
+                      keep_cols=("lang",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["nb_prob"].to_numpy(zero_copy_only=False)
+        ok = pc.equal(t["nb_lang"], t["lang"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor(p * 10).astype(np.int64), 9)
+        df = pd.DataFrame({"bin": b, "n": 1, "sp": p, "sok": ok})
+        g = df.groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "conf": pa.array([], pa.float64()),
+                             "acc": pa.array([], pa.float64())})
+        df = part.to_pandas().groupby("bin", sort=True).sum().reset_index()
+        return pa.table({
+            "bin": pa.array(df["bin"], pa.int64()),
+            "n": pa.array(df["n"], pa.int64()),
+            "conf": pa.array(np.round(df["sp"] / df["n"], 6), pa.float64()),
+            "acc": pa.array(np.round(df["sok"] / df["n"], 6), pa.float64()),
+        })
+
+    return exchange_group_apply(
+        scored.map_batches(partial, batch_format="pyarrow"), ["bin"], fold,
+        num_partitions=2,
+        empty_schema=pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                                ("sp", pa.float64()),
+                                ("sok", pa.float64())]),
+    )
+
+
+_NB_SC_CTES = """
+    tc AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           GROUP BY doc_id, token),
+    lab AS (SELECT doc_id, lang FROM documents),
+    cls AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+    nt AS (SELECT lab.lang, toks.token, count(*) AS n
+           FROM toks JOIN lab USING (doc_id) GROUP BY lab.lang, toks.token),
+    vt AS (SELECT DISTINCT token FROM toks),
+    v AS (SELECT count(*) AS v FROM vt),
+    ctot AS (SELECT lang, sum(n) AS ntot FROM nt GROUP BY lang),
+    prior AS (SELECT lang,
+                     ln(nd / (SELECT CAST(sum(nd) AS DOUBLE) FROM cls))
+                         AS lp
+              FROM cls),
+    logp AS (SELECT ctot.lang, vt.token,
+                    ln((coalesce(nt.n, 0) + 1.0) / (ctot.ntot + v.v))
+                        AS logp
+             FROM vt CROSS JOIN ctot CROSS JOIN v
+             LEFT JOIN nt ON nt.lang = ctot.lang AND nt.token = vt.token),
+    sc AS (SELECT tc.doc_id, logp.lang,
+                  round(any_value(prior.lp) + sum(tc.tf * logp.logp), 6)
+                      AS score
+           FROM tc
+           JOIN logp ON logp.token = tc.token
+           JOIN prior ON prior.lang = logp.lang
+           GROUP BY tc.doc_id, logp.lang)
+"""
+
+ORACLES["calibration_nb_docs"] = f"""
+    {TOKENS_CTE},
+    {_NB_SC_CTES},
+    mx AS (SELECT doc_id, max(score) AS smax FROM sc GROUP BY doc_id),
+    z AS (SELECT sc.doc_id, sum(exp(sc.score - mx.smax)) AS z
+          FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id),
+    best AS (SELECT doc_id, lang AS pred FROM (
+               SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS rk
+               FROM sc) WHERE rk = 1),
+    probs AS (SELECT z.doc_id, best.pred, round(1.0 / z.z, 6) AS p
+              FROM z JOIN best USING (doc_id)),
+    j AS (SELECT least(CAST(floor(p.p * 10) AS BIGINT), 9) AS bin,
+                 p.p,
+                 CASE WHEN p.pred = d.lang THEN 1.0 ELSE 0.0 END AS ok
+          FROM probs p JOIN documents d USING (doc_id))
+    SELECT bin, count(*) AS n, round(sum(p) / count(*), 6) AS conf,
+           round(sum(ok) / count(*), 6) AS acc
+    FROM j GROUP BY bin
+"""
+QUERIES["calibration_nb_docs"] = calibration_nb_docs
+
+
+def _lpa_graph(sf_dir: str):
+    """The LPA block-star graph with bridges (shared with
+    ``lpa_communities_docs``), self-loops included as synthesized."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ctr = (ids // 10) * 10
+        bridge = ids[(ids % 10 == 0) & ((ids // 10) % 2 == 0)]
+        return pa.table({
+            "a": pa.array(np.r_[ids, bridge], pa.int64()),
+            "b": pa.array(np.r_[ctr, bridge + 10], pa.int64()),
+        })
+
+    return ds.map_batches(mk_edges, batch_format="pyarrow")
+
+
+_LPA_EDGES_SQL = """
+    e0 AS (
+        SELECT doc_id AS a, (doc_id // 10) * 10 AS b FROM documents
+        UNION ALL
+        SELECT doc_id AS a, doc_id + 10 AS b FROM documents
+        WHERE doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0),
+    e AS (SELECT a, b FROM e0 WHERE a <> b)
+"""
+
+
+def modularity_docs(sf_dir: str):
+    """Newman modularity of the LPA communities (``ops/graph.py::
+    modularity``): Q = Σ_c (e_c/m − (d_c/2m)²) over the block-star
+    graph, labels from the SAME fixed-round label propagation the LPA
+    catalog entry checks — the community-quality scalar that tells a
+    curation run whether its host communities are real.  Two label
+    joins + one community-bounded gather."""
+    from dedup_ray.ops.graph import label_propagation, modularity
+
+    edges = _lpa_graph(sf_dir)
+    labels = label_propagation(edges, rounds=LPA_ROUNDS, num_partitions=8)
+    return modularity(edges, labels, num_partitions=8)
+
+
+def _modularity_oracle() -> str:
+    lpa = _lpa_oracle_sql(LPA_ROUNDS)
+    lpa_body = lpa[: lpa.rfind("SELECT node, label")].rstrip().rstrip(",")
+    return f"""{lpa_body},
+    e AS (SELECT a, b FROM e0 WHERE a <> b),
+    m AS (SELECT count(*) AS m FROM e),
+    lab AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    intra AS (SELECT l1.label, count(*) AS ec
+              FROM e JOIN lab l1 ON l1.node = e.a
+                     JOIN lab l2 ON l2.node = e.b AND l2.label = l1.label
+              GROUP BY l1.label),
+    deg AS (SELECT node, count(*) AS k FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    dc AS (SELECT lab.label, sum(deg.k) AS d
+           FROM deg JOIN lab ON lab.node = deg.node GROUP BY lab.label)
+    SELECT round(sum(coalesce(intra.ec, 0) * 1.0 / m.m
+                     - (dc.d / (2.0 * m.m)) ^ 2), 6) AS q,
+           CAST(m.m AS BIGINT) AS m,
+           count(*) AS n_communities
+    FROM dc LEFT JOIN intra ON intra.label = dc.label, m
+    GROUP BY m.m
+"""
+
+
+ORACLES["modularity_docs"] = _modularity_oracle()
+QUERIES["modularity_docs"] = modularity_docs
+
+
+def assortativity_docs(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the block-star graph
+    (``ops/graph.py::degree_assortativity``): Pearson correlation of
+    endpoint degrees over the directed doubling — the hub-and-spoke
+    synthesis should come out strongly NEGATIVE (leaves attach to
+    hubs).  One degree count + two tag joins; five partial sums reach
+    the driver."""
+    from dedup_ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_lpa_graph(sf_dir), num_partitions=8)
+
+
+ORACLES["assortativity_docs"] = f"""
+    WITH {_LPA_EDGES_SQL},
+    deg AS (SELECT node, count(*) AS k FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    pts AS (SELECT da.k AS x, db.k AS y
+            FROM e JOIN deg da ON da.node = e.a
+                   JOIN deg db ON db.node = e.b
+            UNION ALL
+            SELECT db.k, da.k
+            FROM e JOIN deg da ON da.node = e.a
+                   JOIN deg db ON db.node = e.b)
+    SELECT round(corr(x, y), 6) AS assortativity,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS m
+    FROM pts
+"""
+QUERIES["assortativity_docs"] = assortativity_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -106,19 +106,23 @@ def nb_train(ds, label_col: str = "lang", text_col: str = "text",
 
 
 def nb_score(ds, model: dict, text_col: str = "text",
-             id_col: str = "doc_id", out_col: str = "nb_label"):
+             id_col: str = "doc_id", out_col: str = "nb_label",
+             with_prob: bool = False, keep_cols: tuple = ()):
     """Broadcast scoring pass: per doc, ``score_c = logprior_c +
     Σ_t tf_t · logp[t, c]``; emit ``(id, out_col, nb_score)`` with the
     argmax at 6-dp rounding, ties to the lexicographically smallest class
     (classes are stored sorted, so ``argmax``'s first-max rule IS the
     tie-break).  Tokens outside the training vocabulary are dropped (the
     standard multinomial-NB convention).  O(tokens × C) per batch —
-    vectorized gather + segment add, no per-row Python."""
-    model_ref = ray.put(model)
+    vectorized gather + segment add, no per-row Python.
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
-    out_schema = pa.schema([(id_col, id_type), (out_col, pa.string()),
-                            ("nb_score", pa.float64())])
+    ``with_prob`` adds ``nb_prob`` — the softmax posterior of the argmax
+    class computed max-shifted over the ROUNDED scores
+    (``1 / Σ_c exp(s_c − s_max)``: both engines exponentiate the same
+    6-dp differences, so underflow of hopeless classes to 0.0 is
+    identical).  ``keep_cols`` passes input columns through (e.g. the
+    true label for a downstream calibration join-free pass)."""
+    model_ref = ray.put(model)
 
     def f(t: pa.Table) -> pa.Table:
         m = ray.get(model_ref)
@@ -142,11 +146,17 @@ def nb_score(ds, model: dict, text_col: str = "text",
         np.add.at(scores, par[keep], logp[known[keep], :])
         scores = np.round(scores, 6)
         best = scores.argmax(axis=1)
-        return pa.table({
+        smax = scores[np.arange(t.num_rows), best]
+        cols = {
             id_col: ids,
             out_col: pa.array(classes[best].tolist(), pa.string()),
-            "nb_score": pa.array(scores[np.arange(t.num_rows), best],
-                                 pa.float64()),
-        })
+            "nb_score": pa.array(smax, pa.float64()),
+        }
+        if with_prob:
+            z = np.exp(scores - smax[:, None]).sum(axis=1)
+            cols["nb_prob"] = pa.array(np.round(1.0 / z, 6), pa.float64())
+        for kc in keep_cols:
+            cols[kc] = t[kc]
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -3,6 +3,7 @@ vectorized bucket pair emitter (hot-cap + census) vs brute force."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -557,3 +558,35 @@ def test_k_truss_strip_peels_clique_survives():
                   num_partitions=2).to_pandas()
     got = set(zip(out["a"], out["b"]))
     assert got == set(clique)
+
+
+def test_modularity_two_cliques_with_bridge():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import modularity
+
+    # two triangles joined by one bridge; perfect 2-community labeling
+    edges = pd.DataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        columns=["a", "b"])
+    labels = pd.DataFrame({"node": [0, 1, 2, 3, 4, 5],
+                           "label": [0, 0, 0, 1, 1, 1]})
+    out = modularity(rd.from_pandas(edges), rd.from_pandas(labels),
+                     num_partitions=2).to_pandas()
+    # m=7; e_c=3 each; d_c = 7 each -> Q = 2*(3/7 - (7/14)^2) = 5/14
+    assert out["q"].iloc[0] == pytest.approx(round(5 / 14, 6))
+    assert out["m"].iloc[0] == 7
+    assert out["n_communities"].iloc[0] == 2
+
+
+def test_assortativity_star_is_minus_one():
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import degree_assortativity
+
+    star = pd.DataFrame({"a": [0] * 6, "b": range(1, 7)})
+    out = degree_assortativity(rd.from_pandas(star),
+                               num_partitions=2).to_pandas()
+    assert out["assortativity"].iloc[0] == pytest.approx(-1.0)
