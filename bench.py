@@ -170,6 +170,22 @@ BENCH_QUERIES = [
     "embedding_gram_docs",
     "soundex_parts",
     "bool_retrieval_docs",
+    # round-3 eighth-sitting additions
+    "supershingle_pairs_docs",
+    "chi2_source_lang_docs",
+    "acf_events",
+    "ks_events",
+    "token_gini_docs",
+    "nb_lang_docs",
+    "jl_project_embeddings",
+    "k_truss_docs",
+    "textrank_docs",
+    "metablocking_parts",
+    "waterfill_budget_docs",
+    "temperature_mix_docs",
+    "calibration_nb_docs",
+    "modularity_docs",
+    "assortativity_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -11522,5 +11522,51 @@ ORACLES["assortativity_docs"] = f"""
 """
 QUERIES["assortativity_docs"] = assortativity_docs
 
+
+def luhn_screen_docs(sf_dir: str):
+    """Luhn mod-10 checksum validation (``stages/webclean.py::
+    luhn_valid_array``): the verification pass behind credit-card PII
+    detection — a bare 16-digit regex false-positives on order ids;
+    the checksum screens them at ~90%.  Candidate numbers synthesized
+    deterministically from doc_id on BOTH sides; zero shuffles, the
+    digit matrix is a zero-copy uint32 view (no per-row Python)."""
+    from dedup_ray.stages.webclean import luhn_valid_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        body = (ids.astype(np.int64) * 7919 + 11) % 10**15
+        cc = pa.array(["4" + str(b).zfill(15) for b in body], pa.string())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "cc": cc,
+            "luhn_ok": luhn_valid_array(cc),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+ORACLES["luhn_screen_docs"] = """
+    WITH cand AS (SELECT doc_id,
+                         '4' || lpad(CAST((doc_id * 7919 + 11) % 1000000000000000
+                                          AS VARCHAR), 15, '0') AS cc
+                  FROM documents),
+    d AS (SELECT doc_id, cc, p.i,
+                 CAST(substr(cc, p.i, 1) AS INT) AS dig
+          FROM cand CROSS JOIN range(1, 17) p(i)),
+    w AS (SELECT doc_id, cc,
+                 CASE WHEN i % 2 = 1
+                      THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9
+                                ELSE dig * 2 END
+                      ELSE dig END AS v
+          FROM d)
+    SELECT doc_id, cc,
+           CAST(CASE WHEN sum(v) % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS luhn_ok
+    FROM w GROUP BY doc_id, cc
+"""
+QUERIES["luhn_screen_docs"] = luhn_screen_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -1118,3 +1118,29 @@ def stitch_candidates(ds, id_col: str = "doc_id", text_col: str = "text",
         return j.select(["id_a", "id_b", "gram"]).combine_chunks()
 
     return exchange_group_apply(rows, "gram", pairs, num_partitions)
+
+
+def luhn_valid_array(numbers: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized Luhn mod-10 checksum over FIXED-WIDTH digit strings
+    (the validation pass behind credit-card PII detection — a bare
+    ``\\d{16}`` regex false-positives on order ids and timestamps; the
+    checksum kills ~90% of them).  Returns int64 0/1.
+
+    The digit matrix comes from a zero-copy uint32 view of the UTF-32
+    numpy string buffer (no per-row Python); doubling applies to every
+    second digit from the rightmost-1 leftward, per the spec."""
+    if isinstance(numbers, pa.ChunkedArray):
+        numbers = numbers.combine_chunks()
+    vals = numbers.to_numpy(zero_copy_only=False)
+    if len(vals) == 0:
+        return pa.array([], pa.int64())
+    width = len(vals[0])
+    u = np.asarray(vals, dtype=f"U{width}")
+    digits = u.view(np.uint32).reshape(len(u), width).astype(np.int64) \
+        - ord("0")
+    # position from right (1-based): width - col; double where even
+    dbl = (np.arange(width)[None, :] + width) % 2 == 0
+    d2 = np.where(dbl, digits * 2, digits)
+    d2 = np.where(d2 > 9, d2 - 9, d2)
+    return pa.array((d2.sum(axis=1) % 10 == 0).astype(np.int64),
+                    pa.int64())

@@ -617,3 +617,28 @@ def test_interval_overlap_join_reference(ray_session):
                     got["overlap_us"])) == want
     # no pair duplicated across tiles
     assert not got.duplicated(subset=["id1", "id2"]).any()
+
+
+def test_luhn_valid_array_known_vectors():
+    import pyarrow as pa
+
+    from dedup_ray.stages.webclean import luhn_valid_array
+
+    out = luhn_valid_array(pa.array([
+        "4539578763621486",  # valid VISA test number
+        "4539578763621487",  # last digit perturbed
+        "4111111111111111",  # classic valid test PAN
+        "1234567812345678",
+    ])).to_pylist()
+    assert out == [1, 0, 1, 0]
+
+
+def test_luhn_empty_and_width_generic():
+    import pyarrow as pa
+
+    from dedup_ray.stages.webclean import luhn_valid_array
+
+    assert luhn_valid_array(pa.array([], pa.string())).to_pylist() == []
+    # 8-digit width: 00000000 has checksum 0 -> valid
+    assert luhn_valid_array(pa.array(["00000000", "00000001"])) \
+        .to_pylist() == [1, 0]
