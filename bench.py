@@ -186,6 +186,10 @@ BENCH_QUERIES = [
     "calibration_nb_docs",
     "modularity_docs",
     "assortativity_docs",
+    "luhn_screen_docs",
+    "trimmed_mean_events",
+    "spearman_qty_price",
+    "cross_source_dups_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

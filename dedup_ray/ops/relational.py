@@ -1519,3 +1519,62 @@ def interval_overlap_join(ds, id_col: str, start_col: str, end_col: str,
         })
 
     return exchange_group_apply(rows, "tile", join_tile, num_partitions)
+
+
+def grouped_trimmed_mean(ds, group_col: str, value_col: str,
+                         trim: float = 0.1, num_partitions: int = 16):
+    """Exact per-group trimmed mean without sorting rows: the
+    ``grouped_median`` histogram trick — per-batch (group, value, count)
+    partials, one group-keyed exchange, then each group's trim is read
+    off the sorted VALUE HISTOGRAM: with ``k = floor(n·trim)`` rows cut
+    from each tail, a value's kept multiplicity is
+    ``clamp(min(cum, n−k) − max(cum−c, k), ≥0)`` (cum = inclusive
+    cumulative count), so ties straddling a cut are split exactly the
+    way a row sort would.  Moving state is bounded by distinct (group,
+    value) pairs.  Output: ``(group_col, n, trimmed_mean)`` at 6 dp."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      "v": batch[value_col],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by([group_col, "v"]).aggregate([("one", "sum")])
+        return g.rename_columns([group_col, "v", "c"])
+
+    gtype = dict(zip(ds.schema().names, ds.schema().types))[group_col]
+    if not isinstance(gtype, pa.DataType):
+        d = np.dtype(gtype)
+        gtype = pa.string() if d == object else pa.from_numpy_dtype(d)
+    out_schema = pa.schema([(group_col, gtype), ("n", pa.int64()),
+                            ("trimmed_mean", pa.float64())])
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        df = part.to_pandas().groupby([group_col, "v"], sort=True) \
+                 .sum().reset_index()
+        gs, ns, ms = [], [], []
+        for g, sub in df.groupby(group_col, sort=True):
+            v = sub["v"].to_numpy(dtype=np.float64)
+            c = sub["c"].to_numpy(dtype=np.int64)
+            n = int(c.sum())
+            k = int(np.floor(n * trim))
+            if n - 2 * k <= 0:
+                continue
+            cum = np.cumsum(c)
+            kept = np.minimum(cum, n - k) - np.maximum(cum - c, k)
+            kept = np.maximum(kept, 0)
+            gs.append(g)
+            ns.append(n)
+            ms.append(round(float((v * kept).sum()) / (n - 2 * k), 6))
+        return pa.table({group_col: pa.array(gs, gtype),
+                         "n": pa.array(ns, pa.int64()),
+                         "trimmed_mean": pa.array(ms, pa.float64())})
+
+    return exchange_group_apply(
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col], final, num_partitions,
+        empty_schema=pa.schema([(group_col, gtype), ("v", pa.float64()),
+                                ("c", pa.int64())]),
+    )

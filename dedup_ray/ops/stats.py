@@ -264,3 +264,152 @@ def gini_entropy(counts_ds, count_col: str = "c"):
         counts_ds, [count_col], reduce_fn, num_partitions=1,
         empty_schema=pa.schema([(count_col, pa.int64())]),
     )
+
+
+def spearman(ds, x_col: str, y_col: str,
+             x_bucket: float = 1.0, y_bucket: float = 256.0,
+             num_partitions: int = 8):
+    """Spearman rank correlation WITHOUT a global sort and WITHOUT a
+    row identity: everything runs on VALUE histograms.
+
+    (1) one (x, y)-keyed exchange folds the corpus into the distinct
+    value-PAIR histogram ``(x, y, c)`` — Spearman depends on nothing
+    else; (2) per column, the bucket-offset trick assigns each DISTINCT
+    value its midrank (one bucket-count pass pins strictly-below
+    offsets per range bucket — driver state is the bucket grid — then
+    one bucket-keyed exchange computes ``midrank = below + (cnt+1)/2``;
+    exact because a value's bucket holds its full multiplicity); (3)
+    two UNIQUE-key joins tag the pair histogram with (rx, ry) — no
+    duplicate-key blowup, by construction; (4) Pearson runs on
+    c-weighted CENTERED partials (the midrank mean is EXACTLY (n+1)/2,
+    so centering kills the ~n³ cancellation raw rank sums hit at
+    corpus scale).  Output one row ``(spearman, n)`` at 6 dp."""
+    import ray
+    import ray.data
+
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    # ---- (1) distinct (x, y) pair histogram ------------------------------
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "x": t[x_col].to_numpy(zero_copy_only=False)
+                 .astype(np.float64),
+            "y": t[y_col].to_numpy(zero_copy_only=False)
+                 .astype(np.float64),
+            "c": 1,
+        }).groupby(["x", "y"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def pair_fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["x", "y"]).aggregate([("c", "sum")])
+        return g.rename_columns(["x", "y", "c"])
+
+    ph_schema = pa.schema([("x", pa.float64()), ("y", pa.float64()),
+                           ("c", pa.int64())])
+    ph = exchange_group_apply(
+        ds.select_columns([x_col, y_col])
+        .map_batches(pair_partial, batch_format="pyarrow"),
+        ["x", "y"], pair_fold, num_partitions, empty_schema=ph_schema,
+    ).materialize()
+
+    # ---- (2) per-column distinct-value midrank maps ----------------------
+    def rank_map(col: str, width: float, out: str):
+        def vh_partial(t: pa.Table) -> pa.Table:
+            g = pd.DataFrame({
+                "v": t[col].to_numpy(zero_copy_only=False)
+                     .astype(np.float64),
+                "c": t["c"].to_numpy(zero_copy_only=False),
+            }).groupby("v", sort=False).sum().reset_index()
+            g["bucket"] = np.floor(g["v"].to_numpy() / width) \
+                .astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        vh_schema = pa.schema([("v", pa.float64()), ("c", pa.int64()),
+                               ("bucket", pa.int64())])
+        vh = exchange_group_apply(
+            ph.map_batches(vh_partial, batch_format="pyarrow"),
+            ["v"], lambda t: (t.group_by(["v", "bucket"])
+                              .aggregate([("c", "sum")])
+                              .rename_columns(["v", "bucket", "c"])),
+            num_partitions, empty_schema=vh_schema,
+        ).materialize()
+
+        grid = (vh.map_batches(
+            lambda t: (t.group_by("bucket").aggregate([("c", "sum")])
+                       .rename_columns(["bucket", "c"])),
+            batch_format="pyarrow")
+            .to_pandas().groupby("bucket", sort=True).sum())
+        below = (grid["c"].cumsum() - grid["c"]).astype(np.int64)
+        offsets_ref = ray.put({int(b): int(below.loc[b])
+                               for b in grid.index})
+        total = int(grid["c"].sum())
+
+        def assign(t: pa.Table) -> pa.Table:
+            out_schema = pa.schema([(col, pa.float64()),
+                                    (out, pa.float64())])
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            off = ray.get(offsets_ref)
+            df = t.to_pandas().groupby(["bucket", "v"], sort=True) \
+                  .sum().reset_index()
+            outs = []
+            for b, sub in df.groupby("bucket", sort=False):
+                o = off[int(b)]
+                below_in = sub["c"].cumsum() - sub["c"]
+                mid = o + below_in + (sub["c"] + 1) / 2.0
+                outs.append(pd.DataFrame({col: sub["v"], out: mid}))
+            res = pd.concat(outs, ignore_index=True)
+            return pa.Table.from_pandas(res, preserve_index=False)
+
+        return exchange_group_apply(
+            vh, ["bucket"], assign, num_partitions,
+            empty_schema=vh_schema,
+        ), total
+
+    xmap, n = rank_map("x", x_bucket, "rx")
+    ymap, _ = rank_map("y", y_bucket, "ry")
+
+    out_schema = pa.schema([("spearman", pa.float64()), ("n", pa.int64())])
+    if n == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    mu = (n + 1) / 2.0  # exact midrank mean
+
+    # ---- (3) unique-key tag joins ---------------------------------------
+    j1 = exchange_join(
+        ph, xmap, on="x", num_partitions=num_partitions,
+        empty_schema=pa.schema([("x", pa.float64()), ("y", pa.float64()),
+                                ("c", pa.int64()), ("rx", pa.float64())]),
+    )
+    j2 = exchange_join(
+        j1, ymap, on="y", num_partitions=num_partitions,
+        empty_schema=pa.schema([("x", pa.float64()), ("y", pa.float64()),
+                                ("c", pa.int64()), ("rx", pa.float64()),
+                                ("ry", pa.float64())]),
+    )
+
+    # ---- (4) c-weighted centered Pearson partials ------------------------
+    def sums(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = t["rx"].to_numpy(zero_copy_only=False) - mu
+        y = t["ry"].to_numpy(zero_copy_only=False) - mu
+        return pa.table({
+            "n": pa.array([float(c.sum())], pa.float64()),
+            "sx": pa.array([float((c * x).sum())], pa.float64()),
+            "sy": pa.array([float((c * y).sum())], pa.float64()),
+            "sxy": pa.array([float((c * x * y).sum())], pa.float64()),
+            "sxx": pa.array([float((c * x * x).sum())], pa.float64()),
+            "syy": pa.array([float((c * y * y).sum())], pa.float64()),
+        })
+
+    p = j2.map_batches(sums, batch_format="pyarrow").to_pandas()
+    nn = float(p["n"].sum())
+    sx, sy = p["sx"].sum(), p["sy"].sum()
+    sxy, sxx, syy = p["sxy"].sum(), p["sxx"].sum(), p["syy"].sum()
+    num = sxy - sx * sy / nn
+    den = np.sqrt((sxx - sx * sx / nn) * (syy - sy * sy / nn))
+    if den == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow(pa.table({
+        "spearman": pa.array([round(float(num / den), 6)], pa.float64()),
+        "n": pa.array([int(nn)], pa.int64()),
+    }))

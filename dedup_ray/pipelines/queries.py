@@ -11568,5 +11568,161 @@ ORACLES["luhn_screen_docs"] = """
 """
 QUERIES["luhn_screen_docs"] = luhn_screen_docs
 
+
+def trimmed_mean_events(sf_dir: str):
+    """Per-type 10%%-trimmed mean (``ops/relational.py::
+    grouped_trimmed_mean``): the outlier-robust location estimate read
+    off the per-group VALUE HISTOGRAM (one exchange; moving state =
+    distinct (group, value) pairs, never rows) — tie multiplicities
+    straddling a cut split exactly as a row sort would; oracle replays
+    the histogram arithmetic with window cumsums."""
+    from dedup_ray.ops.relational import grouped_trimmed_mean
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_trimmed_mean(ds, "event_type", "value", trim=0.1,
+                                num_partitions=4)
+
+
+ORACLES["trimmed_mean_events"] = """
+    WITH h AS (SELECT event_type AS g, value AS v, count(*) AS c
+               FROM events GROUP BY event_type, value),
+    w AS (SELECT g, v, c,
+                 sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+                 sum(c) OVER (PARTITION BY g) AS n
+          FROM h),
+    kk AS (SELECT g, v, c, cum, n,
+                  CAST(floor(n * 0.1) AS BIGINT) AS k FROM w),
+    kept AS (SELECT g, n, k, v,
+                    greatest(least(cum, n - k) - greatest(cum - c, k), 0)
+                        AS kc
+             FROM kk)
+    SELECT g AS event_type, CAST(any_value(n) AS BIGINT) AS n,
+           round(sum(v * kc) / (any_value(n) - 2 * any_value(k)), 6)
+               AS trimmed_mean
+    FROM kept GROUP BY g HAVING any_value(n) - 2 * any_value(k) > 0
+"""
+QUERIES["trimmed_mean_events"] = trimmed_mean_events
+
+
+def spearman_qty_price(sf_dir: str):
+    """Spearman rank correlation of quantity vs price WITHOUT a global
+    sort or a row identity (``ops/stats.py::spearman``): the corpus
+    folds into the distinct (x, y) pair histogram, each column's
+    DISTINCT values get midranks via the bucket-offset trick (driver
+    state = the bucket grid), two unique-key joins tag the histogram,
+    and Pearson runs on c-weighted CENTERED partials (midrank mean is
+    exactly (n+1)/2 — centering kills the n³ cancellation raw rank
+    sums hit at corpus scale).  The robust companion of the A8 Pearson
+    screen."""
+    from dedup_ray.ops.stats import spearman
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    return spearman(ds, "l_quantity", "l_extendedprice",
+                    x_bucket=1.0, y_bucket=256.0, num_partitions=8)
+
+
+ORACLES["spearman_qty_price"] = """
+    WITH r AS (SELECT
+        rank() OVER (ORDER BY l_quantity)
+          + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+        rank() OVER (ORDER BY l_extendedprice)
+          + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem)
+    SELECT round(corr(rx, ry), 6) AS spearman,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r
+"""
+QUERIES["spearman_qty_price"] = spearman_qty_price
+
+
+def cross_source_dups_docs(sf_dir: str):
+    """Cross-source template attribution matrix: for every unordered
+    source pair, how many doc pairs share an OPENING FINGERPRINT (md5 of
+    the first 8 tokens — the boilerplate/template signal; the corpus has
+    no byte-exact dups, which this audit would surface as an empty
+    matrix) — tells a curation run which feeds share templates.  One
+    digest-keyed exchange computes per-group source-composition counts
+    (pairs by the product/choose formulas — never enumerated), then a
+    tiny (s1, s2) fold."""
+    import hashlib
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        dg = [
+            hashlib.md5(
+                " ".join([w for w in (x or "").split(" ") if w][:8])
+                .encode()).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({
+            "dg": pa.array(dg, pa.string()),
+            "source": t["source"],
+        })
+
+    pair_schema = pa.schema([("s1", pa.string()), ("s2", pa.string()),
+                             ("n_pairs", pa.int64())])
+
+    def per_digest(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        df = pd.DataFrame({"dg": part["dg"].to_pylist(),
+                           "source": part["source"].to_pylist()})
+        out = {}
+        for _, sub in df.groupby("dg", sort=False):
+            vc = sub["source"].value_counts().sort_index()
+            ss = vc.index.tolist()
+            cs = vc.to_numpy()
+            for i in range(len(ss)):
+                if cs[i] > 1:
+                    k = (ss[i], ss[i])
+                    out[k] = out.get(k, 0) + int(cs[i] * (cs[i] - 1) // 2)
+                for j in range(i + 1, len(ss)):
+                    k = (ss[i], ss[j])
+                    out[k] = out.get(k, 0) + int(cs[i] * cs[j])
+        if not out:
+            return pair_schema.empty_table()
+        keys = sorted(out)
+        return pa.table({
+            "s1": pa.array([k[0] for k in keys], pa.string()),
+            "s2": pa.array([k[1] for k in keys], pa.string()),
+            "n_pairs": pa.array([out[k] for k in keys], pa.int64()),
+        })
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        g = part.group_by(["s1", "s2"]).aggregate([("n_pairs", "sum")])
+        return g.rename_columns(["s1", "s2", "n_pairs"])
+
+    partials = exchange_group_apply(
+        ds.map_batches(sig, batch_format="pyarrow"), ["dg"], per_digest,
+        8, empty_schema=pa.schema([("dg", pa.string()),
+                                   ("source", pa.string())]),
+    )
+    return exchange_group_apply(
+        partials, ["s1", "s2"], fold, 4, empty_schema=pair_schema,
+    )
+
+
+ORACLES["cross_source_dups_docs"] = """
+    WITH d AS (SELECT doc_id, source,
+                      md5(array_to_string(
+                            list_filter(string_split(coalesce(text, ''),
+                                                     ' '),
+                                        x -> x <> '')[1:8],
+                            ' ')) AS dg
+               FROM documents)
+    SELECT least(a.source, b.source) AS s1,
+           greatest(a.source, b.source) AS s2,
+           count(*) AS n_pairs
+    FROM d a JOIN d b ON a.dg = b.dg AND a.doc_id < b.doc_id
+    GROUP BY least(a.source, b.source), greatest(a.source, b.source)
+"""
+QUERIES["cross_source_dups_docs"] = cross_source_dups_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

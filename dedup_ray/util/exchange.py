@@ -404,12 +404,15 @@ def exchange_join(
         "semi": "left semi",
         "anti": "left anti",
     }[how]
+    keys = [on] if isinstance(on, str) else list(on)
 
     def reduce_fn(lf: pa.Table, rf: pa.Table) -> pa.Table:
-        if on not in lf.column_names or on not in rf.column_names:
+        l_void = any(k not in lf.column_names for k in keys)
+        r_void = any(k not in rf.column_names for k in keys)
+        if l_void or r_void:
             if empty_schema is not None and lf.num_rows == 0:
                 return empty_schema.empty_table()
-            if on not in lf.column_names:
+            if l_void:
                 raise KeyError(
                     f"join key {on!r} missing from a void left partition "
                     "and no empty_schema given"
@@ -418,7 +421,7 @@ def exchange_join(
             if empty_schema is not None:
                 if how in ("inner", "semi"):
                     return empty_schema.empty_table()
-                rf = pa.table({on: pa.array([], lf[on].type)})
+                rf = pa.table({k: pa.array([], lf[k].type) for k in keys})
             else:
                 raise KeyError(
                     f"join key {on!r} missing from a void right partition "
@@ -426,11 +429,12 @@ def exchange_join(
                 )
         if left_prep is not None:
             lf = left_prep(lf)
-        out = lf.join(rf, keys=on, join_type=jt)
+        out = lf.join(rf, keys=keys, join_type=jt)
         if post is not None:
             out = post(out)
         return out.combine_chunks()
 
     return hash_exchange(
-        [left_ds, right_ds], [on, on], reduce_fn, num_partitions, return_refs
+        [left_ds, right_ds], [keys, keys], reduce_fn, num_partitions,
+        return_refs
     )

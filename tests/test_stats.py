@@ -177,3 +177,58 @@ def test_textrank_matches_brute_force():
     got = dict(zip(out["token"], out["rank"]))
     for v in got:
         assert got[v] == pytest.approx(want[v], abs=2e-6)
+
+
+def test_spearman_matches_scipy_style_brute_force():
+    from dedup_ray.ops.stats import spearman
+
+    rng = np.random.default_rng(21)
+    x = rng.integers(1, 20, 500).astype(float)   # heavy ties
+    y = x * 3 + rng.normal(0, 5, 500)
+    df = pd.DataFrame({"x": x, "y": y})
+    out = spearman(rd.from_pandas(df), "x", "y", x_bucket=1.0,
+                   y_bucket=8.0, num_partitions=4).to_pandas()
+
+    def midranks(v):
+        order = np.argsort(v, kind="mergesort")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    rx, ry = midranks(x), midranks(y)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert out["spearman"].iloc[0] == pytest.approx(round(want, 6),
+                                                    abs=2e-6)
+    assert out["n"].iloc[0] == 500
+
+
+def test_spearman_perfect_monotone_is_one():
+    from dedup_ray.ops.stats import spearman
+
+    x = np.arange(1, 101, dtype=float)
+    df = pd.DataFrame({"x": x, "y": np.exp(x / 20)})
+    out = spearman(rd.from_pandas(df), "x", "y", x_bucket=10.0,
+                   y_bucket=1.0, num_partitions=3).to_pandas()
+    assert out["spearman"].iloc[0] == pytest.approx(1.0)
+
+
+def test_trimmed_mean_matches_brute_force():
+    from dedup_ray.ops.relational import grouped_trimmed_mean
+
+    rng = np.random.default_rng(31)
+    vals = np.concatenate([rng.normal(10, 2, 97), [1000, -1000, 500]])
+    df = pd.DataFrame({"g": ["a"] * 100, "v": vals})
+    out = grouped_trimmed_mean(rd.from_pandas(df), "g", "v",
+                               trim=0.1, num_partitions=2).to_pandas()
+    sv = np.sort(vals)
+    want = round(float(sv[10:-10].mean()), 6)
+    assert out["trimmed_mean"].iloc[0] == pytest.approx(want)
+    # outliers gone: the trimmed mean sits near the bulk
+    assert abs(out["trimmed_mean"].iloc[0] - 10) < 1
