@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "trimmed_mean_events",
     "spearman_qty_price",
     "cross_source_dups_docs",
+    "benford_events",
+    "dbscan_embeddings",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

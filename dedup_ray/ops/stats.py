@@ -413,3 +413,67 @@ def spearman(ds, x_col: str, y_col: str,
         "spearman": pa.array([round(float(num / den), 6)], pa.float64()),
         "n": pa.array([int(nn)], pa.int64()),
     }))
+
+
+def benford_audit(ds, value_col: str, int_scale: int = 100,
+                  num_partitions: int = 1):
+    """Benford's-law first-digit audit of a positive numeric column:
+    observed first-significant-digit counts vs the log10(1+1/d)
+    expectation, plus the chi-squared divergence — the classic
+    fabricated-data / synthetic-feed screen.
+
+    Digit extraction is EXACT and engine-independent: the value is
+    scaled to an integer at the column's native decimal precision
+    (``round(v · int_scale)``, one multiply + round — never the
+    ``floor(v / 10^floor(log10 v))`` form, whose libm pow/log10 differ
+    by 1 ulp between engines and flip boundary values like 5.9999…↔6)
+    and the digit is the first character of the int64's decimal string.
+    Values below ``1/int_scale`` are excluded (documented domain).
+    9-cell partials, one tiny reduce.  Output:
+    ``(digit, n, expected, p_obs, chi2)`` (chi2 repeated per row)."""
+    out_schema = pa.schema([("digit", pa.int64()), ("n", pa.int64()),
+                            ("expected", pa.float64()),
+                            ("p_obs", pa.float64()),
+                            ("chi2", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        s = np.round(v * int_scale).astype(np.int64)
+        s = s[s >= 1]
+        if len(s) == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        d = s.astype("U20").astype("U1").astype(np.int64)
+        g = pd.DataFrame({"digit": d, "c": 1}) \
+            .groupby("digit", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("digit", sort=True).sum()
+        full = df.reindex(range(1, 10), fill_value=0)
+        n = float(full["c"].sum())
+        digits = np.arange(1, 10)
+        exp_p = np.log10(1.0 + 1.0 / digits)
+        obs = full["c"].to_numpy(dtype=np.float64)
+        chi2 = round(float((((obs - n * exp_p) ** 2) / (n * exp_p)).sum()),
+                     6)
+        return pa.table({
+            "digit": pa.array(digits, pa.int64()),
+            "n": pa.array(obs.astype(np.int64), pa.int64()),
+            "expected": pa.array(np.round(n * exp_p, 6), pa.float64()),
+            "p_obs": pa.array(np.round(obs / n, 6), pa.float64()),
+            "chi2": pa.array([chi2] * 9, pa.float64()),
+        })
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    return exchange_group_apply(
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["digit"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("digit", pa.int64()),
+                                ("c", pa.int64())]),
+    )

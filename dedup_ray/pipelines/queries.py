@@ -11724,5 +11724,120 @@ ORACLES["cross_source_dups_docs"] = """
 """
 QUERIES["cross_source_dups_docs"] = cross_source_dups_docs
 
+
+def benford_events(sf_dir: str):
+    """Benford's-law first-digit audit (``ops/stats.py::
+    benford_audit``) over the positive event values: observed digit
+    shares vs log10(1+1/d) with the chi-squared divergence — the
+    fabricated-feed screen; EXACT digit extraction via integer scaling
+    + decimal-string head (libm pow/log10 flip boundary values between
+    engines — found live on this table), 9-cell partials, one tiny
+    reduce."""
+    from dedup_ray.ops.stats import benford_audit
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return benford_audit(ds, "value", int_scale=100)
+
+
+ORACLES["benford_events"] = """
+    WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS s FROM events
+               WHERE value > 0 AND isfinite(value)),
+    d AS (SELECT CAST(substr(CAST(s AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM v WHERE s >= 1),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    digs AS (SELECT unnest(range(1, 10)) AS digit),
+    fl AS (SELECT digs.digit, coalesce(c.n, 0) AS n
+           FROM digs LEFT JOIN c USING (digit)),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM fl),
+    e AS (SELECT digit, n, log10(1 + 1.0 / digit) AS p FROM fl),
+    chi AS (SELECT round(sum((n - tot * p) * (n - tot * p)
+                             / (tot * p)), 6) AS chi2
+            FROM e, t)
+    SELECT e.digit, CAST(e.n AS BIGINT) AS n,
+           round(t.tot * e.p, 6) AS expected,
+           round(e.n / t.tot, 6) AS p_obs,
+           chi.chi2
+    FROM e, t, chi
+"""
+QUERIES["benford_events"] = benford_events
+
+DBSCAN_EPS, DBSCAN_MINPTS = 0.35, 5
+
+
+def dbscan_embeddings(sf_dir: str):
+    """Grid DBSCAN over the 4-d JL projection (``stages/dbscan.py``):
+    density clustering with eps-grid cells + 40 lexicographically-
+    positive probe offsets (each cross-cell pair materializes exactly
+    once), core = ≥5 neighbors incl. self, clusters = exact CC of the
+    core-core eps-graph (min member id), border points take the
+    smallest core neighbor's cluster, noise = −1.  Projections rounded
+    to 6 dp BEFORE any distance math, and the 4-term distance
+    expression is written in the same operand order in both engines —
+    the boundary can never disagree.  Oracle replays signs, pairs,
+    cores, a recursive-CTE CC and the border join."""
+    from dedup_ray.stages.dbscan import dbscan_grid
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dbscan_grid(ds, eps=DBSCAN_EPS, min_pts=DBSCAN_MINPTS,
+                       num_partitions=8)
+
+
+ORACLES["dbscan_embeddings"] = f"""
+    WITH RECURSIVE x AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT i.i, j.j,
+                 CASE WHEN strpos('02468ace',
+                                  substr(md5(i.i || ':' || j.j), 1, 1)) > 0
+                      THEN 1.0 ELSE -1.0 END AS sgn
+          FROM (SELECT DISTINCT i FROM x) i CROSS JOIN range(1, 5) j(j)),
+    p0 AS (SELECT x.vec_id, s.j,
+                  round(sum(x.v * s.sgn) / sqrt(4.0), 6) AS y
+           FROM x JOIN s ON s.i = x.i GROUP BY x.vec_id, s.j),
+    p AS (SELECT vec_id,
+                 max(CASE WHEN j = 1 THEN y END) AS y1,
+                 max(CASE WHEN j = 2 THEN y END) AS y2,
+                 max(CASE WHEN j = 3 THEN y END) AS y3,
+                 max(CASE WHEN j = 4 THEN y END) AS y4
+          FROM p0 GROUP BY vec_id),
+    e0 AS (SELECT a.vec_id AS u, b.vec_id AS v
+           FROM p a JOIN p b ON a.vec_id < b.vec_id
+           WHERE (a.y1 - b.y1) * (a.y1 - b.y1)
+               + (a.y2 - b.y2) * (a.y2 - b.y2)
+               + (a.y3 - b.y3) * (a.y3 - b.y3)
+               + (a.y4 - b.y4) * (a.y4 - b.y4)
+               <= {DBSCAN_EPS * DBSCAN_EPS!r}),
+    deg AS (SELECT id, count(*) AS c FROM (
+              SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY id),
+    core AS (SELECT id FROM deg WHERE c + 1 >= {DBSCAN_MINPTS}),
+    ce AS (SELECT u, v FROM e0
+           WHERE u IN (SELECT id FROM core)
+             AND v IN (SELECT id FROM core)
+           UNION ALL
+           SELECT v, u FROM e0
+           WHERE u IN (SELECT id FROM core)
+             AND v IN (SELECT id FROM core)),
+    reach(node, lbl) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.v, r.lbl FROM reach r JOIN ce e ON e.u = r.node),
+    comp AS (SELECT node AS id, min(lbl) AS cluster FROM reach
+             GROUP BY node),
+    adj AS (SELECT u AS pp, v AS q FROM e0
+            UNION ALL SELECT v, u FROM e0),
+    br AS (SELECT adj.pp, min(comp.cluster) AS cluster
+           FROM adj JOIN comp ON comp.id = adj.q
+           WHERE adj.pp NOT IN (SELECT id FROM core)
+           GROUP BY adj.pp)
+    SELECT emb.vec_id,
+           coalesce(comp.cluster, br.cluster, -1) AS cluster
+    FROM embeddings emb
+    LEFT JOIN comp ON comp.id = emb.vec_id
+    LEFT JOIN br ON br.pp = emb.vec_id
+"""
+QUERIES["dbscan_embeddings"] = dbscan_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -421,7 +421,14 @@ def exchange_join(
             if empty_schema is not None:
                 if how in ("inner", "semi"):
                     return empty_schema.empty_table()
-                rf = pa.table({k: pa.array([], lf[k].type) for k in keys})
+                # left outer must still materialize the right-side value
+                # columns (null-typed) — recover them from the OUTPUT
+                # schema (every field not already on the left)
+                extra = [f for f in empty_schema
+                         if f.name not in lf.column_names]
+                rf = pa.table(
+                    {k: pa.array([], lf[k].type) for k in keys}
+                    | {f.name: pa.array([], f.type) for f in extra})
             else:
                 raise KeyError(
                     f"join key {on!r} missing from a void right partition "

@@ -232,3 +232,28 @@ def test_trimmed_mean_matches_brute_force():
     assert out["trimmed_mean"].iloc[0] == pytest.approx(want)
     # outliers gone: the trimmed mean sits near the bulk
     assert abs(out["trimmed_mean"].iloc[0] - 10) < 1
+
+
+def test_benford_matches_brute_force():
+    from dedup_ray.ops.stats import benford_audit
+
+    rng = np.random.default_rng(41)
+    # log-uniform 2-decimal values follow Benford; negatives/zeros drop
+    v = np.concatenate([np.round(10 ** rng.uniform(0, 5, 2000), 2),
+                        [-5.0, 0.0, 0.001]])
+    out = benford_audit(
+        rd.from_pandas(pd.DataFrame({"v": v})), "v",
+        int_scale=100).to_pandas()
+    s = np.round(v[v > 0] * 100).astype(np.int64)
+    s = s[s >= 1]
+    d = np.array([int(str(x)[0]) for x in s])
+    n = len(s)
+    exp_p = np.log10(1 + 1 / np.arange(1, 10))
+    obs = np.bincount(d, minlength=10)[1:].astype(float)
+    chi2 = round(float((((obs - n * exp_p) ** 2) / (n * exp_p)).sum()), 6)
+    assert list(out["digit"]) == list(range(1, 10))
+    assert list(out["n"]) == list(obs.astype(int))
+    assert out["chi2"].iloc[0] == pytest.approx(chi2)
+    # log-uniform data passes the Benford screen: chi2 small per digit
+    assert chi2 < 30
+    assert out["p_obs"].sum() == pytest.approx(1.0, abs=1e-4)
