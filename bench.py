@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     "cross_source_dups_docs",
     "benford_events",
     "dbscan_embeddings",
+    "keyness_docs",
+    "survival_users_events",
+    "winsorize_events",
+    "event_trigrams_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

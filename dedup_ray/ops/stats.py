@@ -477,3 +477,85 @@ def benford_audit(ds, value_col: str, int_scale: int = 100,
         empty_schema=pa.schema([("digit", pa.int64()),
                                 ("c", pa.int64())]),
     )
+
+
+def kaplan_meier(ds, user_col: str, ts_col: str,
+                 censor_horizon_days: int = 7, num_partitions: int = 8):
+    """Kaplan–Meier survival estimate over user LIFETIMES (first→last
+    event): the retention curve with right-censoring done honestly —
+    a user whose last event falls within ``censor_horizon_days`` of the
+    corpus end may still be alive, so they count as AT RISK but never
+    as a death.  ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)`` over distinct
+    observed lifetimes (in whole days).
+
+    One user-keyed exchange folds (first, last) per user; the
+    duration table that reaches the single reduce is user-bounded and
+    the curve itself is distinct-duration-bounded.  The corpus end is
+    one driver-side MAX.  Output: ``(t_days, at_risk, deaths,
+    survival)`` at 6 dp, one row per distinct death time."""
+    import ray
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    max_ts = ds.max(ts_col)  # one scalar to the driver
+    max_us = int(pd.Timestamp(max_ts).value // 1000)
+    horizon_us = censor_horizon_days * 86_400_000_000
+
+    def per_user(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if part.num_rows == 0:
+            return pa.table({"dur": pa.array([], pa.int64()),
+                             "death": pa.array([], pa.int64())})
+        # normalize the unit explicitly: a timestamp[ns] input (pandas-
+        # born) would otherwise inflate day math 1000x
+        us = pc.cast(pc.cast(part[ts_col], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "u": part[user_col].to_numpy(zero_copy_only=False),
+            "ts": us.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("u").agg(first=("ts", "min"), last=("ts", "max"))
+        dur = ((g["last"] - g["first"]) // 86_400_000_000).astype(np.int64)
+        death = (g["last"] < max_us - horizon_us).astype(np.int64)
+        return pa.table({"dur": pa.array(dur.to_numpy(), pa.int64()),
+                         "death": pa.array(death.to_numpy(), pa.int64())})
+
+    durs = exchange_group_apply(
+        ds.select_columns([user_col, ts_col]), [user_col], per_user,
+        num_partitions,
+        empty_schema=pa.schema([(user_col, pa.int64()),
+                                (ts_col, pa.timestamp("us"))]),
+    )
+
+    out_schema = pa.schema([("t_days", pa.int64()), ("at_risk", pa.int64()),
+                            ("deaths", pa.int64()),
+                            ("survival", pa.float64())])
+
+    def km(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("dur").agg(
+            n=("death", "size"), d=("death", "sum")).sort_index()
+        total = int(df["n"].sum())
+        ts, ns, dss, ss = [], [], [], []
+        s = 1.0
+        removed = 0
+        for dur, row in df.iterrows():
+            at_risk = total - removed
+            removed += int(row["n"])
+            if row["d"] == 0:
+                continue  # censored-only time: no curve step
+            s = s * (1.0 - float(row["d"]) / at_risk)
+            ts.append(int(dur))
+            ns.append(at_risk)
+            dss.append(int(row["d"]))
+            ss.append(round(s, 6))
+        return pa.table({"t_days": pa.array(ts, pa.int64()),
+                         "at_risk": pa.array(ns, pa.int64()),
+                         "deaths": pa.array(dss, pa.int64()),
+                         "survival": pa.array(ss, pa.float64())})
+
+    return exchange_group_apply(
+        durs, ["dur"], km, num_partitions=1,
+        empty_schema=pa.schema([("dur", pa.int64()),
+                                ("death", pa.int64())]),
+    )

@@ -11839,5 +11839,222 @@ ORACLES["dbscan_embeddings"] = f"""
 """
 QUERIES["dbscan_embeddings"] = dbscan_embeddings
 
+
+def keyness_docs(sf_dir: str):
+    """Token–class association ranking (``stages/textstats.py::
+    token_class_association``): per token, the 2×2 presence grid
+    against the majority language scores BOTH mutual information and
+    Dunning's G² (the significance-calibrated keyness statistic that
+    does not overweight rare tokens) — the feature-selection pass of a
+    corpus study.  One vocab-bounded presence exchange, one reduce,
+    +0.5 cell smoothing mirrored exactly in SQL."""
+    from dedup_ray.stages.textstats import token_class_association
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return token_class_association(ds, label_col="lang", top_k=20)
+
+
+ORACLES["keyness_docs"] = f"""
+    {TOKENS_CTE},
+    dt AS (SELECT DISTINCT doc_id, token FROM toks),
+    lab AS (SELECT doc_id, lang FROM documents),
+    tgt AS (SELECT lang FROM documents GROUP BY lang
+            ORDER BY count(*) DESC, lang LIMIT 1),
+    nt AS (SELECT count(*) AS n FROM documents
+           WHERE lang = (SELECT lang FROM tgt)),
+    nr AS (SELECT count(*) AS n FROM documents
+           WHERE lang <> (SELECT lang FROM tgt)),
+    ab AS (SELECT dt.token,
+                  sum(CASE WHEN lab.lang = (SELECT lang FROM tgt)
+                           THEN 1 ELSE 0 END) AS a,
+                  sum(CASE WHEN lab.lang <> (SELECT lang FROM tgt)
+                           THEN 1 ELSE 0 END) AS b
+           FROM dt JOIN lab USING (doc_id) GROUP BY dt.token),
+    cells AS (SELECT token, a, b,
+                     a + 0.5 AS c1, b + 0.5 AS c2,
+                     nt.n - a + 0.5 AS c3, nr.n - b + 0.5 AS c4
+              FROM ab, nt, nr),
+    sc AS (SELECT token, a, b, c1, c2, c3, c4,
+                  c1 + c2 + c3 + c4 AS tot,
+                  c1 + c2 AS r1, c3 + c4 AS r2,
+                  c1 + c3 AS k1, c2 + c4 AS k2
+           FROM cells),
+    g AS (SELECT token, a, b,
+                 round(2 * (c1 * ln(c1 / (r1 * k1 / tot))
+                          + c2 * ln(c2 / (r1 * k2 / tot))
+                          + c3 * ln(c3 / (r2 * k1 / tot))
+                          + c4 * ln(c4 / (r2 * k2 / tot))), 6) AS g2,
+                 round((c1 / tot) * ln(c1 / (r1 * k1 / tot))
+                     + (c2 / tot) * ln(c2 / (r1 * k2 / tot))
+                     + (c3 / tot) * ln(c3 / (r2 * k1 / tot))
+                     + (c4 / tot) * ln(c4 / (r2 * k2 / tot)), 6) AS mi
+          FROM sc)
+    SELECT token, CAST(a AS BIGINT) AS n_target,
+           CAST(b AS BIGINT) AS n_rest, mi, g2
+    FROM g ORDER BY g2 DESC, token LIMIT 20
+"""
+QUERIES["keyness_docs"] = keyness_docs
+
+
+def survival_users_events(sf_dir: str):
+    """Kaplan–Meier user-retention curve (``ops/stats.py::
+    kaplan_meier``): per-user lifetimes (first→last event) with honest
+    right-censoring (a user last seen within 1 day of the corpus end
+    counts as at-risk, never as a death — these streams are dense, so
+    the horizon is tight); S(t) = Π(1 − d_i/n_i) over
+    distinct death days.  One user-keyed fold, user-bounded duration
+    table, window-``product()`` oracle multiplying in the same
+    ascending order as the kernel."""
+    from dedup_ray.ops.stats import kaplan_meier
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return kaplan_meier(ds, "user_id", "ts", censor_horizon_days=1)
+
+
+ORACLES["survival_users_events"] = """
+    WITH ul AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+                FROM events GROUP BY user_id),
+    mx AS (SELECT max(ts) AS m FROM events),
+    d AS (SELECT CAST(floor((epoch_us(l) - epoch_us(f))
+                            / 86400000000.0) AS BIGINT) AS dur,
+                 CASE WHEN l < m - INTERVAL 1 DAY THEN 1 ELSE 0 END
+                     AS death
+          FROM ul, mx),
+    h AS (SELECT dur, count(*) AS n, sum(death) AS dd FROM d
+          GROUP BY dur),
+    w AS (SELECT dur, n, dd,
+                 (SELECT count(*) FROM d)
+                   - coalesce(sum(n) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS at_risk
+          FROM h),
+    s AS (SELECT dur, at_risk, dd,
+                 product(1.0 - CAST(dd AS DOUBLE) / at_risk)
+                     OVER (ORDER BY dur) AS surv
+          FROM w)
+    SELECT dur AS t_days, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(dd AS BIGINT) AS deaths, round(surv, 6) AS survival
+    FROM s WHERE dd > 0
+"""
+QUERIES["survival_users_events"] = survival_users_events
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorize_events(sf_dir: str):
+    """Winsorization at the exact p5/p95 (composition: the histogram-
+    bisection ``exact_quantiles`` pins both cutoffs without a sort or
+    sketch error, then one stateless clip pass) — the standard
+    outlier-taming transform before a mean-based rollup.  Clip bounds
+    are the 6-dp-rounded exact quantiles in BOTH engines."""
+    from dedup_ray.stages.ordering import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    qt = exact_quantiles(ds, "value", [WINSOR_LO, WINSOR_HI])
+    vals = dict(zip((q.as_py() for q in qt["q"]),
+                    (v.as_py() for v in qt["value"])))
+    lo, hi = vals[WINSOR_LO], vals[WINSOR_HI]
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "value": t["value"],
+            "wvalue": pa.array(np.round(np.clip(v, lo, hi), 6),
+                               pa.float64()),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+ORACLES["winsorize_events"] = f"""
+    WITH s AS (SELECT value,
+                      row_number() OVER (ORDER BY value) AS rn,
+                      count(*) OVER () AS n
+               FROM events),
+    lo AS (SELECT round(value, 6) AS v FROM s
+           WHERE rn = 1 + CAST(floor({WINSOR_LO!r} * (n - 1)) AS BIGINT)),
+    hi AS (SELECT round(value, 6) AS v FROM s
+           WHERE rn = 1 + CAST(floor({WINSOR_HI!r} * (n - 1)) AS BIGINT))
+    SELECT event_id, value,
+           round(least(greatest(value, lo.v), hi.v), 6) AS wvalue
+    FROM events, lo, hi
+"""
+QUERIES["winsorize_events"] = winsorize_events
+
+TRIGRAM_TOPK = 12
+
+
+def event_trigrams_events(sf_dir: str):
+    """Frequent contiguous event-type TRIGRAMS per user stream
+    (sequential pattern mining, the PrefixSpan-depth-3 slice): one
+    user-keyed exchange orders each stream by (ts, event_id), a
+    vectorized shift pass emits trigram partials, a trigram-keyed fold
+    plus a type³-bounded reduce reports the global top-{TRIGRAM_TOPK}
+    by (count DESC, trigram ASC).  Oracle replays with two lead
+    windows."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    tri_schema = pa.schema([("tri", pa.string()), ("c", pa.int64())])
+
+    def per_user(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return tri_schema.empty_table()
+        df = part.to_pandas().sort_values(["ts", "event_id"],
+                                          kind="mergesort")
+        outs = []
+        for _, sub in df.groupby("user_id", sort=False):
+            et = sub["event_type"].to_numpy()
+            if len(et) < 3:
+                continue
+            tri = pd.Series(et[:-2]) + ">" + pd.Series(et[1:-1]) \
+                + ">" + pd.Series(et[2:])
+            outs.append(tri)
+        if not outs:
+            return tri_schema.empty_table()
+        allt = pd.concat(outs, ignore_index=True).value_counts()
+        return pa.table({"tri": pa.array(allt.index, pa.string()),
+                         "c": pa.array(allt.to_numpy(), pa.int64())})
+
+    partials = exchange_group_apply(
+        ds, ["user_id"], per_user, 8,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string())]),
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tri_schema.empty_table()
+        df = t.to_pandas().groupby("tri", sort=True).sum().reset_index()
+        df = df.sort_values(["c", "tri"], ascending=[False, True],
+                            kind="mergesort").head(TRIGRAM_TOPK)
+        return pa.table({"tri": pa.array(df["tri"], pa.string()),
+                         "c": pa.array(df["c"], pa.int64())})
+
+    return exchange_group_apply(
+        partials, ["tri"], topk, num_partitions=1,
+        empty_schema=tri_schema,
+    )
+
+
+ORACLES["event_trigrams_events"] = f"""
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type, 1) OVER w AS e2,
+                      lead(event_type, 2) OVER w AS e3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+    tri AS (SELECT event_type || '>' || e2 || '>' || e3 AS tri
+            FROM s WHERE e3 IS NOT NULL)
+    SELECT tri, count(*) AS c FROM tri GROUP BY tri
+    ORDER BY c DESC, tri LIMIT {TRIGRAM_TOPK}
+"""
+QUERIES["event_trigrams_events"] = event_trigrams_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

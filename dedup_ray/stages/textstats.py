@@ -951,3 +951,117 @@ def textrank_keywords(ds, id_col: str = "doc_id", text_col: str = "text",
         empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
                                 ("n", pa.int64())]),
     )
+
+
+def token_class_association(ds, label_col: str = "lang",
+                            id_col: str = "doc_id", text_col: str = "text",
+                            target: str | None = None, top_k: int = 20,
+                            num_partitions: int = 8):
+    """Token–class association ranking by BOTH mutual information and
+    Dunning's log-likelihood G² (Dunning 1993, "Accurate Methods for
+    the Statistics of Surprise and Coincidence") over document-level
+    token PRESENCE: for each token, the 2×2 grid (docs containing it vs
+    not × target class vs rest) scores how diagnostic the token is of
+    ``target`` (default: the most common label, resolved
+    deterministically by (count DESC, label ASC)).
+
+    The feature-selection / keyness pass of a corpus study: MI finds
+    informative tokens, G² is the significance-calibrated variant that
+    does not overweight rare tokens.  One (token, label) presence-count
+    exchange (vocab×classes-bounded), then a single reduce computes
+    both scores from the same grid.  Output: top-``top_k`` by
+    (g2@6dp DESC, token ASC) with columns ``(token, n_target, n_rest,
+    mi, g2)``.  All four grid cells use +0.5 smoothing so empty cells
+    never produce log(0) — mirrored exactly in SQL."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def presence_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(t[text_col], t.num_rows)
+        labels = t[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        df = pd.DataFrame({
+            "doc": ids.take(pa.array(parents)).to_pylist(),
+            "token": flat.to_pylist(),
+            "label": labels.take(pa.array(parents)).to_pylist(),
+        }).drop_duplicates(subset=["doc", "token"])
+        g = df.groupby(["token", "label"], sort=False).size() \
+              .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["token", "label"]).aggregate([("c", "sum")])
+        return g.rename_columns(["token", "label", "c"])
+
+    counts = exchange_group_apply(
+        ds.map_batches(presence_partial, batch_format="pyarrow"),
+        ["token"], fold, num_partitions,
+        empty_schema=pa.schema([("token", pa.string()),
+                                ("label", pa.string()),
+                                ("c", pa.int64())]),
+    )
+
+    from ray.data.aggregate import Count
+
+    ndocs = ds.groupby(label_col).aggregate(
+        Count(alias_name="nd")).to_pandas()
+    if target is None:
+        ndocs = ndocs.sort_values(["nd", label_col],
+                                  ascending=[False, True])
+        target_label = ndocs[label_col].iloc[0]
+    else:
+        target_label = target
+    n_t = int(ndocs.set_index(label_col)["nd"].loc[target_label])
+    n_r = int(ndocs["nd"].sum()) - n_t
+
+    out_schema = pa.schema([("token", pa.string()),
+                            ("n_target", pa.int64()),
+                            ("n_rest", pa.int64()),
+                            ("mi", pa.float64()), ("g2", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        df["is_t"] = (df["label"] == target_label)
+        piv = df.pivot_table(index="token", columns="is_t", values="c",
+                             aggfunc="sum", fill_value=0).sort_index()
+        g = pd.DataFrame({
+            "token": piv.index,
+            "a": piv[True].to_numpy() if True in piv.columns
+                 else np.zeros(len(piv), np.int64),
+            "b": piv[False].to_numpy() if False in piv.columns
+                 else np.zeros(len(piv), np.int64),
+        })
+        a = g["a"].to_numpy(dtype=np.float64)      # target docs WITH token
+        b = g["b"].to_numpy(dtype=np.float64)      # rest docs WITH token
+        cells = np.stack([a, b, n_t - a, n_r - b], axis=1) + 0.5
+        tot = cells.sum(axis=1, keepdims=True)
+        rows = cells[:, [0, 1]].sum(1, keepdims=True)  # with-token mass
+        cols = cells[:, [0, 2]].sum(1, keepdims=True)  # target mass
+        exp = np.stack([
+            rows[:, 0] * cols[:, 0], rows[:, 0] * (tot[:, 0] - cols[:, 0]),
+            (tot[:, 0] - rows[:, 0]) * cols[:, 0],
+            (tot[:, 0] - rows[:, 0]) * (tot[:, 0] - cols[:, 0]),
+        ], axis=1) / tot
+        ratio = cells / exp
+        g2 = np.round(2.0 * (cells * np.log(ratio)).sum(axis=1), 6)
+        mi = np.round(((cells / tot) * np.log(ratio)).sum(axis=1), 6)
+        order = np.lexsort((g["token"].to_numpy(), -g2))[:top_k]
+        return pa.table({
+            "token": pa.array(g["token"].to_numpy()[order], pa.string()),
+            "n_target": pa.array(a[order].astype(np.int64), pa.int64()),
+            "n_rest": pa.array(b[order].astype(np.int64), pa.int64()),
+            "mi": pa.array(mi[order], pa.float64()),
+            "g2": pa.array(g2[order], pa.float64()),
+        })
+
+    return exchange_group_apply(
+        counts, ["token"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("token", pa.string()),
+                                ("label", pa.string()),
+                                ("c", pa.int64())]),
+    )

@@ -257,3 +257,73 @@ def test_benford_matches_brute_force():
     # log-uniform data passes the Benford screen: chi2 small per digit
     assert chi2 < 30
     assert out["p_obs"].sum() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_token_class_association_separates_class_markers():
+    from dedup_ray.stages.textstats import token_class_association
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha common filler", "en"))
+    for i in range(40, 60):
+        rows.append((i, "beta common filler", "de"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = token_class_association(rd.from_pandas(df), label_col="lang",
+                                  top_k=10, num_partitions=2).to_pandas()
+    # 'alpha' marks the majority class, 'beta' the rest: both top by G2
+    top2 = set(out["token"].head(2))
+    assert top2 == {"alpha", "beta"}
+    # shared tokens carry ~zero association
+    shared = out[out["token"] == "common"]
+    if len(shared):
+        assert abs(shared["g2"].iloc[0]) < 1.0
+    al = out[out["token"] == "alpha"].iloc[0]
+    assert al["n_target"] == 40 and al["n_rest"] == 0
+    assert al["mi"] > 0 and al["g2"] > 0
+
+
+def test_token_class_association_g2_matches_closed_form():
+    from dedup_ray.stages.textstats import token_class_association
+
+    df = pd.DataFrame({
+        "doc_id": range(10),
+        "text": ["x"] * 6 + ["y"] * 4,
+        "lang": ["en"] * 5 + ["de"] * 5,
+    })
+    out = token_class_association(rd.from_pandas(df), label_col="lang",
+                                  top_k=5, num_partitions=2).to_pandas()
+    # token x: a=5 (all en docs), b=1; n_t=5, n_r=5; +0.5 smoothing
+    c = np.array([5.5, 1.5, 0.5, 4.5])
+    tot = c.sum()
+    r1, r2 = c[0] + c[1], c[2] + c[3]
+    k1, k2 = c[0] + c[2], c[1] + c[3]
+    e = np.array([r1 * k1, r1 * k2, r2 * k1, r2 * k2]) / tot
+    want = round(2 * (c * np.log(c / e)).sum(), 6)
+    got = out[out["token"] == "x"]["g2"].iloc[0]
+    assert got == pytest.approx(want, abs=2e-6)
+
+
+def test_kaplan_meier_hand_computed():
+    from dedup_ray.ops.stats import kaplan_meier
+
+    # users with lifetimes 0,0,1,2 days (all ending well before censor
+    # horizon) and one censored user still active at the end
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u, days in [(1, 0), (2, 0), (3, 1), (4, 2)]:
+        rows.append((u, base))
+        rows.append((u, base + pd.Timedelta(days=days)))
+    rows.append((5, base))
+    rows.append((5, base + pd.Timedelta(days=30)))  # corpus end, censored
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = kaplan_meier(rd.from_pandas(df), "user_id", "ts",
+                       censor_horizon_days=7,
+                       num_partitions=2).to_pandas()
+    # deaths at t=0 (2 of 5), t=1 (1 of 3), t=2 (1 of 2); user 5 censored
+    got = out.set_index("t_days")
+    assert got.loc[0, "at_risk"] == 5 and got.loc[0, "deaths"] == 2
+    assert got.loc[0, "survival"] == pytest.approx(round(3 / 5, 6))
+    assert got.loc[1, "survival"] == pytest.approx(round(3 / 5 * 2 / 3, 6))
+    assert got.loc[2, "survival"] == pytest.approx(
+        round(3 / 5 * 2 / 3 * 1 / 2, 6))
+    assert 30 not in got.index  # censored user never steps the curve
