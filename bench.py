@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "survival_users_events",
     "winsorize_events",
     "event_trigrams_events",
+    "k_anonymity_docs",
+    "richclub_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

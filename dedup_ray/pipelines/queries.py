@@ -12056,5 +12056,193 @@ ORACLES["event_trigrams_events"] = f"""
 """
 QUERIES["event_trigrams_events"] = event_trigrams_events
 
+KANON_K, KANON_L = 5, 3
+
+
+def k_anonymity_docs(sf_dir: str):
+    """k-anonymity / l-diversity audit over quasi-identifiers (source,
+    lang, length bucket) with the synthesized host as the sensitive
+    attribute: per QI group, its size, distinct sensitive values, and
+    the k≥5 / l≥3 pass flags — the privacy re-identification screen a
+    release pipeline runs before publishing.  One grouped partial pass
+    (per-batch distinct fold) + one narrow exchange; groups below k are
+    exactly the re-identifiable rows."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lb = (t["n_chars"].to_numpy(zero_copy_only=False) // 500) * 500
+        host = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), "")
+        return pa.table({
+            "source": t["source"], "lang": t["lang"],
+            "len_bucket": pa.array(lb, pa.int64()),
+            "host": host,
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "lang", "len_bucket", "host"],
+                       sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([
+        ("source", pa.string()), ("lang", pa.string()),
+        ("len_bucket", pa.int64()), ("n", pa.int64()),
+        ("l_distinct", pa.int64()), ("k_ok", pa.int64()),
+        ("l_ok", pa.int64()),
+    ])
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        df = part.to_pandas().groupby(
+            ["source", "lang", "len_bucket", "host"], sort=True) \
+            .sum().reset_index()
+        g = df.groupby(["source", "lang", "len_bucket"], sort=True).agg(
+            n=("c", "sum"), l_distinct=("host", "nunique")).reset_index()
+        g["k_ok"] = (g["n"] >= KANON_K).astype(np.int64)
+        g["l_ok"] = (g["l_distinct"] >= KANON_L).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return exchange_group_apply(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang", "len_bucket"], fold, 8,
+        empty_schema=pa.schema([
+            ("source", pa.string()), ("lang", pa.string()),
+            ("len_bucket", pa.int64()), ("host", pa.string()),
+            ("c", pa.int64())]),
+    )
+
+
+ORACLES["k_anonymity_docs"] = f"""
+    WITH q AS (SELECT source, lang, (n_chars // 500) * 500 AS len_bucket,
+                      'site' || (doc_id % 13)::VARCHAR AS host
+               FROM documents)
+    SELECT source, lang, len_bucket, count(*) AS n,
+           count(DISTINCT host) AS l_distinct,
+           CAST(CASE WHEN count(*) >= {KANON_K} THEN 1 ELSE 0 END
+                AS BIGINT) AS k_ok,
+           CAST(CASE WHEN count(DISTINCT host) >= {KANON_L}
+                THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+    FROM q GROUP BY source, lang, len_bucket
+"""
+QUERIES["k_anonymity_docs"] = k_anonymity_docs
+
+RICHCLUB_KS = (1, 2, 3, 5, 8)
+
+
+def richclub_docs(sf_dir: str):
+    """Rich-club coefficient φ(k) of the block-star graph: among nodes
+    of degree > k, the realized fraction of possible edges — the
+    'do hubs preferentially interlink' audit (link-farm detection
+    signal).  One degree fold + per-k membership joins on the
+    degree-filtered node set; only (k, counts) scalars reach the
+    driver.  ALL k thresholds ride ONE degree-tagged edge pass — the
+    per-k work is a filter, not a join, so the threshold list adds no
+    exchange rounds."""
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    edges_ds = _lpa_graph(sf_dir).map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], t["b"])),
+        batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([t["a"].combine_chunks(),
+                                  t["b"].combine_chunks()])
+        g = pa.table({"node": nodes}).group_by("node").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["node", "d"])
+
+    def deg_fold(part: pa.Table) -> pa.Table:
+        g = part.group_by("node").aggregate([("d", "sum")])
+        return g.rename_columns(["node", "d"])
+
+    deg = exchange_group_apply(
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], deg_fold, 8,
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("d", pa.int64())])).materialize()
+
+    # nk per threshold: one pass over the (bounded-per-block) degree table
+    def nk_partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(list(RICHCLUB_KS), pa.int64()),
+            "n": pa.array([int((d > k).sum()) for k in RICHCLUB_KS],
+                          pa.int64()),
+        })
+
+    nk_df = deg.map_batches(nk_partial, batch_format="pyarrow") \
+               .to_pandas().groupby("k").sum()
+
+    # tag each edge with BOTH endpoint degrees (two joins, once total)
+    ea = exchange_join(
+        edges_ds, deg.map_batches(
+            lambda t: t.rename_columns(["a", "da"]),
+            batch_format="pyarrow"),
+        on="a", num_partitions=8,
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("da", pa.int64())]))
+    eab = exchange_join(
+        ea, deg.map_batches(lambda t: t.rename_columns(["b", "db"]),
+                            batch_format="pyarrow"),
+        on="b", num_partitions=8,
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("da", pa.int64()), ("db", pa.int64())]))
+
+    def ek_partial(t: pa.Table) -> pa.Table:
+        da = t["da"].to_numpy(zero_copy_only=False)
+        db = t["db"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(list(RICHCLUB_KS), pa.int64()),
+            "e": pa.array([int(((da > k) & (db > k)).sum())
+                           for k in RICHCLUB_KS], pa.int64()),
+        })
+
+    ek_df = eab.map_batches(ek_partial, batch_format="pyarrow") \
+               .to_pandas().groupby("k").sum()
+
+    rows = []
+    for k in RICHCLUB_KS:
+        nk = int(nk_df["n"].get(k, 0))
+        ek = int(ek_df["e"].get(k, 0)) if nk >= 2 else 0
+        phi = round(2.0 * ek / (nk * (nk - 1)), 6) if nk >= 2 else 0.0
+        rows.append((k, nk, ek, phi))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_rich": pa.array([r[1] for r in rows], pa.int64()),
+        "e_rich": pa.array([r[2] for r in rows], pa.int64()),
+        "phi": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+ORACLES["richclub_docs"] = f"""
+    WITH {_LPA_EDGES_SQL},
+    deg AS (SELECT node, count(*) AS d FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    ks AS (SELECT unnest({list(RICHCLUB_KS)!r}) AS k),
+    rich AS (SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k),
+    nk AS (SELECT k, count(*) AS n_rich FROM rich GROUP BY k),
+    ek AS (SELECT r1.k, count(*) AS e_rich
+           FROM e JOIN rich r1 ON r1.node = e.a
+                  JOIN rich r2 ON r2.node = e.b AND r2.k = r1.k
+           GROUP BY r1.k)
+    SELECT ks.k, coalesce(nk.n_rich, 0) AS n_rich,
+           CASE WHEN coalesce(nk.n_rich, 0) >= 2
+                THEN coalesce(ek.e_rich, 0) ELSE 0 END AS e_rich,
+           CASE WHEN coalesce(nk.n_rich, 0) >= 2
+                THEN round(2.0 * coalesce(ek.e_rich, 0)
+                           / (nk.n_rich * (nk.n_rich - 1)), 6)
+                ELSE 0.0 END AS phi
+    FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+"""
+QUERIES["richclub_docs"] = richclub_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
