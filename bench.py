@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "event_trigrams_events",
     "k_anonymity_docs",
     "richclub_docs",
+    "js_divergence_docs",
+    "conformal_nb_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

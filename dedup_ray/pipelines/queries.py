@@ -12244,5 +12244,202 @@ ORACLES["richclub_docs"] = f"""
 """
 QUERIES["richclub_docs"] = richclub_docs
 
+JSD_SRC_A, JSD_SRC_B = "src0", "src1"
+
+
+def js_divergence_docs(sf_dir: str):
+    """Jensen–Shannon divergence between two sources' token
+    distributions (the symmetric, bounded drift measure a mixing
+    recipe tracks between feeds): ``JSD = ½KL(P‖M) + ½KL(Q‖M)``,
+    M = (P+Q)/2, MLE probabilities over the union vocabulary (zero-mass
+    terms contribute exactly 0 — no smoothing needed because M > 0
+    wherever P or Q is).  One (source, token) count exchange over the
+    two sources, vocab-bounded reduce.  Output one row
+    ``(jsd, n_a, n_b, vocab)``; nats, 6 dp."""
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.equal(t["source"], JSD_SRC_A),
+                      pc.equal(t["source"], JSD_SRC_B))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        flat, parents, n = explode_tokens(t["text"], t.num_rows)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({"source": src.take(pa.array(parents)),
+                      "token": flat}) \
+            .group_by(["source", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "token", "c"])
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["source", "token"]).aggregate([("c", "sum")])
+        return g.rename_columns(["source", "token", "c"])
+
+    counts = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], fold,
+        4, empty_schema=pa.schema([("source", pa.string()),
+                                   ("token", pa.string()),
+                                   ("c", pa.int64())]),
+    )
+
+    out_schema = pa.schema([("jsd", pa.float64()), ("n_a", pa.int64()),
+                            ("n_b", pa.int64()), ("vocab", pa.int64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        piv = df.pivot_table(index="token", columns="source", values="c",
+                             aggfunc="sum", fill_value=0).sort_index()
+        a = piv[JSD_SRC_A].to_numpy(np.float64) \
+            if JSD_SRC_A in piv.columns else np.zeros(len(piv))
+        b = piv[JSD_SRC_B].to_numpy(np.float64) \
+            if JSD_SRC_B in piv.columns else np.zeros(len(piv))
+        na, nb_ = a.sum(), b.sum()
+        p, q = a / na, b / nb_
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_p = np.where(p > 0, p * np.log(p / m), 0.0).sum()
+            kl_q = np.where(q > 0, q * np.log(q / m), 0.0).sum()
+        jsd = round(0.5 * kl_p + 0.5 * kl_q, 6)
+        return pa.table({
+            "jsd": pa.array([jsd], pa.float64()),
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb_)], pa.int64()),
+            "vocab": pa.array([len(piv)], pa.int64()),
+        })
+
+    return exchange_group_apply(
+        counts, ["token"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("source", pa.string()),
+                                ("token", pa.string()),
+                                ("c", pa.int64())]),
+    )
+
+
+ORACLES["js_divergence_docs"] = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE source IN ('{JSD_SRC_A}', '{JSD_SRC_B}')),
+    c AS (SELECT token,
+                 sum(CASE WHEN source = '{JSD_SRC_A}' THEN 1 ELSE 0 END)
+                     AS ca,
+                 sum(CASE WHEN source = '{JSD_SRC_B}' THEN 1 ELSE 0 END)
+                     AS cb
+          FROM toks GROUP BY token),
+    t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                 CAST(sum(cb) AS DOUBLE) AS nb FROM c),
+    pq AS (SELECT ca / na AS p, cb / nb AS q,
+                  (ca / na + cb / nb) / 2.0 AS m
+           FROM c, t),
+    kl AS (SELECT sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+                      AS klp,
+                  sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)
+                      AS klq
+           FROM pq)
+    SELECT round(0.5 * klp + 0.5 * klq, 6) AS jsd,
+           CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           (SELECT count(*) FROM c) AS vocab
+    FROM kl, t
+"""
+QUERIES["js_divergence_docs"] = js_divergence_docs
+
+CONF_ALPHA = 0.1
+
+
+def conformal_nb_docs(sf_dir: str):
+    """Split-conformal coverage over the NB classifier
+    (``stages/nbayes.py::nb_true_class_prob``): nonconformity
+    ``s = 1 − p_true`` on the ``doc_id %% 5 == 0`` calibration split,
+    threshold = the ⌈(n+1)(1−α)⌉-th smallest calibration score (exact
+    order statistic read off the 6-dp VALUE histogram — distinct-value-
+    bounded, never a sort), every test doc flagged ``covered = s ≤ q̂``
+    — the finite-sample coverage guarantee a model-audit reports.
+    Model trained on the full table (calibration-demo convention,
+    noted); α = 0.1."""
+    from dedup_ray.stages.nbayes import nb_train, nb_true_class_prob
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = nb_train(ds, label_col="lang")
+    probs = nb_true_class_prob(ds, model, "lang").materialize()
+
+    def calib_hist(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = t["p_true"].to_numpy(zero_copy_only=False)
+        s = np.round(1.0 - p[ids % 5 == 0], 6)
+        if len(s) == 0:
+            return pa.table({"s": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        g = pd.DataFrame({"s": s, "c": 1}).groupby("s", sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def qhat_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"qhat": pa.array([], pa.float64())})
+        df = t.to_pandas().groupby("s", sort=True).sum()
+        n = int(df["c"].sum())
+        k = min(int(np.ceil((n + 1) * (1.0 - CONF_ALPHA))), n)
+        cum = df["c"].cumsum()
+        qhat = float(df.index[(cum >= k).argmax()])
+        return pa.table({"qhat": pa.array([qhat], pa.float64())})
+
+    qhat = exchange_group_apply(
+        probs.map_batches(calib_hist, batch_format="pyarrow"), ["s"],
+        qhat_reduce, num_partitions=1,
+        empty_schema=pa.schema([("s", pa.float64()), ("c", pa.int64())]),
+    ).take_all()[0]["qhat"]
+
+    def test_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        p = t["p_true"].to_numpy(zero_copy_only=False)
+        keep = ids % 5 != 0
+        s = np.round(1.0 - p[keep], 6)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "p_true": pa.array(p[keep], pa.float64()),
+            "covered": pa.array((s <= qhat).astype(np.int64), pa.int64()),
+        })
+
+    return probs.map_batches(test_rows, batch_format="pyarrow")
+
+
+ORACLES["conformal_nb_docs"] = f"""
+    {TOKENS_CTE},
+    {_NB_SC_CTES},
+    mx AS (SELECT doc_id, max(score) AS smax FROM sc GROUP BY doc_id),
+    z AS (SELECT sc.doc_id, sum(exp(sc.score - mx.smax)) AS z
+          FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id),
+    st AS (SELECT sc.doc_id, sc.score FROM sc
+           JOIN documents d ON d.doc_id = sc.doc_id
+                           AND d.lang = sc.lang),
+    pt AS (SELECT st.doc_id,
+                  round(exp(st.score - mx.smax) / z.z, 6) AS p
+           FROM st JOIN mx USING (doc_id) JOIN z USING (doc_id)),
+    nc AS (SELECT doc_id, p, round(1.0 - p, 6) AS s FROM pt),
+    cal AS (SELECT s FROM nc WHERE doc_id % 5 = 0),
+    k AS (SELECT CAST(ceil((count(*) + 1) * {1.0 - CONF_ALPHA!r})
+                      AS BIGINT) AS k,
+                 count(*) AS n FROM cal),
+    q AS (SELECT s AS qhat FROM (
+            SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal), k
+          WHERE rn = least(k.k, k.n))
+    SELECT nc.doc_id, nc.p AS p_true,
+           CAST(CASE WHEN nc.s <= q.qhat THEN 1 ELSE 0 END AS BIGINT)
+               AS covered
+    FROM nc, q WHERE nc.doc_id % 5 <> 0
+"""
+QUERIES["conformal_nb_docs"] = conformal_nb_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -160,3 +160,46 @@ def nb_score(ds, model: dict, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nb_true_class_prob(ds, model: dict, label_col: str,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Softmax posterior of each doc's TRUE class (max-shifted over the
+    6-dp-rounded score matrix, same contract as ``nb_score
+    with_prob``) — the input to conformal calibration, where the
+    nonconformity of a labeled example is ``1 − p_true``.  Output:
+    ``(id, p_true)`` at 6 dp."""
+    model_ref = ray.put(model)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        vidx, logp, logprior = m["vocab"], m["logp"], m["logprior"]
+        cidx = {c: i for i, c in enumerate(m["classes"])}
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(t[text_col], t.num_rows)
+        toks = flat.to_pylist()
+        par = np.asarray(parents, dtype=np.int64)
+        empty_rows = np.flatnonzero(n == 0)
+        if len(empty_rows):
+            sent = [str(v) for v in
+                    ids.take(pa.array(empty_rows)).to_pylist()]
+            toks.extend(sent)
+            par = np.concatenate([par, empty_rows.astype(np.int64)])
+        known = np.array([vidx.get(tk, -1) for tk in toks], dtype=np.int64)
+        keep = known >= 0
+        scores = np.tile(logprior, (t.num_rows, 1))
+        np.add.at(scores, par[keep], logp[known[keep], :])
+        scores = np.round(scores, 6)
+        smax = scores.max(axis=1)
+        z = np.exp(scores - smax[:, None]).sum(axis=1)
+        true_idx = np.array([cidx[v] for v in
+                             t[label_col].to_pylist()], dtype=np.int64)
+        p_true = np.exp(scores[np.arange(t.num_rows), true_idx] - smax) / z
+        return pa.table({
+            id_col: ids,
+            "p_true": pa.array(np.round(p_true, 6), pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -69,3 +69,22 @@ def test_nb_tie_breaks_to_lexicographically_smallest():
     model = nb_train(ds, label_col="lang")
     out = nb_score(ds, model, out_col="pred").to_pandas()
     assert (out["pred"] == "a").all()
+
+
+def test_nb_true_class_prob_sums_consistent():
+    import numpy as np
+
+    from dedup_ray.stages.nbayes import nb_score, nb_train, nb_true_class_prob
+
+    df = _corpus()
+    ds = rd.from_pandas(df)
+    model = nb_train(ds, label_col="lang")
+    pt = nb_true_class_prob(ds, model, "lang").to_pandas()
+    sc = nb_score(ds, model, with_prob=True,
+                  keep_cols=("lang",)).to_pandas()
+    m = pt.merge(sc, on="doc_id")
+    # perfectly-classified corpus: true class == argmax, so probs agree
+    correct = m[m["nb_label"] == m["lang"]]
+    assert len(correct) == len(m)
+    assert np.allclose(correct["p_true"], correct["nb_prob"], atol=2e-6)
+    assert ((pt["p_true"] > 0) & (pt["p_true"] <= 1)).all()
