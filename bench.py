@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "richclub_docs",
     "js_divergence_docs",
     "conformal_nb_docs",
+    "woe_iv_events",
+    "cusum_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -12441,5 +12441,194 @@ ORACLES["conformal_nb_docs"] = f"""
 """
 QUERIES["conformal_nb_docs"] = conformal_nb_docs
 
+WOE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def woe_iv_events(sf_dir: str):
+    """Weight-of-evidence / information-value feature audit (the
+    credit-scoring classic): event value binned at the EXACT deciles
+    (histogram-bisection cutoffs, 6-dp-rounded in both engines; bin =
+    # cutoffs strictly below the value), label = purchase vs rest;
+    per-bin WOE = ln(p_b/q_b) with +0.5 smoothing and the IV scalar
+    Σ(p_b−q_b)·WOE_b repeated per row.  One quantile pass + one
+    10-cell fold."""
+    from dedup_ray.stages.ordering import exact_quantiles
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    qt = exact_quantiles(ds, "value", WOE_QS)
+    cuts = np.array([v.as_py() for v in qt["value"]], dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pos = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        b = (v[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({"bin": b, "pos": pos.astype(np.int64),
+                           "neg": (~pos).astype(np.int64)})
+        g = df.groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([("bin", pa.int64()), ("n_pos", pa.int64()),
+                            ("n_neg", pa.int64()), ("woe", pa.float64()),
+                            ("iv", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("bin", sort=True).sum()
+        full = df.reindex(range(10), fill_value=0)
+        pos = full["pos"].to_numpy(np.float64)
+        neg = full["neg"].to_numpy(np.float64)
+        p = (pos + 0.5) / (pos.sum() + 5.0)
+        q = (neg + 0.5) / (neg.sum() + 5.0)
+        woe = np.round(np.log(p / q), 6)
+        iv = round(float(((p - q) * np.log(p / q)).sum()), 6)
+        return pa.table({
+            "bin": pa.array(np.arange(10), pa.int64()),
+            "n_pos": pa.array(pos.astype(np.int64), pa.int64()),
+            "n_neg": pa.array(neg.astype(np.int64), pa.int64()),
+            "woe": pa.array(woe, pa.float64()),
+            "iv": pa.array([iv] * 10, pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bin"],
+        reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("bin", pa.int64()), ("pos", pa.int64()),
+                                ("neg", pa.int64())]),
+    )
+
+
+ORACLES["woe_iv_events"] = f"""
+    WITH s AS (SELECT value,
+                      row_number() OVER (ORDER BY value) AS rn,
+                      count(*) OVER () AS n
+               FROM events),
+    qq AS (SELECT unnest({WOE_QS!r}) AS q),
+    cuts AS (SELECT round(value, 6) AS c
+             FROM qq JOIN s ON s.rn = 1 + CAST(floor(q * (n - 1))
+                                               AS BIGINT)),
+    b AS (SELECT (SELECT count(*) FROM cuts WHERE e.value > cuts.c)
+                     AS bin,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+          FROM events e),
+    g0 AS (SELECT bin, sum(pos) AS pos, sum(1 - pos) AS neg FROM b
+           GROUP BY bin),
+    bins AS (SELECT unnest(range(0, 10)) AS bin),
+    g AS (SELECT bins.bin, coalesce(g0.pos, 0) AS pos,
+                 coalesce(g0.neg, 0) AS neg
+          FROM bins LEFT JOIN g0 USING (bin)),
+    tt AS (SELECT CAST(sum(pos) AS DOUBLE) AS tp,
+                  CAST(sum(neg) AS DOUBLE) AS tn FROM g),
+    w AS (SELECT bin, pos, neg,
+                 (pos + 0.5) / (tp + 5.0) AS p,
+                 (neg + 0.5) / (tn + 5.0) AS q
+          FROM g, tt),
+    iv AS (SELECT round(sum((p - q) * ln(p / q)), 6) AS iv FROM w)
+    SELECT w.bin, CAST(w.pos AS BIGINT) AS n_pos,
+           CAST(w.neg AS BIGINT) AS n_neg,
+           round(ln(w.p / w.q), 6) AS woe, iv.iv
+    FROM w, iv
+"""
+QUERIES["woe_iv_events"] = woe_iv_events
+
+CUSUM_HOURS_US = 3_600_000_000
+
+
+def cusum_events(sf_dir: str):
+    """One-sided CUSUM change-point monitor over the hourly event-rate
+    series per type (``S_t = max(0, S_{{t-1}} + x_t − μ − 0.5μ)``,
+    flag when ``S_t > 2μ`` — the pipeline-drift alarm): the hour grid
+    comes from the global [min, max] timestamps (two driver scalars),
+    missing hours count 0, and the recurrence runs in identical
+    operand order in the kernel and the oracle's recursive CTE, so
+    flagged hours can never disagree.  One type-keyed exchange; state
+    is hours-bounded."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).value // 1000
+    hi = pd.Timestamp(ds.max("ts")).value // 1000
+    h0, h1 = lo // CUSUM_HOURS_US, hi // CUSUM_HOURS_US
+    n_hours = int(h1 - h0 + 1)
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("hour", pa.int64()), ("s", pa.float64())])
+
+    def per_type(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "et": t["event_type"].to_pylist(),
+            "h": (us.to_numpy(zero_copy_only=False)
+                  // CUSUM_HOURS_US) - h0,
+        })
+        ets, hours, svals = [], [], []
+        for et, sub in df.groupby("et", sort=True):
+            x = np.bincount(sub["h"].to_numpy(), minlength=n_hours) \
+                .astype(np.float64)
+            mu = x.sum() / n_hours
+            kk, hthr = 0.5 * mu, 2.0 * mu
+            s = 0.0
+            for h in range(n_hours):
+                s = max(0.0, s + x[h] - mu - kk)
+                if s > hthr:
+                    ets.append(et)
+                    hours.append(int(h0 + h))
+                    svals.append(round(s, 6))
+        return pa.table({"event_type": pa.array(ets, pa.string()),
+                         "hour": pa.array(hours, pa.int64()),
+                         "s": pa.array(svals, pa.float64())})
+
+    sch = pa.schema([("event_type", pa.string()),
+                     ("ts", pa.timestamp("us"))])
+    return exchange_group_apply(ds, ["event_type"], per_type, 4,
+                                empty_schema=sch)
+
+
+ORACLES["cusum_events"] = f"""
+    WITH RECURSIVE bounds AS (
+        SELECT epoch_us(min(ts)) // {CUSUM_HOURS_US} AS h0,
+               epoch_us(max(ts)) // {CUSUM_HOURS_US} AS h1
+        FROM events),
+    hours AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                  AS h
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (SELECT event_type,
+                   epoch_us(ts) // {CUSUM_HOURS_US}
+                     - (SELECT h0 FROM bounds) AS h,
+                   count(*) AS c
+            FROM events GROUP BY event_type, h),
+    grid AS (SELECT t.event_type, hours.h,
+                    CAST(coalesce(cnt.c, 0) AS DOUBLE) AS x
+             FROM types t CROSS JOIN hours
+             LEFT JOIN cnt ON cnt.event_type = t.event_type
+                          AND cnt.h = hours.h),
+    mu AS (SELECT event_type,
+                  sum(x) / (SELECT CAST(h1 - h0 + 1 AS DOUBLE)
+                            FROM bounds) AS mu
+           FROM grid GROUP BY event_type),
+    rec(event_type, h, s) AS (
+        SELECT g.event_type, g.h,
+               greatest(0.0, 0.0 + g.x - mu.mu - 0.5 * mu.mu)
+        FROM grid g JOIN mu USING (event_type) WHERE g.h = 0
+        UNION ALL
+        SELECT g.event_type, g.h,
+               greatest(0.0, r.s + g.x - mu.mu - 0.5 * mu.mu)
+        FROM rec r
+        JOIN grid g ON g.event_type = r.event_type AND g.h = r.h + 1
+        JOIN mu ON mu.event_type = g.event_type)
+    SELECT r.event_type,
+           CAST(r.h + (SELECT h0 FROM bounds) AS BIGINT) AS hour,
+           round(r.s, 6) AS s
+    FROM rec r JOIN mu ON mu.event_type = r.event_type
+    WHERE r.s > 2.0 * mu.mu
+"""
+QUERIES["cusum_events"] = cusum_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
