@@ -333,13 +333,19 @@ def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
                 par.append(row)
         dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
         id_list = ids.to_pylist()
+        # hash each DISTINCT shingle once per perm (dup clusters repeat
+        # shingles heavily — per-occurrence hashing was the hot loop),
+        # then gather per (row, shingle) occurrence
+        uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
+                              return_inverse=True)
         # (row -> perm -> minhash hex); rows with no tokens never occur
         mins_by_perm = []
         for perm in range(n_perms):
-            h = [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
-                 for t in dd["t"]]
+            hu = np.array(
+                [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
+                 for t in uniq], dtype=object)
             mins_by_perm.append(
-                pd.Series(h).groupby(dd["p"].to_numpy()).min())
+                pd.Series(hu[inv]).groupby(dd["p"].to_numpy()).min())
         out_id, out_band, out_ss = [], [], []
         rows = mins_by_perm[0].index if n_perms else []
         for r in rows:
