@@ -215,3 +215,55 @@ def test_exchange_auto_routes_hierarchical():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, expected)
+
+
+def test_exchange_join_multi_key_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.util.exchange import exchange_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k1": rng.integers(0, 5, 60),
+        "k2": rng.choice(["x", "y", "z"], 60),
+        "lv": np.arange(60),
+    })
+    right = pd.DataFrame({
+        "k1": rng.integers(0, 5, 30),
+        "k2": rng.choice(["x", "y", "z"], 30),
+        "rv": np.arange(30) * 10,
+    }).drop_duplicates(subset=["k1", "k2"])
+    out = exchange_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on=["k1", "k2"], num_partitions=4,
+        empty_schema=pa.schema([("k1", pa.int64()), ("k2", pa.string()),
+                                ("lv", pa.int64()), ("rv", pa.int64())]),
+    ).to_pandas()
+    want = left.merge(right, on=["k1", "k2"])
+    key = ["k1", "k2", "lv", "rv"]
+    assert sorted(map(tuple, out[key].values.tolist())) == \
+        sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_exchange_left_join_void_right_keeps_value_columns():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup_ray.util.exchange import exchange_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    # right: an EMPTY dataset whose blocks are void (column-less)
+    right = rd.from_arrow(pa.table({})).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    out = exchange_join(
+        rd.from_pandas(left), right, on="k", how="left",
+        num_partitions=2,
+        empty_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64()),
+                                ("rv", pa.int64())]),
+    ).to_pandas()
+    assert set(out.columns) >= {"k", "lv", "rv"}
+    assert len(out) == 3 and out["rv"].isna().all()
