@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "conformal_nb_docs",
     "woe_iv_events",
     "cusum_events",
+    "isotonic_nb_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -559,3 +559,73 @@ def kaplan_meier(ds, user_col: str, ts_col: str,
         empty_schema=pa.schema([("dur", pa.int64()),
                                 ("death", pa.int64())]),
     )
+
+
+def isotonic_calibration(ds, x_col: str, y_col: str,
+                         num_partitions: int = 8):
+    """Isotonic (monotone non-decreasing) calibration of a score
+    against outcomes — PAVA's result computed by the MINIMAX closed
+    form instead of the sequential pooling loop:
+    ``ŷ_i = max_{j≤i} min_{k≥i} avg(y over scores j..k)`` — because the
+    closed form is two windowed scans (suffix-min over k, then
+    prefix-max over j) on the weighted-average matrix, the oracle can
+    replay it with window functions, where PAVA's data-dependent merge
+    order could not be unrolled.
+
+    The corpus folds to the DISTINCT-SCORE-bounded (x, w, Σy) table
+    (scores are 6-dp by contract, ≤10⁶ cells) before the single
+    reduce; every comparison in the scans runs on identically-computed
+    doubles, so fitted values can never disagree.  Output:
+    ``(x, n, rate, iso)`` — raw and calibrated outcome rates, 6 dp.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "x": t[x_col].to_numpy(zero_copy_only=False),
+            "w": 1,
+            "sy": t[y_col].to_numpy(zero_copy_only=False)
+                  .astype(np.float64),
+        })
+        g = df.groupby("x", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([("x", pa.float64()), ("n", pa.int64()),
+                            ("rate", pa.float64()), ("iso", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("x", sort=True).sum()
+        x = df.index.to_numpy(dtype=np.float64)
+        w = df["w"].to_numpy(dtype=np.float64)
+        sy = df["sy"].to_numpy(dtype=np.float64)
+        n = len(x)
+        cw = np.concatenate([[0.0], np.cumsum(w)])
+        cy = np.concatenate([[0.0], np.cumsum(sy)])
+        # A[j, k] = weighted avg of y over scores j..k (0-based, j<=k;
+        # j>k cells are garbage/NaN but the scans below never read them
+        # at any surviving (j<=i<=k) position)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A = (cy[None, 1:] - cy[:-1, None]) \
+                / (cw[None, 1:] - cw[:-1, None])
+        # suffix min over k (k >= i), per row j — reverse cummin
+        M = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1]
+        # prefix max over j (j <= i), per column i
+        iso = np.maximum.accumulate(np.where(
+            np.tril(np.ones((n, n), bool)).T, M, -np.inf), axis=0) \
+            .diagonal()
+        return pa.table({
+            "x": pa.array(x, pa.float64()),
+            "n": pa.array(w.astype(np.int64), pa.int64()),
+            "rate": pa.array(np.round(sy / w, 6), pa.float64()),
+            "iso": pa.array(np.round(iso, 6), pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["x"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("x", pa.float64()), ("w", pa.int64()),
+                                ("sy", pa.float64())]),
+    )

@@ -12630,5 +12630,70 @@ ORACLES["cusum_events"] = f"""
 """
 QUERIES["cusum_events"] = cusum_events
 
+
+def isotonic_nb_docs(sf_dir: str):
+    """Isotonic calibration of the NB confidence (``ops/stats.py::
+    isotonic_calibration``): the PAVA fit computed by the MINIMAX
+    closed form — ``ŷ_i = max_{{j≤i}} min_{{k≥i}} avg(y over j..k)`` —
+    because two windowed scans over the distinct-score-bounded table
+    replay exactly in SQL where PAVA's data-dependent pooling loop
+    could not.  The monotone companion of the binned calibration
+    diagram: per distinct confidence, the raw and isotonically-
+    calibrated accuracy."""
+    from dedup_ray.ops.stats import isotonic_calibration
+    from dedup_ray.stages.nbayes import nb_score, nb_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = nb_train(ds, label_col="lang")
+    scored = nb_score(ds, model, out_col="nb_lang", with_prob=True,
+                      keep_cols=("lang",))
+
+    def xy(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t["nb_lang"], t["lang"])
+        return pa.table({
+            "x": t["nb_prob"],
+            "y": pa.array(ok.to_numpy(zero_copy_only=False)
+                          .astype(np.float64), pa.float64()),
+        })
+
+    return isotonic_calibration(
+        scored.map_batches(xy, batch_format="pyarrow"), "x", "y")
+
+
+ORACLES["isotonic_nb_docs"] = f"""
+    {TOKENS_CTE},
+    {_NB_SC_CTES},
+    mx AS (SELECT doc_id, max(score) AS smax FROM sc GROUP BY doc_id),
+    z AS (SELECT sc.doc_id, sum(exp(sc.score - mx.smax)) AS z
+          FROM sc JOIN mx USING (doc_id) GROUP BY sc.doc_id),
+    best AS (SELECT doc_id, lang AS pred FROM (
+               SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) AS rk
+               FROM sc) WHERE rk = 1),
+    pr AS (SELECT z.doc_id, round(1.0 / z.z, 6) AS x,
+                  CASE WHEN best.pred = d.lang THEN 1.0 ELSE 0.0 END AS y
+           FROM z JOIN best USING (doc_id)
+           JOIN documents d ON d.doc_id = z.doc_id),
+    h AS (SELECT x, count(*) AS w, sum(y) AS sy FROM pr GROUP BY x),
+    o AS (SELECT x, w, sy, row_number() OVER (ORDER BY x) AS i,
+                 sum(w) OVER (ORDER BY x) AS cw,
+                 sum(sy) OVER (ORDER BY x) AS cy
+          FROM h),
+    a AS (SELECT j.i AS j, k.i AS k,
+                 (k.cy - (j.cy - j.sy)) / (k.cw - (j.cw - j.w)) AS avg
+          FROM o j JOIN o k ON j.i <= k.i),
+    m AS (SELECT j, k AS i,
+                 min(avg) OVER (PARTITION BY j ORDER BY k DESC
+                                ROWS UNBOUNDED PRECEDING) AS mn
+          FROM a),
+    iso AS (SELECT i, max(mn) AS iso FROM m GROUP BY i)
+    SELECT o.x, CAST(o.w AS BIGINT) AS n,
+           round(o.sy / o.w, 6) AS rate,
+           round(iso.iso, 6) AS iso
+    FROM o JOIN iso ON iso.i = o.i
+"""
+QUERIES["isotonic_nb_docs"] = isotonic_nb_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -327,3 +327,40 @@ def test_kaplan_meier_hand_computed():
     assert got.loc[2, "survival"] == pytest.approx(
         round(3 / 5 * 2 / 3 * 1 / 2, 6))
     assert 30 not in got.index  # censored user never steps the curve
+
+
+def test_isotonic_minimax_matches_pava():
+    from dedup_ray.ops.stats import isotonic_calibration
+
+    rng = np.random.default_rng(51)
+    x = np.round(rng.uniform(0, 1, 300), 2)   # heavy ties
+    y = (rng.uniform(0, 1, 300) < x * 0.8 + 0.1).astype(float)
+    out = isotonic_calibration(
+        rd.from_pandas(pd.DataFrame({"x": x, "y": y})), "x", "y"
+    ).to_pandas().sort_values("x").reset_index(drop=True)
+
+    # reference PAVA (pool adjacent violators) on the grouped table
+    df = pd.DataFrame({"x": x, "y": y}).groupby("x").agg(
+        w=("y", "size"), sy=("y", "sum")).sort_index()
+    blocks = [[float(r.sy) / r.w, float(r.w), float(r.sy)]
+              for r in df.itertuples()]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            w = blocks[i][1] + blocks[i + 1][1]
+            s = blocks[i][2] + blocks[i + 1][2]
+            blocks[i:i + 2] = [[s / w, w, s]]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    want = np.concatenate([[b[0]] * int(b[1]) for b in blocks])
+    # expand per distinct x (weights are per-x counts)
+    per_x = []
+    pos = 0
+    for r in df.itertuples():
+        per_x.append(want[pos])
+        pos += int(r.w)
+    assert np.allclose(out["iso"].to_numpy(), np.round(per_x, 6),
+                       atol=2e-6)
+    # monotone non-decreasing
+    assert (np.diff(out["iso"].to_numpy()) >= -1e-9).all()
