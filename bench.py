@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "woe_iv_events",
     "cusum_events",
     "isotonic_nb_docs",
+    "source_jaccard_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -12695,5 +12695,122 @@ ORACLES["isotonic_nb_docs"] = f"""
 """
 QUERIES["isotonic_nb_docs"] = isotonic_nb_docs
 
+
+def source_jaccard_docs(sf_dir: str):
+    """Pairwise VOCABULARY Jaccard between all sources: |V_a ∩ V_b| /
+    |V_a ∪ V_b| over distinct token sets — the source-similarity
+    matrix a mixing recipe consults before merging feeds.  One
+    token-keyed exchange reduces each token to its source membership
+    list; per-token pair increments fold into the sources²-bounded
+    matrix (never enumerated per doc).  Output: ``(s1, s2, n_inter,
+    n_union, jaccard)`` for s1 < s2."""
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parents, n = explode_tokens(t["text"], t.num_rows)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        df = pd.DataFrame({
+            "token": flat.to_pylist(),
+            "source": src.take(pa.array(parents)).to_pylist(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pair_schema = pa.schema([("s1", pa.string()), ("s2", pa.string()),
+                             ("inter", pa.int64())])
+    size_schema = pa.schema([("s", pa.string()), ("v", pa.int64())])
+
+    def per_token(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"s1": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "inter": pa.array([], pa.int64())})
+        df = pd.DataFrame({"token": part["token"].to_pylist(),
+                           "source": part["source"].to_pylist()}) \
+            .drop_duplicates()
+        inter: dict = {}
+        vocab: dict = {}
+        for _, sub in df.groupby("token", sort=False):
+            ss = sorted(sub["source"].unique())
+            for i, a in enumerate(ss):
+                vocab[a] = vocab.get(a, 0) + 1
+                for b in ss[i + 1:]:
+                    inter[(a, b)] = inter.get((a, b), 0) + 1
+        keys = sorted(inter)
+        return pa.table({
+            "s1": pa.array([k[0] for k in keys]
+                           + [s for s in sorted(vocab)], pa.string()),
+            "s2": pa.array([k[1] for k in keys]
+                           + ["" for _ in vocab], pa.string()),
+            "inter": pa.array([inter[k] for k in keys]
+                              + [vocab[s] for s in sorted(vocab)],
+                              pa.int64()),
+        })
+
+    partials = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"],
+        per_token, 8,
+        empty_schema=pa.schema([("token", pa.string()),
+                                ("source", pa.string())]),
+    )
+
+    out_schema = pa.schema([("s1", pa.string()), ("s2", pa.string()),
+                            ("n_inter", pa.int64()),
+                            ("n_union", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["s1", "s2"], sort=True).sum() \
+            .reset_index()
+        sizes = df[df["s2"] == ""].set_index("s1")["inter"]
+        pairs = df[df["s2"] != ""]
+        n_int = pairs["inter"].to_numpy(np.int64)
+        v1 = sizes.reindex(pairs["s1"]).to_numpy(np.int64)
+        v2 = sizes.reindex(pairs["s2"]).to_numpy(np.int64)
+        uni = v1 + v2 - n_int
+        return pa.table({
+            "s1": pa.array(pairs["s1"], pa.string()),
+            "s2": pa.array(pairs["s2"], pa.string()),
+            "n_inter": pa.array(n_int, pa.int64()),
+            "n_union": pa.array(uni, pa.int64()),
+            "jaccard": pa.array(
+                np.round(n_int / uni.astype(np.float64), 6),
+                pa.float64()),
+        })
+
+    return exchange_group_apply(
+        partials, ["s1", "s2"], fold, num_partitions=1,
+        empty_schema=pair_schema,
+    )
+
+
+ORACLES["source_jaccard_docs"] = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    st AS (SELECT DISTINCT source, token FROM toks),
+    sizes AS (SELECT source, count(*) AS v FROM st GROUP BY source),
+    inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+              FROM st a JOIN st b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT i.s1, i.s2, i.n_inter,
+           za.v + zb.v - i.n_inter AS n_union,
+           round(i.n_inter
+                 / CAST(za.v + zb.v - i.n_inter AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i JOIN sizes za ON za.source = i.s1
+                 JOIN sizes zb ON zb.source = i.s2
+"""
+QUERIES["source_jaccard_docs"] = source_jaccard_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
