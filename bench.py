@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "cusum_events",
     "isotonic_nb_docs",
     "source_jaccard_docs",
+    "ccf_events",
+    "quality_corr_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -629,3 +629,61 @@ def isotonic_calibration(ds, x_col: str, y_col: str,
         empty_schema=pa.schema([("x", pa.float64()), ("w", pa.int64()),
                                 ("sy", pa.float64())]),
     )
+
+
+def correlation_matrix(ds, cols: list, num_partitions: int = 1):
+    """Pairwise Pearson correlation matrix over ``cols`` from ONE pass
+    of moment partials (per batch: n, Σx_i, Σx_i·x_j — k(k+3)/2
+    floats), driver-free single reduce — the quality-signal redundancy
+    audit (two metrics correlating at 0.98 are one metric).  Output
+    long form ``(m1, m2, corr)`` for m1 < m2 (column-name order), 6 dp;
+    zero-variance columns emit NULL-free rows only for defined pairs.
+    """
+    k = len(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) for c in cols], axis=1)
+        out = {"n": pa.array([float(len(X))], pa.float64())}
+        for i in range(k):
+            out[f"s{i}"] = pa.array([float(X[:, i].sum())], pa.float64())
+            for j in range(i, k):
+                out[f"p{i}_{j}"] = pa.array(
+                    [float((X[:, i] * X[:, j]).sum())], pa.float64())
+        return pa.table(out)
+
+    out_schema = pa.schema([("m1", pa.string()), ("m2", pa.string()),
+                            ("corr", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sum()
+        n = df["n"]
+        m1s, m2s, cs = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                num = df[f"p{i}_{j}"] - df[f"s{i}"] * df[f"s{j}"] / n
+                d1 = df[f"p{i}_{i}"] - df[f"s{i}"] ** 2 / n
+                d2 = df[f"p{j}_{j}"] - df[f"s{j}"] ** 2 / n
+                if d1 <= 0 or d2 <= 0:
+                    continue
+                m1s.append(cols[i])
+                m2s.append(cols[j])
+                cs.append(round(float(num / np.sqrt(d1 * d2)), 6))
+        return pa.table({"m1": pa.array(m1s, pa.string()),
+                         "m2": pa.array(m2s, pa.string()),
+                         "corr": pa.array(cs, pa.float64())})
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    return exchange_group_apply(
+        ds.select_columns(cols).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["n"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema(
+            [("n", pa.float64())]
+            + [(f"s{i}", pa.float64()) for i in range(k)]
+            + [(f"p{i}_{j}", pa.float64())
+               for i in range(k) for j in range(i, k)]),
+    )

@@ -12812,5 +12812,160 @@ ORACLES["source_jaccard_docs"] = """
 """
 QUERIES["source_jaccard_docs"] = source_jaccard_docs
 
+CCF_A, CCF_B, CCF_MAXLAG = "click", "purchase", 3
+
+
+def ccf_events(sf_dir: str):
+    """Cross-correlation function between the hourly 'click' and
+    'purchase' rate series at lags −3..+3 (the lead–lag detector:
+    positive-lag peaks mean clicks LEAD purchases): hour grid from the
+    global [min, max] (two driver scalars, missing hours zero), counts
+    fold through one narrow (type, hour) exchange, and the hours-
+    bounded pair of series reaches a single reduce.  ``ccf_k =
+    Σ(x_t−x̄)(y_{{t+k}}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²)`` with full-series
+    means (the standard estimator).  Output ``(lag, ccf)``."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).value // 1000
+    hi = pd.Timestamp(ds.max("ts")).value // 1000
+    h0 = lo // CUSUM_HOURS_US
+    n_hours = int(hi // CUSUM_HOURS_US - h0 + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.equal(t["event_type"], CCF_A),
+                      pc.equal(t["event_type"], CCF_B))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"et": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "et": t["event_type"].to_pylist(),
+            "h": (us.to_numpy(zero_copy_only=False)
+                  // CUSUM_HOURS_US) - h0,
+            "c": 1,
+        }).groupby(["et", "h"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out_schema = pa.schema([("lag", pa.int64()), ("ccf", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["et", "h"], sort=True).sum() \
+            .reset_index()
+        x = np.zeros(n_hours)
+        y = np.zeros(n_hours)
+        for _, r in df.iterrows():
+            (x if r["et"] == CCF_A else y)[int(r["h"])] = r["c"]
+        dx = x - x.sum() / n_hours
+        dy = y - y.sum() / n_hours
+        den = np.sqrt(float(dx @ dx) * float(dy @ dy))
+        if den == 0:
+            return out_schema.empty_table()
+        lags, vals = [], []
+        for k in range(-CCF_MAXLAG, CCF_MAXLAG + 1):
+            if k >= 0:
+                num = float(dx[:n_hours - k] @ dy[k:]) if k else \
+                    float(dx @ dy)
+            else:
+                num = float(dx[-k:] @ dy[:n_hours + k])
+            lags.append(k)
+            vals.append(round(num / den, 6))
+        return pa.table({"lag": pa.array(lags, pa.int64()),
+                         "ccf": pa.array(vals, pa.float64())})
+
+    counts = exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["et"],
+        lambda t: t, 2,
+        empty_schema=pa.schema([("et", pa.string()), ("h", pa.int64()),
+                                ("c", pa.int64())]),
+    )
+    return exchange_group_apply(
+        counts, ["et"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("et", pa.string()), ("h", pa.int64()),
+                                ("c", pa.int64())]),
+    )
+
+
+ORACLES["ccf_events"] = f"""
+    WITH bounds AS (
+        SELECT epoch_us(min(ts)) // {CUSUM_HOURS_US} AS h0,
+               epoch_us(max(ts)) // {CUSUM_HOURS_US} AS h1
+        FROM events),
+    hours AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT))) AS h,
+                     CAST(h1 - h0 + 1 AS DOUBLE) AS nh
+              FROM bounds),
+    cnt AS (SELECT event_type,
+                   epoch_us(ts) // {CUSUM_HOURS_US}
+                     - (SELECT h0 FROM bounds) AS h,
+                   count(*) AS c
+            FROM events WHERE event_type IN ('{CCF_A}', '{CCF_B}')
+            GROUP BY event_type, h),
+    g AS (SELECT hours.h, hours.nh,
+                 CAST(coalesce(cx.c, 0) AS DOUBLE) AS x,
+                 CAST(coalesce(cy.c, 0) AS DOUBLE) AS y
+          FROM hours
+          LEFT JOIN cnt cx ON cx.event_type = '{CCF_A}'
+                          AND cx.h = hours.h
+          LEFT JOIN cnt cy ON cy.event_type = '{CCF_B}'
+                          AND cy.h = hours.h),
+    mm AS (SELECT sum(x) / any_value(nh) AS mx,
+                  sum(y) / any_value(nh) AS my FROM g),
+    d AS (SELECT h, x - mm.mx AS dx, y - mm.my AS dy FROM g, mm),
+    den AS (SELECT sqrt(sum(dx * dx) * (SELECT sum(dy * dy) FROM d))
+                AS den
+            FROM d),
+    lags AS (SELECT unnest(range(-{CCF_MAXLAG}, {CCF_MAXLAG + 1}))
+                 AS lag),
+    num AS (SELECT lags.lag, sum(a.dx * b.dy) AS num
+            FROM lags JOIN d a ON true
+            JOIN d b ON b.h = a.h + lags.lag
+            GROUP BY lags.lag)
+    SELECT num.lag, round(num.num / den.den, 6) AS ccf
+    FROM num, den
+"""
+QUERIES["ccf_events"] = ccf_events
+
+# punct_ratio is constant 0 on this corpus: zero variance makes corr
+# undefined (SQL NULL, kernel guard) — excluded from the matrix
+QCORR_COLS = ["n_chars", "n_tokens", "avg_token_len", "stopword_ratio"]
+
+
+def quality_corr_docs(sf_dir: str):
+    """Quality-signal redundancy audit (``ops/stats.py::
+    correlation_matrix``): the pairwise Pearson matrix over the five
+    per-doc quality metrics from ONE pass of moment partials — two
+    signals correlating near 1 are one signal, the check a curation
+    recipe runs before weighting its filters (the four varying
+    metrics; punct_ratio is constant on this corpus).  Metrics come
+    from the same ``quality_stats`` kernel the text_quality entry
+    verifies."""
+    from dedup_ray.ops.stats import correlation_matrix
+    from dedup_ray.stages.textstats import quality_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    q = as_arrow(quality_stats(ds))
+    return correlation_matrix(q, QCORR_COLS)
+
+
+def _quality_corr_oracle() -> str:
+    base = ORACLES["text_quality"]
+    pairs = []
+    for i in range(len(QCORR_COLS)):
+        for j in range(i + 1, len(QCORR_COLS)):
+            a, b = QCORR_COLS[i], QCORR_COLS[j]
+            pairs.append(
+                f"SELECT '{a}' AS m1, '{b}' AS m2, "
+                f"round(corr({a}, {b}), 6) AS corr FROM q"
+            )
+    return f"WITH q AS ({base}) " + " UNION ALL ".join(pairs)
+
+
+ORACLES["quality_corr_docs"] = _quality_corr_oracle()
+QUERIES["quality_corr_docs"] = quality_corr_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
