@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "source_jaccard_docs",
     "ccf_events",
     "quality_corr_docs",
+    "youden_threshold_embeddings",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -12967,5 +12967,85 @@ def _quality_corr_oracle() -> str:
 ORACLES["quality_corr_docs"] = _quality_corr_oracle()
 QUERIES["quality_corr_docs"] = quality_corr_docs
 
+
+def youden_threshold_embeddings(sf_dir: str):
+    """Youden-J optimal threshold selection (the standard cutoff choice
+    after an ROC audit — same score/label convention as the
+    ``auc_embeddings`` entry): over DISTINCT scores as candidate
+    thresholds (predict positive when score ≥ t), maximize
+    ``J = TPR − FPR``; ties at 6 dp resolve to the smallest threshold.
+    One (score, label) histogram exchange, distinct-score-bounded
+    reduce with a descending cumsum — no global sort of rows."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        score = np.asarray(
+            pc.list_element(emb, 0).to_numpy(zero_copy_only=False),
+            dtype=np.float64)
+        lab = (t["label"].to_numpy(zero_copy_only=False) % 2 == 0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"score": score, "pos": lab,
+                           "neg": 1 - lab})
+        g = df.groupby("score", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([("threshold", pa.float64()),
+                            ("tpr", pa.float64()), ("fpr", pa.float64()),
+                            ("j", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("score", sort=True).sum() \
+            .sort_index(ascending=False)
+        pos, neg = float(df["pos"].sum()), float(df["neg"].sum())
+        if pos == 0 or neg == 0:
+            return out_schema.empty_table()
+        tpr = df["pos"].cumsum().to_numpy(np.float64) / pos
+        fpr = df["neg"].cumsum().to_numpy(np.float64) / neg
+        j = np.round(tpr - fpr, 6)
+        # max J, tie -> smallest threshold (last index in desc order)
+        best = len(j) - 1 - int(np.argmax(j[::-1]))
+        return pa.table({
+            "threshold": pa.array([round(float(df.index[best]), 6)],
+                                  pa.float64()),
+            "tpr": pa.array([round(float(tpr[best]), 6)], pa.float64()),
+            "fpr": pa.array([round(float(fpr[best]), 6)], pa.float64()),
+            "j": pa.array([float(j[best])], pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["score"],
+        reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("score", pa.float64()),
+                                ("pos", pa.int64()),
+                                ("neg", pa.int64())]),
+    )
+
+
+ORACLES["youden_threshold_embeddings"] = """
+    WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                      CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS lab
+               FROM embeddings),
+    h AS (SELECT score, sum(lab) AS pos, sum(1 - lab) AS neg FROM d
+          GROUP BY score),
+    t AS (SELECT CAST(sum(pos) AS DOUBLE) AS tp,
+                 CAST(sum(neg) AS DOUBLE) AS tn FROM h),
+    c AS (SELECT score,
+                 sum(pos) OVER (ORDER BY score DESC) / t.tp AS tpr,
+                 sum(neg) OVER (ORDER BY score DESC) / t.tn AS fpr
+          FROM h, t),
+    j AS (SELECT score, tpr, fpr, round(tpr - fpr, 6) AS j FROM c)
+    SELECT round(score, 6) AS threshold, round(tpr, 6) AS tpr,
+           round(fpr, 6) AS fpr, j
+    FROM j ORDER BY j DESC, score ASC LIMIT 1
+"""
+QUERIES["youden_threshold_embeddings"] = youden_threshold_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

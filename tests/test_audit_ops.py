@@ -114,3 +114,21 @@ def test_cusum_flat_series_never_alarms():
         s = max(0.0, s + x[t] - mu - 0.5 * mu)
         flagged += s > 2 * mu
     assert flagged == 0
+
+
+def test_youden_threshold_separable_scores():
+    from dedup_ray.util.exchange import exchange_group_apply  # noqa: F401
+
+    # kernel math on a perfectly separable score set: J=1 at the
+    # smallest positive score
+    scores = np.array([0.1, 0.2, 0.3, 0.7, 0.8, 0.9])
+    labs = np.array([0, 0, 0, 1, 1, 1])
+    df = pd.DataFrame({"score": scores, "pos": labs, "neg": 1 - labs}) \
+        .groupby("score").sum().sort_index(ascending=False)
+    pos, neg = df["pos"].sum(), df["neg"].sum()
+    tpr = df["pos"].cumsum() / pos
+    fpr = df["neg"].cumsum() / neg
+    j = (tpr - fpr).round(6)
+    best = j[::-1].idxmax()  # tie -> smallest threshold
+    assert best == pytest.approx(0.7)
+    assert j.loc[best] == pytest.approx(1.0)
