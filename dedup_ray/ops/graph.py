@@ -281,7 +281,8 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
 
 
 def k_core(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
-           max_rounds: int = 8, num_partitions: int = 16):
+           max_rounds: int = 8, num_partitions: int = 16,
+           local_edge_limit: int = 2_000_000):
     """k-core decomposition by distributed peeling (bounded rounds).
 
     Each round: undirected degrees via one grouped count, then edges
@@ -305,6 +306,35 @@ def k_core(edges_ds, k: int = 2, a_col: str = "a", b_col: str = "b",
     from dedup_ray.ops.relational import anti_join
 
     edges = edges_ds.select_columns([a_col, b_col]).materialize()
+
+    # Local fast path (cc_local convention): under the edge cap the
+    # bounded-round peel is a numpy loop over factorized endpoints —
+    # the distributed loop pays ~4 plan launches per round of fixed
+    # latency each.  Byte-identical result: same round count, same
+    # weak-node rule, so the bounded-replay oracle contract holds.
+    if edges.count() <= local_edge_limit:
+        t = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+        ) if edges.count() else None
+        if t is None or t.num_rows == 0:
+            return edges
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(np.concatenate([a, b]))
+        ca, cb = codes[: len(a)], codes[len(a):]
+        live = np.ones(len(a), bool)
+        for _ in range(max_rounds):
+            deg = np.bincount(
+                np.concatenate([ca[live], cb[live]]), minlength=len(uniq))
+            weak = deg < k
+            if not weak.any() or not (weak[ca] | weak[cb])[live].any():
+                break
+            live &= ~(weak[ca] | weak[cb])
+        keep = pa.table({a_col: pa.array(a[live]),
+                         b_col: pa.array(b[live])})
+        return ray.data.from_arrow(keep)
+
     for _ in range(max_rounds):
         def deg_partial(t: pa.Table) -> pa.Table:
             nodes = pa.concat_arrays([
@@ -943,7 +973,8 @@ def maximal_independent_set(edges_ds, seed: str = "mis",
 
 def strongly_connected_components(edges_ds, num_partitions: int = 8,
                                   seed: str = "scc", max_outer: int = 64,
-                                  max_inner: int = 256):
+                                  max_inner: int = 256,
+                                  local_edge_limit: int = 2_000_000):
     """Distributed SCC via the coloring algorithm (Orzan 2004 / the
     FW-BW family): the DIRECTED counterpart of the flagship's CC —
     mutual-reachability clusters for redirect rings, mirror loops and
@@ -970,8 +1001,21 @@ def strongly_connected_components(edges_ds, num_partitions: int = 8,
     import pandas as pd
     import pyarrow.compute as pc
 
+    import ray.data
+
     from dedup_ray.util.exchange import exchange_join, hash_exchange
     from dedup_ray.util.hashing import content_digest
+
+    # Local fast path (the cc_local convention): under the edge cap the
+    # whole digraph fits one task trivially, and iterative Tarjan is
+    # O(V+E) where the coloring rounds pay ~8 sequential exchange
+    # launches of fixed latency each.  scc_id = the max-md5-priority
+    # member — IDENTICAL to the distributed root election, verified by
+    # the forced-distributed parity test.
+    if edges_ds.count() <= local_edge_limit:
+        pairs = [(str(r["src"]), str(r["dst"]))
+                 for r in edges_ds.take_all()]
+        return ray.data.from_arrow(_scc_local_table(pairs, seed))
 
     _E = pa.schema([("src", pa.string()), ("dst", pa.string())])
     _C = pa.schema([("node", pa.string()), ("cpri", pa.string()),
@@ -1695,3 +1739,84 @@ def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
                                   pa.float64()),
         "m": pa.array([m], pa.int64()),
     }))
+
+
+def _scc_local_table(pairs: list, seed: str) -> pa.Table:
+    """Iterative Tarjan over (src, dst) string pairs; scc_id = the
+    member with the maximum ``md5(seed ':' node)[:16]`` priority —
+    the same root the distributed coloring elects."""
+    from collections import defaultdict
+
+    from dedup_ray.util.hashing import content_digest
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            adj[a].append(b)
+        nodes.update((a, b))
+    nodes = sorted(nodes)
+
+    index: dict = {}
+    low: dict = {}
+    on: set = set()
+    stack: list = []
+    comps: list = []
+    counter = [0]
+
+    for start in nodes:
+        if start in index:
+            continue
+        # explicit DFS stack: (vertex, iterator position)
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            neigh = adj.get(v, ())
+            while pi < len(neigh):
+                w = neigh[pi]
+                pi += 1
+                if w not in index:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    out_node, out_id = [], []
+    for comp in comps:
+        pris = [d[:16] for d in content_digest(
+            [f"{seed}:{n}" for n in comp], algo="md5")]
+        root = comp[max(range(len(comp)), key=lambda i: (pris[i],
+                                                         comp[i]))]
+        for n in comp:
+            out_node.append(n)
+            out_id.append(root)
+    order = np.argsort(np.asarray(out_node, dtype=object))
+    return pa.table({
+        "node": pa.array(np.asarray(out_node, dtype=object)[order],
+                         pa.string()),
+        "scc_id": pa.array(np.asarray(out_id, dtype=object)[order],
+                           pa.string()),
+    })

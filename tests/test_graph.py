@@ -590,3 +590,44 @@ def test_assortativity_star_is_minus_one():
     out = degree_assortativity(rd.from_pandas(star),
                                num_partitions=2).to_pandas()
     assert out["assortativity"].iloc[0] == pytest.approx(-1.0)
+
+
+def test_scc_local_matches_forced_distributed():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dedup_ray.ops.graph import strongly_connected_components
+
+    rng = np.random.default_rng(23)
+    edges = [(f"n{a}", f"n{b}")
+             for a, b in zip(rng.integers(0, 25, 120),
+                             rng.integers(0, 25, 120))]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string())}))
+    local = sorted((r["node"], r["scc_id"]) for r in
+                   strongly_connected_components(ds).take_all())
+    dist = sorted((r["node"], r["scc_id"]) for r in
+                  strongly_connected_components(
+                      ds, local_edge_limit=0).take_all())
+    assert local == dist
+
+
+def test_k_core_local_matches_forced_distributed():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup_ray.ops.graph import k_core
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"a": rng.integers(0, 40, 200),
+                       "b": rng.integers(0, 40, 200)})
+    for max_rounds in (2, 8):  # both the bounded and the converged case
+        loc = k_core(rd.from_pandas(df), k=3,
+                     max_rounds=max_rounds).to_pandas()
+        dist = k_core(rd.from_pandas(df), k=3, max_rounds=max_rounds,
+                      local_edge_limit=0, num_partitions=4).to_pandas()
+        key = lambda d: sorted(map(tuple, d[["a", "b"]].values.tolist()))
+        assert key(loc) == key(dist)
