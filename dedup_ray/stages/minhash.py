@@ -206,10 +206,15 @@ def bbit_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
         out_id, out_perm, out_reg = [], [], []
         id_list = ids.to_pylist()
+        # hash each DISTINCT token once per perm, gather per occurrence
+        # (the same hot-loop cut as the super-shingle signer)
+        uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
+                              return_inverse=True)
         for perm in range(n_perms):
-            h = [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
-                 for t in dd["t"]]
-            mins = pd.Series(h).groupby(dd["p"].to_numpy()).min()
+            hu = np.array(
+                [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
+                 for t in uniq], dtype=object)
+            mins = pd.Series(hu[inv]).groupby(dd["p"].to_numpy()).min()
             out_id.extend(id_list[int(i)] for i in mins.index)
             out_perm.extend([perm] * len(mins))
             out_reg.extend(int(v[-1], 16) % (1 << b) for v in mins)
