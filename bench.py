@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "ccf_events",
     "quality_corr_docs",
     "youden_threshold_embeddings",
+    "lsh_scurve_plan",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13047,5 +13047,44 @@ ORACLES["youden_threshold_embeddings"] = """
 """
 QUERIES["youden_threshold_embeddings"] = youden_threshold_embeddings
 
+SCURVE_CONFIGS = [(8, 16), (16, 8), (32, 4), (64, 2)]
+SCURVE_TS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def lsh_scurve_plan(sf_dir: str):
+    """LSH band-planner S-curve table: for each (bands b, rows r)
+    config splitting the same 128-perm signature and each Jaccard
+    level t, the candidate-catch probability ``1 − (1 − t^r)^b`` — the
+    closed form behind the flagship's banding choice (pick the config
+    whose inflection brackets the dedup threshold).  Pure per-row
+    math, zero shuffles; the oracle replays the identical double
+    expression, so this tuning table ships as oracle-checked data
+    rather than narrative."""
+    rows = []
+    for b, r in SCURVE_CONFIGS:
+        for t in SCURVE_TS:
+            rows.append((b, r, t,
+                         round(1.0 - (1.0 - t ** r) ** b, 6)))
+    return pa.table({
+        "bands": pa.array([x[0] for x in rows], pa.int64()),
+        "rows_per_band": pa.array([x[1] for x in rows], pa.int64()),
+        "t": pa.array([x[2] for x in rows], pa.float64()),
+        "p_candidate": pa.array([x[3] for x in rows], pa.float64()),
+    })
+
+
+ORACLES["lsh_scurve_plan"] = f"""
+    WITH cfg AS (SELECT unnest({[c[0] for c in SCURVE_CONFIGS]!r})
+                     AS bands,
+                 unnest({[c[1] for c in SCURVE_CONFIGS]!r})
+                     AS rows_per_band),
+    ts AS (SELECT unnest({SCURVE_TS!r}) AS t)
+    SELECT cfg.bands, cfg.rows_per_band, ts.t,
+           round(1.0 - pow(1.0 - pow(ts.t, cfg.rows_per_band),
+                           cfg.bands), 6) AS p_candidate
+    FROM cfg CROSS JOIN ts
+"""
+QUERIES["lsh_scurve_plan"] = lsh_scurve_plan
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
