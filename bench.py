@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "quality_corr_docs",
     "youden_threshold_embeddings",
     "lsh_scurve_plan",
+    "explain_pairs_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13086,5 +13086,124 @@ ORACLES["lsh_scurve_plan"] = f"""
 """
 QUERIES["lsh_scurve_plan"] = lsh_scurve_plan
 
+EXPLAIN_TOPK = 3
+
+
+def explain_pairs_docs(sf_dir: str):
+    """Dup-pair EXPLANATIONS: for every near-dup candidate pair (the
+    ngram_jaccard_pairs set), the top-3 most DISTINCTIVE shared
+    3-gram shingles — shared evidence ranked by ascending corpus
+    document frequency, the 'why did these two match' review surface a
+    dedup audit ships beside the pair list.  Pipeline: pair set ⋈
+    grams(id1) → composite-key semi join against grams(id2) (the
+    multi-key exchange) → df join → per-pair top-3.  Output:
+    ``(id1, id2, gram, df)``."""
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = as_arrow(ngram_jaccard_pairs(sf_dir)).map_batches(
+        lambda t: t.select(["id1", "id2"]), batch_format="pyarrow")
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, parents, n = explode_tokens(t["text"], t.num_rows)
+        toks = flat.to_pylist()
+        starts = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=starts[1:])
+        out_id, out_g = [], []
+        idl = ids.to_pylist()
+        for row in range(t.num_rows):
+            tt = toks[starts[row]:starts[row + 1]]
+            seen = {" ".join(tt[i:i + 3]) for i in range(len(tt) - 2)}
+            out_id.extend([idl[row]] * len(seen))
+            out_g.extend(sorted(seen))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    G = ds.map_batches(grams, batch_format="pyarrow").materialize()
+
+    def df_fold(part: pa.Table) -> pa.Table:
+        g = part.group_by("gram").aggregate([([], "count_all")])
+        return g.rename_columns(["gram", "df"])
+
+    DF = exchange_group_apply(
+        G, ["gram"], df_fold, 8,
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("gram", pa.string())]))
+
+    j1 = exchange_join(
+        pairs, G.map_batches(lambda t: t.rename_columns(["id1", "gram"]),
+                             batch_format="pyarrow"),
+        on="id1", num_partitions=8,
+        empty_schema=pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                                ("gram", pa.string())]))
+    shared = exchange_join(
+        j1, G.map_batches(lambda t: t.rename_columns(["id2", "gram"]),
+                          batch_format="pyarrow"),
+        on=["id2", "gram"], how="semi", num_partitions=8,
+        empty_schema=pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                                ("gram", pa.string())]))
+    with_df = exchange_join(
+        shared, DF, on="gram", num_partitions=8,
+        empty_schema=pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                                ("gram", pa.string()),
+                                ("df", pa.int64())]))
+
+    out_schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                            ("gram", pa.string()), ("df", pa.int64())])
+
+    def topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        df = part.to_pandas().sort_values(["id1", "id2", "df", "gram"],
+                                          kind="mergesort")
+        df = df.groupby(["id1", "id2"], sort=False).head(EXPLAIN_TOPK)
+        return pa.Table.from_pandas(
+            df[["id1", "id2", "gram", "df"]], preserve_index=False)
+
+    return exchange_group_apply(
+        with_df, ["id1", "id2"], topk, 8, empty_schema=out_schema)
+
+
+ORACLES["explain_pairs_docs"] = """
+    WITH tl AS (SELECT doc_id, source,
+                       list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+    g0 AS (SELECT doc_id, source, unnest(
+             CASE WHEN len(t) >= 3 THEN list_transform(
+                    range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                  ELSE [] END) AS gram
+           FROM tl),
+    g AS (SELECT DISTINCT doc_id, source, gram FROM g0),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram
+                                AND a.source = b.source
+                                AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (SELECT id1, id2 FROM inter
+              JOIN sz a ON a.doc_id = id1
+              JOIN sz b ON b.doc_id = id2
+              WHERE i * 1.0 / (a.n + b.n - i) >= 0.05),
+    dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    shared AS (SELECT p.id1, p.id2, ga.gram
+               FROM pairs p
+               JOIN g ga ON ga.doc_id = p.id1
+               JOIN g gb ON gb.doc_id = p.id2 AND gb.gram = ga.gram),
+    ranked AS (SELECT s.id1, s.id2, s.gram, dfreq.df,
+                      row_number() OVER (PARTITION BY s.id1, s.id2
+                                         ORDER BY dfreq.df, s.gram)
+                          AS rk
+               FROM shared s JOIN dfreq ON dfreq.gram = s.gram)
+    SELECT id1, id2, gram, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rk <= 3
+"""
+QUERIES["explain_pairs_docs"] = explain_pairs_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
