@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "youden_threshold_embeddings",
     "lsh_scurve_plan",
     "explain_pairs_docs",
+    "ppmi_vectors_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13205,5 +13205,133 @@ ORACLES["explain_pairs_docs"] = """
 """
 QUERIES["explain_pairs_docs"] = explain_pairs_docs
 
+PPMI_DIMS = 4
+
+
+def ppmi_vectors_docs(sf_dir: str):
+    """Count-based word vectors: PPMI over the adjacent-token
+    co-occurrence counts (symmetric window 1), projected to 4 dims with
+    md5-parity Rademacher signs keyed by the CONTEXT token — the
+    classic pre-neural embedding (PPMI + random projection stands in
+    for the SVD step, deterministic and exactly SQL-replayable).
+    Corpus work is the same pair-count exchange TextRank uses; the
+    vocab²-bounded PPMI table reaches one reduce.  Output:
+    ``(token, j, y)``, j 1-based, 6 dp."""
+    import hashlib
+
+    from dedup_ray.stages.textstats import explode_tokens
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, parents, n = explode_tokens(t["text"], t.num_rows)
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        par = np.asarray(parents, dtype=np.int64)
+        if len(toks) < 2:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = par[1:] == par[:-1]
+        x, y = toks[:-1][adj], toks[1:][adj]
+        df = pd.DataFrame({"w": np.concatenate([x, y]),
+                           "c": np.concatenate([y, x])})
+        g = df.groupby(["w", "c"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["w", "c"]).aggregate([("n", "sum")])
+        return g.rename_columns(["w", "c", "n"])
+
+    edges = exchange_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["w", "c"], fold,
+        8, empty_schema=pa.schema([("w", pa.string()), ("c", pa.string()),
+                                   ("n", pa.int64())]),
+    )
+
+    out_schema = pa.schema([("token", pa.string()), ("j", pa.int64()),
+                            ("y", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["w", "c"], sort=True).sum() \
+            .reset_index()
+        tot = float(df["n"].sum())
+        nw = df.groupby("w")["n"].sum()
+        nc = df.groupby("c")["n"].sum()
+        pmi = np.log(df["n"].to_numpy(np.float64) * tot
+                     / (nw.reindex(df["w"]).to_numpy(np.float64)
+                        * nc.reindex(df["c"]).to_numpy(np.float64)))
+        ppmi = np.maximum(pmi, 0.0)
+        ctx = df["c"].to_numpy()
+        signs = np.empty((len(df), PPMI_DIMS))
+        uniq_ctx = sorted(set(ctx))
+        smap = {}
+        for cx in uniq_ctx:
+            smap[cx] = [
+                1.0 if int(hashlib.md5(f"{cx}:{j}".encode())
+                           .hexdigest()[0], 16) % 2 == 0 else -1.0
+                for j in range(1, PPMI_DIMS + 1)]
+        for j in range(PPMI_DIMS):
+            signs[:, j] = [smap[cx][j] for cx in ctx]
+        contrib = ppmi[:, None] * signs / np.sqrt(float(PPMI_DIMS))
+        out = pd.DataFrame(contrib,
+                           columns=[f"d{j}" for j in range(PPMI_DIMS)])
+        out["token"] = df["w"].to_numpy()
+        agg = out.groupby("token", sort=True).sum()
+        toks_out, js, ys = [], [], []
+        for tok, row in agg.iterrows():
+            for j in range(PPMI_DIMS):
+                toks_out.append(tok)
+                js.append(j + 1)
+                ys.append(round(float(row[f"d{j}"]), 6))
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         "j": pa.array(js, pa.int64()),
+                         "y": pa.array(ys, pa.float64())})
+
+    return exchange_group_apply(
+        edges, ["w"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("w", pa.string()), ("c", pa.string()),
+                                ("n", pa.int64())]),
+    )
+
+
+ORACLES["ppmi_vectors_docs"] = """
+    WITH tl AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+    bp AS (SELECT unnest(list_transform(range(1, len(t)),
+                                        i -> t[i] || '|' || t[i + 1]))
+               AS p
+           FROM tl WHERE len(t) >= 2),
+    e AS (SELECT string_split(p, '|')[1] AS w,
+                 string_split(p, '|')[2] AS c, count(*) AS n
+          FROM bp GROUP BY 1, 2),
+    und AS (SELECT w, c, CAST(sum(n) AS DOUBLE) AS n FROM (
+              SELECT w, c, n FROM e UNION ALL SELECT c, w, n FROM e)
+            GROUP BY w, c),
+    tot AS (SELECT sum(n) AS tot FROM und),
+    mw AS (SELECT w, sum(n) AS nw FROM und GROUP BY w),
+    mc AS (SELECT c, sum(n) AS nc FROM und GROUP BY c),
+    ppmi AS (SELECT und.w, und.c,
+                    greatest(ln(und.n * tot.tot / (mw.nw * mc.nc)), 0.0)
+                        AS v
+             FROM und JOIN mw USING (w) JOIN mc USING (c), tot),
+    dims AS (SELECT unnest(range(1, 5)) AS j),
+    sg AS (SELECT c, dims.j,
+                  CASE WHEN strpos('02468ace',
+                                   substr(md5(c || ':' || dims.j), 1, 1))
+                            > 0
+                       THEN 1.0 ELSE -1.0 END AS sgn
+           FROM (SELECT DISTINCT c FROM und) CROSS JOIN dims)
+    SELECT ppmi.w AS token, sg.j,
+           round(sum(ppmi.v * sg.sgn) / sqrt(4.0), 6) AS y
+    FROM ppmi JOIN sg ON sg.c = ppmi.c
+    GROUP BY ppmi.w, sg.j
+"""
+QUERIES["ppmi_vectors_docs"] = ppmi_vectors_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
