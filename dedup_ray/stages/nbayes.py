@@ -203,3 +203,46 @@ def nb_true_class_prob(ds, model: dict, label_col: str,
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def nb_count_tables(ds, label_col: str = "lang", text_col: str = "text",
+                    id_col: str = "doc_id", num_partitions: int = 8):
+    """The model's SUFFICIENT STATISTICS as plain tables:
+    ``(label, token, n)`` token counts and ``(label, nd)`` doc counts.
+    Counts are ADDITIVE, so incremental training is a concat — a new
+    crawl shard's tables merge into yesterday's without touching
+    yesterday's corpus (the same shard-update story the dedup index
+    has)."""
+    from ray.data.aggregate import Count
+
+    counts = _label_token_counts(
+        ds, label_col, text_col, id_col, num_partitions).to_pandas()
+    prior = ds.groupby(label_col).aggregate(
+        Count(alias_name="nd")).to_pandas()
+    prior = prior.rename(columns={label_col: "label"})
+    return counts, prior
+
+
+def nb_from_counts(counts, prior) -> dict:
+    """Fit the model from (possibly merged) sufficient statistics —
+    ``nb_train`` == ``nb_from_counts(*nb_count_tables(ds))`` exactly,
+    and summing two shards' tables reproduces full-corpus training
+    bit-for-bit (additivity pytest)."""
+    counts = counts.groupby(["label", "token"], as_index=False)["n"].sum()
+    prior = prior.groupby("label", as_index=False)["nd"].sum()
+
+    classes = sorted(prior["label"].tolist())
+    vocab = sorted(counts["token"].unique().tolist())
+    cidx = {c: i for i, c in enumerate(classes)}
+    vidx = {t: i for i, t in enumerate(vocab)}
+    mat = np.zeros((len(vocab), len(classes)), dtype=np.float64)
+    mat[[vidx[t] for t in counts["token"]],
+        [cidx[c] for c in counts["label"]]] = counts["n"].to_numpy()
+    n_c = mat.sum(axis=0)
+    logp = np.log((mat + 1.0) / (n_c + len(vocab)))
+    nd = prior.set_index("label")["nd"]
+    logprior = np.log(
+        np.array([nd.loc[c] for c in classes], dtype=np.float64)
+        / nd.sum())
+    return {"classes": classes, "vocab": vidx, "logp": logp,
+            "logprior": logprior}

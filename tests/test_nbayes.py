@@ -88,3 +88,26 @@ def test_nb_true_class_prob_sums_consistent():
     assert len(correct) == len(m)
     assert np.allclose(correct["p_true"], correct["nb_prob"], atol=2e-6)
     assert ((pt["p_true"] > 0) & (pt["p_true"] <= 1)).all()
+
+
+def test_nb_incremental_count_merge_equals_full_retrain():
+    import numpy as np
+    import pandas as pd
+
+    from dedup_ray.stages.nbayes import (
+        nb_count_tables,
+        nb_from_counts,
+        nb_train,
+    )
+
+    df = _corpus()
+    shard1, shard2 = df.iloc[:35], df.iloc[35:]
+    c1, p1 = nb_count_tables(rd.from_pandas(shard1))
+    c2, p2 = nb_count_tables(rd.from_pandas(shard2))
+    merged = nb_from_counts(pd.concat([c1, c2], ignore_index=True),
+                            pd.concat([p1, p2], ignore_index=True))
+    full = nb_train(rd.from_pandas(df))
+    assert merged["classes"] == full["classes"]
+    assert merged["vocab"] == full["vocab"]
+    assert np.array_equal(merged["logp"], full["logp"])
+    assert np.array_equal(merged["logprior"], full["logprior"])
