@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "lsh_scurve_plan",
     "explain_pairs_docs",
     "ppmi_vectors_docs",
+    "classifier_agreement_docs",
+    "ab_test_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13333,5 +13333,234 @@ ORACLES["ppmi_vectors_docs"] = """
 """
 QUERIES["ppmi_vectors_docs"] = ppmi_vectors_docs
 
+
+def classifier_agreement_docs(sf_dir: str):
+    """Inter-classifier agreement audit: Cohen's κ between the NB
+    classifier and the stopword lang-id heuristic (chance-corrected
+    label agreement over the 5×5 table) plus McNemar's test of their
+    CORRECTNESS against the true lang (discordant counts b, c and
+    ``(b−c)²/(b+c)``) — the standard pair of statistics for 'are these
+    two labelers interchangeable, and is one actually better'.  Three
+    label streams join doc-aligned; only the classes²-bounded
+    contingency reaches the reduce."""
+    from dedup_ray.stages.nbayes import nb_score, nb_train
+    from dedup_ray.stages.textstats import lang_id
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = nb_train(ds, label_col="lang")
+    nb = nb_score(ds, model, out_col="nb_lang", keep_cols=("lang",)) \
+        .map_batches(lambda t: t.select(["doc_id", "nb_lang", "lang"]),
+                     batch_format="pyarrow")
+    li = as_arrow(lang_id(ds, concurrency=2)).map_batches(
+        lambda t: t.select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow")
+    joined = exchange_join(
+        nb, li, on="doc_id", num_partitions=8,
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("nb_lang", pa.string()),
+                                ("lang", pa.string()),
+                                ("lang_pred", pa.string())]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t["nb_lang"].to_pylist(),
+            "b": t["lang_pred"].to_pylist(),
+            "y": t["lang"].to_pylist(),
+        })
+        g = df.groupby(["a", "b"], sort=False).size() \
+            .reset_index(name="c")
+        ok = pd.DataFrame({
+            "a": "", "b": "",
+            "nb_ok": (df["a"] == df["y"]).astype(int),
+            "li_ok": (df["b"] == df["y"]).astype(int),
+        })
+        g2 = ok.groupby(["nb_ok", "li_ok"], sort=False).size() \
+            .reset_index(name="c")
+        g["nb_ok"] = -1
+        g["li_ok"] = -1
+        g2["a"] = ""
+        g2["b"] = ""
+        return pa.Table.from_pandas(
+            pd.concat([g[["a", "b", "nb_ok", "li_ok", "c"]],
+                       g2[["a", "b", "nb_ok", "li_ok", "c"]]],
+                      ignore_index=True), preserve_index=False)
+
+    out_schema = pa.schema([
+        ("kappa", pa.float64()), ("po", pa.float64()),
+        ("pe", pa.float64()), ("mcnemar_b", pa.int64()),
+        ("mcnemar_c", pa.int64()), ("mcnemar_chi2", pa.float64()),
+        ("n", pa.int64()),
+    ])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["a", "b", "nb_ok", "li_ok"],
+                                   sort=True).sum().reset_index()
+        lab = df[df["nb_ok"] == -1]
+        n = float(lab["c"].sum())
+        po = float(lab.loc[lab["a"] == lab["b"], "c"].sum()) / n
+        ra = lab.groupby("a")["c"].sum()
+        cb = lab.groupby("b")["c"].sum()
+        langs = sorted(set(ra.index) | set(cb.index))
+        pe = float(sum((ra.get(l, 0) / n) * (cb.get(l, 0) / n)
+                       for l in langs))
+        kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+        okd = df[df["nb_ok"] != -1]
+        b = int(okd.loc[(okd["nb_ok"] == 1) & (okd["li_ok"] == 0),
+                        "c"].sum())
+        c = int(okd.loc[(okd["nb_ok"] == 0) & (okd["li_ok"] == 1),
+                        "c"].sum())
+        chi2 = round((b - c) ** 2 / (b + c), 6) if b + c else 0.0
+        return pa.table({
+            "kappa": pa.array([round(kappa, 6)], pa.float64()),
+            "po": pa.array([round(po, 6)], pa.float64()),
+            "pe": pa.array([round(pe, 6)], pa.float64()),
+            "mcnemar_b": pa.array([b], pa.int64()),
+            "mcnemar_c": pa.array([c], pa.int64()),
+            "mcnemar_chi2": pa.array([chi2], pa.float64()),
+            "n": pa.array([int(n)], pa.int64()),
+        })
+
+    return exchange_group_apply(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["a", "b"], reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                ("nb_ok", pa.int64()),
+                                ("li_ok", pa.int64()),
+                                ("c", pa.int64())]),
+    )
+
+
+def _classifier_agreement_oracle() -> str:
+    li = _lang_id_oracle()
+    return f"""
+    {TOKENS_CTE},
+    {_NB_SC_CTES},
+    nbp AS (SELECT doc_id, lang AS nb_lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang) AS rk
+              FROM sc) WHERE rk = 1),
+    lip AS (SELECT * FROM ({li}) t),
+    j AS (SELECT nbp.doc_id, nbp.nb_lang AS a, lip.lang_pred AS b,
+                 d.lang AS y
+          FROM nbp JOIN lip USING (doc_id)
+          JOIN documents d USING (doc_id)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+    po AS (SELECT sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                      / any_value(n.n) AS po
+           FROM j, n),
+    ra AS (SELECT a AS l, count(*) AS c FROM j GROUP BY a),
+    cb AS (SELECT b AS l, count(*) AS c FROM j GROUP BY b),
+    ls AS (SELECT l FROM ra UNION SELECT l FROM cb),
+    pe AS (SELECT sum((coalesce(ra.c, 0) / n.n)
+                      * (coalesce(cb.c, 0) / n.n)) AS pe
+           FROM ls LEFT JOIN ra USING (l) LEFT JOIN cb USING (l), n),
+    mc AS (SELECT sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                      AS b_,
+                  sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                      AS c_
+           FROM j)
+    SELECT round((po.po - pe.pe) / (1.0 - pe.pe), 6) AS kappa,
+           round(po.po, 6) AS po, round(pe.pe, 6) AS pe,
+           CAST(mc.b_ AS BIGINT) AS mcnemar_b,
+           CAST(mc.c_ AS BIGINT) AS mcnemar_c,
+           CASE WHEN mc.b_ + mc.c_ = 0 THEN 0.0
+                ELSE round((mc.b_ - mc.c_) * (mc.b_ - mc.c_) * 1.0
+                           / (mc.b_ + mc.c_), 6) END AS mcnemar_chi2,
+           CAST(n.n AS BIGINT) AS n
+    FROM po, pe, mc, n
+"""
+
+
+ORACLES["classifier_agreement_docs"] = _classifier_agreement_oracle()
+QUERIES["classifier_agreement_docs"] = classifier_agreement_docs
+
+
+def ab_test_events(sf_dir: str):
+    """Two-proportion z-test (the A/B readout): purchase rate of the
+    even-user bucket vs the odd-user bucket, pooled-variance z and the
+    |z| > 1.96 significance flag — one grouped count pass, four
+    integers to the reduce."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = (t["user_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        pos = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": grp, "pos": pos, "n": 1})
+        g = df.groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([
+        ("p_a", pa.float64()), ("p_b", pa.float64()),
+        ("z", pa.float64()), ("significant", pa.int64()),
+        ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("g", sort=True).sum()
+        if 0 not in df.index or 1 not in df.index:
+            return out_schema.empty_table()
+        xa, na = float(df.loc[0, "pos"]), float(df.loc[0, "n"])
+        xb, nb_ = float(df.loc[1, "pos"]), float(df.loc[1, "n"])
+        pa_, pb_ = xa / na, xb / nb_
+        pool = (xa + xb) / (na + nb_)
+        z = (pa_ - pb_) / np.sqrt(pool * (1 - pool)
+                                  * (1 / na + 1 / nb_))
+        return pa.table({
+            "p_a": pa.array([round(pa_, 6)], pa.float64()),
+            "p_b": pa.array([round(pb_, 6)], pa.float64()),
+            "z": pa.array([round(float(z), 6)], pa.float64()),
+            "significant": pa.array([int(abs(z) > 1.96)], pa.int64()),
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb_)], pa.int64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["g"],
+        reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("g", pa.int64()), ("pos", pa.int64()),
+                                ("n", pa.int64())]),
+    )
+
+
+ORACLES["ab_test_events"] = """
+    WITH g AS (SELECT user_id % 2 AS g,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS pos
+               FROM events),
+    s AS (SELECT g, CAST(sum(pos) AS DOUBLE) AS x,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM g GROUP BY g),
+    w AS (SELECT max(CASE WHEN g = 0 THEN x END) AS xa,
+                 max(CASE WHEN g = 0 THEN n END) AS na,
+                 max(CASE WHEN g = 1 THEN x END) AS xb,
+                 max(CASE WHEN g = 1 THEN n END) AS nb
+          FROM s),
+    zz AS (SELECT xa / na AS pa_, xb / nb AS pb_,
+                  (xa + xb) / (na + nb) AS pool, xa, na, xb, nb
+           FROM w),
+    z AS (SELECT pa_, pb_,
+                 (pa_ - pb_) / sqrt(pool * (1 - pool)
+                                    * (1 / na + 1 / nb)) AS z,
+                 na, nb
+          FROM zz)
+    SELECT round(pa_, 6) AS p_a, round(pb_, 6) AS p_b,
+           round(z, 6) AS z,
+           CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+               AS significant,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM z
+"""
+QUERIES["ab_test_events"] = ab_test_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
