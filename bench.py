@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "ppmi_vectors_docs",
     "classifier_agreement_docs",
     "ab_test_events",
+    "simhash_scurve_plan",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13562,5 +13562,60 @@ ORACLES["ab_test_events"] = """
 """
 QUERIES["ab_test_events"] = ab_test_events
 
+SIMHASH_PLAN_BITS = 64
+SIMHASH_PLAN_KS = (2, 4, 6, 8)
+SIMHASH_PLAN_SIMS = [round(0.80 + 0.02 * i, 2) for i in range(10)]
+
+
+def simhash_scurve_plan(sf_dir: str):
+    """SimHash verify-threshold planner (companion of the LSH S-curve
+    table): for 64-bit fingerprints, each bit flips independently with
+    ``p = arccos(s)/π`` between docs of cosine similarity ``s``
+    (Charikar 2002), so ``P(hamming ≤ k) = Σ_{{i≤k}} C(64,i) p^i
+    (1−p)^{{64−i}}`` — the exact catch probability behind the hamming
+    cutoffs the SimHash tier uses.  Binomial coefficients are exact
+    integer constants shared with the SQL (math, not measurement);
+    pure per-row math, zero shuffles."""
+    import math
+
+    rows = []
+    for k in SIMHASH_PLAN_KS:
+        for s in SIMHASH_PLAN_SIMS:
+            p = math.acos(s) / math.pi
+            prob = sum(math.comb(SIMHASH_PLAN_BITS, i)
+                       * p ** i * (1 - p) ** (SIMHASH_PLAN_BITS - i)
+                       for i in range(k + 1))
+            rows.append((k, s, round(prob, 6)))
+    return pa.table({
+        "hamming_k": pa.array([r[0] for r in rows], pa.int64()),
+        "cos_sim": pa.array([r[1] for r in rows], pa.float64()),
+        "p_catch": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _simhash_scurve_oracle() -> str:
+    import math
+
+    combs = [math.comb(SIMHASH_PLAN_BITS, i)
+             for i in range(max(SIMHASH_PLAN_KS) + 1)]
+    return f"""
+    WITH ks AS (SELECT unnest({list(SIMHASH_PLAN_KS)!r}) AS hamming_k),
+    ss AS (SELECT unnest({SIMHASH_PLAN_SIMS!r}) AS cos_sim),
+    cf AS (SELECT unnest(range(0, {max(SIMHASH_PLAN_KS) + 1})) AS i,
+                  unnest({combs!r}) AS c),
+    terms AS (SELECT ks.hamming_k, ss.cos_sim, cf.i,
+                     cf.c * pow(acos(ss.cos_sim) / pi(), cf.i)
+                          * pow(1.0 - acos(ss.cos_sim) / pi(),
+                                {SIMHASH_PLAN_BITS} - cf.i) AS t
+              FROM ks CROSS JOIN ss CROSS JOIN cf
+              WHERE cf.i <= ks.hamming_k)
+    SELECT hamming_k, cos_sim, round(sum(t), 6) AS p_catch
+    FROM terms GROUP BY hamming_k, cos_sim
+"""
+
+
+ORACLES["simhash_scurve_plan"] = _simhash_scurve_oracle()
+QUERIES["simhash_scurve_plan"] = simhash_scurve_plan
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
