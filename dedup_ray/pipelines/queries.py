@@ -10938,6 +10938,22 @@ ORACLES["token_gini_docs"] = f"""
 QUERIES["token_gini_docs"] = token_gini_docs
 
 
+_NB_MODEL_CACHE: dict = {}
+
+
+def _nb_model(sf_dir: str, ds) -> dict:
+    """Per-process memo of the deterministic NB model: five catalog
+    entries (scoring, calibration, conformal, isotonic, agreement)
+    share one fit per corpus instead of five identical training
+    exchanges.  Keyed by sf_dir; the model is a pure function of the
+    table, so caching cannot change any result."""
+    from dedup_ray.stages.nbayes import nb_train
+
+    if sf_dir not in _NB_MODEL_CACHE:
+        _NB_MODEL_CACHE[sf_dir] = nb_train(ds, label_col="lang")
+    return _NB_MODEL_CACHE[sf_dir]
+
+
 def nb_lang_docs(sf_dir: str):
     """Multinomial Naive Bayes lang classifier, trained AND scored
     in-engine (``stages/nbayes.py``): one token-keyed exchange folds the
@@ -10949,7 +10965,7 @@ def nb_lang_docs(sf_dir: str):
     from dedup_ray.stages.nbayes import nb_score, nb_train
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    model = nb_train(ds, label_col="lang")
+    model = _nb_model(sf_dir, ds)
     return nb_score(ds, model, out_col="nb_lang")
 
 
@@ -11334,7 +11350,7 @@ def calibration_nb_docs(sf_dir: str):
     from dedup_ray.util.exchange import exchange_group_apply
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    model = nb_train(ds, label_col="lang")
+    model = _nb_model(sf_dir, ds)
     scored = nb_score(ds, model, out_col="nb_lang", with_prob=True,
                       keep_cols=("lang",))
 
@@ -12370,7 +12386,7 @@ def conformal_nb_docs(sf_dir: str):
     from dedup_ray.util.exchange import exchange_group_apply
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    model = nb_train(ds, label_col="lang")
+    model = _nb_model(sf_dir, ds)
     probs = nb_true_class_prob(ds, model, "lang").materialize()
 
     def calib_hist(t: pa.Table) -> pa.Table:
@@ -12644,7 +12660,7 @@ def isotonic_nb_docs(sf_dir: str):
     from dedup_ray.stages.nbayes import nb_score, nb_train
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    model = nb_train(ds, label_col="lang")
+    model = _nb_model(sf_dir, ds)
     scored = nb_score(ds, model, out_col="nb_lang", with_prob=True,
                       keep_cols=("lang",))
 
@@ -13348,7 +13364,7 @@ def classifier_agreement_docs(sf_dir: str):
     from dedup_ray.util.exchange import exchange_group_apply, exchange_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    model = nb_train(ds, label_col="lang")
+    model = _nb_model(sf_dir, ds)
     nb = nb_score(ds, model, out_col="nb_lang", keep_cols=("lang",)) \
         .map_batches(lambda t: t.select(["doc_id", "nb_lang", "lang"]),
                      batch_format="pyarrow")
