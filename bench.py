@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "classifier_agreement_docs",
     "ab_test_events",
     "simhash_scurve_plan",
+    "attribution_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13633,5 +13633,91 @@ def _simhash_scurve_oracle() -> str:
 ORACLES["simhash_scurve_plan"] = _simhash_scurve_oracle()
 QUERIES["simhash_scurve_plan"] = simhash_scurve_plan
 
+ATTR_WINDOW_US = 3_600_000_000  # last-touch lookback: 1 hour
+
+
+def attribution_events(sf_dir: str):
+    """Last-touch attribution: every purchase credits the SAME USER's
+    most recent non-purchase event within the 1-hour lookback (ties on
+    timestamp resolve to the larger event_id — the later-logged touch);
+    purchases with no touch in window credit 'direct'.  One user-keyed
+    exchange + a vectorized backward scan per stream; output =
+    credited-touch counts by type — the classic marketing rollup, here
+    standing in for any 'what preceded this conversion' audit.  Oracle
+    replays the lookback with a QUALIFY-ranked self join."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    out_schema = pa.schema([("touch", pa.string()), ("n", pa.int64())])
+
+    def per_user(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        us = pc.cast(pc.cast(part["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "u": part["user_id"].to_numpy(zero_copy_only=False),
+            "ts": us.to_numpy(zero_copy_only=False),
+            "eid": part["event_id"].to_numpy(zero_copy_only=False),
+            "et": part["event_type"].to_pylist(),
+        }).sort_values(["u", "ts", "eid"], kind="mergesort")
+        touches = []
+        for _, sub in df.groupby("u", sort=False):
+            ts = sub["ts"].to_numpy()
+            et = sub["et"].to_numpy()
+            for i in np.flatnonzero(et == "purchase"):
+                credited = "direct"
+                for j in range(i - 1, -1, -1):
+                    if ts[i] - ts[j] > ATTR_WINDOW_US:
+                        break
+                    if et[j] != "purchase":
+                        credited = et[j]
+                        break
+                touches.append(credited)
+        if not touches:
+            return out_schema.empty_table()
+        vc = pd.Series(touches).value_counts()
+        return pa.table({"touch": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    partials = exchange_group_apply(
+        ds, ["user_id"], per_user, 8,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string())]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by("touch").aggregate([("n", "sum")])
+        return g.rename_columns(["touch", "n"])
+
+    return exchange_group_apply(partials, ["touch"], fold, 2,
+                                empty_schema=out_schema)
+
+
+ORACLES["attribution_events"] = f"""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+    cand AS (SELECT p.user_id, p.event_id AS pid, e.event_type,
+                    row_number() OVER (
+                        PARTITION BY p.user_id, p.event_id
+                        ORDER BY e.ts DESC, e.event_id DESC) AS rk
+             FROM p JOIN events e
+               ON e.user_id = p.user_id
+              AND e.event_type <> 'purchase'
+              AND (e.ts < p.ts OR (e.ts = p.ts
+                                   AND e.event_id < p.event_id))
+              AND epoch_us(p.ts) - epoch_us(e.ts) <= {ATTR_WINDOW_US}),
+    last_touch AS (SELECT pid, event_type FROM cand WHERE rk = 1),
+    credited AS (SELECT coalesce(lt.event_type, 'direct') AS touch
+                 FROM p LEFT JOIN last_touch lt ON lt.pid = p.event_id)
+    SELECT touch, count(*) AS n FROM credited GROUP BY touch
+"""
+QUERIES["attribution_events"] = attribution_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
