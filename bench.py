@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "ab_test_events",
     "simhash_scurve_plan",
     "attribution_events",
+    "sprt_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -13719,5 +13719,107 @@ ORACLES["attribution_events"] = f"""
 """
 QUERIES["attribution_events"] = attribution_events
 
+SPRT_RATE_LIFT, SPRT_BOUND = 1.5, 2.944439  # ln(19): alpha=beta=0.05
+
+
+def sprt_events(sf_dir: str):
+    """Wald's SPRT over the time-ordered purchase stream: H1 = the
+    purchase rate is 1.5× the whole-corpus rate vs H0 = it is the
+    corpus rate; the log-likelihood-ratio walk
+    ``Σ x·ln(p1/p0) + (1−x)·ln((1−p1)/(1−p0))`` stops at the first
+    ±ln(19) crossing — the early-stopping experiment readout.  The
+    walk is a CUMSUM, not a recursion, so one ordered scan computes it
+    and the oracle replays it with a window sum; the stream order
+    (ts, event_id) is the operator's contract.  Output one row
+    ``(decision, n_obs, llr)``."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_id", "event_type"])
+    n = ds.count()
+    n_pos = ds.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [int(pc.sum(pc.cast(pc.equal(t["event_type"], "purchase"),
+                                pa.int64())).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").sum("c")
+    p0 = n_pos / n
+    p1 = min(SPRT_RATE_LIFT * p0, 0.999999)
+    w_pos = np.log(p1 / p0)
+    w_neg = np.log((1 - p1) / (1 - p0))
+
+    out_schema = pa.schema([("decision", pa.string()),
+                            ("n_obs", pa.int64()), ("llr", pa.float64())])
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "ts": us.to_numpy(zero_copy_only=False),
+            "eid": t["event_id"].to_numpy(zero_copy_only=False),
+            "x": pc.equal(t["event_type"], "purchase")
+                 .to_numpy(zero_copy_only=False).astype(np.float64),
+        }).sort_values(["ts", "eid"], kind="mergesort")
+        inc = df["x"].to_numpy() * w_pos + (1 - df["x"].to_numpy()) * w_neg
+        llr = np.cumsum(inc)
+        hit = np.flatnonzero((llr >= SPRT_BOUND) | (llr <= -SPRT_BOUND))
+        if len(hit):
+            i = int(hit[0])
+            dec = "accept_h1" if llr[i] >= SPRT_BOUND else "accept_h0"
+            return pa.table({
+                "decision": pa.array([dec], pa.string()),
+                "n_obs": pa.array([i + 1], pa.int64()),
+                "llr": pa.array([round(float(llr[i]), 6)], pa.float64()),
+            })
+        return pa.table({
+            "decision": pa.array(["continue"], pa.string()),
+            "n_obs": pa.array([len(llr)], pa.int64()),
+            "llr": pa.array([round(float(llr[-1]), 6)], pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(lambda t: t.append_column(
+            "k", pa.array(np.zeros(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["k"], lambda t: scan(t), num_partitions=1,
+        empty_schema=pa.schema([("ts", pa.timestamp("us")),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string()),
+                                ("k", pa.int64())]),
+    )
+
+
+ORACLES["sprt_events"] = f"""
+    WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS DOUBLE) AS np
+               FROM events),
+    pp AS (SELECT np / n AS p0,
+                  least({SPRT_RATE_LIFT!r} * np / n, 0.999999) AS p1
+           FROM t),
+    w AS (SELECT ln(p1 / p0) AS wp, ln((1 - p1) / (1 - p0)) AS wn
+          FROM pp),
+    s AS (SELECT ts, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                     AS x,
+                 row_number() OVER (ORDER BY ts, event_id) AS rn
+          FROM events),
+    walk AS (SELECT rn,
+                    sum(x * w.wp + (1 - x) * w.wn)
+                        OVER (ORDER BY rn) AS llr
+             FROM s, w),
+    hit AS (SELECT rn, llr FROM walk
+            WHERE llr >= {SPRT_BOUND!r} OR llr <= -{SPRT_BOUND!r}
+            ORDER BY rn LIMIT 1),
+    last AS (SELECT rn, llr FROM walk ORDER BY rn DESC LIMIT 1)
+    SELECT CASE WHEN hit.rn IS NOT NULL
+                THEN CASE WHEN hit.llr >= {SPRT_BOUND!r}
+                          THEN 'accept_h1' ELSE 'accept_h0' END
+                ELSE 'continue' END AS decision,
+           CAST(coalesce(hit.rn, last.rn) AS BIGINT) AS n_obs,
+           round(coalesce(hit.llr, last.llr), 6) AS llr
+    FROM last LEFT JOIN hit ON true
+"""
+QUERIES["sprt_events"] = sprt_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
