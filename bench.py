@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "simhash_scurve_plan",
     "attribution_events",
     "sprt_events",
+    "readability_docs",
+    "allen_relations_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

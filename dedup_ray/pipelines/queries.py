@@ -13821,5 +13821,191 @@ ORACLES["sprt_events"] = f"""
 """
 QUERIES["sprt_events"] = sprt_events
 
+
+def readability_docs(sf_dir: str):
+    """Flesch–Kincaid grade level per doc (the classic readability
+    screen): words = the standard tokenizer, sentences = runs of
+    ``[.!?]`` (min 1), syllables = vowel-group count per word with
+    vowel-less words counting 1 (the documented heuristic — both
+    engines run the same RE2 patterns, so the counts are exact).
+    Vectorized Arrow regex; zero-token docs are excluded (grade
+    undefined)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from dedup_ray.stages.textstats import explode_tokens
+
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.coalesce(txt, pa.scalar("", txt.type))
+        flat, parents, n = explode_tokens(txt, t.num_rows)
+        groups = pc.count_substring_regex(flat, "[aeiouy]+") \
+            .to_numpy(zero_copy_only=False)
+        syl_per_tok = np.maximum(groups, 1)
+        syl = np.zeros(t.num_rows, np.int64)
+        np.add.at(syl, np.asarray(parents), syl_per_tok)
+        sent = np.maximum(
+            pc.count_substring_regex(txt, "[.!?]+")
+            .to_numpy(zero_copy_only=False), 1)
+        keep = n > 0
+        w = n[keep].astype(np.float64)
+        s = sent[keep].astype(np.float64)
+        sy = syl[keep].astype(np.float64)
+        fk = 0.39 * (w / s) + 11.8 * (sy / w) - 15.59
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(w.astype(np.int64), pa.int64()),
+            "n_sentences": pa.array(s.astype(np.int64), pa.int64()),
+            "n_syllables": pa.array(sy.astype(np.int64), pa.int64()),
+            "fk_grade": pa.array(np.round(fk, 6), pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+ORACLES["readability_docs"] = """
+    WITH tk AS (SELECT doc_id,
+                       unnest(list_filter(string_split(coalesce(text, ''),
+                                                       ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents),
+    syl AS (SELECT doc_id, count(*) AS w,
+                   sum(greatest(len(regexp_extract_all(tok,
+                                                       '[aeiouy]+')), 1))
+                       AS sy
+            FROM tk GROUP BY doc_id),
+    sent AS (SELECT doc_id,
+                    greatest(len(regexp_extract_all(coalesce(text, ''),
+                                                    '[.!?]+')), 1) AS s
+             FROM documents)
+    SELECT syl.doc_id,
+           CAST(syl.w AS BIGINT) AS n_words,
+           CAST(sent.s AS BIGINT) AS n_sentences,
+           CAST(syl.sy AS BIGINT) AS n_syllables,
+           round(0.39 * (syl.w / CAST(sent.s AS DOUBLE))
+                 + 11.8 * (syl.sy / CAST(syl.w AS DOUBLE)) - 15.59, 6)
+               AS fk_grade
+    FROM syl JOIN sent USING (doc_id)
+"""
+QUERIES["readability_docs"] = readability_docs
+
+
+ALLEN_GAP_NAMES = [
+    "before", "meets", "overlaps", "starts", "during", "finishes",
+    "equals",
+]
+
+
+def allen_relations_events(sf_dir: str):
+    """Allen interval-algebra census: per user, the activity interval
+    [min ts, max ts] of each event type; every ordered type pair
+    (a < b lexicographically) classifies into one of Allen's 13
+    relations (the 7 canonical names; inverses report as
+    ``inv_<name>``) — the temporal-reasoning audit of how activity
+    windows nest and chain.  Exact µs-integer endpoint comparisons in
+    both engines; one user-keyed exchange, relation census fold."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    out_schema = pa.schema([("relation", pa.string()),
+                            ("n", pa.int64())])
+
+    def classify(s1, e1, s2, e2) -> str:
+        if e1 < s2:
+            return "before"
+        if e1 == s2:
+            return "meets"
+        if s1 == s2 and e1 == e2:
+            return "equals"
+        if s1 == s2:
+            return "starts" if e1 < e2 else "inv_starts"
+        if e1 == e2:
+            return "finishes" if s1 > s2 else "inv_finishes"
+        if s1 > s2 and e1 < e2:
+            return "during"
+        if s1 < s2 and e1 > e2:
+            return "inv_during"
+        if s1 < s2 and e1 > s2 and e1 < e2:
+            return "overlaps"
+        if s2 < s1 and e2 > s1 and e2 < e1:
+            return "inv_overlaps"
+        if s2 > e1:
+            return "before"
+        return "inv_before" if s1 > e2 else (
+            "inv_meets" if s1 == e2 else "inv_overlaps")
+
+    def per_user(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        us = pc.cast(pc.cast(part["ts"], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "u": part["user_id"].to_numpy(zero_copy_only=False),
+            "et": part["event_type"].to_pylist(),
+            "ts": us.to_numpy(zero_copy_only=False),
+        })
+        iv = df.groupby(["u", "et"]).agg(s=("ts", "min"),
+                                         e=("ts", "max")).reset_index()
+        rels = []
+        for _, sub in iv.groupby("u", sort=False):
+            rows = sub.sort_values("et").to_numpy()
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    rels.append(classify(rows[i][2], rows[i][3],
+                                         rows[j][2], rows[j][3]))
+        if not rels:
+            return out_schema.empty_table()
+        vc = pd.Series(rels).value_counts()
+        return pa.table({"relation": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    partials = exchange_group_apply(
+        ds, ["user_id"], per_user, 8,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("event_type", pa.string()),
+                                ("ts", pa.timestamp("us"))]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by("relation").aggregate([("n", "sum")])
+        return g.rename_columns(["relation", "n"])
+
+    return exchange_group_apply(partials, ["relation"], fold, 2,
+                                empty_schema=out_schema)
+
+
+ORACLES["allen_relations_events"] = """
+    WITH iv AS (SELECT user_id, event_type,
+                       epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+                FROM events GROUP BY user_id, event_type),
+    pr AS (SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+           FROM iv a JOIN iv b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    rel AS (SELECT CASE
+                WHEN e1 < s2 THEN 'before'
+                WHEN e1 = s2 THEN 'meets'
+                WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                WHEN s1 = s2 THEN
+                    CASE WHEN e1 < e2 THEN 'starts' ELSE 'inv_starts' END
+                WHEN e1 = e2 THEN
+                    CASE WHEN s1 > s2 THEN 'finishes'
+                         ELSE 'inv_finishes' END
+                WHEN s1 > s2 AND e1 < e2 THEN 'during'
+                WHEN s1 < s2 AND e1 > e2 THEN 'inv_during'
+                WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+                WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'inv_overlaps'
+                WHEN s2 > e1 THEN 'before'
+                WHEN s1 > e2 THEN 'inv_before'
+                WHEN s1 = e2 THEN 'inv_meets'
+                ELSE 'inv_overlaps' END AS relation
+            FROM pr)
+    SELECT relation, count(*) AS n FROM rel GROUP BY relation
+"""
+QUERIES["allen_relations_events"] = allen_relations_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
