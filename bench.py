@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "sprt_events",
     "readability_docs",
     "allen_relations_events",
+    "markov_entropy_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -14007,5 +14007,90 @@ ORACLES["allen_relations_events"] = """
 """
 QUERIES["allen_relations_events"] = allen_relations_events
 
+
+def markov_entropy_events(sf_dir: str):
+    """Entropy rate of the per-user event-type Markov chain:
+    ``H = −Σ_st (n_st/N)·ln(n_st/n_s·)`` over consecutive-event
+    transition counts (empirical stationary weights) — how predictable
+    the stream is, in nats/step; the information-theoretic summary of
+    the transition matrix the event_transitions entry materializes.
+    One user-keyed exchange emits bigram partials, a states²-bounded
+    reduce closes the formula."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    big_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_user(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return big_schema.empty_table()
+        df = part.to_pandas().sort_values(["ts", "event_id"],
+                                          kind="mergesort")
+        outs = []
+        for _, sub in df.groupby("user_id", sort=False):
+            et = sub["event_type"].to_numpy()
+            if len(et) < 2:
+                continue
+            outs.append(pd.DataFrame({"a": et[:-1], "b": et[1:]}))
+        if not outs:
+            return big_schema.empty_table()
+        g = pd.concat(outs, ignore_index=True) \
+            .groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = exchange_group_apply(
+        ds, ["user_id"], per_user, 8,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("event_id", pa.int64()),
+                                ("event_type", pa.string())]),
+    )
+
+    out_schema = pa.schema([("entropy_rate", pa.float64()),
+                            ("n_transitions", pa.int64()),
+                            ("n_states", pa.int64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["a", "b"], sort=True).sum() \
+            .reset_index()
+        n = float(df["n"].sum())
+        ns = df.groupby("a")["n"].sum()
+        nst = df["n"].to_numpy(np.float64)
+        nsrow = ns.reindex(df["a"]).to_numpy(np.float64)
+        h = -float(((nst / n) * np.log(nst / nsrow)).sum())
+        return pa.table({
+            "entropy_rate": pa.array([round(h, 6)], pa.float64()),
+            "n_transitions": pa.array([int(n)], pa.int64()),
+            "n_states": pa.array([df["a"].nunique()], pa.int64()),
+        })
+
+    return exchange_group_apply(partials, ["a", "b"], reduce_fn, 1,
+                                empty_schema=big_schema)
+
+
+ORACLES["markov_entropy_events"] = """
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS nxt
+               FROM events),
+    big AS (SELECT event_type AS a, nxt AS b, count(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY a, b),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM big),
+    row_ AS (SELECT a, CAST(sum(n) AS DOUBLE) AS ns FROM big GROUP BY a)
+    SELECT round(-sum((big.n / t.tot) * ln(big.n / row_.ns)), 6)
+               AS entropy_rate,
+           CAST(t.tot AS BIGINT) AS n_transitions,
+           (SELECT count(*) FROM row_) AS n_states
+    FROM big JOIN row_ USING (a), t
+    GROUP BY t.tot
+"""
+QUERIES["markov_entropy_events"] = markov_entropy_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
