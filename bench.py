@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "readability_docs",
     "allen_relations_events",
     "markov_entropy_events",
+    "hll_error_audit_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -14092,5 +14092,100 @@ ORACLES["markov_entropy_events"] = """
 """
 QUERIES["markov_entropy_events"] = markov_entropy_events
 
+
+def hll_error_audit_events(sf_dir: str):
+    """Sketch-accuracy audit: per event type, the HLL distinct-user
+    ESTIMATE (bias-corrected harmonic mean over the replayable md5
+    registers, small-range correction included) against the exact
+    distinct count, with the relative error — the 'can I trust the
+    sketch at this cardinality' table a pipeline publishes beside its
+    sketches.  Registers and estimator both replay in SQL, so the
+    accuracy claim itself is oracle-checked."""
+    from dedup_ray.stages.sketch import hll_estimate, hll_grouped_registers
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    regs = hll_grouped_registers(ds, "event_type", "user_id") \
+        .to_pandas()  # groups × 256 bounded
+
+    def exact_distinct(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def fold(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        g = df.groupby("event_type").size().reset_index(name="exact")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ex = exchange_group_apply(
+        ds.map_batches(exact_distinct, batch_format="pyarrow"),
+        ["event_type"], fold, 4,
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("user_id", pa.int64())]),
+    ).to_pandas()  # types-bounded
+
+    rows = []
+    for et, sub in regs.groupby("event_type", sort=True):
+        est = hll_estimate(sub[["idx", "rho"]])
+        exact_n = int(ex.set_index("event_type")["exact"].loc[et])
+        rows.append((et, exact_n, round(est, 6),
+                     round((est - exact_n) / exact_n, 6)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "exact": pa.array([r[1] for r in rows], pa.int64()),
+        "est": pa.array([r[2] for r in rows], pa.float64()),
+        "rel_err": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+ORACLES["hll_error_audit_events"] = """
+    WITH h AS (SELECT event_type,
+                      md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events),
+    parts AS (SELECT event_type,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS idx,
+        length(regexp_extract(substr(hx, 3, 13), '^0*')) AS lz,
+        substr(hx,
+               3 + length(regexp_extract(substr(hx, 3, 13), '^0*')),
+               1) AS d0
+      FROM h),
+    r AS (SELECT event_type, idx,
+                 CASE WHEN lz >= 13 THEN 53
+                      ELSE 4 * lz + 1 +
+                           CASE WHEN d0 IN ('8','9','a','b','c','d','e','f')
+                                    THEN 0
+                                WHEN d0 IN ('4','5','6','7') THEN 1
+                                WHEN d0 IN ('2','3') THEN 2
+                                ELSE 3 END
+                 END AS rho
+          FROM parts),
+    regs AS (SELECT event_type, idx, max(rho) AS rho FROM r
+             GROUP BY event_type, idx),
+    agg AS (SELECT event_type, sum(pow(2.0, -rho)) AS stouch,
+                   count(*) AS touched
+            FROM regs GROUP BY event_type),
+    est0 AS (SELECT event_type,
+                    0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0
+                        / (stouch + (256 - touched)) AS e,
+                    256 - touched AS zeros
+             FROM agg),
+    est AS (SELECT event_type,
+                   CASE WHEN e <= 2.5 * 256.0 AND zeros > 0
+                        THEN 256.0 * ln(256.0 / zeros) ELSE e END AS est
+            FROM est0),
+    ex AS (SELECT event_type, count(DISTINCT user_id) AS exact
+           FROM events GROUP BY event_type)
+    SELECT ex.event_type, CAST(ex.exact AS BIGINT) AS exact,
+           round(est.est, 6) AS est,
+           round((est.est - ex.exact) / ex.exact, 6) AS rel_err
+    FROM ex JOIN est USING (event_type)
+"""
+QUERIES["hll_error_audit_events"] = hll_error_audit_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
