@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "allen_relations_events",
     "markov_entropy_events",
     "hll_error_audit_events",
+    "fisher_exact_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

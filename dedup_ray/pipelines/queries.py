@@ -14187,5 +14187,110 @@ ORACLES["hll_error_audit_events"] = """
 """
 QUERIES["hll_error_audit_events"] = hll_error_audit_events
 
+
+def fisher_exact_events(sf_dir: str):
+    """Fisher's exact test on the A/B purchase 2×2 (the small-sample
+    companion of the z-test): hypergeometric tail with the two-sided
+    'as extreme' convention (sum pmf(k) over all k with pmf(k) ≤
+    pmf(observed)·(1+1e-7), the scipy rule) — pmfs via lgamma, the
+    SAME libm both engines link, and the tolerance absorbs the last
+    ulp.  Four integers to the reduce; everything else is closed
+    form."""
+    import math
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = (t["user_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        pos = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": grp, "pos": pos, "n": 1})
+        g = df.groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("c", pa.int64()), ("d", pa.int64()),
+                            ("p_value", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("g", sort=True).sum()
+        if 0 not in df.index or 1 not in df.index:
+            return out_schema.empty_table()
+        a = int(df.loc[0, "pos"])
+        b = int(df.loc[0, "n"]) - a
+        c = int(df.loc[1, "pos"])
+        d = int(df.loc[1, "n"]) - c
+        r1, r2 = a + b, c + d
+        c1 = a + c
+        n = r1 + r2
+        lg = math.lgamma
+
+        def lpmf(k: int) -> float:
+            return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                    + lg(r2 + 1) - lg(c1 - k + 1)
+                    - lg(r2 - c1 + k + 1)
+                    - (lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)))
+
+        kmin, kmax = max(0, c1 - r2), min(r1, c1)
+        p_obs = math.exp(lpmf(a))
+        p = sum(math.exp(lpmf(k)) for k in range(kmin, kmax + 1)
+                if math.exp(lpmf(k)) <= p_obs * (1 + 1e-7))
+        return pa.table({
+            "a": pa.array([a], pa.int64()),
+            "b": pa.array([b], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "p_value": pa.array([round(min(p, 1.0), 6)], pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["g"],
+        reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("g", pa.int64()), ("pos", pa.int64()),
+                                ("n", pa.int64())]),
+    )
+
+
+ORACLES["fisher_exact_events"] = """
+    WITH g AS (SELECT user_id % 2 AS g,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS pos
+               FROM events),
+    s AS (SELECT g, sum(pos) AS x, count(*) AS n FROM g GROUP BY g),
+    w AS (SELECT max(CASE WHEN g = 0 THEN x END) AS a,
+                 max(CASE WHEN g = 0 THEN n END)
+                   - max(CASE WHEN g = 0 THEN x END) AS b,
+                 max(CASE WHEN g = 1 THEN x END) AS c,
+                 max(CASE WHEN g = 1 THEN n END)
+                   - max(CASE WHEN g = 1 THEN x END) AS d
+          FROM s),
+    m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+                 a + b + c + d AS nn
+          FROM w),
+    ks AS (SELECT m.*, k.k FROM m
+           CROSS JOIN range(0, 1000000) k(k)
+           WHERE k.k >= greatest(0, m.c1 - m.r2)
+             AND k.k <= least(m.r1, m.c1)),
+    pmf AS (SELECT k, a,
+                   exp(lgamma(r1 + 1) - lgamma(k + 1)
+                       - lgamma(r1 - k + 1) + lgamma(r2 + 1)
+                       - lgamma(c1 - k + 1) - lgamma(r2 - c1 + k + 1)
+                       - (lgamma(nn + 1) - lgamma(c1 + 1)
+                          - lgamma(nn - c1 + 1))) AS p
+            FROM ks),
+    pobs AS (SELECT p AS po FROM pmf WHERE k = a)
+    SELECT m.a, m.b, m.c, m.d,
+           round(least((SELECT sum(p) FROM pmf, pobs
+                        WHERE p <= po * (1 + 1e-7)), 1.0), 6)
+               AS p_value
+    FROM m
+"""
+QUERIES["fisher_exact_events"] = fisher_exact_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
