@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "markov_entropy_events",
     "hll_error_audit_events",
     "fisher_exact_events",
+    "geomedian_embeddings",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

@@ -108,3 +108,61 @@ def power_iteration(mat: np.ndarray, iters: int = 200,
             return lam_new, w
         lam, v = lam_new, w
     return lam, v
+
+
+def geometric_median(ds, vec_col: str = "embedding", iterations: int = 8,
+                     eps: float = 1e-9):
+    """Weiszfeld geometric median of an embedding column — the robust
+    center a contaminated corpus needs where the mean chases outliers —
+    run a FIXED ``iterations`` rounds from the mean (both engines
+    unroll the same count; convergence is never assumed):
+    ``μ' = Σ(x_i/d_i) / Σ(1/d_i)``, ``d_i = max(‖x_i−μ‖, eps)``.
+
+    Each round is one streaming pass of (d+1)-float partials — the
+    corpus never concentrates anywhere; the driver holds two
+    d-vectors.  Output: ``(dim, value)`` 1-based, 6 dp."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup_ray.stages.embed import _batch_matrix
+
+    ds = ds.materialize()  # 9 passes ride cached blocks, not re-reads
+
+    # round 0: the mean (one pass)
+    def mean_partial(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t[vec_col])
+        return pa.table({
+            "s": pa.array(X.sum(axis=0), pa.float64()),
+            "n": pa.array([float(len(X))] * X.shape[1], pa.float64()),
+        })
+
+    p = ds.map_batches(mean_partial, batch_format="pyarrow").to_pandas()
+    # every block emits exactly `dim` rows; read dim from one row's vec
+    first = _batch_matrix(
+        next(iter(ds.limit(1).iter_batches(
+            batch_size=1, batch_format="pyarrow")))[vec_col])
+    dim = first.shape[1]
+    arr = p["s"].to_numpy().reshape(-1, dim)
+    ns = p["n"].to_numpy().reshape(-1, dim)[:, 0]
+    mu = arr.sum(axis=0) / ns.sum()
+
+    for _ in range(iterations):
+        def witer(t: pa.Table, mu=mu) -> pa.Table:
+            X = _batch_matrix(t[vec_col])
+            d = np.sqrt(((X - mu[None, :]) ** 2).sum(axis=1))
+            d = np.maximum(d, eps)
+            return pa.table({
+                "s": pa.array((X / d[:, None]).sum(axis=0), pa.float64()),
+                "w": pa.array([float((1.0 / d).sum())] * X.shape[1],
+                              pa.float64()),
+            })
+
+        q = ds.map_batches(witer, batch_format="pyarrow").to_pandas()
+        s = q["s"].to_numpy().reshape(-1, dim).sum(axis=0)
+        w = q["w"].to_numpy().reshape(-1, dim)[:, 0].sum()
+        mu = s / w
+
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1), pa.int64()),
+        "value": pa.array(np.round(mu, 6), pa.float64()),
+    })

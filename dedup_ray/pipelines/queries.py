@@ -14292,5 +14292,49 @@ ORACLES["fisher_exact_events"] = """
 """
 QUERIES["fisher_exact_events"] = fisher_exact_events
 
+GEOMED_ITERS = 8
+
+
+def geomedian_embeddings(sf_dir: str):
+    """Weiszfeld geometric median of the embedding cloud
+    (``ops/matrix.py::geometric_median``): the robust center that
+    ignores outlier vectors a mean would chase, run a FIXED 8 rounds
+    from the mean — one (d+1)-float streaming pass per round, two
+    d-vectors on the driver, and the oracle unrolls the identical
+    rounds so convergence is never assumed."""
+    from dedup_ray.ops.matrix import geometric_median
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return geometric_median(ds, iterations=GEOMED_ITERS)
+
+
+def _geomedian_oracle(iters: int = GEOMED_ITERS) -> str:
+    # each round references the previous CTE exactly ONCE (the weight
+    # sum rides the per-dim group — every vec appears once per dim), so
+    # the chain stays linear however the engine inlines CTEs
+    sql = """
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    m0 AS MATERIALIZED (SELECT d, sum(v) / count(*) AS mu
+                        FROM x GROUP BY d)"""
+    for r in range(iters):
+        sql += f""",
+    dist{r} AS MATERIALIZED (
+        SELECT x.vec_id,
+               greatest(sqrt(sum((x.v - m{r}.mu) * (x.v - m{r}.mu))),
+                        1e-9) AS dd
+        FROM x JOIN m{r} USING (d) GROUP BY x.vec_id),
+    m{r + 1} AS MATERIALIZED (
+        SELECT x.d, sum(x.v / dist{r}.dd) / sum(1.0 / dist{r}.dd) AS mu
+        FROM x JOIN dist{r} USING (vec_id) GROUP BY x.d)"""
+    return sql + f"""
+    SELECT d AS dim, round(mu, 6) AS value FROM m{iters}"""
+
+
+ORACLES["geomedian_embeddings"] = _geomedian_oracle()
+QUERIES["geomedian_embeddings"] = geomedian_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
