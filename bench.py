@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "hll_error_audit_events",
     "fisher_exact_events",
     "geomedian_embeddings",
+    "wilson_ci_events",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

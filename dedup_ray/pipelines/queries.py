@@ -14336,5 +14336,82 @@ def _geomedian_oracle(iters: int = GEOMED_ITERS) -> str:
 ORACLES["geomedian_embeddings"] = _geomedian_oracle()
 QUERIES["geomedian_embeddings"] = geomedian_embeddings
 
+WILSON_Z = 1.959964
+
+
+def wilson_ci_events(sf_dir: str):
+    """Wilson score 95%% interval per event type for the even-user
+    share (the interval that behaves at small n and extreme rates,
+    unlike the Wald interval) — the uncertainty column every rate
+    report should carry.  Closed form on two integers per group;
+    identical double expression both engines."""
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        even = (t["user_id"].to_numpy(zero_copy_only=False) % 2 == 0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "x": even, "n": 1})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("p", pa.float64()), ("lo", pa.float64()), ("hi", pa.float64()),
+    ])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby("event_type", sort=True).sum()
+        z = WILSON_Z
+        ets, ns, ps, los, his = [], [], [], [], []
+        for et, row in df.iterrows():
+            n, x = float(row["n"]), float(row["x"])
+            p = x / n
+            denom = 1 + z * z / n
+            center = (p + z * z / (2 * n)) / denom
+            half = (z * np.sqrt(p * (1 - p) / n
+                                + z * z / (4 * n * n))) / denom
+            ets.append(et)
+            ns.append(int(n))
+            ps.append(round(p, 6))
+            los.append(round(center - half, 6))
+            his.append(round(center + half, 6))
+        return pa.table({"event_type": pa.array(ets, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "p": pa.array(ps, pa.float64()),
+                         "lo": pa.array(los, pa.float64()),
+                         "hi": pa.array(his, pa.float64())})
+
+    return exchange_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+        reduce_fn, num_partitions=1,
+        empty_schema=pa.schema([("event_type", pa.string()),
+                                ("x", pa.int64()), ("n", pa.int64())]),
+    )
+
+
+ORACLES["wilson_ci_events"] = f"""
+    WITH s AS (SELECT event_type,
+                      CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                               END) AS DOUBLE) AS x,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY event_type),
+    w AS (SELECT event_type, n, x / n AS p,
+                 {WILSON_Z!r} AS z FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n, round(p, 6) AS p,
+           round((p + z * z / (2 * n)) / (1 + z * z / n)
+                 - (z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                   / (1 + z * z / n), 6) AS lo,
+           round((p + z * z / (2 * n)) / (1 + z * z / n)
+                 + (z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+                   / (1 + z * z / n), 6) AS hi
+    FROM w
+"""
+QUERIES["wilson_ci_events"] = wilson_ci_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}
