@@ -207,3 +207,114 @@ def meta_block_pairs(blocks_ds, entity_col: str = "ent",
         return t.filter(keep)
 
     return weighted.map_batches(prune, batch_format="pyarrow")
+
+
+def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
+                   t1: float = 0.15, t2: float = 0.5,
+                   num_blocks: int = 512, max_rounds: int = 28,
+                   num_partitions: int = 32):
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
+    classic cheap-distance blocking pass that precedes expensive
+    record-linkage comparison (the same role the reference's exact
+    venue/org groupby blocking plays before pair scoring,
+    ``venue_bag.py:11-15`` / ``org_bag.py:14-21``).
+
+    Cheap metric: Jaccard over DISTINCT word-bigram shingles.  Docs are
+    first routed to content blocks (md5 of the doc's LEXICOGRAPHICALLY
+    SMALLEST shingle, mod ``num_blocks`` — near-dups share almost all
+    shingles, so they share the min and land together), then each block
+    runs the greedy canopy loop for a FIXED ``max_rounds`` rounds:
+
+    - round k's center = smallest alive doc id,
+    - every alive doc with ``jac >= t2`` to the center (and the center)
+      leaves the candidate pool,
+    - the canopy's MEMBERS are all block docs with ``jac >= t1``
+      (canopies overlap by design — t1 is loose, t2 tight).
+
+    Docs still alive after ``max_rounds`` emit as ``center_id = -1``
+    (the observable cap, same policy as the LSH bucket caps).
+
+    Distributed shape: one shingle-explode ``map_batches`` pass, ONE
+    exchange keyed on the content block, then per-block vectorized work
+    (bool doc×shingle matmul for the pairwise intersection counts — no
+    per-pair Python).  The greedy loop is inherently sequential, so the
+    parallel unit is the block (Mahout's MapReduce canopy makes the
+    same per-partition trade); per-block cost is O(B² · shingles),
+    bounded because blocks are hash-split ``num_blocks`` ways.
+
+    Returns ``(blk, center_id, doc_id, jac)``; ``jac`` rounded 6dp.
+    """
+    import hashlib
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id, out_blk, out_sh = [], [], []
+        for did, tx in zip(ids.tolist(), texts):
+            toks = [w for w in (tx or "").split(" ") if w]
+            if len(toks) >= 2:
+                shs = sorted({f"{a} {b}" for a, b in zip(toks, toks[1:])})
+            else:
+                shs = [str(did)]
+            blk = int(hashlib.md5(shs[0].encode()).hexdigest()[:8], 16) \
+                % num_blocks
+            out_id.extend([did] * len(shs))
+            out_blk.extend([blk] * len(shs))
+            out_sh.extend(shs)
+        return pa.table({"blk": pa.array(out_blk, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "sh": pa.array(out_sh, pa.string())})
+
+    out_schema = pa.schema([("blk", pa.int64()), ("center_id", pa.int64()),
+                            (id_col, pa.int64()), ("jac", pa.float64())])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        rows_blk, rows_c, rows_d, rows_j = [], [], [], []
+        for blk, g in df.groupby("blk", sort=True):
+            dids, dinv = np.unique(g[id_col].to_numpy(), return_inverse=True)
+            shs, sinv = np.unique(g["sh"].to_numpy(), return_inverse=True)
+            a = np.zeros((len(dids), len(shs)), dtype=np.float32)
+            a[dinv, sinv] = 1.0
+            inter = (a @ a.T).astype(np.float64)  # exact int counts < 2^24
+            nt = inter.diagonal().copy()
+            union = nt[:, None] + nt[None, :] - inter
+            jac = inter / union
+            alive = np.ones(len(dids), dtype=bool)
+            for _ in range(max_rounds):
+                if not alive.any():
+                    break
+                ci = int(np.flatnonzero(alive)[0])  # min doc id alive
+                members = np.flatnonzero(jac[ci] >= t1)
+                members = members[members != ci]
+                rows_blk.append(blk)
+                rows_c.append(int(dids[ci]))
+                rows_d.append(int(dids[ci]))
+                rows_j.append(1.0)
+                for mi in members.tolist():
+                    rows_blk.append(blk)
+                    rows_c.append(int(dids[ci]))
+                    rows_d.append(int(dids[mi]))
+                    rows_j.append(float(np.round(jac[ci, mi], 6)))
+                alive[ci] = False
+                alive &= ~(jac[ci] >= t2)
+            for li in np.flatnonzero(alive).tolist():
+                rows_blk.append(blk)
+                rows_c.append(-1)
+                rows_d.append(int(dids[li]))
+                rows_j.append(0.0)
+        return pa.table({"blk": pa.array(rows_blk, pa.int64()),
+                         "center_id": pa.array(rows_c, pa.int64()),
+                         id_col: pa.array(rows_d, pa.int64()),
+                         "jac": pa.array(rows_j, pa.float64())})
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    return exchange_group_apply(
+        exploded, ["blk"], per_block, num_partitions,
+        empty_schema=pa.schema([("blk", pa.int64()), (id_col, pa.int64()),
+                                ("sh", pa.string())]),
+    )

@@ -14413,5 +14413,88 @@ ORACLES["wilson_ci_events"] = f"""
 """
 QUERIES["wilson_ci_events"] = wilson_ci_events
 
+CANOPY_T1, CANOPY_T2 = 0.15, 0.5
+CANOPY_BLOCKS, CANOPY_ROUNDS = 512, 28
+
+
+def canopy_docs(sf_dir: str):
+    """Canopy clustering (McCallum et al. 2000;
+    ``ops/linkage.py::canopy_cluster``): the cheap-distance blocking
+    pass of classical record linkage — docs route to content blocks by
+    the md5 of their smallest word-bigram shingle (near-dups share it),
+    each block runs the greedy loop a FIXED 28 rounds (loose t1=0.15
+    membership, tight t2=0.5 removal), leftovers flag as center -1.
+    One explode pass + one exchange; per-block pairwise Jaccard is a
+    bool doc×shingle matmul, never per-pair Python."""
+    from dedup_ray.ops.linkage import canopy_cluster
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return canopy_cluster(ds, t1=CANOPY_T1, t2=CANOPY_T2,
+                          num_blocks=CANOPY_BLOCKS,
+                          max_rounds=CANOPY_ROUNDS)
+
+
+def _canopy_oracle() -> str:
+    t1, t2, nb, k_rounds = CANOPY_T1, CANOPY_T2, CANOPY_BLOCKS, CANOPY_ROUNDS
+    sql = f"""
+    WITH tt AS MATERIALIZED (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+    g0 AS MATERIALIZED (SELECT doc_id,
+            unnest(CASE WHEN len(toks) >= 2
+                   THEN list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [CAST(doc_id AS VARCHAR)] END) AS sh
+        FROM tt),
+    gd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM g0),
+    b AS MATERIALIZED (SELECT doc_id,
+            CAST(('0x' || substr(md5(min(sh)), 1, 8)) AS BIGINT)
+                % {nb} AS blk
+        FROM gd GROUP BY doc_id),
+    g AS MATERIALIZED (SELECT gd.doc_id, b.blk, gd.sh
+        FROM gd JOIN b ON b.doc_id = gd.doc_id),
+    n AS MATERIALIZED (SELECT doc_id, count(*) AS nt FROM g
+        GROUP BY doc_id),
+    p AS MATERIALIZED (
+        SELECT a.blk AS blk, a.doc_id AS i, bb.doc_id AS j,
+               count(*) * 1.0 / (na.nt + nb2.nt - count(*)) AS jac
+        FROM g a JOIN g bb ON a.sh = bb.sh AND a.blk = bb.blk
+                          AND a.doc_id < bb.doc_id
+        JOIN n na ON na.doc_id = a.doc_id
+        JOIN n nb2 ON nb2.doc_id = bb.doc_id
+        GROUP BY a.blk, a.doc_id, bb.doc_id, na.nt, nb2.nt),
+    alive0 AS MATERIALIZED (SELECT doc_id, blk FROM b)"""
+    for k in range(k_rounds):
+        sql += f""",
+    c{k} AS MATERIALIZED (SELECT blk, min(doc_id) AS c FROM alive{k}
+        GROUP BY blk),
+    alive{k + 1} AS MATERIALIZED (
+        SELECT a.doc_id, a.blk FROM alive{k} a JOIN c{k} USING (blk)
+        WHERE a.doc_id <> c{k}.c AND NOT EXISTS (
+            SELECT 1 FROM p WHERE p.blk = a.blk
+              AND ((p.i = c{k}.c AND p.j = a.doc_id)
+                OR (p.j = c{k}.c AND p.i = a.doc_id))
+              AND p.jac >= {t2!r}))"""
+    centers = " UNION ALL ".join(
+        f"SELECT blk, c FROM c{k}" for k in range(k_rounds))
+    return sql + f""",
+    centers AS MATERIALIZED ({centers})
+    SELECT ctr.blk AS blk, ctr.c AS center_id, m.doc_id AS doc_id,
+           round(CASE WHEN m.doc_id = ctr.c THEN 1.0 ELSE pp.jac END, 6)
+               AS jac
+    FROM centers ctr
+    JOIN b m ON m.blk = ctr.blk
+    LEFT JOIN p pp ON pp.blk = ctr.blk
+      AND ((pp.i = ctr.c AND pp.j = m.doc_id)
+        OR (pp.j = ctr.c AND pp.i = m.doc_id))
+    WHERE m.doc_id = ctr.c OR pp.jac >= {t1!r}
+    UNION ALL
+    SELECT blk, -1 AS center_id, doc_id, 0.0 AS jac FROM alive{k_rounds}
+"""
+
+
+ORACLES["canopy_docs"] = _canopy_oracle()
+QUERIES["canopy_docs"] = canopy_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -1,0 +1,78 @@
+"""Ninth-sitting operators: canopy blocking and friends."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from dedup_ray.ops.linkage import canopy_cluster
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "keen red hen pecks near the old barn door today")
+
+
+def test_canopy_planted_dups_share_canopy():
+    near = BASE.replace("today", "tonight")
+    other = ("completely different subject matter entirely about "
+             "ships sails harbors tides storms anchors ropes decks")
+    ds = _docs([(0, BASE), (1, near), (2, other)])
+    out = canopy_cluster(ds, num_blocks=8, max_rounds=4,
+                         num_partitions=2).to_pandas()
+    # 0 and 1 share their min bigram -> same block; jac >> t2 so one
+    # canopy centered at 0 holds both; 2 is its own singleton canopy
+    c01 = out[(out.doc_id.isin([0, 1])) & (out.center_id == 0)]
+    assert set(c01.doc_id) == {0, 1}
+    assert (out[out.doc_id == 2].center_id == 2).all()
+    assert not (out.center_id == -1).any()
+
+
+def test_canopy_t1_membership_overlaps_without_t2_removal():
+    # b shares ~half its shingles with a (>= t1, < t2): member of a's
+    # canopy AND still alive to found its own
+    half = BASE + " entirely new trailing words follow here making " \
+                  "shared fraction moderate not high for this pair"
+    ds = _docs([(0, BASE), (1, half)])
+    out = canopy_cluster(ds, t1=0.2, t2=0.9, num_blocks=4,
+                         max_rounds=4, num_partitions=2).to_pandas()
+    assert len(out[(out.center_id == 0) & (out.doc_id == 1)]) == 1
+    assert len(out[(out.center_id == 1) & (out.doc_id == 1)]) == 1
+
+
+def test_canopy_round_cap_flags_leftovers():
+    texts = [(i, f"unique{i} token{i} stream{i} alpha{i} beta{i}")
+             for i in range(6)]
+    ds = _docs(texts)
+    out = canopy_cluster(ds, num_blocks=1, max_rounds=2,
+                         num_partitions=1).to_pandas()
+    # 6 mutually-dissimilar docs, one block, 2 rounds -> 2 singleton
+    # canopies + 4 capped leftovers, deterministically the smallest ids
+    assert sorted(out[out.center_id >= 0].doc_id) == [0, 1]
+    left = out[out.center_id == -1]
+    assert sorted(left.doc_id) == [2, 3, 4, 5]
+    assert (left.jac == 0.0).all()
+
+
+def test_canopy_empty_corpus():
+    ds = _docs([])
+    out = canopy_cluster(ds, num_partitions=2)
+    # Ray's to_pandas drops columns at 0 rows; the Dataset schema is
+    # the downstream contract (house convention, see test_semdedup)
+    assert out.schema().names == ["blk", "center_id", "doc_id", "jac"]
+    assert out.count() == 0
+
+
+def test_canopy_single_token_docs_get_sentinel_shingle():
+    ds = _docs([(7, "solo"), (8, "")])
+    out = canopy_cluster(ds, num_partitions=2).to_pandas()
+    # sentinel shingle = str(doc_id): unique per doc -> two singletons
+    assert sorted(out.doc_id) == [7, 8]
+    assert (out.center_id == out.doc_id).all()
