@@ -14496,5 +14496,53 @@ def _canopy_oracle() -> str:
 ORACLES["canopy_docs"] = _canopy_oracle()
 QUERIES["canopy_docs"] = canopy_docs
 
+
+def kneser_ney_docs(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM score per doc
+    (``stages/selection.py::kneser_ney_score``, Kneser & Ney 1995) —
+    the smoothing the CCNet/KenLM perplexity-filter recipe ships, next
+    to ``bigram_backoff_docs``'s stupid-backoff: discounted bigram mass
+    interpolated with the CONTINUATION unigram (how many contexts a
+    word completes, not how often it occurs).  Counts are
+    co-partitioned joins (no broadcast vocab); one scalar — the
+    bigram-type count N1+(··) — reaches the driver."""
+    from dedup_ray.stages.selection import kneser_ney_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return kneser_ney_score(ds)
+
+
+ORACLES["kneser_ney_docs"] = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS w,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM d),
+    big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    c2 AS (SELECT w1 || chr(31) || w2 AS k12, count(*)::BIGINT AS c2
+           FROM big GROUP BY w1 || chr(31) || w2),
+    ctx AS (SELECT w1, count(*)::BIGINT AS c1v,
+                   count(DISTINCT w2)::BIGINT AS n1v
+            FROM big GROUP BY w1),
+    cont AS (SELECT w2, count(DISTINCT w1)::BIGINT AS n1w
+             FROM big GROUP BY w2),
+    bt AS (SELECT count(*)::DOUBLE AS b FROM c2),
+    sc AS (SELECT big.doc_id,
+                  ln((c2.c2 - 0.75) / CAST(ctx.c1v AS DOUBLE)
+                     + 0.75 * ctx.n1v / CAST(ctx.c1v AS DOUBLE)
+                       * (cont.n1w / bt.b)) AS s
+           FROM big
+           JOIN c2 ON c2.k12 = big.w1 || chr(31) || big.w2
+           JOIN ctx ON ctx.w1 = big.w1
+           JOIN cont ON cont.w2 = big.w2, bt),
+    per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(sum(s) / count(*), 6) AS kn_lp
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams, per.kn_lp
+    FROM d LEFT JOIN per USING (doc_id)
+"""
+QUERIES["kneser_ney_docs"] = kneser_ney_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

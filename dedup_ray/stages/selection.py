@@ -310,6 +310,167 @@ def bigram_backoff_score(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+
+def kneser_ney_score(ds, id_col: str = "doc_id", text_col: str = "text",
+                     discount: float = 0.75, num_partitions: int = 16):
+    """Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    Ney 1995; Chen & Goodman 1998's interpolated form) — the smoothing
+    the CCNet/KenLM perplexity-filter recipe actually ships, next to
+    :func:`bigram_backoff_score`'s cruder stupid-backoff:
+
+        P(w|v) = max(c(vw) - D, 0) / c(v·)
+               + D · N1+(v·) / c(v·) · ( N1+(·w) / N1+(··) )
+
+    where c(v·) is v's bigram-context count, N1+(v·) its distinct-
+    successor count, N1+(·w) the CONTINUATION count (how many contexts
+    w completes — the famous "San Francisco" correction: frequent but
+    context-locked words get small continuation mass), and N1+(··) the
+    total bigram-type count.  The corpus scores itself, so every in-doc
+    bigram has c(vw) >= 1 > D and the max() never clips.
+
+    Distributed shape mirrors :func:`bigram_backoff_score` — counts are
+    co-partitioned joins, never a broadcast vocab (web-scale vocab is
+    unbounded): one text pass emits bigram rows; c(vw) groups on the
+    packed key, (c(v·), N1+(v·)) group on w1, N1+(·w) groups on w2
+    (Arrow count_distinct inside the partition — every w1 lands whole);
+    three ``exchange_join`` hops attach them; the per-doc Σ ln P
+    partial rides the last join's reduce.  Exactly ONE scalar (the
+    bigram-type count N1+(··)) reaches the driver.  Docs with < 2
+    tokens emit ``n_bigrams = 0`` and a null score.
+
+    Output: ``(id_col, n_bigrams, kn_lp)``, ``kn_lp`` = mean ln P
+    rounded 6dp.
+    """
+    from dedup_ray.util.exchange import exchange_join, exchange_group_apply
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_id, w1s, w2s = [], [], []
+        for i, txt in enumerate(texts):
+            ws = (txt or "").split(" ")
+            if len(ws) < 2:
+                continue
+            out_id.extend([ids[i]] * (len(ws) - 1))
+            w1s.extend(ws[:-1])
+            w2s.extend(ws[1:])
+        w1a = pa.array(w1s, pa.string())
+        w2a = pa.array(w2s, pa.string())
+        k12 = pc.binary_join_element_wise(w1a, w2a, "\x1f")
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "w1": w1a, "w2": w2a, "k12": k12,
+        })
+
+    big = ds.map_batches(bigrams, batch_format="pyarrow").materialize()
+
+    def rn(cols):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return f
+
+    c2 = big.groupby("k12").count().map_batches(
+        rn(["k12", "c2"]), batch_format="pyarrow").materialize()
+    n_bigram_types = c2.count()  # N1+(··) — the one driver scalar
+
+    def ctx_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("w1").aggregate([("k12", "count"),
+                                        ("w2", "count_distinct")])
+        return g.rename_columns(["w1", "c1v", "n1v"])
+
+    ctx = exchange_group_apply(
+        big.select_columns(["w1", "w2", "k12"]), ["w1"], ctx_agg,
+        num_partitions,
+        empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                                ("k12", pa.string())]),
+    )
+
+    def cont_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("w2").aggregate([("w1", "count_distinct")])
+        return g.rename_columns(["w2", "n1w"])
+
+    cont = exchange_group_apply(
+        big.select_columns(["w1", "w2"]), ["w2"], cont_agg,
+        num_partitions,
+        empty_schema=pa.schema([("w1", pa.string()), ("w2", pa.string())]),
+    )
+
+    j1 = exchange_join(
+        big, c2, on="k12", how="inner", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+            ("k12", pa.string()), ("c2", pa.int64()),
+        ]),
+        return_refs=True,
+    )
+    j2 = exchange_join(
+        j1, ctx, on="w1", how="inner", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("w2", pa.string()), ("k12", pa.string()),
+            ("c2", pa.int64()), ("c1v", pa.int64()), ("n1v", pa.int64()),
+        ]),
+        return_refs=True,
+    )
+
+    D = discount
+    B = float(n_bigram_types) if n_bigram_types else 1.0
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        c2v = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1v = t["c1v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1v = t["n1v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1w = t["n1w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # association mirrors the SQL twin token-for-token
+        s = np.log((c2v - D) / c1v + D * n1v / c1v * (n1w / B))
+        g = pa.table({id_col: t[id_col], "s": pa.array(s, pa.float64())})
+        agg = g.group_by(id_col).aggregate([("s", "sum"), ("s", "count")])
+        return agg.rename_columns([id_col, "s", "n"])
+
+    j3 = exchange_join(
+        j2, cont, on="w2", how="inner", num_partitions=num_partitions,
+        empty_schema=pa.schema([
+            (id_col, pa.int64()), ("s", pa.float64()), ("n", pa.int64()),
+        ]),
+        post=score_partial,
+        return_refs=True,
+    )
+
+    def finish(lf: pa.Table, rf: pa.Table) -> pa.Table:
+        ids = lf[id_col] if id_col in lf.column_names \
+            else pa.array([], pa.int64())
+        left = pa.table({id_col: ids})
+        if "s" not in rf.column_names:
+            rf = pa.table({id_col: pa.array([], pa.int64()),
+                           "s": pa.array([], pa.float64()),
+                           "n": pa.array([], pa.int64())})
+        part = rf.group_by(id_col).aggregate([("s", "sum"), ("n", "sum")])
+        part = part.rename_columns([id_col, "s", "n"])
+        j = left.join(part, keys=id_col, join_type="left outer")
+        n = j["n"].to_numpy(zero_copy_only=False)
+        s = j["s"].to_numpy(zero_copy_only=False)
+        nn = np.nan_to_num(n.astype(np.float64), nan=0.0)
+        lp = np.where(nn > 0, np.round(s / np.maximum(nn, 1.0), 6), np.nan)
+        return pa.table({
+            id_col: j[id_col],
+            "n_bigrams": pa.array(nn.astype(np.int64)),
+            "kn_lp": pa.array(
+                [None if not (x == x) else float(x) for x in lp],
+                pa.float64()),
+        })
+
+    from dedup_ray.util.exchange import hash_exchange
+
+    doc_ids = ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    return hash_exchange(
+        [doc_ids, j3], [id_col, id_col], finish,
+        num_partitions=num_partitions,
+    )
+
 def kcenter_select(ds, k: int = 8, id_col: str = "vec_id",
                    vec_col: str = "embedding"):
     """Greedy k-center / farthest-point coreset selection (Gonzalez 1985;

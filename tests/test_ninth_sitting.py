@@ -76,3 +76,36 @@ def test_canopy_single_token_docs_get_sentinel_shingle():
     # sentinel shingle = str(doc_id): unique per doc -> two singletons
     assert sorted(out.doc_id) == [7, 8]
     assert (out.center_id == out.doc_id).all()
+
+
+def test_kneser_ney_continuation_correction():
+    from dedup_ray.stages.selection import kneser_ney_score
+
+    # 'x' follows many contexts; 'y' is frequent but context-locked
+    # (only ever after 'k'). Docs probing p(x|q) vs p(y|q) — both
+    # unseen-ish continuations of q, same bigram count: the KN
+    # continuation term must favor x.
+    corpus = [
+        (0, "a x b x c x d x"),
+        (1, "k y k y k y k y"),
+        (2, "q x"),
+        (3, "q y"),
+        (4, "solo"),
+    ]
+    ds = _docs(corpus)
+    out = kneser_ney_score(ds, num_partitions=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[4, "n_bigrams"] == 0
+    assert np.isnan(out.loc[4, "kn_lp"])
+    assert out.loc[2, "kn_lp"] > out.loc[3, "kn_lp"]
+
+
+def test_kneser_ney_repeated_bigram_scores_higher():
+    from dedup_ray.stages.selection import kneser_ney_score
+
+    corpus = [(0, "a b a b a b"), (1, "c d e f g h")]
+    ds = _docs(corpus)
+    out = kneser_ney_score(ds, num_partitions=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "kn_lp"] > out.loc[1, "kn_lp"]
+    assert out.loc[0, "n_bigrams"] == 5
