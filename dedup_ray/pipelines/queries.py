@@ -14544,5 +14544,84 @@ ORACLES["kneser_ney_docs"] = """
 """
 QUERIES["kneser_ney_docs"] = kneser_ney_docs
 
+PLSA_ROUNDS = 2
+
+
+def plsa_topics_docs(sf_dir: str):
+    """PLSA topic decomposition (Hofmann 1999;
+    ``stages/topics.py::plsa_topics``): P(z|d) posteriors for k=3
+    topics after a FIXED 2 EM rounds — md5-seeded deterministic init,
+    broadcast topic-word model per round, doc-topic posteriors
+    recomputed per pass from the model history (no doc-keyed exchange
+    at all).  The oracle unrolls both rounds plus the final E-step as
+    pivoted CTEs with the identical left-associated 3-term sums."""
+    from dedup_ray.stages.topics import plsa_topics
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out, _model = plsa_topics(ds, k=3, rounds=PLSA_ROUNDS)
+    return out
+
+
+def _plsa_oracle(rounds: int = PLSA_ROUNDS) -> str:
+    def md5u(z: int) -> str:
+        return ("1.0 + CAST(('0x' || substr(md5('plsa:" + str(z)
+                + ":' || w), 1, 8)) AS BIGINT) / 4294967296.0")
+
+    sql = f"""
+    WITH toks AS MATERIALIZED (SELECT doc_id,
+            unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '')) AS w
+        FROM documents),
+    dw AS MATERIALIZED (SELECT doc_id, w, count(*)::DOUBLE AS c
+        FROM toks GROUP BY doc_id, w),
+    cd AS MATERIALIZED (SELECT doc_id, sum(c) AS cd FROM dw
+        GROUP BY doc_id),
+    vs AS MATERIALIZED (SELECT DISTINCT w FROM dw),
+    u AS MATERIALIZED (SELECT w, {md5u(0)} AS a0, {md5u(1)} AS a1,
+            {md5u(2)} AS a2
+        FROM vs),
+    tz0 AS (SELECT sum(a0) AS t0, sum(a1) AS t1, sum(a2) AS t2 FROM u),
+    pwz0 AS MATERIALIZED (SELECT w, a0 / t0 AS q0, a1 / t1 AS q1,
+            a2 / t2 AS q2
+        FROM u, tz0),
+    pzd0 AS MATERIALIZED (SELECT doc_id, 1.0 / 3.0 AS p0,
+            1.0 / 3.0 AS p1, 1.0 / 3.0 AS p2
+        FROM cd)"""
+    for r in range(rounds):
+        sql += f""",
+    g{r} AS MATERIALIZED (SELECT dw.doc_id, dw.w, dw.c,
+            z.p0 * x.q0 AS n0, z.p1 * x.q1 AS n1, z.p2 * x.q2 AS n2,
+            z.p0 * x.q0 + z.p1 * x.q1 + z.p2 * x.q2 AS den
+        FROM dw JOIN pzd{r} z USING (doc_id) JOIN pwz{r} x USING (w)),
+    mw{r} AS MATERIALIZED (SELECT w, sum(c * n0 / den) AS s0,
+            sum(c * n1 / den) AS s1, sum(c * n2 / den) AS s2
+        FROM g{r} GROUP BY w),
+    mz{r} AS (SELECT sum(s0) AS t0, sum(s1) AS t1, sum(s2) AS t2
+        FROM mw{r}),
+    pwz{r + 1} AS MATERIALIZED (SELECT w, s0 / t0 AS q0, s1 / t1 AS q1,
+            s2 / t2 AS q2
+        FROM mw{r}, mz{r}),
+    pzd{r + 1} AS MATERIALIZED (SELECT g.doc_id,
+            sum(c * n0 / den) / any_value(cd.cd) AS p0,
+            sum(c * n1 / den) / any_value(cd.cd) AS p1,
+            sum(c * n2 / den) / any_value(cd.cd) AS p2
+        FROM g{r} g JOIN cd USING (doc_id) GROUP BY g.doc_id)"""
+    r = rounds
+    return sql + f""",
+    gf AS (SELECT dw.doc_id, dw.c,
+            z.p0 * x.q0 AS n0, z.p1 * x.q1 AS n1, z.p2 * x.q2 AS n2,
+            z.p0 * x.q0 + z.p1 * x.q1 + z.p2 * x.q2 AS den
+        FROM dw JOIN pzd{r} z USING (doc_id) JOIN pwz{r} x USING (w))
+    SELECT gf.doc_id AS doc_id,
+           round(sum(c * n0 / den) / any_value(cd.cd), 6) AS pz0,
+           round(sum(c * n1 / den) / any_value(cd.cd), 6) AS pz1,
+           round(sum(c * n2 / den) / any_value(cd.cd), 6) AS pz2
+    FROM gf JOIN cd USING (doc_id) GROUP BY gf.doc_id
+"""
+
+
+ORACLES["plsa_topics_docs"] = _plsa_oracle()
+QUERIES["plsa_topics_docs"] = plsa_topics_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

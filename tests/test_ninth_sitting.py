@@ -109,3 +109,25 @@ def test_kneser_ney_repeated_bigram_scores_higher():
         .set_index("doc_id")
     assert out.loc[0, "kn_lp"] > out.loc[1, "kn_lp"]
     assert out.loc[0, "n_bigrams"] == 5
+
+
+def test_plsa_two_vocab_corpus_separates_topics():
+    from dedup_ray.stages.topics import plsa_topics
+
+    a = "alpha beta gamma delta alpha beta gamma delta"
+    b = "omega sigma tau rho omega sigma tau rho"
+    ds = _docs([(i, a) for i in range(5)]
+               + [(i + 5, b) for i in range(5)]
+               + [(10, "")])
+    out, (vocab, model) = plsa_topics(ds, k=3, rounds=2)
+    df = out.to_pandas().set_index("doc_id")
+    # zero-token doc is excluded; posteriors sum to 1
+    assert 10 not in df.index and len(df) == 10
+    sums = df[["pz0", "pz1", "pz2"]].sum(axis=1)
+    assert np.allclose(sums, 1.0, atol=1e-4)
+    # all A-docs agree on an argmax topic, all B-docs on a different one
+    am = df[["pz0", "pz1", "pz2"]].to_numpy().argmax(axis=1)
+    assert len(set(am[:5])) == 1 and len(set(am[5:])) == 1
+    assert am[0] != am[5]
+    assert model.shape == (len(vocab), 3)
+    assert np.allclose(model.sum(axis=0), 1.0)
