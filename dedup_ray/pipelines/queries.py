@@ -14623,5 +14623,50 @@ def _plsa_oracle(rounds: int = PLSA_ROUNDS) -> str:
 ORACLES["plsa_topics_docs"] = _plsa_oracle()
 QUERIES["plsa_topics_docs"] = plsa_topics_docs
 
+HARDNEG_ANCHORS = 32
+
+
+def hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining (``stages/ann.py::hard_negatives``): for
+    each of the first 32 vectors (the "training batch" of anchors), the
+    most-cosine-similar corpus vector with a DIFFERENT label — the
+    contrastive-training staple (ANCE-style corpus-level negatives).
+    Anchor set broadcasts once; the corpus streams through a vectorized
+    masked-argmax champion pass; ties resolve (cos 6dp DESC, id ASC)."""
+    from dedup_ray.stages.ann import hard_negatives
+
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"])
+    adf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"],
+                                       pa.scalar(HARDNEG_ANCHORS))),
+            batch_format="pyarrow")
+        .to_pandas().sort_values("vec_id")
+    )
+    avecs = np.asarray([list(v) for v in adf["embedding"]],
+                       dtype=np.float64)
+    return hard_negatives(emb, adf["vec_id"].tolist(), avecs,
+                          adf["label"].tolist())
+
+
+ORACLES["hard_negatives_embeddings"] = f"""
+    SELECT vec_id, neg_id, cos_sim FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                       b.vec_id) AS rk
+        FROM embeddings a JOIN embeddings b ON b.label <> a.label
+        WHERE a.vec_id < {HARDNEG_ANCHORS})
+    WHERE rk = 1
+"""
+QUERIES["hard_negatives_embeddings"] = hard_negatives_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

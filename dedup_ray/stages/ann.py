@@ -464,3 +464,67 @@ def scalar_quantize_codes(ds, id_col: str = "vec_id",
         })
 
     return ds.map_batches(codes, batch_format="pyarrow")
+
+
+def hard_negatives(
+    embeddings_ds,
+    anchor_ids: list,
+    anchor_vecs: np.ndarray,
+    anchor_labels: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Hard-negative mining for contrastive training: for each anchor,
+    the single most-cosine-similar corpus vector carrying a DIFFERENT
+    label (the "hardest" negative — highest-similarity wrong-class
+    example; the standard in-batch-negatives upgrade, cf. Xiong et al.
+    2021 ANCE's corpus-level negatives).
+
+    Same streaming champion shape as :func:`knn_cosine` — the bounded
+    ANCHOR set broadcasts once (hard negatives are mined per training
+    batch, never all-vs-all), the corpus streams through a per-batch
+    vectorized masked-argmax partial, and the global winner is one
+    bounded ``groupby(anchor)`` reduce.  Ties resolve by (cos_sim
+    rounded 6dp DESC, neighbor id ASC), the catalog's deterministic
+    ANN convention.
+
+    Returns Dataset ``(id_col, neg_id, cos_sim)``.
+    """
+    import ray
+
+    q = _normalize(np.asarray(anchor_vecs, dtype=np.float64))
+    alab = np.asarray(anchor_labels)
+    ref = ray.put((list(anchor_ids), alab, q))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aids, albl, qm = ray.get(ref)
+        emb = _normalize(_batch_embeddings(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        lbl = np.asarray(batch[label_col].to_pylist())
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "neg_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        sims = np.round(qm @ emb.T, 6)           # (anchors, batch)
+        mask = albl[:, None] != lbl[None, :]     # different label only
+        sims = np.where(mask, sims, -np.inf)
+        best = sims.max(axis=1)
+        has = np.isfinite(best)
+        # min neighbor id among the rounded-cosine champions
+        nid = np.where(sims == best[:, None], ids[None, :],
+                       np.iinfo(np.int64).max).min(axis=1)
+        out_a = np.asarray(aids, dtype=np.int64)[has]
+        return pa.table({id_col: pa.array(out_a, pa.int64()),
+                         "neg_id": pa.array(nid[has], pa.int64()),
+                         "cos_sim": pa.array(best[has], pa.float64())})
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["cos_sim", "neg_id"], ascending=[False, True]).head(1)
+
+    return as_arrow(
+        partials.groupby(id_col).map_groups(final, batch_format="pandas")
+    )

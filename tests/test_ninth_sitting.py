@@ -131,3 +131,38 @@ def test_plsa_two_vocab_corpus_separates_topics():
     assert am[0] != am[5]
     assert model.shape == (len(vocab), 3)
     assert np.allclose(model.sum(axis=0), 1.0)
+
+
+def test_hard_negatives_picks_best_wrong_label():
+    from dedup_ray.stages.ann import hard_negatives
+
+    # anchor 0 (label 0): id 1 is nearly parallel but SAME label
+    # (excluded); id 2 is the best different-label vector; id 3 ortho.
+    vecs = {0: [1.0, 0.0], 1: [0.99, 0.01], 2: [0.9, 0.1],
+            3: [0.0, 1.0]}
+    labels = {0: 0, 1: 0, 2: 1, 3: 1}
+    tbl = pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([labels[i] for i in vecs], pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = hard_negatives(ds, [0], np.array([vecs[0]]), [0]).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["neg_id"] == 2
+    assert out.iloc[0]["cos_sim"] > 0.99  # cos(0,2) ~ 0.9938
+
+
+def test_hard_negatives_tie_breaks_to_smaller_id():
+    from dedup_ray.stages.ann import hard_negatives
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 5, 4], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1], pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = hard_negatives(ds, [0], np.array([[1.0, 0.0]]), [0]).to_pandas()
+    assert out.iloc[0]["neg_id"] == 4
