@@ -256,3 +256,151 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
         return agg.rename_columns([id_col, "n_matches", "first_pos"])
 
     return exchange_group_apply(posts, id_col, match, num_partitions)
+
+
+def wand_topk(docs_ds, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              stats_out: dict | None = None):
+    """WAND-style max-score pruned BM25 top-k (Broder et al., CIKM 2003
+    adapted to batch streaming): returns EXACTLY :func:`bm25_topk`'s
+    result, but most documents never reach the per-term tf scoring
+    loop.
+
+    Per-term upper bound: ``score_t < idf(t)·(k1+1)`` (tf-saturation
+    limit), so ``score(doc) ≤ UB(doc) = Σ_{t∈doc} idf(t)·(k1+1)`` — a
+    presence-mask dot product, far cheaper than tf counting.
+
+    Distributed two-phase analog of WAND's moving threshold:
+
+    1. **Seed pass**: each batch exact-scores only its top-k docs BY
+       UB; the k-th best rounded score across these seeds is a valid
+       LOWER bound θ on the final k-th score (the seeds are real
+       scores, and the true top-k can only beat them).
+    2. **Pruned pass**: every doc with ``UB < θ − 1e-6`` is provably
+       outside the rounded top-k (score ≤ UB, ranking uses 6dp
+       rounding, the margin covers the rounding slack) and is skipped
+       before tf counting; survivors score exactly, batch-local top-k,
+       one bounded final sort.
+
+    ``stats_out`` (optional dict) receives ``theta`` / ``total`` /
+    ``scored`` so callers can observe the pruned fraction.
+    """
+    import ray
+
+    terms = sorted(set(query_terms))
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(t[text_col], pa.scalar("", t[text_col].type)), " "
+        )
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = {"n_docs": [int(t.num_rows)], "total_len": [int(dl.sum())]}
+        flat = toks.combine_chunks()
+        parents = pc.list_parent_indices(flat).to_numpy(
+            zero_copy_only=False)
+        vals = pc.list_flatten(flat)
+        for term in terms:
+            mask = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            rows[f"df:{term}"] = [int(len(np.unique(parents[mask])))]
+        return pa.table(rows)
+
+    part = docs_ds.map_batches(stats, batch_format="pyarrow")
+    totals = {name: 0 for name in ["n_docs", "total_len"]
+              + [f"df:{t}" for t in terms]}
+    for batch in part.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for name in totals:
+            totals[name] += int(pc.sum(batch[name]).as_py() or 0)
+    n_docs = max(1, totals["n_docs"])
+    avgdl = max(1e-9, totals["total_len"] / n_docs)
+    idf = {
+        t: float(np.log(1.0 + (n_docs - totals[f"df:{t}"] + 0.5)
+                        / (totals[f"df:{t}"] + 0.5)))
+        for t in terms
+    }
+    consts = ray.put((idf, avgdl, k1, b))
+
+    def _tok(t: pa.Table):
+        toks = pc.split_pattern(
+            pc.coalesce(t[text_col], pa.scalar("", t[text_col].type)), " "
+        ).combine_chunks()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        vals = pc.list_flatten(toks)
+        return dl, parents, vals
+
+    def _ub(t: pa.Table, idf_, k1_):
+        _, parents, vals = _tok(t)
+        ub = np.zeros(t.num_rows, np.float64)
+        for term, w in idf_.items():
+            mask = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            present = np.zeros(t.num_rows, bool)
+            present[np.unique(parents[mask])] = True
+            ub += np.where(present, w * (k1_ + 1.0), 0.0)
+        return ub
+
+    def _exact(t: pa.Table, rows: np.ndarray, idf_, avgdl_, k1_, b_):
+        sub = t.take(pa.array(rows))
+        dl, parents, vals = _tok(sub)
+        s = np.zeros(sub.num_rows, np.float64)
+        denom_dl = k1_ * (1.0 - b_ + b_ * dl / avgdl_)
+        for term, w in idf_.items():
+            mask = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[mask],
+                             minlength=sub.num_rows).astype(np.float64)
+            s += w * (tf * (k1_ + 1.0)) / np.where(tf > 0.0,
+                                                   tf + denom_dl, 1.0)
+        return sub, s
+
+    def seed(t: pa.Table) -> pa.Table:
+        idf_, avgdl_, k1_, b_ = ray.get(consts)
+        ub = _ub(t, idf_, k1_)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -ub))[:k]
+        top = top[ub[top] > 0.0]
+        sub, s = _exact(t, top, idf_, avgdl_, k1_, b_)
+        return pa.table({id_col: sub[id_col],
+                         "score": pa.array(np.round(s, 6), pa.float64())})
+
+    seeds = docs_ds.map_batches(seed, batch_format="pyarrow").to_pandas()
+    if len(seeds) >= k:
+        theta = float(np.sort(seeds["score"].to_numpy())[::-1][k - 1])
+    else:
+        theta = -np.inf
+    thr = theta - 1e-6
+
+    def pruned(t: pa.Table) -> pa.Table:
+        idf_, avgdl_, k1_, b_ = ray.get(consts)
+        ub = _ub(t, idf_, k1_)
+        cand = np.flatnonzero(ub >= thr)
+        sub, s = _exact(t, cand, idf_, avgdl_, k1_, b_)
+        keep = np.flatnonzero(s > 0.0)
+        s = np.round(s[keep], 6)
+        if len(keep) > k:
+            order = np.lexsort(
+                (sub[id_col].take(pa.array(keep)).to_numpy(
+                    zero_copy_only=False), -s))
+            keep, s = keep[order[:k]], s[order[:k]]
+        return pa.table({
+            id_col: sub[id_col].take(pa.array(keep)),
+            "score": pa.array(s, pa.float64()),
+        })
+
+    if stats_out is not None:
+        def count(t: pa.Table) -> pa.Table:
+            idf_, _, k1_, _ = ray.get(consts)
+            ub = _ub(t, idf_, k1_)
+            return pa.table({"total": [int(t.num_rows)],
+                             "scored": [int((ub >= thr).sum())]})
+
+        c = docs_ds.map_batches(count, batch_format="pyarrow").to_pandas()
+        stats_out.update(theta=theta, total=int(c["total"].sum()),
+                         scored=int(c["scored"].sum()))
+
+    return (
+        docs_ds.map_batches(pruned, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )

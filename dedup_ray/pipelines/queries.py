@@ -14668,5 +14668,50 @@ ORACLES["hard_negatives_embeddings"] = f"""
 """
 QUERIES["hard_negatives_embeddings"] = hard_negatives_embeddings
 
+WAND_TERMS = ["dup", "window", "vector"]
+_WAND_TERMS_SQL = ", ".join(f"'{t}'" for t in WAND_TERMS)
+
+
+def wand_topk_docs(sf_dir: str):
+    """WAND max-score pruned BM25 (``ops/retrieval.py::wand_topk``,
+    Broder et al. 2003): EXACTLY the bm25 top-25 for a query with one
+    rare term, but docs whose presence-mask upper bound falls below the
+    seed-pass threshold θ never reach tf counting — the oracle is the
+    plain BM25 SQL, so the equality-to-exact guarantee is itself
+    driver-checked."""
+    from dedup_ray.ops.retrieval import wand_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return wand_topk(ds, WAND_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+ORACLES["wand_topk_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token IN ({_WAND_TERMS_SQL}) GROUP BY token),
+    idf AS (SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS w
+            FROM dfreq, stats),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({_WAND_TERMS_SQL}) GROUP BY doc_id, token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(w * tf * ({{k1}} + 1) /
+                   (tf + {{k1}} * (1 - {{b}} + {{b}} * dl.dl
+                                      / stats.avgdl))) AS s
+        FROM tf JOIN idf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 6) AS score FROM scored
+    WHERE s > 0
+    ORDER BY round(s, 6) DESC, doc_id
+    LIMIT {{k}}
+""".format(k1=BM25_K1, b=BM25_B, k=BM25_K)
+QUERIES["wand_topk_docs"] = wand_topk_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -166,3 +166,35 @@ def test_hard_negatives_tie_breaks_to_smaller_id():
     ds = ray.data.from_arrow(tbl)
     out = hard_negatives(ds, [0], np.array([[1.0, 0.0]]), [0]).to_pandas()
     assert out.iloc[0]["neg_id"] == 4
+
+
+def test_wand_equals_bm25_and_prunes():
+    from dedup_ray.ops.retrieval import bm25_topk, wand_topk
+
+    docs = []
+    for i in range(60):
+        if i % 20 == 0:
+            docs.append((i, "rare common filler words here rare"))
+        else:
+            docs.append((i, "common filler words here again and again"))
+    ds = _docs(docs)
+    stats = {}
+    # k = number of rare docs: theta lands on a rare-doc score, so the
+    # common-only docs' tiny upper bound falls below it
+    got = wand_topk(ds, ["rare", "common"], k=3,
+                    stats_out=stats).to_pandas()
+    want = bm25_topk(ds, ["rare", "common"], k=3).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+    # every doc has 'common', only 3 have 'rare': theta comes from the
+    # rare docs, so most common-only docs must be pruned
+    assert stats["scored"] < stats["total"]
+    assert stats["theta"] > 0
+
+
+def test_wand_no_prune_fallback_small_corpus():
+    from dedup_ray.ops.retrieval import bm25_topk, wand_topk
+
+    ds = _docs([(0, "a b c"), (1, "b c d")])
+    got = wand_topk(ds, ["b"], k=5).to_pandas()
+    want = bm25_topk(ds, ["b"], k=5).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
