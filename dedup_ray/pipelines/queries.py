@@ -14713,5 +14713,58 @@ ORACLES["wand_topk_docs"] = f"""
 """.format(k1=BM25_K1, b=BM25_B, k=BM25_K)
 QUERIES["wand_topk_docs"] = wand_topk_docs
 
+FL_K, FL_POOL = 8, 64
+
+
+def facility_location_embeddings(sf_dir: str):
+    """Greedy facility-location coreset
+    (``stages/selection.py::facility_location_select``): 8 rounds of
+    submodular coverage maximization over a 64-candidate pool — the
+    diversity selection that picks dense-cluster representatives, next
+    to k-center's extremes.  One map_batches coverage pass per round;
+    per-item state recomputed from the broadcast selection (max-chains
+    are selection-only, bit-equal across engines)."""
+    from dedup_ray.stages.selection import facility_location_select
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return facility_location_select(ds, k=FL_K, pool=FL_POOL)
+
+
+def _fl_oracle(k: int = FL_K, pool: int = FL_POOL) -> str:
+    sql = f"""
+    WITH e AS MATERIALIZED (SELECT vec_id,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pl AS MATERIALIZED (SELECT vec_id AS pid, v AS pvec FROM e
+        WHERE vec_id < {pool}),
+    s AS MATERIALIZED (SELECT e.vec_id AS i, pl.pid AS p,
+            greatest(list_cosine_similarity(e.v, pl.pvec), 0.0) AS sim
+        FROM e, pl),
+    cur0 AS MATERIALIZED (SELECT vec_id AS i, 0.0 AS c FROM e)"""
+    for r in range(k):
+        excl = ""
+        if r:
+            prior = " UNION ALL ".join(
+                f"SELECT pid FROM sel{j}" for j in range(r))
+            excl = f"WHERE s.p NOT IN ({prior})"
+        sql += f""",
+    g{r} AS MATERIALIZED (SELECT s.p AS p,
+            round(sum(greatest(cur{r}.c, s.sim)), 6) AS gain
+        FROM s JOIN cur{r} ON cur{r}.i = s.i {excl}
+        GROUP BY s.p),
+    sel{r} AS MATERIALIZED (SELECT p AS pid, gain FROM g{r}
+        ORDER BY gain DESC, p LIMIT 1),
+    cur{r + 1} AS MATERIALIZED (SELECT cur{r}.i AS i,
+            greatest(cur{r}.c, s.sim) AS c
+        FROM cur{r} JOIN s ON s.i = cur{r}.i
+        JOIN sel{r} ON s.p = sel{r}.pid)"""
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS round, pid AS sel_id, gain AS coverage "
+        f"FROM sel{r}" for r in range(k))
+    return sql + f"\n    {rounds}"
+
+
+ORACLES["facility_location_embeddings"] = _fl_oracle()
+QUERIES["facility_location_embeddings"] = facility_location_embeddings
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -550,3 +550,82 @@ def kcenter_select(ds, k: int = 8, id_col: str = "vec_id",
         "vec_id": pa.array(out_id, pa.int64()),
         "dist": pa.array(out_dist, pa.float64()),
     })
+
+
+def facility_location_select(ds, k: int = 8, pool: int = 64,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Greedy facility-location coreset (Nemhauser et al. 1978's
+    (1-1/e) greedy on the submodular coverage objective
+    ``F(S) = Σ_i max_{j∈S} max(0, cos(i, j))``) — the DIVERSITY
+    selection that maximizes how well the chosen set covers the corpus,
+    next to :func:`kcenter_select`'s max-min radius objective (coverage
+    picks dense-cluster representatives; k-center picks extremes).
+
+    Distributed shape: candidates come from a bounded POOL (the
+    ``pool`` smallest ids — at web scale the pool is cluster reps or a
+    seeded sample; greedy FL over an unbounded candidate set is
+    inherently quadratic) broadcast once with the growing selection;
+    each round is ONE ``map_batches`` pass emitting per-candidate
+    partial coverage sums ``Σ_i max(cur_i, s_ip)``, with the per-item
+    state ``cur_i`` RECOMPUTED from the broadcast selection (max-chains
+    are selection-only ops, bit-equal in any engine — the same
+    recompute-over-state trade as ``stages/topics.py``).  The driver
+    folds P partials and argmaxes the 6dp-rounded gain (ties → smaller
+    id).  Returns one row per round: ``(round, sel_id, coverage)``
+    with coverage = Σ cur after the pick, rounded 6dp.
+    """
+    import ray
+
+    import ray.data as _rd
+
+    pdf = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], pa.scalar(pool))),
+        batch_format="pyarrow").to_pandas().sort_values(id_col)
+    pool_ids = pdf[id_col].tolist()
+    pv = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    pn = np.linalg.norm(pv, axis=1, keepdims=True)
+    pn[pn == 0] = 1.0
+    pv = pv / pn
+
+    selected: list[int] = []
+    rows = []
+    for _ in range(min(k, len(pool_ids))):
+        ref = ray.put((pv, [pool_ids.index(s) for s in selected]))
+
+        def partial(t: pa.Table, _r=ref) -> pa.Table:
+            pvm, sel_idx = ray.get(_r)
+            col = t[vec_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            x = np.asarray(col.to_pylist(), dtype=np.float64)
+            if len(x) == 0:
+                return pa.table({"p": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64())})
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            s = np.maximum(x / xn @ pvm.T, 0.0)   # (batch, pool)
+            cur = s[:, sel_idx].max(axis=1) if sel_idx \
+                else np.zeros(len(x))
+            cov = np.maximum(cur[:, None], s).sum(axis=0)  # per cand
+            return pa.table({
+                "p": pa.array(np.arange(len(pvm)), pa.int64()),
+                "s": pa.array(cov, pa.float64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas().groupby("p", sort=True)["s"].sum()
+        gains = np.round(parts.to_numpy(), 6)
+        order = np.lexsort((np.asarray(pool_ids), -gains))
+        best = next(i for i in order if pool_ids[i] not in selected)
+        selected.append(pool_ids[best])
+        rows.append({"round": len(selected) - 1,
+                     "sel_id": int(pool_ids[best]),
+                     "coverage": float(gains[best])})
+
+    return _rd.from_arrow(pa.table({
+        "round": pa.array([r["round"] for r in rows], pa.int64()),
+        "sel_id": pa.array([r["sel_id"] for r in rows], pa.int64()),
+        "coverage": pa.array([r["coverage"] for r in rows],
+                             pa.float64()),
+    }))

@@ -198,3 +198,24 @@ def test_wand_no_prune_fallback_small_corpus():
     got = wand_topk(ds, ["b"], k=5).to_pandas()
     want = bm25_topk(ds, ["b"], k=5).to_pandas()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_facility_location_planted_clusters():
+    from dedup_ray.stages.selection import facility_location_select
+
+    # two tight clusters (sizes 6 and 3) + one outlier; pool = all.
+    # FL round 1 must pick from the BIG cluster (max coverage), round 2
+    # from the small cluster; coverage is monotone non-decreasing.
+    vecs = ([[1.0, 0.0, 0.0]] * 6 + [[0.0, 1.0, 0.0]] * 3
+            + [[0.0, 0.0, 1.0]])
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(10)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = facility_location_select(ds, k=3, pool=10).to_pandas()
+    assert out.iloc[0]["sel_id"] == 0      # big cluster rep, min id
+    assert out.iloc[1]["sel_id"] == 6      # small cluster rep
+    assert out.iloc[2]["sel_id"] == 9      # outlier last
+    assert (np.diff(out["coverage"]) >= -1e-9).all()
+    assert out.iloc[2]["coverage"] == 10.0  # full coverage at k=3
