@@ -404,3 +404,74 @@ def wand_topk(docs_ds, query_terms: list[str], k: int = 20,
         .sort(["score", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def mmr_rerank(docs_ds, emb_ds, query_terms: list[str],
+               k_pool: int = 20, k_out: int = 10, lam: float = 0.7,
+               k1: float = 1.2, b: float = 0.75,
+               id_col: str = "doc_id", text_col: str = "text",
+               vec_id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): take the BM25 top-``k_pool`` and greedily re-rank for
+    relevance AND diversity,
+
+        mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    — the answer to near-duplicate search results that a dedup'd corpus
+    still produces (distinct urls, same story).
+
+    Distributed shape: ALL corpus-scale work is the BM25 pass
+    (:func:`bm25_topk`) plus one broadcast-filter fetch of the pool's
+    embedding rows; the greedy itself runs on the BOUNDED pool
+    (``k_pool`` × ``k_pool`` cosines) on the driver — MMR over an
+    unbounded candidate set is never the operator anyone ships.
+    Relevance is the 6dp-rounded BM25 score, cosines round to 6dp
+    before the max-chain, and every argmax breaks ties to the smaller
+    id, so the greedy replays exactly in SQL.
+
+    Returns ``(rank, doc_id, mmr)`` for the first ``k_out`` picks
+    (rank 0's mmr = λ·rel, no diversity term yet).
+    """
+    pool = bm25_topk(docs_ds, query_terms, k=k_pool, k1=k1, b=b,
+                     id_col=id_col, text_col=text_col).to_pandas()
+    ids = pool[id_col].to_numpy()
+    id_set = set(int(i) for i in ids)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in id_set
+                         for v in t[vec_id_col].to_pylist()])
+        return t.filter(mask)
+
+    vdf = emb_ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    vmap = {int(r[vec_id_col]): np.asarray(list(r[vec_col]),
+                                           dtype=np.float64)
+            for _, r in vdf.iterrows()}
+    keep = [i for i, d in enumerate(ids) if int(d) in vmap]
+    ids = ids[keep]
+    rel = pool["score"].to_numpy()[keep]
+    V = np.stack([vmap[int(d)] for d in ids])
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    V = V / n
+    S = np.round(V @ V.T, 6)
+
+    sel: list[int] = []
+    cur = np.zeros(len(ids))
+    out_rank, out_id, out_m = [], [], []
+    for r in range(min(k_out, len(ids))):
+        mmr = np.round(lam * rel - (1.0 - lam) * cur, 6)
+        order = np.lexsort((ids, -mmr))
+        best = next(i for i in order if i not in sel)
+        sel.append(best)
+        out_rank.append(r)
+        out_id.append(int(ids[best]))
+        out_m.append(float(mmr[best]))
+        cur = np.maximum(cur, S[:, best])
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        id_col: pa.array(out_id, pa.int64()),
+        "mmr": pa.array(out_m, pa.float64()),
+    }))

@@ -14766,5 +14766,80 @@ def _fl_oracle(k: int = FL_K, pool: int = FL_POOL) -> str:
 ORACLES["facility_location_embeddings"] = _fl_oracle()
 QUERIES["facility_location_embeddings"] = facility_location_embeddings
 
+MMR_POOL, MMR_K, MMR_LAM = 20, 10, 0.7
+
+
+def mmr_rerank_docs(sf_dir: str):
+    """MMR diversity re-ranking (``ops/retrieval.py::mmr_rerank``,
+    Carbonell & Goldstein 1998): the BM25 top-20 re-ranked with
+    λ=0.7 relevance / 0.3 diversity using each doc's embedding row
+    (vec_id = doc_id in the synthetic corpus) — near-dup search
+    results demoted.  Corpus-scale work = the BM25 pass + one
+    broadcast-filter embedding fetch; the greedy runs on the bounded
+    pool."""
+    from dedup_ray.ops.retrieval import mmr_rerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return mmr_rerank(docs, emb, BM25_TERMS, k_pool=MMR_POOL,
+                      k_out=MMR_K, lam=MMR_LAM, k1=BM25_K1, b=BM25_B)
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    lam, one_m = MMR_LAM, 1.0 - MMR_LAM
+    sql = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                   AS token
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+              WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY token),
+    idf AS (SELECT token, ln(1 + (n - df + 0.5) / (df + 0.5)) AS w
+            FROM dfreq, stats),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(w * tf * ({BM25_K1} + 1) /
+                   (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl
+                                      / stats.avgdl))) AS s
+        FROM tf JOIN idf USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+        GROUP BY tf.doc_id),
+    pool AS MATERIALIZED (SELECT doc_id, round(s, 6) AS rel FROM scored
+        WHERE s > 0 ORDER BY round(s, 6) DESC, doc_id LIMIT {MMR_POOL}),
+    pv AS MATERIALIZED (SELECT pool.doc_id, pool.rel,
+            CAST(e.embedding AS DOUBLE[]) AS v
+        FROM pool JOIN embeddings e ON e.vec_id = pool.doc_id),
+    sim AS MATERIALIZED (SELECT a.doc_id AS i, b.doc_id AS j,
+            round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM pv a, pv b),
+    cur0 AS MATERIALIZED (SELECT doc_id, rel, 0.0 AS c FROM pv)"""
+    for r in range(k):
+        excl = ""
+        if r:
+            prior = " UNION ALL ".join(
+                f"SELECT doc_id FROM sel{j}" for j in range(r))
+            excl = f"WHERE doc_id NOT IN ({prior})"
+        sql += f""",
+    m{r} AS MATERIALIZED (SELECT doc_id,
+            round({lam!r} * rel - {one_m!r} * c, 6) AS mmr
+        FROM cur{r} {excl}),
+    sel{r} AS MATERIALIZED (SELECT doc_id, mmr FROM m{r}
+        ORDER BY mmr DESC, doc_id LIMIT 1),
+    cur{r + 1} AS MATERIALIZED (SELECT cur{r}.doc_id AS doc_id,
+            cur{r}.rel AS rel, greatest(cur{r}.c, sim.s) AS c
+        FROM cur{r} JOIN sim ON sim.i = cur{r}.doc_id
+        JOIN sel{r} ON sim.j = sel{r}.doc_id)"""
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS rank, doc_id, mmr FROM sel{r}" for r in range(k))
+    return sql + f"\n    {rounds}"
+
+
+ORACLES["mmr_rerank_docs"] = _mmr_oracle()
+QUERIES["mmr_rerank_docs"] = mmr_rerank_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -219,3 +219,26 @@ def test_facility_location_planted_clusters():
     assert out.iloc[2]["sel_id"] == 9      # outlier last
     assert (np.diff(out["coverage"]) >= -1e-9).all()
     assert out.iloc[2]["coverage"] == 10.0  # full coverage at k=3
+
+
+def test_mmr_demotes_near_duplicate_results():
+    from dedup_ray.ops.retrieval import mmr_rerank
+
+    # docs 0,1 both contain the query term twice (tied top relevance)
+    # and share an identical embedding; doc 2 matches once with an
+    # orthogonal embedding.  Pure BM25 ranks (0, 1, 2); MMR must demote
+    # the duplicate 1 below the diverse 2.
+    docs = _docs([(0, "term term pad"), (1, "term term pad"),
+                  (2, "term pad pad"), (3, "pad pad pad")])
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+            pa.list_(pa.float32())),
+    }))
+    out = mmr_rerank(docs, emb, ["term"], k_pool=4, k_out=3,
+                     lam=0.5).to_pandas()
+    assert out["doc_id"].tolist() == [0, 2, 1]
+    # mmr scores non-increasing is NOT guaranteed across rounds, but
+    # rank order must be deterministic; rank 0 is the pure-rel champion
+    assert out.iloc[0]["rank"] == 0
