@@ -687,3 +687,95 @@ def correlation_matrix(ds, cols: list, num_partitions: int = 1):
             + [(f"p{i}_{j}", pa.float64())
                for i in range(k) for j in range(i, k)]),
     )
+
+
+def holt_forecast(ds, group_col: str, ts_col: str,
+                  alpha: float = 0.5, beta: float = 0.3,
+                  bucket_us: int = 3_600_000_000,
+                  num_partitions: int = 8):
+    """Holt's linear (double-exponential) smoothing over the per-group
+    hourly count series (Holt 1957) — the trend-aware upgrade of the
+    EWMA monitor: level ``l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})``,
+    trend ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``, one-step forecast
+    ``l_t + b_t`` — the drift detector that does not lag a steadily
+    growing feed the way a flat EWMA does.
+
+    Init: ``l_0 = x_0``, ``b_0 = x_1 − x_0`` (0 when the grid has one
+    bucket).  The hour grid spans the global [min, max] timestamp (two
+    driver scalars), missing hours count 0.  One group-keyed exchange;
+    per-group state is hours-bounded; the recurrence runs in IDENTICAL
+    operand order in this kernel and the oracle's recursive CTE
+    (``b_t`` re-evaluates the ``l_t`` expression rather than reusing
+    the variable, because the SQL recursion must).
+
+    Output: ``(group, hour, level, trend, forecast)`` rounded 6dp.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    lo = pd.Timestamp(ds.min(ts_col)).value // 1000
+    hi = pd.Timestamp(ds.max(ts_col)).value // 1000
+    h0, h1 = lo // bucket_us, hi // bucket_us
+    n_hours = int(h1 - h0 + 1)
+    a, b1 = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b1
+
+    out_schema = pa.schema([
+        (group_col, pa.string()), ("hour", pa.int64()),
+        ("level", pa.float64()), ("trend", pa.float64()),
+        ("forecast", pa.float64()),
+    ])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        df = pd.DataFrame({
+            "g": t[group_col].to_pylist(),
+            "h": (us.to_numpy(zero_copy_only=False) // bucket_us) - h0,
+        })
+        gs, hs, ls, bs, fs = [], [], [], [], []
+        for g, sub in df.groupby("g", sort=True):
+            x = np.zeros(n_hours, np.float64)
+            cnt = sub.groupby("h").size()
+            x[cnt.index.to_numpy()] = cnt.to_numpy().astype(np.float64)
+            lv = x[0]
+            tr = (x[1] - x[0]) if n_hours > 1 else 0.0
+            gs.append(g)
+            hs.append(int(h0))
+            ls.append(lv)
+            bs.append(tr)
+            fs.append(lv + tr)
+            for h in range(1, n_hours):
+                prev_l, prev_b = lv, tr
+                lv = a * x[h] + one_a * (prev_l + prev_b)
+                # identical operand order to the SQL recursion, which
+                # re-evaluates the level expression inside the trend
+                tr = b1 * ((a * x[h] + one_a * (prev_l + prev_b))
+                           - prev_l) + one_b * prev_b
+                gs.append(g)
+                hs.append(int(h0 + h))
+                ls.append(lv)
+                bs.append(tr)
+                fs.append(lv + tr)
+        def r6(v):  # floor(x·1e6 + 0.5)/1e6 — engine-identical rounding
+            return np.floor(np.asarray(v) * 1e6 + 0.5) / 1e6
+
+        return pa.table({
+            group_col: pa.array(gs, pa.string()),
+            "hour": pa.array(hs, pa.int64()),
+            "level": pa.array(r6(ls), pa.float64()),
+            "trend": pa.array(r6(bs), pa.float64()),
+            "forecast": pa.array(r6(fs), pa.float64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(
+            lambda t: t.select([group_col, ts_col]),
+            batch_format="pyarrow"),
+        [group_col], per_group, num_partitions,
+        empty_schema=pa.schema([(group_col, pa.string()),
+                                (ts_col, pa.timestamp("us"))]),
+    )

@@ -14841,5 +14841,65 @@ def _mmr_oracle(k: int = MMR_K) -> str:
 ORACLES["mmr_rerank_docs"] = _mmr_oracle()
 QUERIES["mmr_rerank_docs"] = mmr_rerank_docs
 
+HOLT_A, HOLT_B = 0.5, 0.3
+
+
+def holt_forecast_events(sf_dir: str):
+    """Holt double-exponential smoothing of the per-type hourly event
+    rate (``ops/stats.py::holt_forecast``): level + trend + one-step
+    forecast per hour — the drift monitor that tracks a steadily
+    growing feed the flat EWMA lags.  Same hour grid as the CUSUM
+    monitor; identical-operand-order recurrence, recursive-CTE twin."""
+    from dedup_ray.ops.stats import holt_forecast
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return holt_forecast(ds, "event_type", "ts", alpha=HOLT_A,
+                         beta=HOLT_B, bucket_us=CUSUM_HOURS_US)
+
+
+ORACLES["holt_forecast_events"] = f"""
+    WITH RECURSIVE bounds AS (
+        SELECT epoch_us(min(ts)) // {CUSUM_HOURS_US} AS h0,
+               epoch_us(max(ts)) // {CUSUM_HOURS_US} AS h1
+        FROM events),
+    hours AS (SELECT unnest(range(0, CAST(h1 - h0 + 1 AS BIGINT)))
+                  AS h
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (SELECT event_type,
+                   epoch_us(ts) // {CUSUM_HOURS_US}
+                     - (SELECT h0 FROM bounds) AS h,
+                   count(*) AS c
+            FROM events GROUP BY event_type, h),
+    grid AS (SELECT t.event_type, hours.h,
+                    CAST(coalesce(cnt.c, 0) AS DOUBLE) AS x
+             FROM types t CROSS JOIN hours
+             LEFT JOIN cnt ON cnt.event_type = t.event_type
+                          AND cnt.h = hours.h),
+    rec(event_type, h, l, b) AS (
+        SELECT g.event_type, g.h, g.x,
+               CASE WHEN (SELECT h1 - h0 FROM bounds) > 0
+                    THEN coalesce(g1.x, 0.0) - g.x ELSE 0.0 END
+        FROM grid g
+        LEFT JOIN grid g1 ON g1.event_type = g.event_type AND g1.h = 1
+        WHERE g.h = 0
+        UNION ALL
+        SELECT g.event_type, g.h,
+               {HOLT_A!r} * g.x
+                   + {1.0 - HOLT_A!r} * (r.l + r.b),
+               {HOLT_B!r} * (({HOLT_A!r} * g.x
+                   + {1.0 - HOLT_A!r} * (r.l + r.b)) - r.l)
+                   + {1.0 - HOLT_B!r} * r.b
+        FROM rec r
+        JOIN grid g ON g.event_type = r.event_type AND g.h = r.h + 1)
+    SELECT event_type,
+           CAST(h + (SELECT h0 FROM bounds) AS BIGINT) AS hour,
+           floor(l * 1000000 + 0.5) / 1000000 AS level,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           floor((l + b) * 1000000 + 0.5) / 1000000 AS forecast
+    FROM rec
+"""
+QUERIES["holt_forecast_events"] = holt_forecast_events
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -242,3 +242,30 @@ def test_mmr_demotes_near_duplicate_results():
     # mmr scores non-increasing is NOT guaranteed across rounds, but
     # rank order must be deterministic; rank 0 is the pure-rel champion
     assert out.iloc[0]["rank"] == 0
+
+
+def test_holt_tracks_linear_trend():
+    from dedup_ray.ops.stats import holt_forecast
+
+    # a perfectly linear hourly count series: Holt locks on with the
+    # exact init (l0=x0, b0=x1-x0) and the forecast equals the next
+    # true value at every step
+    base = 1_600_000_000_000_000  # us
+    rows = []
+    eid = 0
+    for h in range(6):
+        for _ in range(2 + 3 * h):  # counts 2,5,8,11,14,17
+            rows.append((eid, base + h * 3_600_000_000 + eid % 1000))
+            eid += 1
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * len(rows), pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = holt_forecast(ds, "event_type", "ts").to_pandas() \
+        .sort_values("hour").reset_index(drop=True)
+    assert len(out) == 6
+    # on a linear series level == x and trend == slope at every hour
+    assert np.allclose(out["level"], [2, 5, 8, 11, 14, 17])
+    assert np.allclose(out["trend"], 3.0)
+    assert np.allclose(out["forecast"][:5], out["level"][1:])
