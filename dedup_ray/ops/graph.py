@@ -438,7 +438,8 @@ def resolve_pointers(edges_ds, src_col: str = "src", dst_col: str = "dst",
 
 def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
                      src_col: str = "src", dst_col: str = "dst",
-                     max_hops: int = 4, num_partitions: int = 16):
+                     max_hops: int = 4, num_partitions: int = 16,
+                     local_edge_limit: int = 2_000_000):
     """Hop distance from a seed SET over a directed edge stream — the
     TrustRank-style distance pass (Gyöngyi et al. 2004 use a seed set of
     vetted hosts; hop distance is the discrete analog of their
@@ -456,6 +457,12 @@ def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
     earlier.  Output: ``(node, dist)`` for every node within
     ``max_hops`` of any seed (seeds at 0).  Unreachable nodes are
     absent, matching SQL semantics.
+
+    Under ``local_edge_limit`` edges the whole walk runs as a
+    vectorized numpy loop on the driver (``cc_local`` convention — the
+    distributed loop pays ~4 plan launches of fixed latency per hop,
+    which dominates at small graph sizes); byte-identical output by
+    construction (same first-discovery rule, same hop cap).
     """
     import pyarrow.compute as pc
 
@@ -471,6 +478,47 @@ def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
             part[node_col].combine_chunks())})
 
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= local_edge_limit:
+        import ray.data as _rd
+
+        et = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+        ) if edges.count() else pa.table(
+            {src_col: pa.array([], node_t), dst_col: pa.array([], node_t)})
+        st = pa.concat_tables(
+            [b for b in seeds_ds.select_columns([node_col]).iter_batches(
+                batch_size=None, batch_format="pyarrow")]
+        ) if seeds_ds.count() else pa.table(
+            {node_col: pa.array([], node_t)})
+        s = et[src_col].to_numpy(zero_copy_only=False)
+        d = et[dst_col].to_numpy(zero_copy_only=False)
+        sd = st[node_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(np.concatenate([s, d, sd]))
+        cs, cd = codes[: len(s)], codes[len(s): len(s) + len(d)]
+        cseed = np.unique(codes[len(s) + len(d):])
+        dist = np.full(len(uniq), -1, np.int64)
+        dist[cseed] = 0
+        frontier = cseed
+        for h in range(1, max_hops + 1):
+            if len(frontier) == 0:
+                break
+            on = np.zeros(len(uniq), bool)
+            on[frontier] = True
+            new = np.unique(cd[on[cs]])
+            new = new[dist[new] < 0]
+            if len(new) == 0:
+                break
+            dist[new] = h
+            frontier = new
+        hit = dist >= 0
+        vals = np.asarray(uniq)[hit]
+        return _rd.from_arrow(pa.table({
+            node_col: pa.array(vals).cast(node_t),
+            "dist": pa.array(dist[hit], pa.int64()),
+        }))
+
     seeds = exchange_group_apply(
         seeds_ds.select_columns([node_col]), node_col, dedup_nodes,
         num_partitions,

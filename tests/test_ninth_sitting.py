@@ -269,3 +269,38 @@ def test_holt_tracks_linear_trend():
     assert np.allclose(out["level"], [2, 5, 8, 11, 14, 17])
     assert np.allclose(out["trend"], 3.0)
     assert np.allclose(out["forecast"][:5], out["level"][1:])
+
+
+def test_bfs_local_fast_path_matches_distributed():
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 60, 300)
+    dst = rng.randint(0, 60, 300)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(pa.table({
+        "node": pa.array([0, 3, 3], pa.int64())}))
+    loc = multi_source_bfs(edges, seeds, max_hops=3) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    dist = multi_source_bfs(edges, seeds, max_hops=3,
+                            local_edge_limit=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert loc.values.tolist() == dist.values.tolist()
+
+
+def test_bfs_local_fast_path_string_nodes_and_isolated_seed():
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(["a", "b"], pa.string()),
+        "dst": pa.array(["b", "c"], pa.string()),
+    }))
+    seeds = ray.data.from_arrow(pa.table({
+        "node": pa.array(["a", "zzz"], pa.string())}))
+    out = multi_source_bfs(edges, seeds, max_hops=4).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    # isolated seed still emits at dist 0 (distributed semantics)
+    assert got == {"a": 0, "b": 1, "c": 2, "zzz": 0}
