@@ -155,7 +155,8 @@ def pairwise_prf_ds(pred_ds, truth_ds, id_col: str = "url",
 
 def bcubed_scores(pred, truth, id_col: str = "doc_id",
                   pred_col: str = "cluster_id", truth_col: str = "truth_id",
-                  num_partitions: int = 16):
+                  num_partitions: int = 16,
+                  sums: dict | None = None):
     """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the standard
     entity-resolution metric family next to the reference's pairwise F1
     (``evaluate.py:125-128``): per item, precision = |C(i) ∩ T(i)|/|C(i)|
@@ -172,42 +173,16 @@ def bcubed_scores(pred, truth, id_col: str = "doc_id",
     cluster structure, never materialized to the driver (only the three
     final sums are).  Returns a 1-row ``pa.Table`` rounded to 6dp.
     """
-    import pyarrow.compute as pc
-
-    from dedup_ray.util.dsutil import hash_join
-
-    joined = hash_join(
-        pred, truth, on=id_col,
-        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
-        num_partitions=num_partitions, how="inner",
-    )
-    cells = joined.groupby([pred_col, truth_col]).count()
-    csize = pred.groupby(pred_col).count()
-    tsize = truth.groupby(truth_col).count()
-
-    def ratio(cells_ds, size_ds, key, out):
-        from dedup_ray.util.dsutil import rename_columns
-
-        sz = rename_columns(size_ds, {"count()": "sz"})
-        j = hash_join(
-            cells_ds, sz, on=key,
-            left_cols=[pred_col, truth_col, "count()"],
-            right_cols=[key, "sz"],
-            num_partitions=num_partitions, how="inner",
-        )
-
-        def f(t: pa.Table) -> pa.Table:
-            n = t["count()"].to_numpy(zero_copy_only=False).astype(
-                np.float64)
-            s = t["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
-            return pa.table({out: pa.array(n * n / s, pa.float64())})
-
-        return j.map_batches(f, batch_format="pyarrow").sum(out)
-
-    n_items = joined.count()
-    p = ratio(cells, csize, pred_col, "pc") / n_items
-    r = ratio(cells, tsize, truth_col, "rc") / n_items
-    f1 = 0.0 if p + r == 0 else 2 * p * r / (p + r)
+    if sums is None:
+        sums = contingency_sums(pred, truth, id_col, pred_col,
+                                truth_col, num_partitions)
+    n_items = sums["n_items"]
+    if n_items == 0:
+        p = r = f1 = 0.0
+    else:
+        p = sums["bcp"] / n_items
+        r = sums["bcr"] / n_items
+        f1 = 0.0 if p + r == 0 else 2 * p * r / (p + r)
     return pa.table({
         "bcubed_p": pa.array([round(p, 6)], pa.float64()),
         "bcubed_r": pa.array([round(r, 6)], pa.float64()),
@@ -217,7 +192,8 @@ def bcubed_scores(pred, truth, id_col: str = "doc_id",
 
 def ari_score(pred, truth, id_col: str = "doc_id",
               pred_col: str = "cluster_id", truth_col: str = "truth_id",
-              num_partitions: int = 16):
+              num_partitions: int = 16,
+                  sums: dict | None = None):
     """Adjusted Rand Index — the chance-corrected form of the pairwise
     agreement the reference scores (``evaluate.py:125-128`` counts
     pair-level TP/FP/FN; ARI corrects the same contingency for the
@@ -233,26 +209,11 @@ def ari_score(pred, truth, id_col: str = "doc_id",
     a 1-row table ``(ari,)`` rounded to 6dp (1.0 when both partitions
     are identical up to relabeling).
     """
-    from dedup_ray.util.dsutil import hash_join
-
-    joined = hash_join(
-        pred, truth, on=id_col,
-        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
-        num_partitions=num_partitions, how="inner",
-    )
-
-    def pair_sum(ds, col):
-        def f(t: pa.Table) -> pa.Table:
-            n = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"s": pa.array(n * (n - 1) // 2)})
-
-        return ds.map_batches(f, batch_format="pyarrow").sum("s")
-
-    s_cells = pair_sum(joined.groupby([pred_col, truth_col]).count(),
-                       "count()")
-    s_a = pair_sum(joined.groupby(pred_col).count(), "count()")
-    s_b = pair_sum(joined.groupby(truth_col).count(), "count()")
-    n = joined.count()
+    if sums is None:
+        sums = contingency_sums(pred, truth, id_col, pred_col,
+                                truth_col, num_partitions)
+    s_cells, s_a, s_b = sums["s_cells"], sums["s_a"], sums["s_b"]
+    n = int(sums["n_items"])
     s_n = n * (n - 1) // 2
     if s_n == 0:
         ari = 1.0
@@ -265,7 +226,8 @@ def ari_score(pred, truth, id_col: str = "doc_id",
 
 def nmi_score(pred, truth, id_col: str = "doc_id",
               pred_col: str = "cluster_id", truth_col: str = "truth_id",
-              num_partitions: int = 16):
+              num_partitions: int = 16,
+                  sums: dict | None = None):
     """Normalized mutual information + V-measure (Rosenberg & Hirschberg
     2007) — the information-theoretic clustering agreement family next to
     pairwise F1 / B³ / ARI (all over the SAME contingency the reference's
@@ -291,32 +253,18 @@ def nmi_score(pred, truth, id_col: str = "doc_id",
     """
     import math
 
-    from dedup_ray.util.dsutil import hash_join
-
-    joined = hash_join(
-        pred, truth, on=id_col,
-        left_cols=[id_col, pred_col], right_cols=[id_col, truth_col],
-        num_partitions=num_partitions, how="inner",
-    )
-    n = joined.count()
-
-    def plogp_sum(ds, col):
-        """Σ (cnt/N)·ln(cnt/N) over grouped counts, computed distributed."""
-        def f(t: pa.Table) -> pa.Table:
-            c = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            p = c / n
-            return pa.table({"s": pa.array(p * np.log(p), pa.float64())})
-
-        return ds.map_batches(f, batch_format="pyarrow").sum("s")
-
-    cells = joined.groupby([pred_col, truth_col]).count()
-    h_u = -plogp_sum(joined.groupby(pred_col).count(), "count()")
-    h_v = -plogp_sum(joined.groupby(truth_col).count(), "count()")
-
-    # I = Σ (n/N) ln(n/N) − Σ (a/N) ln(a/N) − Σ (b/N) ln(b/N) applied
-    # cell-wise needs the marginals per cell; cheaper identity:
-    # I = H_u + H_v + Σ_cells (n/N) ln(n/N)
-    i = h_u + h_v + plogp_sum(cells, "count()")
+    if sums is None:
+        sums = contingency_sums(pred, truth, id_col, pred_col,
+                                truth_col, num_partitions)
+    n = sums["n_items"]
+    if n == 0:
+        h_u = h_v = i = 0.0
+    else:
+        # Σ (x/N)ln(x/N) = (Σ x ln x)/N − ln N  because Σx = N
+        ln_n = math.log(n)
+        h_u = ln_n - sums["nla"] / n
+        h_v = ln_n - sums["nlb"] / n
+        i = h_u + h_v + (sums["nlc"] / n - ln_n)
     if h_u <= 0.0 and h_v <= 0.0:
         homog = compl = v = nmi = 1.0
     elif h_u <= 0.0 or h_v <= 0.0:
@@ -400,3 +348,109 @@ def auc_score(ds, score_col: str, label_col: str,
     return pa.table({"auc": pa.array([auc], pa.float64()),
                      "n_pos": pa.array([int(P)], pa.int64()),
                      "n_neg": pa.array([int(N)], pa.int64())})
+
+
+def contingency_sums(pred, truth, id_col: str = "doc_id",
+                     pred_col: str = "cluster_id",
+                     truth_col: str = "truth_id",
+                     num_partitions: int = 16) -> dict:
+    """One shared pass computing every scalar the clustering-agreement
+    family (B³, ARI, NMI/V-measure) needs from the pred/truth
+    contingency — THREE exchanges total instead of ~6 plan launches per
+    metric:
+
+    1. id-keyed join of the two label tables → (c, t) rows;
+    2. pred-keyed exchange: each partition holds its clusters WHOLE, so
+       cells n(c,t), row sums a_c, and every pred-side partial
+       (ΣC(n,2), ΣC(a,2), Σn²/a, Σn·ln n, Σa·ln a) finish locally;
+       emits one narrow (t, n) row per cell with the partials riding
+       the first cell of each cluster;
+    3. truth-keyed exchange: col sums b_t finish locally → truth-side
+       partials (ΣC(b,2), Σn²/b, Σb·ln b) plus N = Σn; the driver folds
+       one tiny row per partition.
+
+    Cells/marginals never materialize on the driver — only ~9 floats
+    per partition do.
+    """
+    from dedup_ray.util.exchange import exchange_group_apply, exchange_join
+
+    joined = exchange_join(
+        pred.select_columns([id_col, pred_col]),
+        truth.select_columns([id_col, truth_col]),
+        on=id_col, how="inner", num_partitions=num_partitions,
+        post=lambda t: (t.select([pred_col, truth_col])
+                        if pred_col in t.column_names
+                        else pa.table({pred_col: pa.array([], pa.int64()),
+                                       truth_col: pa.array([], pa.int64())})),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                (pred_col, pa.int64()),
+                                (truth_col, pa.int64())]),
+        return_refs=True,
+    )
+
+    cell_schema = pa.schema([
+        ("t", pa.int64()), ("n", pa.int64()), ("w_cells", pa.int64()),
+        ("w_bcp", pa.float64()), ("w_nlc", pa.float64()),
+        ("w_a", pa.int64()), ("w_nla", pa.float64()),
+    ])
+
+    def by_pred(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        df = t.to_pandas().groupby(
+            [pred_col, truth_col], sort=True).size().reset_index(name="n")
+        n = df["n"].to_numpy().astype(np.float64)
+        a = df.groupby(pred_col, sort=False)["n"].transform("sum") \
+            .to_numpy().astype(np.float64)
+        first = ~df[pred_col].duplicated()
+        ai = a[first.to_numpy()]
+        w_a = np.zeros(len(df), np.int64)
+        w_a[first.to_numpy()] = (ai * (ai - 1) // 2).astype(np.int64)
+        w_nla = np.zeros(len(df))
+        w_nla[first.to_numpy()] = ai * np.log(ai)
+        return pa.table({
+            "t": pa.array(df[truth_col].to_numpy(), pa.int64()),
+            "n": pa.array(df["n"].to_numpy(), pa.int64()),
+            "w_cells": pa.array((n * (n - 1) // 2).astype(np.int64)),
+            "w_bcp": pa.array(n * n / a, pa.float64()),
+            "w_nlc": pa.array(n * np.log(n), pa.float64()),
+            "w_a": pa.array(w_a),
+            "w_nla": pa.array(w_nla, pa.float64()),
+        })
+
+    cells = exchange_group_apply(
+        joined, [pred_col], by_pred, num_partitions,
+        empty_schema=pa.schema([(pred_col, pa.int64()),
+                                (truth_col, pa.int64())]),
+    )
+
+    def by_truth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([0.0], pa.float64()) for k in
+                             ["s_cells", "s_a", "bcp", "nlc", "nla",
+                              "s_b", "bcr", "nlb", "n_items"]})
+        df = t.to_pandas()
+        n = df["n"].to_numpy().astype(np.float64)
+        b = df.groupby("t", sort=False)["n"].transform("sum") \
+            .to_numpy().astype(np.float64)
+        bu = df.drop_duplicates("t")
+        bv = df.groupby("t", sort=True)["n"].sum().to_numpy() \
+            .astype(np.float64)
+        del bu
+        return pa.table({
+            "s_cells": [float(df["w_cells"].sum())],
+            "s_a": [float(df["w_a"].sum())],
+            "bcp": [float(df["w_bcp"].sum())],
+            "nlc": [float(df["w_nlc"].sum())],
+            "nla": [float(df["w_nla"].sum())],
+            "s_b": [float((bv * (bv - 1) / 2).sum())],
+            "bcr": [float((n * n / b).sum())],
+            "nlb": [float((bv * np.log(bv)).sum())],
+            "n_items": [float(n.sum())],
+        })
+
+    parts = exchange_group_apply(
+        cells, ["t"], by_truth, num_partitions,
+        empty_schema=cell_schema,
+    ).to_pandas()
+    return {k: float(parts[k].sum()) for k in parts.columns}

@@ -1226,6 +1226,20 @@ def cc_chain_docs(sf_dir: str):
     return assign_clusters(docs, edges, id_col="doc_id")
 
 
+
+_CHAIN_CC_CACHE: dict = {}
+
+
+def _chain_cc(sf_dir: str):
+    """Per-process memo of the chain-CC clustering (NB-model
+    convention): seven catalog entries consume the same deterministic
+    cluster table; one materialized CC run per corpus replaces seven
+    identical edge-build + CC executions.  Pure function of the doc
+    table, so caching cannot change any result."""
+    if sf_dir not in _CHAIN_CC_CACHE:
+        _CHAIN_CC_CACHE[sf_dir] = cc_chain_docs(sf_dir).materialize()
+    return _CHAIN_CC_CACHE[sf_dir]
+
 def cluster_stats_docs(sf_dir: str):
     """Cluster analytics rollup: per CC cluster (the deterministic
     ``cc_chain_docs`` graph), member count and min/max/total document
@@ -1235,7 +1249,7 @@ def cluster_stats_docs(sf_dir: str):
 
     from dedup_ray.util.dsutil import hash_join
 
-    clusters = cc_chain_docs(sf_dir)
+    clusters = _chain_cc(sf_dir)
     lens = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     joined = hash_join(clusters, lens, on="doc_id",
                        left_cols=["doc_id", "cluster_id"],
@@ -1259,6 +1273,31 @@ def cluster_stats_docs(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+_EVAL_SUMS_CACHE: dict = {}
+
+
+def _eval_sums(sf_dir: str) -> dict:
+    """Per-process memo of the chain-CC vs block-of-4-truth contingency
+    scalars (``ops/evaluate.py::contingency_sums``): the B³/ARI/NMI
+    trio shares ONE three-exchange pass instead of ~6 plan launches
+    each.  Pure function of the doc table."""
+    from dedup_ray.ops.evaluate import contingency_sums
+
+    if sf_dir not in _EVAL_SUMS_CACHE:
+        pred = _chain_cc(sf_dir)
+        docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+        def truth_of(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({"doc_id": t["doc_id"],
+                             "truth_id": pa.array(ids // 4)})
+
+        truth = docs.map_batches(truth_of, batch_format="pyarrow")
+        _EVAL_SUMS_CACHE[sf_dir] = contingency_sums(
+            pred, truth, num_partitions=4)
+    return _EVAL_SUMS_CACHE[sf_dir]
+
+
 def bcubed_eval_docs(sf_dir: str):
     """B-cubed precision/recall/F1 of the chain-CC clustering against a
     block-of-4 truth partition — the entity-resolution metric family next
@@ -1266,7 +1305,7 @@ def bcubed_eval_docs(sf_dir: str):
     (``ops/evaluate.py::bcubed_scores``)."""
     from dedup_ray.ops.evaluate import bcubed_scores
 
-    pred = cc_chain_docs(sf_dir)
+    pred = _chain_cc(sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def truth_of(t: pa.Table) -> pa.Table:
@@ -1275,7 +1314,8 @@ def bcubed_eval_docs(sf_dir: str):
                          "truth_id": pa.array(ids // 4)})
 
     truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return bcubed_scores(pred, truth, num_partitions=4)
+    return bcubed_scores(pred, truth, num_partitions=4,
+                     sums=_eval_sums(sf_dir))
 
 
 def ari_eval_docs(sf_dir: str):
@@ -1284,7 +1324,7 @@ def ari_eval_docs(sf_dir: str):
     contingency cells (``ops/evaluate.py::ari_score``)."""
     from dedup_ray.ops.evaluate import ari_score
 
-    pred = cc_chain_docs(sf_dir)
+    pred = _chain_cc(sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def truth_of(t: pa.Table) -> pa.Table:
@@ -1293,7 +1333,8 @@ def ari_eval_docs(sf_dir: str):
                          "truth_id": pa.array(ids // 4)})
 
     truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return ari_score(pred, truth, num_partitions=4)
+    return ari_score(pred, truth, num_partitions=4,
+                 sums=_eval_sums(sf_dir))
 
 
 def triangle_count_docs(sf_dir: str):
@@ -1338,7 +1379,7 @@ def cluster_rep_longest(sf_dir: str):
 
     from dedup_ray.util.dsutil import hash_join, partitioned_group_apply
 
-    labels = cc_chain_docs(sf_dir)
+    labels = _chain_cc(sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def ntok(t: pa.Table) -> pa.Table:
@@ -1380,7 +1421,7 @@ def soft_dedup_weights_docs(sf_dir: str):
     """
     from dedup_ray.util.dsutil import partitioned_group_apply
 
-    labels = cc_chain_docs(sf_dir)
+    labels = _chain_cc(sf_dir)
 
     def weight(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -6699,7 +6740,7 @@ def mixed_lang_clusters_docs(sf_dir: str):
     vectorized nunique pass."""
     from dedup_ray.util.dsutil import hash_join, partitioned_group_apply
 
-    clusters = cc_chain_docs(sf_dir)
+    clusters = _chain_cc(sf_dir)
     langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     joined = hash_join(clusters, langs, on="doc_id",
                        left_cols=["doc_id", "cluster_id"],
@@ -10048,7 +10089,7 @@ def nmi_eval_docs(sf_dir: str):
     only three entropy sums and N reach the driver."""
     from dedup_ray.ops.evaluate import nmi_score
 
-    pred = cc_chain_docs(sf_dir)
+    pred = _chain_cc(sf_dir)
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def truth_of(t: pa.Table) -> pa.Table:
@@ -10057,7 +10098,8 @@ def nmi_eval_docs(sf_dir: str):
                          "truth_id": pa.array(ids // 4)})
 
     truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return nmi_score(pred, truth, num_partitions=4)
+    return nmi_score(pred, truth, num_partitions=4,
+                 sums=_eval_sums(sf_dir))
 
 
 ORACLES["nmi_eval_docs"] = _CHAIN_COMP_CTE + """,
