@@ -222,6 +222,11 @@ BENCH_QUERIES = [
     "fisher_exact_events",
     "geomedian_embeddings",
     "wilson_ci_events",
+    # round-3 ninth-sitting additions
+    "canopy_docs",
+    "kneser_ney_docs",
+    "plsa_topics_docs",
+    "wand_topk_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)

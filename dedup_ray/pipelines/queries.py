@@ -14943,5 +14943,98 @@ ORACLES["holt_forecast_events"] = f"""
 """
 QUERIES["holt_forecast_events"] = holt_forecast_events
 
+
+
+SRCCOVER_K = 5
+
+
+def source_cover_docs(sf_dir: str):
+    """Greedy maximum-coverage source selection
+    (``stages/selection.py::greedy_source_cover``): the 5 sources whose
+    distinct word-trigram union covers the most vocabulary — the
+    "which feeds add content" audit a mixing recipe starts from.
+    One trigram-keyed exchange; coverage recomputed per round from the
+    broadcast selection; all-integer arithmetic."""
+    from dedup_ray.stages.selection import greedy_source_cover
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return greedy_source_cover(ds, k=SRCCOVER_K)
+
+
+def _source_cover_oracle(k: int = SRCCOVER_K) -> str:
+    sql = """
+    WITH t AS MATERIALIZED (SELECT source,
+            list_filter(string_split(coalesce(text, ''), ' '),
+                        x -> x <> '') AS toks
+        FROM documents),
+    g0 AS (SELECT source,
+            unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' '
+                        || toks[i + 2])) AS gram
+        FROM t),
+    pairs AS MATERIALIZED (SELECT DISTINCT source, gram FROM g0),
+    cov0 AS MATERIALIZED (SELECT gram FROM pairs WHERE 1 = 0)"""
+    for r in range(k):
+        sql += f""",
+    gain{r} AS MATERIALIZED (SELECT source, count(*) AS g FROM pairs
+        WHERE gram NOT IN (SELECT gram FROM cov{r})
+        GROUP BY source HAVING count(*) > 0),
+    sel{r} AS MATERIALIZED (SELECT source, g FROM gain{r}
+        ORDER BY g DESC, source LIMIT 1),
+    cov{r + 1} AS MATERIALIZED (
+        SELECT gram FROM cov{r}
+        UNION
+        SELECT pairs.gram FROM pairs JOIN sel{r} USING (source))"""
+    rounds = " UNION ALL ".join(
+        f"SELECT {r} AS round, source, g FROM sel{r}" for r in range(k))
+    return sql + f""",
+    sels AS ({rounds})
+    SELECT round, source AS sel_source, CAST(g AS BIGINT) AS new_grams,
+           CAST(sum(g) OVER (ORDER BY round) AS BIGINT) AS cum_grams
+    FROM sels
+"""
+
+
+ORACLES["source_cover_docs"] = _source_cover_oracle()
+QUERIES["source_cover_docs"] = source_cover_docs
+
+
+def quantile_normalize_docs(sf_dir: str):
+    """Cross-source quantile normalization
+    (``stages/mixing.py::quantile_normalize``, Bolstad et al. 2003):
+    every source's n_chars distribution mapped onto the pooled one so
+    per-source length/quality cutoffs become comparable before mixing.
+    Integer rank arithmetic end to end — no float percentile can
+    disagree between engines.  One source-keyed exchange + the
+    distinct-value-bounded pooled histogram broadcast."""
+    from dedup_ray.stages.mixing import quantile_normalize
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    return quantile_normalize(ds)
+
+
+ORACLES["quantile_normalize_docs"] = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS rs,
+                 count(*) OVER (PARTITION BY source) AS ns
+          FROM documents),
+    g AS (SELECT doc_id, source, n_chars,
+                 CASE WHEN ns > 1
+                      THEN ((rs - 1) * (n - 1) * 2 + (ns - 1))
+                           // (2 * (ns - 1))
+                      ELSE (n - 1) // 2 END AS gpos
+          FROM r, nn),
+    gpool AS (SELECT n_chars AS gx,
+                    row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS grk
+             FROM documents)
+    SELECT g.doc_id, g.source, g.n_chars, gpool.gx AS qnorm
+    FROM g JOIN gpool ON gpool.grk = g.gpos
+"""
+QUERIES["quantile_normalize_docs"] = quantile_normalize_docs
+
 QUERIES = {k: QUERIES[k] for k in _catalog_order(QUERIES)}
 ORACLES = {k: ORACLES[k] for k in _catalog_order(ORACLES)}

@@ -610,3 +610,93 @@ def temperature_weights(counts_ds, key_col: str, count_col: str,
         empty_schema=pa.schema([(key_col, pa.string()),
                                 (count_col, pa.int64())]),
     )
+
+
+def quantile_normalize(ds, group_col: str = "source",
+                       value_col: str = "n_chars",
+                       id_col: str = "doc_id",
+                       num_partitions: int = 16):
+    """Cross-source quantile normalization (the microarray-era
+    Bolstad et al. 2003 recipe applied to corpus curation): map each
+    source's value distribution onto the POOLED distribution so
+    per-source quality/length scores become comparable before mixing —
+    source A's 90th percentile and source B's 90th percentile land on
+    the same number regardless of how skewed each feed is.
+
+    Exact, engine-portable semantics (no float percentiles): within a
+    source, rank r = row_number ordered by (value, id) — unique, so no
+    tie ambiguity; the global position is the INTEGER half-away
+    rounding ``g = ((r−1)·(N−1)·2 + (n_s−1)) // (2·(n_s−1))`` (a
+    single-doc source maps to the global median ``(N−1)//2``), and the
+    normalized value is the pooled value at global rank g.  All
+    arithmetic is int64 — exact while ``(n_s−1)·(N−1)·2 < 2^63``
+    (beyond that, chunk the corpus or widen to object ints).
+
+    Shuffle shape: ONE group-keyed exchange (each source ranks wholly
+    in its partition); the rank→value lookup needs only the pooled
+    VALUE HISTOGRAM (every doc at global rank g with the same value —
+    the tie-break never changes the value), which is
+    distinct-value-bounded driver state (the exact-quantile trade),
+    broadcast to the ranking pass.
+
+    Output: ``(id_col, group_col, value_col, qnorm)``.
+    """
+    import pandas as pd
+
+    import ray
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    hist = (
+        ds.groupby(value_col).count().to_pandas()
+        .sort_values(value_col).reset_index(drop=True)
+    )
+    vals = hist[value_col].to_numpy().astype(np.int64)
+    cum = hist["count()"].to_numpy().astype(np.int64).cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+    href = ray.put((vals, cum))
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), (group_col, pa.string()),
+        (value_col, pa.int64()), ("qnorm", pa.int64()),
+    ])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gvals, gcum = ray.get(href)
+        df = t.to_pandas()
+        out = []
+        for _, sub in df.groupby(group_col, sort=False):
+            x = sub[value_col].to_numpy().astype(np.int64)
+            ids = sub[id_col].to_numpy().astype(np.int64)
+            order = np.lexsort((ids, x))
+            r = np.empty(len(x), np.int64)
+            r[order] = np.arange(1, len(x) + 1)
+            ns = len(x)
+            if ns > 1:
+                g = ((r - 1) * (n_total - 1) * 2 + (ns - 1)) \
+                    // (2 * (ns - 1))
+            else:
+                g = np.full(1, (n_total - 1) // 2, np.int64)
+            # value at pooled rank g: first index where cum > g
+            qi = np.searchsorted(gcum, g, side="right")
+            sub = sub.assign(qnorm=gvals[qi])
+            out.append(sub)
+        res = pd.concat(out)
+        return pa.table({
+            id_col: pa.array(res[id_col].to_numpy(), pa.int64()),
+            group_col: pa.array(res[group_col], pa.string()),
+            value_col: pa.array(res[value_col].to_numpy(), pa.int64()),
+            "qnorm": pa.array(res["qnorm"].to_numpy(), pa.int64()),
+        })
+
+    return exchange_group_apply(
+        ds.map_batches(
+            lambda t: t.select([id_col, group_col, value_col]),
+            batch_format="pyarrow"),
+        [group_col], per_group, num_partitions,
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                (group_col, pa.string()),
+                                (value_col, pa.int64())]),
+    )

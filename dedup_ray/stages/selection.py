@@ -629,3 +629,97 @@ def facility_location_select(ds, k: int = 8, pool: int = 64,
         "coverage": pa.array([r["coverage"] for r in rows],
                              pa.float64()),
     }))
+
+
+def greedy_source_cover(ds, k: int = 5, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """Greedy maximum-coverage source selection (the (1−1/e) greedy on
+    weighted set cover, Nemhauser et al. 1978): pick ``k`` sources
+    whose union of distinct word TRIGRAMS covers the most vocabulary —
+    the "which feeds actually add content" question a mixing recipe
+    starts from, the set-theoretic sibling of
+    :func:`facility_location_select`'s geometric coverage.
+
+    Shuffle shape: one explode pass to DISTINCT (source, trigram)
+    rows, ONE trigram-keyed exchange (a gram's full source list lands
+    whole per partition, so "already covered" is partition-local),
+    then one map pass per round with the broadcast selection —
+    coverage state is RECOMPUTED from the selected list each round
+    (selection-only set ops, bit-equal in any engine; the
+    ``stages/topics.py`` recompute-over-state trade).  All-integer
+    arithmetic: no float can disagree with the SQL unroll.
+
+    Output: ``(round, sel_source, new_grams, cum_grams)``.
+    """
+    import ray
+
+    import ray.data as _rd
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    def grams(t: pa.Table) -> pa.Table:
+        srcs = t[group_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_s, out_g = [], []
+        for s, tx in zip(srcs, texts):
+            toks = [w for w in (tx or "").split(" ") if w]
+            for i in range(len(toks) - 2):
+                out_s.append(s)
+                out_g.append(f"{toks[i]} {toks[i + 1]} {toks[i + 2]}")
+        return pa.table({group_col: pa.array(out_s, pa.string()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string())})
+        df = t.to_pandas().drop_duplicates([group_col, "gram"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = exchange_group_apply(
+        ds.map_batches(grams, batch_format="pyarrow"), ["gram"], dedupe,
+        num_partitions,
+        empty_schema=pa.schema([(group_col, pa.string()),
+                                ("gram", pa.string())]),
+    ).materialize()
+
+    selected: list[str] = []
+    rows = []
+    cum = 0
+    for r in range(k):
+        ref = ray.put(list(selected))
+
+        def gains(t: pa.Table, _r=ref) -> pa.Table:
+            sel = set(ray.get(_r))
+            if t.num_rows == 0:
+                return pa.table({group_col: pa.array([], pa.string()),
+                                 "g": pa.array([], pa.int64())})
+            df = t.to_pandas()
+            cov = df[df[group_col].isin(sel)]["gram"].unique()
+            un = df[~df["gram"].isin(cov)]
+            g = un.groupby(group_col, sort=True).size().reset_index(name="g")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = pairs.map_batches(gains, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+        if parts.empty:
+            break
+        agg = parts.groupby(group_col, sort=True)["g"].sum()
+        agg = agg[~agg.index.isin(selected)]
+        if agg.empty or agg.max() == 0:
+            break
+        best = agg[agg == agg.max()].index.min()  # ties → lexicographic
+        gain = int(agg[best])
+        selected.append(best)
+        cum += gain
+        rows.append({"round": r, "sel_source": best,
+                     "new_grams": gain, "cum_grams": cum})
+
+    return _rd.from_arrow(pa.table({
+        "round": pa.array([x["round"] for x in rows], pa.int64()),
+        "sel_source": pa.array([x["sel_source"] for x in rows],
+                               pa.string()),
+        "new_grams": pa.array([x["new_grams"] for x in rows], pa.int64()),
+        "cum_grams": pa.array([x["cum_grams"] for x in rows], pa.int64()),
+    }))

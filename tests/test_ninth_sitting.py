@@ -304,3 +304,54 @@ def test_bfs_local_fast_path_string_nodes_and_isolated_seed():
     got = dict(zip(out["node"], out["dist"]))
     # isolated seed still emits at dist 0 (distributed semantics)
     assert got == {"a": 0, "b": 1, "c": 2, "zzz": 0}
+
+
+def test_quantile_normalize_maps_both_sources_to_pooled():
+    from dedup_ray.stages.mixing import quantile_normalize
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        "n_chars": pa.array([1, 2, 3, 100, 200, 300], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = quantile_normalize(ds, num_partitions=2).to_pandas()
+    # both 3-doc sources map rank 1/2/3 onto pooled ranks 0/3/5
+    for src in ("a", "b"):
+        sub = out[out.source == src].sort_values("n_chars")
+        assert sub["qnorm"].tolist() == [1, 100, 300]
+
+
+def test_quantile_normalize_single_doc_source_gets_median():
+    from dedup_ray.stages.mixing import quantile_normalize
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["a", "a", "a", "a", "solo"], pa.string()),
+        "n_chars": pa.array([10, 20, 30, 40, 999], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = quantile_normalize(ds, num_partitions=2).to_pandas()
+    # N=5 -> global median position (5-1)//2 = 2 -> pooled value 30
+    assert out[out.source == "solo"]["qnorm"].tolist() == [30]
+
+
+def test_source_cover_greedy_on_planted_vocab():
+    from dedup_ray.stages.selection import greedy_source_cover
+
+    # src A: grams over tokens a1..a9 (8 distinct trigrams);
+    # src B: subset of A's text (0 new); src C: 3 distinct trigrams
+    a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    b = "a1 a2 a3 a4 a5"
+    c = "c1 c2 c3 c4 c5"
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": pa.array(["A", "B", "C"], pa.string()),
+        "text": pa.array([a, b, c], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = greedy_source_cover(ds, k=3, num_partitions=2).to_pandas()
+    # A first (8 grams), then C (3 new); B adds nothing -> loop breaks
+    assert out["sel_source"].tolist() == ["A", "C"]
+    assert out["new_grams"].tolist() == [8, 3]
+    assert out["cum_grams"].tolist() == [8, 11]
