@@ -14998,6 +14998,131 @@ def _source_cover_oracle(k: int = SRCCOVER_K) -> str:
 ORACLES["source_cover_docs"] = _source_cover_oracle()
 QUERIES["source_cover_docs"] = source_cover_docs
 
+TCLOSE_T = 0.3
+
+
+def t_closeness_docs(sf_dir: str):
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third leg of the release-privacy trio next to
+    ``k_anonymity_docs``'s k/l flags: per quasi-identifier group
+    (source, lang, 500-char length bucket), the total-variation
+    distance between the group's sensitive-host distribution and the
+    GLOBAL one (categorical EMD), flagged at t ≤ 0.3.  A group passing
+    k-anonymity can still leak through a skewed sensitive histogram —
+    exactly what this distance catches.  One grouped partial pass +
+    one QI-keyed exchange with the 13-value global histogram broadcast
+    (driver state = the support, never rows)."""
+    import ray
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lb = (t["n_chars"].to_numpy(zero_copy_only=False) // 500) * 500
+        host = pc.binary_join_element_wise(
+            "site", pa.array((ids % 13).astype(str)), "")
+        return pa.table({
+            "source": t["source"], "lang": t["lang"],
+            "len_bucket": pa.array(lb, pa.int64()),
+            "host": host,
+        })
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["source", "lang", "len_bucket", "host"],
+                       sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = base.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    gh = counts.to_pandas().groupby("host", sort=True)["c"].sum()
+    hosts = gh.index.to_numpy()
+    gc = gh.to_numpy().astype(np.int64)   # global host counts C_h
+    n_total = int(gc.sum())
+    href = ray.put((hosts, gc))
+
+    out_schema = pa.schema([
+        ("source", pa.string()), ("lang", pa.string()),
+        ("len_bucket", pa.int64()), ("n", pa.int64()),
+        ("tvd", pa.float64()), ("t_close", pa.int64()),
+    ])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        hvals, gcv = ray.get(href)
+        hidx = {h: i for i, h in enumerate(hvals)}
+        df = t.to_pandas()
+        rows = {k: [] for k in ("source", "lang", "len_bucket", "n",
+                                "tvd", "t_close")}
+        for key, g in df.groupby(["source", "lang", "len_bucket"],
+                                 sort=True):
+            n = int(g["c"].sum())
+            cg = np.zeros(len(hvals), np.int64)
+            for h, c in zip(g["host"], g["c"]):  # per-batch partials:
+                cg[hidx[h]] += c                 # same host may repeat
+            # EXACT integer form: TVD = Σ|c_h·N − C_h·n| / (2·n·N),
+            # so the value is one identical division and the <= t flag
+            # is a pure integer predicate — no rounding boundary exists
+            m = int(np.abs(cg * n_total - gcv * n).sum())
+            rows["source"].append(key[0])
+            rows["lang"].append(key[1])
+            rows["len_bucket"].append(int(key[2]))
+            rows["n"].append(n)
+            rows["tvd"].append(m / (2.0 * n * n_total))
+            rows["t_close"].append(int(10 * m <= 6 * n * n_total))
+        return pa.table({
+            "source": pa.array(rows["source"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "len_bucket": pa.array(rows["len_bucket"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "tvd": pa.array(rows["tvd"], pa.float64()),
+            "t_close": pa.array(rows["t_close"], pa.int64()),
+        })
+
+    return exchange_group_apply(
+        counts, ["source", "lang", "len_bucket"], per_group,
+        num_partitions=8,
+        empty_schema=pa.schema([
+            ("source", pa.string()), ("lang", pa.string()),
+            ("len_bucket", pa.int64()), ("host", pa.string()),
+            ("c", pa.int64())]),
+    )
+
+
+ORACLES["t_closeness_docs"] = f"""
+    WITH b AS (SELECT source, lang,
+                      (n_chars // 500) * 500 AS len_bucket,
+                      'site' || CAST(doc_id % 13 AS VARCHAR) AS host
+               FROM documents),
+    nt AS (SELECT count(*) AS nn FROM b),
+    gq AS (SELECT host, count(*) AS ch FROM b GROUP BY host),
+    gg AS (SELECT source, lang, len_bucket, host, count(*) AS c
+           FROM b GROUP BY source, lang, len_bucket, host),
+    gn AS (SELECT source, lang, len_bucket, sum(c) AS n FROM gg
+           GROUP BY source, lang, len_bucket),
+    tv AS (SELECT gn.source, gn.lang, gn.len_bucket,
+                  CAST(gn.n AS BIGINT) AS n,
+                  sum(abs(coalesce(gg.c, 0) * nt.nn
+                          - gq.ch * gn.n))::BIGINT AS m
+           FROM gn CROSS JOIN gq CROSS JOIN nt
+           LEFT JOIN gg ON gg.source = gn.source
+                       AND gg.lang = gn.lang
+                       AND gg.len_bucket = gn.len_bucket
+                       AND gg.host = gq.host
+           GROUP BY gn.source, gn.lang, gn.len_bucket, gn.n)
+    SELECT tv.source, tv.lang, tv.len_bucket, tv.n,
+           tv.m / (2.0 * tv.n * nt.nn) AS tvd,
+           CAST(10 * tv.m <= 6 * tv.n * nt.nn AS BIGINT) AS t_close
+    FROM tv, nt
+"""
+QUERIES["t_closeness_docs"] = t_closeness_docs
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

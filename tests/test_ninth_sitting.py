@@ -355,3 +355,16 @@ def test_source_cover_greedy_on_planted_vocab():
     assert out["sel_source"].tolist() == ["A", "C"]
     assert out["new_grams"].tolist() == [8, 3]
     assert out["cum_grams"].tolist() == [8, 11]
+
+
+def test_t_closeness_integer_predicate_on_skewed_group():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["t_closeness_docs"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(out) > 0
+    # flag must equal the exact integer predicate everywhere
+    lhs = (out["tvd"] <= 0.3 + 1e-12)
+    assert (out["t_close"].astype(bool) == lhs).all()
+    # tvd is a genuine distance: within [0, 1]
+    assert out["tvd"].between(0, 1).all()
