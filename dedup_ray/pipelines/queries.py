@@ -15124,6 +15124,149 @@ ORACLES["t_closeness_docs"] = f"""
 QUERIES["t_closeness_docs"] = t_closeness_docs
 
 
+def blocking_quality_docs(sf_dir: str):
+    """Blocking-quality scorecard (the classic entity-resolution pair
+    completeness / reduction ratio readout, Christen 2012): how good is
+    the canopy blocking pass as a CANDIDATE GENERATOR for the exact
+    similarity self-join?  PC = fraction of true near-dup pairs
+    (3-shingle Jaccard ≥ 0.5 over ≥40-token docs — the
+    ``similarity_self_join_docs`` truth) whose two docs share a canopy;
+    RR = 1 − candidate-pairs / all-pairs.  The blocking stage every
+    dedup pipeline tunes, scored with its own oracle-checked truth.
+    Shuffle shape: canopy membership → one center-keyed pair explode →
+    one pair-keyed distinct; three scalars reach the driver."""
+    from dedup_ray.ops.linkage import canopy_cluster
+    from dedup_ray.ops.simjoin import similarity_self_join
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    mem = canopy_cluster(docs, t1=CANOPY_T1, t2=CANOPY_T2,
+                         num_blocks=CANOPY_BLOCKS,
+                         max_rounds=CANOPY_ROUNDS)
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        df = df[df.center_id >= 0]
+        i1, i2 = [], []
+        for _, g in df.groupby("center_id", sort=False):
+            ids = sorted(set(g["doc_id"].tolist()))
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    i1.append(ids[a])
+                    i2.append(ids[b])
+        return pa.table({"id1": pa.array(i1, pa.int64()),
+                         "id2": pa.array(i2, pa.int64())})
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64())})
+        df = t.to_pandas().drop_duplicates(["id1", "id2"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = exchange_group_apply(
+        exchange_group_apply(
+            mem, ["center_id"], pairs_of, 8,
+            empty_schema=pa.schema([
+                ("blk", pa.int64()), ("center_id", pa.int64()),
+                ("doc_id", pa.int64()), ("jac", pa.float64())]),
+        ),
+        ["id1", "id2"], dedupe, 8,
+        empty_schema=pa.schema([("id1", pa.int64()),
+                                ("id2", pa.int64())]),
+    ).materialize()
+    n_cand = cand.count()
+
+    def long_docs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " ")
+        return t.filter(pc.greater_equal(pc.list_value_length(toks), 40))
+
+    truth = similarity_self_join(
+        docs.map_batches(long_docs, batch_format="pyarrow"),
+        "doc_id", k=3, tau=0.5,
+    ).materialize()
+    n_truth = truth.count()
+
+    from dedup_ray.ops.relational import semi_join
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["id1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(a * (1 << 32) + b, pa.int64())})
+
+    caught = semi_join(
+        truth.map_batches(pack, batch_format="pyarrow"),
+        cand.map_batches(pack, batch_format="pyarrow"),
+        on="pk").count()
+
+    pc_v = 0.0 if n_truth == 0 else caught / n_truth
+    total_pairs = n_docs * (n_docs - 1) // 2
+    rr = 0.0 if total_pairs == 0 else 1.0 - n_cand / total_pairs
+    return pa.table({
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "n_cand": pa.array([n_cand], pa.int64()),
+        "n_caught": pa.array([caught], pa.int64()),
+        "pair_completeness": pa.array([round(pc_v, 6)], pa.float64()),
+        "reduction_ratio": pa.array([round(rr, 6)], pa.float64()),
+    })
+
+
+ORACLES["blocking_quality_docs"] = f"""
+    WITH mem AS ({_canopy_oracle()}),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM mem a JOIN mem b
+               ON a.center_id = b.center_id AND a.doc_id < b.doc_id
+             WHERE a.center_id >= 0),
+    docs2 AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE array_length(string_split(text, ' ')) >= 40),
+    idx2 AS (
+        SELECT doc_id, toks,
+               unnest(range(1, array_length(toks) - 1)) AS i
+        FROM docs2),
+    sh2 AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        FROM idx2),
+    card2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    ints2 AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+        FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT u AS id1, v AS id2
+        FROM ints2
+        JOIN card2 ca ON ca.doc_id = u
+        JOIN card2 cb ON cb.doc_id = v
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5),
+    nums AS (SELECT
+        (SELECT count(*) FROM truth) AS n_truth,
+        (SELECT count(*) FROM cand) AS n_cand,
+        (SELECT count(*) FROM truth t
+         JOIN cand c ON c.id1 = t.id1 AND c.id2 = t.id2) AS n_caught,
+        (SELECT count(*) FROM documents) AS nd)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           round(CASE WHEN n_truth = 0 THEN 0.0
+                 ELSE n_caught / CAST(n_truth AS DOUBLE) END, 6)
+               AS pair_completeness,
+           round(CASE WHEN nd < 2 THEN 0.0
+                 ELSE 1.0 - n_cand
+                      / CAST(nd * (nd - 1) // 2 AS DOUBLE) END, 6)
+               AS reduction_ratio
+    FROM nums
+"""
+QUERIES["blocking_quality_docs"] = blocking_quality_docs
+
+
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization
     (``stages/mixing.py::quantile_normalize``, Bolstad et al. 2003):

@@ -368,3 +368,16 @@ def test_t_closeness_integer_predicate_on_skewed_group():
     assert (out["t_close"].astype(bool) == lhs).all()
     # tvd is a genuine distance: within [0, 1]
     assert out["tvd"].between(0, 1).all()
+
+
+def test_blocking_quality_perfect_completeness_on_testdata():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["blocking_quality_docs"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    row = df.iloc[0]
+    # canopy blocking must catch every sim-join truth pair on this
+    # corpus (near-dups share their min bigram) at huge reduction
+    assert row["pair_completeness"] == 1.0
+    assert row["reduction_ratio"] > 0.99
+    assert row["n_cand"] >= row["n_caught"] >= row["n_truth"] * 1.0
