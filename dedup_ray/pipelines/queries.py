@@ -15267,6 +15267,64 @@ ORACLES["blocking_quality_docs"] = f"""
 QUERIES["blocking_quality_docs"] = blocking_quality_docs
 
 
+def wasserstein_sources_docs(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance between each source's
+    doc-length distribution and the POOLED one — the drift readout that
+    weighs HOW FAR mass moved where KS only reports the worst gap and
+    PSI needs arbitrary bins: ``W1 = Σ_v |F_s(v) − F(v)|·Δv`` over the
+    pooled distinct-value grid.  Engine-exact: the integral is the
+    INTEGER sum ``Σ |cum_s·N − cum·n_s|·gap`` divided once by
+    ``n_s·N`` — no float accumulates.  One grouped count pass; driver
+    state = the (source × distinct value) histogram, the same
+    distinct-value bound as the exact-quantile family."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    h = ds.groupby(["source", "n_chars"]).count().to_pandas()
+    h = h.rename(columns={"count()": "c"})
+    vals = np.sort(h["n_chars"].unique())
+    pool = h.groupby("n_chars")["c"].sum().reindex(vals,
+                                                   fill_value=0)
+    cum_pool = pool.to_numpy().astype(np.int64).cumsum()
+    nn = int(cum_pool[-1]) if len(cum_pool) else 0
+    gaps = np.diff(vals.astype(np.int64))
+    srcs, w1s = [], []
+    for src, g in h.groupby("source", sort=True):
+        per = g.groupby("n_chars")["c"].sum().reindex(vals,
+                                                      fill_value=0)
+        cs = per.to_numpy().astype(np.int64).cumsum()
+        ns = int(cs[-1])
+        m = int((np.abs(cs[:-1] * nn - cum_pool[:-1] * ns)
+                 * gaps).sum())
+        srcs.append(src)
+        w1s.append(m / (ns * nn))
+    return pa.table({"source": pa.array(srcs, pa.string()),
+                     "w1": pa.array(w1s, pa.float64())})
+
+
+ORACLES["wasserstein_sources_docs"] = """
+    WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+               FROM documents GROUP BY source, n_chars),
+    vals AS (SELECT DISTINCT v FROM h),
+    grid AS (SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM vals),
+    ns AS (SELECT source, sum(c)::BIGINT AS n FROM h GROUP BY source),
+    nt AS (SELECT sum(c)::BIGINT AS nn FROM h),
+    pcum AS (SELECT g.v, g.nxt,
+                    (SELECT sum(c)::BIGINT FROM h WHERE h.v <= g.v)
+                        AS cum
+             FROM grid g WHERE g.nxt IS NOT NULL),
+    scum AS (SELECT ns.source, ns.n, p.v, p.nxt, p.cum,
+                    (SELECT coalesce(sum(c), 0)::BIGINT FROM h
+                     WHERE h.source = ns.source AND h.v <= p.v)
+                        AS cums
+             FROM ns CROSS JOIN pcum p)
+    SELECT s.source,
+           sum(abs(s.cums * nt.nn - s.cum * s.n) * (s.nxt - s.v))
+               / (any_value(s.n) * any_value(nt.nn)) AS w1
+    FROM scum s, nt
+    GROUP BY s.source
+"""
+QUERIES["wasserstein_sources_docs"] = wasserstein_sources_docs
+
+
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization
     (``stages/mixing.py::quantile_normalize``, Bolstad et al. 2003):

@@ -384,3 +384,39 @@ def test_blocking_quality_perfect_completeness_on_testdata():
     assert row["reduction_ratio"] > 0.99
     assert row["n_truth"] >= row["n_caught"] > 0
     assert row["n_cand"] >= row["n_caught"]
+
+
+def test_wasserstein_identical_and_shifted_sources():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    # synthetic check through the catalog entry machinery is covered by
+    # the oracle; here pin the metric's math on a hand construction
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    tbl = pa.table({
+        "source": pa.array(["a"] * 4 + ["b"] * 4, pa.string()),
+        "n_chars": pa.array([0, 0, 10, 10, 0, 0, 10, 10], pa.int64()),
+    })
+    # both sources equal the pool -> W1 = 0 for each
+    import dedup_ray.pipelines.queries as q
+    import unittest.mock as mock
+    with mock.patch.object(q, "_read",
+                           lambda sf, t, columns=None: rd.from_arrow(tbl)):
+        out = q.wasserstein_sources_docs("ignored")
+    df = out.to_pandas()
+    assert (df["w1"] == 0.0).all()
+
+    tbl2 = pa.table({
+        "source": pa.array(["a"] * 2 + ["b"] * 2, pa.string()),
+        "n_chars": pa.array([0, 0, 10, 10], pa.int64()),
+    })
+    # pool F at v=0 is 1/2; source a has F=1, b has F=0; gap 10
+    # -> W1 = |1 - 0.5| * 10 = 5 for both
+    with mock.patch.object(q, "_read",
+                           lambda sf, t, columns=None: rd.from_arrow(tbl2)):
+        out2 = q.wasserstein_sources_docs("ignored")
+    df2 = out2.to_pandas().set_index("source")
+    assert df2.loc["a", "w1"] == 5.0
+    assert df2.loc["b", "w1"] == 5.0
