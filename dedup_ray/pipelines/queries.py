@@ -15324,6 +15324,73 @@ ORACLES["wasserstein_sources_docs"] = """
 """
 QUERIES["wasserstein_sources_docs"] = wasserstein_sources_docs
 
+SELFBLEU_PROBE = 16
+
+
+def self_bleu_docs(sf_dir: str):
+    """Self-BLEU-2 diversity probe (Zhu et al. 2018, Texygen;
+    ``stages/textstats.py::self_bleu_probe``): clipped unigram/bigram
+    precision of each of the first 16 docs against the REST of the
+    corpus — the "is everything the same template" audit.  Clipping
+    needs only each gram's top-2 per-doc counts: one gram-keyed
+    exchange, integers until the final ratios."""
+    from dedup_ray.stages.textstats import self_bleu_probe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return self_bleu_probe(ds, list(range(SELFBLEU_PROBE)))
+
+
+ORACLES["self_bleu_docs"] = f"""
+    WITH tt AS (SELECT doc_id,
+            list_filter(string_split(coalesce(text, ''), ' '),
+                        x -> x <> '') AS toks
+        FROM documents),
+    u AS (SELECT doc_id, '1' || chr(31) || t AS gram, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS t FROM tt)
+          GROUP BY doc_id, t),
+    b AS (SELECT doc_id, '2' || chr(31) || g AS gram, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 1)),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+                FROM tt)
+          GROUP BY doc_id, g),
+    al AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+    rk AS (SELECT gram, doc_id, c,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY c DESC, doc_id) AS rn
+           FROM al),
+    t1 AS (SELECT gram, doc_id AS top1_doc, c AS top1_c FROM rk
+           WHERE rn = 1),
+    t2 AS (SELECT gram, c AS top2_c FROM rk WHERE rn = 2),
+    pj AS (SELECT a.doc_id, a.gram, a.c, t1.top1_doc, t1.top1_c,
+                  coalesce(t2.top2_c, 0) AS top2_c
+           FROM al a JOIN t1 USING (gram) LEFT JOIN t2 USING (gram)
+           WHERE a.doc_id < {SELFBLEU_PROBE}),
+    per AS (SELECT doc_id, substr(gram, 1, 1) AS n,
+                   sum(least(c, CASE WHEN top1_doc = doc_id
+                             THEN top2_c ELSE top1_c END)) AS num,
+                   sum(c) AS den
+            FROM pj GROUP BY doc_id, substr(gram, 1, 1)),
+    piv AS (SELECT doc_id,
+                   max(CASE WHEN n = '1' THEN num END) AS n1,
+                   max(CASE WHEN n = '1' THEN den END) AS d1,
+                   coalesce(max(CASE WHEN n = '2' THEN num END), 0)
+                       AS n2,
+                   coalesce(max(CASE WHEN n = '2' THEN den END), 0)
+                       AS d2
+            FROM per GROUP BY doc_id)
+    SELECT doc_id, round(n1 / CAST(d1 AS DOUBLE), 6) AS p1,
+           round(CASE WHEN d2 = 0 THEN 0.0
+                 ELSE n2 / CAST(d2 AS DOUBLE) END, 6) AS p2,
+           round(sqrt((n1 / CAST(d1 AS DOUBLE))
+                 * (CASE WHEN d2 = 0 THEN 0.0
+                    ELSE n2 / CAST(d2 AS DOUBLE) END)), 6)
+               AS self_bleu2
+    FROM piv WHERE d1 > 0
+"""
+QUERIES["self_bleu_docs"] = self_bleu_docs
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

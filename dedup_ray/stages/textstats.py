@@ -1065,3 +1065,139 @@ def token_class_association(ds, label_col: str = "lang",
                                 ("label", pa.string()),
                                 ("c", pa.int64())]),
     )
+
+
+def self_bleu_probe(ds, probe_ids: list[int], id_col: str = "doc_id",
+                    text_col: str = "text", num_partitions: int = 16):
+    """Self-BLEU-2 diversity probe (Zhu et al. 2018, Texygen): for each
+    probe document, the clipped unigram/bigram precision of its text
+    against the REST of the corpus as references — the corpus-level
+    "is everything saying the same thing" audit (high self-BLEU =
+    template flood / mode collapse; the generation-diversity metric
+    applied to curation).
+
+    Clipping against "all other docs" needs only each gram's TOP-2
+    per-doc counts (max over refs = the global max, or the runner-up
+    when the probe doc itself holds the max — ties make the choice
+    value-irrelevant): ONE gram-keyed exchange folds (top1 doc, top1
+    count, top2 count) per gram, the probe docs' gram rows semi-join
+    against it (probe set is bounded/broadcast), and per-probe sums are
+    integers — ``p_n = Σ min(c, maxref) / Σ c``.  Reported score =
+    ``sqrt(p1 · p2)`` (BLEU-2 geometric mean, smoothing-free: a zero
+    precision reports 0).
+
+    Output: ``(id_col, p1, p2, self_bleu2)`` rounded 6dp.
+    """
+    import ray
+
+    from dedup_ray.util.exchange import exchange_group_apply
+
+    probe = set(int(x) for x in probe_ids)
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        oid, og, on = [], [], []
+        for did, tx in zip(ids.tolist(), texts):
+            toks = [w for w in (tx or "").split(" ") if w]
+            c1: dict = {}
+            for w in toks:
+                c1[w] = c1.get(w, 0) + 1
+            c2: dict = {}
+            for a, b in zip(toks, toks[1:]):
+                g = f"{a} {b}"
+                c2[g] = c2.get(g, 0) + 1
+            for g, c in c1.items():
+                oid.append(did)
+                og.append(f"1\x1f{g}")
+                on.append(c)
+            for g, c in c2.items():
+                oid.append(did)
+                og.append(f"2\x1f{g}")
+                on.append(c)
+        return pa.table({id_col: pa.array(oid, pa.int64()),
+                         "gram": pa.array(og, pa.string()),
+                         "c": pa.array(on, pa.int64())})
+
+    gtab = ds.map_batches(grams, batch_format="pyarrow")
+
+    top_schema = pa.schema([("gram", pa.string()),
+                            ("top1_doc", pa.int64()),
+                            ("top1_c", pa.int64()),
+                            ("top2_c", pa.int64())])
+
+    def top2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return top_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["gram", "c", id_col], ascending=[True, False, True])
+        g1 = df.drop_duplicates("gram")
+        rest = df[~df.index.isin(g1.index)].drop_duplicates("gram")
+        out = g1.merge(rest[["gram", "c"]], on="gram", how="left",
+                       suffixes=("", "_2"))
+        return pa.table({
+            "gram": pa.array(out["gram"], pa.string()),
+            "top1_doc": pa.array(out[id_col].to_numpy(), pa.int64()),
+            "top1_c": pa.array(out["c"].to_numpy(), pa.int64()),
+            "top2_c": pa.array(
+                out["c_2"].fillna(0).to_numpy().astype(np.int64)),
+        })
+
+    tops = exchange_group_apply(
+        gtab, ["gram"], top2, num_partitions,
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("gram", pa.string()),
+                                ("c", pa.int64())]),
+    )
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        keep = pa.array([int(v) in probe
+                         for v in t[id_col].to_pylist()])
+        return t.filter(keep)
+
+    pg = gtab.map_batches(probe_rows, batch_format="pyarrow")
+
+    from dedup_ray.util.exchange import exchange_join
+
+    j = exchange_join(
+        pg, tops, on="gram", how="inner",
+        num_partitions=num_partitions,
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("gram", pa.string()),
+                                ("c", pa.int64()),
+                                ("top1_doc", pa.int64()),
+                                ("top1_c", pa.int64()),
+                                ("top2_c", pa.int64())]),
+    ).to_pandas()
+
+    rows = {"id": [], "p1": [], "p2": [], "sb": []}
+    for did in sorted(probe):
+        sub = j[j[id_col] == did]
+        if sub.empty:
+            continue
+        ps = {}
+        for n in ("1", "2"):
+            s = sub[sub["gram"].str.startswith(n + "\x1f")]
+            if s.empty:
+                ps[n] = None
+                continue
+            maxref = np.where(s["top1_doc"].to_numpy() == did,
+                              s["top2_c"].to_numpy(),
+                              s["top1_c"].to_numpy())
+            num = int(np.minimum(s["c"].to_numpy(), maxref).sum())
+            den = int(s["c"].sum())
+            ps[n] = (num, den)
+        if ps["1"] is None:
+            continue
+        p1 = ps["1"][0] / ps["1"][1]
+        p2 = (ps["2"][0] / ps["2"][1]) if ps["2"] else 0.0
+        rows["id"].append(did)
+        rows["p1"].append(round(p1, 6))
+        rows["p2"].append(round(p2, 6))
+        rows["sb"].append(round(float(np.sqrt(p1 * p2)), 6))
+    return pa.table({
+        id_col: pa.array(rows["id"], pa.int64()),
+        "p1": pa.array(rows["p1"], pa.float64()),
+        "p2": pa.array(rows["p2"], pa.float64()),
+        "self_bleu2": pa.array(rows["sb"], pa.float64()),
+    })

@@ -420,3 +420,18 @@ def test_wasserstein_identical_and_shifted_sources():
     df2 = out2.to_pandas().set_index("source")
     assert df2.loc["a", "w1"] == 5.0
     assert df2.loc["b", "w1"] == 5.0
+
+
+def test_self_bleu_template_vs_unique():
+    from dedup_ray.stages.textstats import self_bleu_probe
+
+    # doc 0 is a verbatim copy of docs 2..4's template: self-BLEU 1.0;
+    # doc 1 is entirely novel vocabulary: self-BLEU 0.0
+    tpl = "the same template text repeated again and again here"
+    ds = _docs([(0, tpl), (1, "zonal quixotic vapors drift unseen"),
+                (2, tpl), (3, tpl), (4, tpl)])
+    out = self_bleu_probe(ds, [0, 1], num_partitions=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "self_bleu2"] == 1.0
+    assert out.loc[1, "self_bleu2"] == 0.0
+    assert out.loc[1, "p1"] == 0.0
