@@ -15391,6 +15391,94 @@ ORACLES["self_bleu_docs"] = f"""
 """
 QUERIES["self_bleu_docs"] = self_bleu_docs
 
+PLATT_ROUNDS, PLATT_LR_NUM = 8, 2.0
+
+
+def platt_scaling_embeddings(sf_dir: str):
+    """Platt scaling (Platt 1999): fit ``σ(a·x + b)`` mapping the raw
+    score (first embedding coordinate) to a calibrated probability of
+    the even-class label — the parametric calibrator next to
+    ``isotonic_nb_docs``'s monotone one.  A FIXED 8 gradient-descent
+    rounds from (a, b) = (1, 0) at lr = 2/N (convergence never
+    assumed); each round is one map_batches pass of (Σ(p−y)x, Σ(p−y))
+    partials with the 2-float model broadcast — driver state is two
+    floats, and the oracle unrolls the identical rounds."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+    n = ds.count()
+    lr = PLATT_LR_NUM / n
+    a, b = 1.0, 0.0
+
+    def partials(aa, bb):
+        def f(t: pa.Table) -> pa.Table:
+            col = t["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            x = np.asarray([v[0] for v in col.to_pylist()],
+                           dtype=np.float64)
+            y = (t["label"].to_numpy(zero_copy_only=False) % 2 == 0) \
+                .astype(np.float64)
+            p = 1.0 / (1.0 + np.exp(-(aa * x + bb)))
+            return pa.table({
+                "ga": [float(((p - y) * x).sum())],
+                "gb": [float((p - y).sum())],
+                "nll": [float(-(y * np.log(p)
+                                + (1.0 - y) * np.log(1.0 - p)).sum())],
+            })
+        return f
+
+    for _ in range(PLATT_ROUNDS):
+        part = ds.map_batches(partials(a, b),
+                              batch_format="pyarrow").to_pandas()
+        a = a - lr * float(part["ga"].sum())
+        b = b - lr * float(part["gb"].sum())
+
+    part = ds.map_batches(partials(a, b),
+                          batch_format="pyarrow").to_pandas()
+    nll = float(part["nll"].sum()) / n
+    return pa.table({
+        "a": pa.array([round(a, 6)], pa.float64()),
+        "b": pa.array([round(b, 6)], pa.float64()),
+        "mean_nll": pa.array([round(nll, 6)], pa.float64()),
+    })
+
+
+def _platt_oracle(rounds: int = PLATT_ROUNDS) -> str:
+    sql = f"""
+    WITH x AS MATERIALIZED (SELECT
+            CAST(embedding[1] AS DOUBLE) AS x,
+            CASE WHEN label % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM embeddings),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM x),
+    m0 AS (SELECT 1.0 AS a, 0.0 AS b)"""
+    for r in range(rounds):
+        sql += f""",
+    g{r} AS (SELECT
+            sum((1.0 / (1.0 + exp(-(m{r}.a * x.x + m{r}.b))) - x.y)
+                * x.x) AS ga,
+            sum(1.0 / (1.0 + exp(-(m{r}.a * x.x + m{r}.b))) - x.y)
+                AS gb
+        FROM x, m{r}),
+    m{r + 1} AS (SELECT m{r}.a - {PLATT_LR_NUM!r} / nn.n * g{r}.ga
+                     AS a,
+                 m{r}.b - {PLATT_LR_NUM!r} / nn.n * g{r}.gb AS b
+        FROM m{r}, g{r}, nn)"""
+    return sql + f"""
+    SELECT round(m{rounds}.a, 6) AS a, round(m{rounds}.b, 6) AS b,
+           round((SELECT sum(-(x.y * ln(1.0 / (1.0
+                      + exp(-(m{rounds}.a * x.x + m{rounds}.b))))
+                  + (1.0 - x.y) * ln(1.0 - 1.0 / (1.0
+                      + exp(-(m{rounds}.a * x.x + m{rounds}.b))))))
+                  FROM x) / nn.n, 6) AS mean_nll
+    FROM m{rounds}, nn
+"""
+
+
+ORACLES["platt_scaling_embeddings"] = _platt_oracle()
+QUERIES["platt_scaling_embeddings"] = platt_scaling_embeddings
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

@@ -435,3 +435,28 @@ def test_self_bleu_template_vs_unique():
     assert out.loc[0, "self_bleu2"] == 1.0
     assert out.loc[1, "self_bleu2"] == 0.0
     assert out.loc[1, "p1"] == 0.0
+
+
+def test_platt_scaling_learns_separable_direction():
+    import unittest.mock as mock
+
+    import ray.data as rd
+
+    import dedup_ray.pipelines.queries as q
+
+    # strongly separable: y=1 at x=+1, y=0 at x=-1 -> GD pushes a UP
+    n = 100
+    xs = [1.0 if i % 2 == 0 else -1.0 for i in range(n)]
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([[x, 0.0] for x in xs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 2 for i in range(n)], pa.int32()),
+    })
+    with mock.patch.object(q, "_read",
+                           lambda sf, t, columns=None: rd.from_arrow(tbl)):
+        out = q.platt_scaling_embeddings("ignored").to_pandas()
+    row = out.iloc[0]
+    assert row["a"] > 1.0          # slope grows toward separation
+    assert abs(row["b"]) < 0.05    # symmetric classes -> tiny bias
+    assert 0 < row["mean_nll"] < 0.693  # better than chance ln(2)
