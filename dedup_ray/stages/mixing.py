@@ -647,10 +647,16 @@ def quantile_normalize(ds, group_col: str = "source",
 
     from dedup_ray.util.exchange import exchange_group_apply
 
-    hist = (
-        ds.groupby(value_col).count().to_pandas()
-        .sort_values(value_col).reset_index(drop=True)
-    )
+    hist = ds.groupby(value_col).count().to_pandas()
+    if hist.empty:  # empty corpus: Ray drops columns at 0 rows
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            value_col: pa.array([], pa.int64()),
+            "qnorm": pa.array([], pa.int64())}))
+    hist = hist.sort_values(value_col).reset_index(drop=True)
     vals = hist[value_col].to_numpy().astype(np.int64)
     cum = hist["count()"].to_numpy().astype(np.int64).cumsum()
     n_total = int(cum[-1]) if len(cum) else 0

@@ -581,7 +581,13 @@ def facility_location_select(ds, k: int = 8, pool: int = 64,
 
     pdf = ds.map_batches(
         lambda t: t.filter(pc.less(t[id_col], pa.scalar(pool))),
-        batch_format="pyarrow").to_pandas().sort_values(id_col)
+        batch_format="pyarrow").to_pandas()
+    if pdf.empty:  # empty pool/corpus: Ray drops columns at 0 rows
+        return _rd.from_arrow(pa.table({
+            "round": pa.array([], pa.int64()),
+            "sel_id": pa.array([], pa.int64()),
+            "coverage": pa.array([], pa.float64())}))
+    pdf = pdf.sort_values(id_col)
     pool_ids = pdf[id_col].tolist()
     pv = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
     pn = np.linalg.norm(pv, axis=1, keepdims=True)

@@ -1171,6 +1171,9 @@ def self_bleu_probe(ds, probe_ids: list[int], id_col: str = "doc_id",
     ).to_pandas()
 
     rows = {"id": [], "p1": [], "p2": [], "sb": []}
+    if j.empty:  # empty corpus: Ray drops columns at 0 rows
+        j = pd.DataFrame({id_col: [], "gram": [], "c": [],
+                          "top1_doc": [], "top1_c": [], "top2_c": []})
     for did in sorted(probe):
         sub = j[j[id_col] == did]
         if sub.empty:

@@ -101,10 +101,16 @@ def plsa_topics(ds, id_col: str = "doc_id", text_col: str = "text",
         flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
         return pa.table({"w": flat})
 
-    vocab = sorted(
-        ds.map_batches(tok_rows, batch_format="pyarrow")
-        .groupby("w").count().to_pandas()["w"].tolist()
-    )
+    vdf = ds.map_batches(tok_rows, batch_format="pyarrow") \
+        .groupby("w").count().to_pandas()
+    if vdf.empty:  # zero-token corpus: Ray drops columns at 0 rows
+        import ray.data as _rd
+
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          **{f"pz{z}": pa.array([], pa.float64())
+                             for z in range(k)}})
+        return _rd.from_arrow(empty), ([], np.zeros((0, k)))
+    vocab = sorted(vdf["w"].tolist())
     widx = {w: i for i, w in enumerate(vocab)}
     v = len(vocab)
     models = [_init_model(vocab, k)]

@@ -460,3 +460,39 @@ def test_platt_scaling_learns_separable_direction():
     assert row["a"] > 1.0          # slope grows toward separation
     assert abs(row["b"]) < 0.05    # symmetric classes -> tiny bias
     assert 0 < row["mean_nll"] < 0.693  # better than chance ln(2)
+
+
+def test_new_ops_empty_corpus_robustness():
+    """Every ninth-sitting operator survives a zero-row corpus (Ray's
+    to_pandas drops columns at 0 rows — the classic driver-side trap)."""
+    import ray.data as rd
+
+    from dedup_ray.stages.mixing import quantile_normalize
+    from dedup_ray.stages.selection import (facility_location_select,
+                                            greedy_source_cover,
+                                            kneser_ney_score)
+    from dedup_ray.stages.textstats import self_bleu_probe
+    from dedup_ray.stages.topics import plsa_topics
+    from dedup_ray.ops.retrieval import wand_topk
+
+    edocs = _docs([])
+    eemb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}))
+    esrc = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    eqn = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}))
+
+    assert kneser_ney_score(edocs, num_partitions=2).count() == 0
+    assert plsa_topics(edocs, k=3, rounds=2)[0].count() == 0
+    assert wand_topk(edocs, ["a"], k=3).count() == 0
+    assert self_bleu_probe(edocs, [0], num_partitions=2).num_rows == 0
+    assert facility_location_select(eemb, k=2, pool=4).count() == 0
+    assert greedy_source_cover(esrc, k=2, num_partitions=2).count() == 0
+    assert quantile_normalize(eqn, num_partitions=2).count() == 0
