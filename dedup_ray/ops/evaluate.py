@@ -162,6 +162,12 @@ def bcubed_scores(pred, truth, id_col: str = "doc_id",
     (``evaluate.py:125-128``): per item, precision = |C(i) ∩ T(i)|/|C(i)|
     and recall = |C(i) ∩ T(i)|/|T(i)|, averaged over items.
 
+    Marginals |c| and |t| are computed over the JOINED universe (items
+    present in BOTH pred and truth) — evaluation restricted to
+    commonly-labeled items, the coherent form when the two tables cover
+    different id sets (and identical to the naive form when they
+    coincide, which every catalog oracle covers).
+
     Closed-form over the overlap cells: with n(c,t) items in predicted
     cluster c AND truth cluster t,
 
@@ -433,10 +439,8 @@ def contingency_sums(pred, truth, id_col: str = "doc_id",
         n = df["n"].to_numpy().astype(np.float64)
         b = df.groupby("t", sort=False)["n"].transform("sum") \
             .to_numpy().astype(np.float64)
-        bu = df.drop_duplicates("t")
         bv = df.groupby("t", sort=True)["n"].sum().to_numpy() \
             .astype(np.float64)
-        del bu
         return pa.table({
             "s_cells": [float(df["w_cells"].sum())],
             "s_a": [float(df["w_a"].sum())],

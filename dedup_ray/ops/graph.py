@@ -477,7 +477,15 @@ def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
         return pa.table({node_col: pc.unique(
             part[node_col].combine_chunks())})
 
-    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    def drop_null_edges(t: pa.Table) -> pa.Table:
+        # a null endpoint is a malformed edge, not a node: drop it in
+        # BOTH paths so local and distributed walks stay byte-identical
+        keep = pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col]))
+        return t.filter(keep)
+
+    edges = edges_ds.select_columns([src_col, dst_col]) \
+        .map_batches(drop_null_edges, batch_format="pyarrow") \
+        .materialize()
 
     if edges.count() <= local_edge_limit:
         import ray.data as _rd

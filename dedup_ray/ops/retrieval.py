@@ -432,8 +432,15 @@ def mmr_rerank(docs_ds, emb_ds, query_terms: list[str],
     Returns ``(rank, doc_id, mmr)`` for the first ``k_out`` picks
     (rank 0's mmr = λ·rel, no diversity term yet).
     """
+    import ray.data as _rd
+
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      id_col: pa.array([], pa.int64()),
+                      "mmr": pa.array([], pa.float64())})
     pool = bm25_topk(docs_ds, query_terms, k=k_pool, k1=k1, b=b,
                      id_col=id_col, text_col=text_col).to_pandas()
+    if pool.empty:  # no term matches: Ray drops columns at 0 rows
+        return _rd.from_arrow(empty)
     ids = pool[id_col].to_numpy()
     id_set = set(int(i) for i in ids)
 
@@ -447,6 +454,8 @@ def mmr_rerank(docs_ds, emb_ds, query_terms: list[str],
                                            dtype=np.float64)
             for _, r in vdf.iterrows()}
     keep = [i for i, d in enumerate(ids) if int(d) in vmap]
+    if not keep:  # no pool doc has an embedding row
+        return _rd.from_arrow(empty)
     ids = ids[keep]
     rel = pool["score"].to_numpy()[keep]
     V = np.stack([vmap[int(d)] for d in ids])
@@ -467,8 +476,6 @@ def mmr_rerank(docs_ds, emb_ds, query_terms: list[str],
         out_id.append(int(ids[best]))
         out_m.append(float(mmr[best]))
         cur = np.maximum(cur, S[:, best])
-
-    import ray.data as _rd
 
     return _rd.from_arrow(pa.table({
         "rank": pa.array(out_rank, pa.int64()),

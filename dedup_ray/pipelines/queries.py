@@ -1305,17 +1305,8 @@ def bcubed_eval_docs(sf_dir: str):
     (``ops/evaluate.py::bcubed_scores``)."""
     from dedup_ray.ops.evaluate import bcubed_scores
 
-    pred = _chain_cc(sf_dir)
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def truth_of(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": t["doc_id"],
-                         "truth_id": pa.array(ids // 4)})
-
-    truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return bcubed_scores(pred, truth, num_partitions=4,
-                     sums=_eval_sums(sf_dir))
+    return bcubed_scores(None, None, num_partitions=4,
+                      sums=_eval_sums(sf_dir))
 
 
 def ari_eval_docs(sf_dir: str):
@@ -1324,17 +1315,8 @@ def ari_eval_docs(sf_dir: str):
     contingency cells (``ops/evaluate.py::ari_score``)."""
     from dedup_ray.ops.evaluate import ari_score
 
-    pred = _chain_cc(sf_dir)
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def truth_of(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": t["doc_id"],
-                         "truth_id": pa.array(ids // 4)})
-
-    truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return ari_score(pred, truth, num_partitions=4,
-                 sums=_eval_sums(sf_dir))
+    return ari_score(None, None, num_partitions=4,
+                  sums=_eval_sums(sf_dir))
 
 
 def triangle_count_docs(sf_dir: str):
@@ -10089,17 +10071,8 @@ def nmi_eval_docs(sf_dir: str):
     only three entropy sums and N reach the driver."""
     from dedup_ray.ops.evaluate import nmi_score
 
-    pred = _chain_cc(sf_dir)
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def truth_of(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": t["doc_id"],
-                         "truth_id": pa.array(ids // 4)})
-
-    truth = docs.map_batches(truth_of, batch_format="pyarrow")
-    return nmi_score(pred, truth, num_partitions=4,
-                 sums=_eval_sums(sf_dir))
+    return nmi_score(None, None, num_partitions=4,
+                  sums=_eval_sums(sf_dir))
 
 
 ORACLES["nmi_eval_docs"] = _CHAIN_COMP_CTE + """,
@@ -14468,12 +14441,7 @@ def canopy_docs(sf_dir: str):
     membership, tight t2=0.5 removal), leftovers flag as center -1.
     One explode pass + one exchange; per-block pairwise Jaccard is a
     bool doc×shingle matmul, never per-pair Python."""
-    from dedup_ray.ops.linkage import canopy_cluster
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return canopy_cluster(ds, t1=CANOPY_T1, t2=CANOPY_T2,
-                          num_blocks=CANOPY_BLOCKS,
-                          max_rounds=CANOPY_ROUNDS)
+    return _canopy(sf_dir)
 
 
 def _canopy_oracle() -> str:
@@ -14537,6 +14505,22 @@ def _canopy_oracle() -> str:
 
 ORACLES["canopy_docs"] = _canopy_oracle()
 QUERIES["canopy_docs"] = canopy_docs
+
+_CANOPY_CACHE: dict = {}
+
+
+def _canopy(sf_dir: str):
+    """Per-process memo of the canopy membership (the _chain_cc
+    convention): canopy_docs and blocking_quality_docs share one
+    materialized run per corpus.  Pure function of the doc table."""
+    from dedup_ray.ops.linkage import canopy_cluster
+
+    if sf_dir not in _CANOPY_CACHE:
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        _CANOPY_CACHE[sf_dir] = canopy_cluster(
+            ds, t1=CANOPY_T1, t2=CANOPY_T2, num_blocks=CANOPY_BLOCKS,
+            max_rounds=CANOPY_ROUNDS).materialize()
+    return _CANOPY_CACHE[sf_dir]
 
 
 def kneser_ney_docs(sf_dir: str):
@@ -15135,16 +15119,13 @@ def blocking_quality_docs(sf_dir: str):
     dedup pipeline tunes, scored with its own oracle-checked truth.
     Shuffle shape: canopy membership → one center-keyed pair explode →
     one pair-keyed distinct; three scalars reach the driver."""
-    from dedup_ray.ops.linkage import canopy_cluster
     from dedup_ray.ops.simjoin import similarity_self_join
     from dedup_ray.util.exchange import exchange_group_apply
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
 
-    mem = canopy_cluster(docs, t1=CANOPY_T1, t2=CANOPY_T2,
-                         num_blocks=CANOPY_BLOCKS,
-                         max_rounds=CANOPY_ROUNDS)
+    mem = _canopy(sf_dir)
 
     def pairs_of(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -15408,6 +15389,10 @@ def platt_scaling_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
                                               "label"])
     n = ds.count()
+    if n == 0:  # empty corpus: nothing to fit
+        return pa.table({"a": pa.array([], pa.float64()),
+                         "b": pa.array([], pa.float64()),
+                         "mean_nll": pa.array([], pa.float64())})
     lr = PLATT_LR_NUM / n
     a, b = 1.0, 0.0
 

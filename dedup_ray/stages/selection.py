@@ -562,9 +562,10 @@ def facility_location_select(ds, k: int = 8, pool: int = 64,
     next to :func:`kcenter_select`'s max-min radius objective (coverage
     picks dense-cluster representatives; k-center picks extremes).
 
-    Distributed shape: candidates come from a bounded POOL (the
-    ``pool`` smallest ids — at web scale the pool is cluster reps or a
-    seeded sample; greedy FL over an unbounded candidate set is
+    Distributed shape: candidates come from a bounded POOL (ids BELOW
+    ``pool`` — a dense-id assumption; at web scale the pool is cluster
+    reps or a seeded sample, and a sparse-id corpus should pass its own
+    candidate filter; greedy FL over an unbounded candidate set is
     inherently quadratic) broadcast once with the growing selection;
     each round is ONE ``map_batches`` pass emitting per-candidate
     partial coverage sums ``Σ_i max(cur_i, s_ip)``, with the per-item

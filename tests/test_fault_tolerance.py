@@ -141,13 +141,16 @@ def test_multi_source_bfs_survives_worker_crash(tmp_path):
     seeds = rd.from_arrow(pa.table({"node": pa.array([0, 40],
                                                      pa.int64())}))
 
+    # local_edge_limit=0 forces the distributed hop chain — the code
+    # path whose crash recovery this test exists to exercise
     clean = multi_source_bfs(
         rd.from_arrow(edges_tbl).repartition(4), seeds, max_hops=3,
-        num_partitions=3).to_pandas()
+        num_partitions=3, local_edge_limit=0).to_pandas()
     injected = multi_source_bfs(
         rd.from_arrow(edges_tbl).repartition(4)
         .map_batches(mk_edges(True), batch_format="pyarrow"),
-        seeds, max_hops=3, num_partitions=3).to_pandas()
+        seeds, max_hops=3, num_partitions=3,
+        local_edge_limit=0).to_pandas()
 
     a = dict(zip(clean["node"], clean["dist"]))
     b = dict(zip(injected["node"], injected["dist"]))

@@ -496,3 +496,37 @@ def test_new_ops_empty_corpus_robustness():
     assert facility_location_select(eemb, k=2, pool=4).count() == 0
     assert greedy_source_cover(esrc, k=2, num_partitions=2).count() == 0
     assert quantile_normalize(eqn, num_partitions=2).count() == 0
+
+
+def test_mmr_empty_pool_and_missing_embeddings():
+    from dedup_ray.ops.retrieval import mmr_rerank
+
+    docs = _docs([(0, "alpha beta"), (1, "gamma delta")])
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([900, 901], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    }))
+    # no doc contains the term -> empty BM25 pool
+    assert mmr_rerank(docs, emb, ["zzz"], k_pool=4).count() == 0
+    # pool non-empty but no pool doc has an embedding row
+    assert mmr_rerank(docs, emb, ["alpha"], k_pool=4).count() == 0
+
+
+def test_bfs_null_endpoint_edges_dropped_both_paths():
+    from dedup_ray.ops.graph import multi_source_bfs
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 2, 0], pa.int64()),
+        "dst": pa.array([1, 3, None], pa.int64()),
+    }))
+    seeds = ray.data.from_arrow(pa.table({
+        "node": pa.array([0], pa.int64())}))
+    loc = multi_source_bfs(edges, seeds, max_hops=3).to_pandas()
+    dist = multi_source_bfs(edges, seeds, max_hops=3,
+                            local_edge_limit=0).to_pandas()
+    got_l = dict(zip(loc["node"], loc["dist"]))
+    got_d = dict(zip(dist["node"], dist["dist"]))
+    # the malformed null edge contributes nothing; node 3 unreachable
+    assert got_l == {0: 0, 1: 1}
+    assert got_l == got_d
