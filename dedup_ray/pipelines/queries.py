@@ -15464,6 +15464,85 @@ def _platt_oracle(rounds: int = PLATT_ROUNDS) -> str:
 ORACLES["platt_scaling_embeddings"] = _platt_oracle()
 QUERIES["platt_scaling_embeddings"] = platt_scaling_embeddings
 
+PHASH_W, PHASH_H = 8, 8  # 7 gradients x 8 rows = 56-bit dHash (int64-safe)
+
+
+def phash_dedup_docs(sf_dir: str):
+    """Perceptual-hash image near-dup (dHash, the
+    difference-hash variant of pHash): per doc an 8×8 greyscale image
+    is synthesized arithmetically (pixel = ``((x + 3y + base)·(x + 7
+    + base % 11)) % 229 + doc_id % 4`` with base = doc_id // 4 — docs
+    in a block share the PATTERN but differ by a global brightness
+    shift), the
+    56-bit row-gradient fingerprint ``bit(x,y) = p(x+1,y) > p(x,y)``
+    is computed vectorized, and exact-dHash clusters come out of one
+    hash-keyed groupby (the ``exact_dedup_docs`` shape).  The planted
+    invariance IS the point: dHash keys on gradients, so the
+    brightness jitter never splits a block — the multimodal dedup
+    pattern (pHash-bucket then verify) with the decode stage replaced
+    by the arithmetic twin the oracle can replay bit-for-bit."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = ids // 4
+        x = np.arange(PHASH_W)
+        y = np.arange(PHASH_H)
+        # (docs, H, W) int pixels — arithmetic, no RNG; the quadratic
+        # x-term makes every block's GRADIENT pattern distinct (125
+        # distinct hashes over 500 docs, all 4-blocks intact)
+        px = ((x[None, None, :] + y[None, :, None] * 3
+               + base[:, None, None])
+              * (x[None, None, :] + 7 + (base % 11)[:, None, None])) \
+            % 229 + (ids % 4)[:, None, None]
+        bits = (px[:, :, 1:] > px[:, :, :-1]).astype(np.int64)
+        pos = (y[:, None] * (PHASH_W - 1) + x[None, : PHASH_W - 1])
+        h = (bits << pos[None, :, :]).sum(axis=(1, 2))
+        return pa.table({"phash": pa.array(h, pa.int64()),
+                         "doc_id": t["doc_id"]})
+
+    from ray.data.aggregate import Count, Min
+
+    out = docs.map_batches(hashes, batch_format="pyarrow") \
+        .groupby("phash").aggregate(Min("doc_id", alias_name="keep_id"),
+                                    Count(alias_name="n_copies"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "phash": t["phash"],
+            "keep_id": pc.cast(t["keep_id"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+ORACLES["phash_dedup_docs"] = f"""
+    WITH px AS (
+        SELECT d.doc_id, y.y, x.x,
+               ((x.x + y.y * 3 + d.doc_id // 4)
+                * (x.x + 7 + (d.doc_id // 4) % 11)) % 229
+                   + d.doc_id % 4 AS v
+        FROM documents d
+        CROSS JOIN range(0, {PHASH_H}) y(y)
+        CROSS JOIN range(0, {PHASH_W}) x(x)),
+    bits AS (
+        SELECT a.doc_id, a.y, a.x,
+               CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+                           AND b.x = a.x + 1
+        WHERE a.x < {PHASH_W - 1}),
+    h AS (SELECT doc_id,
+                 sum(bit * (CAST(1 AS BIGINT)
+                            << (y * {PHASH_W - 1} + x)))::BIGINT
+                     AS phash
+          FROM bits GROUP BY doc_id)
+    SELECT phash, min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM h GROUP BY phash
+"""
+QUERIES["phash_dedup_docs"] = phash_dedup_docs
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

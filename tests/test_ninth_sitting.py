@@ -530,3 +530,15 @@ def test_bfs_null_endpoint_edges_dropped_both_paths():
     # the malformed null edge contributes nothing; node 3 unreachable
     assert got_l == {0: 0, 1: 1}
     assert got_l == got_d
+
+
+def test_phash_dedup_brightness_invariance_and_blocks():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["phash_dedup_docs"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # 500 docs -> 125 planted 4-blocks; the per-doc brightness jitter
+    # must never split a block (dHash keys on gradients)
+    assert len(df) == 125
+    assert (df["n_copies"] == 4).all()
+    assert (df["keep_id"] % 4 == 0).all()
