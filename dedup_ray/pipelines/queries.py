@@ -15543,6 +15543,88 @@ ORACLES["phash_dedup_docs"] = f"""
 """
 QUERIES["phash_dedup_docs"] = phash_dedup_docs
 
+AFP_WINDOWS, AFP_WIN_LEN, AFP_PERIOD = 24, 256, 16
+
+
+def audio_fingerprint_docs(sf_dir: str):
+    """Audio energy-envelope fingerprint dedup (the
+    sign-of-band-energy-difference scheme behind Chromaprint-family
+    fingerprints, on windows instead of FFT bands): per doc a 6144-
+    sample int16 PCM clip is synthesized arithmetically — a period-16
+    waveform scaled by a per-window envelope ``a(w) = ((w + 3 + base)
+    ·(w + 5 + base % 11)) % 127 + 1`` with base = doc_id // 4,
+    START-SHIFTED by doc_id % 4 —
+    then encoded to REAL WAV bytes, decoded back through
+    ``stages/codecs.wav_decode`` (genuine binary-column plumbing), and
+    fingerprinted: bit w = energy(w+1) > energy(w), 23 bits.  Because
+    the window length is a multiple of the period, the per-doc phase
+    shift leaves every window energy EXACTLY invariant — dHash's
+    brightness story, in audio: 125 intact 4-blocks.  Exact-fingerprint
+    clusters via one groupby; all-integer energies, oracle replays the
+    synthesis arithmetically."""
+    from dedup_ray.stages.codecs import wav_decode, wav_encode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def fingerprints(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        tgrid = np.arange(AFP_WINDOWS * AFP_WIN_LEN)
+        w_of = tgrid // AFP_WIN_LEN
+        for d in ids.tolist():
+            base, shift = d // 4, d % 4
+            g = ((tgrid + shift) % AFP_PERIOD) - AFP_PERIOD // 2
+            a = ((w_of + 3 + base) * (w_of + 5 + base % 11)) \
+                % 127 + 1
+            pcm = (a * g).astype(np.int16)
+            # real binary round-trip: WAV container in, PCM back out
+            dec, _rate = wav_decode(wav_encode(pcm))
+            e = np.abs(dec.astype(np.int64)).reshape(
+                AFP_WINDOWS, AFP_WIN_LEN).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.int64)
+            out.append(int((bits << np.arange(AFP_WINDOWS - 1)).sum()))
+        return pa.table({"afp": pa.array(out, pa.int64()),
+                         "doc_id": t["doc_id"]})
+
+    from ray.data.aggregate import Count, Min
+
+    agg = docs.map_batches(fingerprints, batch_format="pyarrow") \
+        .groupby("afp").aggregate(Min("doc_id", alias_name="keep_id"),
+                                  Count(alias_name="n_copies"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "afp": t["afp"],
+            "keep_id": pc.cast(t["keep_id"], pa.int64()),
+            "n_copies": pc.cast(t["n_copies"], pa.int64()),
+        })
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+ORACLES["audio_fingerprint_docs"] = f"""
+    WITH s AS (
+        SELECT d.doc_id, t.t // {AFP_WIN_LEN} AS w,
+               abs(((((t.t // {AFP_WIN_LEN}) + 3 + d.doc_id // 4)
+                     * ((t.t // {AFP_WIN_LEN}) + 5
+                        + (d.doc_id // 4) % 11)) % 127 + 1)
+                   * ((t.t + d.doc_id % 4) % {AFP_PERIOD}
+                      - {AFP_PERIOD // 2})) AS av
+        FROM documents d
+        CROSS JOIN range(0, {AFP_WINDOWS * AFP_WIN_LEN}) t(t)),
+    e AS (SELECT doc_id, w, sum(av) AS e FROM s GROUP BY doc_id, w),
+    bits AS (SELECT a.doc_id, a.w,
+                    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+             WHERE a.w < {AFP_WINDOWS - 1}),
+    h AS (SELECT doc_id,
+                 sum(bit * (CAST(1 AS BIGINT) << w))::BIGINT AS afp
+          FROM bits GROUP BY doc_id)
+    SELECT afp, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+    FROM h GROUP BY afp
+"""
+QUERIES["audio_fingerprint_docs"] = audio_fingerprint_docs
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

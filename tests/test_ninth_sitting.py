@@ -542,3 +542,15 @@ def test_phash_dedup_brightness_invariance_and_blocks():
     assert len(df) == 125
     assert (df["n_copies"] == 4).all()
     assert (df["keep_id"] % 4 == 0).all()
+
+
+def test_audio_fingerprint_phase_invariance_and_blocks():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["audio_fingerprint_docs"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # the per-doc phase shift must never split a 4-block (window length
+    # is a multiple of the waveform period -> energies exactly equal)
+    assert len(df) == 125
+    assert (df["n_copies"] == 4).all()
+    assert (df["keep_id"] % 4 == 0).all()
