@@ -15625,6 +15625,88 @@ ORACLES["audio_fingerprint_docs"] = f"""
 """
 QUERIES["audio_fingerprint_docs"] = audio_fingerprint_docs
 
+VFP_FRAMES, VFP_STRIDE = 6, 2
+
+
+def video_fingerprint_docs(sf_dir: str):
+    """Video near-dup by per-frame perceptual hashing — the third leg
+    of the multimodal dedup trio (``phash_dedup_docs`` images,
+    ``audio_fingerprint_docs`` audio): per doc a 6-frame 8×8 clip is
+    synthesized arithmetically (frame f's pixels follow the
+    ``phash_dedup_docs`` quadratic with base' = base·8 + f, plus the
+    same per-doc brightness jitter), every 2nd frame is sampled (the
+    ``VideoFrameSample`` decimation policy), each sampled frame gets
+    the 56-bit dHash, and the clip fingerprint is the (h0, h2, h4)
+    TUPLE — clustering on it via one groupby keeps all 125 planted
+    4-blocks intact under the jitter.  All-integer, oracle-replayable."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def fps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = ids // 4
+        x = np.arange(PHASH_W)
+        y = np.arange(PHASH_H)
+        cols = {"doc_id": t["doc_id"]}
+        for f in range(0, VFP_FRAMES, VFP_STRIDE):
+            bb = base * 8 + f
+            px = ((x[None, None, :] + y[None, :, None] * 3
+                   + bb[:, None, None])
+                  * (x[None, None, :] + 7 + (bb % 11)[:, None, None])) \
+                % 229 + (ids % 4)[:, None, None]
+            bits = (px[:, :, 1:] > px[:, :, :-1]).astype(np.int64)
+            pos = (y[:, None] * (PHASH_W - 1) + x[None, : PHASH_W - 1])
+            cols[f"h{f}"] = pa.array(
+                (bits << pos[None, :, :]).sum(axis=(1, 2)), pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Count, Min
+
+    hcols = [f"h{f}" for f in range(0, VFP_FRAMES, VFP_STRIDE)]
+    agg = docs.map_batches(fps, batch_format="pyarrow") \
+        .groupby(hcols).aggregate(Min("doc_id", alias_name="keep_id"),
+                                  Count(alias_name="n_copies"))
+
+    def cast(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in hcols}
+        out["keep_id"] = pc.cast(t["keep_id"], pa.int64())
+        out["n_copies"] = pc.cast(t["n_copies"], pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def _vfp_oracle() -> str:
+    frame_hash = """
+    SELECT d.doc_id, {f} AS f,
+           sum(CASE WHEN ((x.x + 1 + y.y * 3 + (d.doc_id // 4) * 8 + {f})
+                          * (x.x + 1 + 7
+                             + ((d.doc_id // 4) * 8 + {f}) % 11)) % 229
+                        > ((x.x + y.y * 3 + (d.doc_id // 4) * 8 + {f})
+                           * (x.x + 7
+                              + ((d.doc_id // 4) * 8 + {f}) % 11)) % 229
+                    THEN CAST(1 AS BIGINT)
+                         << (y.y * {wm1} + x.x) ELSE 0 END)::BIGINT AS h
+    FROM documents d
+    CROSS JOIN range(0, {h}) y(y)
+    CROSS JOIN range(0, {wm1}) x(x)
+    GROUP BY d.doc_id"""
+    frames = [frame_hash.format(f=f, h=PHASH_H, wm1=PHASH_W - 1)
+              for f in range(0, VFP_FRAMES, VFP_STRIDE)]
+    sel = ", ".join(
+        f"max(CASE WHEN f = {f} THEN h END) AS h{f}"
+        for f in range(0, VFP_FRAMES, VFP_STRIDE))
+    return f"""
+    WITH fh AS ({' UNION ALL '.join(frames)}),
+    piv AS (SELECT doc_id, {sel} FROM fh GROUP BY doc_id)
+    SELECT h0, h2, h4, min(doc_id) AS keep_id,
+           count(*)::BIGINT AS n_copies
+    FROM piv GROUP BY h0, h2, h4
+"""
+
+
+ORACLES["video_fingerprint_docs"] = _vfp_oracle()
+QUERIES["video_fingerprint_docs"] = video_fingerprint_docs
+
 
 def quantile_normalize_docs(sf_dir: str):
     """Cross-source quantile normalization

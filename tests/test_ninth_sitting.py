@@ -554,3 +554,14 @@ def test_audio_fingerprint_phase_invariance_and_blocks():
     assert len(df) == 125
     assert (df["n_copies"] == 4).all()
     assert (df["keep_id"] % 4 == 0).all()
+
+
+def test_video_fingerprint_trio_blocks_intact():
+    from dedup_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["video_fingerprint_docs"]("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) == 125
+    assert (df["n_copies"] == 4).all()
+    # tuple key actually uses all three sampled frames
+    assert {"h0", "h2", "h4"} <= set(df.columns)
