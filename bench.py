@@ -227,6 +227,10 @@ BENCH_QUERIES = [
     "kneser_ney_docs",
     "plsa_topics_docs",
     "wand_topk_docs",
+    "blocking_quality_docs",
+    "phash_dedup_docs",
+    "audio_fingerprint_docs",
+    "video_fingerprint_docs",
 ]
 
 HEADLINE_AMPLIFY = 8  # pages per source document (dup structure planted)
