@@ -483,6 +483,16 @@ def multi_source_bfs(edges_ds, seeds_ds, node_col: str = "node",
         keep = pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col]))
         return t.filter(keep)
 
+    def drop_null_seeds(t: pa.Table) -> pa.Table:
+        # same policy as drop_null_edges: a null seed is malformed, not a
+        # node.  Without this the local path's pd.factorize maps the null
+        # to code -1 and dist[cseed]=0 silently seeds the LAST factorized
+        # node (numpy -1 indexing), corrupting the whole walk.
+        return t.filter(pc.is_valid(t[node_col]))
+
+    seeds_ds = seeds_ds.select_columns([node_col]).map_batches(
+        drop_null_seeds, batch_format="pyarrow")
+
     edges = edges_ds.select_columns([src_col, dst_col]) \
         .map_batches(drop_null_edges, batch_format="pyarrow") \
         .materialize()

@@ -212,7 +212,7 @@ def meta_block_pairs(blocks_ds, entity_col: str = "ent",
 def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
                    t1: float = 0.15, t2: float = 0.5,
                    num_blocks: int = 512, max_rounds: int = 28,
-                   num_partitions: int = 32):
+                   num_partitions: int = 32, block_doc_cap: int = 2048):
     """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
     classic cheap-distance blocking pass that precedes expensive
     record-linkage comparison (the same role the reference's exact
@@ -239,8 +239,16 @@ def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
     (bool doc×shingle matmul for the pairwise intersection counts — no
     per-pair Python).  The greedy loop is inherently sequential, so the
     parallel unit is the block (Mahout's MapReduce canopy makes the
-    same per-partition trade); per-block cost is O(B² · shingles),
-    bounded because blocks are hash-split ``num_blocks`` ways.
+    same per-partition trade); per-block cost is O(B² · shingles).
+
+    Hash-splitting ``num_blocks`` ways spreads distinct MIN-SHINGLES,
+    not docs: a template flood (many near-copies sharing one min
+    shingle) routes every copy into ONE block, so per-block work is NOT
+    bounded by ``num_blocks`` alone.  ``block_doc_cap`` is the explicit
+    bound: blocks over the cap keep only their ``block_doc_cap``
+    smallest doc ids for the canopy loop and emit the overflow as
+    ``center_id = -2`` (observable, same policy as the LSH bucket
+    caps; ``-1`` stays the max-rounds leftover marker).
 
     Returns ``(blk, center_id, doc_id, jac)``; ``jac`` rounded 6dp.
     """
@@ -276,6 +284,16 @@ def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
         df = t.to_pandas()
         rows_blk, rows_c, rows_d, rows_j = [], [], [], []
         for blk, g in df.groupby("blk", sort=True):
+            all_dids = np.unique(g[id_col].to_numpy())
+            if len(all_dids) > block_doc_cap:
+                # observable overflow: smallest ids stay, rest emit -2
+                kept = set(all_dids[:block_doc_cap].tolist())
+                for od in all_dids[block_doc_cap:].tolist():
+                    rows_blk.append(blk)
+                    rows_c.append(-2)
+                    rows_d.append(int(od))
+                    rows_j.append(0.0)
+                g = g[g[id_col].isin(kept)]
             dids, dinv = np.unique(g[id_col].to_numpy(), return_inverse=True)
             shs, sinv = np.unique(g["sh"].to_numpy(), return_inverse=True)
             a = np.zeros((len(dids), len(shs)), dtype=np.float32)

@@ -1227,6 +1227,13 @@ def cc_chain_docs(sf_dir: str):
 
 
 
+# Cache convention (applies to _CHAIN_CC_CACHE / _EVAL_SUMS_CACHE /
+# _CANOPY_CACHE / _SIMJOIN_TRUTH_CACHE): process-lifetime memos keyed by
+# sf_dir, which ASSUMES the corpus at that path is immutable for the
+# process lifetime — regenerating the parquet under a live process would
+# return stale results, and the materialized datasets stay pinned in the
+# object store.  Fine for the one-shot bench/correctness drivers that own
+# these entry points; long-lived services should key on file mtime/size.
 _CHAIN_CC_CACHE: dict = {}
 
 
@@ -2536,28 +2543,43 @@ def similarity_join_docs(sf_dir: str):
     )
 
 
+_SIMJOIN_TRUTH_CACHE: dict = {}
+
+
+def _simjoin_truth(sf_dir: str):
+    """Per-process memo of the exact 3-shingle Jaccard ≥ 0.5 self-join
+    over ≥40-token docs (see the cache convention at _CHAIN_CC_CACHE):
+    similarity_self_join_docs returns it directly and
+    blocking_quality_docs scores the canopy blocking against it — one
+    prefix-filter pass instead of two."""
+    from dedup_ray.ops.simjoin import similarity_self_join
+
+    if sf_dir not in _SIMJOIN_TRUTH_CACHE:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def long_docs(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                pc.coalesce(pc.cast(t["text"], pa.string()), ""), " "
+            )
+            return t.filter(
+                pc.greater_equal(pc.list_value_length(toks), 40))
+
+        _SIMJOIN_TRUTH_CACHE[sf_dir] = similarity_self_join(
+            docs.map_batches(long_docs, batch_format="pyarrow"),
+            "doc_id",
+            k=3,
+            tau=0.5,
+        ).materialize()
+    return _SIMJOIN_TRUTH_CACHE[sf_dir]
+
+
 def similarity_self_join_docs(sf_dir: str):
     """Exact all-pairs similarity self-join (``ops/simjoin.py``) over
     documents (≥40 tokens), 3-shingle Jaccard ≥ 0.5, via prefix-filter
     blocking whose recall is exactly 1 — so the oracle is the BRUTE-FORCE
     all-pairs answer, checking the prefix-principle guarantee itself
     rather than replaying the blocking."""
-    from dedup_ray.ops.simjoin import similarity_self_join
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def long_docs(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " "
-        )
-        return t.filter(pc.greater_equal(pc.list_value_length(toks), 40))
-
-    return similarity_self_join(
-        docs.map_batches(long_docs, batch_format="pyarrow"),
-        "doc_id",
-        k=3,
-        tau=0.5,
-    )
+    return _simjoin_truth(sf_dir)
 
 
 def split_seed_search(sf_dir: str):
@@ -6169,7 +6191,8 @@ ORACLES["psi_drift_events"] = f"""
 
 ORACLES["json_extract_events"] = """
     SELECT user_id,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            count(json_extract(props, '$.k')) AS n
     FROM events GROUP BY user_id
 """
@@ -6220,9 +6243,9 @@ ORACLES["badword_docs"] = f"""
                                   x -> x <> '')) AS token
         FROM documents),
     f AS (SELECT doc_id, count(*) AS nt,
-                 sum(CASE WHEN lower(token) IN
+                 CAST(sum(CASE WHEN lower(token) IN
                      {tuple(sorted(set(BADWORDS)))}
-                     THEN 1 ELSE 0 END) AS nf
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nf
           FROM toks GROUP BY doc_id)
     SELECT d.doc_id,
            coalesce(f.nt, 0) AS n_tokens,
@@ -8675,7 +8698,8 @@ ORACLES["sa_coverage_docs"] = _SA_SUF_CTE + """
                                   ORDER BY doc_id, pos) > 1 AS is_dup
         FROM suf)
     SELECT doc_id, count(*) AS n_pos,
-           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_pos
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_pos
     FROM flagged GROUP BY doc_id
 """
 
@@ -15119,7 +15143,6 @@ def blocking_quality_docs(sf_dir: str):
     dedup pipeline tunes, scored with its own oracle-checked truth.
     Shuffle shape: canopy membership → one center-keyed pair explode →
     one pair-keyed distinct; three scalars reach the driver."""
-    from dedup_ray.ops.simjoin import similarity_self_join
     from dedup_ray.util.exchange import exchange_group_apply
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -15128,20 +15151,35 @@ def blocking_quality_docs(sf_dir: str):
     mem = _canopy(sf_dir)
 
     def pairs_of(t: pa.Table) -> pa.Table:
+        from dedup_ray.stages.lsh import _pair_index
+
         if t.num_rows == 0:
             return pa.table({"id1": pa.array([], pa.int64()),
                              "id2": pa.array([], pa.int64())})
         df = t.to_pandas()
-        df = df[df.center_id >= 0]
-        i1, i2 = [], []
-        for _, g in df.groupby("center_id", sort=False):
-            ids = sorted(set(g["doc_id"].tolist()))
-            for a in range(len(ids)):
-                for b in range(a + 1, len(ids)):
-                    i1.append(ids[a])
-                    i2.append(ids[b])
-        return pa.table({"id1": pa.array(i1, pa.int64()),
-                         "id2": pa.array(i2, pa.int64())})
+        df = df[df.center_id >= 0][["center_id", "doc_id"]] \
+            .drop_duplicates().sort_values(["center_id", "doc_id"])
+        cid = df["center_id"].to_numpy()
+        did = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]]) \
+            if len(cid) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(cid)] if len(starts) \
+            else np.array([], np.int64)
+        o1, o2 = [], []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            n = en - st
+            if n < 2:
+                continue
+            # full triangle via the vectorized lsh pair index (cap=n)
+            i1, i2 = _pair_index(n, n, 0)
+            o1.append(did[st + i1])
+            o2.append(did[st + i2])
+        if not o1:
+            return pa.table({"id1": pa.array([], pa.int64()),
+                             "id2": pa.array([], pa.int64())})
+        return pa.table({
+            "id1": pa.array(np.concatenate(o1), pa.int64()),
+            "id2": pa.array(np.concatenate(o2), pa.int64())})
 
     def dedupe(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -15163,15 +15201,7 @@ def blocking_quality_docs(sf_dir: str):
     ).materialize()
     n_cand = cand.count()
 
-    def long_docs(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.coalesce(pc.cast(t["text"], pa.string()), ""), " ")
-        return t.filter(pc.greater_equal(pc.list_value_length(toks), 40))
-
-    truth = similarity_self_join(
-        docs.map_batches(long_docs, batch_format="pyarrow"),
-        "doc_id", k=3, tau=0.5,
-    ).materialize()
+    truth = _simjoin_truth(sf_dir)
     n_truth = truth.count()
 
     from dedup_ray.ops.relational import semi_join

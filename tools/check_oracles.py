@@ -44,6 +44,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # The driver hashes raw values, so an int64 engine column against a
+        # float64/object oracle column (DuckDB HUGEINT sum) hash-mismatches
+        # even when cell values are equal. Flag the dtype class explicitly.
+        a_int = np.issubdtype(a[c].dtype, np.integer)
+        b_int = np.issubdtype(b[c].dtype, np.integer)
+        if a_int != b_int:
+            return f"DTYPE col={c} {a[c].dtype} vs {b[c].dtype}"
         if np.issubdtype(a[c].dtype, np.floating):
             if not np.allclose(
                 av.astype(float), bv.astype(float), rtol=0, atol=1e-9,
