@@ -35,6 +35,43 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Contention robustness (round-3 verdict item #2): BENCH_r03's 47.2 s
+# headline was a contended-host artifact (identical code = 8.5 s minutes
+# apart).  The default bench therefore (a) times the headline
+# HEADLINE_REPEATS times and reports the min (all samples included), and
+# (b) embeds a no-Ray host-contention probe IN the JSON line so a slow
+# sample can be read against what the box offered in that window.
+HEADLINE_REPEATS = int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))
+# Quiet-window reference for the 8-proc probe task (measured across
+# rounds; BASELINE.md probe history: quiet 0.9-1.0 s/task at 8 procs,
+# round-3 contended window ~3.2 s/task).
+HOST_PROBE_QUIET_SEC = 0.95
+
+
+def _host_contention_probe(procs: int = 8) -> dict:
+    """One-level no-Ray numpy probe: mean task sec at `procs` processes
+    vs the pinned quiet-window reference.  contention_x ~1 = quiet box;
+    >>1 = the same window would inflate ANY workload's wall time."""
+    probe = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "host_scaling_probe.py",
+    )
+    proc = subprocess.run(
+        [sys.executable, probe, str(procs)],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return {"error": (proc.stderr or "probe failed").strip()[-200:]}
+    levels = json.loads(proc.stdout.strip().splitlines()[-1])["levels"]
+    task_sec = levels[str(procs)]["mean_task_sec"]
+    return {
+        "probe": "pure independent numpy compute, no Ray",
+        "procs": procs,
+        "mean_task_sec": task_sec,
+        "quiet_ref_sec": HOST_PROBE_QUIET_SEC,
+        "contention_x": round(task_sec / HOST_PROBE_QUIET_SEC, 2),
+    }
+
 # Catalog queries timed in the full bench.  A representative slice of
 # SURVEY.md §2: scans+aggregates, string ops, joins, pair machinery, graph
 # CC, windows, ANN, and the hash-dedup family.
@@ -836,8 +873,14 @@ def main() -> None:
             headline = run_headline(
                 SF_DIR, amplify=SCALING_AMPLIFY, text_repeat=SCALING_TEXT_REPEAT
             )
+            samples = [headline]
         else:
-            headline = run_headline(SF_DIR)
+            # min of K repeats: robust to this VM's ±30-40% contention
+            samples = [run_headline(SF_DIR)
+                       for _ in range(max(1, HEADLINE_REPEATS))]
+            headline = min(samples, key=lambda r: r["sec"])
+        # probe the window adjacent to the headline timings, not at exit
+        host_probe = _host_contention_probe()
         queries = (
             {}
             if args.headline_only or args.scaling_input
@@ -869,9 +912,12 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "end-to-end dedup pipeline wall time "
-                    "(extract+MinHash/LSH+exact+substring+CC)",
+                    "(extract+MinHash/LSH+exact+substring+CC), "
+                    f"min of {len(samples)}",
                     "value": headline["sec"],
                     "unit": "sec",
+                    "headline_samples": [s["sec"] for s in samples],
+                    "host_probe": host_probe,
                     "queries": queries,
                     "incremental": incremental,
                     "cc_distributed": cc_distributed,

@@ -14,6 +14,8 @@ Arrow- and pandas-safe.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -21,6 +23,37 @@ from dedup_ray.config import DedupConfig
 from dedup_ray.stages.shingle import shingle_hash_batch
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _md5_u128(strs, prefix: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """md5(prefix + s) for each bytes element, as a big-endian uint64
+    pair (hi, lo): numeric order of the pair == lexicographic order of
+    the 32-char hex digest, so group-mins can run as numpy lexsorts
+    instead of the object-dtype pandas ``groupby().min()`` that fell
+    back to pure-Python aggregation and dominated the md5 spec-twin
+    signers' wall time (round-3 verdict item #4)."""
+    if not len(strs):
+        e = np.array([], np.uint64)
+        return e, e
+    dig = b"".join(hashlib.md5(prefix + s).digest() for s in strs)
+    a = np.frombuffer(dig, np.uint8).reshape(-1, 16).astype(np.uint64)
+    sh = np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64)
+    hi = (a[:, :8] << sh).sum(axis=1, dtype=np.uint64)
+    lo = (a[:, 8:] << sh).sum(axis=1, dtype=np.uint64)
+    return hi, lo
+
+
+def _group_min_u128(hi: np.ndarray, lo: np.ndarray, groups: np.ndarray):
+    """Per-group minimum of 128-bit values; groups returned sorted.
+    Returns (group_ids, min_hi, min_lo)."""
+    if len(groups) == 0:
+        e = np.array([], np.uint64)
+        return np.array([], groups.dtype), e, e
+    order = np.lexsort((lo, hi, groups))
+    g = groups[order]
+    first = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    idx = order[first]
+    return g[first], hi[idx], lo[idx]
 
 
 def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -206,18 +239,22 @@ def bbit_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
         out_id, out_perm, out_reg = [], [], []
         id_list = ids.to_pylist()
-        # hash each DISTINCT token once per perm, gather per occurrence
-        # (the same hot-loop cut as the super-shingle signer)
+        # hash each DISTINCT token once per perm, gather per occurrence;
+        # min per doc = numpy lexsort over the u128 digest pair (the
+        # pandas object-min fallback was the hot loop, not the md5s)
         uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
                               return_inverse=True)
+        enc = [t.encode() for t in uniq]
+        gro = dd["p"].to_numpy()
         for perm in range(n_perms):
-            hu = np.array(
-                [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
-                 for t in uniq], dtype=object)
-            mins = pd.Series(hu[inv]).groupby(dd["p"].to_numpy()).min()
-            out_id.extend(id_list[int(i)] for i in mins.index)
-            out_perm.extend([perm] * len(mins))
-            out_reg.extend(int(v[-1], 16) % (1 << b) for v in mins)
+            hi, lo = _md5_u128(enc, f"{perm}:".encode())
+            gids, _mhi, mlo = _group_min_u128(hi[inv], lo[inv], gro)
+            # hexdigest[-1] == low nibble of the last digest byte
+            regs = ((mlo & np.uint64(0xF)) % np.uint64(1 << b)) \
+                .astype(np.int64)
+            out_id.extend(id_list[int(i)] for i in gids)
+            out_perm.extend([perm] * len(gids))
+            out_reg.extend(regs.tolist())
         return pa.table({
             id_col: pa.array(out_id, ids.type),
             "perm": pa.array(out_perm, pa.int64()),
@@ -339,23 +376,27 @@ def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         dd = pd.DataFrame({"p": par, "t": toks}).drop_duplicates()
         id_list = ids.to_pylist()
         # hash each DISTINCT shingle once per perm (dup clusters repeat
-        # shingles heavily — per-occurrence hashing was the hot loop),
-        # then gather per (row, shingle) occurrence
+        # shingles heavily), gather per occurrence, and take the per-row
+        # min via the vectorized u128 lexsort (_group_min_u128) — the
+        # pandas object-min fallback was the real hot loop
         uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
                               return_inverse=True)
-        # (row -> perm -> minhash hex); rows with no tokens never occur
-        mins_by_perm = []
+        enc = [t.encode() for t in uniq]
+        gro = dd["p"].to_numpy()
+        # (perm -> per-row minhash hex, rows sorted); rows with no
+        # tokens never occur, and every perm shares the same row set
+        rows = np.array([], np.int64)
+        hex_by_perm = []
         for perm in range(n_perms):
-            hu = np.array(
-                [hashlib.md5(f"{perm}:{t}".encode()).hexdigest()
-                 for t in uniq], dtype=object)
-            mins_by_perm.append(
-                pd.Series(hu[inv]).groupby(dd["p"].to_numpy()).min())
+            hi, lo = _md5_u128(enc, f"{perm}:".encode())
+            rows, mhi, mlo = _group_min_u128(hi[inv], lo[inv], gro)
+            hex_by_perm.append(
+                [f"{h:016x}{l:016x}" for h, l in
+                 zip(mhi.tolist(), mlo.tolist())])
         out_id, out_band, out_ss = [], [], []
-        rows = mins_by_perm[0].index if n_perms else []
-        for r in rows:
+        for ri, r in enumerate(rows.tolist()):
             for j in range(n_perms // group):
-                cat = "|".join(mins_by_perm[j * group + i][r]
+                cat = "|".join(hex_by_perm[j * group + i][ri]
                                for i in range(group))
                 out_id.append(id_list[int(r)])
                 out_band.append(j)
@@ -456,7 +497,6 @@ def weighted_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
     import pandas as pd
 
     from dedup_ray.stages.textstats import explode_tokens
-    from dedup_ray.util.hashing import content_digest
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
@@ -471,17 +511,19 @@ def weighted_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         tf = pd.DataFrame({"p": par, "t": toks}) \
             .groupby(["p", "t"], sort=False).size().reset_index(name="w")
         inst_p = np.repeat(tf["p"].to_numpy(), tf["w"].to_numpy())
-        inst_t = [f"{t}#{j}" for t, w in zip(tf["t"], tf["w"])
+        inst_t = [f"{t}#{j}".encode() for t, w in zip(tf["t"], tf["w"])
                   for j in range(w)]
         out_id, out_perm, out_reg = [], [], []
         id_list = ids.to_pylist()
         for perm in range(n_perms):
-            h = [d[:16] for d in content_digest(
-                [f"{perm}:{t}" for t in inst_t], algo="md5")]
-            mins = pd.Series(h).groupby(inst_p).min()
-            out_id.extend(id_list[int(i)] for i in mins.index)
-            out_perm.extend([perm] * len(mins))
-            out_reg.extend(mins.tolist())
+            # register = first 16 hex chars == the hi u64; min over the
+            # truncated hex == min over hi alone (ties share the string)
+            hi, _lo = _md5_u128(inst_t, f"{perm}:".encode())
+            gids, mhi, _ = _group_min_u128(
+                hi, np.zeros_like(hi), inst_p)
+            out_id.extend(id_list[int(i)] for i in gids)
+            out_perm.extend([perm] * len(gids))
+            out_reg.extend(f"{h:016x}" for h in mhi.tolist())
         return pa.table({
             id_col: pa.array(out_id),
             "perm": pa.array(out_perm, pa.int64()),
