@@ -573,10 +573,14 @@ def isotonic_calibration(ds, x_col: str, y_col: str,
     order could not be unrolled.
 
     The corpus folds to the DISTINCT-SCORE-bounded (x, w, Σy) table
-    (scores are 6-dp by contract, ≤10⁶ cells) before the single
-    reduce; every comparison in the scans runs on identically-computed
-    doubles, so fitted values can never disagree.  Output:
-    ``(x, n, rate, iso)`` — raw and calibrated outcome rates, 6 dp.
+    before the single reduce.  The ENGINE computes the fit by PAVA
+    pooling — O(n) after the sort, vs the closed form's dense n×n
+    matrix, which at 30k distinct scores cost ~15 s and gigabytes
+    (round-3 bench tail) — while the ORACLE keeps the windowed-scan
+    minimax SQL; the two are the same function, and block averages here
+    are computed from the same cumsum arrays the scans read, so after
+    the 6-dp round the outputs agree.  Output: ``(x, n, rate, iso)`` —
+    raw and calibrated outcome rates, 6 dp.
     """
     from dedup_ray.util.exchange import exchange_group_apply
 
@@ -603,18 +607,28 @@ def isotonic_calibration(ds, x_col: str, y_col: str,
         n = len(x)
         cw = np.concatenate([[0.0], np.cumsum(w)])
         cy = np.concatenate([[0.0], np.cumsum(sy)])
-        # A[j, k] = weighted avg of y over scores j..k (0-based, j<=k;
-        # j>k cells are garbage/NaN but the scans below never read them
-        # at any surviving (j<=i<=k) position)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            A = (cy[None, 1:] - cy[:-1, None]) \
-                / (cw[None, 1:] - cw[:-1, None])
-        # suffix min over k (k >= i), per row j — reverse cummin
-        M = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1]
-        # prefix max over j (j <= i), per column i
-        iso = np.maximum.accumulate(np.where(
-            np.tril(np.ones((n, n), bool)).T, M, -np.inf), axis=0) \
-            .diagonal()
+
+        def blk_avg(s: int, e: int) -> float:
+            # avg over scores s..e inclusive, the closed form's cell
+            return (cy[e + 1] - cy[s]) / (cw[e + 1] - cw[s])
+
+        # PAVA: maintain a stack of maximal blocks with non-decreasing
+        # averages; merging two adjacent violators never changes the
+        # final fit (Ayer et al. 1955), and the result equals the
+        # minimax closed form the oracle replays
+        starts: list[int] = []
+        avgs: list[float] = []
+        for i in range(n):
+            starts.append(i)
+            avgs.append(blk_avg(i, i))
+            while len(starts) > 1 and avgs[-1] <= avgs[-2]:
+                starts.pop()
+                avgs.pop()
+                avgs[-1] = blk_avg(starts[-1], i)
+        iso = np.empty(n, np.float64)
+        bounds = starts + [n]
+        for bi in range(len(starts)):
+            iso[bounds[bi]:bounds[bi + 1]] = avgs[bi]
         return pa.table({
             "x": pa.array(x, pa.float64()),
             "n": pa.array(w.astype(np.int64), pa.int64()),

@@ -8618,7 +8618,7 @@ ORACLES["skew_join_events"] = """
             FROM e GROUP BY hub, event_type)
     SELECT e.hub,
            count(*) AS joined_rows,
-           sum(type_n) AS type_n_total,
+           CAST(sum(type_n) AS BIGINT) AS type_n_total,
            round(sum(value), 3) AS value_total
     FROM e JOIN dim ON e.hub = dim.hub
     GROUP BY e.hub
@@ -8938,7 +8938,8 @@ ORACLES["novelty_curve_docs"] = f"""
                FROM documents)
     SELECT CAST(doc_id // {NOVELTY_BUCKET} AS BIGINT) AS bucket,
            count(*) AS n,
-           sum(CAST(doc_id > first_id AS BIGINT)) AS n_dup,
+           CAST(sum(CAST(doc_id > first_id AS BIGINT)) AS BIGINT)
+               AS n_dup,
            round(sum(CAST(doc_id > first_id AS BIGINT)) / count(*), 6)
                AS dup_rate
     FROM d GROUP BY bucket
@@ -9050,8 +9051,8 @@ ORACLES["pack_sequences_docs"] = f"""
                  ), 0) AS before
           FROM c)
     SELECT doc_id, n_tokens,
-           before // {PACK_BUDGET} AS seq_id,
-           before % {PACK_BUDGET} AS seq_offset
+           CAST(before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(before % {PACK_BUDGET} AS BIGINT) AS seq_offset
     FROM s
 """
 
@@ -14323,7 +14324,8 @@ ORACLES["fisher_exact_events"] = """
                           - lgamma(nn - c1 + 1))) AS p
             FROM ks),
     pobs AS (SELECT p AS po FROM pmf WHERE k = a)
-    SELECT m.a, m.b, m.c, m.d,
+    SELECT CAST(m.a AS BIGINT) AS a, CAST(m.b AS BIGINT) AS b,
+           CAST(m.c AS BIGINT) AS c, CAST(m.d AS BIGINT) AS d,
            round(least((SELECT sum(p) FROM pmf, pobs
                         WHERE p <= po * (1 + 1e-7)), 1.0), 6)
                AS p_value
