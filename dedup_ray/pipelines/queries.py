@@ -2000,20 +2000,35 @@ def dedup_tier_report(sf_dir: str):
     dedup_pipeline(pages, cfg, tier_edges_out=tiers, tier_edges_only=True)
     n_nodes = pages.count()
 
+    # The four cumulative component counts are independent given the
+    # materialized tier edge sets — run them CONCURRENTLY (the
+    # similarity-branch convention in pipelines/dedup.py): each CC pass
+    # pays ~1 s of plan-launch latency regardless of CPU count, so
+    # overlapping the four passes removes ~3 s of serial barrier.
+    present = [t for t in ("exact", "near_minhash", "near_simhash",
+                           "substring") if t in tiers]
+    cums = []
+    cum = None
+    for tier in present:
+        cum = tiers[tier] if cum is None else cum.union(tiers[tier])
+        cums.append(cum)
+
+    def comps_of(edge_ds) -> int:
+        labels = component_labels(
+            edge_ds.materialize(), cfg.cc_local_edge_limit)
+        if labels is None:
+            return n_nodes
+        lab = labels.materialize()
+        return n_nodes - lab.count() + len(lab.unique("cluster_id"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(cums) or 1) as pool:
+        comps_list = list(pool.map(comps_of, cums))
+
     rows = []
     prev_comps = n_nodes
-    cum = None
-    for tier in ("exact", "near_minhash", "near_simhash", "substring"):
-        if tier not in tiers:
-            continue
-        cum = tiers[tier] if cum is None else cum.union(tiers[tier])
-        cum = cum.materialize()
-        labels = component_labels(cum, cfg.cc_local_edge_limit)
-        if labels is None:
-            comps = n_nodes
-        else:
-            lab = labels.materialize()
-            comps = n_nodes - lab.count() + len(lab.unique("cluster_id"))
+    for tier, comps in zip(present, comps_list):
         rows.append((tier, prev_comps - comps, comps))
         prev_comps = comps
     return pa.table(

@@ -823,26 +823,39 @@ def exact_quantiles(ds, value_col: str, qs: list[float],
                     break
                 cum += r["cnt"]
 
-    out_q, out_v = [], []
-    # one final filtered collect per unresolved interval (each bounded by
-    # collect_limit); identical intervals share the pull
+    # ONE final filtered collect covering ALL unresolved intervals
+    # (tagged by interval index, each bounded by collect_limit): the
+    # per-interval pulls were separate plan launches — with 9 quantiles
+    # that was up to 9 × ~0.4 s of fixed latency for 9 tiny scans.
+    need = sorted({state[qi][:2] for qi in range(len(qs))
+                   if state[qi][0] != state[qi][1]})
     pulls: dict[tuple, np.ndarray] = {}
+    if need:
+        ivs = list(enumerate(need))
+
+        def pull(t: pa.Table, ivs=ivs) -> pa.Table:
+            v = t[value_col].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            out_i, out_v = [], []
+            for i, (lo, hi) in ivs:
+                sub = v[(v >= lo) & (v <= hi)]
+                out_i.append(np.full(len(sub), i, np.int64))
+                out_v.append(sub)
+            return pa.table({
+                "i": pa.array(np.concatenate(out_i), pa.int64()),
+                "v": pa.array(np.concatenate(out_v), pa.float64())})
+
+        got = ds.map_batches(pull, batch_format="pyarrow").take_all()
+        by_i: dict[int, list] = {}
+        for r in got:
+            by_i.setdefault(r["i"], []).append(r["v"])
+        for i, key in ivs:
+            pulls[key] = np.sort(np.array(by_i.get(i, []), np.float64))
+
+    out_q, out_v = [], []
     for qi, q in enumerate(qs):
         lo, hi, rank, cnt = state[qi]
-        if lo == hi:
-            val = lo
-        else:
-            key = (lo, hi)
-            if key not in pulls:
-                def pull(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
-                    v = t[value_col].to_numpy(
-                        zero_copy_only=False).astype(np.float64)
-                    return pa.table(
-                        {"v": pa.array(v[(v >= lo) & (v <= hi)],
-                                       pa.float64())})
-                got = ds.map_batches(pull, batch_format="pyarrow").take_all()
-                pulls[key] = np.sort(np.array([r["v"] for r in got]))
-            val = float(pulls[key][rank - 1])
+        val = lo if lo == hi else float(pulls[(lo, hi)][rank - 1])
         out_q.append(q)
         out_v.append(round(val, 6))
     return pa.table({"q": pa.array(out_q, pa.float64()),
