@@ -370,6 +370,77 @@ def run_headline(
     }
 
 
+_CLUSTER_CHILD = r"""
+import os, sys, time, json
+import ray
+ray.init(address=os.environ["GCS_ADDR"], logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from dedup_ray import DedupConfig
+from dedup_ray.sources.pages import pages_from_documents, amplified_truth
+from dedup_ray.pipelines.dedup import dedup_pipeline
+from dedup_ray.ops.evaluate import pairwise_prf_ds
+sf = os.environ["SMOKE_SF_DIR"]
+t0 = time.perf_counter()
+pages = pages_from_documents(sf, amplify=2, text_repeat=1)
+cfg = DedupConfig(minhash_concurrency=4, num_partitions=8)
+clusters, _ = dedup_pipeline(pages, cfg)
+clusters = clusters.materialize()
+n = clusters.count()
+prf = pairwise_prf_ds(clusters, amplified_truth(sf, 2), id_col="url",
+                      num_partitions=8)
+print(json.dumps({"docs": n, "sec": round(time.perf_counter() - t0, 3),
+                  "dup_pair_recall": round(prf["recall"], 4)}))
+"""
+
+
+def run_cluster_smoke(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Cluster entry-path smoke: the flagship driven against a
+    ``ray start --head`` node through a NON-LOCAL GCS address —
+    exercising the real cluster driver path (GCS over TCP, raylet
+    spawn, remote object store) instead of ``address="local"``'s
+    in-process fast path.  The Ray Job Submission SDK (``ray job
+    submit``) requires ray[default], which this container does not
+    ship, so the smoke drives the same boundary via
+    ``ray.init(address=<gcs>)`` from a fresh process."""
+    import tempfile
+
+    port = 6391
+    env = dict(
+        os.environ,
+        GCS_ADDR=f"127.0.0.1:{port}",
+        SMOKE_SF_DIR=sf_dir,
+        REPO_ROOT=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        up = subprocess.run(
+            ["ray", "start", "--head", "--num-cpus=8", f"--port={port}",
+             "--include-dashboard=false"],
+            capture_output=True, text=True, timeout=60,
+        )
+        if up.returncode != 0:
+            return {"error": up.stderr.strip()[-200:]}
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".py", delete=False) as f:
+            f.write(_CLUSTER_CHILD)
+            child = f.name
+        proc = subprocess.run(
+            [sys.executable, child], env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            return {"error": (proc.stderr or "no output").strip()[-200:]}
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        out["entry"] = "ray start --head + driver on non-local GCS"
+        return out
+    except Exception as e:  # smoke must never sink the bench
+        return {"error": f"{type(e).__name__}: {e}"[-200:]}
+    finally:
+        subprocess.run(["ray", "stop", "--force"], capture_output=True,
+                       timeout=60)
+
+
 def run_incremental(sf_dir: str) -> dict:
     """Continuous-crawl mode evidence: clustering a NEW shard against a
     persisted index must cost O(shard), not O(corpus).
@@ -859,6 +930,13 @@ def main() -> None:
             ray.shutdown()
         return
 
+    # BEFORE the bench's own session: ray stop --force in the smoke's
+    # cleanup would kill a live local session's raylet
+    cluster_smoke = (
+        {} if args.headline_only or args.scaling_input
+        else run_cluster_smoke()
+    )
+
     import ray
 
     if not ray.is_initialized():
@@ -918,6 +996,7 @@ def main() -> None:
                     "unit": "sec",
                     "headline_samples": [s["sec"] for s in samples],
                     "host_probe": host_probe,
+                    "cluster_smoke": cluster_smoke,
                     "queries": queries,
                     "incremental": incremental,
                     "cc_distributed": cc_distributed,

@@ -30,6 +30,33 @@ def test_bfs_null_seeds_dropped_both_paths():
     assert got_l == got_d
 
 
+def test_canopy_block_doc_cap_observable_overflow():
+    # ADVICE r3 (linkage.py:281): near-identical docs share their min
+    # shingle BY DESIGN, so a template flood lands in ONE block and the
+    # dense docs x shingles matrix is unbounded by num_blocks.  The cap
+    # must keep the smallest ids and emit overflow as center_id=-2.
+    from dedup_ray.ops.linkage import canopy_cluster
+
+    n = 12
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        # identical text -> one shared min shingle -> one block
+        "text": pa.array(["alpha beta gamma delta"] * n),
+    }))
+    df = canopy_cluster(docs, num_blocks=64, num_partitions=2,
+                        block_doc_cap=5).to_pandas()
+    over = df[df.center_id == -2]
+    kept = df[df.center_id >= 0]
+    # the 7 largest ids overflow; the 5 smallest run the canopy loop
+    assert sorted(over.doc_id) == list(range(5, n))
+    assert set(kept.doc_id) == set(range(5))
+    # identical docs -> a single canopy centered at min id 0
+    assert (kept.center_id == 0).all()
+    # uncapped control: everything clusters, no -2 rows
+    full = canopy_cluster(docs, num_blocks=64, num_partitions=2).to_pandas()
+    assert (full.center_id == 0).all()
+
+
 def test_bfs_all_null_seeds_empty_result():
     from dedup_ray.ops.graph import multi_source_bfs
 

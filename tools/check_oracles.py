@@ -3,6 +3,12 @@ DuckDB oracle at sf0.01, compare row-count + schema + sorted values.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [names...]
 
+CI sweep mode (round-3 verdict item #6 — run at every sitting close):
+    python tools/check_oracles.py --sample 40 --seed <round>
+samples 40 catalog entries with the seeded RNG, checks them, and appends
+one tally line to PROGRESS.jsonl:
+    {"sweep": {"seed": N, "n": 40, "ok": 40, "failures": []}, "ts": ...}
+
 Note: the oracles for the seeded non-SQL operators (minhash_dedup_docs
 pairs_recovered, ann_topk_lsh / ann_topk_ivf recalls, the logistic
 weights) pin deterministic values MEASURED AT sf0.01 — running this
@@ -66,8 +72,18 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    sample_n = seed = None
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i:i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -91,10 +107,20 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    names = list(QUERIES)
+    if sample_n is not None:
+        rng = np.random.default_rng(0 if seed is None else seed)
+        names = sorted(
+            rng.choice(names, size=min(sample_n, len(names)),
+                       replace=False).tolist())
+        only = set(names)
+
     failures = []
+    n_checked = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        n_checked += 1
         import time
 
         t0 = time.time()
@@ -120,6 +146,19 @@ def main():
             failures.append(name)
     ray.shutdown()
     print("FAILURES:", failures if failures else "none")
+    if sample_n is not None:
+        import json
+        import os
+        import time
+
+        line = {"sweep": {"seed": seed, "n": n_checked,
+                          "ok": n_checked - len(failures),
+                          "failures": failures},
+                "ts": time.time()}
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PROGRESS.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(line) + "\n")
     sys.exit(1 if failures else 0)
 
 
