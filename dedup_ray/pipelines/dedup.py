@@ -349,9 +349,12 @@ def dedup_pipeline(
     # docs — the df of template boilerplate only shrinks by the dup factor,
     # which is the intended direction (more templates identified, not fewer
     # true containments, since true containments are low-df by definition).
-    phase1_edges = stage(
-        "phase1_edges", lambda: _lazy_union(edge_parts), materialize=True
-    )
+    # No materialize barrier: every part is already materialized and
+    # pinned, so the union is a ref concat — re-executing it per CC
+    # pass recomputes nothing, while a stage materialize here copied
+    # every edge block once more on the serial path (round-3 verdict
+    # item #5).  With a checkpoint ctx the stage still persists.
+    phase1_edges = stage("phase1_edges", lambda: _lazy_union(edge_parts))
 
     # Phase-1 CC runs ONCE; its labels serve both the substring rep
     # filter (below) and the final clustering, where each phase-1 cluster

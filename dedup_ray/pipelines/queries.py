@@ -15302,9 +15302,14 @@ def wasserstein_sources_docs(sf_dir: str):
     PSI needs arbitrary bins: ``W1 = Σ_v |F_s(v) − F(v)|·Δv`` over the
     pooled distinct-value grid.  Engine-exact: the integral is the
     INTEGER sum ``Σ |cum_s·N − cum·n_s|·gap`` divided once by
-    ``n_s·N`` — no float accumulates.  One grouped count pass; driver
-    state = the (source × distinct value) histogram, the same
-    distinct-value bound as the exact-quantile family."""
+    ``n_s·N`` — no float accumulates.  Overflow bound (the
+    quantile_normalize convention, ADVICE r3): the sum is bounded by
+    ``N² · value_range`` and numpy int64 wraps SILENTLY past 2^63, so
+    the vectorized path runs only while that bound holds (~10⁸ docs at
+    n_chars ≤ 10⁶); past it the sum accumulates through Python ints
+    (arbitrary precision).  One grouped count
+    pass; driver state = the (source × distinct value) histogram, the
+    same distinct-value bound as the exact-quantile family."""
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
     h = ds.groupby(["source", "n_chars"]).count().to_pandas()
     h = h.rename(columns={"count()": "c"})
@@ -15320,8 +15325,17 @@ def wasserstein_sources_docs(sf_dir: str):
                                                       fill_value=0)
         cs = per.to_numpy().astype(np.int64).cumsum()
         ns = int(cs[-1])
-        m = int((np.abs(cs[:-1] * nn - cum_pool[:-1] * ns)
-                 * gaps).sum())
+        # int64 is exact while the whole sum < 2^63: Σ|…|·gap ≤
+        # ns·N·Σgap ≤ N²·value_range (see docstring bound); past that
+        # fall back to Python-int (object) accumulation
+        vrange = int(vals[-1] - vals[0]) if len(vals) else 0
+        if nn * nn <= 2 ** 62 // max(vrange, 1):
+            m = int((np.abs(cs[:-1] * nn - cum_pool[:-1] * ns)
+                     * gaps).sum())
+        else:
+            m = int(np.abs(cs[:-1].astype(object) * nn
+                           - cum_pool[:-1].astype(object) * ns)
+                    .dot(gaps.astype(object)))
         srcs.append(src)
         w1s.append(m / (ns * nn))
     return pa.table({"source": pa.array(srcs, pa.string()),
