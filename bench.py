@@ -952,13 +952,14 @@ def main() -> None:
                 SF_DIR, amplify=SCALING_AMPLIFY, text_repeat=SCALING_TEXT_REPEAT
             )
             samples = [headline]
+            host_probe = {}  # run_scaling embeds its own host_ceiling
         else:
             # min of K repeats: robust to this VM's ±30-40% contention
             samples = [run_headline(SF_DIR)
                        for _ in range(max(1, HEADLINE_REPEATS))]
             headline = min(samples, key=lambda r: r["sec"])
-        # probe the window adjacent to the headline timings, not at exit
-        host_probe = _host_contention_probe()
+            # probe the window adjacent to the headline timings
+            host_probe = _host_contention_probe()
         queries = (
             {}
             if args.headline_only or args.scaling_input
