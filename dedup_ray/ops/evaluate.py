@@ -166,7 +166,11 @@ def bcubed_scores(pred, truth, id_col: str = "doc_id",
     present in BOTH pred and truth) — evaluation restricted to
     commonly-labeled items, the coherent form when the two tables cover
     different id sets (and identical to the naive form when they
-    coincide, which every catalog oracle covers).
+    coincide, which every catalog oracle covers).  API NOTE (ADVICE
+    r3): earlier revisions computed marginals over each table's FULL id
+    set, so external callers whose pred/truth universes differ will see
+    (higher) scores under this form; restrict or pad your tables
+    upstream if you need the unrestricted semantics.
 
     Closed-form over the overlap cells: with n(c,t) items in predicted
     cluster c AND truth cluster t,
