@@ -57,6 +57,28 @@ def test_canopy_block_doc_cap_observable_overflow():
     assert (full.center_id == 0).all()
 
 
+def test_exact_quantiles_single_pull_many_intervals():
+    # r4: the final collect is ONE tagged pass over ALL unresolved
+    # intervals (was one plan launch per quantile).  Force the
+    # multi-interval path with a tiny collect_limit and verify exact
+    # k-th-smallest semantics against numpy.
+    import math
+
+    from dedup_ray.stages.ordering import exact_quantiles
+
+    rng = np.random.default_rng(42)
+    vals = rng.permutation(np.arange(2000, dtype=np.float64) * 1.5 - 7.0)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    qt = exact_quantiles(ds, "v", qs, n_bins=4, collect_limit=16,
+                         num_partitions=2)
+    srt = np.sort(vals)
+    got = dict(zip(qt["q"].to_pylist(), qt["value"].to_pylist()))
+    for q in qs:
+        k = 1 + math.floor(q * (len(vals) - 1))
+        assert got[q] == round(float(srt[k - 1]), 6), (q, got[q])
+
+
 def test_bfs_all_null_seeds_empty_result():
     from dedup_ray.ops.graph import multi_source_bfs
 
