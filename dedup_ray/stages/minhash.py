@@ -56,6 +56,42 @@ def _group_min_u128(hi: np.ndarray, lo: np.ndarray, groups: np.ndarray):
     return g[first], hi[idx], lo[idx]
 
 
+class _GroupMinEngine:
+    """Per-group 128-bit min with the group structure factored out.
+
+    The md5 spec-twin signers take the min over the SAME occurrence →
+    doc grouping once per permutation; a lexsort per perm re-pays the
+    O(n log n) group sort 16×.  This presorts by group once, and each
+    perm's min is two O(n) ``np.minimum.reduceat`` passes (min hi,
+    then min lo among hi-ties).  Output identical to
+    :func:`_group_min_u128` (equality-tested)."""
+
+    def __init__(self, groups: np.ndarray):
+        self.n = len(groups)
+        self.order = np.argsort(groups, kind="stable")
+        g = groups[self.order]
+        change = np.empty(len(g), bool)
+        if len(g):
+            change[0] = True
+            np.not_equal(g[1:], g[:-1], out=change[1:])
+        self.starts = np.flatnonzero(change)
+        self.groups = g[self.starts]
+        self.slot = np.cumsum(change.astype(np.int64)) - 1 \
+            if len(g) else np.array([], np.int64)
+
+    def min128(self, hi: np.ndarray, lo: np.ndarray):
+        if self.n == 0:
+            e = np.array([], np.uint64)
+            return self.groups, e, e
+        hs = hi[self.order]
+        ls = lo[self.order]
+        mhi = np.minimum.reduceat(hs, self.starts)
+        tie = hs == mhi[self.slot]
+        ls2 = np.where(tie, ls, np.uint64(0xFFFFFFFFFFFFFFFF))
+        mlo = np.minimum.reduceat(ls2, self.starts)
+        return self.groups, mhi, mlo
+
+
 def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=num_perms, dtype=np.uint64)
@@ -245,10 +281,10 @@ def bbit_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
                               return_inverse=True)
         enc = [t.encode() for t in uniq]
-        gro = dd["p"].to_numpy()
+        eng = _GroupMinEngine(dd["p"].to_numpy())
         for perm in range(n_perms):
             hi, lo = _md5_u128(enc, f"{perm}:".encode())
-            gids, _mhi, mlo = _group_min_u128(hi[inv], lo[inv], gro)
+            gids, _mhi, mlo = eng.min128(hi[inv], lo[inv])
             # hexdigest[-1] == low nibble of the last digest byte
             regs = ((mlo & np.uint64(0xF)) % np.uint64(1 << b)) \
                 .astype(np.int64)
@@ -382,14 +418,14 @@ def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
         uniq, inv = np.unique(dd["t"].to_numpy(dtype=object),
                               return_inverse=True)
         enc = [t.encode() for t in uniq]
-        gro = dd["p"].to_numpy()
+        eng = _GroupMinEngine(dd["p"].to_numpy())
         # (perm -> per-row minhash hex, rows sorted); rows with no
         # tokens never occur, and every perm shares the same row set
         rows = np.array([], np.int64)
         hex_by_perm = []
         for perm in range(n_perms):
             hi, lo = _md5_u128(enc, f"{perm}:".encode())
-            rows, mhi, mlo = _group_min_u128(hi[inv], lo[inv], gro)
+            rows, mhi, mlo = eng.min128(hi[inv], lo[inv])
             hex_by_perm.append(
                 [f"{h:016x}{l:016x}" for h, l in
                  zip(mhi.tolist(), mlo.tolist())])
@@ -515,12 +551,15 @@ def weighted_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
                   for j in range(w)]
         out_id, out_perm, out_reg = [], [], []
         id_list = ids.to_pylist()
+        eng = _GroupMinEngine(inst_p)
+        zero = None
         for perm in range(n_perms):
             # register = first 16 hex chars == the hi u64; min over the
             # truncated hex == min over hi alone (ties share the string)
             hi, _lo = _md5_u128(inst_t, f"{perm}:".encode())
-            gids, mhi, _ = _group_min_u128(
-                hi, np.zeros_like(hi), inst_p)
+            if zero is None:
+                zero = np.zeros_like(hi)
+            gids, mhi, _ = eng.min128(hi, zero)
             out_id.extend(id_list[int(i)] for i in gids)
             out_perm.extend([perm] * len(gids))
             out_reg.extend(f"{h:016x}" for h in mhi.tolist())
