@@ -406,6 +406,18 @@ def run_cluster_smoke(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     ``ray.init(address=<gcs>)`` from a fresh process."""
     import tempfile
 
+    # ray stop --force (cleanup below) kills EVERY Ray process on the
+    # machine; if some other session is already live (a concurrent
+    # driver, a user's cluster), skip the smoke instead of killing it.
+    try:
+        probe = subprocess.run(
+            ["pgrep", "-f", "raylet"], capture_output=True, timeout=10)
+        if probe.returncode == 0 and probe.stdout.strip():
+            return {"skipped": "live Ray session on host; smoke would "
+                               "ray stop it"}
+    except Exception:
+        pass
+
     port = 6391
     env = dict(
         os.environ,
