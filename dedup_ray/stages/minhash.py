@@ -473,22 +473,35 @@ def supershingle_pairs(ss_ds, id_col: str = "doc_id",
                              ("band", pa.int64())])
 
     def emit_pairs(part: pa.Table) -> pa.Table:
+        from dedup_ray.stages.lsh import _pair_index
+
         if part.num_rows == 0:
             return pair_schema.empty_table()
         df = pd.DataFrame({
             "band": part["band"].to_numpy(zero_copy_only=False),
             "ss": part["ss"].to_pylist(),
             "id": part[id_col].to_pylist(),
-        })
-        i1, i2, bb = [], [], []
-        for (band, _ss), g in df.groupby(["band", "ss"], sort=False):
-            ids = sorted(g["id"].tolist())[:bucket_cap]
-            for a in range(len(ids)):
-                for b in range(a + 1, len(ids)):
-                    i1.append(ids[a]); i2.append(ids[b]); bb.append(band)
-        return pa.table({"id1": pa.array(i1, id_type),
-                         "id2": pa.array(i2, id_type),
-                         "band": pa.array(bb, pa.int64())})
+        }).sort_values(["band", "ss", "id"])
+        key = (df["band"].astype(str) + "\x00" + df["ss"]).to_numpy()
+        ids = df["id"].to_numpy()
+        bands = df["band"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        o1, o2, bb = [], [], []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            # vectorized full triangle over the cap'd smallest ids
+            n = min(en - st, bucket_cap)
+            if n < 2:
+                continue
+            a1, a2 = _pair_index(n, n, 0)
+            o1.append(ids[st + a1])
+            o2.append(ids[st + a2])
+            bb.append(np.full(len(a1), bands[st], np.int64))
+        if not o1:
+            return pair_schema.empty_table()
+        return pa.table({"id1": pa.array(np.concatenate(o1), id_type),
+                         "id2": pa.array(np.concatenate(o2), id_type),
+                         "band": pa.array(np.concatenate(bb), pa.int64())})
 
     pairs = exchange_group_apply(
         ss_ds, ["band", "ss"], emit_pairs, num_partitions,
