@@ -334,7 +334,7 @@ def run_headline(
     warm_workers()
     cfg = DedupConfig(
         minhash_concurrency=max(2, NUM_CPUS - 2),
-        num_partitions=32,
+        auto_partitions=True,  # partitions follow data size (config.py)
         # substring sensitivity scaled to the corpus: on multi-KB pages a
         # 50-char shared run is noise; 256 chars (~40 tokens) is the
         # realistic dedup threshold and keeps CDC chunk volume proportionate
@@ -481,7 +481,7 @@ def run_incremental(sf_dir: str) -> dict:
 
     amplify, text_repeat = 4, 2
     cfg = DedupConfig(
-        minhash_concurrency=max(2, NUM_CPUS - 2), num_partitions=32
+        minhash_concurrency=max(2, NUM_CPUS - 2), auto_partitions=True
     )
     t0 = time.perf_counter()
     clusters, _ = dedup_pipeline(
@@ -864,7 +864,7 @@ def run_stats() -> None:
     warm_workers()
     cfg = DedupConfig(
         minhash_concurrency=max(2, NUM_CPUS - 2),
-        num_partitions=32,
+        auto_partitions=True,
         min_substring_len=256,
     )
     t0 = time.perf_counter()

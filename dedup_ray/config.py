@@ -62,6 +62,16 @@ class DedupConfig:
     sign_batch_size: int = 64
     minhash_concurrency: int = 4  # actor-pool size for signature stages
     num_partitions: int = 16  # hash partitions for joins/shuffles
+    # Size partitions to the DATA, not the CPU count: with
+    # ``auto_partitions`` the pipeline re-derives num_partitions after
+    # the signature stage as ceil(n_docs / docs_per_partition) clamped
+    # to [8, 4096].  An exchange moves ~num_partitions² shuffle blocks,
+    # so a partition count tuned for 100-TB inputs is pure fixed
+    # overhead on a 120k-doc corpus — measured on this box: the
+    # flagship's 8→32-CPU leg ran 15.3 s at 32 partitions vs 9.9 s at
+    # 8 partitions on identical input (BASELINE.md round 4).
+    auto_partitions: bool = False
+    docs_per_partition: int = 15_000
     # Driver-side union-find is used when the accepted-edge count is below
     # this; above it the distributed large-star/small-star iteration runs.
     cc_local_edge_limit: int = 2_000_000
@@ -86,6 +96,8 @@ class DedupConfig:
         "sign_batch_size",
         "minhash_concurrency",
         "num_partitions",
+        "auto_partitions",
+        "docs_per_partition",
         "cc_local_edge_limit",
     )
 

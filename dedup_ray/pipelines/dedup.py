@@ -187,6 +187,26 @@ def dedup_pipeline(
             materialize=True,  # consumed by every path: edges, joins, final ids
         )
 
+    if cfg.auto_partitions:
+        # Exchanges pay ~num_partitions² shuffle-block overhead, so the
+        # partition count follows the DATA (see config.py): derived here
+        # because the materialized signature table makes count() a
+        # metadata read.  Rebinding cfg is safe — num_partitions is an
+        # execution knob (not semantics, not lineage: the shape hash is
+        # already fixed above, and identical corpora re-derive the same
+        # count on resume).
+        import dataclasses
+        import math as _math
+
+        n_docs_sig = compact.count()
+        cfg = dataclasses.replace(
+            cfg,
+            num_partitions=min(
+                4096,
+                max(8, _math.ceil(n_docs_sig / cfg.docs_per_partition)),
+            ),
+        )
+
     from dedup_ray.util.dsutil import pin_edge_ids, split_mixed_rows
 
     def _pin(ds):

@@ -1994,7 +1994,7 @@ def dedup_tier_report(sf_dir: str):
     pages = pages_tiered(sf_dir, min_tokens=40)
     cpus = int(ray.cluster_resources().get("CPU", 4))
     cfg = DedupConfig(
-        minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
+        minhash_concurrency=max(2, cpus - 2), auto_partitions=True
     )
     tiers: dict = {}
     dedup_pipeline(pages, cfg, tier_edges_out=tiers, tier_edges_only=True)
