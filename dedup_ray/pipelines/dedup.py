@@ -198,11 +198,15 @@ def dedup_pipeline(
         import dataclasses
         import math as _math
 
+        # Upper clamp 65536: ~1.5 GB of signature rows per partition at
+        # 10^9 docs/partition-group scale; beyond ~250k inter-partition
+        # refs the exchanges switch to their hierarchical two-level form
+        # (util/exchange.py), so ref count does not bound the clamp.
         n_docs_sig = compact.count()
         cfg = dataclasses.replace(
             cfg,
             num_partitions=min(
-                4096,
+                65536,
                 max(8, _math.ceil(n_docs_sig / cfg.docs_per_partition)),
             ),
         )
