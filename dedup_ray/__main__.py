@@ -133,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
         }.items()
         if v is not None
     }
+    # data-sized exchange partitions unless the user pinned a count
+    if "num_partitions" not in overrides:
+        overrides["auto_partitions"] = True
     cfg = DedupConfig(**overrides)
 
     t0 = time.perf_counter()
