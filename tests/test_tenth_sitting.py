@@ -79,6 +79,29 @@ def test_exact_quantiles_single_pull_many_intervals():
         assert got[q] == round(float(srt[k - 1]), 6), (q, got[q])
 
 
+def test_auto_partitions_matches_fixed_and_derives_count():
+    # r4: partition count follows data size (num_partitions² shuffle
+    # blocks made fixed np=32 pure overhead at bench scale).  Partition
+    # count is an execution knob: cluster output must be IDENTICAL.
+    import ray.data as rd
+
+    from dedup_ray import DedupConfig
+    from dedup_ray.pipelines.dedup import dedup_pipeline
+    from dedup_ray.sources.pages import planted_pages
+
+    pages, _ = planted_pages(n_base=30, seed=7)
+    fixed = DedupConfig(minhash_concurrency=2, num_partitions=4)
+    auto = DedupConfig(minhash_concurrency=2, auto_partitions=True,
+                       docs_per_partition=10)
+    a, _ = dedup_pipeline(rd.from_arrow(pages), fixed)
+    b, _ = dedup_pipeline(rd.from_arrow(pages), auto)
+    da = a.to_pandas().sort_values("url").reset_index(drop=True)
+    db = b.to_pandas().sort_values("url").reset_index(drop=True)
+    assert da.equals(db)
+    # semantic hash unaffected by the execution knobs
+    assert fixed.semantic_hash() == auto.semantic_hash()
+
+
 def test_bfs_all_null_seeds_empty_result():
     from dedup_ray.ops.graph import multi_source_bfs
 
