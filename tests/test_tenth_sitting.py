@@ -102,6 +102,74 @@ def test_auto_partitions_matches_fixed_and_derives_count():
     assert fixed.semantic_hash() == auto.semantic_hash()
 
 
+def test_group_min_engine_equals_lexsort_reference():
+    # r4: the reduceat-based _GroupMinEngine must agree with the
+    # lexsort reference _group_min_u128 for every (ties, empty, single)
+    # shape — small hi range forces heavy hi-ties so the lo tie-break
+    # path is exercised.
+    from dedup_ray.stages.minhash import _GroupMinEngine, _group_min_u128
+
+    rng = np.random.default_rng(3)
+    for trial in range(200):
+        n = int(rng.integers(0, 120))
+        groups = rng.integers(0, 15, n)
+        hi = rng.integers(0, 4, n).astype(np.uint64)
+        lo = rng.integers(0, 1 << 62, n).astype(np.uint64)
+        g1, h1, l1 = _group_min_u128(hi, lo, groups)
+        g2, h2, l2 = _GroupMinEngine(groups).min128(hi, lo)
+        assert np.array_equal(g1, g2)
+        assert np.array_equal(h1, h2)
+        assert np.array_equal(l1, l2)
+
+
+def test_pava_equals_minimax_closed_form():
+    # r4: isotonic_calibration's engine reduce is PAVA; the oracle
+    # replays the minimax closed form.  They are the same function —
+    # pin that with the dense reference on random weighted inputs.
+    rng = np.random.default_rng(7)
+
+    def minimax(w, sy):
+        n = len(w)
+        cw = np.concatenate([[0.0], np.cumsum(w)])
+        cy = np.concatenate([[0.0], np.cumsum(sy)])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A = (cy[None, 1:] - cy[:-1, None]) \
+                / (cw[None, 1:] - cw[:-1, None])
+        M = np.minimum.accumulate(A[:, ::-1], axis=1)[:, ::-1]
+        return np.maximum.accumulate(
+            np.where(np.tril(np.ones((n, n), bool)).T, M, -np.inf),
+            axis=0).diagonal()
+
+    def pava(w, sy):
+        n = len(w)
+        cw = np.concatenate([[0.0], np.cumsum(w)])
+        cy = np.concatenate([[0.0], np.cumsum(sy)])
+
+        def blk(s, e):
+            return (cy[e + 1] - cy[s]) / (cw[e + 1] - cw[s])
+
+        starts, avgs = [], []
+        for i in range(n):
+            starts.append(i)
+            avgs.append(blk(i, i))
+            while len(starts) > 1 and avgs[-1] <= avgs[-2]:
+                starts.pop()
+                avgs.pop()
+                avgs[-1] = blk(starts[-1], i)
+        iso = np.empty(n)
+        b = starts + [n]
+        for bi in range(len(starts)):
+            iso[b[bi]:b[bi + 1]] = avgs[bi]
+        return iso
+
+    for trial in range(300):
+        n = int(rng.integers(1, 40))
+        w = rng.integers(1, 5, n).astype(float)
+        sy = rng.random(n) * w
+        assert np.array_equal(np.round(minimax(w, sy), 6),
+                              np.round(pava(w, sy), 6))
+
+
 def test_bfs_all_null_seeds_empty_result():
     from dedup_ray.ops.graph import multi_source_bfs
 
