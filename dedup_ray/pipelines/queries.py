@@ -1955,7 +1955,7 @@ def minhash_dedup_docs(sf_dir: str):
     pages = pages_from_documents(sf_dir, amplify=3)
     cpus = int(ray.cluster_resources().get("CPU", 4))
     cfg = DedupConfig(
-        minhash_concurrency=max(2, cpus - 2), num_partitions=max(8, cpus)
+        minhash_concurrency=max(2, cpus - 2), auto_partitions=True
     )
     clusters, _ = dedup_pipeline(pages, cfg)
     return _planted_recall_row(clusters, n_copies=3)
@@ -2069,7 +2069,7 @@ def incremental_dedup_docs(sf_dir: str):
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
     cfg = DedupConfig(
-        minhash_concurrency=max(2, cpus // 2), num_partitions=max(8, cpus)
+        minhash_concurrency=max(2, cpus // 2), auto_partitions=True
     )
 
     pages = pages_from_documents(sf_dir, amplify=1)
