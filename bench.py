@@ -56,10 +56,13 @@ def _host_contention_probe(procs: int = 8) -> dict:
         os.path.dirname(os.path.abspath(__file__)),
         "tools", "host_scaling_probe.py",
     )
-    proc = subprocess.run(
-        [sys.executable, probe, str(procs)],
-        capture_output=True, text=True,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, probe, str(procs)],
+            capture_output=True, text=True, timeout=120,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "probe timed out"}
     if proc.returncode != 0 or not proc.stdout.strip():
         return {"error": (proc.stderr or "probe failed").strip()[-200:]}
     levels = json.loads(proc.stdout.strip().splitlines()[-1])["levels"]
@@ -437,10 +440,13 @@ def run_cluster_smoke(sf_dir: str = "/root/testdata/sf0.01") -> dict:
                 "w", suffix=".py", delete=False) as f:
             f.write(_CLUSTER_CHILD)
             child = f.name
-        proc = subprocess.run(
-            [sys.executable, child], env=env,
-            capture_output=True, text=True, timeout=300,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, child], env=env,
+                capture_output=True, text=True, timeout=300,
+            )
+        finally:
+            os.unlink(child)
         if proc.returncode != 0 or not proc.stdout.strip():
             return {"error": (proc.stderr or "no output").strip()[-200:]}
         out = json.loads(proc.stdout.strip().splitlines()[-1])

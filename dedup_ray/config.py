@@ -65,7 +65,7 @@ class DedupConfig:
     # Size partitions to the DATA, not the CPU count: with
     # ``auto_partitions`` the pipeline re-derives num_partitions after
     # the signature stage as ceil(n_docs / docs_per_partition) clamped
-    # to [8, 4096].  An exchange moves ~num_partitions² shuffle blocks,
+    # to [8, 65536].  An exchange moves ~num_partitions² shuffle blocks,
     # so a partition count tuned for 100-TB inputs is pure fixed
     # overhead on a 120k-doc corpus — measured on this box: the
     # flagship's 8→32-CPU leg ran 15.3 s at 32 partitions vs 9.9 s at

@@ -393,7 +393,12 @@ def dedup_pipeline(
         if not _labels1_cache:
             from dedup_ray.stages.cc import component_labels
 
-            labels = component_labels(phase1_edges, cfg.cc_local_edge_limit)
+            # materialize the slim 2-column projection once (the
+            # assign_clusters convention): component_labels consumes its
+            # input twice (count + CC), and a lazy union would re-run
+            # the pin/split maps over every edge part on each pass
+            slim = phase1_edges.select_columns(["id1", "id2"]).materialize()
+            labels = component_labels(slim, cfg.cc_local_edge_limit)
             _labels1_cache.append(
                 labels.materialize() if labels is not None else None
             )

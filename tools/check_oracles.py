@@ -107,8 +107,10 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    names = list(QUERIES)
+    names = sorted(only) if only else list(QUERIES)
     if sample_n is not None:
+        # sample from the positional subset when one was given, so
+        # explicitly-named queries are never silently dropped
         rng = np.random.default_rng(0 if seed is None else seed)
         names = sorted(
             rng.choice(names, size=min(sample_n, len(names)),
