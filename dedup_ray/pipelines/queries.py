@@ -15168,7 +15168,7 @@ def blocking_quality_docs(sf_dir: str):
     mem = _canopy(sf_dir)
 
     def pairs_of(t: pa.Table) -> pa.Table:
-        from dedup_ray.stages.lsh import _pair_index
+        from dedup_ray.stages.lsh import triangle_pairs_grouped
 
         if t.num_rows == 0:
             return pa.table({"id1": pa.array([], pa.int64()),
@@ -15176,27 +15176,11 @@ def blocking_quality_docs(sf_dir: str):
         df = t.to_pandas()
         df = df[df.center_id >= 0][["center_id", "doc_id"]] \
             .drop_duplicates().sort_values(["center_id", "doc_id"])
-        cid = df["center_id"].to_numpy()
         did = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]]) \
-            if len(cid) else np.array([], np.int64)
-        ends = np.r_[starts[1:], len(cid)] if len(starts) \
-            else np.array([], np.int64)
-        o1, o2 = [], []
-        for st, en in zip(starts.tolist(), ends.tolist()):
-            n = en - st
-            if n < 2:
-                continue
-            # full triangle via the vectorized lsh pair index (cap=n)
-            i1, i2 = _pair_index(n, n, 0)
-            o1.append(did[st + i1])
-            o2.append(did[st + i2])
-        if not o1:
-            return pa.table({"id1": pa.array([], pa.int64()),
-                             "id2": pa.array([], pa.int64())})
+        i1, i2 = triangle_pairs_grouped(df["center_id"].to_numpy())
         return pa.table({
-            "id1": pa.array(np.concatenate(o1), pa.int64()),
-            "id2": pa.array(np.concatenate(o2), pa.int64())})
+            "id1": pa.array(did[i1], pa.int64()),
+            "id2": pa.array(did[i2], pa.int64())})
 
     def dedupe(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -196,6 +196,39 @@ def _pair_index(n: int, cap: int, window: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(parts1), np.concatenate(parts2)
 
 
+def triangle_pairs_grouped(
+    group_key: np.ndarray, cap: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Absolute index arrays (i1, i2) for the full pair triangle within
+    each run of equal consecutive ``group_key`` values.
+
+    Callers pre-sort their rows by (group, id) so each run's first
+    ``min(run_len, cap)`` elements are its smallest ids; pairs index
+    into the SORTED arrays.  The shared core of the super-shingle
+    bucket explode (``stages/minhash.supershingle_pairs``) and the
+    blocking-quality candidate explode (``pipelines/queries``) — the
+    LSH bucket path keeps its star+window variant via
+    :func:`_pair_index` with a real cap.
+    """
+    if len(group_key) == 0:
+        e = np.array([], np.int64)
+        return e, e
+    starts = np.flatnonzero(np.r_[True, group_key[1:] != group_key[:-1]])
+    ends = np.r_[starts[1:], len(group_key)]
+    o1, o2 = [], []
+    for st, en in zip(starts.tolist(), ends.tolist()):
+        n = en - st if cap is None else min(en - st, cap)
+        if n < 2:
+            continue
+        a1, a2 = _pair_index(n, n, 0)
+        o1.append(st + a1)
+        o2.append(st + a2)
+    if not o1:
+        e = np.array([], np.int64)
+        return e, e
+    return np.concatenate(o1), np.concatenate(o2)
+
+
 def _emit_pairs(ids, cap: int, window: int) -> tuple[np.ndarray, np.ndarray, bool]:
     """Pairs for one bucket, vectorized.  Returns (id1s, id2s, capped)."""
     ids = np.sort(np.asarray(ids))

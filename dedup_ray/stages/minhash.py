@@ -473,7 +473,7 @@ def supershingle_pairs(ss_ds, id_col: str = "doc_id",
                              ("band", pa.int64())])
 
     def emit_pairs(part: pa.Table) -> pa.Table:
-        from dedup_ray.stages.lsh import _pair_index
+        from dedup_ray.stages.lsh import triangle_pairs_grouped
 
         if part.num_rows == 0:
             return pair_schema.empty_table()
@@ -485,23 +485,13 @@ def supershingle_pairs(ss_ds, id_col: str = "doc_id",
         key = (df["band"].astype(str) + "\x00" + df["ss"]).to_numpy()
         ids = df["id"].to_numpy()
         bands = df["band"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        ends = np.r_[starts[1:], len(key)]
-        o1, o2, bb = [], [], []
-        for st, en in zip(starts.tolist(), ends.tolist()):
-            # vectorized full triangle over the cap'd smallest ids
-            n = min(en - st, bucket_cap)
-            if n < 2:
-                continue
-            a1, a2 = _pair_index(n, n, 0)
-            o1.append(ids[st + a1])
-            o2.append(ids[st + a2])
-            bb.append(np.full(len(a1), bands[st], np.int64))
-        if not o1:
+        i1, i2 = triangle_pairs_grouped(key, cap=bucket_cap)
+        if not len(i1):
             return pair_schema.empty_table()
-        return pa.table({"id1": pa.array(np.concatenate(o1), id_type),
-                         "id2": pa.array(np.concatenate(o2), id_type),
-                         "band": pa.array(np.concatenate(bb), pa.int64())})
+        return pa.table({"id1": pa.array(ids[i1], id_type),
+                         "id2": pa.array(ids[i2], id_type),
+                         "band": pa.array(bands[i1].astype(np.int64),
+                                          pa.int64())})
 
     pairs = exchange_group_apply(
         ss_ds, ["band", "ss"], emit_pairs, num_partitions,
