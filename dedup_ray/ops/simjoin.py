@@ -221,8 +221,13 @@ def similarity_join(
     blocking on ``sh`` (df cap + cross-side pairs), pair dedup + left
     expansion on ``id_l``, intersection count + score filter on ``id_r``.
     """
-    left_flat = _flat_shingles(left_ds, left_id, left_text, "id_l", k)
-    right_flat = _flat_shingles(right_ds, right_id, right_text, "id_r", k)
+    # materialized once: each side is consumed by two exchanges (left by
+    # block + expansion, right by block + verify) — lazy, the corpus-wide
+    # shingle explode would run twice per side
+    left_flat = _flat_shingles(
+        left_ds, left_id, left_text, "id_l", k).materialize()
+    right_flat = _flat_shingles(
+        right_ds, right_id, right_text, "id_r", k).materialize()
 
     def block(lf: pa.Table, rf: pa.Table) -> pa.Table:
         ld = _guard(lf, _flat_schema("id_l"))
@@ -326,7 +331,10 @@ def similarity_self_join(
          (``τ·max(n_l, n_r) ≤ min`` is necessary for J ≥ τ);
       4-5. expansion + intersection count, shared with the cross join.
     """
-    full = _flat_shingles(ds, id_col, text_col, "id", k)
+    # materialize once: three consumers (df-annotate, and the l/r sides
+    # of the expansion join) would otherwise each re-run the corpus-wide
+    # tokenize+shingle explode
+    full = _flat_shingles(ds, id_col, text_col, "id", k).materialize()
 
     flat_schema = _flat_schema("id")
     ann_schema = pa.schema(
