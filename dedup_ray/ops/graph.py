@@ -230,7 +230,10 @@ def triangle_count(edges_ds, a_col: str = "a", b_col: str = "b",
         return pa.table({"a": pa.array(lo), "b": pa.array(hi),
                          "ab": pa.array(pack(lo, hi))})
 
-    edges = edges_ds.map_batches(orient, batch_format="pyarrow")
+    # materialized: consumed by BOTH the wedge exchange and the closing
+    # semi-join — lazy, a caller's edge-build chain would run twice
+    edges = edges_ds.map_batches(orient, batch_format="pyarrow") \
+        .materialize()
 
     def wedges(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -1664,7 +1667,9 @@ def modularity(edges_ds, labels_ds, a_col: str = "a", b_col: str = "b",
     ).materialize()
     m = edges.count()
 
-    lab = labels_ds.select_columns([node_col, label_col])
+    # materialized: joined against BOTH endpoints — lazy, the caller's
+    # label-build chain would execute twice
+    lab = labels_ds.select_columns([node_col, label_col]).materialize()
     ea = exchange_join(
         edges, lab.map_batches(
             lambda t: t.rename_columns([a_col, "la"]),
@@ -1750,10 +1755,12 @@ def degree_assortativity(edges_ds, a_col: str = "a", b_col: str = "b",
             [([], "count_all")])
         return g.rename_columns(["node", "k"])
 
+    # materialized: joined against BOTH endpoints — lazy, the degree
+    # groupby (an all-to-all) would execute twice
     deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
            .groupby("node").sum("k")
            .map_batches(lambda t: t.rename_columns(["node", "k"]),
-                        batch_format="pyarrow"))
+                        batch_format="pyarrow")).materialize()
 
     ea = exchange_join(
         edges, deg.map_batches(
