@@ -1054,7 +1054,10 @@ def run_scaling() -> None:
     results = {}
     for cpus in (lo_cpus, hi_cpus):
         best = None
-        for _attempt in range(2):
+        ok_runs = 0
+        fail_tail = ""
+        for _attempt in range(3):  # best-of-2 + one retry slot for a
+            # transient child failure (session teardown races on this VM)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-input"],
@@ -1063,17 +1066,23 @@ def run_scaling() -> None:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            time.sleep(10)  # let the session's teardown settle
             if proc.returncode != 0 or not proc.stdout.strip():
-                raise RuntimeError(
-                    f"scaling child (cpus={cpus}) failed "
-                    f"rc={proc.returncode}; stderr tail:\n"
-                    + "\n".join(proc.stderr.strip().splitlines()[-20:])
-                )
+                fail_tail = "\n".join(
+                    proc.stderr.strip().splitlines()[-20:])
+                continue
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             if best is None or r["value"] < best["value"]:
                 best = r
-            time.sleep(10)  # let the previous session's teardown settle
+            ok_runs += 1
+            if ok_runs >= 2:
+                break
+        if best is None:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) failed; stderr tail:\n"
+                + fail_tail
+            )
         results[cpus] = best
     thr_lo = results[lo_cpus]["docs_per_sec"]
     thr_hi = results[hi_cpus]["docs_per_sec"]
