@@ -90,6 +90,29 @@ def test_exact_quantiles_matches_numpy_selection(vals, qs):
 
 @settings(max_examples=50, deadline=None)
 @given(
+    st.lists(st.integers(0, 8), max_size=60),
+    st.one_of(st.none(), st.integers(2, 5)),
+)
+def test_triangle_pairs_grouped_matches_bruteforce(groups, cap):
+    from dedup_ray.stages.lsh import triangle_pairs_grouped
+
+    key = np.sort(np.array(groups, np.int64))
+    i1, i2 = triangle_pairs_grouped(key, cap=cap)
+    got = sorted(zip(i1.tolist(), i2.tolist()))
+    want = []
+    n = len(key)
+    starts = [i for i in range(n) if i == 0 or key[i] != key[i - 1]]
+    ends = starts[1:] + [n]
+    for st_, en in zip(starts, ends):
+        lim = en - st_ if cap is None else min(en - st_, cap)
+        for a in range(lim):
+            for b in range(a + 1, lim):
+                want.append((st_ + a, st_ + b))
+    assert got == sorted(want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
     st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3),
                        st.integers(0, 10)), max_size=120),
 )
