@@ -255,8 +255,6 @@ def bbit_minhash_md5(ds, id_col: str = "doc_id", text_col: str = "text",
     Empty docs carry the tokenize sentinel.  Shuffle-free: registers are
     batch-local.  Output: ``(id_col, perm, reg)``.
     """
-    import hashlib
-
     import pandas as pd
 
     from dedup_ray.stages.textstats import explode_tokens
@@ -383,8 +381,6 @@ def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
     replayable in SQL, nothing pinned.  Shuffle-free; output
     ``(id_col, band, ss)``.
     """
-    import hashlib
-
     import pandas as pd
 
     from dedup_ray.stages.textstats import explode_tokens
