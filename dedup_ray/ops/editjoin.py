@@ -126,23 +126,23 @@ def edit_distance_self_join(
         if t.num_rows == 0:
             return pa.table({"t1": pa.array([], pa.string()),
                              "t2": pa.array([], pa.string())})
-        df = t.select(["variant", "token"]).to_pandas()
-        df = df.drop_duplicates()
-        sizes = df.groupby("variant")["token"].transform("size")
+        from dedup_ray.stages.lsh import triangle_pairs_grouped
+
+        df = (t.select(["variant", "token"]).to_pandas()
+              .drop_duplicates().sort_values(["variant", "token"]))
+        key = df["variant"].to_numpy()
+        toks = df["token"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        lens = np.diff(np.r_[starts, len(key)])
+        ok = lens >= 2
         if max_variant_group is not None:
-            df = df[sizes.between(2, max_variant_group)]
-        else:
-            df = df[sizes >= 2]
-        t1_out: list[str] = []
-        t2_out: list[str] = []
-        for _, grp in df.groupby("variant")["token"]:
-            toks = sorted(grp)
-            for i in range(len(toks)):
-                for j in range(i + 1, len(toks)):
-                    t1_out.append(toks[i])
-                    t2_out.append(toks[j])
-        return pa.table({"t1": pa.array(t1_out, pa.string()),
-                         "t2": pa.array(t2_out, pa.string())})
+            # skip whole oversized variant groups (observable undercount)
+            ok &= lens <= max_variant_group
+        keep = np.repeat(ok, lens)
+        key, toks = key[keep], toks[keep]
+        i1, i2 = triangle_pairs_grouped(key)
+        return pa.table({"t1": pa.array(toks[i1], pa.string()),
+                         "t2": pa.array(toks[i2], pa.string())})
 
     cand = hash_exchange([variants], ["variant"], candidate_pairs,
                          num_partitions=num_partitions)

@@ -210,23 +210,25 @@ def triangle_pairs_grouped(
     LSH bucket path keeps its star+window variant via
     :func:`_pair_index` with a real cap.
     """
+    e = np.array([], np.int64)
     if len(group_key) == 0:
-        e = np.array([], np.int64)
         return e, e
+    n = len(group_key)
     starts = np.flatnonzero(np.r_[True, group_key[1:] != group_key[:-1]])
-    ends = np.r_[starts[1:], len(group_key)]
-    o1, o2 = [], []
-    for st, en in zip(starts.tolist(), ends.tolist()):
-        n = en - st if cap is None else min(en - st, cap)
-        if n < 2:
-            continue
-        a1, a2 = _pair_index(n, n, 0)
-        o1.append(st + a1)
-        o2.append(st + a2)
-    if not o1:
-        e = np.array([], np.int64)
+    lens = np.diff(np.r_[starts, n])
+    eff = lens if cap is None else np.minimum(lens, cap)
+    # fully vectorized triangle: row at local offset a within a run of
+    # effective size m pairs with the m-1-a rows that follow it
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    cnt = np.repeat(eff.astype(np.int64), lens) - 1 - local
+    np.clip(cnt, 0, None, out=cnt)
+    total = int(cnt.sum())
+    if total == 0:
         return e, e
-    return np.concatenate(o1), np.concatenate(o2)
+    i1 = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    return i1, i1 + off + 1
 
 
 def _emit_pairs(ids, cap: int, window: int) -> tuple[np.ndarray, np.ndarray, bool]:

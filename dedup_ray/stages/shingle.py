@@ -104,10 +104,13 @@ def minimizer_rows(texts: list[str | None], k: int, w: int):
     FOLLOWING)`` (lexicographic hex16 == numeric uint64 order).
     Returns ``(list_of_minimizer_lists)`` aligned with ``texts``.
     """
+    import hashlib
+
     from numpy.lib.stride_tricks import sliding_window_view
 
     from dedup_ray.util.hashing import content_digest
 
+    md5 = hashlib.md5
     out: list[list[str]] = []
     for txt in texts:
         txt = txt or ""
@@ -115,9 +118,17 @@ def minimizer_rows(texts: list[str | None], k: int, w: int):
         if n_pos < 1:
             out.append([])
             continue
-        dg = content_digest([txt[j:j + k] for j in range(n_pos)],
-                            algo="md5")
-        hv = np.array([int(d[:16], 16) for d in dg], dtype=np.uint64)
+        b = txt.encode("utf-8", "surrogatepass")
+        if len(b) == len(txt):
+            # ASCII fast path: byte slices == char slices, and
+            # int(hexdigest[:16], 16) == big-endian digest[:8]
+            hv = np.frombuffer(
+                b"".join([md5(b[j:j + k]).digest()[:8]
+                          for j in range(n_pos)]), dtype=">u8")
+        else:
+            dg = content_digest([txt[j:j + k] for j in range(n_pos)],
+                                algo="md5")
+            hv = np.array([int(d[:16], 16) for d in dg], dtype=np.uint64)
         if n_pos <= w:
             mins = hv.min(keepdims=True)
         else:
@@ -185,25 +196,25 @@ def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                           "n": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        import pandas as pd
+        from dedup_ray.stages.lsh import triangle_pairs_grouped
 
-        df = t.select(["minimizer", id_col]).to_pandas().drop_duplicates()
-        out1, out2 = [], []
-        for _, grp in df.groupby("minimizer", sort=False)[id_col]:
-            ids = np.sort(grp.to_numpy())
-            if len(ids) < 2 or (max_bucket is not None
-                                and len(ids) > max_bucket):
-                continue
-            i, j = np.triu_indices(len(ids), 1)
-            out1.append(ids[i])
-            out2.append(ids[j])
-        if not out1:
+        df = (t.select(["minimizer", id_col]).to_pandas()
+              .drop_duplicates().sort_values(["minimizer", id_col]))
+        key = df["minimizer"].to_numpy()
+        ids = df[id_col].to_numpy()
+        if max_bucket is not None:
+            # drop whole oversized buckets (observable undercount), keeping
+            # the historical skip semantics rather than a truncating cap
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            lens = np.diff(np.r_[starts, len(key)])
+            keep = np.repeat(lens <= max_bucket, lens)
+            key, ids = key[keep], ids[keep]
+        i1, i2 = triangle_pairs_grouped(key)
+        if not len(i1):
             return empty
-        a = np.concatenate(out1)
-        b = np.concatenate(out2)
-        return pa.table({"id1": pa.array(a, id_t),
-                         "id2": pa.array(b, id_t),
-                         "n": pa.array(np.ones(len(a), np.int64))})
+        return pa.table({"id1": pa.array(ids[i1], id_t),
+                         "id2": pa.array(ids[i2], id_t),
+                         "n": pa.array(np.ones(len(i1), np.int64))})
 
     cand = hash_exchange([sk], ["minimizer"], bucket_pairs,
                          num_partitions=num_partitions)
