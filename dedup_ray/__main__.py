@@ -133,9 +133,9 @@ def main(argv: list[str] | None = None) -> int:
         }.items()
         if v is not None
     }
-    # data-sized exchange partitions unless the user pinned a count
-    if "num_partitions" not in overrides:
-        overrides["auto_partitions"] = True
+    # data-sized exchange partitions unless the user pinned a count —
+    # the config default since round 5: auto_partitions=True derives the
+    # count from data size whenever num_partitions is left un-pinned
     cfg = DedupConfig(**overrides)
 
     t0 = time.perf_counter()

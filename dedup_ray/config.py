@@ -61,16 +61,25 @@ class DedupConfig:
     # handful of giant tasks.
     sign_batch_size: int = 64
     minhash_concurrency: int = 4  # actor-pool size for signature stages
-    num_partitions: int = 16  # hash partitions for joins/shuffles
+    # Hash partitions for joins/shuffles.  ``None`` (the default) means
+    # "not pinned": the value normalizes to 16 for direct consumers, and
+    # the flagship pipeline re-derives it from data size (see
+    # ``auto_partitions``).  Passing an explicit int pins the count and
+    # disables the derivation — the library caller's override.
+    # NOTE: ``dataclasses.replace(cfg, ...)`` re-passes the normalized
+    # int and therefore PINS the count on the copy — construct a fresh
+    # DedupConfig when the copy should keep deriving from data.
+    num_partitions: int | None = None
     # Size partitions to the DATA, not the CPU count: with
-    # ``auto_partitions`` the pipeline re-derives num_partitions after
-    # the signature stage as ceil(n_docs / docs_per_partition) clamped
-    # to [8, 65536].  An exchange moves ~num_partitions² shuffle blocks,
-    # so a partition count tuned for 100-TB inputs is pure fixed
-    # overhead on a 120k-doc corpus — measured on this box: the
-    # flagship's 8→32-CPU leg ran 15.3 s at 32 partitions vs 9.9 s at
-    # 8 partitions on identical input (BASELINE.md round 4).
-    auto_partitions: bool = False
+    # ``auto_partitions`` (default True since round 5) the pipeline
+    # re-derives an un-pinned num_partitions after the signature stage as
+    # ceil(n_docs / docs_per_partition) clamped to [8, 65536].  An
+    # exchange moves ~num_partitions² shuffle blocks, so a partition
+    # count tuned for 100-TB inputs is pure fixed overhead on a 120k-doc
+    # corpus — measured on this box: the flagship's 8→32-CPU leg ran
+    # 15.3 s at 32 partitions vs 9.9 s at 8 partitions on identical
+    # input (BASELINE.md round 4).
+    auto_partitions: bool = True
     docs_per_partition: int = 15_000
     # Driver-side union-find is used when the accepted-edge count is below
     # this; above it the distributed large-star/small-star iteration runs.
@@ -128,6 +137,15 @@ class DedupConfig:
                    jaccard_threshold=threshold, **kw)
 
     def __post_init__(self) -> None:
+        # Normalize the partition pin: None (un-pinned) becomes the fixed
+        # fallback 16 so every direct reader sees an int, while
+        # ``partitions_pinned`` (a non-field attribute, excluded from
+        # asdict/hashes) records whether the caller chose the count —
+        # only un-pinned configs are re-derived by ``auto_partitions``.
+        object.__setattr__(
+            self, "partitions_pinned", self.num_partitions is not None)
+        if self.num_partitions is None:
+            object.__setattr__(self, "num_partitions", 16)
         if self.num_perms % self.bands != 0:
             raise ValueError("num_perms must be divisible by bands")
         if self.simhash_bits % self.simhash_bands != 0:

@@ -212,7 +212,8 @@ def meta_block_pairs(blocks_ds, entity_col: str = "ent",
 def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
                    t1: float = 0.15, t2: float = 0.5,
                    num_blocks: int = 512, max_rounds: int = 28,
-                   num_partitions: int = 32, block_doc_cap: int = 2048):
+                   num_partitions: int = 32,
+                   block_doc_cap: int | None = 2048):
     """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
     classic cheap-distance blocking pass that precedes expensive
     record-linkage comparison (the same role the reference's exact
@@ -248,7 +249,8 @@ def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
     bound: blocks over the cap keep only their ``block_doc_cap``
     smallest doc ids for the canopy loop and emit the overflow as
     ``center_id = -2`` (observable, same policy as the LSH bucket
-    caps; ``-1`` stays the max-rounds leftover marker).
+    caps; ``-1`` stays the max-rounds leftover marker).  ``None``
+    disables the cap — the exact-replay mode the DuckDB oracle checks.
 
     Returns ``(blk, center_id, doc_id, jac)``; ``jac`` rounded 6dp.
     """
@@ -285,7 +287,7 @@ def canopy_cluster(docs, text_col: str = "text", id_col: str = "doc_id",
         rows_blk, rows_c, rows_d, rows_j = [], [], [], []
         for blk, g in df.groupby("blk", sort=True):
             all_dids = np.unique(g[id_col].to_numpy())
-            if len(all_dids) > block_doc_cap:
+            if block_doc_cap is not None and len(all_dids) > block_doc_cap:
                 # observable overflow: smallest ids stay, rest emit -2
                 kept = set(all_dids[:block_doc_cap].tolist())
                 for od in all_dids[block_doc_cap:].tolist():

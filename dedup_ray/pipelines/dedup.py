@@ -187,7 +187,7 @@ def dedup_pipeline(
             materialize=True,  # consumed by every path: edges, joins, final ids
         )
 
-    if cfg.auto_partitions:
+    if cfg.auto_partitions and not cfg.partitions_pinned:
         # Exchanges pay ~num_partitions² shuffle-block overhead, so the
         # partition count follows the DATA (see config.py): derived here
         # because the materialized signature table makes count() a

@@ -46,6 +46,7 @@ import pyarrow as pa
 
 from dedup_ray.config import DedupConfig
 from dedup_ray.state.dedupindex import (
+    index_listing,
     append_index,
     append_merges,
     band_bucket,
@@ -148,6 +149,9 @@ def dedup_against_index(
             "(build it from a with_chunks signature table)"
         )
     merges_seen = load_merges(index_root)
+    # one filesystem walk shared by every index probe (five tables) —
+    # see state/dedupindex.index_listing
+    idx_list = index_listing(index_root)
 
     import os as _os
     import time as _time
@@ -264,6 +268,7 @@ def dedup_against_index(
             _bucket_ids(
                 dig_refs, lambda t: _bucket_of(t["digest"].to_pylist(), nb)
             ),
+            listing=idx_list,
         )
         if idx_dig is None:
             return _empty_ds(anchor_schema).materialize()
@@ -340,6 +345,7 @@ def dedup_against_index(
             _bucket_ids(
                 band_refs, lambda t: band_bucket(t["bhash"].to_numpy(), nb)
             ),
+            listing=idx_list,
         )
         if idx_bands is None:
             return _empty_ds(anchor_schema).materialize(), 0, 0
@@ -383,7 +389,8 @@ def dedup_against_index(
         n_cross = int(sum(t["n"][0].as_py() for t in stats))
         hot_buckets = int(sum(t["hot"][0].as_py() for t in stats))
         idx_sigs = read_buckets_refs(
-            index_root, "sigs", bucket_ids if n_cross > 0 else []
+            index_root, "sigs", bucket_ids if n_cross > 0 else [],
+            listing=idx_list,
         )
         if idx_sigs is None:
             return _empty_ds(anchor_schema).materialize(), hot_buckets, n_cross
@@ -461,6 +468,7 @@ def dedup_against_index(
             _bucket_ids(
                 chunk_rows, lambda t: band_bucket(t["chash"].to_numpy(), nb)
             ),
+            listing=idx_list,
         )
         sub_schema = pa.schema(
             [("id1", idt), ("id2", idt), ("hot_chash", pa.int64())]
@@ -539,6 +547,7 @@ def dedup_against_index(
             )
             if n_sub > 0
             else [],
+            listing=idx_list,
         )
         sub_edges_local = _empty_ds(anchor_schema).materialize()
         if idx_blobs is not None:

@@ -2007,15 +2007,21 @@ def dedup_tier_report(sf_dir: str):
     # overlapping the four passes removes ~3 s of serial barrier.
     present = [t for t in ("exact", "near_minhash", "near_simhash",
                            "substring") if t in tiers]
+    # Materialize each cumulative union SERIALLY first: each tier's
+    # pin/cast plan executes exactly once (later unions concat already-
+    # materialized refs), and the threads below then fan out only the CC
+    # passes over fully-materialized inputs — concurrent driver-thread
+    # execution of overlapping lazy plans is not a documented-safe Ray
+    # Data pattern (round-5 advice item).
     cums = []
     cum = None
     for tier in present:
-        cum = tiers[tier] if cum is None else cum.union(tiers[tier])
+        cum = (tiers[tier] if cum is None
+               else cum.union(tiers[tier])).materialize()
         cums.append(cum)
 
     def comps_of(edge_ds) -> int:
-        labels = component_labels(
-            edge_ds.materialize(), cfg.cc_local_edge_limit)
+        labels = component_labels(edge_ds, cfg.cc_local_edge_limit)
         if labels is None:
             return n_nodes
         lab = labels.materialize()
@@ -14558,9 +14564,13 @@ def _canopy(sf_dir: str):
 
     if sf_dir not in _CANOPY_CACHE:
         ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        # block_doc_cap=None: the DuckDB oracle replays the UNCAPPED
+        # greedy algorithm, so the oracle-checked path must stay
+        # cap-free at any block size (the cap is exercised separately
+        # via explicit params — test_canopy_block_doc_cap_*)
         _CANOPY_CACHE[sf_dir] = canopy_cluster(
             ds, t1=CANOPY_T1, t2=CANOPY_T2, num_blocks=CANOPY_BLOCKS,
-            max_rounds=CANOPY_ROUNDS).materialize()
+            max_rounds=CANOPY_ROUNDS, block_doc_cap=None).materialize()
     return _CANOPY_CACHE[sf_dir]
 
 

@@ -121,47 +121,75 @@ def _append_bucketed(
     return int(df["rows"].sum()) if len(df) else 0
 
 
-def read_buckets(root: str, table: str, bucket_ids):
-    """Dataset over ``root/<table>/bucket=K`` for the given K's; None when
-    no requested bucket exists (e.g. an empty index)."""
-    import ray.data
+INDEX_TABLES = ("digests", "bands", "sigs", "chunks", "chunkblobs")
 
-    dirs = [
-        os.path.join(root, table, f"bucket={int(b):04d}")
-        for b in sorted(set(int(b) for b in bucket_ids))
-    ]
-    # expand to files: ray.data.read_parquet treats listed paths as files
-    files = [
+
+def index_listing(root: str, tables=INDEX_TABLES) -> dict:
+    """ONE filesystem walk of the index tree →
+    ``{table: {bucket_id: [parquet files]}}``.
+
+    An incremental shard probes up to five index tables; without this,
+    each probe re-lists its bucket directories — five walks per shard,
+    and on an object store each LIST is a round trip.  Walking once per
+    ``dedup_against_index`` call (rather than persisting the listing in
+    the manifest) keeps the listing trivially fresh across concurrent
+    appends/compactions at the same latency win."""
+    out: dict = {}
+    for tbl in tables:
+        td = os.path.join(root, tbl)
+        if not os.path.isdir(td):
+            continue
+        m: dict = {}
+        for d in sorted(os.listdir(td)):
+            if not d.startswith("bucket="):
+                continue
+            sub = os.path.join(td, d)
+            fs = [
+                os.path.join(sub, f)
+                for f in sorted(os.listdir(sub))
+                if f.endswith(".parquet")
+            ]
+            if fs:
+                m[int(d.split("=", 1)[1])] = fs
+        out[tbl] = m
+    return out
+
+
+def _bucket_files(root: str, table: str, bucket_ids, listing=None):
+    ids = sorted(set(int(b) for b in bucket_ids))
+    if listing is not None:
+        tl = listing.get(table, {})
+        return [f for b in ids for f in tl.get(b, ())]
+    dirs = [os.path.join(root, table, f"bucket={b:04d}") for b in ids]
+    return [
         os.path.join(d, f)
         for d in dirs
         if os.path.isdir(d)
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+
+
+def read_buckets(root: str, table: str, bucket_ids, listing=None):
+    """Dataset over ``root/<table>/bucket=K`` for the given K's; None when
+    no requested bucket exists (e.g. an empty index).  ``listing`` — an
+    :func:`index_listing` snapshot to reuse instead of re-walking."""
+    import ray.data
+
+    # expand to files: ray.data.read_parquet treats listed paths as files
+    files = _bucket_files(root, table, bucket_ids, listing)
     if not files:
         return None
     return ray.data.read_parquet(files)
 
 
-def read_buckets_refs(root: str, table: str, bucket_ids):
+def read_buckets_refs(root: str, table: str, bucket_ids, listing=None):
     """Block-ref form of :func:`read_buckets`: one RAW read task per part
     file, refs returned immediately — no Ray Data plan launch (a
     ``read_parquet`` execution costs constant driver seconds per call,
     and an incremental shard probes up to five index tables).  ``None``
     when no requested bucket exists."""
-    import ray
-
-    dirs = [
-        os.path.join(root, table, f"bucket={int(b):04d}")
-        for b in sorted(set(int(b) for b in bucket_ids))
-    ]
-    files = [
-        os.path.join(d, f)
-        for d in dirs
-        if os.path.isdir(d)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
+    files = _bucket_files(root, table, bucket_ids, listing)
     if not files:
         return None
     return [_read_parquet_file.remote(f) for f in files]
