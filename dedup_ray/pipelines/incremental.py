@@ -203,10 +203,7 @@ def dedup_against_index(
         compact, id_col=id_col, num_partitions=cfg.num_partitions
     ).materialize()
 
-    from dedup_ray.util.dsutil import (
-        pin_edge_ids,
-        split_mixed_rows,
-    )
+    from dedup_ray.util.dsutil import split_mixed_rows
     from dedup_ray.util.exchange import map_refs
 
     rep_cols = [id_col, "digest", "n_shingles", "sig"] + (
@@ -223,8 +220,17 @@ def dedup_against_index(
     # with raw tasks instead of launching its own plan over `mixed`
     _tick("exact_partition")
     rep_refs = map_refs(mixed, _rep_split)
-    reps = split_mixed_rows(mixed, rep_cols, want_edges=False)
-    exact_e = split_mixed_rows(mixed, ["id1", "id2"], want_edges=True)
+
+    def _edge_split(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"])
+
+    # r5: the whole edge path stays REF-CHAINED — exact star edges, the
+    # digest/cross branch outputs, and the in-shard near edges are raw
+    # block-ref lists until the single from_arrow_refs before CC.  Each
+    # avoided mid-branch ``.materialize()`` was a full Ray Data plan
+    # launch (~0.2-0.3 s of fixed driver latency per call) on a path
+    # whose useful work is milliseconds at shard scale.
+    exact_e = map_refs(mixed, _edge_split)
 
     def _sel(cols, rename: dict | None = None):
         def f(t: pa.Table) -> pa.Table:
@@ -271,7 +277,7 @@ def dedup_against_index(
             listing=idx_list,
         )
         if idx_dig is None:
-            return _empty_ds(anchor_schema).materialize()
+            return []
         return exchange_join(
             dig_refs,
             idx_dig,
@@ -280,7 +286,8 @@ def dedup_against_index(
             num_partitions=cfg.num_partitions,
             post=to_anchor,
             empty_schema=anchor_schema,
-        ).materialize()
+            return_refs=True,
+        )
 
     # ---- shared band refs: raw-task band explode off the rep refs ------
     from dedup_ray.stages.lsh import BandExploder
@@ -348,7 +355,7 @@ def dedup_against_index(
             listing=idx_list,
         )
         if idx_bands is None:
-            return _empty_ds(anchor_schema).materialize(), 0, 0
+            return [], 0, 0
         cross_mixed = hash_exchange(
             [
                 map_refs(
@@ -360,40 +367,43 @@ def dedup_against_index(
             [["band", "bhash"], ["band", "bhash"]],
             cross_reduce,
             num_partitions=cfg.num_partitions,
-        ).materialize()
+            return_refs=True,
+        )
         cross_pair_refs = map_refs(
             cross_mixed,
             lambda t: t.filter(pc.is_valid(t["id1"])).select(["id1", "id2"]),
         )
-        bucket_ids = _bucket_ids(
-            cross_pair_refs, lambda t: _bucket_of(t["id2"].to_pylist(), nb)
-        )
         import ray as _ray
 
-        # ONE stats wave folds the hot-bucket census and the pair count —
-        # the pair blocks themselves stay remote
-        stats = _ray.get(
-            map_refs(
-                cross_mixed,
-                lambda t: pa.table({
-                    "n": pa.array(
-                        [int(pc.sum(pc.cast(pc.is_valid(t["id1"]),
-                                            pa.int64())).as_py() or 0)
-                         if t.num_rows else 0], pa.int64()),
-                    "hot": pa.array(
-                        [int(pc.sum(t["hot"]).as_py() or 0)
-                         if t.num_rows else 0], pa.int64()),
-                }),
-            )
-        )
-        n_cross = int(sum(t["n"][0].as_py() for t in stats))
-        hot_buckets = int(sum(t["hot"][0].as_py() for t in stats))
+        # ONE census wave folds the pair count, the hot-bucket census AND
+        # the id2 bucket ids for the sig-read pruning (was two driver
+        # waves) — the pair blocks themselves stay remote
+        def _census(t: pa.Table) -> pa.Table:
+            valid = pc.is_valid(t["id1"]) if t.num_rows else None
+            n = (int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+                 if t.num_rows else 0)
+            hot = (int(pc.sum(t["hot"]).as_py() or 0) if t.num_rows else 0)
+            bks = (sorted(set(_bucket_of(
+                t.filter(valid)["id2"].to_pylist(), nb))) if n else [])
+            k = max(1, len(bks))
+            return pa.table({
+                "n": pa.array([n] + [0] * (k - 1), pa.int64()),
+                "hot": pa.array([hot] + [0] * (k - 1), pa.int64()),
+                "bucket": pa.array(
+                    bks + [None] * (k - len(bks)), pa.int64()),
+            })
+
+        stats = _ray.get(map_refs(cross_mixed, _census))
+        n_cross = int(sum(pc.sum(t["n"]).as_py() or 0 for t in stats))
+        hot_buckets = int(sum(pc.sum(t["hot"]).as_py() or 0 for t in stats))
+        bucket_ids = sorted(
+            {b.as_py() for t in stats for b in t["bucket"] if b.is_valid})
         idx_sigs = read_buckets_refs(
             index_root, "sigs", bucket_ids if n_cross > 0 else [],
             listing=idx_list,
         )
         if idx_sigs is None:
-            return _empty_ds(anchor_schema).materialize(), hot_buckets, n_cross
+            return [], hot_buckets, n_cross
         # sigs side = shard rep sigs ∪ pruned index sigs, as ONE ref list;
         # both projections map off the RAW index-sig blocks (id, sig,
         # cluster_id) so the cluster side keeps its cluster_id column
@@ -427,23 +437,20 @@ def dedup_against_index(
             # empty_schema is the POST-output schema (returned directly on
             # void partitions)
             empty_schema=anchor_schema,
-        ).materialize()
+            return_refs=True,
+        )
         return cross_edges, hot_buckets, n_cross
 
     # ---- branch: in-shard near edges (same plan as the batch pipeline) --
     def run_in_near():
-        import ray.data
-
         cands = candidate_pairs(
             band_refs, cfg, id_col=id_col, global_dedup=False, id_type=idt,
             return_refs=True,
         )
-        return ray.data.from_arrow_refs(
-            verify_pairs(
-                cands, rep_refs, cfg, id_col=id_col, id_type=idt,
-                return_refs=True,
-            )
-        ).materialize()
+        return verify_pairs(
+            cands, rep_refs, cfg, id_col=id_col, id_type=idt,
+            return_refs=True,
+        )
 
     # ---- branch: substring/CDC containment path (index chunk tables) ----
     def run_sub():
@@ -454,6 +461,9 @@ def dedup_against_index(
             verify_substring_pairs,
         )
 
+        # rep Dataset built only here: the substring path's batch-plan
+        # helpers take Datasets, the other three branches stay on refs
+        reps = split_mixed_rows(mixed, rep_cols, want_edges=False)
         # in-shard containment: the batch plan over shard representatives
         in_sub = substring_edges(reps, cfg, id_col=id_col, id_type=idt)
         in_sub_mat = in_sub.select_columns(["id1", "id2"]).materialize()
@@ -607,29 +617,58 @@ def dedup_against_index(
         _tick("branch:cross")
         in_near = f_near.result()
         _tick("branch:in_near")
-        if cross_edges.count() > 0:
-            edge_parts.append(cross_edges)
+        edge_parts.append(cross_edges)
         if f_sub is not None:
             in_sub_mat, sub_edges, sub_report = f_sub.result()
             edge_parts.append(in_sub_mat)
             if sub_edges.count() > 0:
                 edge_parts.append(sub_edges)
 
-    def _pin(ds):
-        return pin_edge_ids(ds, idt)
+    def _pin_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id1": t["id1"].combine_chunks().cast(idt),
+                "id2": t["id2"].combine_chunks().cast(idt),
+            }
+        )
 
-    edges = _pin(exact_e).union(_pin(in_near), _pin(digest_hits))
-    for part in edge_parts:
-        edges = edges.union(_pin(part))
-    edges = edges.materialize()
+    # one pin wave over every branch's block refs, ONE from_arrow_refs:
+    # the only Dataset plan on the whole edge path (blocks already exist,
+    # so its materialize is a metadata step, not an execution)
+    import ray.data as _rd
+
+    pinned: list = []
+    for part in [exact_e, in_near, digest_hits, *edge_parts]:
+        pinned += map_refs(
+            part,
+            # void partitions (e.g. an empty verify stream) carry their
+            # input schema, not (id1, id2) — pin them to the edge schema
+            lambda t: _pin_block(t.select(["id1", "id2"]))
+            if "id1" in t.column_names and "id2" in t.column_names
+            else anchor_schema.empty_table(),
+        )
+    edges = _rd.from_arrow_refs(pinned).materialize()
     _tick("edges_union")
+
+    import ray as _ray_mod
+
+    def _refs_nrows(part) -> int:
+        """Row count of a ref list / Dataset via one tiny count wave."""
+        counts = _ray_mod.get(
+            map_refs(
+                part,
+                lambda t: pa.table(
+                    {"n": pa.array([t.num_rows], pa.int64())}),
+            )
+        )
+        return int(sum(t["n"][0].as_py() for t in counts))
 
     # ---- CC + stable relabel against anchors -----------------------------
     report = {
         "n_docs": n_docs,
-        "digest_hits": digest_hits.count(),
+        "digest_hits": _refs_nrows(digest_hits),
         "cross_candidates": n_cross,
-        "cross_edges": cross_edges.count(),
+        "cross_edges": _refs_nrows(cross_edges),
         "hot_buckets_dropped": hot_buckets,
         **sub_report,
     }
