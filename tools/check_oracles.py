@@ -7,7 +7,11 @@ CI sweep mode (round-3 verdict item #6 — run at every sitting close):
     python tools/check_oracles.py --sample 40 --seed <round>
 samples 40 catalog entries with the seeded RNG, checks them, and appends
 one tally line to PROGRESS.jsonl:
-    {"sweep": {"seed": N, "n": 40, "ok": 40, "failures": []}, "ts": ...}
+    {"sweep": {"seed": N, "n": 40, "ok": 40, "failures": [],
+               "total_sec": S, "times": {name: sec, ...}}, "ts": ...}
+``--log`` appends the same tally for a full-catalog (or named-subset)
+run — the round-5 standing close ritual is a full sweep WITH the
+per-entry times so tail creep is caught the sitting it appears.
 
 Note: the oracles for the seeded non-SQL operators (minhash_dedup_docs
 pairs_recovered, ann_topk_lsh / ann_topk_ivf recalls, the logistic
@@ -82,6 +86,9 @@ def main():
         i = args.index("--seed")
         seed = int(args[i + 1])
         del args[i:i + 2]
+    log_tally = "--log" in args
+    if log_tally:
+        args.remove("--log")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -118,6 +125,7 @@ def main():
         only = set(names)
 
     failures = []
+    times: dict = {}
     n_checked = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -133,6 +141,7 @@ def main():
             failures.append(name)
             continue
         wall = time.time() - t0
+        times[name] = round(wall, 1)
         if name not in ORACLES:
             print(f"{name:28s} rows-only rows={len(ray_df)} ({wall:.1f}s)")
             continue
@@ -148,14 +157,16 @@ def main():
             failures.append(name)
     ray.shutdown()
     print("FAILURES:", failures if failures else "none")
-    if sample_n is not None:
+    if sample_n is not None or log_tally:
         import json
         import os
         import time
 
         line = {"sweep": {"seed": seed, "n": n_checked,
                           "ok": n_checked - len(failures),
-                          "failures": failures},
+                          "failures": failures,
+                          "total_sec": round(sum(times.values()), 1),
+                          "times": times},
                 "ts": time.time()}
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PROGRESS.jsonl")
