@@ -119,7 +119,6 @@ def dedup_against_index(
     sees this one.
     """
     from dedup_ray.pipelines.dedup import compact_signature_table
-    from dedup_ray.stages.cc import component_labels
     from dedup_ray.stages.exact import exact_rep_partition
     from dedup_ray.stages.lsh import candidate_pairs
     from dedup_ray.stages.verify import verify_pairs
@@ -632,9 +631,10 @@ def dedup_against_index(
             }
         )
 
-    # one pin wave over every branch's block refs, ONE from_arrow_refs:
-    # the only Dataset plan on the whole edge path (blocks already exist,
-    # so its materialize is a metadata step, not an execution)
+    # one pin wave over every branch's block refs — the edge stream never
+    # becomes a Dataset on the (typical) local-CC path: the labels come
+    # straight off the pulled blocks, skipping the from_arrow_refs
+    # materialize + count + iter_batches plan replays
     import ray.data as _rd
 
     pinned: list = []
@@ -647,7 +647,6 @@ def dedup_against_index(
             if "id1" in t.column_names and "id2" in t.column_names
             else anchor_schema.empty_table(),
         )
-    edges = _rd.from_arrow_refs(pinned).materialize()
     _tick("edges_union")
 
     import ray as _ray_mod
@@ -673,7 +672,22 @@ def dedup_against_index(
         **sub_report,
     }
 
-    labels = component_labels(edges, cfg.cc_local_edge_limit)
+    # count FIRST (tiny wave, no block pull) — only the local path, which
+    # pulls ≤ cc_local_edge_limit edge rows by definition (exactly what
+    # the old iter_batches did), brings blocks to the driver
+    n_edges = _refs_nrows(pinned)
+    if n_edges == 0:
+        labels = None
+    elif n_edges <= cfg.cc_local_edge_limit:
+        from dedup_ray.stages.cc import connected_components_local_tables
+
+        labels = _rd.from_arrow(
+            connected_components_local_tables(_ray_mod.get(pinned)))
+    else:
+        from dedup_ray.stages.cc import connected_components_distributed
+
+        labels = connected_components_distributed(
+            _rd.from_arrow_refs(pinned).materialize())
     _tick("cc")
     if labels is None:
         # no duplicate structure at all: every doc is its own cluster

@@ -117,11 +117,23 @@ def connected_components_local_table(edges_ds) -> pa.Table:
     so correctness never depends on factorize order, and the output stays
     Arrow end to end (no pandas round-trip).
     """
+    tables = [
+        batch
+        for batch in edges_ds.select_columns(["id1", "id2"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"  # native blocks
+        )
+    ]
+    return connected_components_local_tables(tables)
+
+
+def connected_components_local_tables(tables) -> pa.Table:
+    """Table-level core of :func:`connected_components_local_table`:
+    edge ``pa.Table``s already in hand (e.g. ``ray.get`` of a ref-chained
+    edge wave — ``pipelines/incremental``) skip the Dataset round-trip,
+    whose plan launch is pure fixed cost at shard scale."""
     a_parts: list = []
     b_parts: list = []
-    for batch in edges_ds.select_columns(["id1", "id2"]).iter_batches(
-        batch_size=None, batch_format="pyarrow"  # native blocks, zero-copy
-    ):
+    for batch in tables:
         if batch.num_rows:
             a_parts.append(batch["id1"].combine_chunks())
             b_parts.append(batch["id2"].combine_chunks())
