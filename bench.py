@@ -902,8 +902,7 @@ def run_local_cc(n_edges: int = 2_000_000) -> dict:
 # marginal work.  run_queries marks those later consumers so their
 # per-query numbers read as cache-assisted, not standalone cost.
 _MEMO_USERS = {
-    "cc_chain_docs": ("eval_sums",),
-    "cluster_stats_docs": ("chain_cc", "eval_sums"),
+    "cluster_stats_docs": ("chain_cc",),
     "similarity_self_join_docs": ("simjoin_truth",),
     "mixed_lang_clusters_docs": ("chain_cc",),
     "nb_lang_docs": ("nb_model",),
@@ -915,6 +914,11 @@ _MEMO_USERS = {
     "blocking_quality_docs": ("simjoin_truth", "canopy"),
     "soft_dedup_weights_docs": ("chain_cc",),
     "cluster_rep_longest": ("chain_cc",),
+    # the _eval_sums builder itself consumes _chain_cc, so the eval trio
+    # is assisted only when BOTH are warm (the all() below)
+    "bcubed_eval_docs": ("eval_sums", "chain_cc"),
+    "ari_eval_docs": ("eval_sums", "chain_cc"),
+    "nmi_eval_docs": ("eval_sums", "chain_cc"),
 }
 
 

@@ -132,15 +132,9 @@ def edit_distance_self_join(
               .drop_duplicates().sort_values(["variant", "token"]))
         key = df["variant"].to_numpy()
         toks = df["token"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        lens = np.diff(np.r_[starts, len(key)])
-        ok = lens >= 2
-        if max_variant_group is not None:
-            # skip whole oversized variant groups (observable undercount)
-            ok &= lens <= max_variant_group
-        keep = np.repeat(ok, lens)
-        key, toks = key[keep], toks[keep]
-        i1, i2 = triangle_pairs_grouped(key)
+        # skip_over drops whole oversized variant groups (observable
+        # undercount); size-1 groups emit nothing by construction
+        i1, i2 = triangle_pairs_grouped(key, skip_over=max_variant_group)
         return pa.table({"t1": pa.array(toks[i1], pa.string()),
                          "t2": pa.array(toks[i2], pa.string())})
 

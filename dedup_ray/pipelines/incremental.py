@@ -651,31 +651,33 @@ def dedup_against_index(
 
     import ray as _ray_mod
 
-    def _refs_nrows(part) -> int:
-        """Row count of a ref list / Dataset via one tiny count wave."""
-        counts = _ray_mod.get(
-            map_refs(
-                part,
-                lambda t: pa.table(
-                    {"n": pa.array([t.num_rows], pa.int64())}),
-            )
-        )
-        return int(sum(t["n"][0].as_py() for t in counts))
+    # ONE count wave covers the two report counts and the CC path pick
+    # (tiny tagged count tasks, no block pull) — serial per-part waves
+    # would pay three driver round-trip barriers on the latency path
+    def _count_tab(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    w_dig = map_refs(digest_hits, _count_tab)
+    w_crs = map_refs(cross_edges, _count_tab)
+    w_pin = map_refs(pinned, _count_tab)
+    all_counts = _ray_mod.get(w_dig + w_crs + w_pin)
+
+    def _tot(tabs) -> int:
+        return int(sum(t["n"][0].as_py() for t in tabs))
+
+    n_dig = _tot(all_counts[: len(w_dig)])
+    n_crs_edges = _tot(all_counts[len(w_dig): len(w_dig) + len(w_crs)])
+    n_edges = _tot(all_counts[len(w_dig) + len(w_crs):])
 
     # ---- CC + stable relabel against anchors -----------------------------
     report = {
         "n_docs": n_docs,
-        "digest_hits": _refs_nrows(digest_hits),
+        "digest_hits": n_dig,
         "cross_candidates": n_cross,
-        "cross_edges": _refs_nrows(cross_edges),
+        "cross_edges": n_crs_edges,
         "hot_buckets_dropped": hot_buckets,
         **sub_report,
     }
-
-    # count FIRST (tiny wave, no block pull) — only the local path, which
-    # pulls ≤ cc_local_edge_limit edge rows by definition (exactly what
-    # the old iter_batches did), brings blocks to the driver
-    n_edges = _refs_nrows(pinned)
     if n_edges == 0:
         labels = None
     elif n_edges <= cfg.cc_local_edge_limit:

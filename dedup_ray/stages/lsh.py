@@ -197,18 +197,22 @@ def _pair_index(n: int, cap: int, window: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def triangle_pairs_grouped(
-    group_key: np.ndarray, cap: int | None = None
+    group_key: np.ndarray, cap: int | None = None,
+    skip_over: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Absolute index arrays (i1, i2) for the full pair triangle within
     each run of equal consecutive ``group_key`` values.
 
     Callers pre-sort their rows by (group, id) so each run's first
     ``min(run_len, cap)`` elements are its smallest ids; pairs index
-    into the SORTED arrays.  The shared core of the super-shingle
-    bucket explode (``stages/minhash.supershingle_pairs``) and the
-    blocking-quality candidate explode (``pipelines/queries``) — the
-    LSH bucket path keeps its star+window variant via
-    :func:`_pair_index` with a real cap.
+    into the SORTED arrays.  ``cap`` TRUNCATES an oversized run to its
+    smallest ids; ``skip_over`` DROPS runs larger than it entirely (the
+    minimizer / FastSS observable-undercount policy).  The shared core
+    of the super-shingle bucket explode
+    (``stages/minhash.supershingle_pairs``), the minimizer and FastSS
+    explodes, and the blocking-quality candidate explode
+    (``pipelines/queries``) — the LSH bucket path keeps its star+window
+    variant via :func:`_pair_index` with a real cap.
     """
     e = np.array([], np.int64)
     if len(group_key) == 0:
@@ -217,6 +221,8 @@ def triangle_pairs_grouped(
     starts = np.flatnonzero(np.r_[True, group_key[1:] != group_key[:-1]])
     lens = np.diff(np.r_[starts, n])
     eff = lens if cap is None else np.minimum(lens, cap)
+    if skip_over is not None:
+        eff = np.where(lens > skip_over, 0, eff)
     # fully vectorized triangle: row at local offset a within a run of
     # effective size m pairs with the m-1-a rows that follow it
     local = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)

@@ -202,14 +202,9 @@ def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
               .drop_duplicates().sort_values(["minimizer", id_col]))
         key = df["minimizer"].to_numpy()
         ids = df[id_col].to_numpy()
-        if max_bucket is not None:
-            # drop whole oversized buckets (observable undercount), keeping
-            # the historical skip semantics rather than a truncating cap
-            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-            lens = np.diff(np.r_[starts, len(key)])
-            keep = np.repeat(lens <= max_bucket, lens)
-            key, ids = key[keep], ids[keep]
-        i1, i2 = triangle_pairs_grouped(key)
+        # skip_over drops whole oversized buckets (observable
+        # undercount) — the historical skip semantics, not a cap
+        i1, i2 = triangle_pairs_grouped(key, skip_over=max_bucket)
         if not len(i1):
             return empty
         return pa.table({"id1": pa.array(ids[i1], id_t),

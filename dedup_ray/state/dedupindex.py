@@ -144,13 +144,22 @@ def index_listing(root: str, tables=INDEX_TABLES) -> dict:
             if not d.startswith("bucket="):
                 continue
             sub = os.path.join(td, d)
+            # same tolerance as the per-probe walk: junk entries (a
+            # stray file named bucket=*, a non-numeric suffix) are
+            # ignored, never fatal
+            if not os.path.isdir(sub):
+                continue
+            try:
+                bkt = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
             fs = [
                 os.path.join(sub, f)
                 for f in sorted(os.listdir(sub))
                 if f.endswith(".parquet")
             ]
             if fs:
-                m[int(d.split("=", 1)[1])] = fs
+                m[bkt] = fs
         out[tbl] = m
     return out
 

@@ -22,8 +22,11 @@ def test_index_listing_matches_per_probe_walk(tmp_path):
             for fn in ("b.parquet", "a.parquet", "junk.txt"):
                 open(os.path.join(d, fn), "w").close()
             made.setdefault(tbl, []).append(b)
-    # an empty bucket dir and a missing table must both be tolerated
+    # an empty bucket dir, a missing table, a stray FILE named bucket=*,
+    # and a non-numeric bucket suffix must all be tolerated, not fatal
     os.makedirs(os.path.join(root, "bands", "bucket=0042"))
+    open(os.path.join(root, "digests", "bucket=0007.tmp"), "w").close()
+    os.makedirs(os.path.join(root, "sigs", "bucket=junk"))
 
     listing = index_listing(root)
     for tbl, buckets in made.items():
@@ -48,6 +51,10 @@ def test_triangle_pairs_grouped_order_and_cap():
     i1, i2 = triangle_pairs_grouped(key, cap=2)
     assert i1.tolist() == [0, 4]
     assert i2.tolist() == [1, 5]
+    # skip_over DROPS oversized runs entirely (cap truncates them)
+    i1, i2 = triangle_pairs_grouped(key, skip_over=2)
+    assert i1.tolist() == [4]
+    assert i2.tolist() == [5]
     e1, e2 = triangle_pairs_grouped(np.array([], dtype=object))
     assert len(e1) == 0 and len(e2) == 0
     s1, s2 = triangle_pairs_grouped(np.array(["x"], dtype=object))
@@ -82,20 +89,31 @@ def test_minimizer_pairs_skips_oversized_buckets():
     assert len(capped) == 0
 
 
-def test_bench_memo_users_exist_in_catalog():
-    # the cache-assisted annotation map must not drift from the catalog
+def test_bench_memo_users_match_actual_consumption():
+    # the cache-assisted annotation map must equal what the catalog
+    # functions ACTUALLY consume (AST-derived), so a memo added or
+    # removed in queries.py cannot silently misattribute bench timings
+    import ast
+    import inspect
+
     import bench
     from dedup_ray.pipelines import queries as Q
 
-    for name, memos in bench._MEMO_USERS.items():
-        assert name in Q.QUERIES, name
-        for m in memos:
-            assert m in (
-                "chain_cc", "eval_sums", "simjoin_truth", "nb_model",
-                "canopy",
-            ), (name, m)
-    # every memo consumer that bench times is annotated
-    assert set(bench._MEMO_USERS) >= (
-        {"similarity_self_join_docs", "blocking_quality_docs",
-         "canopy_docs"} & set(bench.BENCH_QUERIES)
-    )
+    calls = {"_simjoin_truth": "simjoin_truth", "_canopy": "canopy",
+             "_chain_cc": "chain_cc", "_eval_sums": "eval_sums",
+             "_nb_model": "nb_model"}
+    src = inspect.getsource(Q)
+    derived: dict = {}
+    for node in ast.parse(src).body:
+        if isinstance(node, ast.FunctionDef) and node.name in Q.QUERIES:
+            names = {n.id for n in ast.walk(node)
+                     if isinstance(n, ast.Name)}
+            memos = {v for k, v in calls.items() if k in names}
+            if memos:
+                derived[node.name] = memos
+    # the _eval_sums builder itself consumes _chain_cc: its consumers
+    # are assisted only when both memos are warm
+    for name in list(derived):
+        if "eval_sums" in derived[name]:
+            derived[name].add("chain_cc")
+    assert {k: set(v) for k, v in bench._MEMO_USERS.items()} == derived
