@@ -198,9 +198,12 @@ def dedup_against_index(
     )
 
     # ---- in-shard exact: one digest shuffle → reps + star edges ---------
+    # raw refs, no materialize barrier: branch task chains start
+    # dispatching immediately and resolve the exact exchange lazily
     mixed = exact_rep_partition(
-        compact, id_col=id_col, num_partitions=cfg.num_partitions
-    ).materialize()
+        compact, id_col=id_col, num_partitions=cfg.num_partitions,
+        return_refs=True,
+    )
 
     from dedup_ray.util.dsutil import split_mixed_rows
     from dedup_ray.util.exchange import map_refs
@@ -462,7 +465,10 @@ def dedup_against_index(
 
         # rep Dataset built only here: the substring path's batch-plan
         # helpers take Datasets, the other three branches stay on refs
-        reps = split_mixed_rows(mixed, rep_cols, want_edges=False)
+        import ray.data as _rds
+
+        reps = split_mixed_rows(
+            _rds.from_arrow_refs(mixed), rep_cols, want_edges=False)
         # in-shard containment: the batch plan over shard representatives
         in_sub = substring_edges(reps, cfg, id_col=id_col, id_type=idt)
         in_sub_mat = in_sub.select_columns(["id1", "id2"]).materialize()
@@ -678,6 +684,30 @@ def dedup_against_index(
         "hot_buckets_dropped": hot_buckets,
         **sub_report,
     }
+    # anchors dedup depends only on the branch refs — submit it BEFORE
+    # the (driver-blocking) local CC so its exchange rounds overlap the
+    # driver-side union-find
+    def _anchor_ids(t: pa.Table) -> pa.Table:
+        if "id2" not in t.column_names:  # void block
+            return t
+        return pa.table({"id": t["id2"].combine_chunks().cast(idt)})
+
+    anchor_src: list = []
+    for part in (digest_hits, cross_edges, sub_edges):
+        anchor_src += map_refs(part, _anchor_ids)
+
+    anchors = exchange_group_apply(
+        anchor_src,
+        "id",
+        # Arrow-native dedup: from_pandas on an empty frame would infer
+        # a null-typed id column, which acero rejects as a join key
+        lambda t: t.group_by("id").aggregate([])
+        if "id" in t.column_names and t.num_rows
+        else pa.schema([("id", idt)]).empty_table(),
+        num_partitions=cfg.num_partitions,
+        return_refs=True,
+    )
+
     if n_edges == 0:
         labels = None
     elif n_edges <= cfg.cc_local_edge_limit:
@@ -714,24 +744,33 @@ def dedup_against_index(
             ),
         )
 
-        def _anchor_ids(t: pa.Table) -> pa.Table:
-            if "id2" not in t.column_names:  # void block
-                return t
-            return pa.table({"id": t["id2"].combine_chunks().cast(idt)})
-
-        anchor_src: list = []
-        for part in (digest_hits, cross_edges, sub_edges):
-            anchor_src += map_refs(part, _anchor_ids)
-
-        anchors = exchange_group_apply(
-            anchor_src,
-            "id",
-            # Arrow-native dedup: from_pandas on an empty frame would infer
-            # a null-typed id column, which acero rejects as a join key
-            lambda t: t.group_by("id").aggregate([])
-            if "id" in t.column_names and t.num_rows
-            else pa.schema([("id", idt)]).empty_table(),
+        # doc_lab depends only on compact + labels (NOT on the remap) —
+        # submit it here so its two exchange rounds overlap the remap
+        # barrier below
+        doc_lab = exchange_join(
+            map_refs(
+                compact,
+                lambda t: t.select([id_col])
+                if id_col in t.column_names
+                else t,
+            ),
+            map_refs(
+                label_refs,
+                lambda t: t.rename_columns([id_col, "lab"]),
+            ),
+            on=id_col,
+            how="left",
             num_partitions=cfg.num_partitions,
+            post=lambda t: pa.table(
+                {
+                    id_col: t[id_col].combine_chunks().cast(idt),
+                    "lab": pc.coalesce(
+                        t["lab"].combine_chunks().cast(idt),
+                        t[id_col].combine_chunks().cast(idt),
+                    ),
+                }
+            ),
+            empty_schema=pa.schema([(id_col, idt), ("lab", idt)]),
             return_refs=True,
         )
 
@@ -793,33 +832,6 @@ def dedup_against_index(
             .select(["lab", "final"]),
         )
 
-        doc_lab = exchange_join(
-            map_refs(
-                compact,
-                lambda t: t.select([id_col])
-                if id_col in t.column_names
-                else t,
-            ),
-            map_refs(
-                label_refs,
-                lambda t: t.rename_columns([id_col, "lab"]),
-            ),
-            on=id_col,
-            how="left",
-            num_partitions=cfg.num_partitions,
-            post=lambda t: pa.table(
-                {
-                    id_col: t[id_col].combine_chunks().cast(idt),
-                    "lab": pc.coalesce(
-                        t["lab"].combine_chunks().cast(idt),
-                        t[id_col].combine_chunks().cast(idt),
-                    ),
-                }
-            ),
-            empty_schema=pa.schema([(id_col, idt), ("lab", idt)]),
-            return_refs=True,
-        )
-
         final = exchange_join(
             doc_lab,
             remap_refs,
@@ -838,10 +850,14 @@ def dedup_against_index(
             empty_schema=pa.schema(
                 [(id_col, idt), ("cluster_id", idt)]
             ),
-        ).materialize()
+            return_refs=True,
+        )
 
     import ray as _ray
 
+    # the non-singleton count wave is ALSO the barrier that resolves the
+    # final-label refs; the Dataset handed back is then a from_arrow_refs
+    # over already-computed blocks (no extra plan execution)
     report["non_singleton_docs"] = int(
         sum(
             t["n"][0].as_py()
@@ -860,6 +876,8 @@ def dedup_against_index(
             )
         )
     )
+    if isinstance(final, list):  # ref list → Dataset for the caller
+        final = _rd.from_arrow_refs(final)
     _tick("relabel+final")
     report["merges"] = len(merges_new)
 

@@ -51,7 +51,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "url", algo: str = "md
 
 
 def exact_rep_partition(ds_with_digest, id_col: str = "url",
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        return_refs: bool = False):
     """ONE digest shuffle → mixed table of representatives + star edges.
 
     Output rows are either a REPRESENTATIVE (the min-id member of a digest
@@ -125,7 +126,8 @@ def exact_rep_partition(ds_with_digest, id_col: str = "url",
         return pa.concat_tables([reps_t, pa.table(edge_cols)])
 
     return exchange_group_apply(
-        ds_with_digest, "digest", split, num_partitions
+        ds_with_digest, "digest", split, num_partitions,
+        return_refs=return_refs,
     )
 
 
