@@ -7689,12 +7689,19 @@ def minimizer_pairs_docs(sf_dir: str):
     with the shared count — the aligned-substring blocking tier next
     to LSH banding.  Bucket exchange + pair-key exchange, both replayed
     by the oracle's self-join."""
+    import ray
+
     from dedup_ray.stages.shingle import minimizer_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # the pair-key reduce moves ~100 pair rows per doc — width follows
+    # the session's CPU count (8 at the driver's sf0.01 gate, 32 on the
+    # bench box) so the heavy exchange isn't squeezed through 8 tasks
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     return minimizer_pairs(ds, "doc_id", "text", k=MINIMIZER_K,
                            w=MINIMIZER_W, min_shared=MINPAIR_SHARED,
-                           num_partitions=8, max_bucket=None)
+                           num_partitions=max(8, min(64, cpus)),
+                           max_bucket=None)
 
 
 WALK_STEPS = 4

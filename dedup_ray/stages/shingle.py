@@ -111,6 +111,14 @@ def minimizer_rows(texts: list[str | None], k: int, w: int):
     from dedup_ray.util.hashing import content_digest
 
     md5 = hashlib.md5
+    try:  # OpenSSL's non-FIPS constructor skips per-call policy checks
+        # (~1.25x on 8-byte messages); identical digests
+        md5(b"", usedforsecurity=False)
+        import functools
+
+        md5 = functools.partial(hashlib.md5, usedforsecurity=False)
+    except (TypeError, ValueError):
+        pass
     out: list[list[str]] = []
     for txt in texts:
         txt = txt or ""
