@@ -166,7 +166,9 @@ def minimizer_sketch(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({id_col: ids,
                          "minimizer": pa.array(flat, pa.string())})
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    # modest batch size: the md5-per-gram loop is the cost center, and
+    # smaller batches let the task pool balance it across cores
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
 def minimizer_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
