@@ -539,7 +539,8 @@ def run_incremental(sf_dir: str) -> dict:
     # cfg.num_partitions themselves), keeping their previous
     # partitioning.  Same semantic_hash either way (execution knob).
     cfg = DedupConfig(minhash_concurrency=max(2, NUM_CPUS - 2))
-    idx_cfg = dataclasses.replace(cfg, num_partitions=32)
+    idx_cfg = dataclasses.replace(
+        cfg, num_partitions=32, partitions_pinned=True)
     t0 = time.perf_counter()
     clusters, _ = dedup_pipeline(
         pages_from_documents(sf_dir, amplify=amplify, text_repeat=text_repeat),

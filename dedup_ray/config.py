@@ -66,10 +66,15 @@ class DedupConfig:
     # the flagship pipeline re-derives it from data size (see
     # ``auto_partitions``).  Passing an explicit int pins the count and
     # disables the derivation — the library caller's override.
-    # NOTE: ``dataclasses.replace(cfg, ...)`` re-passes the normalized
-    # int and therefore PINS the count on the copy — construct a fresh
-    # DedupConfig when the copy should keep deriving from data.
     num_partitions: int | None = None
+    # Pinnedness as a real (replace-surviving) field: ``None`` = infer
+    # from whether num_partitions was passed; ``dataclasses.replace``
+    # carries the computed True/False, so replacing an UNRELATED field
+    # on an un-pinned config keeps it un-pinned (deriving from data).
+    # One consequence: ``replace(cfg, num_partitions=X)`` on an
+    # un-pinned config also carries pinned=False — pass
+    # ``partitions_pinned=True`` alongside when the copy must pin.
+    partitions_pinned: bool | None = None
     # Size partitions to the DATA, not the CPU count: with
     # ``auto_partitions`` (default True since round 5) the pipeline
     # re-derives an un-pinned num_partitions after the signature stage as
@@ -105,6 +110,7 @@ class DedupConfig:
         "sign_batch_size",
         "minhash_concurrency",
         "num_partitions",
+        "partitions_pinned",
         "auto_partitions",
         "docs_per_partition",
         "cc_local_edge_limit",
@@ -138,12 +144,13 @@ class DedupConfig:
 
     def __post_init__(self) -> None:
         # Normalize the partition pin: None (un-pinned) becomes the fixed
-        # fallback 16 so every direct reader sees an int, while
-        # ``partitions_pinned`` (a non-field attribute, excluded from
-        # asdict/hashes) records whether the caller chose the count —
-        # only un-pinned configs are re-derived by ``auto_partitions``.
-        object.__setattr__(
-            self, "partitions_pinned", self.num_partitions is not None)
+        # fallback 16 so every direct reader sees an int; pinnedness is
+        # inferred from whether the caller passed a count, unless given
+        # explicitly — only un-pinned configs are re-derived by
+        # ``auto_partitions``.
+        if self.partitions_pinned is None:
+            object.__setattr__(
+                self, "partitions_pinned", self.num_partitions is not None)
         if self.num_partitions is None:
             object.__setattr__(self, "num_partitions", 16)
         if self.num_perms % self.bands != 0:

@@ -98,6 +98,15 @@ def test_auto_partitions_matches_fixed_and_derives_count():
     assert auto.auto_partitions and not auto.partitions_pinned
     assert fixed.partitions_pinned and fixed.num_partitions == 4
     assert DedupConfig().num_partitions == 16  # un-pinned normalizes
+    # pinnedness survives dataclasses.replace of an UNRELATED field:
+    # the copy of an un-pinned config keeps deriving from data
+    import dataclasses
+
+    cpy = dataclasses.replace(auto, jaccard_threshold=0.6)
+    assert not cpy.partitions_pinned
+    repin = dataclasses.replace(auto, num_partitions=32,
+                                partitions_pinned=True)
+    assert repin.partitions_pinned and repin.num_partitions == 32
     a, _ = dedup_pipeline(rd.from_arrow(pages), fixed)
     b, _ = dedup_pipeline(rd.from_arrow(pages), auto)
     da = a.to_pandas().sort_values("url").reset_index(drop=True)
